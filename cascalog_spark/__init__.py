@@ -1,0 +1,36 @@
+"""cascalog_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of nathanmarz/cascalog.
+
+Datalog-inspired predicate queries over logic variables, compiled to Spark
+DataFrames: variable unification drives implicit joins; groundness (``!!x``)
+drives outer joins; Catalyst owns all physical planning.
+
+    from cascalog_spark import q, c
+    people = [("alice", 28), ("bob", 33)]
+    young = q(["?person", "?age"],
+              (people, "?person", "?age"),
+              (c.lt, "?age", 30))
+    young.run(spark)   # → [("alice", 28)]
+"""
+
+from . import builtin as c
+from .api import (Query, combine, execute, first_n, name_vars, out_names, q,
+                  select_fields, union)
+from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
+                  SequentialAgg, column_filter, column_op, defaggregatefn,
+                  defbufferfn, deffilterfn, defmapcatfn, defmapfn,
+                  defparallelagg, filterfn, mapcatfn, mapfn)
+from .vars import gen_var, is_ground, is_ungrounding, is_var
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Query", "q", "c", "combine", "union", "execute", "first_n",
+    "select_fields", "name_vars", "out_names",
+    "defmapfn", "defmapcatfn", "deffilterfn", "defaggregatefn",
+    "defbufferfn", "defparallelagg", "mapfn", "mapcatfn", "filterfn",
+    "column_op", "column_filter",
+    "MapOp", "MapcatOp", "FilterOp", "ParallelAgg", "SequentialAgg",
+    "BufferOp", "LimitAgg",
+    "is_var", "is_ungrounding", "is_ground", "gen_var",
+]

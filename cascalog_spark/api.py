@@ -1,0 +1,182 @@
+"""Public API — the analog of cascalog.api (cascalog-core/src/clj/cascalog/api.clj).
+
+Entry points (api.clj:100-140):
+- ``Query`` / ``q``        ≈ ``<-``  (define a query; composable as a generator)
+- ``Query.to_df(spark)``   ≈ compile (the ClojureFlow analog is the DataFrame)
+- ``Query.run(spark)``     ≈ ``??-`` (execute, tuples back to driver)
+- ``execute(spark, q, sink)`` ≈ ``?-`` (execute into sink taps)
+- ``combine`` / ``union``  ≈ api.clj:178-192
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import vars as V
+from .compiler import Compiler
+from .planner import MergeNode, Node, ProjectionNode, build_plan
+from .predicates import normalize_query
+
+
+class Query:
+    """A composed query: output fields + predicates (+ options).
+
+    Usable anywhere a generator is accepted (subquery-as-generator,
+    SURVEY.md §1.4) — composability is free because the compiled form is a
+    DataFrame.
+    """
+
+    __cascalog_generator__ = True
+
+    def __init__(self, outfields, *predicates, **options):
+        self.outfields = list(outfields)
+        self.predicates = list(predicates)
+        self.options = {k.lstrip(":"): v for k, v in options.items()}
+        # normalize+validate eagerly so planner errors surface at define time,
+        # matching the reference's macro-time validation (parse.clj:104-154)
+        self._nq = normalize_query(self.outfields, self.predicates, self.options)
+
+    # -- planning ------------------------------------------------------------
+
+    def plan(self) -> Node:
+        return build_plan(self._nq)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Compile to a DataFrame with user-facing column names."""
+        compiler = Compiler(spark)
+        df = compiler.compile(self.plan())
+        return df.toDF(*out_names(self.outfields))
+
+    def run(self, spark: SparkSession) -> list[tuple]:
+        """??- : execute and return tuples to driver memory (api.clj:113-140)."""
+        return [tuple(r) for r in self.to_df(spark).collect()]
+
+    def explain(self, spark: SparkSession, mode: str = "formatted") -> None:
+        """api.clj:71-86 ``explain`` — Catalyst plan instead of a DOT file."""
+        self.to_df(spark).explain(mode=mode)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Query {self.outfields}>"
+
+
+def q(outfields, *predicates, **options) -> Query:
+    """Shorthand constructor (the ``<-`` macro analog)."""
+    return Query(outfields, *predicates, **options)
+
+
+def out_names(outfields) -> list[str]:
+    """User-facing column names: sigils stripped, uniquified."""
+    names, used = [], set()
+    for f in outfields:
+        base = V.sanitize_name(f) if isinstance(f, str) else str(f)
+        name, i = base, 0
+        while name in used:
+            i += 1
+            name = f"{base}__{i}"
+        names.append(name)
+        used.add(name)
+    return names
+
+
+class _MergedGen:
+    """combine/union result — a generator merging several generators
+    positionally (api.clj:178-192; Merge node parse.clj:166-171)."""
+
+    __cascalog_generator__ = True
+
+    def __init__(self, gens, distinct: bool):
+        if not gens:
+            raise ValueError("combine needs at least one generator")
+        self.gens = list(gens)
+        self.distinct = distinct
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        dfs = []
+        for g in self.gens:
+            df = g.to_df(spark) if hasattr(g, "to_df") else g
+            if not isinstance(df, DataFrame):
+                comp = Compiler(spark)
+                df = comp._source_df(g)
+            dfs.append(df)
+        base = dfs[0]
+        out = base
+        for d in dfs[1:]:
+            if len(d.columns) != len(base.columns):
+                raise ValueError("combine: generators have different arities")
+            out = out.union(d.toDF(*base.columns))
+        return out.distinct() if self.distinct else out
+
+
+def combine(*gens) -> _MergedGen:
+    """Bag union, no dedupe (api.clj:178-186)."""
+    return _MergedGen(gens, distinct=False)
+
+
+def union(*gens) -> _MergedGen:
+    """Set union, dedupes (api.clj:188-192)."""
+    return _MergedGen(gens, distinct=True)
+
+
+class _BoundGen:
+    """select-fields/name-vars product: a generator with fields projected or
+    renamed (api.clj:154-194, parse.clj:768-817)."""
+
+    __cascalog_generator__ = True
+
+    def __init__(self, gen, cols: Optional[list] = None,
+                 names: Optional[list] = None):
+        self.gen = gen
+        self.cols = cols
+        self.names = names
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        g = self.gen
+        df = g.to_df(spark) if hasattr(g, "to_df") else (
+            g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
+        if self.cols is not None:
+            df = df.select(*self.cols)
+        if self.names is not None:
+            df = df.toDF(*[V.sanitize_name(n) for n in self.names])
+        return df
+
+
+def select_fields(gen, fields) -> _BoundGen:
+    """Project a generator to named source columns (api.clj:154-163)."""
+    return _BoundGen(gen, cols=list(fields))
+
+
+def name_vars(gen, names) -> _BoundGen:
+    """Rename a generator's fields (api.clj:165-170)."""
+    return _BoundGen(gen, names=list(names))
+
+
+def execute(spark: SparkSession, query: Query, sink) -> None:
+    """?- : run the query into a sink tap (api.clj:100-111)."""
+    df = query.to_df(spark)
+    if hasattr(sink, "save_df"):
+        sink.save_df(df)
+    elif callable(sink):
+        sink(df)
+    else:
+        raise TypeError(f"not a sink: {sink!r}")
+
+
+def first_n(gen, n: int, sort=None, reverse: bool = False):
+    """c/first-n (ops.clj:273-304): global top-n of a generator."""
+
+    class _FirstN:
+        __cascalog_generator__ = True
+
+        def to_df(self, spark: SparkSession) -> DataFrame:
+            df = gen.to_df(spark) if hasattr(gen, "to_df") else gen
+            if sort:
+                cols = sort if isinstance(sort, (list, tuple)) else [sort]
+                from pyspark.sql import functions as F
+                order = [F.col(V.sanitize_name(c)).desc() if reverse
+                         else F.col(V.sanitize_name(c)).asc() for c in cols]
+                df = df.orderBy(*order)
+            return df.limit(n)
+
+    return _FirstN()

@@ -1,0 +1,251 @@
+"""Built-in operation library — the analog of ``cascalog.logic.ops`` (the
+``c/`` namespace, cascalog-core/src/clj/cascalog/logic/ops.clj) plus the
+JCascalog op classes (src/java/jcascalog/op/*.java) and cascalog-math stats
+(cascalog-math/src/cascalog/math/stats.clj:7-48).
+
+Everything here is a native Column-expression op, so Catalyst sees through it
+(predicate pushdown, codegen, partial aggregation all apply) — the single most
+important perf decision vs the reference's opaque-JVM-closure ops (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import operator as _pyop
+
+from pyspark.sql import functions as F
+
+from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
+                  column_filter, column_op)
+
+# ---------------------------------------------------------------------------
+# scalar map ops (JCascalog Plus/Minus/Multiply/Div + api.clj `div`)
+
+add = column_op("add", lambda *cs: _reduce_bin(lambda a, b: a + b, cs))
+sub = column_op("sub", lambda *cs: _reduce_bin(lambda a, b: a - b, cs) if len(cs) > 1 else -cs[0])
+mult = column_op("mult", lambda *cs: _reduce_bin(lambda a, b: a * b, cs))
+# div coerces to double — reference: api.clj:237-242 (Ratio-safe division)
+div = column_op("div", lambda *cs: _reduce_bin(lambda a, b: a.cast("double") / b, cs))
+mod = column_op("mod", lambda a, b: a % b)
+negate_num = column_op("neg", lambda c: -c)
+
+
+def _reduce_bin(f, cols):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = f(acc, c)
+    return acc
+
+
+# comparison filters (JCascalog LT/GT/LTE/GTE/Equals)
+lt = column_filter("lt", lambda a, b: a < b)
+gt = column_filter("gt", lambda a, b: a > b)
+lte = column_filter("lte", lambda a, b: a <= b)
+gte = column_filter("gte", lambda a, b: a >= b)
+eq = column_filter("eq", lambda *cs: _all_pairs_eq(cs))
+ne = column_filter("ne", lambda a, b: a != b)
+odd = column_filter("odd", lambda c: c % 2 != 0)
+even = column_filter("even", lambda c: c % 2 == 0)
+is_null = column_filter("is_null", lambda c: c.isNull())
+not_null = column_filter("not_null", lambda c: c.isNotNull())
+
+
+def _all_pairs_eq(cs):
+    acc = cs[0] == cs[1]
+    for c in cs[2:]:
+        acc = acc & (cs[0] == c)
+    return acc
+
+
+# string ops
+str_concat = column_op("str", lambda *cs: F.concat(*[c.cast("string") for c in cs]))
+lower = column_op("lower", F.lower)
+upper = column_op("upper", F.upper)
+trim = column_op("trim", F.trim)
+length = column_op("length", F.length)
+substring = column_op("substring", lambda c, start, ln: F.substring(c, start, ln))
+
+# c/re-parse (ops.clj:154-158): regex groups from string.
+def re_parse(pattern: str) -> MapcatOp:
+    """All regex matches of ``pattern`` in the input string, one row each
+    (reference: ops.clj:154-158 uses re-seq = find-all)."""
+    return MapcatOp(name="re-parse",
+                    column_fn=lambda c, _p=pattern: F.regexp_extract_all(c, F.lit(_p), 0))
+
+
+def re_extract(pattern: str, group: int = 1) -> MapOp:
+    return MapOp(name="re-extract",
+                 column_fn=lambda c, _p=pattern, _g=group: F.regexp_extract(c, _p, _g))
+
+
+def split(pattern: str = r"\s+") -> MapcatOp:
+    """Tokenize: 1 string row → n token rows.  Native split+explode, JVM-side."""
+    return MapcatOp(
+        name="split",
+        column_fn=lambda c, _p=pattern: F.filter(F.split(c, _p), lambda x: x != F.lit("")))
+
+
+# date ops (Cascading DateParser analog — cascading_api_test.clj:43-76)
+date_parse = column_op("date_parse", lambda c: F.to_timestamp(c))
+year_of = column_op("year", F.year)
+month_of = column_op("month", F.month)
+
+identity_op = column_op("identity", lambda *cs: list(cs) if len(cs) > 1 else cs[0])
+
+
+# ---------------------------------------------------------------------------
+# aggregators (ops.clj:160-253; ops_impl.clj)
+
+count = ParallelAgg("count", expr_fn=lambda *cs: F.count(F.lit(1)),
+                    pandas_fn=lambda pdf: len(pdf), returns=("bigint",))
+# c/!count — count of non-null values (ops.clj:170): F.count(col) is null-skipping
+count_notnull = ParallelAgg("!count", expr_fn=lambda c: F.count(c),
+                            pandas_fn=lambda pdf: int(pdf.iloc[:, 0].count()),
+                            returns=("bigint",))
+sum_agg = ParallelAgg("sum", expr_fn=lambda c: F.sum(c),
+                      pandas_fn=lambda pdf: pdf.iloc[:, 0].sum())
+min_agg = ParallelAgg("min", expr_fn=lambda c: F.min(c),
+                      pandas_fn=lambda pdf: pdf.iloc[:, 0].min())
+max_agg = ParallelAgg("max", expr_fn=lambda c: F.max(c),
+                      pandas_fn=lambda pdf: pdf.iloc[:, 0].max())
+avg = ParallelAgg("avg", expr_fn=lambda c: F.avg(c),
+                  pandas_fn=lambda pdf: pdf.iloc[:, 0].mean())
+distinct_count = ParallelAgg("distinct-count",
+                             expr_fn=lambda *cs: F.count_distinct(*cs),
+                             pandas_fn=lambda pdf: len(pdf.drop_duplicates()))
+approx_distinct_count = ParallelAgg("approx-distinct-count",
+                                    expr_fn=lambda *cs: F.approx_count_distinct(*cs))
+collect_list = ParallelAgg("collect-list", expr_fn=lambda c: F.collect_list(c))
+collect_set = ParallelAgg("collect-set", expr_fn=lambda c: F.collect_set(c))
+first_agg = ParallelAgg("first", expr_fn=lambda c: F.first(c, ignorenulls=False))
+
+# cascalog-math stats.clj:24-48 (+ Welford 1-pass variance, stats.clj:7-22 —
+# Spark's var_pop/var_samp are already single-pass numerically stable)
+var_pop = ParallelAgg("variance", expr_fn=lambda c: F.var_pop(c))
+var_samp = ParallelAgg("sample-variance", expr_fn=lambda c: F.var_samp(c))
+stddev_pop = ParallelAgg("stddev", expr_fn=lambda c: F.stddev_pop(c))
+stddev_samp = ParallelAgg("sample-stddev", expr_fn=lambda c: F.stddev_samp(c))
+
+
+def limit(n: int) -> LimitAgg:
+    """Per-group top-n by the query's sort option (ops.clj:172-206).
+
+    Compiled to Window+row_number — fully streaming, no 2n combiner buffer.
+    """
+    return LimitAgg(name="limit", n=n)
+
+
+def limit_rank(n: int) -> LimitAgg:
+    """Like limit but appends the 1-based rank (ops.clj:208-226)."""
+    return LimitAgg(name="limit-rank", n=n, with_rank=True)
+
+
+def fixed_sample(n: int, seed=None) -> LimitAgg:
+    """Uniform random n-sample per group via random sort key + limit
+    (ops.clj:255-269 + src/java/cascalog/ops/RandLong.java).
+    Spark: Window ordered by rand(seed) + row_number <= n."""
+    return LimitAgg(name="fixed-sample", n=n, random=True, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# operator combinators (ops.clj:14-150) — compose Column-expression ops
+
+def comp(*ops):
+    """Compose map ops right-to-left (c/comp, ops.clj:34-44)."""
+    ops = [o for o in ops]
+
+    def column_fn(*cs):
+        vals = list(cs)
+        for op in reversed(ops):
+            out = op.column_fn(*vals)
+            vals = out if isinstance(out, list) else [out]
+        return vals if len(vals) > 1 else vals[0]
+
+    return MapOp(name="comp", column_fn=column_fn)
+
+
+def juxt(*ops):
+    """Apply n ops to same inputs producing n outputs (c/juxt, ops.clj:46-55)."""
+
+    def column_fn(*cs):
+        return [op.column_fn(*cs) for op in ops]
+
+    return MapOp(name="juxt", column_fn=column_fn, n_out=len(ops))
+
+
+def each(op):
+    """Apply a 1-in/1-out op to every input var (c/each, ops.clj:57-70)."""
+
+    def column_fn(*cs):
+        return [op.column_fn(c) for c in cs]
+
+    m = MapOp(name=f"each-{op.name}", column_fn=column_fn)
+    m.dynamic_n_out = True  # type: ignore[attr-defined]
+    return m
+
+
+def partial(op, *consts):
+    """Partially apply leading args with constants (c/partial, ops.clj:72-84)."""
+    fn = op.column_fn
+
+    def column_fn(*cs):
+        return fn(*[F.lit(k) for k in consts], *cs)
+
+    cls = type(op)
+    if isinstance(op, FilterOp):
+        return FilterOp(name=f"partial-{op.name}", column_fn=column_fn)
+    return cls(name=f"partial-{op.name}", column_fn=column_fn)
+
+
+def negate(filter_op: FilterOp) -> FilterOp:
+    """c/negate (ops.clj:98-107)."""
+    return FilterOp(name=f"not-{filter_op.name}",
+                    column_fn=lambda *cs: ~filter_op.column_fn(*cs))
+
+
+def all_filters(*fops) -> FilterOp:
+    """c/all — conjunction of filters (ops.clj:109-129)."""
+
+    def column_fn(*cs):
+        acc = fops[0].column_fn(*cs)
+        for f in fops[1:]:
+            acc = acc & f.column_fn(*cs)
+        return acc
+
+    return FilterOp(name="all", column_fn=column_fn)
+
+
+def any_filters(*fops) -> FilterOp:
+    """c/any — disjunction of filters (ops.clj:131-150)."""
+
+    def column_fn(*cs):
+        acc = fops[0].column_fn(*cs)
+        for f in fops[1:]:
+            acc = acc | f.column_fn(*cs)
+        return acc
+
+    return FilterOp(name="any", column_fn=column_fn)
+
+
+# ---------------------------------------------------------------------------
+# auto-lift table for common Python callables used directly as predicates
+# (reference: any Clojure fn is a predicate — predicate.clj:87-98; tests use
+# str, +, *, <, odd? directly.  The Python analogs map to native Column ops.)
+
+KNOWN_CALLABLES = {
+    _pyop.add: add,
+    _pyop.sub: sub,
+    _pyop.mul: mult,
+    _pyop.truediv: div,
+    _pyop.mod: mod,
+    _pyop.lt: lt,
+    _pyop.gt: gt,
+    _pyop.le: lte,
+    _pyop.ge: gte,
+    _pyop.eq: eq,
+    _pyop.ne: ne,
+    str: MapOp(name="str", column_fn=lambda *cs: F.concat(*[c.cast("string") for c in cs])),
+    len: column_op("len", F.length),
+    abs: column_op("abs", F.abs),
+    max: column_op("greatest", lambda *cs: F.greatest(*cs)),
+    min: column_op("least", lambda *cs: F.least(*cs)),
+}

@@ -1,0 +1,374 @@
+"""Spark compiler — Stages 3+4 of the query lifecycle (SURVEY.md §3).
+
+A memoized post-order walk over the logical plan emitting PySpark DataFrame
+transformations (the analog of cascading/platform.clj:220-307's
+``to-generator`` dispatch, with Catalyst replacing Cascading's physical
+planner entirely).
+
+Physical-design notes for 100 TB scale:
+- Generator constant-filters are applied on the raw scan *before* any select,
+  so they reach parquet as PushedFilters.
+- Known ops emit native Column expressions → whole-stage codegen applies;
+  only user Python fns become (Arrow) UDFs.
+- Joins use ``on=[names]`` equi-join form → Catalyst/AQE picks
+  broadcast/sort-merge/shuffle-hash and handles skew; join-key coalescing on
+  outer joins (operations.clj:477-484 ``join-fields-selector``) is native to
+  Spark's USING-join.
+- Aggregations emit native ``groupBy().agg()`` → map-side partial aggregation
+  (the reference's ClojureCombinerBase LRU combiner) is automatic.
+- Per-group top-k (c/limit) compiles to Window+row_number — streaming, no
+  group materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import vars as V
+from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
+                  SequentialAgg)
+from .planner import (ApplicationNode, EqualityFilterNode, ExistenceJoinNode,
+                      FilterNode, GeneratorNode, GroupingNode, JoinNode,
+                      MergeNode, Node, ProjectionNode, UniqueNode)
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, namer: V.ColumnNamer | None = None):
+        self.spark = spark
+        self.namer = namer or V.ColumnNamer()
+        self._memo: dict[str, DataFrame] = {}
+
+    # -- entry ---------------------------------------------------------------
+
+    def compile(self, node: Node) -> DataFrame:
+        """Memoized walk (reference: zip.clj:47-59 visited-map keyed on node
+        identifier — a subquery referenced twice compiles once)."""
+        df = self._memo.get(node.node_id)
+        if df is None:
+            df = self._dispatch(node)
+            self._memo[node.node_id] = df
+        return df
+
+    def _dispatch(self, node: Node) -> DataFrame:
+        m = getattr(self, f"_compile_{type(node).__name__}", None)
+        if m is None:
+            raise TypeError(f"no compile rule for {type(node).__name__}")
+        return m(node)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _c(self, var: str):
+        return F.col(self.namer.col(var))
+
+    def _arg_cols(self, infields):
+        """vars → Columns; constants → literals (operations.clj:684-707
+        ``with-constants``)."""
+        return [self._c(f) if V.is_var(f) else F.lit(f) for f in infields]
+
+    def _null_filter(self, df: DataFrame, fields) -> DataFrame:
+        """FilterNull of non-nullable ``?``-vars (operations.clj:716-722)."""
+        subset = [self.namer.col(f) for f in fields if V.is_non_nullable(f)]
+        return df.na.drop(subset=subset) if subset else df
+
+    def _source_df(self, source: Any) -> DataFrame:
+        if isinstance(source, DataFrame):
+            return source
+        if hasattr(source, "load_df"):  # Tap protocol
+            return source.load_df(self.spark)
+        if hasattr(source, "__cascalog_generator__"):  # subquery
+            return source.to_df(self.spark)
+        if isinstance(source, (list, tuple)):
+            if len(source) == 0:
+                # reference rejects empty generators (api.clj:167-176)
+                raise ValueError("can't use an empty collection as a generator")
+            rows = [r if isinstance(r, (tuple, list)) else (r,) for r in source]
+            rows = [tuple(r) for r in rows]
+            return self.spark.createDataFrame(rows)
+        raise TypeError(f"not a generator: {source!r}")
+
+    # -- node rules ----------------------------------------------------------
+
+    def _compile_GeneratorNode(self, node: GeneratorNode) -> DataFrame:
+        df = self._source_df(node.source)
+        src_cols = df.columns
+
+        def ref_col(colref):
+            return F.col(src_cols[colref]) if isinstance(colref, int) \
+                else F.col(colref)
+
+        # constant filters on raw scan → parquet PushedFilters
+        for colref, const in node.const_filters:
+            c = ref_col(colref)
+            df = df.filter(c.isNull() if const is None else c.eqNullSafe(F.lit(const)))
+
+        sel = [ref_col(node.col_bindings[v]).alias(self.namer.col(v))
+               for v in node.fields]
+        extras = [v for v in node.col_bindings if v not in node.fields]
+        sel += [ref_col(node.col_bindings[v]).alias(self.namer.col(v))
+                for v in extras]
+        df = df.select(*sel)
+
+        # implicit equality from duplicate vars (parse.clj:308-336)
+        for kept, extra in node.dup_filters:
+            df = df.filter(self._c(kept).eqNullSafe(self._c(extra)))
+        if extras:
+            df = df.drop(*[self.namer.col(v) for v in extras])
+        return self._null_filter(df, node.fields)
+
+    def _compile_ApplicationNode(self, node: ApplicationNode) -> DataFrame:
+        df = self.compile(node.source)
+        op, outs = node.op, node.outfields
+        out_cols = [self.namer.col(o) for o in outs]
+        args = self._arg_cols(node.infields)
+
+        if isinstance(op, MapOp):
+            if op.column_fn is not None:
+                res = op.column_fn(*args)
+                res = res if isinstance(res, list) else [res]
+                if len(res) != len(outs):
+                    raise ValueError(
+                        f"op {op.name} produced {len(res)} columns for "
+                        f"{len(outs)} output vars")
+                for c, name in zip(res, out_cols):
+                    df = df.withColumn(name, c)
+            else:
+                df = self._apply_py_map(df, op, args, out_cols)
+        elif isinstance(op, MapcatOp):
+            df = self._apply_mapcat(df, op, args, out_cols)
+        else:
+            raise TypeError(f"cannot apply {op!r} as a map operation")
+        return self._null_filter(df, outs)
+
+    def _apply_py_map(self, df, op: MapOp, args, out_cols) -> DataFrame:
+        if op.n_out == 1:
+            udf = F.udf(op.py_fn, op.returns[0])
+            return df.withColumn(out_cols[0], udf(*args))
+        struct_t = T.StructType([
+            T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)])
+        fn = op.py_fn
+
+        def wrapped(*vals):
+            r = fn(*vals)
+            return tuple(r)
+
+        udf = F.udf(wrapped, struct_t)
+        tmp = "__mapout"
+        df = df.withColumn(tmp, udf(*args))
+        for i, name in enumerate(out_cols):
+            df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
+        return df.drop(tmp)
+
+    def _apply_mapcat(self, df, op: MapcatOp, args, out_cols) -> DataFrame:
+        tmp = "__mc"
+        if op.column_fn is not None:
+            arr = op.column_fn(*args)
+            if len(out_cols) == 1:
+                return df.withColumn(out_cols[0], F.explode(arr))
+            df = df.withColumn(tmp, F.explode(arr))
+            for i, name in enumerate(out_cols):
+                df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
+            return df.drop(tmp)
+        # python fn → array<struct> UDF + explode
+        if op.n_out == 1:
+            udf = F.udf(lambda *v: list(op.py_fn(*v) or []),
+                        T.ArrayType(op.returns[0]))
+            return df.withColumn(out_cols[0], F.explode(udf(*args)))
+        struct_t = T.StructType([
+            T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)])
+        fn = op.py_fn
+        udf = F.udf(lambda *v: [tuple(r) for r in (fn(*v) or [])],
+                    T.ArrayType(struct_t))
+        df = df.withColumn(tmp, F.explode(udf(*args)))
+        for i, name in enumerate(out_cols):
+            df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
+        return df.drop(tmp)
+
+    def _compile_FilterNode(self, node: FilterNode) -> DataFrame:
+        df = self.compile(node.source)
+        op: FilterOp = node.op
+        args = self._arg_cols(node.infields)
+        if op.column_fn is not None:
+            return df.filter(op.column_fn(*args))
+        udf = F.udf(lambda *v: bool(op.py_fn(*v)), T.BooleanType())
+        return df.filter(udf(*args))
+
+    def _compile_EqualityFilterNode(self, node: EqualityFilterNode) -> DataFrame:
+        df = self.compile(node.source)
+        rcol = self.namer.col(node.right)
+        return df.filter(self._c(node.left).eqNullSafe(self._c(node.right))) \
+                 .drop(rcol)
+
+    def _compile_JoinNode(self, node: JoinNode) -> DataFrame:
+        left = self.compile(node.left).alias(f"L_{node.node_id[:8]}")
+        right = self.compile(node.right).alias(f"R_{node.node_id[:8]}")
+        if not node.join_fields:
+            # cross-join (api.clj:63-64 idiom)
+            return left.crossJoin(right)
+        on = [self.namer.col(f) for f in node.join_fields]
+        # USING-join: join keys deduped & coalesced across branches — the
+        # analog of operations.clj:477-484 join-fields-selector
+        return left.join(right, on=on, how=node.how)
+
+    def _compile_ExistenceJoinNode(self, node: ExistenceJoinNode) -> DataFrame:
+        df = self.compile(node.source)
+        sub = self.compile(node.sub)
+        on = [self.namer.col(f) for f in node.join_fields]
+        sub_keys = sub.select(*on).dropDuplicates()
+        if node.mode == "semi":
+            return df.join(sub_keys, on=on, how="left_semi")
+        if node.mode == "anti":
+            return df.join(sub_keys, on=on, how="left_anti")
+        flag_col = self.namer.col(node.flag_var)
+        flagged = sub_keys.withColumn(flag_col, F.lit(True))
+        out = df.join(flagged, on=on, how="left")
+        return out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+
+    def _compile_UniqueNode(self, node: UniqueNode) -> DataFrame:
+        df = self.compile(node.source)
+        cols = [self.namer.col(f) for f in node.fields]
+        # distinct via groupBy-all ≈ FastFirst.java:30-41; Spark's
+        # dropDuplicates is the same plan with partial aggregation
+        return df.select(*cols).dropDuplicates()
+
+    def _compile_ProjectionNode(self, node: ProjectionNode) -> DataFrame:
+        df = self.compile(node.source)
+        df = self._null_filter(df, node.fields)
+        return df.select(*[self.namer.col(f) for f in node.fields])
+
+    def _compile_MergeNode(self, node: MergeNode) -> DataFrame:
+        dfs = [self.compile(s) for s in node.sources]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # -- grouping ------------------------------------------------------------
+
+    def _compile_GroupingNode(self, node: GroupingNode) -> DataFrame:
+        df = self.compile(node.source)
+        group_cols = [self.namer.col(f) for f in node.group_fields]
+        aggs = node.aggs
+
+        if len(aggs) == 1 and isinstance(aggs[0].op, LimitAgg):
+            return self._compile_limit(df, node, aggs[0])
+        if all(isinstance(a.op, ParallelAgg) and a.op.expr_fn is not None
+               for a in aggs):
+            exprs = []
+            for a in aggs:
+                cols = self._arg_cols(a.infields)
+                res = a.op.expr_fn(*cols)
+                res = res if isinstance(res, list) else [res]
+                for c, o in zip(res, a.outfields):
+                    exprs.append(c.alias(self.namer.col(o)))
+            if group_cols:
+                return df.groupBy(*group_cols).agg(*exprs)
+            return df.agg(*exprs)
+        return self._compile_pandas_grouping(df, node)
+
+    def _compile_limit(self, df, node: GroupingNode, rp) -> DataFrame:
+        """c/limit & c/limit-rank & c/fixed-sample → Window + row_number
+        (ops.clj:172-269).  Streaming top-k: survives huge groups."""
+        op: LimitAgg = rp.op
+        group_cols = [self.namer.col(f) for f in node.group_fields]
+        if op.random:
+            order = [F.rand(op.seed) if op.seed is not None else F.rand()]
+        elif node.sort:
+            order = [self._c(s).desc() if node.reverse else self._c(s).asc()
+                     for s in node.sort]
+        else:
+            order = [F.monotonically_increasing_id()]
+        w = (Window.partitionBy(*group_cols) if group_cols else
+             Window.partitionBy(F.lit(1))).orderBy(*order)
+        rn = "__rn"
+        df = df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= op.n)
+        invars = rp.infields
+        outs = list(rp.outfields)
+        rank_var = None
+        if op.with_rank:
+            rank_var, outs = outs[-1], outs[:-1]
+        if len(invars) != len(outs):
+            raise ValueError(f"{op.name}: {len(invars)} inputs vs {len(outs)} outputs")
+        sel = group_cols + [self._c(i).alias(self.namer.col(o))
+                            for i, o in zip(invars, outs)]
+        if rank_var:
+            sel.append(F.col(rn).alias(self.namer.col(rank_var)))
+        return df.select(*sel)
+
+    def _compile_pandas_grouping(self, df, node: GroupingNode) -> DataFrame:
+        """Sequential aggs / buffers via applyInPandas (Arrow grouped-map) —
+        the analog of reduce-side Every/ClojureBuffer with secondary sort
+        (operations.clj:251-264)."""
+        import pandas as pd
+
+        namer = self.namer
+        group_cols = [namer.col(f) for f in node.group_fields]
+        sort_cols = [namer.col(s) for s in node.sort]
+        ascending = not node.reverse
+        src_schema = {f.name: f for f in df.schema.fields}
+
+        global_agg = not group_cols
+        gkey = "__g"
+        if global_agg:
+            df = df.withColumn(gkey, F.lit(1))
+            group_cols_eff = [gkey]
+        else:
+            group_cols_eff = group_cols
+
+        out_fields: list[T.StructField] = []
+        for c in group_cols_eff:
+            out_fields.append(src_schema[c] if c in src_schema
+                              else T.StructField(c, T.IntegerType()))
+        specs = []  # (op, in_cols, out_cols)
+        buffer_spec = None
+        for a in node.aggs:
+            in_cols = [namer.col(f) for f in a.infields if V.is_var(f)]
+            out_cols = [namer.col(o) for o in a.outfields]
+            op = a.op
+            rts = [t if isinstance(t, T.DataType) else _ddl(t)
+                   for t in getattr(op, "returns", ["double"])]
+            for o, t in zip(out_cols, rts):
+                out_fields.append(T.StructField(o, t))
+            if isinstance(op, BufferOp):
+                buffer_spec = (op, in_cols, out_cols)
+            else:
+                specs.append((op, in_cols, out_cols))
+        schema = T.StructType(out_fields)
+
+        def run_group(pdf):
+            if sort_cols:
+                pdf = pdf.sort_values(sort_cols, ascending=ascending,
+                                      kind="mergesort")
+            keyvals = {c: pdf[c].iloc[0] for c in group_cols_eff}
+            if buffer_spec is not None:
+                op, in_cols, out_cols = buffer_spec
+                out = op.pandas_fn(pdf[in_cols].reset_index(drop=True))
+                out = out.copy()
+                out.columns = out_cols[:len(out.columns)]
+                for c in group_cols_eff:
+                    out[c] = keyvals[c]
+                return out[[f.name for f in out_fields]]
+            row = dict(keyvals)
+            for op, in_cols, out_cols in specs:
+                if isinstance(op, SequentialAgg):
+                    acc = op.init_fn()
+                    sub = pdf[in_cols]
+                    for vals in sub.itertuples(index=False, name=None):
+                        acc = op.step_fn(acc, *vals)
+                    res = op.final_fn(acc) if op.final_fn else acc
+                else:  # ParallelAgg pandas fallback
+                    res = op.pandas_fn(pdf[in_cols])
+                res = res if isinstance(res, tuple) else (res,)
+                for o, v in zip(out_cols, res):
+                    row[o] = v
+            return pd.DataFrame([row])[[f.name for f in out_fields]]
+
+        out = df.groupBy(*group_cols_eff).applyInPandas(run_group, schema)
+        return out.drop(gkey) if global_agg else out
+
+
+def _ddl(t: str) -> T.DataType:
+    return T.StructType.fromDDL(f"x {t}")[0].dataType

@@ -1,0 +1,309 @@
+"""Operation types — the predicate-operation taxonomy of the reference engine.
+
+Reference: cascalog-core/src/clj/cascalog/logic/def.clj:19-41 attaches
+``::map``/``::mapcat``/``::filter``/``::aggregate``/``::combiner``/``::buffer``
+type metadata to ops; predicate.clj:160-217 lifts arbitrary host-language
+callables into predicates.
+
+Spark-first design decision (SURVEY.md §4): every op carries, when possible, a
+``column_fn`` that builds a native Catalyst ``Column`` expression from input
+Columns — this keeps predicate pushdown / codegen / pruning applicable.  Only
+user Python functions fall back to (Arrow-vectorized pandas) UDFs.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type helpers
+
+
+def parse_type(t) -> T.DataType:
+    if isinstance(t, T.DataType):
+        return t
+    if isinstance(t, str):
+        return T.StructType.fromDDL(f"x {t}")[0].dataType
+    raise TypeError(f"cannot parse Spark type from {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# op base classes
+
+
+class Op:
+    """Base for everything usable in predicate-operator position."""
+
+    name: str = "<op>"
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{type(self).__name__} {self.name}>"
+
+
+@dataclass(repr=False)
+class MapOp(Op):
+    """1 row → 1 row, appends output fields.
+
+    Reference: ``defmapfn`` (logic/def.clj:28,36,66-68), ``map*``
+    (cascading/operations.clj:131-134).
+    Spark: native Column expr when ``column_fn`` given, else pandas/py UDF.
+    """
+
+    name: str
+    column_fn: Optional[Callable[..., Any]] = None  # (*Column) -> Column|[Column]
+    py_fn: Optional[Callable[..., Any]] = None  # (*scalar) -> scalar|tuple
+    returns: Sequence[Any] = ()  # Spark types of outputs (for py_fn path)
+    n_out: int = 1
+    vectorized: bool = False  # py_fn takes/returns pandas Series
+
+    def __call__(self, *args, **kwargs):
+        if self.py_fn is not None:
+            return self.py_fn(*args, **kwargs)
+        raise TypeError(f"{self.name} is Column-expression-only")
+
+
+@dataclass(repr=False)
+class MapcatOp(Op):
+    """1 row → n rows (UDTF).  Reference: ``defmapcatfn`` (def.clj:29,37,70-72).
+
+    Spark: ``column_fn`` must return an ArrayType Column (exploded by the
+    compiler — stays fully JVM-side); ``py_fn`` returns an iterable of output
+    tuples (or scalars for single-output) via a UDF returning array<struct>.
+    """
+
+    name: str
+    column_fn: Optional[Callable[..., Any]] = None  # (*Column) -> array Column
+    py_fn: Optional[Callable[..., Any]] = None
+    returns: Sequence[Any] = ()
+    n_out: int = 1
+
+    def __call__(self, *args, **kwargs):
+        if self.py_fn is not None:
+            return self.py_fn(*args, **kwargs)
+        raise TypeError(f"{self.name} is Column-expression-only")
+
+
+@dataclass(repr=False)
+class FilterOp(Op):
+    """Boolean predicate over input fields.
+
+    Reference: ``deffilterfn`` (def.clj:30,38,74-76), ClojureFilter.java.
+    A filter used with ``:>`` captures its boolean instead of filtering
+    (predicate.clj:170-187) — the planner handles that, both paths work.
+    """
+
+    name: str
+    column_fn: Optional[Callable[..., Any]] = None  # (*Column) -> bool Column
+    py_fn: Optional[Callable[..., Any]] = None
+
+    def __call__(self, *args, **kwargs):
+        if self.py_fn is not None:
+            return self.py_fn(*args, **kwargs)
+        raise TypeError(f"{self.name} is Column-expression-only")
+
+
+@dataclass(repr=False)
+class ParallelAgg(Op):
+    """Monoid-style aggregator compiled to a native Spark agg expression.
+
+    Reference: ``defparallelagg`` (logic/def.clj:107,137-164) — map-side
+    partial aggregation.  Spark's HashAggregate does partial/final split
+    automatically for native exprs, so the combiner machinery
+    (ClojureCombinerBase.java) costs us nothing.
+    """
+
+    name: str
+    expr_fn: Callable[..., Any] = None  # (*Column) -> Column (single out)
+    n_out: int = 1
+    # pandas fallback so this agg can participate in a mixed pandas grouping:
+    pandas_fn: Optional[Callable[..., Any]] = None  # (pdf cols) -> scalar
+    returns: Sequence[Any] = ("double",)  # types for the pandas fallback path
+
+
+@dataclass(repr=False)
+class SequentialAgg(Op):
+    """Classic init/step/final fold over a (secondarily sorted) group stream.
+
+    Reference: ``defaggregatefn`` (logic/def.clj:78-80, ClojureAggregator.java).
+    Spark: computed inside ``applyInPandas`` (Arrow-batched grouped map).
+    """
+
+    name: str
+    init_fn: Callable[[], Any] = None
+    step_fn: Callable[..., Any] = None  # (acc, *invals) -> acc
+    final_fn: Optional[Callable[[Any], Any]] = None  # acc -> scalar|tuple
+    returns: Sequence[Any] = ()
+    n_out: int = 1
+
+
+@dataclass(repr=False)
+class BufferOp:
+    """Whole-group function: group's rows → seq of result rows.
+
+    Reference: ``defbufferfn`` (logic/def.clj:82-84, ClojureBuffer.java).
+    Spark: ``applyInPandas`` grouped-map; the group arrives secondarily
+    sorted when the query carries ``sort=``/``reverse=`` options
+    (operations.clj:251-264).
+    """
+
+    name: str
+    pandas_fn: Callable[..., Any] = None  # (pandas.DataFrame) -> pandas.DataFrame
+    returns: Sequence[Any] = ()
+    n_out: int = 1
+
+
+@dataclass(repr=False)
+class LimitAgg:
+    """Per-group top-k (reference: ``c/limit`` / ``c/limit-rank``,
+    logic/ops.clj:172-226, backed by ParallelBuffer + RandLong).
+
+    Spark: compiled to ``Window.partitionBy(groups).orderBy(sort)`` +
+    ``row_number() <= n`` — no group materialization, scales to huge groups
+    where the reference's 2n-buffered combiner would too.
+    """
+
+    name: str
+    n: int = 0
+    with_rank: bool = False
+    n_out: int = 1
+    random: bool = False  # c/fixed-sample: order by rand(seed) instead of sort
+    seed: Optional[int] = None
+
+
+# ---------------------------------------------------------------------------
+# user-facing decorators (the UDF surface, SURVEY.md §2.10)
+
+
+def defmapfn(returns="string", n_out: int = 1, name: Optional[str] = None):
+    """Lift a Python scalar function to a map op (reference ``defmapfn``)."""
+
+    def deco(fn):
+        rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
+        op = MapOp(name=name or fn.__name__, py_fn=fn,
+                   returns=[parse_type(t) for t in rts], n_out=n_out)
+        return functools.wraps(fn)(op) if False else op
+
+    return deco
+
+
+def defmapcatfn(returns="string", n_out: int = 1, name: Optional[str] = None):
+    def deco(fn):
+        rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
+        return MapcatOp(name=name or fn.__name__, py_fn=fn,
+                        returns=[parse_type(t) for t in rts], n_out=n_out)
+
+    return deco
+
+
+def deffilterfn(fn=None, *, name: Optional[str] = None):
+    def deco(f):
+        return FilterOp(name=name or f.__name__, py_fn=f)
+
+    return deco(fn) if fn is not None else deco
+
+
+def defparallelagg(expr_fn=None, *, name: Optional[str] = None, pandas_fn=None):
+    def deco(f):
+        return ParallelAgg(name=name or getattr(f, "__name__", "agg"),
+                           expr_fn=f, pandas_fn=pandas_fn)
+
+    return deco(expr_fn) if expr_fn is not None else deco
+
+
+def defaggregatefn(init, step, final=None, returns="double", n_out: int = 1,
+                   name: str = "aggfn"):
+    rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
+    return SequentialAgg(name=name, init_fn=init, step_fn=step, final_fn=final,
+                         returns=[parse_type(t) for t in rts], n_out=n_out)
+
+
+def defbufferfn(returns="string", n_out: int = 1, name: Optional[str] = None):
+    """Whole-group pandas fn: receives a pandas.DataFrame of the group's input
+    columns (sorted per query options), returns a pandas.DataFrame with
+    ``n_out`` columns."""
+
+    def deco(fn):
+        rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
+        return BufferOp(name=name or fn.__name__, pandas_fn=fn,
+                        returns=[parse_type(t) for t in rts], n_out=n_out)
+
+    return deco
+
+
+def mapfn(fn, returns="string", n_out=1, name=None):
+    return defmapfn(returns, n_out, name or getattr(fn, "__name__", "mapfn"))(fn)
+
+
+def filterfn(fn, name=None):
+    return deffilterfn(fn, name=name)
+
+
+def mapcatfn(fn, returns="string", n_out=1, name=None):
+    return defmapcatfn(returns, n_out, name or getattr(fn, "__name__", "mapcatfn"))(fn)
+
+
+def column_op(name: str, column_fn, n_out: int = 1) -> MapOp:
+    """Wrap a Column-expression builder as a map op (native, Catalyst-visible)."""
+    return MapOp(name=name, column_fn=column_fn, n_out=n_out)
+
+
+def column_filter(name: str, column_fn) -> FilterOp:
+    return FilterOp(name=name, column_fn=column_fn)
+
+
+def expr_op(name: str, template: str, n_out: int = 1) -> MapOp:
+    """Op from a SQL expression template: ``{0}``, ``{1}`` … are input columns.
+
+    Example: ``expr_op("tax", "{0} * (1 + {1})")``.
+    """
+
+    def column_fn(*cols):
+        # Column objects stringify via internal names, so route through F.expr
+        # by requiring the caller to pass through ``_sql_name``-annotated cols.
+        raise RuntimeError("expr_op is resolved by the compiler")
+
+    op = MapOp(name=name, column_fn=column_fn, n_out=n_out)
+    op.sql_template = template  # type: ignore[attr-defined]
+    return op
+
+
+# ---------------------------------------------------------------------------
+# auto-lifting (reference: predicate.clj:87-98,160-191 ``to-predicate``)
+
+
+def lift(op, has_output: bool):
+    """Lift an arbitrary value in operator position to an Op.
+
+    - Op instances pass through.
+    - Python ``set``/``frozenset`` → membership filter (reference lifts
+      Clojure sets to filters).
+    - Plain callables → FilterOp when used without output vars (the reference's
+      default for filter-ish ops, parse.clj:86-92); with outputs the user must
+      declare a return type via ``defmapfn``/``mapfn`` because Spark needs a
+      schema — raise a clear error.
+    """
+    from .builtin import KNOWN_CALLABLES
+
+    if isinstance(op, (MapOp, MapcatOp, FilterOp, ParallelAgg, SequentialAgg,
+                       BufferOp, LimitAgg)):
+        return op
+    if isinstance(op, (set, frozenset)):
+        vals = sorted(op, key=repr)
+        return FilterOp(name="in-set",
+                        column_fn=lambda c, _v=vals: c.isin(*_v),
+                        py_fn=lambda x, _s=op: x in _s)
+    if callable(op):
+        if op in KNOWN_CALLABLES:
+            return KNOWN_CALLABLES[op]
+        if not has_output:
+            return FilterOp(name=getattr(op, "__name__", "pyfilter"), py_fn=op)
+        raise TypeError(
+            f"plain callable {op!r} used with output vars — wrap it with "
+            f"mapfn(fn, returns=...) / @defmapfn(returns=...) so the engine "
+            f"knows its Spark return type")
+    raise TypeError(f"cannot use {op!r} as a predicate operation")

@@ -1,0 +1,224 @@
+"""Predicate normalization — Stage 1 of the query lifecycle (SURVEY.md §3).
+
+Mirrors the reference's parse layer (cascalog-core/src/clj/cascalog/logic/
+parse.clj:30-102 ``normalize``/selector parsing, 565-612 ``expand-outvars``,
+predicate.clj:35-42 ``RawPredicate``) as pure Python — no Spark imports.
+
+A raw predicate is a Python tuple; its head decides the kind:
+
+- option:      ``(":sort", "?x")``, ``(":distinct", True)`` …
+- generator:   head is a DataFrame / list-of-tuples / Tap / Query; rest are
+  field bindings (vars or constants); a ``":>"`` selector makes it a
+  GeneratorSet (existence/semi-join filter, predicate.clj:130-131)
+- operation:   head is an Op / lifted callable / set; args split at ``":>"``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from . import vars as V
+from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
+                  SequentialAgg, lift)
+
+OUT = ":>"
+IN = ":<"
+
+OPTION_KEYS = {":distinct", ":sort", ":reverse", ":trap", ":name",
+               ":reducers", ":spill-threshold", ":limit"}
+
+AGG_TYPES = (ParallelAgg, SequentialAgg, BufferOp, LimitAgg)
+
+
+@dataclass
+class RawPredicate:
+    """predicate.clj:35-42 — op + infields + outfields."""
+
+    kind: str  # generator | generator_set | op | filter | agg
+    op: Any
+    infields: list = field(default_factory=list)
+    outfields: list = field(default_factory=list)
+    # generator extras:
+    source: Any = None
+    bindings: list = field(default_factory=list)  # field position -> var/const
+    flag: Any = None  # GeneratorSet: True/False/flag-var
+
+
+@dataclass
+class NormalizedQuery:
+    outfields: list
+    generators: list  # RawPredicate kind=generator
+    gensets: list  # kind=generator_set
+    operations: list  # kind=op / filter
+    aggregators: list  # kind=agg
+    options: dict
+
+
+def is_generator(x: object) -> bool:
+    """Anything with a platform generator method (logic/platform.clj:50-60):
+    DataFrames, literal tuple collections, Taps, subqueries."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(x, DataFrame):
+        return True
+    if isinstance(x, (list, tuple)) and not isinstance(x, str):
+        return True  # literal rows (cascading/types.clj:62-73)
+    if hasattr(x, "load_df") or hasattr(x, "__cascalog_generator__"):
+        return True
+    return False
+
+
+def _split_selector(args: list) -> tuple[list, list]:
+    """Split arg vector at ``:>`` (parse.clj:30-102).  Leading ``:<`` ignored."""
+    args = [a for a in args]
+    if args and args[0] == IN:
+        args = args[1:]
+    if OUT in args:
+        i = args.index(OUT)
+        return args[:i], args[i + 1:]
+    return args, []
+
+
+def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
+    """Normalize one predicate tuple.  ``fresh_filters`` collects equality
+    filters synthesized for output-position constants (parse.clj:565-589)."""
+    if not isinstance(pred, (tuple, list)) or len(pred) == 0:
+        raise ValueError(f"predicate must be a non-empty tuple: {pred!r}")
+    head, *args = pred
+
+    if isinstance(head, str) and head.startswith(":"):
+        raise ValueError(f"option {head} must be passed via query options")
+
+    if is_generator(head):
+        infields, outfields = _split_selector(args)
+        if outfields:
+            # GeneratorSet: existence filter (predicate.clj:130-131;
+            # parse.clj:591-612).  Out must be True/False or a flag var.
+            if len(outfields) != 1:
+                raise ValueError("generator-set takes exactly one output")
+            return RawPredicate(kind="generator_set", op=None, source=head,
+                                bindings=list(infields), flag=outfields[0])
+        return RawPredicate(kind="generator", op=None, source=head,
+                            bindings=list(infields))
+
+    infields, outfields = _split_selector(args)
+    op = lift(head, has_output=bool(outfields))
+
+    if isinstance(op, AGG_TYPES):
+        if not outfields:
+            # aggregators default their args to output position
+            # (parse.clj:86-92: non-filter ops default output)
+            infields, outfields = [], infields
+        return _expand_outvars(
+            RawPredicate(kind="agg", op=op, infields=infields,
+                         outfields=outfields), fresh_filters)
+
+    if isinstance(op, FilterOp) and not outfields:
+        return RawPredicate(kind="filter", op=op, infields=infields)
+
+    if isinstance(op, FilterOp) and outfields:
+        # filter-as-value capture (predicate.clj:170-187): boolean becomes a
+        # column instead of filtering
+        bool_op = MapOp(name=f"{op.name}-value", column_fn=op.column_fn,
+                        py_fn=op.py_fn, returns=["boolean"], n_out=1)
+        op = bool_op
+
+    if isinstance(op, (MapOp, MapcatOp)) and not outfields:
+        raise ValueError(
+            f"map op {op.name} needs ':>' output vars (e.g. (op, '?in', ':>', '?out'))")
+
+    return _expand_outvars(
+        RawPredicate(kind="op", op=op, infields=infields, outfields=outfields),
+        fresh_filters)
+
+
+def _expand_outvars(rp: RawPredicate, fresh_filters: list) -> RawPredicate:
+    """Rewrite output-position constants/callables into equality/guard filter
+    predicates (parse.clj:565-589 ``split-outvar-constants``)."""
+    new_out = []
+    for o in rp.outfields:
+        if V.is_var(o) and not V.is_wildcard(o):
+            new_out.append(o)
+            continue
+        fv = V.gen_var("?")
+        new_out.append(fv)
+        if callable(o) or isinstance(o, FilterOp):
+            guard = lift(o, has_output=False)
+            fresh_filters.append(
+                RawPredicate(kind="filter", op=guard, infields=[fv]))
+        else:
+            from .builtin import eq as _eq
+            fresh_filters.append(
+                RawPredicate(kind="filter",
+                             op=FilterOp(name="const-eq",
+                                         column_fn=lambda c, _k=o: c.eqNullSafe(_k) if _k is not None else c.isNull(),
+                                         py_fn=lambda x, _k=o: x == _k),
+                             infields=[fv]))
+    rp.outfields = new_out
+    return rp
+
+
+def normalize_query(outfields, predicates, options: Optional[dict] = None
+                    ) -> NormalizedQuery:
+    """parse.clj:725-758 ``build-query``/``parse-subquery`` analog."""
+    options = dict(options or {})
+    outfields = list(outfields)
+    gens, gensets, ops_, aggs = [], [], [], []
+    fresh: list[RawPredicate] = []
+    flat = []
+    for p in predicates:
+        # allow inline option tuples for the Datalog-ish feel
+        if isinstance(p, (tuple, list)) and p and isinstance(p[0], str) \
+                and p[0].startswith(":"):
+            key = p[0].lstrip(":")
+            val = list(p[1:])
+            if key in ("sort",):
+                options["sort"] = [v for v in val]
+            elif key in ("distinct", "reverse"):
+                options[key] = val[0] if val else True
+            else:
+                options[key] = val[0] if len(val) == 1 else val
+            continue
+        flat.append(p)
+
+    for p in flat:
+        rp = normalize_predicate(p, fresh)
+        {"generator": gens, "generator_set": gensets, "op": ops_,
+         "filter": ops_, "agg": aggs}[rp.kind].append(rp)
+    ops_.extend(fresh)
+
+    _validate(outfields, gens, gensets, ops_, aggs, options)
+    return NormalizedQuery(outfields=outfields, generators=gens,
+                           gensets=gensets, operations=ops_,
+                           aggregators=aggs, options=options)
+
+
+def _validate(outfields, gens, gensets, ops_, aggs, options) -> None:
+    """parse.clj:104-154 ``validate-predicates!``."""
+    if not gens:
+        raise ValueError("query needs at least one generator")
+    buffers = [a for a in aggs if isinstance(a.op, (BufferOp, LimitAgg))]
+    non_buffers = [a for a in aggs if not isinstance(a.op, (BufferOp, LimitAgg))]
+    if len(buffers) > 1:
+        raise ValueError("Multiple buffers aren't allowed in the same query")
+    if buffers and non_buffers:
+        raise ValueError("Cannot use both aggregators and buffers in same grouping")
+    # ungrounding vars may only originate in generators (parse.clj:113-129)
+    gen_vars = {v for g in gens for v in g.bindings if V.is_var(v)}
+    for coll, what in ((ops_, "operation"), (aggs, "aggregator")):
+        for rp in coll:
+            for v in rp.outfields:
+                if V.is_ungrounding(v):
+                    raise ValueError(
+                        f"ungrounding var {v} may only originate in a "
+                        f"generator, not in {what} {rp.op!r}")
+    ug = [v for v in gen_vars if V.is_ungrounding(v)]
+    # each !!var appears in exactly one generator
+    seen = set()
+    for g in gens:
+        for v in g.bindings:
+            if V.is_ungrounding(v):
+                if v in seen:
+                    raise ValueError(f"ungrounding var {v} used in >1 generator")
+                seen.add(v)

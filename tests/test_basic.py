@@ -1,0 +1,194 @@
+"""Core query semantics — mirrors the reference's golden-output suite
+(cascalog-core/test/cascalog/api_test.clj).  Expected tuples are taken from
+the same scenarios; comparison is multiset + doublify, exactly like
+logic/testing.clj.
+"""
+
+import pytest
+
+from cascalog_spark import c, q
+from cascalog_spark.testing import assert_produces
+
+AGE = [("alice", 28), ("bob", 33), ("chris", 40), ("david", 25),
+       ("emily", 25), ("george", 31), ("gary", 28), ("kumar", 27),
+       ("luanne", 36)]
+
+PERSON = [("alice",), ("bob",), ("chris",), ("david",), ("emily",),
+          ("gary",), ("george",), ("harold",), ("kumar",), ("luanne",)]
+
+FOLLOWS = [("alice", "david"), ("alice", "bob"), ("alice", "emily"),
+           ("bob", "david"), ("bob", "george"), ("bob", "luanne"),
+           ("david", "alice"), ("david", "luanne"),
+           ("emily", "alice"), ("emily", "bob"), ("emily", "george"),
+           ("emily", "gary"), ("george", "gary"),
+           ("harold", "bob"), ("luanne", "harold"), ("luanne", "gary")]
+
+GENDER = [("alice", "f"), ("bob", "m"), ("chris", "m"), ("david", "m"),
+          ("emily", "f"), ("george", "m"), ("gary", "m"), ("harold", "m"),
+          ("luanne", "f")]
+
+SENTENCE = [("this is a sentence",), ("sentence with this is words",)]
+
+INTEGER = [(-1,), (0,), (1,), (2,), (3,), (4,), (5,), (6,), (7,), (8,), (9,)]
+
+NUM_PAIR = [(1, 1), (1, 2), (2, 2), (3, 4)]
+
+
+def test_young_people(spark):
+    # api_test.clj:42-52 "young people" — filter by comparison
+    query = q(["?person", "?age"],
+              (AGE, "?person", "?age"),
+              (c.lt, "?age", 30))
+    assert_produces(query, spark,
+                    [("alice", 28), ("david", 25), ("emily", 25),
+                     ("gary", 28), ("kumar", 27)])
+
+
+def test_wordcount(spark):
+    # api_test.clj:121-135 word count: mapcat split + count
+    query = q(["?word", "?count"],
+              (SENTENCE, "?s"),
+              (c.split(), "?s", ":>", "?word"),
+              (c.count, "?count"))
+    assert_produces(query, spark,
+                    [("this", 2), ("is", 2), ("a", 1), ("sentence", 2),
+                     ("with", 1), ("words", 1)])
+
+
+def test_map_op_native(spark):
+    query = q(["?person", "?double_age"],
+              (AGE, "?person", "?age"),
+              (c.mult, "?age", 2, ":>", "?double_age"))
+    assert_produces(query, spark, [(p, a * 2) for p, a in AGE])
+
+
+def test_implicit_join(spark):
+    # join age × gender on ?person (api_test.clj:66-84)
+    query = q(["?person", "?age", "?gender"],
+              (AGE, "?person", "?age"),
+              (GENDER, "?person", "?gender"),
+              (c.lt, "?age", 30))
+    assert_produces(query, spark,
+                    [("alice", 28, "f"), ("david", 25, "m"),
+                     ("emily", 25, "f"), ("gary", 28, "m")])
+
+
+def test_three_way_join_and_agg(spark):
+    # follower counts of the people someone follows
+    query = q(["?person", "?num_follows"],
+              (FOLLOWS, "?person", "_"),
+              (c.count, "?num_follows"))
+    expected = {}
+    for a, _ in FOLLOWS:
+        expected[a] = expected.get(a, 0) + 1
+    assert_produces(query, spark, list(expected.items()))
+
+
+def test_self_join(spark):
+    # mutual follows (cascading_api_test.clj:147-161 self-join)
+    query = q(["?p1", "?p2"],
+              (FOLLOWS, "?p1", "?p2"),
+              (FOLLOWS, "?p2", "?p1"))
+    fset = set(FOLLOWS)
+    expected = [(a, b) for a, b in fset if (b, a) in fset]
+    assert_produces(query, spark, expected)
+
+
+def test_multi_agg_same_grouping(spark):
+    # api_test.clj:137-145 multiple aggregators share one grouping +
+    # post-agg op over agg outputs
+    VALUE = [("a", 1), ("a", 2), ("b", 10), ("c", 3), ("b", 2), ("a", 41)]
+    query = q(["?label", "?sum", "?count", "?s2"],
+              (VALUE, "?label", "?n"),
+              (c.sum_agg, "?n", ":>", "?sum"),
+              (c.count, "?count"),
+              (c.add, "?sum", "?count", ":>", "?s2"))
+    assert_produces(query, spark,
+                    [("a", 44, 3, 47), ("b", 12, 2, 14), ("c", 3, 1, 4)])
+
+
+def test_global_agg(spark):
+    # api_test.clj:159-170 global aggregation (no group keys)
+    query = q(["?sum"],
+              (INTEGER, "?n"),
+              (c.sum_agg, "?n", ":>", "?sum"))
+    assert_produces(query, spark, [(44,)])
+
+
+def test_distinct_option(spark):
+    DUP = [(1, 2), (1, 2), (3, 4)]
+    query = q(["?a", "?b"], (DUP, "?a", "?b"), distinct=True)
+    assert_produces(query, spark, [(1, 2), (3, 4)])
+    query2 = q(["?a", "?b"], (DUP, "?a", "?b"))
+    assert_produces(query2, spark, [(1, 2), (1, 2), (3, 4)])
+
+
+def test_duplicate_var_equality(spark):
+    # api_test.clj:816-828 (num-pair ?n ?n) — implicit self-equality
+    query = q(["?n"], (NUM_PAIR, "?n", "?n"))
+    assert_produces(query, spark, [(1,), (2,)])
+
+
+def test_constant_in_generator_position(spark):
+    # constants in generator fields filter (pushed to scan)
+    query = q(["?person"], (AGE, "?person", 25))
+    assert_produces(query, spark, [("david",), ("emily",)])
+
+
+def test_constant_output_filter(spark):
+    # (* ?n ?n :> 81) — constant in output position filters (parse.clj:565-589)
+    query = q(["?n"],
+              (INTEGER, "?n"),
+              (c.mult, "?n", "?n", ":>", 81))
+    assert_produces(query, spark, [(9,)])
+
+
+def test_null_filtering_nonnullable(spark):
+    # ?age filters null rows; !age keeps them (api_test.clj:43 dirty data)
+    DIRTY = [("alice", 28), ("bob", None), ("chris", 40)]
+    query = q(["?person", "?age"], (DIRTY, "?person", "?age"))
+    assert_produces(query, spark, [("alice", 28), ("chris", 40)])
+    query2 = q(["?person", "!age"], (DIRTY, "?person", "!age"))
+    assert_produces(query2, spark,
+                    [("alice", 28), ("bob", None), ("chris", 40)])
+
+
+def test_cross_join(spark):
+    A = [(1,), (2,)]
+    B = [("x",), ("y",)]
+    query = q(["?a", "?b"], (A, "?a"), (B, "?b"))
+    assert_produces(query, spark,
+                    [(1, "x"), (1, "y"), (2, "x"), (2, "y")])
+
+
+def test_filter_as_value_capture(spark):
+    # predicate.clj:170-187: filter with :> captures boolean
+    query = q(["?n", "?odd"],
+              (INTEGER, "?n"),
+              (c.odd, "?n", ":>", "?odd"))
+    assert_produces(query, spark, [(n[0], n[0] % 2 != 0) for n in INTEGER])
+
+
+def test_subquery_as_generator(spark):
+    sub = q(["?person", "?age"],
+            (AGE, "?person", "?age"),
+            (c.lt, "?age", 30))
+    outer = q(["?person"],
+              (sub, "?person", "?age"),
+              (c.gt, "?age", 26))
+    assert_produces(outer, spark, [("alice",), ("gary",), ("kumar",)])
+
+
+def test_python_filter_fn(spark):
+    # arbitrary Python callable auto-lifted as filter (predicate.clj:87-98)
+    query = q(["?person", "?age"],
+              (AGE, "?person", "?age"),
+              (lambda a: a % 2 == 0, "?age"))
+    assert_produces(query, spark,
+                    [(p, a) for p, a in AGE if a % 2 == 0])
+
+
+def test_set_as_filter(spark):
+    query = q(["?person"], (PERSON, "?person"),
+              ({"alice", "bob"}, "?person"))
+    assert_produces(query, spark, [("alice",), ("bob",)])
