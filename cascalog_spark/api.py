@@ -34,14 +34,16 @@ class Query:
         self.outfields = list(outfields)
         self.predicates = list(predicates)
         self.options = {k.lstrip(":"): v for k, v in options.items()}
-        # normalize+validate eagerly so planner errors surface at define time,
-        # matching the reference's macro-time validation (parse.clj:104-154)
+        # normalize+validate+plan eagerly so planner errors surface at define
+        # time, matching the reference's macro-time validation
+        # (parse.clj:104-154)
         self._nq = normalize_query(self.outfields, self.predicates, self.options)
+        self._plan = build_plan(self._nq)
 
     # -- planning ------------------------------------------------------------
 
     def plan(self) -> Node:
-        return build_plan(self._nq)
+        return self._plan
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Compile to a DataFrame with user-facing column names."""

@@ -376,6 +376,13 @@ def _build_agg_tail(nq: NormalizedQuery, tail: Tail,
     # are available pre-agg (parse.clj:701-705)
     group_fields = [f for f in nq.outfields
                     if f not in agg_outs and f in tail.fields]
+    for a in aggs:
+        missing = [f for f in a.infields
+                   if V.is_var(f) and f not in tail.fields]
+        if missing:
+            raise ValueError(
+                f"aggregator {getattr(a.op, 'name', a.op)} references "
+                f"unavailable fields {missing}; available: {tail.fields}")
     sort = [s for s in (nq.options.get("sort") or [])]
     # pre-grouping projection to (group ∪ agg-input ∪ sort) (parse.clj:472-497)
     needed = list(dict.fromkeys(

@@ -74,9 +74,16 @@ def _split_selector(args: list) -> tuple[list, list]:
     args = [a for a in args]
     if args and args[0] == IN:
         args = args[1:]
+    if IN in args:
+        raise ValueError(
+            f"':<' selector is only legal at the start of the arg vector "
+            f"(parse.clj:30-102); got {args!r}")
     if OUT in args:
         i = args.index(OUT)
-        return args[:i], args[i + 1:]
+        outs = args[i + 1:]
+        if OUT in outs:
+            raise ValueError(f"multiple ':>' selectors in {args!r}")
+        return args[:i], outs
     return args, []
 
 
