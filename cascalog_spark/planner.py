@@ -138,14 +138,16 @@ class MergeNode(Node):
 
 @dataclass
 class Tail:
-    """TailStruct (parse.clj:173-186): plan node + available fields."""
+    """TailStruct (parse.clj:173-186): plan node + available fields + ground?.
+
+    Groundness propagation matches parse.clj:434-464: a join result is ground
+    if ANY branch is ground; the final surviving tail is forced ground
+    (parse.clj:531) so !!var-consuming ops apply post-join, where null
+    padding is visible."""
 
     node: Node
     fields: list
-
-    @property
-    def ground(self) -> bool:
-        return V.is_ground(self.fields)
+    ground: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +188,7 @@ def _expand_generator(rp: RawPredicate) -> GeneratorNode:
 
 def _generator_tail(rp: RawPredicate) -> Tail:
     g = _expand_generator(rp)
-    return Tail(node=g, fields=list(g.fields))
+    return Tail(node=g, fields=list(g.fields), ground=V.is_ground(g.fields))
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +200,7 @@ def _apply_op(tail: Tail, rp: RawPredicate) -> Tail:
     equality filters (parse.clj:308-336 ``apply-equality-ops``)."""
     if rp.kind == "filter":
         node = FilterNode(source=tail.node, op=rp.op, infields=rp.infields)
-        return Tail(node=node, fields=tail.fields)
+        return Tail(node=node, fields=tail.fields, ground=tail.ground)
 
     outfields, eq_pairs = [], []
     for o in rp.outfields:
@@ -214,12 +216,21 @@ def _apply_op(tail: Tail, rp: RawPredicate) -> Tail:
     for a, b in eq_pairs:
         node = EqualityFilterNode(source=node, left=a, right=b)
         fields = [f for f in fields if f != b]
-    return Tail(node=node, fields=fields)
+    return Tail(node=node, fields=fields, ground=tail.ground)
 
 
-def _op_applicable(tail_fields: set, rp: RawPredicate) -> bool:
+def _op_applicable(tail: "Tail | set", rp: RawPredicate) -> bool:
+    """parse.clj:276-295 ``op-allowed?``: inputs available AND (all input
+    vars ground (?x/!x) OR the tail itself is ground) — !!var consumers wait
+    for the outer join so they see null padding."""
+    if isinstance(tail, set):  # post-agg path: fields only, always ground
+        fields, ground = tail, True
+    else:
+        fields, ground = set(tail.fields), tail.ground
     invars = {f for f in rp.infields if V.is_var(f)}
-    return invars <= tail_fields
+    if not invars <= fields:
+        return False
+    return ground or all(not V.is_ungrounding(v) for v in invars)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +251,7 @@ def _join_two(a: Tail, b: Tail, join_fields: list) -> Tail:
         how = "full"
     node = JoinNode(left=a.node, right=b.node, join_fields=join_fields, how=how)
     fields = list(a.fields) + [f for f in b.fields if f not in a.fields]
-    return Tail(node=node, fields=fields)
+    return Tail(node=node, fields=fields, ground=a.ground or b.ground)
 
 
 def _attempt_join(tails: list[Tail]) -> list[Tail]:
@@ -298,10 +309,17 @@ def build_plan(nq: NormalizedQuery) -> Node:
                                              join_fields=join_fields,
                                              mode=mode, flag_var=flag)
                     new_fields = target.fields + ([flag] if flag else [])
-                    tails[idx] = Tail(node=node, fields=new_fields)
+                    tails[idx] = Tail(node=node, fields=new_fields,
+                                      ground=target.ground)
                     pending_sets.remove(item)
                     progress = True
         if len(tails) == 1:
+            if not tails[0].ground and (pending_ops or pending_sets):
+                # parse.clj:531 — final tail is forced ground so that
+                # remaining !!var-consuming ops / gensets can now apply
+                tails[0] = Tail(node=tails[0].node, fields=tails[0].fields,
+                                ground=True)
+                continue
             break
         tails = _attempt_join(tails)
 
@@ -318,7 +336,7 @@ def build_plan(nq: NormalizedQuery) -> Node:
         while progress and remaining:
             progress = False
             for rp in list(remaining):
-                if _op_applicable(set(tail.fields), rp):
+                if _op_applicable(set(tail.fields) | set(), rp):
                     tail = _apply_op(tail, rp)
                     remaining.remove(rp)
                     progress = True
@@ -344,7 +362,7 @@ def build_plan(nq: NormalizedQuery) -> Node:
 
 def _pick_tail(tails: list[Tail], rp: RawPredicate) -> Optional[Tail]:
     for t in tails:
-        if _op_applicable(set(t.fields), rp):
+        if _op_applicable(t, rp):
             return t
     return None
 

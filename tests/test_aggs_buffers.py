@@ -1,0 +1,199 @@
+"""Aggregator flavors, secondary sort, buffers, top-k — mirrors
+api_test.clj:137-263,450-524,721-783 and the def-op surface
+(logic/def.clj, SURVEY.md §2.4/§2.10)."""
+
+import pandas as pd
+
+from cascalog_spark import (c, combine, defaggregatefn, defbufferfn,
+                            deffilterfn, defmapcatfn, defmapfn, first_n, q,
+                            union)
+from cascalog_spark.testing import assert_produces
+
+PAIR = [("a", 1), ("a", 3), ("a", 2), ("b", 10), ("b", 5), ("c", 7)]
+
+GENDER_FUZZY = [("alice", "f", 1000), ("alice", "m", 2000),
+                ("bob", "m", 1000), ("bob", "m", 3000),
+                ("carol", "f", 500)]
+
+
+def test_avg_and_distinct_count(spark):
+    NUM1 = [(1,), (2,), (2,), (3,), (3,), (3,)]
+    query = q(["?avg", "?dc"],
+              (NUM1, "?n"),
+              (c.avg, "?n", ":>", "?avg"),
+              (c.distinct_count, "?n", ":>", "?dc"))
+    assert_produces(query, spark, [(14 / 6, 3)])
+
+
+def test_min_max_multi(spark):
+    query = q(["?label", "?min", "?max"],
+              (PAIR, "?label", "?n"),
+              (c.min_agg, "?n", ":>", "?min"),
+              (c.max_agg, "?n", ":>", "?max"))
+    assert_produces(query, spark,
+                    [("a", 1, 3), ("b", 5, 10), ("c", 7, 7)])
+
+
+def test_limit_per_group_with_sort(spark):
+    # c/limit: top-2 smallest n per label (ops.clj:172-206)
+    query = q(["?label", "?top"],
+              (PAIR, "?label", "?n"),
+              (c.limit(2), "?n", ":>", "?top"),
+              sort=["?n"])
+    assert_produces(query, spark,
+                    [("a", 1), ("a", 2), ("b", 5), ("b", 10), ("c", 7)])
+
+
+def test_limit_rank(spark):
+    query = q(["?label", "?top", "?rank"],
+              (PAIR, "?label", "?n"),
+              (c.limit_rank(1), "?n", ":>", "?top", "?rank"),
+              sort=["?n"], reverse=True)
+    assert_produces(query, spark,
+                    [("a", 3, 1), ("b", 10, 1), ("c", 7, 1)])
+
+
+def test_buffer_with_secondary_sort(spark):
+    # latest-record dedup (gender-fuzzy fixture, api_test.clj:247-263):
+    # buffer sees the group sorted by timestamp descending, emits first row
+    @defbufferfn(returns=["string"], n_out=1)
+    def latest_gender(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf.iloc[0, 0]]})
+
+    query = q(["?person", "?gender"],
+              (GENDER_FUZZY, "?person", "?g", "?ts"),
+              (latest_gender, "?g", ":>", "?gender"),
+              sort=["?ts"], reverse=True)
+    assert_produces(query, spark,
+                    [("alice", "m"), ("bob", "m"), ("carol", "f")])
+
+
+def test_sequential_aggregator(spark):
+    # defaggregatefn: evens-vs-odds style custom fold (api_test.clj:172-191)
+    sum_of_squares = defaggregatefn(
+        init=lambda: 0,
+        step=lambda acc, n: acc + n * n,
+        final=lambda acc: acc,
+        returns="bigint", name="sum-sq")
+    query = q(["?label", "?ssq"],
+              (PAIR, "?label", "?n"),
+              (sum_of_squares, "?n", ":>", "?ssq"))
+    assert_produces(query, spark,
+                    [("a", 14), ("b", 125), ("c", 49)])
+
+
+def test_mixed_native_and_sequential_agg(spark):
+    squares = defaggregatefn(
+        init=lambda: 0, step=lambda acc, n: acc + n * n,
+        returns="bigint", name="sum-sq")
+    query = q(["?label", "?ssq", "?cnt"],
+              (PAIR, "?label", "?n"),
+              (squares, "?n", ":>", "?ssq"),
+              (c.count, "?cnt"))
+    assert_produces(query, spark,
+                    [("a", 14, 3), ("b", 125, 2), ("c", 49, 1)])
+
+
+def test_global_buffer(spark):
+    @defbufferfn(returns=["bigint"], n_out=1)
+    def total(pdf):
+        return pd.DataFrame({"t": [int(pdf.iloc[:, 0].sum())]})
+
+    query = q(["?total"],
+              (PAIR, "?label", "?n"),
+              (total, "?n", ":>", "?total"))
+    assert_produces(query, spark, [(28,)])
+
+
+def test_defmapfn_custom_udf(spark):
+    @defmapfn(returns="bigint")
+    def square(n):
+        return n * n
+
+    query = q(["?label", "?sq"],
+              (PAIR, "?label", "?n"),
+              (square, "?n", ":>", "?sq"))
+    assert_produces(query, spark,
+                    [(l, n * n) for l, n in PAIR])
+
+
+def test_defmapcatfn_custom_udtf(spark):
+    @defmapcatfn(returns="string")
+    def chars(s):
+        return list(s)
+
+    query = q(["?ch", "?cnt"],
+              ([("ab",), ("bc",)], "?s"),
+              (chars, "?s", ":>", "?ch"),
+              (c.count, "?cnt"))
+    assert_produces(query, spark, [("a", 1), ("b", 2), ("c", 1)])
+
+
+def test_deffilterfn_custom(spark):
+    @deffilterfn
+    def is_vowel_start(s):
+        return s[0] in "aeiou"
+
+    query = q(["?label"],
+              (PAIR, "?label", "_"),
+              (is_vowel_start, "?label"), distinct=True)
+    assert_produces(query, spark, [("a",)])
+
+
+def test_multi_out_mapfn(spark):
+    @defmapfn(returns=["bigint", "bigint"], n_out=2)
+    def minmax2(a, b):
+        return (min(a, b), max(a, b))
+
+    query = q(["?mn", "?mx"],
+              ([(3, 1), (2, 5)], "?a", "?b"),
+              (minmax2, "?a", "?b", ":>", "?mn", "?mx"))
+    assert_produces(query, spark, [(1, 3), (2, 5)])
+
+
+def test_combine_and_union(spark):
+    A = [(1,), (2,)]
+    B = [(2,), (3,)]
+    qa = q(["?n"], (A, "?n"))
+    qb = q(["?n"], (B, "?n"))
+    both = q(["?n"], (combine(qa, qb), "?n"))
+    assert_produces(both, spark, [(1,), (2,), (2,), (3,)])
+    uni = q(["?n"], (union(qa, qb), "?n"))
+    assert_produces(uni, spark, [(1,), (2,), (3,)])
+
+
+def test_first_n(spark):
+    src = q(["?label", "?n"], (PAIR, "?label", "?n"))
+    top = first_n(src, 2, sort="?n", reverse=True)
+    query = q(["?label", "?n"], (top, "?label", "?n"))
+    assert_produces(query, spark, [("b", 10), ("c", 7)])
+
+
+def test_fixed_sample(spark):
+    query = q(["?l2", "?n2"],
+              (PAIR, "?label", "?n"),
+              (c.fixed_sample(3), "?label", "?n", ":>", "?l2", "?n2"))
+    # global sample of 3 rows, values must come from PAIR
+    rows = query.run(spark)
+    assert len(rows) == 3
+    assert all(r in PAIR for r in rows)
+
+
+def test_var_stats(spark):
+    NUM1 = [(1.0,), (2.0,), (3.0,), (4.0,)]
+    query = q(["?var", "?svar"],
+              (NUM1, "?n"),
+              (c.var_pop, "?n", ":>", "?var"),
+              (c.var_samp, "?n", ":>", "?svar"))
+    assert_produces(query, spark, [(1.25, 5 / 3)], approx=True)
+
+
+def test_post_agg_division(spark):
+    # c/avg as predmacro composition: count+sum+div (ops.clj:228-240)
+    query = q(["?label", "?mean"],
+              (PAIR, "?label", "?n"),
+              (c.sum_agg, "?n", ":>", "?s"),
+              (c.count, "?cnt"),
+              (c.div, "?s", "?cnt", ":>", "?mean"))
+    assert_produces(query, spark,
+                    [("a", 2.0), ("b", 7.5), ("c", 7.0)])

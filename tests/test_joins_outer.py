@@ -1,0 +1,94 @@
+"""Outer-join (!!var) and existence-join semantics — mirrors
+api_test.clj:277-394 and api_secondary_test.clj:115-188 (the reference spec
+for ungrounding vars, null padding, !count, negation)."""
+
+from cascalog_spark import c, q
+from cascalog_spark.testing import assert_produces
+
+PERSON1 = [("a",), ("b",), ("c",), ("d",)]
+FOLLOWS2 = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "d")]
+AGE4 = [("A", 20), ("B", 30), ("C", 27), ("D", 40)]
+GENDER4 = [("A", "m"), ("B", "f"), ("E", "m"), ("F", "f")]
+FOLLOWS = [("alice", "david"), ("alice", "bob"),
+           ("bob", "david"), ("emily", "alice")]
+AGE = [("alice", 28), ("bob", 33), ("david", 25), ("emily", 25),
+       ("gary", 28)]
+
+
+def test_left_outer_join(spark):
+    # every person; followed null-padded when no follows (api_test.clj:277-300)
+    query = q(["?p", "!!f"],
+              (PERSON1, "?p"),
+              (FOLLOWS2, "?p", "!!f"))
+    assert_produces(query, spark,
+                    [("a", "b"), ("a", "c"), ("b", "a"), ("c", "d"),
+                     ("d", None)])
+
+
+def test_full_outer_join(spark):
+    # age4 ⟗ gender4 (api_test.clj:330-360 style)
+    query = q(["?p", "!!a", "!!g"],
+              (AGE4, "?p", "!!a"),
+              (GENDER4, "?p", "!!g"))
+    assert_produces(query, spark,
+                    [("A", 20, "m"), ("B", 30, "f"), ("C", 27, None),
+                     ("D", 40, None), ("E", None, "m"), ("F", None, "f")])
+
+
+def test_outer_join_with_count(spark):
+    # follower count per person incl. zero — !!v + !count idiom
+    # (api_test.clj:302-328)
+    query = q(["?p", "?count"],
+              (PERSON1, "?p"),
+              (FOLLOWS2, "?p", "!!f"),
+              (c.count_notnull, "!!f", ":>", "?count"))
+    assert_produces(query, spark,
+                    [("a", 2), ("b", 1), ("c", 1), ("d", 0)])
+
+
+def test_existence_semi_join(spark):
+    # (follows ?p _ :> true) — keep people who follow someone
+    # (api_secondary_test.clj:115-140)
+    query = q(["?p"],
+              (PERSON1, "?p"),
+              (FOLLOWS2, "?p", "_", ":>", True))
+    assert_produces(query, spark, [("a",), ("b",), ("c",)])
+
+
+def test_negation_anti_join(spark):
+    # (follows ?p _ :> false) — people who follow nobody
+    # (api_secondary_test.clj:123-127,181-188)
+    query = q(["?p"],
+              (PERSON1, "?p"),
+              (FOLLOWS2, "?p", "_", ":>", False))
+    assert_produces(query, spark, [("d",)])
+
+
+def test_existence_flag_join(spark):
+    # flag var: boolean column (api_secondary_test.clj:141-176)
+    query = q(["?p", "?follows_any"],
+              (PERSON1, "?p"),
+              (FOLLOWS2, "?p", "_", ":>", "?follows_any"))
+    assert_produces(query, spark,
+                    [("a", True), ("b", True), ("c", True), ("d", False)])
+
+
+def test_post_join_op_sees_nulls(spark):
+    # ops after an outer join see null-padded values via !!vars — guard with
+    # a nullable-aware op (api_test.clj:362-394)
+    ages = [("a", 20), ("b", 30), ("c", 27)]  # no "d"
+    query = q(["?p", "?has_age"],
+              (PERSON1, "?p"),
+              (ages, "?p", "!!a"),
+              (c.not_null, "!!a", ":>", "?has_age"))
+    assert_produces(query, spark,
+                    [("a", True), ("b", True), ("c", True), ("d", False)])
+
+
+def test_join_then_aggregate(spark):
+    # count of follows per age bucket — join feeding an agg
+    query = q(["?age", "?cnt"],
+              (FOLLOWS, "?p", "_"),
+              (AGE, "?p", "?age"),
+              (c.count, "?cnt"))
+    assert_produces(query, spark, [(28, 2), (33, 1), (25, 1)])
