@@ -1,0 +1,13 @@
+"""LLM-data-pipeline operator packs (SURVEY.md §7 extension tier).
+
+DataFrame → DataFrame library functions, all designed partition-parallel for
+100 TB scale: no driver-side collects, native Column expressions wherever the
+semantics allow, Arrow-vectorized pandas UDFs only for genuinely bit-twiddly
+ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
+"""
+
+from .dedup import (exact_dedup, minhash_lsh_candidates, minhash_signature,
+                    ngram_jaccard_pairs, simhash)
+from .similarity import brute_force_topk, cosine_similarity_col, lsh_ann_topk
+from .text import (doc_fingerprint, lang_id, quality_score, token_count,
+                   tokenize)

@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- exact dedup = hash-groupBy on a fingerprint — one shuffle on the md5 key,
+  uniform by construction (no skew).
+- MinHash signatures are native Column expressions (md5-based hash family →
+  bit-identical in any engine); LSH banding turns near-dup search into an
+  equi-join on (band, band_hash) buckets — no O(n²) pass anywhere.
+- SimHash is the one genuinely bit-twiddly op → Arrow-vectorized pandas UDF.
+- n-gram Jaccard verify runs only within LSH candidate buckets at scale;
+  the standalone pairs fn is for modest inputs / verification.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .text import tokens_col
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Keep one representative row id per duplicate-key group.
+
+    Returns (key_cols..., keep_id, n_dups).  One shuffle; map-side partial
+    aggregation applies (native min/count).
+    """
+    agg_fn = F.min if keep == "min" else F.max
+    return (df.groupBy(*key_cols)
+              .agg(agg_fn(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_dups")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _hash64(col):
+    """Portable 60-bit integer hash from md5 hex (same value in DuckDB via
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct k-token shingles of a text column (native)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      out_col: str = "minhash", num_perm: int = 16,
+                      shingle_k: int = 3) -> DataFrame:
+    """MinHash signature: num_perm × (min over shingles of
+    md5-hash(perm_seed ∥ shingle)).
+
+    Fully native (transform + array_min per permutation) → codegen, no
+    Python, and deterministic across engines because the hash family is md5.
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    df = df.withColumn("__sh", sh)
+
+    def perm_min(i: int):
+        # NB: factory closure — a 2-arg lambda would make F.transform pass
+        # the array index as the second argument
+        prefix = f"{i}:"
+        return F.array_min(F.transform(
+            F.col("__sh"), lambda s: _hash64(F.concat(F.lit(prefix), s))))
+
+    mins = [perm_min(i) for i in range(num_perm)]
+    return df.withColumn(out_col, F.array(*mins)).drop("__sh")
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str,
+                           text_col: str = "text", num_perm: int = 16,
+                           bands: int = 4, shingle_k: int = 3,
+                           sig_col: str = "minhash") -> DataFrame:
+    """LSH banding: signature → ``bands`` bands of num_perm/bands rows; docs
+    sharing any band hash are candidate near-duplicates.
+
+    Returns candidate pairs (id_a, id_b), id_a < id_b, deduped.  The
+    candidate search is an equi-join on (band_idx, band_hash) — shuffle on a
+    uniform hash key; no cross join.  Verify candidates with
+    ``ngram_jaccard_pairs`` or exact similarity downstream.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    r = num_perm // bands
+    sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                             sig_col, num_perm, shingle_k)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(sig_col)[b * r + j].cast("string")
+                     for j in range(r)])).alias("bh"))
+        for b in range(bands)])
+    buckets = (sigs.select(F.col(id_col),
+                           F.explode(band_structs).alias("bb"))
+               .select(id_col, F.col("bb.band").alias("band"),
+                       F.col("bb.bh").alias("bh")))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, on=["band", "bh"], how="inner")
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .dropDuplicates())
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    Arrow-batched; the per-row loop is bit arithmetic over ≤64 counters —
+    the one op where a native-expression encoding (64 per-bit columns)
+    would be slower than the UDF.
+    """
+
+    def one(text):
+        if text is None:
+            return None
+        counts = [0] * 64
+        for tok in text.lower().split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if counts[i] > 0:
+                v |= (1 << i)
+        return v - (1 << 64) if v >= (1 << 63) else v  # signed 64-bit
+
+    return texts.map(one)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash64(F.col(text_col)))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, pigeonhole-blocked:
+    split the 64 bits into k+1 chunks — two hashes within hamming k share at
+    least one chunk exactly → equi-join per chunk, then verify bit_count of
+    the XOR.  No cross join at any k."""
+    n_chunks = min(max_hamming + 1, 32)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    h = simhash(df.select(id_col, text_col), text_col, "sh")
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftright(F.col("sh"), bounds[i])
+                 .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                 .alias("cv"))
+        for i in range(n_chunks)])
+    blocked = h.select(id_col, "sh", F.explode(chunks).alias("c")) \
+               .select(id_col, "sh", F.col("c.chunk").alias("chunk"),
+                       F.col("c.cv").alias("cv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (a.join(b, on=["chunk", "cv"], how="inner")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(hamming <= max_hamming)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming.alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        n: int = 3, threshold: float = 0.8,
+                        prefilter: bool = True) -> DataFrame:
+    """Pairwise n-gram (token shingle) Jaccard similarity ≥ threshold.
+
+    Implementation: explode distinct shingles → self-equi-join on shingle →
+    count common → |A∪B| = |A|+|B|-common.  The shingle join IS the
+    candidate generation (docs sharing no shingle never meet) — no cross
+    join.  At 100 TB, run it after LSH bucketing; here it is the exact
+    verifier.  ``prefilter`` drops ubiquitous shingles (doc-freq > 1000) to
+    bound skew, mirroring common-word salting.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(word_shingles(F.col(text_col), n))
+                    .alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefilter:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+               .where(F.col("df_") > 1000).select("shingle"))
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, on="shingle", how="inner")
+              .where(F.col("a.id") < F.col("b.id"))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = (common.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("na") + F.col("nb") - F.col("common")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return jac

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector — one
+  narrow scan + native higher-order-function arithmetic + a global top-k
+  (TakeOrderedAndProject, no full sort).  The correctness baseline.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — the scale path: the
+  query only probes its own bucket (and optional multi-probe neighbors), so
+  a 100 TB corpus is pre-partitioned by signature and the scan prunes to
+  matching buckets.
+- ``cosine_pairs``: all-pairs cosine ≥ threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product: zip_with + aggregate (no UDF)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: returns (id, sim) for the k most similar rows.
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition heap,
+    no global sort/shuffle of the corpus.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity_col(F.col(vec_col).cast("array<double>"), qv)
+    return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side tiny matrix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · h_i), packed to bigint."""
+    bits = [F.when(dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+                   > 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
+    sig = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        sig = sig + (b.cast("bigint") * F.lit(2 ** i).cast("bigint"))
+    return sig
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Approximate top-k: only rows whose LSH signature matches the query's
+    signature are scored.  At scale, write the corpus partitioned/bucketed
+    by signature so this prunes to one bucket's files."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    df_sig = df.withColumn("__sig", lsh_signature_col(vec, planes))
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qsig += 2 ** i
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity_col(vec, qv)
+    return (df_sig.where(F.col("__sig") == F.lit(qsig))
+            .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.9,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, seed: int = 42,
+                 exact: bool = False) -> DataFrame:
+    """All near-neighbor pairs with cosine ≥ threshold.
+
+    Default path blocks on LSH signature (equi-join per bucket) then verifies
+    exactly — embedding-cosine near-dup detection that avoids the O(n²)
+    cross join.  ``exact=True`` skips blocking (testing/small inputs only).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    if exact:
+        blocked = df.select(F.col(id_col), vec.alias("v")) \
+                    .withColumn("__sig", F.lit(0))
+    else:
+        dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        planes = _hyperplanes(dim_probe["d"], n_planes, seed)
+        blocked = df.select(F.col(id_col), vec.alias("v")) \
+                    .withColumn("__sig", lsh_signature_col(F.col("v"), planes))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, on="__sig", how="inner")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(sim >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(sim, 6).alias("sim")))

@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines.
+
+All native Column expressions (JVM-side, codegen'd, no Python in the hot
+path): language-ID by stopword-hit heuristic, quality scoring from
+length/alpha/stopword ratios, token counting, and shingle-based document
+fingerprinting.  Each has an exact ANSI-SQL twin used as the DuckDB oracle
+(see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately tiny + deterministic — the operator contract is the pipeline
+# shape (tokenize → score per lang → argmax), not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "and", "is", "of", "to", "a", "in", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein", "mit", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "dans", "pas"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "en", "no"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"],
+}
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empty tokens dropped."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT),
+                    lambda t: t != F.lit(""))
+
+
+def tokenize(df: DataFrame, text_col: str = "text",
+             out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, tokens_col(F.col(text_col)))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count — fully native (split+size)."""
+    return df.withColumn(out_col, F.size(tokens_col(F.col(text_col))))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token estimate: count of word pieces + digit runs + punct,
+    via a single regexp pass (the cl100k-style pre-tokenizer regex family)."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return df.withColumn(
+        out_col, F.size(F.regexp_extract_all(F.col(text_col),
+                                             F.lit(pattern), 0)))
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Language ID: per-language stopword-hit counts → argmax, ties broken
+    alphabetically then 'und' (undetermined) when no stopword hits at all.
+
+    Scale note: one pass over the token array per language, all inside
+    whole-stage codegen; no shuffle.
+    """
+    toks = tokens_col(F.col(text_col))
+    df = df.withColumn("__toks", toks)
+    scored = F.array(*[
+        F.struct(_stopword_hits(F.col("__toks"), words).alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang, words in sorted(STOPWORDS.items())])
+    # max by (score, lang-reversed) → highest score, alphabetically-first tie
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).cast("int").alias("score"),
+                 F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc))
+    return (df.withColumn(
+        out_col,
+        F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"]))
+        .drop("__toks"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Document quality score in [0,1]:
+
+    - 0.4 if char length in [100, 5000]
+    - 0.3 if alphabetic-char ratio ≥ 0.6
+    - 0.3 if mean token length in [3, 12]
+
+    Exact rational arithmetic on counts (reproducible across engines).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    tok_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_tok = tok_chars / F.when(n_toks > 0, n_toks).otherwise(F.lit(1))
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 5000), 0.4).otherwise(0.0)
+        + F.when(alpha / F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+                 >= 0.6, 0.3).otherwise(0.0)
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), 0.3).otherwise(0.0))
+    return df.withColumn(out_col, F.round(score, 1))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    out_col: str = "fingerprint") -> DataFrame:
+    """Exact-content fingerprint: md5 of whitespace-normalized lowercased
+    text.  md5 is bit-identical across engines → oracle-checkable."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def shingle_fingerprint(df: DataFrame, text_col: str = "text",
+                        out_col: str = "shingle_fp", k: int = 5) -> DataFrame:
+    """Winnowing-style fingerprint: minimum md5 over the document's k-token
+    shingles (a 1-permutation MinHash).  Robust to local edits; native
+    (transform + array_min), no Python."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return df.withColumn(out_col, F.array_min(F.transform(shingles, F.md5)))
