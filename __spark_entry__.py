@@ -1,38 +1,616 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (revenue-per-nation) on sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the LLM-data-pipeline packs; each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+genuinely non-SQL-expressible ops → driver records rows-only checks).
+
+Engine queries go through the cascalog_spark logic-variable DSL (implicit
+joins, !!vars, gensets, aggregators); pipeline queries go through the
+functions packs.  Float aggregates are rounded on BOTH sides so the value
+hashes are robust to summation-order differences between engines.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascalog_spark import c, q
+from cascalog_spark.functions import (brute_force_topk, minhash_lsh_candidates,
+                                      ngram_jaccard_pairs)
+from cascalog_spark.functions.dedup import simhash
+from cascalog_spark.functions.text import (STOPWORDS, doc_fingerprint,
+                                           lang_id, quality_score,
+                                           token_count)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and convert where needed
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# engine (relational) queries — each exercises planner machinery
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter + multi-agg grouping (SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = _dt.datetime(1998, 9, 2)
+    return q(["?l_returnflag", "?l_linestatus", "?sum_qty", "?sum_base_price",
+              "?sum_disc_price", "?avg_qty", "?avg_price", "?count_order"],
+             (li, {"l_returnflag": "?l_returnflag",
+                   "l_linestatus": "?l_linestatus", "l_quantity": "?qty",
+                   "l_extendedprice": "?price", "l_discount": "?disc",
+                   "l_shipdate": "?sd"}),
+             (c.lte, "?sd", cutoff),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?dprice"),
+             (c.sum_agg, "?qty", ":>", "?sq"),
+             (c.sum_agg, "?price", ":>", "?sbp"),
+             (c.sum_agg, "?dprice", ":>", "?sdp"),
+             (c.avg, "?qty", ":>", "?aq"),
+             (c.avg, "?price", ":>", "?ap"),
+             (c.count, "?count_order"),
+             (c.round_to(4), "?sq", ":>", "?sum_qty"),
+             (c.round_to(4), "?sbp", ":>", "?sum_base_price"),
+             (c.round_to(4), "?sdp", ":>", "?sum_disc_price"),
+             (c.round_to(6), "?aq", ":>", "?avg_qty"),
+             (c.round_to(6), "?ap", ":>", "?avg_price"),
+             ).to_df(spark)
+
+
+def revenue_per_nation(spark, sf_dir):
+    """4-way implicit join + agg — the flagship (SURVEY §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return q(["?n_name", "?revenue"],
+             (li, {"l_orderkey": "?ok", "l_extendedprice": "?price",
+                   "l_discount": "?disc"}),
+             (orders, {"o_orderkey": "?ok", "o_custkey": "?ck"}),
+             (cust, {"c_custkey": "?ck", "c_nationkey": "?nk"}),
+             (nation, {"n_nationkey": "?nk", "n_name": "?n_name"}),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?rev"),
+             (c.sum_agg, "?rev", ":>", "?r"),
+             (c.round_to(2), "?r", ":>", "?revenue"),
+             ).to_df(spark)
+
+
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join incl. same-nation constraint via shared
+    var ?nk appearing in both customer and supplier (implicit equality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return q(["?n_name", "?revenue"],
+             (li, {"l_orderkey": "?ok", "l_suppkey": "?sk",
+                   "l_extendedprice": "?price", "l_discount": "?disc"}),
+             (orders, {"o_orderkey": "?ok", "o_custkey": "?ck"}),
+             (cust, {"c_custkey": "?ck", "c_nationkey": "?nk"}),
+             (supp, {"s_suppkey": "?sk", "s_nationkey": "?nk"}),
+             (nation, {"n_nationkey": "?nk", "n_name": "?n_name",
+                       "n_regionkey": "?rk"}),
+             (region, {"r_regionkey": "?rk"}),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?rev"),
+             (c.sum_agg, "?rev", ":>", "?r"),
+             (c.round_to(2), "?r", ":>", "?revenue"),
+             ).to_df(spark)
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    """Per-group top-k with rank — c/limit-rank → Window (SURVEY §2.4/2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?o_custkey", "?o_orderkey", "?o_totalprice", "?rank"],
+             (orders, {"o_custkey": "?o_custkey", "o_orderkey": "?okey",
+                       "o_totalprice": "?price"}),
+             (c.limit_rank(3), "?okey", "?price",
+              ":>", "?o_orderkey", "?o_totalprice", "?rank"),
+             sort=["?price", "?okey"], reverse=True,
+             ).to_df(spark)
+
+
+def customer_order_counts(spark, sf_dir):
+    """Outer join via !!var + !count — zero-order customers kept
+    (SURVEY §2.3 outer joins, api_test.clj:302-328 idiom)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?c_custkey", "?n_orders"],
+             (cust, {"c_custkey": "?c_custkey"}),
+             (orders, {"o_custkey": "?c_custkey", "o_orderkey": "!!ok"}),
+             (c.count_notnull, "!!ok", ":>", "?n_orders"),
+             ).to_df(spark)
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti join via generator-set negation (SURVEY §2.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?c_custkey", "?c_name"],
+             (cust, {"c_custkey": "?c_custkey", "c_name": "?c_name"}),
+             (orders, {"o_custkey": "?c_custkey"}, ":>", False),
+             ).to_df(spark)
+
+
+def segments_with_big_orders(spark, sf_dir):
+    """Semi join (generator-set exists) + distinct (SURVEY §2.3/2.7)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = q(["?ck"],
+            (orders, {"o_custkey": "?ck", "o_totalprice": "?tp"}),
+            (c.gt, "?tp", 200000.0), distinct=True)
+    return q(["?c_mktsegment"],
+             (cust, {"c_custkey": "?ck", "c_mktsegment": "?c_mktsegment"}),
+             (big, "?ck", ":>", True),
+             distinct=True,
+             ).to_df(spark)
+
+
+def order_flag_join(spark, sf_dir):
+    """Existence flag var: boolean column from a generator-set
+    (api_secondary_test.clj:141-176 pattern)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?c_custkey", "?has_order"],
+             (cust, {"c_custkey": "?c_custkey"}),
+             (orders, {"o_custkey": "?c_custkey"}, ":>", "?has_order"),
+             ).to_df(spark)
+
+
+def events_by_type(spark, sf_dir):
+    """Simple grouping + avg/count + post-agg rounding on events."""
+    events = _t(spark, sf_dir, "events")
+    return q(["?event_type", "?n", "?avg_value"],
+             (events, {"event_type": "?event_type", "value": "?v"}),
+             (c.count, "?n"),
+             (c.avg, "?v", ":>", "?av"),
+             (c.round_to(4), "?av", ":>", "?avg_value"),
+             ).to_df(spark)
+
+
+def events_json_extract(spark, sf_dir):
+    """JSON field extraction (host-fn surface, SURVEY §2.8) + agg."""
+    events = _t(spark, sf_dir, "events")
+    return q(["?k_mod", "?n"],
+             (events, {"props": "?props"}),
+             (c.json_get("$.k"), "?props", ":>", "?kstr"),
+             (c.cast_to("bigint"), "?kstr", ":>", "?k"),
+             (c.mod, "?k", 10, ":>", "?k_mod"),
+             (c.count, "?n"),
+             ).to_df(spark)
+
+
+def part_brand_stats(spark, sf_dir):
+    """min/max/avg/count per group (multi-agg grouping)."""
+    part = _t(spark, sf_dir, "part")
+    return q(["?p_brand", "?min_price", "?max_price", "?avg_price", "?n_parts"],
+             (part, {"p_brand": "?p_brand", "p_retailprice": "?rp"}),
+             (c.min_agg, "?rp", ":>", "?min_price"),
+             (c.max_agg, "?rp", ":>", "?max_price"),
+             (c.avg, "?rp", ":>", "?ap"),
+             (c.count, "?n_parts"),
+             (c.round_to(4), "?ap", ":>", "?avg_price"),
+             ).to_df(spark)
+
+
+def priority_price_variance(spark, sf_dir):
+    """var_pop/var_samp (cascalog-math stats, SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?o_orderpriority", "?var_price", "?stddev_price"],
+             (orders, {"o_orderpriority": "?o_orderpriority",
+                       "o_totalprice": "?tp"}),
+             (c.var_pop, "?tp", ":>", "?v"),
+             (c.stddev_pop, "?tp", ":>", "?s"),
+             (c.round_to(2), "?v", ":>", "?var_price"),
+             (c.round_to(4), "?s", ":>", "?stddev_price"),
+             ).to_df(spark)
+
+
+def distinct_parts_per_flag(spark, sf_dir):
+    """c/distinct-count (exact) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?l_returnflag", "?n_parts"],
+             (li, {"l_returnflag": "?l_returnflag", "l_partkey": "?pk"}),
+             (c.distinct_count, "?pk", ":>", "?n_parts"),
+             ).to_df(spark)
+
+
+def nation_account_balance(spark, sf_dir):
+    """Union (combine) of customer+supplier balances, aggregated per nation —
+    Merge node (SURVEY §2.7)."""
+    from cascalog_spark import combine
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    qc = q(["?nk", "?bal"],
+           (cust, {"c_nationkey": "?nk", "c_acctbal": "?bal"}))
+    qs = q(["?nk", "?bal"],
+           (supp, {"s_nationkey": "?nk", "s_acctbal": "?bal"}))
+    return q(["?n_nationkey", "?total_bal", "?n_accts"],
+             (combine(qc, qs), "?n_nationkey", "?bal"),
+             (c.sum_agg, "?bal", ":>", "?tb"),
+             (c.count, "?n_accts"),
+             (c.round_to(2), "?tb", ":>", "?total_bal"),
+             ).to_df(spark)
+
+
+def wordcount_docs(spark, sf_dir):
+    """The canonical word count via mapcat split + count (api_test.clj:121-135)
+    over the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    return q(["?word", "?n"],
+             (docs, {"text": "?text"}),
+             (c.lower, "?text", ":>", "?lt"),
+             (c.split(), "?lt", ":>", "?word"),
+             (c.count, "?n"),
+             ).to_df(spark)
+
+
+def mutual_followers_events(spark, sf_dir):
+    """Self-join: pairs of users who both triggered the same event type —
+    exercises tail aliasing (cascading_api_test.clj:147-161 analog)."""
+    events = _t(spark, sf_dir, "events")
+    # dedup (user, type) BEFORE the self-join: keeps the join input small at
+    # scale instead of exploding raw event pairs
+    ut = q(["?u", "?t"], (events, {"user_id": "?u", "event_type": "?t"}),
+           distinct=True)
+    return q(["?u1", "?u2", "?event_type"],
+             (ut, "?u1", "?event_type"),
+             (ut, "?u2", "?event_type"),
+             (c.lt, "?u1", "?u2"),
+             ).to_df(spark)
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (functions packs)
+
+
+def doc_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality")
+
+
+def doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup keyed on content fingerprint: representative id + count."""
+    docs = _t(spark, sf_dir, "documents")
+    from cascalog_spark.functions import exact_dedup
+
+    fp = doc_fingerprint(docs).select("doc_id", "fingerprint")
+    return exact_dedup(fp, ["fingerprint"], "doc_id")
+
+
+def minhash_near_dup_candidates(spark, sf_dir):
+    """MinHash+LSH candidate pairs (md5 hash family → oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+
+
+def ngram_jaccard_sim_pairs(spark, sf_dir):
+    """Word-3-gram Jaccard ≥ 0.2 pairs (shingle equi-join, no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.2,
+                               prefilter=False)
+
+
+def simhash_doc_hashes(spark, sf_dir):
+    """64-bit SimHash per document (Arrow pandas UDF — non-SQL-expressible,
+    rows-only oracle check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0's embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+def embedding_label_centroid_sim(spark, sf_dir):
+    """Per-label mean-vector norms — vectorized array aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.select(F.size("embedding").alias("d")).first()["d"]
+    sums = emb.groupBy("label").agg(
+        *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(n)],
+        F.count(F.lit(1)).alias("cnt"))
+    norm = None
+    for i in range(n):
+        term = (F.col(f"s{i}") / F.col("cnt")) ** 2
+        norm = term if norm is None else norm + term
+    return sums.select(F.col("label"),
+                       F.round(F.sqrt(norm), 6).alias("centroid_norm"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return revenue_per_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_per_nation": revenue_per_nation,
+        "local_supplier_volume": local_supplier_volume,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "customer_order_counts": customer_order_counts,
+        "customers_without_orders": customers_without_orders,
+        "segments_with_big_orders": segments_with_big_orders,
+        "order_flag_join": order_flag_join,
+        "events_by_type": events_by_type,
+        "events_json_extract": events_json_extract,
+        "part_brand_stats": part_brand_stats,
+        "priority_price_variance": priority_price_variance,
+        "distinct_parts_per_flag": distinct_parts_per_flag,
+        "nation_account_balance": nation_account_balance,
+        "wordcount_docs": wordcount_docs,
+        "mutual_followers_events": mutual_followers_events,
+        "doc_token_counts": doc_token_counts,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_near_dup_candidates": minhash_near_dup_candidates,
+        "ngram_jaccard_sim_pairs": ngram_jaccard_sim_pairs,
+        "simhash_doc_hashes": simhash_doc_hashes,
+        "embedding_topk": embedding_topk,
+        "embedding_label_centroid_sim": embedding_label_centroid_sim,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- oracle SQL helpers ------------------------------------------------------
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+
+def _shingle_sql(k: int = 3) -> str:
+    return (f"list_distinct(list_transform("
+            f"range(0, greatest(len({_TOKS})-{k}, 0)+1), "
+            f"i -> array_to_string(list_slice({_TOKS}, i+1, i+{k}), ' ')))")
+
+
+def _minhash_sql(num_perm: int) -> str:
+    """DuckDB expression list for the universal-hash MinHash signature
+    (same (a_i*h+b_i) mod p family as functions/dedup.py)."""
+    from cascalog_spark.functions.dedup import MINHASH_P, minhash_coeffs
+
+    base = ("CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) "
+            f"% {MINHASH_P}")
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"({a} * ({base}) + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(num_perm))
+    return mins
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    num_perm, bands = 8, 4
+    r = num_perm // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r))
+        + f")) AS bh{b}" for b in range(bands))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM banded"
+        for b in range(bands))
+
+    lang_scores = ", ".join(
+        f"len(list_filter({_TOKS}, x -> list_contains("
+        + "[" + ", ".join(f"'{w}'" for w in words) + "], x))) AS s_{0}".format(lang)
+        for lang, words in sorted(STOPWORDS.items()))
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "revenue_per_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+              FROM orders) t
+            WHERE rank <= 3""",
+        "customer_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "segments_with_big_orders": """
+            SELECT DISTINCT c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 200000.0)""",
+        "order_flag_join": """
+            SELECT c_custkey,
+                   EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                     AS has_order
+            FROM customer""",
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type""",
+        "events_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                     AS k_mod,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "part_brand_stats": """
+            SELECT p_brand, min(p_retailprice) AS min_price,
+                   max(p_retailprice) AS max_price,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_brand""",
+        "priority_price_variance": """
+            SELECT o_orderpriority,
+                   round(var_pop(o_totalprice), 2) AS var_price,
+                   round(stddev_pop(o_totalprice), 4) AS stddev_price
+            FROM orders GROUP BY o_orderpriority""",
+        "distinct_parts_per_flag": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag""",
+        "nation_account_balance": """
+            SELECT n_nationkey, round(sum(bal), 2) AS total_bal,
+                   count(*) AS n_accts
+            FROM (SELECT c_nationkey AS n_nationkey, c_acctbal AS bal
+                  FROM customer
+                  UNION ALL
+                  SELECT s_nationkey, s_acctbal FROM supplier) t
+            GROUP BY n_nationkey""",
+        "wordcount_docs": f"""
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+            GROUP BY word""",
+        "mutual_followers_events": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.user_id AS u1, b.user_id AS u2, a.event_type
+            FROM ut a JOIN ut b ON a.event_type = b.event_type
+            WHERE a.user_id < b.user_id""",
+        "doc_token_counts": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents""",
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                     AS fingerprint
+            FROM documents""",
+        "doc_quality": r"""
+            SELECT doc_id, round(
+              (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                     / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)
+                     >= 0.6 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+                     / (CASE WHEN len(list_filter(string_split(lower(text),' '),
+                                                  x -> x != '')) > 0
+                             THEN len(list_filter(string_split(lower(text),' '),
+                                                  x -> x != ''))
+                             ELSE 1 END)) BETWEEN 3 AND 12
+                    THEN 0.3 ELSE 0.0 END), 1)::DOUBLE AS quality
+            FROM documents""",
+        "doc_lang_id": f"""
+            SELECT doc_id, {pick} AS lang_pred
+            FROM (SELECT doc_id, {lang_scores} FROM documents) t""",
+        "exact_dedup_docs": r"""
+            SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                     AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "minhash_near_dup_candidates": f"""
+            WITH sh AS (
+              SELECT doc_id, {_shingle_sql(3)} AS shingles FROM documents),
+            sigs AS (
+              SELECT doc_id, [{_minhash_sql(num_perm)}] AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, {band_exprs} FROM sigs),
+            buckets AS ({band_union})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id""",
+        "ngram_jaccard_sim_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS shingle
+              FROM documents),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2""",
+        "embedding_topk": """
+            WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                        WHERE vec_id = 0)
+            SELECT vec_id, round(
+                list_dot_product(embedding::DOUBLE[], qv.v)
+                / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(qv.v, qv.v))), 6) AS sim
+            FROM embeddings, qv
+            ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+        "embedding_label_centroid_sim": """
+            WITH elem AS (
+              SELECT label, i, embedding[i] AS v
+              FROM embeddings, range(1, 65) t(i)),
+            m AS (
+              SELECT label, i, sum(v) / count(*) AS mean_v
+              FROM elem GROUP BY label, i)
+            SELECT label, round(sqrt(sum(mean_v * mean_v)), 6)
+                     AS centroid_norm
+            FROM m GROUP BY label""",
+        # simhash_doc_hashes: omitted — python-UDF bit arithmetic is not
+        # SQL-expressible; driver records the rows-only check.
+    }

@@ -92,6 +92,21 @@ month_of = column_op("month", F.month)
 identity_op = column_op("identity", lambda *cs: list(cs) if len(cs) > 1 else cs[0])
 
 
+def round_to(n: int) -> MapOp:
+    """Factory: round to n decimals (scale must be a Python int for F.round)."""
+    return column_op(f"round{n}", lambda c_: F.round(c_, n))
+
+
+def json_get(path: str) -> MapOp:
+    """Extract a JSON field (F.get_json_object) — the reference has no JSON
+    lib; this is the 'host-language fns' extension point (SURVEY §2.8)."""
+    return column_op("json_get", lambda c_: F.get_json_object(c_, path))
+
+
+def cast_to(dtype: str) -> MapOp:
+    return column_op(f"cast_{dtype}", lambda c_: c_.cast(dtype))
+
+
 # ---------------------------------------------------------------------------
 # aggregators (ops.clj:160-253; ops_impl.clj)
 

@@ -48,7 +48,11 @@ def _hash64(col):
 
 
 def word_shingles(text_col, k: int = 3):
-    """Distinct k-token shingles of a text column (native)."""
+    """Distinct k-token shingles of a text column (native).
+
+    NB: prefer ``with_shingles`` for hot paths — when ``text_col`` is a raw
+    expression, the tokenization is captured inside the transform lambda and
+    re-evaluated per element (O(tokens²) per row)."""
     toks = tokens_col(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -56,27 +60,52 @@ def word_shingles(text_col, k: int = 3):
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
 
 
+def with_shingles(df: DataFrame, text_col: str, k: int,
+                  out_col: str) -> DataFrame:
+    """Materialize tokens into a column first so the shingle lambda captures
+    a bound reference (evaluated once per row), then build distinct k-token
+    shingles from it.  O(tokens) instead of O(tokens²) per row."""
+    df = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return (df.withColumn(
+        out_col, F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))))
+        .drop("__toks"))
+
+
+MINHASH_P = 2147483647  # 2^31-1; keeps a_i*h31 products < 2^62 (portable)
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) — same simple
+    LCG-derived family in the DuckDB oracle."""
+    return [((1103515245 * i + 12345) % (MINHASH_P - 1) + 1,
+             (2654435761 * i) % MINHASH_P) for i in range(num_perm)]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       out_col: str = "minhash", num_perm: int = 16,
                       shingle_k: int = 3) -> DataFrame:
-    """MinHash signature: num_perm × (min over shingles of
-    md5-hash(perm_seed ∥ shingle)).
+    """MinHash signature via universal hashing: each shingle is md5-hashed
+    ONCE to a base 60-bit int; permutation i takes min over shingles of
+    (a_i * (h mod p) + b_i) mod p.
 
-    Fully native (transform + array_min per permutation) → codegen, no
-    Python, and deterministic across engines because the hash family is md5.
+    Fully native (transform + array_min) → codegen, no Python; one md5 per
+    shingle regardless of num_perm; md5+integer arithmetic is bit-identical
+    in any engine (oracle-checkable in DuckDB).
     """
-    sh = word_shingles(F.col(text_col), shingle_k)
-    df = df.withColumn("__sh", sh)
+    df = with_shingles(df, text_col, shingle_k, "__sh")
+    df = df.withColumn(
+        "__h31", F.transform(F.col("__sh"), lambda s: _hash64(s) % MINHASH_P)) \
+           .drop("__sh")
 
-    def perm_min(i: int):
-        # NB: factory closure — a 2-arg lambda would make F.transform pass
-        # the array index as the second argument
-        prefix = f"{i}:"
+    def perm_min(a: int, b: int):
         return F.array_min(F.transform(
-            F.col("__sh"), lambda s: _hash64(F.concat(F.lit(prefix), s))))
+            F.col("__h31"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
 
-    mins = [perm_min(i) for i in range(num_perm)]
-    return df.withColumn(out_col, F.array(*mins)).drop("__sh")
+    mins = [perm_min(a, b) for a, b in minhash_coeffs(num_perm)]
+    return df.withColumn(out_col, F.array(*mins)).drop("__h31")
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str,
@@ -196,9 +225,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     verifier.  ``prefilter`` drops ubiquitous shingles (doc-freq > 1000) to
     bound skew, mirroring common-word salting.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(word_shingles(F.col(text_col), n))
-                    .alias("shingle")))
+    sh = (with_shingles(df, text_col, n, "__sh")
+          .select(F.col(id_col).alias("id"),
+                  F.explode(F.col("__sh")).alias("shingle")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefilter:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))

@@ -122,9 +122,9 @@ def shingle_fingerprint(df: DataFrame, text_col: str = "text",
     """Winnowing-style fingerprint: minimum md5 over the document's k-token
     shingles (a 1-permutation MinHash).  Robust to local edits; native
     (transform + array_min), no Python."""
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return df.withColumn(out_col, F.array_min(F.transform(shingles, F.md5)))
+    from .dedup import with_shingles
+
+    df = with_shingles(df, text_col, k, "__sh")
+    return (df.withColumn(out_col,
+                          F.array_min(F.transform(F.col("__sh"), F.md5)))
+            .drop("__sh"))

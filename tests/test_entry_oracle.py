@@ -1,0 +1,72 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+AND its oracle_sql() via DuckDB on the same parquet, compare row count +
+column names + order-insensitive values.  This is the t2 gate rehearsal."""
+
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_val(x):
+    if isinstance(x, decimal.Decimal):
+        return float(x)
+    if isinstance(x, float) and math.isnan(x):
+        return "NaN"
+    return x
+
+
+def _norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_val(r[i]) for i in order) for r in rows)
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (driver's weaker gate)
+        return
+    rel = duck.sql(sql)
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), \
+        f"{name}: column names differ: spark={scols} duck={dcols}"
+    assert len(srows) == len(drows), \
+        f"{name}: row counts differ: spark={len(srows)} duck={len(drows)}"
+    a = _norm_rows(srows, scols)
+    b = _norm_rows(drows, dcols)
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"{name}: first value mismatch: {mism[0]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

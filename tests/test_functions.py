@@ -98,8 +98,10 @@ def test_exact_dedup(spark):
 
 
 def test_minhash_signature_vs_duck(docs, duck):
+    from __spark_entry__ import _minhash_sql
+
     out = minhash_signature(docs.limit(50), num_perm=4).select("doc_id", "minhash")
-    oracle = duck.sql("""
+    oracle = duck.sql(f"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
@@ -110,16 +112,7 @@ def test_minhash_signature_vs_duck(docs, duck):
                    range(0, greatest(len(tk)-3, 0)+1),
                    i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shingles
           FROM toks)
-        SELECT doc_id, [
-          list_min(list_transform(shingles,
-            s -> CAST(concat('0x', substr(md5(concat('0:', s)),1,15)) AS BIGINT))),
-          list_min(list_transform(shingles,
-            s -> CAST(concat('0x', substr(md5(concat('1:', s)),1,15)) AS BIGINT))),
-          list_min(list_transform(shingles,
-            s -> CAST(concat('0x', substr(md5(concat('2:', s)),1,15)) AS BIGINT))),
-          list_min(list_transform(shingles,
-            s -> CAST(concat('0x', substr(md5(concat('3:', s)),1,15)) AS BIGINT)))
-        ] AS minhash
+        SELECT doc_id, [{_minhash_sql(4)}] AS minhash
         FROM sh""")
     a = sorted([(r[0], list(r[1])) for r in out.collect()])
     b = sorted([(r[0], list(r[1])) for r in oracle.fetchall()])
