@@ -47,13 +47,27 @@ class Query:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Compile to a DataFrame with user-facing column names."""
-        compiler = Compiler(spark)
+        compiler = Compiler(spark, trap=self.options.get("trap"))
         df = compiler.compile(self.plan())
+        self._trap_dfs = compiler.trap_dfs
         return df.toDF(*out_names(self.outfields))
+
+    def flush_traps(self) -> None:
+        """Write diverted error rows to the trap sink (:trap option,
+        operations.clj:617-644).  Runs on execute()/run(); each trapped op
+        contributes its own row shape."""
+        trap = self.options.get("trap")
+        for tdf in getattr(self, "_trap_dfs", []):
+            if hasattr(trap, "save_df"):
+                trap.save_df(tdf)
+            elif callable(trap):
+                trap(tdf)
 
     def run(self, spark: SparkSession) -> list[tuple]:
         """??- : execute and return tuples to driver memory (api.clj:113-140)."""
-        return [tuple(r) for r in self.to_df(spark).collect()]
+        rows = [tuple(r) for r in self.to_df(spark).collect()]
+        self.flush_traps()
+        return rows
 
     def explain(self, spark: SparkSession, mode: str = "formatted") -> None:
         """api.clj:71-86 ``explain`` — Catalyst plan instead of a DOT file."""
@@ -163,6 +177,8 @@ def execute(spark: SparkSession, query: Query, sink) -> None:
         sink(df)
     else:
         raise TypeError(f"not a sink: {sink!r}")
+    if hasattr(query, "flush_traps"):
+        query.flush_traps()
 
 
 def first_n(gen, n: int, sort=None, reverse: bool = False):

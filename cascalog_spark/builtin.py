@@ -107,6 +107,24 @@ def cast_to(dtype: str) -> MapOp:
     return column_op(f"cast_{dtype}", lambda c_: c_.cast(dtype))
 
 
+def sample(fraction: float, seed=None) -> FilterOp:
+    """sample* (operations.clj:109-116): Bernoulli row sample, optional
+    seed.  Zero-input filter: (c.sample(0.1, 42),)."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return FilterOp(name="sample", column_fn=lambda *_: r < fraction)
+
+
+def debug() -> FilterOp:
+    """debug* (operations.clj:95-98): print tuples flowing through (executor
+    stdout), pass everything."""
+
+    def py_fn(*vals):
+        print("DEBUG:", vals)
+        return True
+
+    return FilterOp(name="debug", py_fn=py_fn)
+
+
 # ---------------------------------------------------------------------------
 # aggregators (ops.clj:160-253; ops_impl.clj)
 

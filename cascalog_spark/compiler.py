@@ -37,10 +37,15 @@ from .planner import (ApplicationNode, EqualityFilterNode, ExistenceJoinNode,
 
 
 class Compiler:
-    def __init__(self, spark: SparkSession, namer: V.ColumnNamer | None = None):
+    def __init__(self, spark: SparkSession, namer: V.ColumnNamer | None = None,
+                 trap=None):
         self.spark = spark
         self.namer = namer or V.ColumnNamer()
         self._memo: dict[str, DataFrame] = {}
+        # :trap option (options.clj:56, operations.clj:617-644): rows whose
+        # Python op throws are diverted to the trap instead of failing the job
+        self.trap = trap
+        self.trap_dfs: list[DataFrame] = []
 
     # -- entry ---------------------------------------------------------------
 
@@ -144,6 +149,8 @@ class Compiler:
         return self._null_filter(df, outs)
 
     def _apply_py_map(self, df, op: MapOp, args, out_cols) -> DataFrame:
+        if self.trap is not None:
+            return self._apply_py_map_trapped(df, op, args, out_cols)
         if op.n_out == 1:
             udf = F.udf(op.py_fn, op.returns[0])
             return df.withColumn(out_cols[0], udf(*args))
@@ -158,6 +165,37 @@ class Compiler:
         udf = F.udf(wrapped, struct_t)
         tmp = "__mapout"
         df = df.withColumn(tmp, udf(*args))
+        for i, name in enumerate(out_cols):
+            df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
+        return df.drop(tmp)
+
+    def _apply_py_map_trapped(self, df, op: MapOp, args, out_cols) -> DataFrame:
+        """Trap wrapper: op exceptions produce an __error column; errored
+        rows are split off to the trap sink, clean rows continue
+        (operations.clj:617-644; Spark badRecordsPath pattern)."""
+        struct_t = T.StructType(
+            [T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)]
+            + [T.StructField("__error", T.StringType())])
+        fn = op.py_fn
+        n_out = op.n_out
+
+        def wrapped(*vals):
+            try:
+                r = fn(*vals)
+                r = tuple(r) if n_out > 1 else (r,)
+                return r + (None,)
+            except Exception as e:  # diverted, not fatal
+                return tuple([None] * n_out) + (f"{type(e).__name__}: {e}",)
+
+        udf = F.udf(wrapped, struct_t)
+        tmp = "__mapout"
+        df = df.withColumn(tmp, udf(*args))
+        err = F.col(tmp).getField("__error")
+        orig_cols = [c for c in df.columns if c != tmp]
+        self.trap_dfs.append(
+            df.filter(err.isNotNull())
+              .select(*orig_cols, err.alias("__error")))
+        df = df.filter(err.isNull())
         for i, name in enumerate(out_cols):
             df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
         return df.drop(tmp)
@@ -193,6 +231,26 @@ class Compiler:
         args = self._arg_cols(node.infields)
         if op.column_fn is not None:
             return df.filter(op.column_fn(*args))
+        if self.trap is not None:
+            fn = op.py_fn
+
+            def safe(*v):
+                try:
+                    return (bool(fn(*v)), None)
+                except Exception as e:
+                    return (False, f"{type(e).__name__}: {e}")
+
+            struct_t = T.StructType([T.StructField("keep", T.BooleanType()),
+                                     T.StructField("__error", T.StringType())])
+            udf = F.udf(safe, struct_t)
+            tmp = "__filt"
+            df2 = df.withColumn(tmp, udf(*args))
+            err = F.col(tmp).getField("__error")
+            self.trap_dfs.append(
+                df2.filter(err.isNotNull())
+                   .select(*df.columns, err.alias("__error")))
+            return df2.filter(err.isNull() & F.col(tmp).getField("keep")) \
+                      .drop(tmp)
         udf = F.udf(lambda *v: bool(op.py_fn(*v)), T.BooleanType())
         return df.filter(udf(*args))
 

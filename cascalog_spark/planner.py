@@ -280,9 +280,34 @@ def _attempt_join(tails: list[Tail]) -> list[Tail]:
 # main build (parse.clj:685-709 build-rule)
 
 
+def prune_operations(nq: NormalizedQuery) -> list:
+    """Dead-operation elimination (parse.clj:640-682): fixed-point removal of
+    map ops whose outputs reach no output field / op input / agg input / sort
+    field.  Disabled when any zero-input op is present (same caveat as the
+    reference).  Catalyst prunes dead Column exprs anyway — this exists to
+    skip planning unused *UDF* applications, which Catalyst can't see into."""
+    ops = list(nq.operations)
+    if any(rp.kind == "op" and not rp.infields for rp in ops):
+        return ops
+    while True:
+        needed = set(nq.outfields)
+        needed |= set(nq.options.get("sort") or [])
+        for rp in ops:
+            needed |= {f for f in rp.infields if V.is_var(f)}
+        for a in nq.aggregators:
+            needed |= {f for f in a.infields if V.is_var(f)}
+        removable = [rp for rp in ops
+                     if rp.kind == "op" and rp.outfields
+                     and not (set(rp.outfields) & needed)]
+        if not removable:
+            return ops
+        for rp in removable:
+            ops.remove(rp)
+
+
 def build_plan(nq: NormalizedQuery) -> Node:
     tails = [_generator_tail(g) for g in nq.generators]
-    pending_ops = list(nq.operations)
+    pending_ops = prune_operations(nq)
     pending_sets = [(rp, _expand_generator_set(rp)) for rp in nq.gensets]
 
     # merge-tails fixed point (parse.clj:523-533): absorb every applicable op

@@ -1,0 +1,61 @@
+"""Flow naming + stats — the analog of :name/:stats-fn options and the
+dynamic counter API (cascading/stats.clj:17-117, flow.clj:23-94;
+``stats/inc!`` from inside ops → Spark accumulators).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import SparkSession
+
+
+def counter(spark: SparkSession, name: str):
+    """A named counter usable from inside Python ops (closure-captured),
+    mirroring cascalog.cascading.stats/inc! (stats.clj:39-65).
+
+    Example::
+
+        errs = counter(spark, "bad-rows")
+        @deffilterfn
+        def clean(x):
+            ok = x is not None
+            if not ok:
+                errs.add(1)
+            return ok
+    """
+    acc = spark.sparkContext.accumulator(0)
+    acc.name = name  # type: ignore[attr-defined]
+    return acc
+
+
+def execute_with_stats(spark: SparkSession, query, sink,
+                       name: Optional[str] = None,
+                       stats_fn: Optional[Callable[[dict], None]] = None,
+                       counters: Optional[dict] = None) -> dict:
+    """?- with :name and :stats-fn semantics (flow.clj:60-94): runs the
+    query into the sink, then invokes ``stats_fn`` with a stats map
+    {name, duration_sec, successful, counters} — counter values read from
+    the supplied accumulators after completion."""
+    from ..api import execute
+
+    if name:
+        spark.sparkContext.setJobGroup(name, f"cascalog flow {name}")
+    t0 = time.perf_counter()
+    ok = False
+    try:
+        execute(spark, query, sink)
+        ok = True
+    finally:
+        stats = {
+            "name": name,
+            "duration_sec": round(time.perf_counter() - t0, 3),
+            "successful": ok,
+            "counters": {k: v.value for k, v in (counters or {}).items()},
+        }
+        if name:
+            spark.sparkContext.setJobGroup("", "")
+        if stats_fn:
+            stats_fn(stats)
+    return stats

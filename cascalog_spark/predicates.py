@@ -87,6 +87,19 @@ def _split_selector(args: list) -> tuple[list, list]:
     return args, []
 
 
+def is_predmacro(x) -> bool:
+    return callable(x) and getattr(x, "__predmacro__", False)
+
+
+def expand_predmacro(pred) -> list:
+    """Predicate macro: a Python fn (invars, outvars) -> list of predicate
+    tuples, expanded before planning (predmacro.clj:19-128; the reference
+    substitutes unique vars — here macros mint their own via gen_var)."""
+    head, *args = pred
+    infields, outfields = _split_selector(args)
+    return head(infields, outfields)
+
+
 def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
     """Normalize one predicate tuple.  ``fresh_filters`` collects equality
     filters synthesized for output-position constants (parse.clj:565-589)."""
@@ -189,7 +202,17 @@ def normalize_query(outfields, predicates, options: Optional[dict] = None
             continue
         flat.append(p)
 
+    expanded = []
+    def _expand(p):
+        if isinstance(p, (tuple, list)) and p and is_predmacro(p[0]):
+            for sub in expand_predmacro(p):
+                _expand(sub)
+        else:
+            expanded.append(p)
     for p in flat:
+        _expand(p)
+
+    for p in expanded:
         rp = normalize_predicate(p, fresh)
         {"generator": gens, "generator_set": gensets, "op": ops_,
          "filter": ops_, "agg": aggs}[rp.kind].append(rp)

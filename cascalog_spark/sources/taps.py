@@ -1,0 +1,197 @@
+"""Taps — sources and sinks (the analog of cascalog.cascading.tap,
+cascalog-core/src/clj/cascalog/cascading/tap.clj, and cascalog-more-taps,
+cascalog-more-taps/src/clj/cascalog/more_taps.clj).
+
+A Tap is a thin dataclass pairing a reader (``load_df``) with a writer
+(``save_df``).  Spark formats replace Cascading schemes 1:1 (SURVEY §2.1):
+
+| reference                       | here                                  |
+|---------------------------------|---------------------------------------|
+| hfs-seqfile (tuple interchange) | ParquetTap (columnar, pushdown-able)  |
+| hfs-textline / lfs-textline     | TextLineTap                           |
+| hfs-delimited (more-taps)       | CsvTap (delimiter/header/quote/types) |
+| hfs-wholefile (more-taps)       | BinaryFileTap                         |
+| memory-source-tap               | MemoryTap                             |
+| stdout                          | StdoutSink                            |
+| cascalog-tap (src+sink pair)    | CascalogTap                           |
+| :sinkmode :keep/:update/:replace| mode ignore/append/overwrite          |
+| :sink-template (template-tap)   | partition_by= (df.write.partitionBy)  |
+| :source-pattern (glob-hfs)      | native glob paths                     |
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+SINKMODES = {  # tap.clj:28-36 sink-mode → Spark SaveMode
+    "keep": "ignore",
+    "update": "append",
+    "replace": "overwrite",
+}
+
+
+@dataclass
+class Tap:
+    """Base tap: a path + format + options, readable and writable."""
+
+    path: str = ""
+    fmt: str = "parquet"
+    read_options: dict = field(default_factory=dict)
+    write_options: dict = field(default_factory=dict)
+    schema: Any = None
+    sinkmode: str = "replace"  # tap.clj default :replace semantics
+    partition_by: Optional[list] = None  # template-tap (tap.clj:80-86)
+    fields: Optional[list] = None  # declared field subset
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.fmt).options(**self.read_options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.load(self.path)
+        if self.fields:
+            df = df.select(*self.fields)
+        return df
+
+    def save_df(self, df: DataFrame) -> None:
+        writer = (df.write.format(self.fmt)
+                  .options(**self.write_options)
+                  .mode(SINKMODES.get(self.sinkmode, self.sinkmode)))
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self.path)
+
+
+@dataclass
+class ParquetTap(Tap):
+    """The native tuple-interchange format (replaces hfs-seqfile,
+    tap.clj:197-223) — columnar, predicate-pushdown-able, splittable."""
+
+    fmt: str = "parquet"
+
+
+@dataclass
+class CsvTap(Tap):
+    """hfs-delimited analog (more_taps.clj:11-80): delimiter, header,
+    quote, strict (FAILFAST) / safe (DROPMALFORMED) / default PERMISSIVE,
+    per-column types via ``schema`` (the ``:classes`` option)."""
+
+    fmt: str = "csv"
+    delimiter: str = "\t"
+    header: bool = False
+    quote: str = '"'
+    strict: bool = False
+    safe: bool = True
+
+    def __post_init__(self):
+        mode = ("FAILFAST" if self.strict
+                else ("DROPMALFORMED" if not self.safe else "PERMISSIVE"))
+        base = {"sep": self.delimiter, "header": str(self.header).lower(),
+                "quote": self.quote, "mode": mode}
+        if self.schema is None:
+            base["inferSchema"] = "true"
+        self.read_options = {**base, **self.read_options}
+        self.write_options = {"sep": self.delimiter,
+                              "header": str(self.header).lower(),
+                              **self.write_options}
+
+
+@dataclass
+class TextLineTap(Tap):
+    """text-line scheme (tap.clj:50-57): one `line` column; optional
+    compression codec on write."""
+
+    fmt: str = "text"
+    compression: Optional[str] = None
+
+    def __post_init__(self):
+        if self.compression:
+            self.write_options = {"compression": self.compression,
+                                  **self.write_options}
+
+
+@dataclass
+class JsonTap(Tap):
+    fmt: str = "json"
+
+
+@dataclass
+class BinaryFileTap(Tap):
+    """hfs-wholefile analog (more_taps.clj:114-130 + WholeFile.java): one row
+    per file with (path, modificationTime, length, content) — the ingestion
+    point for multimodal (image/audio/video) corpora."""
+
+    fmt: str = "binaryFile"
+    glob: Optional[str] = None
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if self.glob:
+            reader = reader.option("pathGlobFilter", self.glob)
+        return reader.load(self.path)
+
+    def save_df(self, df: DataFrame) -> None:
+        raise NotImplementedError("binaryFile is a read-only source")
+
+
+class MemoryTap:
+    """memory-source-tap (tap.clj:230-236): named in-memory tuples."""
+
+    def __init__(self, fields: list[str], rows: list):
+        if not rows:
+            raise ValueError("can't use an empty collection as a generator")
+        self.fields = list(fields)
+        self.rows = [tuple(r) if isinstance(r, (list, tuple)) else (r,)
+                     for r in rows]
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, self.fields)
+
+
+class StdoutSink:
+    """stdout tap (tap.clj:225-228)."""
+
+    def save_df(self, df: DataFrame) -> None:
+        df.show(truncate=False)
+
+
+@dataclass
+class CascalogTap:
+    """Source+sink pair (tap.clj:20-26).  ``sink`` may be a callable of the
+    DataFrame (fn-sink that may transform before writing,
+    cascading/platform.clj:320-324)."""
+
+    source: Any = None
+    sink: Any = None
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        s = self.source
+        if hasattr(s, "load_df"):
+            return s.load_df(spark)
+        if isinstance(s, DataFrame):
+            return s
+        raise TypeError(f"not a source: {s!r}")
+
+    def save_df(self, df: DataFrame) -> None:
+        if hasattr(self.sink, "save_df"):
+            self.sink.save_df(df)
+        elif callable(self.sink):
+            self.sink(df)
+        else:
+            raise TypeError(f"not a sink: {self.sink!r}")
+
+
+def hfs_tap(path: str, fmt: str = "parquet", sinkmode: str = "replace",
+            source_pattern: Optional[str] = None,
+            sink_template: Optional[list] = None, **options) -> Tap:
+    """hfs-tap analog (tap.clj:104-159): any scheme at a path, with
+    ``:sinkmode``, ``:source-pattern`` (glob) and ``:sink-template``
+    (partitioned output) options."""
+    p = f"{path}/{source_pattern}" if source_pattern else path
+    return Tap(path=p, fmt=fmt, sinkmode=sinkmode,
+               partition_by=sink_template, read_options=options)
+
+
+lfs_tap = hfs_tap  # local fs == hadoop fs under Spark's unified FS API

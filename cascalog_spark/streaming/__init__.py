@@ -1,0 +1,2 @@
+from .stream import (session_windows, sliding_counts, stream_tap,
+                     stream_to_memory, tumbling_agg, write_stream)

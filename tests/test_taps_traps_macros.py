@@ -1,0 +1,206 @@
+"""Taps matrix, :trap error diversion, predicate macros, combinators —
+mirrors cascading_api_test.clj:112-224 (traps), pred_macro_test.clj, and
+the tap behaviors of tap.clj / more_taps.clj."""
+
+import os
+
+import pytest
+
+from cascalog_spark import c, execute, gen_var, q
+from cascalog_spark.sources import (CascalogTap, CsvTap, MemoryTap,
+                                    ParquetTap, TextLineTap, hfs_tap)
+from cascalog_spark.testing import assert_produces
+from cascalog_spark.ops import deffilterfn, defmapfn
+
+AGE = [("alice", 28), ("bob", 33), ("chris", 40), ("david", 25)]
+
+
+# -- taps --------------------------------------------------------------------
+
+
+def test_memory_tap(spark):
+    tap = MemoryTap(["person", "age"], AGE)
+    query = q(["?p", "?a"], (tap, "?p", "?a"), (c.lt, "?a", 30))
+    assert_produces(query, spark, [("alice", 28), ("david", 25)])
+
+
+def test_parquet_tap_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "ages.parquet")
+    sink = ParquetTap(path=path)
+    query = q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a"))
+    execute(spark, query, sink)
+    back = q(["?p"], (ParquetTap(path=path), "?p", "?a"), (c.gt, "?a", 30))
+    assert_produces(back, spark, [("bob",), ("chris",)])
+
+
+def test_parquet_sinkmode_keep(spark, tmp_path):
+    # :sinkmode :keep → ignore if exists (tap.clj:28-36)
+    path = str(tmp_path / "keep.parquet")
+    q1 = q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a"))
+    execute(spark, q1, ParquetTap(path=path, sinkmode="replace"))
+    q2 = q(["?p", "?a"], (MemoryTap(["p", "a"], [("zed", 1)]), "?p", "?a"))
+    execute(spark, q2, ParquetTap(path=path, sinkmode="keep"))
+    assert spark.read.parquet(path).count() == 4  # unchanged
+
+
+def test_csv_tap_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "ages_csv")
+    tap = CsvTap(path=path, delimiter="|", header=True)
+    df = spark.createDataFrame(AGE, ["person", "age"])
+    tap.save_df(df)
+    back = tap.load_df(spark)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(AGE)
+
+
+def test_textline_tap(spark, tmp_path):
+    path = str(tmp_path / "lines")
+    df = spark.createDataFrame([("hello world",), ("foo bar",)], ["value"])
+    TextLineTap(path=path).save_df(df)
+    tap = TextLineTap(path=path)
+    query = q(["?w", "?n"],
+              (tap, "?line"),
+              (c.split(), "?line", ":>", "?w"),
+              (c.count, "?n"))
+    assert_produces(query, spark,
+                    [("hello", 1), ("world", 1), ("foo", 1), ("bar", 1)])
+
+
+def test_template_tap_partitioned_sink(spark, tmp_path):
+    # :sink-template → df.write.partitionBy (tap.clj:80-86)
+    path = str(tmp_path / "by_age")
+    sink = ParquetTap(path=path, partition_by=["a"])
+    execute(spark, q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a")),
+            sink)
+    assert os.path.isdir(f"{path}/a=28")
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_cascalog_tap_fn_sink(spark):
+    # fn-sink receives the DataFrame (cascading/platform.clj:320-324)
+    captured = []
+    tap = CascalogTap(source=MemoryTap(["p", "a"], AGE),
+                      sink=lambda df: captured.extend(
+                          tuple(r) for r in df.collect()))
+    query = q(["?p", "?a"], (tap, "?p", "?a"), (c.lt, "?a", 30))
+    execute(spark, query, tap)
+    assert sorted(captured) == [("alice", 28), ("david", 25)]
+
+
+def test_glob_source_pattern(spark, tmp_path):
+    d1 = str(tmp_path / "part_a")
+    d2 = str(tmp_path / "part_b")
+    spark.createDataFrame(AGE[:2], ["p", "a"]).write.parquet(d1)
+    spark.createDataFrame(AGE[2:], ["p", "a"]).write.parquet(d2)
+    tap = hfs_tap(str(tmp_path), fmt="parquet", source_pattern="part_*")
+    query = q(["?p"], (tap, "?p", "_"))
+    assert len(query.run(spark)) == 4
+
+
+# -- traps -------------------------------------------------------------------
+
+
+def test_trap_diverts_map_errors(spark):
+    @defmapfn(returns="bigint")
+    def reciprocal_int(n):
+        return int(100 / (n - 33))  # throws for bob (33)
+
+    trapped = []
+    query = q(["?p", "?r"],
+              (AGE, "?p", "?a"),
+              (reciprocal_int, "?a", ":>", "?r"),
+              trap=lambda df: trapped.extend(tuple(r) for r in df.collect()))
+    rows = query.run(spark)
+    assert len(rows) == 3 and all(p != "bob" for p, _ in rows)
+    assert len(trapped) == 1
+    assert trapped[0][:2][0] == "bob" or "bob" in trapped[0]
+    assert "ZeroDivisionError" in trapped[0][-1]
+
+
+def test_trap_diverts_filter_errors(spark):
+    @deffilterfn
+    def throws_on_chris(p):
+        if p == "chris":
+            raise ValueError("boom")
+        return True
+
+    trapped = []
+    query = q(["?p"],
+              (AGE, "?p", "_"),
+              (throws_on_chris, "?p"),
+              trap=lambda df: trapped.extend(tuple(r) for r in df.collect()))
+    rows = query.run(spark)
+    assert sorted(r[0] for r in rows) == ["alice", "bob", "david"]
+    assert len(trapped) == 1 and trapped[0][0] == "chris"
+    assert "ValueError: boom" in trapped[0][-1]
+
+
+def test_no_trap_means_failure(spark):
+    @defmapfn(returns="bigint")
+    def boom(n):
+        raise RuntimeError("no trap")
+
+    query = q(["?r"], (AGE, "?p", "?a"), (boom, "?a", ":>", "?r"))
+    with pytest.raises(Exception):
+        query.run(spark)
+
+
+# -- predicate macros --------------------------------------------------------
+
+
+def test_predmacro_expansion(spark):
+    # predmacro.clj:19-128: fn (invars, outvars) -> predicate list
+    def mean_of(invars, outvars):
+        s, cnt = gen_var("?"), gen_var("?")
+        return [(c.sum_agg, invars[0], ":>", s),
+                (c.count, cnt),
+                (c.div, s, cnt, ":>", outvars[0])]
+
+    mean_of.__predmacro__ = True
+
+    PAIR = [("a", 1), ("a", 3), ("b", 10)]
+    query = q(["?label", "?mean"],
+              (PAIR, "?label", "?n"),
+              (mean_of, "?n", ":>", "?mean"))
+    assert_produces(query, spark, [("a", 2.0), ("b", 10.0)])
+
+
+def test_combinators(spark):
+    NUM = [(1,), (2,), (3,), (4,)]
+    # comp: square then negate; juxt: min+max of (n, 2n); negate filter
+    sq = c.column_op("sq", lambda x: x * x)
+    neg = c.column_op("neg2", lambda x: -x)
+    query = q(["?n", "?negsq"],
+              (NUM, "?n"),
+              (c.comp(neg, sq), "?n", ":>", "?negsq"))
+    assert_produces(query, spark, [(n[0], -n[0] * n[0]) for n in NUM])
+
+    query2 = q(["?n"], (NUM, "?n"), (c.negate(c.odd), "?n"))
+    assert_produces(query2, spark, [(2,), (4,)])
+
+    query3 = q(["?n"],
+               (NUM, "?n"),
+               (c.all_filters(c.gt, c.lt), "?n", 0))
+    # gt(n,0) AND lt(n,0) → empty... use any instead
+    assert query3.run(spark) == []
+    query4 = q(["?n"],
+               (NUM, "?n"),
+               (c.any_filters(c.partial(c.lt, 2), c.partial(c.gt, 4)), "?n"))
+    # lt(2,n) or gt(4,n) → n>2 or n<4 → all
+    assert len(query4.run(spark)) == 4
+
+
+def test_sample_op(spark):
+    NUM = [(i,) for i in range(100)]
+    query = q(["?n"], (NUM, "?n"), (c.sample(0.3, seed=42),))
+    rows = query.run(spark)
+    assert 5 < len(rows) < 70  # Bernoulli around 30
+
+
+def test_juxt_and_each(spark):
+    NUM = [(3, 7), (10, 2)]
+    query = q(["?mn", "?mx"],
+              (NUM, "?a", "?b"),
+              (c.juxt(c.column_op("l", lambda a, b: __import__("pyspark.sql.functions", fromlist=["F"]).least(a, b)),
+                      c.column_op("g", lambda a, b: __import__("pyspark.sql.functions", fromlist=["F"]).greatest(a, b))),
+               "?a", "?b", ":>", "?mn", "?mx"))
+    assert_produces(query, spark, [(3, 7), (2, 10)])
