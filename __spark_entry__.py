@@ -35,8 +35,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read nanos as long and convert where needed
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division — ts/1000 in double loses µs precision at ~1.7e18 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -278,6 +278,131 @@ def mutual_followers_events(spark, sf_dir):
              ).to_df(spark)
 
 
+def orders_by_year(spark, sf_dir):
+    """Date functions (Cascading DateParser analog, SURVEY §2.8) + agg."""
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?year", "?n", "?total"],
+             (orders, {"o_orderdate": "?d", "o_totalprice": "?tp"}),
+             (c.year_of, "?d", ":>", "?y"),
+             (c.cast_to("bigint"), "?y", ":>", "?year"),
+             (c.count, "?n"),
+             (c.sum_agg, "?tp", ":>", "?t"),
+             (c.round_to(2), "?t", ":>", "?total"),
+             ).to_df(spark)
+
+
+def part_name_words(spark, sf_dir):
+    """c/re-parse (ops.clj:154-158): regex mapcat over part names + count."""
+    part = _t(spark, sf_dir, "part")
+    return q(["?word", "?n"],
+             (part, {"p_name": "?name"}),
+             (c.re_parse("[a-z]+"), "?name", ":>", "?word"),
+             (c.count, "?n"),
+             ).to_df(spark)
+
+
+def events_daily_windows(spark, sf_dir):
+    """Tumbling event-time windows (batch form of the streaming operator —
+    SURVEY §2.9 extension tier)."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy(F.window("ts", "1 day").alias("w"),
+                           F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("day"), "event_type", "n",
+                    "total_value"))
+
+
+def user_sessions(spark, sf_dir):
+    """Sessionization via native session_window (30-min gap) — the
+    streaming-scale form of the reference's time-sorted buffer idiom
+    (api_test.clj:450-468)."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                           F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("sw.start").alias("session_start"),
+                    "n_events"))
+
+
+def latest_event_per_user(spark, sf_dir):
+    """Order-sensitive buffer with secondary sort (defbufferfn + :sort
+    :reverse — operations.clj:251-264): latest event per user."""
+    import pandas as pd
+
+    from cascalog_spark import defbufferfn
+
+    @defbufferfn(returns=["string", "double"], n_out=2)
+    def first_row(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [pdf.iloc[0, 0]], "v": [pdf.iloc[0, 1]]})
+
+    events = _t(spark, sf_dir, "events")
+    return q(["?user_id", "?event_type", "?value"],
+             (events, {"user_id": "?user_id", "event_type": "?et",
+                       "value": "?v", "ts": "?ts", "event_id": "?eid"}),
+             (first_row, "?et", "?v", ":>", "?event_type", "?value"),
+             sort=["?ts", "?eid"], reverse=True,
+             ).to_df(spark)
+
+
+def value_range_per_type(spark, sf_dir):
+    """Custom sequential aggregator (defaggregatefn fold) mixed with a
+    native agg in one grouping (SURVEY §2.4)."""
+    from cascalog_spark import defaggregatefn
+
+    value_range = defaggregatefn(
+        init=lambda: (None, None),
+        step=lambda acc, v: (v if acc[0] is None else min(acc[0], v),
+                             v if acc[1] is None else max(acc[1], v)),
+        final=lambda acc: round(acc[1] - acc[0], 4),
+        returns="double", name="value-range")
+    events = _t(spark, sf_dir, "events")
+    return q(["?event_type", "?range", "?n"],
+             (events, {"event_type": "?event_type", "value": "?v"}),
+             (value_range, "?v", ":>", "?range"),
+             (c.count, "?n"),
+             ).to_df(spark)
+
+
+def nations_with_customers_and_suppliers(spark, sf_dir):
+    """INTERSECT (SURVEY §2.7 — exposed natively, reference used negation
+    idioms)."""
+    from cascalog_spark import intersect_gens
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    qc = q(["?nk"], (cust, {"c_nationkey": "?nk"}), distinct=True)
+    qs = q(["?nk"], (supp, {"s_nationkey": "?nk"}), distinct=True)
+    return q(["?n_nationkey"],
+             (intersect_gens(qc, qs), "?n_nationkey")).to_df(spark)
+
+
+def customer_only_nations(spark, sf_dir):
+    """EXCEPT — nations with customers but no suppliers."""
+    from cascalog_spark import except_gens
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    qc = q(["?nk"], (cust, {"c_nationkey": "?nk"}), distinct=True)
+    qs = q(["?nk"], (supp, {"s_nationkey": "?nk"}), distinct=True)
+    return q(["?n_nationkey"],
+             (except_gens(qc, qs), "?n_nationkey")).to_df(spark)
+
+
+def supplier_nations_broadcast(spark, sf_dir):
+    """Explicit broadcast join (hash-join-with-tiny analog,
+    operations.clj:412-454)."""
+    from cascalog_spark import broadcast_gen
+
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return q(["?s_name", "?n_name"],
+             (supp, {"s_name": "?s_name", "s_nationkey": "?nk"}),
+             (broadcast_gen(nation), {"n_nationkey": "?nk",
+                                      "n_name": "?n_name"}),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # pipeline queries (functions packs)
 
@@ -381,6 +506,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_account_balance": nation_account_balance,
         "wordcount_docs": wordcount_docs,
         "mutual_followers_events": mutual_followers_events,
+        "orders_by_year": orders_by_year,
+        "part_name_words": part_name_words,
+        "events_daily_windows": events_daily_windows,
+        "user_sessions": user_sessions,
+        "latest_event_per_user": latest_event_per_user,
+        "value_range_per_type": value_range_per_type,
+        "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
+        "customer_only_nations": customer_only_nations,
+        "supplier_nations_broadcast": supplier_nations_broadcast,
         "doc_token_counts": doc_token_counts,
         "doc_fingerprints": doc_fingerprints,
         "doc_quality": doc_quality,
@@ -534,6 +668,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.user_id AS u1, b.user_id AS u2, a.event_type
             FROM ut a JOIN ut b ON a.event_type = b.event_type
             WHERE a.user_id < b.user_id""",
+        "orders_by_year": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1""",
+        "part_name_words": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(p_name, '[a-z]+')) AS word
+                  FROM part) t
+            GROUP BY word""",
+        "events_daily_windows": """
+            SELECT time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS day,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts::TIMESTAMP AS ts,
+                     lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+                                              ORDER BY ts) AS prev_ts
+              FROM events),
+            islands AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL '30 minutes'
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM islands GROUP BY user_id, session_id""",
+        "latest_event_per_user": """
+            SELECT user_id, event_type, value FROM (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1""",
+        "value_range_per_type": """
+            SELECT event_type,
+                   round(max(value) - min(value), 4) AS range,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "nations_with_customers_and_suppliers": """
+            SELECT c_nationkey AS n_nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier""",
+        "customer_only_nations": """
+            SELECT c_nationkey AS n_nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier""",
+        "supplier_nations_broadcast": """
+            SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
         "doc_token_counts": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents""",
         "doc_fingerprints": r"""

@@ -14,7 +14,8 @@ drives outer joins; Catalyst owns all physical planning.
 """
 
 from . import builtin as c
-from .api import (Query, combine, execute, first_n, name_vars, out_names, q,
+from .api import (Query, broadcast_gen, combine, except_gens, execute,
+                  first_n, intersect_gens, name_vars, out_names, q,
                   select_fields, union)
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,

@@ -181,6 +181,58 @@ def execute(spark: SparkSession, query: Query, sink) -> None:
         query.flush_traps()
 
 
+class _BroadcastGen:
+    """hash-join-with-tiny analog (operations.clj:412-454): explicit
+    broadcast opt-in for a generator.  Spark already auto-broadcasts below
+    the threshold; this forces it for dims the optimizer can't size."""
+
+    __cascalog_generator__ = True
+
+    def __init__(self, gen):
+        self.gen = gen
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        g = self.gen
+        df = g.to_df(spark) if hasattr(g, "to_df") else (
+            g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
+        return F.broadcast(df)
+
+
+def broadcast_gen(gen) -> _BroadcastGen:
+    return _BroadcastGen(gen)
+
+
+class _SetOpGen:
+    """intersect / except — not in the reference (expressible via negation
+    idioms there, SURVEY §2.7); exposed natively here."""
+
+    __cascalog_generator__ = True
+
+    def __init__(self, left, right, op: str):
+        self.left, self.right, self.op = left, right, op
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        def _df(g):
+            return g.to_df(spark) if hasattr(g, "to_df") else (
+                g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
+
+        l, r = _df(self.left), _df(self.right)
+        r = r.toDF(*l.columns)
+        return l.intersect(r) if self.op == "intersect" else l.exceptAll(r)
+
+
+def intersect_gens(left, right) -> _SetOpGen:
+    """Set intersection (dedupes, like SQL INTERSECT)."""
+    return _SetOpGen(left, right, "intersect")
+
+
+def except_gens(left, right) -> _SetOpGen:
+    """Bag difference (like SQL EXCEPT ALL)."""
+    return _SetOpGen(left, right, "except")
+
+
 def first_n(gen, n: int, sort=None, reverse: bool = False):
     """c/first-n (ops.clj:273-304): global top-n of a generator."""
 

@@ -1,0 +1,205 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schema contracts, partition-parallel batch
+iteration, UDF signatures, output shapes — is real and tested.  The actual
+codec calls (PIL/librosa/ffmpeg) are NOT available in this container, so the
+decode kernels are pluggable: ``register_codec`` installs a real decoder;
+the default is a deterministic metadata-only "fake codec" that parses
+lightweight container headers (PNG/JPEG/WAV) from the raw bytes — enough to
+exercise the full pipeline shape end-to-end.
+
+Scale design: one ``mapInPandas`` pass per stage (no per-row Python), binary
+payloads never collected to the driver, output is columnar metadata +
+optional derived binary (thumbnails, frames) that stays distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# codec registry
+
+_CODECS: dict[str, Callable] = {}
+
+
+def register_codec(kind: str, fn: Callable) -> None:
+    """Install a real decoder for ``kind`` ('image' | 'audio' | 'video').
+
+    ``fn(content: bytes) -> dict`` returning the kind's metadata fields.
+    """
+    _CODECS[kind] = fn
+
+
+def _codec(kind: str) -> Callable:
+    if kind in _CODECS:
+        return _CODECS[kind]
+    return _HEADER_PARSERS[kind]
+
+
+# -- deterministic header-only "fake codecs" (no media libs needed) ----------
+
+
+def _parse_image_header(content: bytes) -> dict:
+    """PNG/JPEG/GIF dimensions from container headers; raises ValueError on
+    unknown formats (exercises the error path the way a real codec would)."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", content[16:24])
+        return {"format": "png", "width": int(w), "height": int(h)}
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", content[i + 5:i + 9])
+                return {"format": "jpeg", "width": int(w), "height": int(h)}
+            i += 2 + seglen
+        raise ValueError("jpeg: no SOF marker")
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return {"format": "gif", "width": int(w), "height": int(h)}
+    raise ValueError(f"unknown image format (magic={content[:4]!r})")
+
+
+def _parse_audio_header(content: bytes) -> dict:
+    """WAV header parse (sample rate / channels / duration)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        channels, rate = struct.unpack("<HI", content[22:28])
+        bits = struct.unpack("<H", content[34:36])[0]
+        data_size = max(len(content) - 44, 0)
+        dur = data_size / max(rate * channels * (bits // 8), 1)
+        return {"format": "wav", "sample_rate": int(rate),
+                "channels": int(channels), "duration_sec": float(round(dur, 6))}
+    raise ValueError(f"unknown audio format (magic={content[:4]!r})")
+
+
+def _parse_video_header(content: bytes) -> dict:
+    raise NotImplementedError(
+        "video decode requires ffmpeg — register a codec via "
+        "register_codec('video', fn)")
+
+
+_HEADER_PARSERS = {"image": _parse_image_header, "audio": _parse_audio_header,
+                   "video": _parse_video_header}
+
+
+# ---------------------------------------------------------------------------
+# schema contracts
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_sha1", T.StringType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def _meta_cols(schema: T.StructType) -> list[str]:
+    return [f.name for f in schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# operators
+
+
+def extract_media_metadata(df: DataFrame, kind: str = "image",
+                           content_col: str = "content",
+                           id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Decode headers of a binary media column → typed metadata columns.
+
+    mapInPandas over Arrow batches: bytes never leave the executor, decode
+    errors land in ``decode_error`` instead of failing the job (trap-style).
+    """
+    id_cols = id_cols if id_cols is not None else \
+        [c for c in df.columns if c != content_col]
+    meta_schema = IMAGE_META_SCHEMA if kind == "image" else AUDIO_META_SCHEMA
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + list(meta_schema.fields))
+    codec = _codec(kind)
+    meta_names = _meta_cols(meta_schema)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                rec = {c: row[c] for c in id_cols}
+                rec.update({m: None for m in meta_names})
+                if content is not None:
+                    b = bytes(content)
+                    rec["n_bytes"] = len(b)
+                    if "content_sha1" in meta_names:
+                        rec["content_sha1"] = hashlib.sha1(b).hexdigest()
+                    try:
+                        rec.update(codec(b))
+                        rec["decode_error"] = None
+                    except Exception as e:
+                        rec["decode_error"] = f"{type(e).__name__}: {e}"
+                out_rows.append(rec)
+            yield pd.DataFrame(out_rows,
+                               columns=[f.name for f in out_schema.fields])
+
+    return df.select(*id_cols, content_col).mapInPandas(process, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1 << 16,
+                  max_frames: int = 4, content_col: str = "content",
+                  id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Frame-sampling plumbing: emit ≤max_frames byte-slices per media row
+    (1 row in → n rows out, the video-frame extraction shape).  The slice
+    step stands in for a real ffmpeg keyframe extract — swap via codec
+    registration; partitioning/batching/output schema are the real thing."""
+    id_cols = id_cols if id_cols is not None else \
+        [c for c in df.columns if c != content_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("frame_idx", T.IntegerType()),
+           T.StructField("frame_bytes", T.BinaryType())])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                if content is None:
+                    continue
+                b = bytes(content)
+                for i in range(min(max_frames,
+                                   max(1, len(b) // every_n_bytes))):
+                    rec = {c: row[c] for c in id_cols}
+                    rec["frame_idx"] = i
+                    rec["frame_bytes"] = b[i * every_n_bytes:
+                                           (i + 1) * every_n_bytes]
+                    rows.append(rec)
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in out_schema.fields])
+
+    return df.select(*id_cols, content_col).mapInPandas(process, out_schema)
+
+
+def media_dedup_keys(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact-bytes dedup key for media: sha1 over the binary column — native
+    Column expr (no Python), ready for exact_dedup()."""
+    return df.withColumn("content_sha1", F.sha1(F.col(content_col)))

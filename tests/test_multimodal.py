@@ -1,0 +1,90 @@
+"""Multimodal binary-column plumbing: schema contracts, mapInPandas batch
+shape, decode-error paths, frame sampling, dedup keys."""
+
+import struct
+import zlib
+
+import pytest
+
+from cascalog_spark.functions.multimodal import (extract_media_metadata,
+                                                 media_dedup_keys,
+                                                 register_codec,
+                                                 sample_frames)
+from cascalog_spark.functions import exact_dedup
+
+
+def _png(w, h):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = (struct.pack(">I", len(ihdr_data)) + b"IHDR" + ihdr_data
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data)))
+    return sig + ihdr + b"\x00" * 64
+
+
+def _wav(rate=16000, channels=1, seconds=2):
+    bits = 16
+    data = b"\x00" * (rate * channels * (bits // 8) * seconds)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * channels * bits // 8,
+                                   channels * bits // 8, bits)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def test_image_metadata(spark):
+    rows = [(1, _png(640, 480)), (2, _png(100, 200)),
+            (3, b"not an image"), (4, None)]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    out = extract_media_metadata(df, "image")
+    got = {r.media_id: r for r in out.collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 640, 480)
+    assert (got[2].width, got[2].height) == (100, 200)
+    assert got[3].format is None and "ValueError" in got[3].decode_error
+    assert got[3].n_bytes == 12 and got[3].content_sha1 is not None
+    assert got[4].n_bytes is None and got[4].decode_error is None
+
+
+def test_audio_metadata(spark):
+    df = spark.createDataFrame([(1, _wav(16000, 1, 2))], ["media_id", "content"])
+    out = extract_media_metadata(df, "audio").collect()[0]
+    assert out.format == "wav" and out.sample_rate == 16000
+    assert out.channels == 1 and abs(out.duration_sec - 2.0) < 0.01
+
+
+def test_video_requires_registered_codec(spark):
+    df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42")],
+                               ["media_id", "content"])
+    out = extract_media_metadata(df, "video").collect()[0]
+    assert "NotImplementedError" in out.decode_error
+
+    register_codec("video", lambda b: {"format": "mp4", "width": 1,
+                                       "height": 1})
+    try:
+        out2 = extract_media_metadata(df, "video").collect()[0]
+        assert out2.format == "mp4" and out2.decode_error is None
+    finally:
+        from cascalog_spark.functions import multimodal
+        multimodal._CODECS.pop("video", None)
+
+
+def test_frame_sampling_multiplies_rows(spark):
+    big = bytes(range(256)) * 1024  # 256 KiB
+    df = spark.createDataFrame([(1, big), (2, b"tiny")],
+                               ["media_id", "content"])
+    out = sample_frames(df, every_n_bytes=1 << 16, max_frames=3)
+    got = sorted((r.media_id, r.frame_idx, len(r.frame_bytes))
+                 for r in out.collect())
+    assert got == [(1, 0, 65536), (1, 1, 65536), (1, 2, 65536),
+                   (2, 0, 4)]
+
+
+def test_media_exact_dedup(spark):
+    img = _png(10, 10)
+    df = spark.createDataFrame(
+        [(1, img), (2, img), (3, _png(11, 11))], ["media_id", "content"])
+    keyed = media_dedup_keys(df)
+    out = exact_dedup(keyed.select("content_sha1", "media_id"),
+                      ["content_sha1"], "media_id")
+    got = sorted((r.keep_id, r.n_dups) for r in out.collect())
+    assert got == [(1, 2), (3, 1)]
