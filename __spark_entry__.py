@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascalog_spark import c, q
-from cascalog_spark.functions import (brute_force_topk, minhash_lsh_candidates,
+from cascalog_spark.functions import (brute_force_topk, cosine_pairs,
+                                      ivf_ann_topk, minhash_lsh_candidates,
                                       ngram_jaccard_pairs)
 from cascalog_spark.functions.dedup import simhash
 from cascalog_spark.functions.text import (STOPWORDS, doc_fingerprint,
@@ -479,6 +480,110 @@ def embedding_label_centroid_sim(spark, sf_dir):
                        F.round(F.sqrt(norm), 6).alias("centroid_norm"))
 
 
+def region_priority_rollup(spark, sf_dir):
+    """5-way implicit join (region→nation→customer→orders) with a two-key
+    grouping — deepest join chain in the suite (SURVEY §2.3)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?r_name", "?o_orderpriority", "?order_cnt", "?total_price"],
+             (region, {"r_regionkey": "?rk", "r_name": "?r_name"}),
+             (nation, {"n_regionkey": "?rk", "n_nationkey": "?nk"}),
+             (cust, {"c_nationkey": "?nk", "c_custkey": "?ck"}),
+             (orders, {"o_custkey": "?ck",
+                       "o_orderpriority": "?o_orderpriority",
+                       "o_totalprice": "?tp"}),
+             (c.count, "?order_cnt"),
+             (c.sum_agg, "?tp", ":>", "?t"),
+             (c.round_to(2), "?t", ":>", "?total_price"),
+             ).to_df(spark)
+
+
+def top2_suppliers_per_nation(spark, sf_dir):
+    """limit-rank after a join: per-nation top-2 suppliers by balance
+    (c/limit-rank, ops.clj:208-226 → Window row_number)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return q(["?n_name", "?s_name", "?s_acctbal", "?rank"],
+             (supp, {"s_nationkey": "?nk", "s_name": "?sn",
+                     "s_acctbal": "?ab"}),
+             (nation, {"n_nationkey": "?nk", "n_name": "?n_name"}),
+             (c.limit_rank(2), "?sn", "?ab",
+              ":>", "?s_name", "?s_acctbal", "?rank"),
+             sort=["?ab", "?sn"], reverse=True,
+             ).to_df(spark)
+
+
+def global_top5_orders(spark, sf_dir):
+    """c/first-n (ops.clj:273-304): global top-n of a whole subquery —
+    TakeOrderedAndProject, no full sort."""
+    from cascalog_spark import first_n
+
+    orders = _t(spark, sf_dir, "orders")
+    inner = q(["?o_orderkey", "?o_totalprice"],
+              (orders, {"o_orderkey": "?o_orderkey",
+                        "o_totalprice": "?o_totalprice"}))
+    return first_n(inner, 5, sort=["?o_totalprice", "?o_orderkey"],
+                   reverse=True).to_df(spark)
+
+
+def discount_var_by_month(spark, sf_dir):
+    """cascalog-math variance/sample-variance (stats.clj:7-48) as native
+    single-pass var_pop/var_samp, grouped by ship month."""
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?month", "?disc_var", "?disc_var_samp"],
+             (li, {"l_shipdate": "?d", "l_discount": "?disc"}),
+             (c.month_of, "?d", ":>", "?m"),
+             (c.cast_to("bigint"), "?m", ":>", "?month"),
+             (c.var_pop, "?disc", ":>", "?vp"),
+             (c.var_samp, "?disc", ":>", "?vs"),
+             (c.round_to(6), "?vp", ":>", "?disc_var"),
+             (c.round_to(6), "?vs", ":>", "?disc_var_samp"),
+             ).to_df(spark)
+
+
+def region_pairs_cross(spark, sf_dir):
+    """Explicit cross-join generator (api.clj:63-64 cross-join) + filter —
+    unordered region name pairs."""
+    from cascalog_spark import cross_join
+
+    region = _t(spark, sf_dir, "region")
+    r1 = region.toDF("k1", "name_a")
+    r2 = region.toDF("k2", "name_b")
+    cj = cross_join(r1, r2)
+    return q(["?name_a", "?name_b"],
+             (cj, {"name_a": "?name_a", "name_b": "?name_b"}),
+             (c.lt, "?name_a", "?name_b"),
+             ).to_df(spark)
+
+
+def customer_name_parse(spark, sf_dir):
+    """c/re-parse (ops.clj:154-158): regex group extraction as a mapcat —
+    numeric id token from each customer name."""
+    cust = _t(spark, sf_dir, "customer")
+    return q(["?c_custkey", "?tok"],
+             (cust, {"c_custkey": "?c_custkey", "c_name": "?nm"}),
+             (c.re_parse(r"(\d+)"), "?nm", ":>", "?tok"),
+             ).to_df(spark)
+
+
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-signature blocking (4 planes)
+    then exact cosine verify — no O(n²) cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.35, n_planes=4, seed=42)
+
+
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: 16 deterministic seed centroids, probe the 4 nearest cells
+    for vec_id=0's embedding, exact-score only the probed cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_ann_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -525,6 +630,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_doc_hashes": simhash_doc_hashes,
         "embedding_topk": embedding_topk,
         "embedding_label_centroid_sim": embedding_label_centroid_sim,
+        "region_priority_rollup": region_priority_rollup,
+        "top2_suppliers_per_nation": top2_suppliers_per_nation,
+        "global_top5_orders": global_top5_orders,
+        "discount_var_by_month": discount_var_by_month,
+        "region_pairs_cross": region_pairs_cross,
+        "customer_name_parse": customer_name_parse,
+        "embedding_cosine_near_dup": embedding_cosine_near_dup,
+        "embedding_ivf_topk": embedding_ivf_topk,
     }
 
 
@@ -551,6 +664,24 @@ def _minhash_sql(num_perm: int) -> str:
         f"({a} * ({base}) + {b}) % {MINHASH_P}))"
         for a, b in minhash_coeffs(num_perm))
     return mins
+
+
+def _lsh_sig_sql(vec_expr: str, n_planes: int, dim: int = 64,
+                 seed: int = 42) -> str:
+    """DuckDB expression for the random-hyperplane LSH signature — same
+    deterministic planes as functions/similarity._hyperplanes."""
+    from cascalog_spark.functions.similarity import _hyperplanes
+
+    terms = []
+    for i, p in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+                     f"THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -801,4 +932,65 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY label""",
         # simhash_doc_hashes: omitted — python-UDF bit arithmetic is not
         # SQL-expressible; driver records the rows-only check.
+        "region_priority_rollup": """
+            SELECT r_name, o_orderpriority, count(*) AS order_cnt,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            GROUP BY r_name, o_orderpriority""",
+        "top2_suppliers_per_nation": """
+            SELECT n_name, s_name, s_acctbal, rank FROM (
+              SELECT n_name, s_name, s_acctbal,
+                     row_number() OVER (PARTITION BY n_name
+                       ORDER BY s_acctbal DESC, s_name DESC) AS rank
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey) t
+            WHERE rank <= 2""",
+        "global_top5_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 5""",
+        "discount_var_by_month": """
+            SELECT month(l_shipdate)::BIGINT AS month,
+                   round(var_pop(l_discount), 6) AS disc_var,
+                   round(var_samp(l_discount), 6) AS disc_var_samp
+            FROM lineitem GROUP BY 1""",
+        "region_pairs_cross": """
+            SELECT a.r_name AS name_a, b.r_name AS name_b
+            FROM region a CROSS JOIN region b
+            WHERE a.r_name < b.r_name""",
+        "customer_name_parse": r"""
+            SELECT c_custkey, unnest(regexp_extract_all(c_name, '(\d+)'))
+                     AS tok
+            FROM customer""",
+        "embedding_cosine_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            sig AS (SELECT vec_id, v,
+                           {_lsh_sig_sql('v', n_planes=4)} AS s FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS.format(a='a.v', b='b.v')}, 6) AS sim
+            FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+            WHERE {_COS.format(a='a.v', b='b.v')} >= 0.35""",
+        "embedding_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY vec_id ASC LIMIT 16),
+            qv AS (SELECT v FROM e WHERE vec_id = 0),
+            probe AS (SELECT cid FROM cents, qv
+                      ORDER BY {_COS.format(a='cv', b='qv.v')} DESC,
+                               cid ASC LIMIT 4),
+            scored AS (SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid ASC) AS rn
+                       FROM e CROSS JOIN cents c),
+            assigned AS (SELECT vec_id, v, cid AS cell FROM scored
+                         WHERE rn = 1)
+            SELECT a.vec_id, round({_COS.format(a='a.v', b='qv.v')}, 6)
+                     AS sim
+            FROM assigned a, qv
+            WHERE a.cell IN (SELECT cid FROM probe)
+            ORDER BY sim DESC, a.vec_id ASC LIMIT 10""",
     }

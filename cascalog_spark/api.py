@@ -233,6 +233,66 @@ def except_gens(left, right) -> _SetOpGen:
     return _SetOpGen(left, right, "except")
 
 
+class _CrossGen:
+    """cross-join generator (api.clj:63-64 ``cross-join`` — constant-key join
+    in the reference; native ``crossJoin`` here).  At scale Spark executes it
+    as BroadcastNestedLoopJoin when one side is small — broadcast the small
+    side explicitly via ``broadcast_gen`` for a guaranteed plan."""
+
+    __cascalog_generator__ = True
+
+    def __init__(self, left, right):
+        self.left, self.right = left, right
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        def _df(g):
+            return g.to_df(spark) if hasattr(g, "to_df") else (
+                g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
+
+        return _df(self.left).crossJoin(_df(self.right))
+
+
+def cross_join(left, right) -> _CrossGen:
+    return _CrossGen(left, right)
+
+
+def lazy_generator(rows, fields, spark: SparkSession = None,
+                   chunk_size: int = 100_000):
+    """lazy-generator analog (operations.clj:575-595): materialize a lazy
+    iterable of tuples into a distributed relation without holding it all
+    in driver memory at once — chunks become unioned DataFrames (the
+    reference spills to a temp seqfile; parquet-backed DataFrames are the
+    Spark-native equivalent and distribute for free)."""
+
+    class _LazyGen:
+        __cascalog_generator__ = True
+        _df = None
+
+        def to_df(self, sp: SparkSession) -> DataFrame:
+            # materialize once — the source iterable is single-shot, like
+            # the reference's one-time spill to a temp seqfile
+            if self._df is not None:
+                return self._df
+            names = [V.sanitize_name(f) for f in fields]
+            out = None
+            buf = []
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= chunk_size:
+                    part = sp.createDataFrame(buf, names)
+                    out = part if out is None else out.unionByName(part)
+                    buf = []
+            if buf or out is None:
+                part = sp.createDataFrame(buf, names) if buf else \
+                    sp.createDataFrame([], ", ".join(f"{n} string" for n in names))
+                out = part if out is None else out.unionByName(part)
+            self._df = out
+            return out
+
+    gen = _LazyGen()
+    return gen.to_df(spark) if spark is not None else gen
+
+
 def first_n(gen, n: int, sort=None, reverse: bool = False):
     """c/first-n (ops.clj:273-304): global top-n of a generator."""
 

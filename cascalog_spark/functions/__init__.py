@@ -8,6 +8,7 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 
 from .dedup import (exact_dedup, minhash_lsh_candidates, minhash_signature,
                     ngram_jaccard_pairs, simhash)
-from .similarity import brute_force_topk, cosine_similarity_col, lsh_ann_topk
+from .similarity import (brute_force_topk, cosine_pairs,
+                         cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
 from .text import (doc_fingerprint, lang_id, quality_score, token_count,
                    tokenize)

@@ -86,6 +86,63 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def _lit_arr(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def ivf_centroids(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  n_centroids: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the ``n_centroids`` rows with the
+    smallest ids.  Driver-side tiny (centroid table is O(k·dim) — at scale
+    this would be a KMeans fit persisted next to the corpus)."""
+    rows = (df.orderBy(F.col(id_col).asc()).limit(n_centroids)
+            .select(id_col, vec_col).collect())
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_col(vec: Column,
+                   centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id by cosine (ties → smallest centroid id).
+
+    Pure Column expression: array_max over (sim, -cid) structs, so the
+    assignment runs JVM-side inside whole-stage codegen — no UDF.
+    """
+    entries = [F.struct(cosine_similarity_col(vec, _lit_arr(cv)).alias("sim"),
+                        F.lit(-cid).alias("ncid"))
+               for cid, cv in centroids]
+    return -F.array_max(F.array(*entries))["ncid"]
+
+
+def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into ``n_centroids``
+    Voronoi cells, probe only the ``n_probe`` cells nearest the query.
+
+    Scale path: write the corpus partitioned by ``__cell`` so the probe
+    prunes to n_probe/n_centroids of the files; the per-row assignment is
+    a native expression, the final top-k is TakeOrderedAndProject (per-
+    partition heaps, no global sort).
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    probe = [cid for cid, _ in sorted(
+        cents, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0]))[:n_probe]]
+    vec = F.col(vec_col).cast("array<double>")
+    sim = cosine_similarity_col(vec, _lit_arr(query_vec))
+    return (df.withColumn("__cell", ivf_assign_col(vec, cents))
+            .where(F.col("__cell").isin(probe))
+            .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 42,

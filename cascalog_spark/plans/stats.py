@@ -5,10 +5,38 @@ dynamic counter API (cascading/stats.clj:17-117, flow.clj:23-94;
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Callable, Optional
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def with_job_conf(spark: SparkSession, conf: dict):
+    """Scoped runtime-conf overlay, the with-job-conf analog
+    (cascading/conf.clj:114-138): sets each key for the dynamic extent of
+    the block and restores the previous value (or unsets) on exit.
+
+    Only session-mutable SQL confs apply (e.g. shuffle.partitions,
+    broadcast threshold, AQE toggles) — immutable cluster confs raise, as
+    in Spark generally.
+    """
+    saved: dict[str, Optional[str]] = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def counter(spark: SparkSession, name: str):

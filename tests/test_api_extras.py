@@ -1,0 +1,76 @@
+"""cross_join / lazy_generator / with_job_conf / IVF ANN unit tests."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cascalog_spark import c, cross_join, lazy_generator, q
+from cascalog_spark.functions.similarity import (brute_force_topk,
+                                                 ivf_ann_topk)
+from cascalog_spark.plans.stats import with_job_conf
+
+
+def test_cross_join_cartesian(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["x"])
+    b = spark.createDataFrame([("a",), ("b",), ("c",)], ["y"])
+    rows = q(["?x", "?y"],
+             (cross_join(a, b), {"x": "?x", "y": "?y"})).run(spark)
+    assert len(rows) == 6
+    assert set(rows) == {(i, s) for i in (1, 2) for s in "abc"}
+
+
+def test_cross_join_with_filter(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,)], ["z"])
+    rows = q(["?x", "?z"],
+             (cross_join(a, b), {"x": "?x", "z": "?z"}),
+             (c.lt, "?x", "?z")).run(spark)
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_lazy_generator_chunks(spark):
+    gen = lazy_generator(((i, i * i) for i in range(25)),
+                         ["?n", "?sq"], chunk_size=10)
+    df = gen.to_df(spark)
+    assert df.count() == 25
+    assert df.columns == ["n", "sq"]
+    rows = q(["?n", "?sq"], (gen, {"n": "?n", "sq": "?sq"}),
+             (c.gt, "?n", 20)).run(spark)
+    assert sorted(rows) == [(21, 441), (22, 484), (23, 529), (24, 576)]
+
+
+def test_lazy_generator_empty(spark):
+    df = lazy_generator(iter(()), ["?a"], spark=spark)
+    assert df.count() == 0
+
+
+def test_with_job_conf_restores(spark):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with with_job_conf(spark, {key: "3"}):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+
+def test_ivf_matches_brute_force_at_full_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    exact = brute_force_topk(emb, qvec, k=5).collect()
+    # probing every cell makes IVF exhaustive → must equal brute force
+    approx = ivf_ann_topk(emb, qvec, k=5, n_centroids=8, n_probe=8).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
+
+
+def test_ivf_partial_probe_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    res = ivf_ann_topk(emb, qvec, k=5, n_centroids=8, n_probe=2).collect()
+    assert 0 < len(res) <= 5
+    # query vector itself lives in a probed cell (its own nearest cell)
+    assert res[0]["vec_id"] == 0 and res[0]["sim"] == 1.0
