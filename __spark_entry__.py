@@ -38,7 +38,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         # integer division — ts/1000 in double loses µs precision at ~1.7e18 ns
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # compact single-row-group files scan as ONE task; spread the
+        # CPU-heavy text/vector work across all slots (no-op at real scale)
+        from cascalog_spark.functions.util import ensure_parallelism
+        df = ensure_parallelism(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +590,46 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
 
 
+def lineitem_global_stats(spark, sf_dir):
+    """Global aggregation — no grouping keys remain after agg outputs
+    (api_test.clj:159-170 semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?n_rows", "?total_qty", "?avg_price", "?max_disc"],
+             (li, {"l_quantity": "?qty", "l_extendedprice": "?price",
+                   "l_discount": "?disc"}),
+             (c.count, "?n_rows"),
+             (c.sum_agg, "?qty", ":>", "?tq"),
+             (c.avg, "?price", ":>", "?ap"),
+             (c.max_agg, "?disc", ":>", "?max_disc"),
+             (c.round_to(2), "?tq", ":>", "?total_qty"),
+             (c.round_to(4), "?ap", ":>", "?avg_price"),
+             ).to_df(spark)
+
+
+def active_nation_keys(spark, sf_dir):
+    """Set union of two subqueries (api.clj:188-192 ``union`` — dedupes;
+    query-level TailStruct Semigroup merge)."""
+    from cascalog_spark import union
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    q1 = q(["?nk"], (cust, {"c_nationkey": "?nk"}))
+    q2 = q(["?nk"], (supp, {"s_nationkey": "?nk"}))
+    return union(q1, q2).to_df(spark)
+
+
+def orders_fixed_sample(spark, sf_dir):
+    """c/fixed-sample (ops.clj:255-269): uniform random 50-sample of orders
+    — random sort key + limit.  Nondeterministic across engines → rows-only
+    oracle check; row count is validated in tests."""
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?o_orderkey", "?o_totalprice"],
+             (orders, {"o_orderkey": "?ok", "o_totalprice": "?tp"}),
+             (c.fixed_sample(50, seed=42), "?ok", "?tp",
+              ":>", "?o_orderkey", "?o_totalprice"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -638,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_parse": customer_name_parse,
         "embedding_cosine_near_dup": embedding_cosine_near_dup,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "lineitem_global_stats": lineitem_global_stats,
+        "active_nation_keys": active_nation_keys,
+        "orders_fixed_sample": orders_fixed_sample,
     }
 
 
@@ -993,4 +1042,16 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned a, qv
             WHERE a.cell IN (SELECT cid FROM probe)
             ORDER BY sim DESC, a.vec_id ASC LIMIT 10""",
+        "lineitem_global_stats": """
+            SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
+                     AS total_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   max(l_discount) AS max_disc
+            FROM lineitem""",
+        "active_nation_keys": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION
+            SELECT s_nationkey AS nk FROM supplier""",
+        # orders_fixed_sample: omitted — random sampling is engine-specific;
+        # driver records the rows-only check (row count asserted in tests).
     }

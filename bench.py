@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "minhash_near_dup_candidates",
     "simhash_doc_hashes",
     "embedding_topk",
+    "region_priority_rollup",
+    "embedding_cosine_near_dup",
+    "embedding_ivf_topk",
 ]
 
 
@@ -64,13 +67,18 @@ def main() -> None:
     entry_mod.revenue_per_nation(spark, SF_DIR) \
         .write.format("noop").mode("overwrite").save()
 
+    # min of 2 passes per query: the host is multi-tenant and load spikes
+    # dominate single-shot wall clock; min-of-n is the standard
+    # noise-robust estimator for short benchmarks
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -65,6 +65,9 @@ def with_shingles(df: DataFrame, text_col: str, k: int,
     """Materialize tokens into a column first so the shingle lambda captures
     a bound reference (evaluated once per row), then build distinct k-token
     shingles from it.  O(tokens) instead of O(tokens²) per row."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     df = df.withColumn("__toks", tokens_col(F.col(text_col)))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
@@ -177,7 +180,10 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 def simhash(df: DataFrame, text_col: str = "text",
             out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, _simhash64(F.col(text_col)))
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(out_col,
+                                             _simhash64(F.col(text_col)))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",

@@ -66,6 +66,15 @@ def test_ivf_matches_brute_force_at_full_probe(spark, sf_dir):
     assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
 
 
+def test_fixed_sample_row_count(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.orders_fixed_sample(spark, sf_dir)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert df.count() == min(50, n_orders)
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+
+
 def test_ivf_partial_probe_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in
