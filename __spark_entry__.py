@@ -590,6 +590,30 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
 
 
+def media_image_meta(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize a deterministic PNG header
+    as a BINARY column (native hex/unhex/concat — no UDF), then decode it
+    back to typed metadata via the Arrow mapInPandas codec path
+    (functions/multimodal.extract_media_metadata).  The oracle recomputes
+    the same metadata arithmetically — a true roundtrip check."""
+    from cascalog_spark.functions.multimodal import extract_media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+
+    def be32(c):  # 4-byte big-endian encoding of an int column
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    media = docs.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(b"\x89PNG\r\n\x1a\n")),
+                 F.lit(bytearray(b"\x00\x00\x00\x0dIHDR")),
+                 be32(w), be32(h)).alias("content"))
+    meta = extract_media_metadata(media, kind="image", id_cols=["doc_id"])
+    return meta.select("doc_id", "format", "width", "height", "n_bytes")
+
+
 def lineitem_global_stats(spark, sf_dir):
     """Global aggregation — no grouping keys remain after agg outputs
     (api_test.clj:159-170 semantics)."""
@@ -687,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
+        "media_image_meta": media_image_meta,
     }
 
 
@@ -1054,4 +1079,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey AS nk FROM supplier""",
         # orders_fixed_sample: omitted — random sampling is engine-specific;
         # driver records the rows-only check (row count asserted in tests).
+        "media_image_meta": """
+            SELECT doc_id, 'png' AS format,
+                   (n_chars % 640 + 1)::INT AS width,
+                   (doc_id % 480 + 1)::INT AS height,
+                   24::BIGINT AS n_bytes
+            FROM documents""",
     }

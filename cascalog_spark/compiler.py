@@ -311,6 +311,12 @@ class Compiler:
         group_cols = [self.namer.col(f) for f in node.group_fields]
         aggs = node.aggs
 
+        # :reducers (operations.clj:220-233): hash-partition on the group
+        # keys at the requested width before aggregating; native partial
+        # aggregation still runs map-side first
+        if node.reducers and group_cols:
+            df = df.repartition(int(node.reducers), *group_cols)
+
         if len(aggs) == 1 and isinstance(aggs[0].op, LimitAgg):
             return self._compile_limit(df, node, aggs[0])
         if all(isinstance(a.op, ParallelAgg) and a.op.expr_fn is not None

@@ -111,6 +111,9 @@ class GroupingNode(Node):
     aggs: list = dfield(default_factory=list)  # RawPredicate kind=agg
     sort: list = dfield(default_factory=list)
     reverse: bool = False
+    # :reducers option (options.clj:19-28, operations.clj:220-233) —
+    # explicit reduce-side parallelism for this grouping
+    reducers: Optional[int] = None
 
 
 @dataclass
@@ -433,7 +436,8 @@ def _build_agg_tail(nq: NormalizedQuery, tail: Tail,
         + sort))
     proj = ProjectionNode(source=tail.node, fields=needed)
     g = GroupingNode(source=proj, group_fields=group_fields, aggs=aggs,
-                     sort=sort, reverse=bool(nq.options.get("reverse")))
+                     sort=sort, reverse=bool(nq.options.get("reverse")),
+                     reducers=nq.options.get("reducers"))
     fields = group_fields + agg_outs
     return Tail(node=g, fields=fields)
 

@@ -66,6 +66,16 @@ def test_ivf_matches_brute_force_at_full_probe(spark, sf_dir):
     assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
 
 
+def test_reducers_option(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["x", "g"])
+    qr = q(["?g", "?n"], (df, {"g": "?g", "x": "?x"}),
+           (c.count, "?n"), reducers=2)
+    sdf = qr.to_df(spark)
+    assert sorted(tuple(r) for r in sdf.collect()) == [("a", 2), ("b", 1)]
+    plan = sdf._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan.lower()
+
+
 def test_fixed_sample_row_count(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
