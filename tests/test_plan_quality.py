@@ -1,0 +1,113 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness tests prove the answers are right at small SF; these prove the
+PLANS are the ones that survive scale: filters reach the parquet scan,
+projections prune columns at the reader, small dims broadcast, global top-k
+avoids a full sort, and pipelines stay inside whole-stage codegen instead of
+falling out to row-at-a-time Python.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_join_broadcasts_small_dims(spark, sf_dir):
+    """nation (25 rows) must come in as a broadcast side, never shuffled."""
+    df = entry_mod.revenue_per_nation(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 3-column query over 11-column lineitem must read only 3 columns."""
+    df = entry_mod.revenue_per_nation(spark, sf_dir)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines()
+                if "lineitem" in l and "Scan" in l)
+    assert "l_orderkey" in scan and "l_extendedprice" in scan
+    for unused in ("l_shipdate", "l_comment", "l_partkey"):
+        assert unused not in scan
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    """The q1 shipdate filter must reach the parquet reader."""
+    df = entry_mod.q1_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    scan = plan[plan.index("lineitem"):]
+    assert "LessThanOrEqual(l_shipdate" in scan
+
+
+def test_global_topk_no_full_sort(spark, sf_dir):
+    """brute-force ANN top-k must be TakeOrderedAndProject (per-partition
+    heaps), not a global Sort + Limit."""
+    df = entry_mod.embedding_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_first_n_no_full_sort(spark, sf_dir):
+    df = entry_mod.global_top5_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_semi_and_anti_joins_not_inner(spark, sf_dir):
+    """Existence gensets must compile to semi/anti joins, not join+distinct."""
+    semi = entry_mod.segments_with_big_orders(spark, sf_dir)
+    anti = entry_mod.customers_without_orders(spark, sf_dir)
+    assert "LeftSemi" in _optimized(semi)
+    assert "LeftAnti" in _optimized(anti)
+
+
+def test_native_agg_partial_aggregation(spark, sf_dir):
+    """ParallelAgg queries must show map-side partial aggregation
+    (HashAggregate before the exchange) — no pandas fallback."""
+    df = entry_mod.events_by_type(spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan  # partial_count/partial_sum pre-shuffle
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_wordcount_stays_jvm_side(spark, sf_dir):
+    """split+explode+count must be native (Generate/explode), zero Python."""
+    df = entry_mod.wordcount_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    assert "EvalPython" not in plan
+
+
+def test_limit_rank_single_window_pass(spark, sf_dir):
+    """Per-group top-k compiles to one Window + filter, not a self-join."""
+    df = entry_mod.top3_orders_per_customer(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+
+def test_minhash_pipeline_native(spark, sf_dir):
+    """MinHash signatures are md5+integer Column exprs — no Python eval."""
+    df = entry_mod.minhash_near_dup_candidates(spark, sf_dir)
+    assert "EvalPython" not in _plan(df)
+
+
+def test_cross_join_only_where_declared(spark, sf_dir):
+    """The implicit-join planner must never emit a cartesian product for
+    var-joined queries (only the explicit cross_join generator may)."""
+    for name in ("revenue_per_nation", "local_supplier_volume",
+                 "mutual_followers_events"):
+        plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

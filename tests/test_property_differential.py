@@ -1,0 +1,146 @@
+"""Property-based differential tests (hypothesis): random small relations
+through the engine vs an executable pure-Python model of Cascalog semantics
+— the analog of the reference's dual-platform fixture (api_test.clj:11-16,
+in-memory platform as oracle).  Covers the subtle parts: ?-var null
+dropping, !x null flow, !!x outer-join padding, genset semi/anti joins,
+duplicate-sensitive aggregation.
+"""
+
+import os
+import sys
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cascalog_spark import c, q
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                      HealthCheck.too_slow])
+
+keys = st.one_of(st.integers(min_value=0, max_value=5), st.none())
+vals = st.one_of(st.integers(min_value=-10, max_value=10), st.none())
+rows = st.lists(st.tuples(keys, vals), min_size=0, max_size=12)
+
+
+def _df(spark, data, cols):
+    return spark.createDataFrame(data, f"{cols[0]} int, {cols[1]} int")
+
+
+def _multiset(rows_):
+    return Counter(tuple(r) for r in rows_)
+
+
+@given(data=rows)
+@SET
+def test_nonnullable_var_drops_nulls(spark, data):
+    """?-vars filter null rows at the generator (operations.clj:716-722)."""
+    res = q(["?k", "?v"], (_df(spark, data, ["k", "v"]),
+                           {"k": "?k", "v": "?v"})).run(spark)
+    expected = [(k, v) for k, v in data if k is not None and v is not None]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(data=rows)
+@SET
+def test_nullable_var_keeps_nulls(spark, data):
+    """!x vars let nulls flow through (vars.clj:8-36)."""
+    res = q(["?k", "!v"], (_df(spark, data, ["k", "v"]),
+                           {"k": "?k", "v": "!v"})).run(spark)
+    expected = [(k, v) for k, v in data if k is not None]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_implicit_inner_join(spark, left, right):
+    """Shared ?var across generators = inner equi-join, duplicate-sensitive
+    (parse.clj:387-464)."""
+    res = q(["?k", "?a", "?b"],
+            (_df(spark, left, ["k", "a"]), {"k": "?k", "a": "?a"}),
+            (_df(spark, right, ["k", "b"]), {"k": "?k", "b": "?b"}),
+            ).run(spark)
+    expected = [(k, a, b)
+                for k, a in left if k is not None and a is not None
+                for k2, b in right if k2 == k and b is not None]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_outer_join_ungrounding_var(spark, left, right):
+    """!!b demands LEFT OUTER padding with nulls (api_test.clj:277-394)."""
+    res = q(["?k", "?a", "!!b"],
+            (_df(spark, left, ["k", "a"]), {"k": "?k", "a": "?a"}),
+            (_df(spark, right, ["k", "b"]), {"k": "?k", "b": "!!b"}),
+            ).run(spark)
+    lkeep = [(k, a) for k, a in left if k is not None and a is not None]
+    rkeep = [(k, b) for k, b in right if k is not None]
+    expected = []
+    for k, a in lkeep:
+        matches = [b for k2, b in rkeep if k2 == k]
+        if matches:
+            expected += [(k, a, b) for b in matches]
+        else:
+            expected.append((k, a, None))
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_genset_semi_and_anti(spark, left, right):
+    """(right ?k :> True) = semi join; :> False = anti join
+    (api_secondary_test.clj:115-188) — first-match-only, no row multiply."""
+    ldf = _df(spark, left, ["k", "a"])
+    rdf = _df(spark, right, ["k", "b"])
+    semi = q(["?k", "?a"], (ldf, {"k": "?k", "a": "?a"}),
+             (rdf, {"k": "?k"}, ":>", True)).run(spark)
+    anti = q(["?k", "?a"], (ldf, {"k": "?k", "a": "?a"}),
+             (rdf, {"k": "?k"}, ":>", False)).run(spark)
+    lkeep = [(k, a) for k, a in left if k is not None and a is not None]
+    rkeys = {k for k, _ in right if k is not None}
+    assert _multiset(semi) == _multiset([r for r in lkeep if r[0] in rkeys])
+    assert _multiset(anti) == _multiset(
+        [r for r in lkeep if r[0] not in rkeys])
+
+
+@given(data=rows)
+@SET
+def test_agg_count_sum_per_key(spark, data):
+    """Grouped count + sum over duplicate keys; grouping keys = non-agg
+    output vars (parse.clj:701-705)."""
+    res = q(["?k", "?n", "?s"],
+            (_df(spark, data, ["k", "v"]), {"k": "?k", "v": "?v"}),
+            (c.count, "?n"), (c.sum_agg, "?v", ":>", "?s")).run(spark)
+    keep = [(k, v) for k, v in data if k is not None and v is not None]
+    expected = []
+    for k in {k for k, _ in keep}:
+        vs = [v for k2, v in keep if k2 == k]
+        expected.append((k, len(vs), sum(vs)))
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(data=rows)
+@SET
+def test_distinct_option(spark, data):
+    """:distinct true dedupes full tuples (operations.clj:301-316)."""
+    res = q(["?k", "?v"], (_df(spark, data, ["k", "v"]),
+                           {"k": "?k", "v": "?v"}),
+            distinct=True).run(spark)
+    keep = {(k, v) for k, v in data if k is not None and v is not None}
+    assert _multiset(res) == _multiset(keep)
+
+
+@given(data=rows)
+@SET
+def test_implicit_equality_dup_var(spark, data):
+    """(src ?n ?n) keeps rows where both columns are equal
+    (parse.clj:308-336, api_test.clj:816-828)."""
+    res = q(["?n"], (_df(spark, data, ["k", "v"]),
+                     {"k": "?n", "v": "?n"})).run(spark)
+    expected = [(k,) for k, v in data
+                if k is not None and v is not None and k == v]
+    assert _multiset(res) == _multiset(expected)
