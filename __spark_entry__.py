@@ -614,6 +614,32 @@ def media_image_meta(spark, sf_dir):
     return meta.select("doc_id", "format", "width", "height", "n_bytes")
 
 
+def events_stream_daily_counts(spark, sf_dir):
+    """Structured Streaming end-to-end (SURVEY §2.9 extension): the SAME
+    daily tumbling-window aggregation as events_daily_windows, executed as
+    a bounded stream (availableNow trigger → memory sink) — so the batch
+    DuckDB oracle doubles as the streaming correctness check."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    raw = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value")))
+    name = "events_stream_daily"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("day"), "event_type", "n",
+                    "total_value"))
+
+
 def lineitem_global_stats(spark, sf_dir):
     """Global aggregation — no grouping keys remain after agg outputs
     (api_test.clj:159-170 semantics)."""
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
         "media_image_meta": media_image_meta,
+        "events_stream_daily_counts": events_stream_daily_counts,
     }
 
 
@@ -1085,4 +1112,11 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 480 + 1)::INT AS height,
                    24::BIGINT AS n_bytes
             FROM documents""",
+        # streaming runs the same plan as the batch window query → reuse
+        # the identical oracle; a hash match here proves stream==batch
+        "events_stream_daily_counts": """
+            SELECT time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS day,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2""",
     }

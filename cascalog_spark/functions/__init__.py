@@ -12,4 +12,5 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
 from .text import (doc_fingerprint, lang_id, quality_score, token_count,
                    tokenize)
+from .skew import salted_join
 from .util import ensure_parallelism

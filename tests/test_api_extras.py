@@ -85,6 +85,22 @@ def test_fixed_sample_row_count(spark, sf_dir):
     assert df.columns == ["o_orderkey", "o_totalprice"]
 
 
+def test_salted_join_matches_plain_join(spark):
+    from cascalog_spark.functions import salted_join
+
+    # 90% of the fact rows share one hot key
+    facts = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(200)], ["k", "v"])
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)],
+                                ["k", "name"])
+    plain = facts.join(dim, ["k"], "inner").collect()
+    salted = salted_join(facts, dim, ["k"], "inner", n_salt=8).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    left_plain = facts.join(dim, ["k"], "left").collect()
+    left_salted = salted_join(facts, dim, ["k"], "left", n_salt=8).collect()
+    assert sorted(map(tuple, left_salted)) == sorted(map(tuple, left_plain))
+
+
 def test_ivf_partial_probe_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in
