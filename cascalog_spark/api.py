@@ -69,6 +69,11 @@ class Query:
         self.flush_traps()
         return rows
 
+    def describe(self) -> str:
+        """Pretty-print the LOGICAL plan (planner IR) — expand-query analog
+        (api.clj:88-98); no Spark session needed."""
+        return describe_plan(self.plan())
+
     def explain(self, spark: SparkSession, mode: str = "formatted") -> None:
         """api.clj:71-86 ``explain`` — Catalyst plan instead of a DOT file."""
         self.to_df(spark).explain(mode=mode)
@@ -231,6 +236,87 @@ def intersect_gens(left, right) -> _SetOpGen:
 def except_gens(left, right) -> _SetOpGen:
     """Bag difference (like SQL EXCEPT ALL)."""
     return _SetOpGen(left, right, "except")
+
+
+class _CheckpointGen:
+    """checkpoint* analog (operations.clj:626-632): force materialization /
+    a job boundary at this point in the dataflow.  localCheckpoint truncates
+    the lineage and caches the partitions — downstream consumers (including
+    a query that fans out from this generator) reuse the materialized data
+    instead of recomputing the upstream plan."""
+
+    __cascalog_generator__ = True
+    _df = None
+
+    def __init__(self, gen):
+        self.gen = gen
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        if self._df is None:
+            g = self.gen
+            df = g.to_df(spark) if hasattr(g, "to_df") else (
+                g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
+            self._df = df.localCheckpoint(eager=True)
+        return self._df
+
+
+def checkpoint_gen(gen) -> _CheckpointGen:
+    return _CheckpointGen(gen)
+
+
+def defmain(fn):
+    """spark-submit entry-point decorator — the defmain analog (api.clj:246,
+    which generates a Hadoop main class).  ``fn(spark, *argv)`` gains a
+    ``.main()`` that builds/gets the session, runs, and stops it::
+
+        @defmain
+        def my_job(spark, in_path, out_path): ...
+
+        if __name__ == "__main__":
+            my_job.main()          # argv from sys.argv[1:]
+    """
+    import sys
+
+    def main(argv=None):
+        spark = SparkSession.builder.getOrCreate()
+        try:
+            return fn(spark, *(sys.argv[1:] if argv is None else argv))
+        finally:
+            spark.stop()
+
+    fn.main = main
+    return fn
+
+
+def describe_plan(node, indent: int = 0) -> str:
+    """Logical-plan pretty printer — the ``expand-query``/DOT-explain analog
+    (api.clj:71-98): renders the planner IR tree before Spark compilation
+    (Query.explain shows the physical side)."""
+    import dataclasses
+
+    from .planner import Node
+
+    pad = "  " * indent
+    if not dataclasses.is_dataclass(node):
+        return f"{pad}{node!r}"
+    scalars, children = [], []
+    for f in dataclasses.fields(node):
+        if f.name in ("identifier",):
+            continue
+        v = getattr(node, f.name)
+        if isinstance(v, Node):
+            children.append((f.name, [v]))
+        elif isinstance(v, list) and v and all(isinstance(x, Node) for x in v):
+            children.append((f.name, v))
+        elif f.name == "aggs" and isinstance(v, list):
+            scalars.append(f"aggs=[{', '.join(getattr(a.op, 'name', str(a.op)) + ':' + str(a.outfields) for a in v)}]")
+        elif v not in (None, [], False) and not callable(v):
+            scalars.append(f"{f.name}={v!r}")
+    lines = [f"{pad}{type(node).__name__}({', '.join(scalars)})"]
+    for _name, kids in children:
+        for k in kids:
+            lines.append(describe_plan(k, indent + 1))
+    return "\n".join(lines)
 
 
 class _CrossGen:

@@ -85,6 +85,45 @@ def test_fixed_sample_row_count(spark, sf_dir):
     assert df.columns == ["o_orderkey", "o_totalprice"]
 
 
+def test_checkpoint_gen(spark):
+    from cascalog_spark import checkpoint_gen
+
+    base = spark.createDataFrame([(i, i % 3) for i in range(30)], ["x", "g"])
+    inner = q(["?g", "?n"], (base, {"x": "?x", "g": "?g"}), (c.count, "?n"))
+    ck = checkpoint_gen(inner)
+    # fan out from the checkpoint twice — second use reuses materialization
+    r1 = q(["?g", "?n"], (ck, {"g": "?g", "n": "?n"}),
+           (c.gt, "?n", 9)).run(spark)
+    r2 = q(["?g"], (ck, {"g": "?g", "n": "?n"})).run(spark)
+    assert sorted(r1) == [(0, 10), (1, 10), (2, 10)]
+    assert sorted(r2) == [(0,), (1,), (2,)]
+
+
+def test_describe_plan(spark):
+    people = spark.createDataFrame([("a", 1)], ["p", "n"])
+    other = spark.createDataFrame([("a", 2)], ["p", "m"])
+    qr = q(["?p", "?tot"],
+           (people, {"p": "?p", "n": "?n"}),
+           (other, {"p": "?p", "m": "?m"}),
+           (c.add, "?n", "?m", ":>", "?s"),
+           (c.sum_agg, "?s", ":>", "?tot"))
+    txt = qr.describe()
+    assert "GroupingNode" in txt and "JoinNode" in txt
+    assert "ProjectionNode" in txt
+
+
+def test_defmain_decorator(spark):
+    from cascalog_spark import defmain
+
+    @defmain
+    def job(sp, a, b):
+        return int(a) + int(b)
+
+    assert callable(job.main)
+    # direct invocation still works (decorator is non-destructive)
+    assert job(spark, 1, 2) == 3
+
+
 def test_salted_join_matches_plain_join(spark):
     from cascalog_spark.functions import salted_join
 
