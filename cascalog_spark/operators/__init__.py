@@ -1,1 +1,1 @@
-from .multigroup import multigroup
+from .multigroup import multigroup, multigroup_n

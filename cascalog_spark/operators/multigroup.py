@@ -36,3 +36,38 @@ def multigroup(spark: SparkSession, left, right, group_fields: list[str],
     return (ldf.groupBy(*group_fields)
             .cogroup(rdf.groupBy(*group_fields))
             .applyInPandas(apply_fn, schema))
+
+
+def multigroup_n(spark: SparkSession, gens: list, group_fields: list[str],
+                 multibuffer: Callable, schema) -> DataFrame:
+    """n-way MultiGroupBy (src/java/cascalog/MultiGroupBy.java supports any
+    number of pipes; Spark's cogroup is binary, so n branches are tagged,
+    unioned, and split back inside one grouped-map pass — a single shuffle,
+    same as the reference's one CoGroup).
+
+    ``multibuffer(key_tuple, pdf_0, ..., pdf_{n-1})`` receives one pandas
+    frame per branch (that branch's columns only).  Branches may have
+    disjoint non-key columns; same-named columns must be type-compatible.
+    """
+    from pyspark.sql import functions as F
+
+    dfs = [g.to_df(spark) if hasattr(g, "to_df") else g for g in gens]
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cols_per_branch = [df.columns for df in dfs]
+    tagged = [df.withColumn("__branch", F.lit(i))
+              for i, df in enumerate(dfs)]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t, allowMissingColumns=True)
+
+    n_branches = len(dfs)
+
+    def apply_fn(key, pdf):
+        # closure captures only column lists + count — never the DataFrames
+        # (they drag SparkContext into the pickle)
+        frames = [pdf.loc[pdf["__branch"] == i, cols_per_branch[i]]
+                  for i in range(n_branches)]
+        return multibuffer(key, *frames)
+
+    return u.groupBy(*group_fields).applyInPandas(apply_fn, schema)

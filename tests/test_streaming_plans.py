@@ -113,6 +113,26 @@ def test_multigroup(spark):
     assert got == [("a", 3, 10), ("b", 5, 0), ("c", 0, 7)]
 
 
+def test_multigroup_n_three_way(spark):
+    from cascalog_spark.operators import multigroup_n
+
+    qa = q(["?k", "?v"], ([("a", 1), ("a", 2), ("b", 5)], "?k", "?v"))
+    qb = q(["?k", "?w"], ([("a", 10), ("c", 7)], "?k", "?w"))
+    qc = q(["?k", "?u"], ([("b", 100), ("c", 200), ("c", 300)], "?k", "?u"))
+
+    def mb(key, apdf, bpdf, cpdf):
+        return pd.DataFrame({
+            "k": [key[0]],
+            "total": [int(apdf["v"].sum() + bpdf["w"].sum()
+                          + cpdf["u"].sum())],
+            "branches": [sum(1 for p in (apdf, bpdf, cpdf) if len(p))]})
+
+    out = multigroup_n(spark, [qa, qb, qc], ["k"], mb,
+                       "k string, total bigint, branches bigint")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", 13, 2), ("b", 105, 2), ("c", 507, 2)]
+
+
 def test_stats_and_counters(spark):
     errs = counter(spark, "evens")
 
