@@ -21,7 +21,7 @@ from .api import (Query, broadcast_gen, checkpoint_gen, combine, cross_join,
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
                   defbufferfn, deffilterfn, defmapcatfn, defmapfn,
-                  defparallelagg, filterfn, mapcatfn, mapfn)
+                  defparallelagg, defprepfn, filterfn, mapcatfn, mapfn)
 from .vars import gen_var, is_ground, is_ungrounding, is_var
 
 __version__ = "0.1.0"
@@ -32,7 +32,8 @@ __all__ = [
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",
     "select_fields", "name_vars", "out_names",
     "defmapfn", "defmapcatfn", "deffilterfn", "defaggregatefn",
-    "defbufferfn", "defparallelagg", "mapfn", "mapcatfn", "filterfn",
+    "defbufferfn", "defparallelagg", "defprepfn", "mapfn", "mapcatfn",
+    "filterfn",
     "column_op", "column_filter",
     "MapOp", "MapcatOp", "FilterOp", "ParallelAgg", "SequentialAgg",
     "BufferOp", "LimitAgg",

@@ -222,6 +222,41 @@ def defaggregatefn(init, step, final=None, returns="double", n_out: int = 1,
                          returns=[parse_type(t) for t in rts], n_out=n_out)
 
 
+def defprepfn(returns="string", n_out: int = 1, name: Optional[str] = None):
+    """Lifecycle-aware op — the prepfn analog (cascading/def.clj:6-33,
+    test cascading_api_test.clj:330-343): ``prep()`` runs ONCE per Python
+    worker (when the serialized closure is first invoked on that worker,
+    i.e. the prepare phase), returning either ``apply_fn`` or
+    ``(apply_fn, cleanup_fn)``; cleanup registers for worker exit::
+
+        @defprepfn(returns="double")
+        def scored():
+            model = load_model()              # expensive, once per worker
+            return lambda x: model(x), model.close
+    """
+
+    def deco(prep):
+        state: dict = {}
+
+        def py_fn(*vals):
+            if "fn" not in state:
+                r = prep()
+                if isinstance(r, tuple):
+                    state["fn"], cleanup = r
+                    import atexit
+                    atexit.register(cleanup)
+                else:
+                    state["fn"] = r
+            return state["fn"](*vals)
+
+        rts = returns if isinstance(returns, (list, tuple)) \
+            else [returns] * n_out
+        return MapOp(name=name or prep.__name__, py_fn=py_fn,
+                     returns=[parse_type(t) for t in rts], n_out=n_out)
+
+    return deco
+
+
 def defbufferfn(returns="string", n_out: int = 1, name: Optional[str] = None):
     """Whole-group pandas fn: receives a pandas.DataFrame of the group's input
     columns (sorted per query options), returns a pandas.DataFrame with

@@ -124,6 +124,20 @@ def test_defmain_decorator(spark):
     assert job(spark, 1, 2) == 3
 
 
+def test_defprepfn_lifecycle(spark):
+    from cascalog_spark import defprepfn
+
+    @defprepfn(returns="bigint")
+    def expensive_scorer():
+        base = 100  # stands in for a model load — once per worker
+        return lambda x: x + base
+
+    df = spark.createDataFrame([(i,) for i in range(5)], ["x"])
+    rows = q(["?x", "?y"], (df, {"x": "?x"}),
+             (expensive_scorer, "?x", ":>", "?y")).run(spark)
+    assert sorted(rows) == [(i, i + 100) for i in range(5)]
+
+
 def test_salted_join_matches_plain_join(spark):
     from cascalog_spark.functions import salted_join
 
