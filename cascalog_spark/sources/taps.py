@@ -73,6 +73,38 @@ class ParquetTap(Tap):
 
 
 @dataclass
+class BucketedTap(Tap):
+    """Hash-bucketed, bucket-sorted parquet table — the co-located-join
+    primitive at scale: two tables bucketed on the same keys with the same
+    bucket count sort-merge-join with ZERO exchange (the Spark analog of
+    pre-partitioning a CoGroup's inputs).
+
+    Spark's bucketing metadata lives in the catalog, so writes go through
+    ``saveAsTable`` with an explicit path; reads resolve the table name.
+    """
+
+    table: str = ""
+    bucket_by: Optional[list] = None
+    n_buckets: int = 32
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table)
+
+    def save_df(self, df: DataFrame) -> None:
+        spark = df.sparkSession
+        if self.sinkmode == "replace":
+            spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        writer = (df.write.format(self.fmt)
+                  .options(**self.write_options)
+                  .mode(SINKMODES.get(self.sinkmode, self.sinkmode)))
+        if self.path:
+            writer = writer.option("path", self.path)
+        keys = self.bucket_by or []
+        writer.bucketBy(self.n_buckets, *keys).sortBy(*keys) \
+              .saveAsTable(self.table)
+
+
+@dataclass
 class CsvTap(Tap):
     """hfs-delimited analog (more_taps.clj:11-80): delimiter, header,
     quote, strict (FAILFAST) / safe (DROPMALFORMED) / default PERMISSIVE,

@@ -124,6 +124,31 @@ def test_defmain_decorator(spark):
     assert job(spark, 1, 2) == 3
 
 
+def test_bucketed_tap_colocated_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO shuffle — the
+    co-located-join scale primitive."""
+    from cascalog_spark.sources import BucketedTap
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(100)], ["k", "va"])
+    b = spark.createDataFrame([(i, i * 3) for i in range(100)], ["k", "vb"])
+    ta = BucketedTap(table="bt_a", path=str(tmp_path / "a"),
+                     bucket_by=["k"], n_buckets=4)
+    tb = BucketedTap(table="bt_b", path=str(tmp_path / "b"),
+                     bucket_by=["k"], n_buckets=4)
+    ta.save_df(a)
+    tb.save_df(b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.load_df(spark).join(tb.load_df(spark), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_defprepfn_lifecycle(spark):
     from cascalog_spark import defprepfn
 
