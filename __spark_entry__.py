@@ -457,8 +457,8 @@ def ngram_jaccard_sim_pairs(spark, sf_dir):
 
 
 def simhash_doc_hashes(spark, sf_dir):
-    """64-bit SimHash per document (Arrow pandas UDF — non-SQL-expressible,
-    rows-only oracle check)."""
+    """64-bit SimHash per document (Arrow pandas UDF; the md5 token-hash
+    family is replicated in the DuckDB oracle → full value-hash check)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs).select("doc_id", "simhash")
 
@@ -1031,8 +1031,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, round(sqrt(sum(mean_v * mean_v)), 6)
                      AS centroid_norm
             FROM m GROUP BY label""",
-        # simhash_doc_hashes: omitted — python-UDF bit arithmetic is not
-        # SQL-expressible; driver records the rows-only check.
+        # simhash: same md5-token-hash construction replicated in SQL —
+        # the Arrow pandas UDF and the 64-per-bit-sum SQL agree bit-for-bit
+        "simhash_doc_hashes": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            th AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS cnt
+              FROM th, range(0, 64) t(i) GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << i)::HUGEINT
+                              ELSE 0 END) AS v
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        WHEN COALESCE(v, 0) >= 9223372036854775808
+                          THEN (COALESCE(v, 0)
+                                - 18446744073709551616)::BIGINT
+                        ELSE COALESCE(v, 0)::BIGINT END AS simhash
+            FROM documents d LEFT JOIN sig USING (doc_id)""",
         "region_priority_rollup": """
             SELECT r_name, o_orderpriority, count(*) AS order_cnt,
                    round(sum(o_totalprice), 2) AS total_price
