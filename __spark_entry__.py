@@ -680,6 +680,44 @@ def orders_fixed_sample(spark, sf_dir):
              ).to_df(spark)
 
 
+def nation_keys_combined(spark, sf_dir):
+    """Bag union — ``combine`` keeps duplicates (api.clj:178-186 vs the
+    deduping ``union``)."""
+    from cascalog_spark import combine
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    q1 = q(["?nk"], (cust, {"c_nationkey": "?nk"}))
+    q2 = q(["?nk"], (supp, {"s_nationkey": "?nk"}))
+    return combine(q1, q2).to_df(spark)
+
+
+def customer_balance_flags(spark, sf_dir):
+    """Filter-as-value capture (predicate.clj:170-187): a filter op used
+    with ``:>`` emits its boolean instead of filtering."""
+    cust = _t(spark, sf_dir, "customer")
+    return q(["?c_custkey", "?is_rich"],
+             (cust, {"c_custkey": "?c_custkey", "c_acctbal": "?bal"}),
+             (c.gt, "?bal", 5000.0, ":>", "?is_rich"),
+             ).to_df(spark)
+
+
+def order_price_minmax(spark, sf_dir):
+    """multipagg (api_test.clj:537-565): ONE parallel aggregator emitting
+    multiple outputs (min+max in a single agg op)."""
+    from cascalog_spark import ParallelAgg
+
+    minmax = ParallelAgg("minmax",
+                         expr_fn=lambda col: [F.min(col), F.max(col)],
+                         n_out=2)
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?o_orderstatus", "?min_price", "?max_price"],
+             (orders, {"o_orderstatus": "?o_orderstatus",
+                       "o_totalprice": "?tp"}),
+             (minmax, "?tp", ":>", "?min_price", "?max_price"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -739,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fixed_sample": orders_fixed_sample,
         "media_image_meta": media_image_meta,
         "events_stream_daily_counts": events_stream_daily_counts,
+        "nation_keys_combined": nation_keys_combined,
+        "customer_balance_flags": customer_balance_flags,
+        "order_price_minmax": order_price_minmax,
     }
 
 
@@ -1121,6 +1162,16 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned a, qv
             WHERE a.cell IN (SELECT cid FROM probe)
             ORDER BY sim DESC, a.vec_id ASC LIMIT 10""",
+        "nation_keys_combined": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nk FROM supplier""",
+        "customer_balance_flags": """
+            SELECT c_custkey, c_acctbal > 5000.0 AS is_rich FROM customer""",
+        "order_price_minmax": """
+            SELECT o_orderstatus, min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderstatus""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
                      AS total_qty,
