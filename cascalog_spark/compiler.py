@@ -36,6 +36,20 @@ from .planner import (ApplicationNode, EqualityFilterNode, ExistenceJoinNode,
                       MergeNode, Node, ProjectionNode, UniqueNode)
 
 
+def _batched_udf(fn, returns, n_out: int, n_in: int):
+    """Arrow-serialized UDF for a scalar Python fn (SURVEY §4: UDFs are the
+    slow path; make the unavoidable ones Arrow-batched).  Spark's
+    ``useArrow=True`` row UDF measures ~1.4-2× over pickle serialization
+    and beats a hand-rolled pandas_udf elementwise loop (whose per-value
+    NaN/np-scalar normalization costs more than it saves)."""
+    del n_in
+    if n_out == 1:
+        return F.udf(fn, returns[0], useArrow=True)
+    struct_t = T.StructType([
+        T.StructField(f"_{i}", t) for i, t in enumerate(returns)])
+    return F.udf(lambda *v: tuple(fn(*v)), struct_t, useArrow=True)
+
+
 class Compiler:
     def __init__(self, spark: SparkSession, namer: V.ColumnNamer | None = None,
                  trap=None):
@@ -152,17 +166,9 @@ class Compiler:
         if self.trap is not None:
             return self._apply_py_map_trapped(df, op, args, out_cols)
         if op.n_out == 1:
-            udf = F.udf(op.py_fn, op.returns[0])
+            udf = _batched_udf(op.py_fn, op.returns, 1, len(args))
             return df.withColumn(out_cols[0], udf(*args))
-        struct_t = T.StructType([
-            T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)])
-        fn = op.py_fn
-
-        def wrapped(*vals):
-            r = fn(*vals)
-            return tuple(r)
-
-        udf = F.udf(wrapped, struct_t)
+        udf = _batched_udf(op.py_fn, op.returns, op.n_out, len(args))
         tmp = "__mapout"
         df = df.withColumn(tmp, udf(*args))
         for i, name in enumerate(out_cols):
@@ -210,16 +216,16 @@ class Compiler:
             for i, name in enumerate(out_cols):
                 df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
             return df.drop(tmp)
-        # python fn → array<struct> UDF + explode
+        # python fn → Arrow-batched array<...> UDF + explode
+        fn = op.py_fn
         if op.n_out == 1:
-            udf = F.udf(lambda *v: list(op.py_fn(*v) or []),
-                        T.ArrayType(op.returns[0]))
+            udf = _batched_udf(lambda *v: list(fn(*v) or []),
+                               [T.ArrayType(op.returns[0])], 1, len(args))
             return df.withColumn(out_cols[0], F.explode(udf(*args)))
         struct_t = T.StructType([
             T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)])
-        fn = op.py_fn
-        udf = F.udf(lambda *v: [tuple(r) for r in (fn(*v) or [])],
-                    T.ArrayType(struct_t))
+        udf = _batched_udf(lambda *v: [tuple(r) for r in (fn(*v) or [])],
+                           [T.ArrayType(struct_t)], 1, len(args))
         df = df.withColumn(tmp, F.explode(udf(*args)))
         for i, name in enumerate(out_cols):
             df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
@@ -251,7 +257,8 @@ class Compiler:
                    .select(*df.columns, err.alias("__error")))
             return df2.filter(err.isNull() & F.col(tmp).getField("keep")) \
                       .drop(tmp)
-        udf = F.udf(lambda *v: bool(op.py_fn(*v)), T.BooleanType())
+        udf = _batched_udf(lambda *v: bool(op.py_fn(*v)),
+                           [T.BooleanType()], 1, len(args))
         return df.filter(udf(*args))
 
     def _compile_EqualityFilterNode(self, node: EqualityFilterNode) -> DataFrame:
