@@ -1,0 +1,85 @@
+"""Planner validation errors — the ``thrown?<-`` analog (logic/testing.clj:
+42-43; api_test.clj:325-351).  All checked at q(...).plan() time, no Spark
+session needed (parse.clj:104-154 validate-predicates!)."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cascalog_spark import c, defbufferfn, q
+
+SRC = [(1, 2), (3, 4)]
+
+
+def _plan(*args, **kw):
+    return q(*args, **kw).plan()
+
+
+def test_no_generator_rejected():
+    with pytest.raises(ValueError, match="at least one generator"):
+        _plan(["?x"], (c.lt, "?x", 3))
+
+
+def test_empty_collection_generator_rejected(spark):
+    with pytest.raises(ValueError, match="empty collection"):
+        q(["?x"], ([], "?x")).to_df(spark)
+
+
+def test_missing_output_field_rejected():
+    with pytest.raises(ValueError, match="not produced"):
+        _plan(["?x", "?nope"], (SRC, "?x", "?y"))
+
+
+def test_unavailable_op_input_rejected():
+    with pytest.raises(ValueError, match="unavailable fields"):
+        _plan(["?x", "?z"], (SRC, "?x", "?y"),
+              (c.add, "?ghost", 1, ":>", "?z"))
+
+
+def test_multiple_buffers_rejected():
+    @defbufferfn(returns="bigint")
+    def buf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)
+
+    with pytest.raises(ValueError, match="Multiple buffers"):
+        _plan(["?x", "?a", "?b"], (SRC, "?x", "?y"),
+              (buf, "?y", ":>", "?a"), (buf, "?y", ":>", "?b"))
+
+
+def test_buffer_plus_aggregator_rejected():
+    @defbufferfn(returns="bigint")
+    def buf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)
+
+    with pytest.raises(ValueError, match="aggregators and buffers"):
+        _plan(["?x", "?n", "?b"], (SRC, "?x", "?y"),
+              (c.count, "?n"), (buf, "?y", ":>", "?b"))
+
+
+def test_ungrounding_var_in_two_generators_rejected():
+    with pytest.raises(ValueError, match="ungrounding var"):
+        _plan(["?x", "!!y"], (SRC, "?x", "!!y"), (SRC, "?z", "!!y"))
+
+
+def test_double_output_selector_rejected():
+    with pytest.raises(ValueError, match="':>'"):
+        _plan(["?x", "?z"], (SRC, "?x", "?y"),
+              (c.add, "?y", ":>", "?z", ":>", "?w"))
+
+
+def test_genset_output_must_be_bool_or_var():
+    with pytest.raises(ValueError, match="True/False/var"):
+        _plan(["?x"], (SRC, "?x", "?y"),
+              (SRC, {0: "?x"}, ":>", 42))
+
+
+def test_option_predicate_in_body(spark):
+    """Keyword option predicates inside the body are legal — extracted into
+    the option map (options.clj:44-69 extract-options)."""
+    dup = [(1, 1), (1, 1), (2, 2)]
+    rows = q(["?x", "?y"], (dup, "?x", "?y"), (":distinct", True)).run(spark)
+    assert sorted(rows) == [(1, 1), (2, 2)]
