@@ -6,8 +6,8 @@ semantics allow, Arrow-vectorized pandas UDFs only for genuinely bit-twiddly
 ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
-from .dedup import (exact_dedup, minhash_lsh_candidates, minhash_signature,
-                    ngram_jaccard_pairs, simhash)
+from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
+                    minhash_signature, ngram_jaccard_pairs, simhash)
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
 from .text import (doc_fingerprint, lang_id, quality_score, token_count,

@@ -219,6 +219,43 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
 # n-gram Jaccard
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs →
+    ``(node, cluster)`` with cluster = min id in the component — the step
+    that turns pairwise candidates into keep/drop decisions (keep one doc
+    per cluster).
+
+    Distributed min-label propagation: each node takes the min label among
+    itself and its neighbors; iterate to fixed point (≤ graph diameter
+    rounds, typically 2-4 for near-dup clusters).  Convergence is detected
+    by the strictly-decreasing label sum (one cheap scalar agg per round,
+    no row-wise diff join); each round localCheckpoints to cut lineage —
+    nothing ever collects to the driver.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct() \
+             .localCheckpoint()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("nmin")))
+        labels = (labels.join(neigh, labels.node == neigh.src, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nmin"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.withColumnRenamed("label", "cluster")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
                         prefilter: bool = True) -> DataFrame:

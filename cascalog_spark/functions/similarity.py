@@ -150,6 +150,45 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def ivf_write_index(df: DataFrame, path: str, query_dims_example=None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16,
+                    mode: str = "overwrite") -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: corpus written partitioned by ``__cell``
+    (nearest-centroid id), so an ANN probe scans only n_probe/n_centroids
+    of the FILES — at 100 TB the query cost is bounded by the probed cells,
+    not the corpus.  Returns the centroid table (persist it beside the
+    index; it is O(k·dim))."""
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    vec = F.col(vec_col).cast("array<double>")
+    (df.withColumn("__cell", ivf_assign_col(vec, cents))
+       .write.partitionBy("__cell").mode(mode).parquet(path))
+    return cents
+
+
+def ivf_query_index(spark, path: str,
+                    centroids: list[tuple[int, list[float]]],
+                    query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_probe: int = 4) -> DataFrame:
+    """ANN top-k against an ``ivf_write_index`` layout: the `__cell IN
+    probe` predicate is a PARTITION filter — only the probed cells' files
+    are read (check ``PartitionFilters`` in the scan)."""
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    probe = [cid for cid, cv in sorted(
+        centroids, key=lambda c_: (-_cos(query_vec, c_[1]), c_[0]))[:n_probe]]
+    df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
+    vec = F.col(vec_col).cast("array<double>")
+    sim = cosine_similarity_col(vec, _lit_arr(query_vec))
+    return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 42,

@@ -1,2 +1,3 @@
+from .stateful import running_counts, stateful_op
 from .stream import (session_windows, sliding_counts, stream_tap,
                      stream_to_memory, tumbling_agg, write_stream)

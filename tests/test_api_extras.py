@@ -179,6 +179,26 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, left_salted)) == sorted(map(tuple, left_plain))
 
 
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF layout must prune to the probed cells at the FILE
+    level (PartitionFilters), and agree with the in-memory IVF query."""
+    from cascalog_spark.functions.similarity import (ivf_ann_topk,
+                                                     ivf_query_index,
+                                                     ivf_write_index)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_write_index(emb, path, n_centroids=8)
+    res = ivf_query_index(spark, path, cents, qvec, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__cell" in plan \
+        or "__cell#" in plan.split("PartitionFilters")[1][:200]
+    mem = ivf_ann_topk(emb, qvec, k=5, n_centroids=8, n_probe=2).collect()
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in mem]
+
+
 def test_ivf_partial_probe_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in

@@ -119,6 +119,30 @@ def test_minhash_signature_vs_duck(docs, duck):
     assert a == b
 
 
+def test_dedup_clusters_connected_components(spark):
+    from cascalog_spark.functions import dedup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle+tail)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"])
+    got = {r.node: r.cluster
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from cascalog_spark.functions import dedup_clusters
+
+    n = 30  # diameter 30 chain — min-label still converges under max_iter
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  ["id_a", "id_b"])
+    got = dedup_clusters(pairs, max_iter=50).collect()
+    assert all(r.cluster == 0 for r in got)
+    assert len(got) == n + 1
+
+
 def test_minhash_lsh_candidates_runs(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog today"),
             (2, "the quick brown fox jumps over the lazy dog tonight"),

@@ -113,6 +113,29 @@ def test_multigroup(spark):
     assert got == [("a", 3, 10), ("b", 5, 0), ("c", 0, 7)]
 
 
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-key cumulative
+    counts across micro-batches match the batch groupBy count."""
+    from cascalog_spark.streaming import running_counts
+
+    src = str(tmp_path / "stateful_src")
+    rows = [(i % 4, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["user_id", "v"])
+    df.write.parquet(src)
+
+    sdf = stream_tap(spark, "parquet", src, schema="user_id long, v double")
+    counts = running_counts(sdf, "user_id")
+    qy = (counts.writeStream.format("memory").queryName("run_counts")
+          .outputMode("update").trigger(availableNow=True).start())
+    try:
+        qy.awaitTermination(120)
+        got = {r.user_id: r.n_total
+               for r in spark.sql("SELECT * FROM run_counts").collect()}
+        assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+    finally:
+        qy.stop()
+
+
 def test_multigroup_n_three_way(spark):
     from cascalog_spark.operators import multigroup_n
 
