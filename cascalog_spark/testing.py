@@ -63,3 +63,46 @@ def assert_produces(query, spark, expected, approx: bool = False):
             f"query produced wrong result.\n expected: {sorted(map(repr, expected))}\n"
             f" actual:   {sorted(map(repr, actual))}\n"
             f" missing:  {list(missing)}\n extra:    {list(extra)}")
+
+
+def _run(query, spark):
+    if hasattr(query, "run"):
+        return query.run(spark)
+    if hasattr(query, "to_df"):
+        return [tuple(r) for r in query.to_df(spark).collect()]
+    return [tuple(r) for r in query.collect()]
+
+
+def produces_some(query, spark, expected) -> bool:
+    """midje-cascalog ``produces-some`` (midje/cascalog.clj:39-97): every
+    expected tuple appears in the result (subset as multiset)."""
+    actual = Counter(map(_key, _run(query, spark)))
+    want = Counter(map(_key, expected))
+    return all(actual[k] >= n for k, n in want.items())
+
+
+def produces_prefix(query, spark, expected) -> bool:
+    """``produces-prefix``: result starts with the expected tuples in order
+    (only meaningful for globally-ordered queries, e.g. first_n)."""
+    actual = [_key(t) for t in _run(query, spark)]
+    want = [_key(t) for t in expected]
+    return actual[:len(want)] == want
+
+
+def produces_suffix(query, spark, expected) -> bool:
+    """``produces-suffix``: result ends with the expected tuples in order."""
+    actual = [_key(t) for t in _run(query, spark)]
+    want = [_key(t) for t in expected]
+    return len(actual) >= len(want) and actual[-len(want):] == want
+
+
+def produces_in_order(query, spark, expected, no_gaps: bool = False) -> bool:
+    """``:in-order`` (+ ``:no-gaps``): expected tuples appear in this
+    relative order; with no_gaps they must also be contiguous."""
+    actual = [_key(t) for t in _run(query, spark)]
+    want = [_key(t) for t in expected]
+    if no_gaps:
+        return any(actual[i:i + len(want)] == want
+                   for i in range(len(actual) - len(want) + 1))
+    it = iter(actual)
+    return all(any(a == w for a in it) for w in want)

@@ -124,6 +124,26 @@ def test_defmain_decorator(spark):
     assert job(spark, 1, 2) == 3
 
 
+def test_midje_checkers(spark):
+    from cascalog_spark import first_n
+    from cascalog_spark.testing import (produces_in_order, produces_prefix,
+                                        produces_some, produces_suffix)
+
+    data = [(i, i * 10) for i in range(6)]
+    base = q(["?x", "?y"], (data, "?x", "?y"))
+    assert produces_some(base, spark, [(2, 20), (5, 50)])
+    assert not produces_some(base, spark, [(9, 90)])
+
+    ordered = first_n(base, 4, sort=["?x"])  # 0,1,2,3 ascending
+    assert produces_prefix(ordered, spark, [(0, 0), (1, 10)])
+    assert produces_suffix(ordered, spark, [(2, 20), (3, 30)])
+    assert produces_in_order(ordered, spark, [(0, 0), (2, 20)])
+    assert produces_in_order(ordered, spark, [(1, 10), (2, 20)],
+                             no_gaps=True)
+    assert not produces_in_order(ordered, spark, [(0, 0), (2, 20)],
+                                 no_gaps=True)
+
+
 def test_bucketed_tap_colocated_join_no_exchange(spark, tmp_path):
     """Two tables bucketed on the same key join with ZERO shuffle — the
     co-located-join scale primitive."""
