@@ -238,6 +238,52 @@ def except_gens(left, right) -> _SetOpGen:
     return _SetOpGen(left, right, "except")
 
 
+class Subquery:
+    """Fluent query builder — the JCascalog facade analog
+    (src/java/jcascalog/Subquery.java, Api.java:39-240): the same planner
+    through a method-chaining surface for callers who prefer builders over
+    predicate tuples::
+
+        res = (Subquery("?person", "?count")
+               .predicate(follows, "?person", "?other")
+               .predicate(c.count, "?count")
+               .option(distinct=False)
+               .to_df(spark))
+    """
+
+    __cascalog_generator__ = True
+
+    def __init__(self, *outfields):
+        self.outfields = list(outfields)
+        self._preds: list[tuple] = []
+        self._options: dict = {}
+
+    def predicate(self, op, *fields) -> "Subquery":
+        self._preds.append((op, *fields))
+        return self
+
+    def out(self, *fields) -> "Subquery":
+        """Append an output selector to the LAST predicate (JCascalog
+        ``.out(...)`` chaining)."""
+        if not self._preds:
+            raise ValueError(".out() requires a preceding predicate")
+        self._preds[-1] = (*self._preds[-1], ":>", *fields)
+        return self
+
+    def option(self, **options) -> "Subquery":
+        self._options.update(options)
+        return self
+
+    def build(self) -> Query:
+        return Query(self.outfields, *self._preds, **self._options)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.build().to_df(spark)
+
+    def run(self, spark: SparkSession) -> list[tuple]:
+        return self.build().run(spark)
+
+
 class _CheckpointGen:
     """checkpoint* analog (operations.clj:626-632): force materialization /
     a job boundary at this point in the dataflow.  localCheckpoint truncates

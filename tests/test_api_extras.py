@@ -124,6 +124,26 @@ def test_defmain_decorator(spark):
     assert job(spark, 1, 2) == 3
 
 
+def test_subquery_fluent_builder(spark):
+    from cascalog_spark import Subquery
+
+    follows = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    res = (Subquery("?p", "?n")
+           .predicate(follows, {"src": "?p", "dst": "?o"})
+           .predicate(c.count, "?n")
+           .run(spark))
+    assert sorted(res) == [("a", 2), ("b", 1)]
+
+    # .out() chaining + use as a generator inside a q()
+    sub = (Subquery("?p", "?n")
+           .predicate(follows, {"src": "?p", "dst": "?o"})
+           .predicate(c.count, "?n"))
+    outer = q(["?p"], (sub, {"p": "?p", "n": "?n"}),
+              (c.gt, "?n", 1)).run(spark)
+    assert outer == [("a",)]
+
+
 def test_midje_checkers(spark):
     from cascalog_spark import first_n
     from cascalog_spark.testing import (produces_in_order, produces_prefix,
