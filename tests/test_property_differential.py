@@ -134,6 +134,88 @@ def test_distinct_option(spark, data):
     assert _multiset(res) == _multiset(keep)
 
 
+@given(left=rows, mid=rows, right=rows)
+@SET
+def test_three_way_join(spark, left, mid, right):
+    """Three generators chained on two different shared vars — the planner
+    must fuse to two joins with correct intermediate fields."""
+    res = q(["?k", "?a", "?b", "?c"],
+            (_df(spark, left, ["k", "a"]), {"k": "?k", "a": "?a"}),
+            (_df(spark, mid, ["a", "b"]), {"a": "?a", "b": "?b"}),
+            (_df(spark, right, ["k", "c"]), {"k": "?k", "c": "?c"}),
+            ).run(spark)
+    lk = [(k, a) for k, a in left if k is not None and a is not None]
+    mk = [(a, b) for a, b in mid if a is not None and b is not None]
+    rk = [(k, c) for k, c in right if k is not None and c is not None]
+    expected = [(k, a, b, c)
+                for k, a in lk
+                for a2, b in mk if a2 == a
+                for k2, c in rk if k2 == k]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_genset_flag_var(spark, left, right):
+    """(right ?k :> ?flag) projects existence as a boolean column
+    (api_secondary_test.clj:115-176)."""
+    res = q(["?k", "?a", "?flag"],
+            (_df(spark, left, ["k", "a"]), {"k": "?k", "a": "?a"}),
+            (_df(spark, right, ["k", "b"]), {"k": "?k"}, ":>", "?flag"),
+            ).run(spark)
+    lkeep = [(k, a) for k, a in left if k is not None and a is not None]
+    rkeys = {k for k, _ in right if k is not None}
+    expected = [(k, a, k in rkeys) for k, a in lkeep]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(data=rows)
+@SET
+def test_post_agg_operation(spark, data):
+    """Operations applied AFTER aggregation (api_test.clj:137-145):
+    planner's second fixed-point over agg outputs."""
+    res = q(["?k", "?n2"],
+            (_df(spark, data, ["k", "v"]), {"k": "?k", "v": "?v"}),
+            (c.count, "?n"), (c.add, "?n", 100, ":>", "?n2")).run(spark)
+    keep = [(k, v) for k, v in data if k is not None and v is not None]
+    expected = [(k, sum(1 for k2, _ in keep if k2 == k) + 100)
+                for k in {k for k, _ in keep}]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(data=rows)
+@SET
+def test_mapcat_multiplies_rows(spark, data):
+    """mapcat: 1 row → n rows (split-style) with correct multiset counts."""
+    from cascalog_spark import mapcatfn
+
+    rep = mapcatfn(lambda v: [v] * (abs(v) % 3), returns="bigint",
+                   name="rep")
+    res = q(["?k", "?r"],
+            (_df(spark, data, ["k", "v"]), {"k": "?k", "v": "?v"}),
+            (rep, "?v", ":>", "?r")).run(spark)
+    expected = [(k, v) for k, v in data
+                if k is not None and v is not None
+                for _ in range(abs(v) % 3)]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(left=rows, right=rows)
+@SET
+def test_combine_bag_union(spark, left, right):
+    """combine keeps duplicates across both branches (api.clj:178-186)."""
+    from cascalog_spark import combine
+
+    q1 = q(["?k", "?v"], (_df(spark, left, ["k", "v"]),
+                          {"k": "?k", "v": "?v"}))
+    q2 = q(["?k", "?v"], (_df(spark, right, ["k", "v"]),
+                          {"k": "?k", "v": "?v"}))
+    res = [tuple(r) for r in combine(q1, q2).to_df(spark).collect()]
+    keep = [(k, v) for k, v in left + right
+            if k is not None and v is not None]
+    assert _multiset(res) == _multiset(keep)
+
+
 @given(data=rows)
 @SET
 def test_implicit_equality_dup_var(spark, data):
