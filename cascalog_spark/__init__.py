@@ -14,6 +14,7 @@ drives outer joins; Catalyst owns all physical planning.
 """
 
 from . import builtin as c
+from .dsl import parse_query
 from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   cross_join, defmain, describe_plan, except_gens, execute,
                   first_n, intersect_gens, lazy_generator, name_vars,
@@ -27,7 +28,8 @@ from .vars import gen_var, is_ground, is_ungrounding, is_var
 __version__ = "0.1.0"
 
 __all__ = [
-    "Query", "Subquery", "q", "c", "combine", "union", "execute", "first_n",
+    "Query", "Subquery", "q", "c", "parse_query", "combine", "union",
+    "execute", "first_n",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",
     "select_fields", "name_vars", "out_names",
