@@ -718,6 +718,17 @@ def order_price_minmax(spark, sf_dir):
              ).to_df(spark)
 
 
+def order_price_median(spark, sf_dir):
+    """Exact interpolated percentiles (F.percentile ↔ quantile_cont) —
+    order-statistics aggregation beyond the reference's monoid set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                 .alias("median_price"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                 .alias("p90_price")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_keys_combined": nation_keys_combined,
         "customer_balance_flags": customer_balance_flags,
         "order_price_minmax": order_price_minmax,
+        "order_price_median": order_price_median,
     }
 
 
@@ -1171,6 +1183,12 @@ def oracle_sql() -> dict[str, str]:
         "order_price_minmax": """
             SELECT o_orderstatus, min(o_totalprice) AS min_price,
                    max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderstatus""",
+        "order_price_median": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4)
+                     AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
             FROM orders GROUP BY o_orderstatus""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)

@@ -73,6 +73,41 @@ class ParquetTap(Tap):
 
 
 @dataclass
+class JdbcTap(Tap):
+    """JDBC source/sink (tap-matrix completion; no reference equivalent —
+    Cascading taps were HDFS-only).  Partitioned reads via
+    ``partition_column``/``num_partitions`` bounds so a big table scans
+    parallel, not through one connection.  Requires the JDBC driver jar on
+    the Spark classpath."""
+
+    fmt: str = "jdbc"
+    url: str = ""
+    table: str = ""
+    partition_column: Optional[str] = None
+    lower_bound: Optional[int] = None
+    upper_bound: Optional[int] = None
+    num_partitions: Optional[int] = None
+
+    def _opts(self) -> dict:
+        opts = {"url": self.url, "dbtable": self.table,
+                **self.read_options}
+        if self.partition_column:
+            opts.update(partitionColumn=self.partition_column,
+                        lowerBound=str(self.lower_bound),
+                        upperBound=str(self.upper_bound),
+                        numPartitions=str(self.num_partitions or 8))
+        return opts
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.format("jdbc").options(**self._opts()).load()
+
+    def save_df(self, df: DataFrame) -> None:
+        (df.write.format("jdbc")
+         .options(url=self.url, dbtable=self.table, **self.write_options)
+         .mode(SINKMODES.get(self.sinkmode, self.sinkmode)).save())
+
+
+@dataclass
 class BucketedTap(Tap):
     """Hash-bucketed, bucket-sorted parquet table — the co-located-join
     primitive at scale: two tables bucketed on the same keys with the same

@@ -124,6 +124,18 @@ def test_defmain_decorator(spark):
     assert job(spark, 1, 2) == 3
 
 
+def test_jdbc_tap_option_mapping():
+    from cascalog_spark.sources import JdbcTap
+
+    tap = JdbcTap(url="jdbc:postgresql://h/db", table="t",
+                  partition_column="id", lower_bound=0, upper_bound=1000,
+                  num_partitions=16)
+    opts = tap._opts()
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["dbtable"] == "t"
+
+
 def test_subquery_fluent_builder(spark):
     from cascalog_spark import Subquery
 
