@@ -116,6 +116,40 @@ def test_trap_diverts_map_errors(spark):
     assert "ZeroDivisionError" in trapped[0][-1]
 
 
+def test_trap_with_self_join(spark):
+    """Self-join + trap regression (cascading_api_test.clj:147-161): the
+    trap wrapper must survive the planner's branch renaming."""
+    follows = [("a", "b"), ("b", "a"), ("a", "c")]
+
+    @defmapfn(returns="string")
+    def boom_on_c(p):
+        if p == "c":
+            raise RuntimeError("bad node")
+        return p.upper()
+
+    trapped = []
+    query = q(["?x", "?y", "?u"],
+              (follows, "?x", "?y"),
+              (follows, "?y", "?x"),   # self-join: mutual pairs
+              (boom_on_c, "?y", ":>", "?u"),
+              trap=lambda df: trapped.extend(tuple(r) for r in df.collect()))
+    rows = query.run(spark)
+    assert sorted(rows) == [("a", "b", "B"), ("b", "a", "A")]
+    # op pushdown applies boom_on_c on the tail BEFORE the join (inputs
+    # available, parse.clj:523-533), so the (a, c) row errors pre-join and
+    # diverts — exactly the reference's trap-in-branch behavior
+    assert len(trapped) == 1 and "RuntimeError" in trapped[0][-1]
+
+    trapped2 = []
+    q2 = q(["?x", "?u"],
+           (follows, "?x", "?y"),
+           (boom_on_c, "?y", ":>", "?u"),
+           trap=lambda df: trapped2.extend(tuple(r) for r in df.collect()))
+    rows2 = q2.run(spark)
+    assert sorted(r[1] for r in rows2) == ["A", "B"]
+    assert len(trapped2) == 1 and "RuntimeError" in trapped2[0][-1]
+
+
 def test_trap_diverts_filter_errors(spark):
     @deffilterfn
     def throws_on_chris(p):
