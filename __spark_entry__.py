@@ -718,6 +718,25 @@ def order_price_minmax(spark, sf_dir):
              ).to_df(spark)
 
 
+def doc_clean_lengths(spark, sf_dir):
+    """Pretraining normalization roundtrip: control-strip + whitespace
+    collapse + trim, verified by cleaned-length (native regexp chain)."""
+    from cascalog_spark.functions import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (clean_text(docs)
+            .select("doc_id", F.length("clean_text").alias("clean_len")))
+
+
+def doc_line_dup_ratio(spark, sf_dir):
+    """Gopher-style duplicate-line fraction per document (repetition
+    quality signal) — native split/array_distinct."""
+    from cascalog_spark.functions import line_dup_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dup_ratio(docs).select("doc_id", "line_dup_ratio")
+
+
 def order_price_median(spark, sf_dir):
     """Exact interpolated percentiles (F.percentile ↔ quantile_cont) —
     order-statistics aggregation beyond the reference's monoid set."""
@@ -792,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_flags": customer_balance_flags,
         "order_price_minmax": order_price_minmax,
         "order_price_median": order_price_median,
+        "doc_clean_lengths": doc_clean_lengths,
+        "doc_line_dup_ratio": doc_line_dup_ratio,
     }
 
 
@@ -1190,6 +1211,23 @@ def oracle_sql() -> dict[str, str]:
                      AS median_price,
                    round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
             FROM orders GROUP BY o_orderstatus""",
+        "doc_clean_lengths": r"""
+            SELECT doc_id, length(trim(regexp_replace(regexp_replace(
+                     text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '\s+', ' ', 'g'))) AS clean_len
+            FROM documents""",
+        "doc_line_dup_ratio": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> x <> '') AS lines
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(lines) > 0
+                        THEN round(1.0 - len(list_distinct(lines))
+                                   / len(lines)::DOUBLE, 6)
+                        ELSE 0.0 END AS line_dup_ratio
+            FROM l""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
                      AS total_qty,

@@ -10,7 +10,7 @@ from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
                     minhash_signature, ngram_jaccard_pairs, simhash)
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
-from .text import (doc_fingerprint, lang_id, quality_score, token_count,
-                   tokenize)
+from .text import (clean_text, doc_fingerprint, lang_id, line_dup_ratio,
+                   quality_score, token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

@@ -128,3 +128,33 @@ def shingle_fingerprint(df: DataFrame, text_col: str = "text",
     return (df.withColumn(out_col,
                           F.array_min(F.transform(F.col("__sh"), F.md5)))
             .drop("__sh"))
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text",
+               lowercase: bool = False) -> DataFrame:
+    """Pretraining text normalization, fully native (one regexp_replace
+    chain, JVM-side): strip control characters, collapse runs of
+    whitespace, trim.  Optional lowercasing."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)
+
+
+def line_dup_ratio(df: DataFrame, text_col: str = "text",
+                   out_col: str = "line_dup_ratio",
+                   sep: str = "\n") -> DataFrame:
+    """Gopher-style repetition signal: fraction of a document's lines that
+    are duplicates of an earlier line (0.0 = all unique).  Native
+    split/array_distinct/size — no UDF."""
+    lines = F.filter(F.split(F.col(text_col), sep),
+                     lambda x: x != F.lit(""))
+    n = F.size(lines)
+    ratio = F.when(n > 0,
+                   F.round(1.0 - F.size(F.array_distinct(lines))
+                           / n.cast("double"), 6)).otherwise(0.0)
+    return df.withColumn(out_col, ratio)
