@@ -8,6 +8,7 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 
 from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
                     minhash_signature, ngram_jaccard_pairs, simhash)
+from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
 from .text import (clean_text, doc_fingerprint, lang_id, line_dup_ratio,

@@ -119,6 +119,43 @@ def test_minhash_signature_vs_duck(docs, duck):
     assert a == b
 
 
+def test_embed_text_hashing(spark):
+    from cascalog_spark.functions import embed_text
+    from cascalog_spark.functions.similarity import cosine_similarity_col
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "the quick fox"), (3, "entirely other")],
+        ["id", "text"])
+    emb = embed_text(docs, dim=32)
+    rows = {r.id: r.embedding for r in emb.collect()}
+    assert len(rows[1]) == 32
+    assert rows[1] == rows[2]          # deterministic: same text, same vec
+    assert rows[1] != rows[3]
+    # unit-normalized
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-5
+    # composes with the similarity ops
+    a = emb.where(F.col("id") == 1).select(
+        F.col("embedding").cast("array<double>").alias("v"))
+    sim = (a.crossJoin(emb.where(F.col("id") == 2).select(
+        F.col("embedding").cast("array<double>").alias("w")))
+        .select(cosine_similarity_col(F.col("v"), F.col("w")).alias("s"))
+        .first().s)
+    assert abs(sim - 1.0) < 1e-6
+
+
+def test_embed_text_custom_embedder(spark):
+    from cascalog_spark.functions import embed_text, register_embedder
+
+    register_embedder("twodim", lambda texts: [[float(len(t or "")), 1.0]
+                                               for t in texts])
+    docs = spark.createDataFrame([(1, "abc"), (2, "")], ["id", "text"])
+    rows = {r.id: r.embedding
+            for r in embed_text(docs, dim=2, embedder="twodim").collect()}
+    assert rows[1] == [3.0, 1.0] and rows[2] == [0.0, 1.0]
+
+
 def test_dedup_clusters_connected_components(spark):
     from cascalog_spark.functions import dedup_clusters
 
