@@ -352,10 +352,21 @@ class Compiler:
                      for s in node.sort]
         else:
             order = [F.monotonically_increasing_id()]
-        w = (Window.partitionBy(*group_cols) if group_cols else
-             Window.partitionBy(F.lit(1))).orderBy(*order)
         rn = "__rn"
-        df = df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= op.n)
+        if group_cols:
+            w = Window.partitionBy(*group_cols).orderBy(*order)
+            df = df.withColumn(rn, F.row_number().over(w)) \
+                   .filter(F.col(rn) <= op.n)
+        else:
+            # GLOBAL top-k: orderBy+limit → TakeOrderedAndProject
+            # (per-partition heaps) — a partitionBy(lit(1)) window would
+            # funnel the whole dataset through ONE task at scale
+            df = df.orderBy(*order).limit(op.n)
+            if op.with_rank:
+                # rank over ≤ n rows only — the single-partition window
+                # is now bounded by k, not by the data
+                df = df.withColumn(
+                    rn, F.row_number().over(Window.orderBy(*order)))
         invars = rp.infields
         outs = list(rp.outfields)
         rank_var = None

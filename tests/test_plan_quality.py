@@ -89,6 +89,31 @@ def test_wordcount_stays_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_global_limit_no_single_partition_window(spark, sf_dir):
+    """A GLOBAL c/limit (no grouping keys) must compile to
+    TakeOrderedAndProject, never a partitionBy(lit(1)) window over the
+    whole dataset."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cascalog_spark import c, q
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    qr = q(["?ok", "?tp", "?rank"],
+           (orders, {"o_orderkey": "?k", "o_totalprice": "?p"}),
+           (c.limit_rank(5), "?k", "?p", ":>", "?ok", "?tp", "?rank"),
+           sort=["?p", "?k"], reverse=True)
+    df = qr.to_df(spark)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 5
+    assert [r[2] for r in rows] == [1, 2, 3, 4, 5]
+    prices = [r[1] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
 def test_limit_rank_single_window_pass(spark, sf_dir):
     """Per-group top-k compiles to one Window + filter, not a self-join."""
     df = entry_mod.top3_orders_per_customer(spark, sf_dir)
