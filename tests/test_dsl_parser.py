@@ -47,6 +47,30 @@ def test_option_predicate_and_literals(spark):
     assert sorted(qr.run(spark)) == [(1, 1), (2, 4)]
 
 
+def test_parser_atom_fuzz():
+    """Reader/atom fuzz: whitespace layout never changes the parse; every
+    literal kind round-trips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cascalog_spark.dsl import _atom, _read, _tokenize
+
+    @given(ws=st.lists(st.sampled_from([" ", "\n", "\t", "  "]),
+                       min_size=6, max_size=6))
+    @settings(max_examples=20, deadline=None)
+    def check(ws):
+        src = (f"[?x{ws[0]}?y]{ws[1]}(src{ws[2]}?x{ws[3]}?y){ws[4]}"
+               f"(op ?x 3 -2.5 \"s\" true nil :> ?z){ws[5]}")
+        forms = _read(_tokenize(src))
+        assert forms[0] == ["?x", "?y"]
+        assert forms[1] == ["src", "?x", "?y"]
+        assert [(_atom(t) if isinstance(t, str) else t)
+                for t in forms[2]] == \
+            ["op", "?x", 3, -2.5, "s", True, None, ":>", "?z"]
+
+    check()
+
+
 def test_unresolved_symbol_error():
     with pytest.raises(ValueError, match="unresolved symbol"):
         parse_query("[?x] (ghost ?x)", env={})

@@ -216,6 +216,29 @@ def test_combine_bag_union(spark, left, right):
     assert _multiset(res) == _multiset(keep)
 
 
+skeys = st.one_of(st.none(), st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs", "Cc")),
+    min_size=0, max_size=4))
+srows = st.lists(st.tuples(skeys, vals), min_size=0, max_size=10)
+
+
+@given(left=srows, right=srows)
+@SET
+def test_inner_join_string_keys_unicode(spark, left, right):
+    """Join keys as arbitrary unicode strings (incl. empty) — the dynamic
+    any-type field contract (§1.2) must survive non-ASCII."""
+    ldf = spark.createDataFrame(left, "k string, a int")
+    rdf = spark.createDataFrame(right, "k string, b int")
+    res = q(["?k", "?a", "?b"],
+            (ldf, {"k": "?k", "a": "?a"}),
+            (rdf, {"k": "?k", "b": "?b"})).run(spark)
+    expected = [(k, a, b)
+                for k, a in left if k is not None and a is not None
+                for k2, b in right if k2 == k and b is not None]
+    assert _multiset(res) == _multiset(expected)
+
+
 @given(data=rows)
 @SET
 def test_implicit_equality_dup_var(spark, data):
