@@ -60,12 +60,40 @@ class Compiler:
         # Python op throws are diverted to the trap instead of failing the job
         self.trap = trap
         self.trap_dfs: list[DataFrame] = []
+        # fan-out sharing (SURVEY §4: memoized zipper walk → "persist() when
+        # fan-out > 1"): a subquery generator referenced by several branches
+        # compiles once and is persisted so the action computes it once
+        # instead of once per branch (Catalyst's ReuseExchange only dedupes
+        # identical *exchange* subtrees, not arbitrary recomputation)
+        self._src_memo: dict[int, DataFrame] = {}
+        self._src_counts: dict[int, int] | None = None
+        self.persisted: list[DataFrame] = []
 
     # -- entry ---------------------------------------------------------------
+
+    def _count_subquery_sources(self, node: Node, counts: dict[int, int],
+                                seen: set[str]) -> None:
+        if node.node_id in seen:
+            return
+        seen.add(node.node_id)
+        src = getattr(node, "source", None)
+        if isinstance(node, GeneratorNode):
+            if hasattr(src, "__cascalog_generator__"):
+                counts[id(src)] = counts.get(id(src), 0) + 1
+            return
+        for child in (src, getattr(node, "left", None),
+                      getattr(node, "right", None),
+                      getattr(node, "sub", None),
+                      *getattr(node, "sources", [])):
+            if isinstance(child, Node):
+                self._count_subquery_sources(child, counts, seen)
 
     def compile(self, node: Node) -> DataFrame:
         """Memoized walk (reference: zip.clj:47-59 visited-map keyed on node
         identifier — a subquery referenced twice compiles once)."""
+        if self._src_counts is None:
+            self._src_counts = {}
+            self._count_subquery_sources(node, self._src_counts, set())
         df = self._memo.get(node.node_id)
         if df is None:
             df = self._dispatch(node)
@@ -99,7 +127,14 @@ class Compiler:
         if hasattr(source, "load_df"):  # Tap protocol
             return source.load_df(self.spark)
         if hasattr(source, "__cascalog_generator__"):  # subquery
-            return source.to_df(self.spark)
+            df = self._src_memo.get(id(source))
+            if df is None:
+                df = source.to_df(self.spark)
+                if (self._src_counts or {}).get(id(source), 0) > 1:
+                    df = df.persist()  # MEMORY_AND_DISK: spills, never OOMs
+                    self.persisted.append(df)
+                self._src_memo[id(source)] = df
+            return df
         if isinstance(source, (list, tuple)):
             if len(source) == 0:
                 # reference rejects empty generators (api.clj:167-176)

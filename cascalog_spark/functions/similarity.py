@@ -31,6 +31,20 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def cosine_to_query_col(a: Column, query_vec: list[float]) -> Column:
+    """Cosine of a row vector against a constant query vector.
+
+    The query norm is computed driver-side and embedded as a literal —
+    Catalyst does not constant-fold ``aggregate`` over a literal array
+    (lambda-bearing HOFs are non-foldable), so the naive form re-runs the
+    64-element norm reduction for every row of the corpus."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return dot_col(a, qv) / (norm_col(a) * F.lit(qnorm))
+
+
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -39,8 +53,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     orderBy+limit compiles to TakeOrderedAndProject — per-partition heap,
     no global sort/shuffle of the corpus.
     """
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity_col(F.col(vec_col).cast("array<double>"), qv)
+    sim = cosine_to_query_col(F.col(vec_col).cast("array<double>"), query_vec)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
@@ -78,8 +91,7 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     for i, p in enumerate(planes):
         if sum(x * y for x, y in zip(query_vec, p)) > 0:
             qsig += 2 ** i
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity_col(vec, qv)
+    sim = cosine_to_query_col(vec, query_vec)
     return (df_sig.where(F.col("__sig") == F.lit(qsig))
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -142,7 +154,7 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     probe = [cid for cid, _ in sorted(
         cents, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0]))[:n_probe]]
     vec = F.col(vec_col).cast("array<double>")
-    sim = cosine_similarity_col(vec, _lit_arr(query_vec))
+    sim = cosine_to_query_col(vec, query_vec)
     return (df.withColumn("__cell", ivf_assign_col(vec, cents))
             .where(F.col("__cell").isin(probe))
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
@@ -183,7 +195,7 @@ def ivf_query_index(spark, path: str,
         centroids, key=lambda c_: (-_cos(query_vec, c_[1]), c_[0]))[:n_probe]]
     df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
     vec = F.col(vec_col).cast("array<double>")
-    sim = cosine_similarity_col(vec, _lit_arr(query_vec))
+    sim = cosine_to_query_col(vec, query_vec)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))

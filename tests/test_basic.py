@@ -192,3 +192,25 @@ def test_set_as_filter(spark):
     query = q(["?person"], (PERSON, "?person"),
               ({"alice", "bob"}, "?person"))
     assert_produces(query, spark, [("alice",), ("bob",)])
+
+
+def test_shared_subquery_fanout_persisted(spark):
+    """A subquery generator referenced by TWO branches compiles once and is
+    persisted (SURVEY §4 common-subplan sharing: zip.clj:47-59 memoized walk
+    -> persist() on fan-out), so the action computes it once."""
+    sub = q(["?person", "?age"],
+            (AGE, "?person", "?age"),
+            (c.lt, "?age", 40))
+    # self-join of the shared subquery: pairs of same-age people
+    outer = q(["?p1", "?p2", "?age"],
+              (sub, "?p1", "?age"),
+              (sub, "?p2", "?age"),
+              (c.lt, "?p1", "?p2"))
+    df = outer.to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # both branches read the persisted sub
+    young = [(p, a) for p, a in AGE if a < 40]
+    expected = [(p1, p2, a1) for p1, a1 in young for p2, a2 in young
+                if a1 == a2 and p1 < p2]
+    rows = [tuple(r) for r in df.collect()]
+    assert sorted(rows) == sorted(expected)
