@@ -50,6 +50,7 @@ class Query:
         compiler = Compiler(spark, trap=self.options.get("trap"))
         df = compiler.compile(self.plan())
         self._trap_dfs = compiler.trap_dfs
+        self._persisted = compiler.persisted
         return df.toDF(*out_names(self.outfields))
 
     def flush_traps(self) -> None:
@@ -67,7 +68,16 @@ class Query:
         """??- : execute and return tuples to driver memory (api.clj:113-140)."""
         rows = [tuple(r) for r in self.to_df(spark).collect()]
         self.flush_traps()
+        self.unpersist()
         return rows
+
+    def unpersist(self) -> None:
+        """Release fan-out caches created by compile (persist-on-fan-out);
+        called automatically after run()/execute() actions.  No-op if the
+        plan had no shared subqueries."""
+        for df in getattr(self, "_persisted", []):
+            df.unpersist()
+        self._persisted = []
 
     def describe(self) -> str:
         """Pretty-print the LOGICAL plan (planner IR) — expand-query analog
@@ -184,6 +194,8 @@ def execute(spark: SparkSession, query: Query, sink) -> None:
         raise TypeError(f"not a sink: {sink!r}")
     if hasattr(query, "flush_traps"):
         query.flush_traps()
+    if hasattr(query, "unpersist"):
+        query.unpersist()
 
 
 class _BroadcastGen:
