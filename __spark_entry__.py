@@ -748,6 +748,27 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def nation_branch_counts(spark, sf_dir):
+    """multigroup: cogroup customer & supplier on nationkey with a custom
+    multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
+    operations.clj:550-569) — one shuffle, Arrow grouped-map."""
+    import pandas as pd
+
+    from cascalog_spark.operators.multigroup import multigroup
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+
+    def counts(key, lpdf, rpdf):
+        return pd.DataFrame([{"nk": key[0], "n_cust": len(lpdf),
+                              "n_supp": len(rpdf)}])
+
+    return multigroup(spark, cust, supp, ["nk"], counts,
+                      "nk int, n_cust bigint, n_supp bigint")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -813,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_median": order_price_median,
         "doc_clean_lengths": doc_clean_lengths,
         "doc_line_dup_ratio": doc_line_dup_ratio,
+        "nation_branch_counts": nation_branch_counts,
     }
 
 
@@ -1228,6 +1250,14 @@ def oracle_sql() -> dict[str, str]:
                                    / len(lines)::DOUBLE, 6)
                         ELSE 0.0 END AS line_dup_ratio
             FROM l""",
+        "nation_branch_counts": """
+            SELECT COALESCE(c.nk, s.nk) AS nk,
+                   COALESCE(c.cnt, 0) AS n_cust,
+                   COALESCE(s.cnt, 0) AS n_supp
+            FROM (SELECT c_nationkey AS nk, count(*) AS cnt
+                  FROM customer GROUP BY 1) c
+            FULL JOIN (SELECT s_nationkey AS nk, count(*) AS cnt
+                       FROM supplier GROUP BY 1) s ON c.nk = s.nk""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
                      AS total_qty,

@@ -1,3 +1,3 @@
-from .taps import (BinaryFileTap, BucketedTap, CascalogTap, CsvTap, JdbcTap,
-                   JsonTap, MemoryTap, ParquetTap, StdoutSink, TextLineTap,
-                   hfs_tap, lfs_tap)
+from .taps import (BinaryFileTap, BucketedTap, CascalogTap, CsvTap,
+                   DecodedTap, JdbcTap, JsonTap, MemoryTap, ParquetTap,
+                   SequenceFileTap, StdoutSink, TextLineTap, hfs_tap, lfs_tap)

@@ -262,3 +262,75 @@ def hfs_tap(path: str, fmt: str = "parquet", sinkmode: str = "replace",
 
 
 lfs_tap = hfs_tap  # local fs == hadoop fs under Spark's unified FS API
+
+@dataclass
+class SequenceFileTap:
+    """hfs-wrtseqfile analog (more_taps.clj:83-112): Hadoop SequenceFile of
+    Writable key/value pairs — legacy-ingest only (parquet is this engine's
+    interchange format, the ``hfs-seqfile`` role).  Round-trips (key, value)
+    rows through the RDD sequence-file codecs; at scale the read is
+    split-parallel per HDFS block like any Hadoop input."""
+
+    path: str = ""
+    key_field: str = "key"
+    value_field: str = "value"
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        rdd = spark.sparkContext.sequenceFile(self.path)
+        return spark.createDataFrame(rdd, [self.key_field, self.value_field])
+
+    def save_df(self, df: DataFrame) -> None:
+        if len(df.columns) != 2:
+            raise ValueError("SequenceFileTap writes (key, value) tuples; "
+                             f"got {len(df.columns)} columns")
+        df.rdd.map(tuple).saveAsSequenceFile(self.path)
+
+
+@dataclass
+class DecodedTap:
+    """Record-decode tap — the lzo-thrift/protobuf family analog
+    (cascalog-lzo/src/cascalog/lzo.clj:17-36: compressed lines of
+    base64-encoded serialized records).
+
+    Wraps an inner tap (text/binaryFile/...) and applies ``decoder`` —
+    a per-record Python fn returning a tuple matching ``schema`` — as an
+    Arrow-batched UDF, so decode parallelism follows the scan's splits.
+    Undecodable records yield null columns; ``drop_undecodable`` filters
+    them (the codec-level trap).  Protobuf corpora with a registered
+    descriptor should prefer Spark's native ``from_protobuf`` (JVM-side);
+    this tap is the generic fallback for thrift/custom codecs.
+    """
+
+    inner: Any = None
+    decoder: Any = None
+    schema: str = ""           # DDL, e.g. "id bigint, name string"
+    record_col: str = "value"  # column of the inner tap holding the record
+    drop_undecodable: bool = True
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.inner.load_df(spark) if hasattr(self.inner, "load_df") \
+            else self.inner
+        out_t = T.StructType.fromDDL(self.schema)
+        dec = self.decoder
+        n = len(out_t.fields)
+
+        def safe(rec):
+            try:
+                return tuple(dec(rec))
+            except Exception:
+                return (None,) * n
+
+        udf = F.udf(safe, out_t, useArrow=True)
+        decoded = df.withColumn("__rec", udf(F.col(self.record_col)))
+        out = decoded.select(*[F.col("__rec").getField(f.name).alias(f.name)
+                               for f in out_t.fields])
+        if self.drop_undecodable:
+            out = out.na.drop(how="all")
+        return out
+
+    def save_df(self, df: DataFrame) -> None:
+        raise NotImplementedError("DecodedTap is a read-only source; encode "
+                                  "with a map op and write the inner tap")

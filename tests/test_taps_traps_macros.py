@@ -238,3 +238,43 @@ def test_juxt_and_each(spark):
                       c.column_op("g", lambda a, b: __import__("pyspark.sql.functions", fromlist=["F"]).greatest(a, b))),
                "?a", "?b", ":>", "?mn", "?mx"))
     assert_produces(query, spark, [(3, 7), (2, 10)])
+
+
+def test_sequence_file_tap_roundtrip(spark, tmp_path):
+    """hfs-wrtseqfile analog (more_taps.clj:83-112): Writable (key, value)
+    SequenceFile write + read via the RDD codecs."""
+    from cascalog_spark.sources import SequenceFileTap
+
+    path = str(tmp_path / "seq")
+    tap = SequenceFileTap(path=path, key_field="word", value_field="n")
+    src = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["word", "n"])
+    tap.save_df(src)
+    back = tap.load_df(spark)
+    assert sorted(tuple(r) for r in back.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_decoded_tap_base64_records(spark, tmp_path):
+    """lzo-thrift/protobuf family analog (lzo.clj:17-36): text lines of
+    base64-encoded serialized records decoded by a pluggable codec; corrupt
+    records are dropped (codec-level trap)."""
+    import base64
+    import json
+
+    from cascalog_spark.sources import DecodedTap, TextLineTap
+
+    path = str(tmp_path / "recs")
+    recs = [{"id": 1, "name": "ann"}, {"id": 2, "name": "bo"}]
+    lines = [base64.b64encode(json.dumps(r).encode()).decode() for r in recs]
+    lines.append("%%%not-base64%%%")
+    spark.createDataFrame([(l,) for l in lines], ["value"]) \
+         .write.mode("overwrite").text(path)
+
+    def decode(line):
+        r = json.loads(base64.b64decode(line))
+        return (r["id"], r["name"])
+
+    tap = DecodedTap(inner=TextLineTap(path=path), decoder=decode,
+                     schema="id bigint, name string")
+    rows = sorted(tuple(r) for r in tap.load_df(spark).collect())
+    assert rows == [(1, "ann"), (2, "bo")]
