@@ -249,3 +249,56 @@ def test_implicit_equality_dup_var(spark, data):
     expected = [(k,) for k, v in data
                 if k is not None and v is not None and k == v]
     assert _multiset(res) == _multiset(expected)
+
+
+# unique values so top-k order is total (row_number ties would otherwise be
+# tie-broken arbitrarily by both engines)
+uniq_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=0, max_size=12,
+    unique_by=lambda t: t[1])
+
+
+@given(data=uniq_rows)
+@SET
+def test_limit_rank_per_group_topk(spark, data):
+    """c/limit-rank (ops.clj:208-226): per-group top-2 by value desc with
+    rank, vs the sorted-python model — exercises the Window+row_number
+    compilation path."""
+    if not data:
+        data = [(0, 0)]
+    res = q(["?k", "?v2", "?r"],
+            (_df(spark, data, ["k", "v"]), {"k": "?k", "v": "?v"}),
+            (c.limit_rank(2), "?v", ":>", "?v2", "?r"),
+            sort=["?v"], reverse=True).run(spark)
+    expected = []
+    for k in {k for k, _ in data}:
+        vs = sorted((v for kk, v in data if kk == k), reverse=True)[:2]
+        expected += [(k, v, i + 1) for i, v in enumerate(vs)]
+    assert _multiset(res) == _multiset(expected)
+
+
+@given(data=uniq_rows)
+@SET
+def test_buffer_with_secondary_sort(spark, data):
+    """defbufferfn + :sort (operations.clj:251-264): the buffer sees each
+    group's tuples in sorted order — first-row-per-group vs model."""
+    import pandas as pd
+
+    from cascalog_spark.ops import defbufferfn
+
+    if not data:
+        data = [(0, 0)]
+
+    @defbufferfn(returns=["int"])
+    def first_val(pdf):
+        return pd.DataFrame({"x": [int(pdf.iloc[0, 0])]})
+
+    res = q(["?k", "?first"],
+            (_df(spark, data, ["k", "v"]), {"k": "?k", "v": "?v"}),
+            (first_val, "?v", ":>", "?first"),
+            sort=["?v"]).run(spark)
+    expected = [(k, min(v for kk, v in data if kk == k))
+                for k in {k for k, _ in data}]
+    assert _multiset(res) == _multiset(expected)
