@@ -748,6 +748,20 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def doc_dup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs →
+    distributed connected components (min-label propagation, iterative,
+    localCheckpoint per round — dedup.py dedup_clusters).  Oracle: the same
+    components via DuckDB's recursive CTE transitive closure over the same
+    md5-minhash pairs."""
+    from cascalog_spark.functions.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+    return dedup_clusters(pairs).select(F.col("node").alias("doc_id"),
+                                        F.col("cluster"))
+
+
 def nation_branch_counts(spark, sf_dir):
     """multigroup: cogroup customer & supplier on nationkey with a custom
     multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
@@ -835,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_lengths": doc_clean_lengths,
         "doc_line_dup_ratio": doc_line_dup_ratio,
         "nation_branch_counts": nation_branch_counts,
+        "doc_dup_clusters": doc_dup_clusters,
     }
 
 
@@ -900,6 +915,19 @@ def oracle_sql() -> dict[str, str]:
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     pick = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
         f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+
+    minhash_pairs = f"""
+            WITH sh AS (
+              SELECT doc_id, {_shingle_sql(3)} AS shingles FROM documents),
+            sigs AS (
+              SELECT doc_id, [{_minhash_sql(num_perm)}] AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, {band_exprs} FROM sigs),
+            buckets AS ({band_union})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id"""
 
     return {
         "q1_pricing_summary": """
@@ -1079,18 +1107,17 @@ def oracle_sql() -> dict[str, str]:
                      AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
-        "minhash_near_dup_candidates": f"""
-            WITH sh AS (
-              SELECT doc_id, {_shingle_sql(3)} AS shingles FROM documents),
-            sigs AS (
-              SELECT doc_id, [{_minhash_sql(num_perm)}] AS sig FROM sh),
-            banded AS (
-              SELECT doc_id, {band_exprs} FROM sigs),
-            buckets AS ({band_union})
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM buckets a JOIN buckets b
-              ON a.band = b.band AND a.bh = b.bh
-            WHERE a.doc_id < b.doc_id""",
+        "minhash_near_dup_candidates": minhash_pairs,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT src AS node, dst AS m FROM edges
+                      UNION
+                      SELECT r.node, e.dst
+                      FROM reach r JOIN edges e ON r.m = e.src)
+            SELECT node AS doc_id, least(node, min(m)) AS cluster
+            FROM reach GROUP BY node""",
         "ngram_jaccard_sim_pairs": f"""
             WITH sh AS (
               SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS shingle
