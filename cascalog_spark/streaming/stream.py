@@ -82,3 +82,20 @@ def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return query
+
+
+def stream_dedup(df: DataFrame, keys: list, ts_col: Optional[str] = None,
+                 watermark: Optional[str] = None) -> DataFrame:
+    """Streaming exact dedup on ``keys`` — the streaming face of the batch
+    ``dedup.exact_dedup`` pack for continuous ingestion pipelines.
+
+    With ``ts_col`` + ``watermark``, uses dropDuplicatesWithinWatermark so
+    per-key state is EVICTED once the key falls behind the watermark —
+    bounded state on an unbounded stream (a plain dropDuplicates would
+    accumulate every key ever seen).  Without a watermark, falls back to
+    unbounded dropDuplicates (testing/finite streams only).
+    """
+    if ts_col and watermark:
+        return df.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

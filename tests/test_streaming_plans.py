@@ -212,3 +212,26 @@ def test_dead_op_pruned_end_to_end(spark):
               ([(1,), (2,)], "?n"),
               (boom, "?n", ":>", "?dead"))
     assert sorted(query.run(spark)) == [(1,), (2,)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys within the watermark are
+    dropped; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    from cascalog_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [("a", base), ("a", base + dt.timedelta(seconds=10)),
+            ("b", base + dt.timedelta(seconds=20)),
+            ("b", base + dt.timedelta(seconds=25)),
+            ("c", base + dt.timedelta(seconds=30))]
+    spark.createDataFrame(rows, "k string, ts timestamp") \
+         .write.mode("overwrite").parquet(src)
+    stream = stream_tap(spark, "parquet", src,
+                        schema="k string, ts timestamp")
+    deduped = stream_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+    stream_to_memory(deduped, "dedup_out")
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect())
+    assert got == ["a", "b", "c"]
