@@ -45,8 +45,16 @@ class Workflow:
         self.marker_dir = marker_dir
         self.steps: list[Step] = []
 
-    def step(self, name: str, fn: Callable[..., Any], deps: Any = "last",
-             tmp_dirs: Optional[list] = None) -> "Workflow":
+    def step(self, name: str, fn: Optional[Callable[..., Any]] = None,
+             deps: Any = "last", tmp_dirs: Optional[list] = None):
+        """Register a step.  Callable form ``wf.step("n", fn)`` returns the
+        workflow for chaining; with ``fn`` omitted it's a decorator:
+        ``@wf.step("n", deps=[...])``."""
+        if fn is None:
+            def deco(f):
+                self.step(name, f, deps=deps, tmp_dirs=tmp_dirs)
+                return f
+            return deco
         if any(s.name == name for s in self.steps):
             raise ValueError(f"duplicate step name {name!r}")
         self.steps.append(Step(name, fn, deps, tmp_dirs or []))
