@@ -228,9 +228,14 @@ class Compiler:
             except Exception as e:  # diverted, not fatal
                 return tuple([None] * n_out) + (f"{type(e).__name__}: {e}",)
 
-        udf = F.udf(wrapped, struct_t)
+        # asNondeterministic: Catalyst must not re-evaluate or reorder the
+        # trapped fn (a flaky fn evaluated once per branch could land a row
+        # in both the trap and the output); persist computes the split
+        # point once for the main action AND the later trap flush
+        udf = F.udf(wrapped, struct_t).asNondeterministic()
         tmp = "__mapout"
-        df = df.withColumn(tmp, udf(*args))
+        df = df.withColumn(tmp, udf(*args)).persist()
+        self.persisted.append(df)
         err = F.col(tmp).getField("__error")
         orig_cols = [c for c in df.columns if c != tmp]
         self.trap_dfs.append(
@@ -283,9 +288,10 @@ class Compiler:
 
             struct_t = T.StructType([T.StructField("keep", T.BooleanType()),
                                      T.StructField("__error", T.StringType())])
-            udf = F.udf(safe, struct_t)
+            udf = F.udf(safe, struct_t).asNondeterministic()
             tmp = "__filt"
-            df2 = df.withColumn(tmp, udf(*args))
+            df2 = df.withColumn(tmp, udf(*args)).persist()
+            self.persisted.append(df2)
             err = F.col(tmp).getField("__error")
             self.trap_dfs.append(
                 df2.filter(err.isNotNull())
@@ -361,19 +367,45 @@ class Compiler:
 
         if len(aggs) == 1 and isinstance(aggs[0].op, LimitAgg):
             return self._compile_limit(df, node, aggs[0])
-        if all(isinstance(a.op, ParallelAgg) and a.op.expr_fn is not None
-               for a in aggs):
-            exprs = []
-            for a in aggs:
-                cols = self._arg_cols(a.infields)
-                res = a.op.expr_fn(*cols)
-                res = res if isinstance(res, list) else [res]
-                for c, o in zip(res, a.outfields):
-                    exprs.append(c.alias(self.namer.col(o)))
-            if group_cols:
-                return df.groupBy(*group_cols).agg(*exprs)
-            return df.agg(*exprs)
-        return self._compile_pandas_grouping(df, node)
+        expr_aggs = [a for a in aggs
+                     if isinstance(a.op, ParallelAgg) and a.op.expr_fn is not None]
+        py_aggs = [a for a in aggs if a not in expr_aggs]
+        if not py_aggs:
+            return self._native_agg(df, group_cols, expr_aggs)
+        if not expr_aggs:
+            return self._compile_pandas_grouping(df, node, py_aggs)
+        # HYBRID grouping: native exprs keep map-side partial aggregation
+        # (and need no pandas fallback per agg); only the Python aggs pay
+        # the applyInPandas shuffle.  Results joined back on the group keys
+        # (null-safe: a null group key is a legal group for !x vars).
+        native = self._native_agg(df, group_cols, expr_aggs)
+        pand = self._compile_pandas_grouping(df, node, py_aggs)
+        if not group_cols:
+            # both sides emit ≤1 row; on empty input the pandas side (and
+            # so the whole grouping, reference reduce-side semantics) is empty
+            return native.crossJoin(pand)
+        cond = None
+        for k in group_cols:
+            c = native[k].eqNullSafe(pand[k])
+            cond = c if cond is None else (cond & c)
+        out_cols = [native[k] for k in group_cols]
+        out_cols += [native[self.namer.col(o)]
+                     for a in expr_aggs for o in a.outfields]
+        out_cols += [pand[self.namer.col(o)]
+                     for a in py_aggs for o in a.outfields]
+        return native.join(pand, cond, "inner").select(*out_cols)
+
+    def _native_agg(self, df, group_cols, aggs) -> DataFrame:
+        exprs = []
+        for a in aggs:
+            cols = self._arg_cols(a.infields)
+            res = a.op.expr_fn(*cols)
+            res = res if isinstance(res, list) else [res]
+            for c, o in zip(res, a.outfields):
+                exprs.append(c.alias(self.namer.col(o)))
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*exprs)
+        return df.agg(*exprs)
 
     def _compile_limit(self, df, node: GroupingNode, rp) -> DataFrame:
         """c/limit & c/limit-rank & c/fixed-sample → Window + row_number
@@ -415,16 +447,30 @@ class Compiler:
             sel.append(F.col(rn).alias(self.namer.col(rank_var)))
         return df.select(*sel)
 
-    def _compile_pandas_grouping(self, df, node: GroupingNode) -> DataFrame:
+    def _compile_pandas_grouping(self, df, node: GroupingNode,
+                                 aggs=None) -> DataFrame:
         """Sequential aggs / buffers via applyInPandas (Arrow grouped-map) —
         the analog of reduce-side Every/ClojureBuffer with secondary sort
         (operations.clj:251-264)."""
         import pandas as pd
 
         namer = self.namer
+        aggs = node.aggs if aggs is None else aggs
         group_cols = [namer.col(f) for f in node.group_fields]
         sort_cols = [namer.col(s) for s in node.sort]
         ascending = not node.reverse
+
+        # constant infields (operations.clj:684-707 with-constants): become
+        # literal columns so every agg flavor sees them positionally
+        n_const = 0
+        const_bound: dict[tuple, str] = {}
+        for a in aggs:
+            for f in a.infields:
+                if not V.is_var(f) and (id(a), f) not in const_bound:
+                    cname = f"__aconst_{n_const}"
+                    n_const += 1
+                    df = df.withColumn(cname, F.lit(f))
+                    const_bound[(id(a), f)] = cname
         src_schema = {f.name: f for f in df.schema.fields}
 
         global_agg = not group_cols
@@ -441,8 +487,9 @@ class Compiler:
                               else T.StructField(c, T.IntegerType()))
         specs = []  # (op, in_cols, out_cols)
         buffer_spec = None
-        for a in node.aggs:
-            in_cols = [namer.col(f) for f in a.infields if V.is_var(f)]
+        for a in aggs:
+            in_cols = [namer.col(f) if V.is_var(f)
+                       else const_bound[(id(a), f)] for f in a.infields]
             out_cols = [namer.col(o) for o in a.outfields]
             op = a.op
             rts = [t if isinstance(t, T.DataType) else _ddl(t)

@@ -299,6 +299,13 @@ def prune_operations(nq: NormalizedQuery) -> list:
             needed |= {f for f in rp.infields if V.is_var(f)}
         for a in nq.aggregators:
             needed |= {f for f in a.infields if V.is_var(f)}
+        for gs in nq.gensets:
+            # genset join vars (parse.clj:441-447): an op may exist solely
+            # to feed the semi/anti-join key
+            bs = gs.bindings
+            vals = (bs[0].values() if len(bs) == 1 and isinstance(bs[0], dict)
+                    else bs)
+            needed |= {b for b in vals if V.is_var(b)}
         removable = [rp for rp in ops
                      if rp.kind == "op" and rp.outfields
                      and not (set(rp.outfields) & needed)]
@@ -430,6 +437,11 @@ def _build_agg_tail(nq: NormalizedQuery, tail: Tail,
                 f"aggregator {getattr(a.op, 'name', a.op)} references "
                 f"unavailable fields {missing}; available: {tail.fields}")
     sort = [s for s in (nq.options.get("sort") or [])]
+    bad_sort = [s for s in sort if s not in tail.fields]
+    if bad_sort:
+        raise ValueError(
+            f":sort references unavailable fields {bad_sort}; "
+            f"available: {tail.fields}")
     # pre-grouping projection to (group ∪ agg-input ∪ sort) (parse.clj:472-497)
     needed = list(dict.fromkeys(
         group_fields + [f for a in aggs for f in a.infields if V.is_var(f)]

@@ -197,3 +197,50 @@ def test_post_agg_division(spark):
               (c.div, "?s", "?cnt", ":>", "?mean"))
     assert_produces(query, spark,
                     [("a", 2.0), ("b", 7.5), ("c", 7.0)])
+
+
+def test_mixed_sequential_and_expr_agg(spark):
+    """Hybrid grouping: a Python sequential agg + expr-only builtins
+    (collect_list has no pandas fallback) in ONE grouping — native side
+    keeps partial aggregation, results joined on the group key."""
+    from cascalog_spark.ops import defaggregatefn
+
+    agg_sum = defaggregatefn(init=lambda: 0, step=lambda a, x: a + x,
+                             final=lambda a: a, returns=["bigint"],
+                             name="mysum")
+    data = [(1, 10), (1, 20), (2, 30)]
+    res = q(["?k", "?s", "?lst"], (data, "?k", "?v"),
+            (agg_sum, "?v", ":>", "?s"),
+            (c.collect_list, "?v", ":>", "?lst")).run(spark)
+    assert sorted((k, s, sorted(l)) for k, s, l in res) == \
+        [(1, 30, [10, 20]), (2, 30, [30])]
+
+
+def test_mixed_agg_null_group_key(spark):
+    """Hybrid join must be null-safe: a null !x group key is a real group."""
+    from cascalog_spark.ops import defaggregatefn
+
+    agg_sum = defaggregatefn(init=lambda: 0, step=lambda a, x: a + x,
+                             final=lambda a: a, returns=["bigint"],
+                             name="mysum")
+    data = [(None, 1), (None, 2), (3, 9)]
+    res = q(["!k", "?s", "?mn"],
+            (spark.createDataFrame(data, "k int, v int"),
+             {"k": "!k", "v": "?v"}),
+            (agg_sum, "?v", ":>", "?s"),
+            (c.min_agg, "?v", ":>", "?mn")).run(spark)
+    assert sorted(res, key=lambda t: (t[0] is not None, t)) == \
+        [(None, 3, 1), (3, 9, 9)]
+
+
+def test_sequential_agg_constant_infield(spark):
+    """Constants in aggregator input position reach the step fn
+    (operations.clj:684-707 with-constants)."""
+    from cascalog_spark.ops import defaggregatefn
+
+    addk = defaggregatefn(init=lambda: 0, step=lambda a, x, k: a + x * k,
+                          final=lambda a: a, returns=["bigint"], name="addk")
+    data = [(1, 10), (1, 20), (2, 30)]
+    res = q(["?k", "?s"], (data, "?k", "?v"),
+            (addk, "?v", 2, ":>", "?s")).run(spark)
+    assert sorted(res) == [(1, 60), (2, 60)]

@@ -92,3 +92,14 @@ def test_join_then_aggregate(spark):
               (AGE, "?p", "?age"),
               (c.count, "?cnt"))
     assert_produces(query, spark, [(28, 2), (33, 1), (25, 1)])
+
+
+def test_op_feeding_only_genset_not_pruned(spark):
+    """An op whose output exists solely to feed a genset's join key must
+    survive dead-op pruning (parse.clj:640-682 + genset join vars)."""
+    src = [("The",), ("quick",), ("Fox",)]
+    stops = [("the",), ("a",)]
+    res = q(["?w"], (src, "?w"),
+            (c.lower, "?w", ":>", "?w2"),
+            (stops, "?w2", ":>", False)).run(spark)
+    assert sorted(res) == [("Fox",), ("quick",)]

@@ -83,3 +83,19 @@ def test_option_predicate_in_body(spark):
     dup = [(1, 1), (1, 1), (2, 2)]
     rows = q(["?x", "?y"], (dup, "?x", "?y"), (":distinct", True)).run(spark)
     assert sorted(rows) == [(1, 1), (2, 2)]
+
+
+def test_bad_sort_var_clear_error():
+    """:sort on an unavailable var fails at plan time with the logic-var
+    name, not a downstream Spark UNRESOLVED_COLUMN."""
+    import pandas as pd
+
+    from cascalog_spark.ops import defbufferfn
+
+    @defbufferfn(returns=["int"])
+    def firstv(pdf):
+        return pd.DataFrame({"x": [int(pdf.iloc[0, 0])]})
+
+    with pytest.raises(ValueError, match=r":sort references unavailable"):
+        q(["?k", "?f"], ([(1, 2)], "?k", "?v"),
+          (firstv, "?v", ":>", "?f"), sort=["?typo"])
