@@ -180,11 +180,37 @@ def fixed_sample(n: int, seed=None) -> LimitAgg:
 
 
 # ---------------------------------------------------------------------------
-# operator combinators (ops.clj:14-150) — compose Column-expression ops
+# operator combinators (ops.clj:14-150).  Column-expression members compose
+# into one Column expression (stays JVM-side); Python-fn members compose
+# into one Python fn (ONE UDF instead of n).  Mixing the two kinds in a
+# single combinator is rejected — a Column fn can't run on Python values
+# nor vice versa; use separate predicates instead.
+
+def _combine_mode(ops, what: str) -> str:
+    if all(getattr(o, "column_fn", None) is not None for o in ops):
+        return "column"
+    if all(getattr(o, "py_fn", None) is not None for o in ops):
+        return "py"
+    raise ValueError(
+        f"{what}: cannot combine JVM-expression ops with Python-fn ops in "
+        "one combinator; compose same-kind ops or use separate predicates")
+
 
 def comp(*ops):
     """Compose map ops right-to-left (c/comp, ops.clj:34-44)."""
     ops = [o for o in ops]
+    if _combine_mode(ops, "comp") == "py":
+        def py_fn(*vals):
+            vals = list(vals)
+            for op in reversed(ops):
+                out = op.py_fn(*vals)
+                vals = list(out) if op.n_out > 1 else [out]
+            return tuple(vals) if len(vals) > 1 else vals[0]
+
+        first = ops[0]
+        return MapOp(name="comp", py_fn=py_fn,
+                     returns=list(first.returns) or ["string"],
+                     n_out=first.n_out)
 
     def column_fn(*cs):
         vals = list(cs)
@@ -198,6 +224,12 @@ def comp(*ops):
 
 def juxt(*ops):
     """Apply n ops to same inputs producing n outputs (c/juxt, ops.clj:46-55)."""
+    if _combine_mode(ops, "juxt") == "py":
+        return MapOp(name="juxt",
+                     py_fn=lambda *vals: tuple(op.py_fn(*vals) for op in ops),
+                     returns=[
+                         (list(op.returns) or ["string"])[0] for op in ops],
+                     n_out=len(ops))
 
     def column_fn(*cs):
         return [op.column_fn(*cs) for op in ops]
@@ -206,7 +238,11 @@ def juxt(*ops):
 
 
 def each(op):
-    """Apply a 1-in/1-out op to every input var (c/each, ops.clj:57-70)."""
+    """Apply a 1-in/1-out op to every input var (c/each, ops.clj:57-70).
+    Column-expression ops only (output arity is the input arity, which a
+    Python UDF's fixed return schema can't express)."""
+    if getattr(op, "column_fn", None) is None:
+        raise ValueError(f"each({op.name}): requires a Column-expression op")
 
     def column_fn(*cs):
         return [op.column_fn(c) for c in cs]
@@ -217,26 +253,40 @@ def each(op):
 
 
 def partial(op, *consts):
-    """Partially apply leading args with constants (c/partial, ops.clj:72-84)."""
-    fn = op.column_fn
+    """Partially apply leading args with constants (c/partial, ops.clj:72-84).
+    Preserves the op's kind, return types and arity."""
+    import dataclasses
 
-    def column_fn(*cs):
-        return fn(*[F.lit(k) for k in consts], *cs)
-
-    cls = type(op)
-    if isinstance(op, FilterOp):
-        return FilterOp(name=f"partial-{op.name}", column_fn=column_fn)
-    return cls(name=f"partial-{op.name}", column_fn=column_fn)
+    if isinstance(op, ParallelAgg):
+        return ParallelAgg(
+            name=f"partial-{op.name}",
+            expr_fn=lambda *cs: op.expr_fn(*[F.lit(k) for k in consts], *cs),
+            n_out=op.n_out, returns=op.returns)
+    kwargs = {}
+    if op.column_fn is not None:
+        cfn = op.column_fn
+        kwargs["column_fn"] = \
+            lambda *cs: cfn(*[F.lit(k) for k in consts], *cs)
+    if op.py_fn is not None:
+        pfn = op.py_fn
+        kwargs["py_fn"] = lambda *vals: pfn(*consts, *vals)
+    return dataclasses.replace(op, name=f"partial-{op.name}", **kwargs)
 
 
 def negate(filter_op: FilterOp) -> FilterOp:
     """c/negate (ops.clj:98-107)."""
+    if filter_op.column_fn is not None:
+        return FilterOp(name=f"not-{filter_op.name}",
+                        column_fn=lambda *cs: ~filter_op.column_fn(*cs))
     return FilterOp(name=f"not-{filter_op.name}",
-                    column_fn=lambda *cs: ~filter_op.column_fn(*cs))
+                    py_fn=lambda *vals: not filter_op.py_fn(*vals))
 
 
 def all_filters(*fops) -> FilterOp:
     """c/all — conjunction of filters (ops.clj:109-129)."""
+    if _combine_mode(fops, "all_filters") == "py":
+        return FilterOp(name="all",
+                        py_fn=lambda *v: all(f.py_fn(*v) for f in fops))
 
     def column_fn(*cs):
         acc = fops[0].column_fn(*cs)
@@ -249,6 +299,9 @@ def all_filters(*fops) -> FilterOp:
 
 def any_filters(*fops) -> FilterOp:
     """c/any — disjunction of filters (ops.clj:131-150)."""
+    if _combine_mode(fops, "any_filters") == "py":
+        return FilterOp(name="any",
+                        py_fn=lambda *v: any(f.py_fn(*v) for f in fops))
 
     def column_fn(*cs):
         acc = fops[0].column_fn(*cs)

@@ -179,6 +179,16 @@ class Compiler:
         out_cols = [self.namer.col(o) for o in outs]
         args = self._arg_cols(node.infields)
 
+        tmpl = getattr(op, "sql_template", None)
+        if tmpl is not None:
+            # expr_op: SQL template over the physical column names / SQL
+            # literals — full Catalyst optimization, zero Python at runtime
+            frags = [f"`{self.namer.col(f)}`" if V.is_var(f) else _sql_lit(f)
+                     for f in node.infields]
+            if len(outs) != 1:
+                raise ValueError(f"expr_op {op.name} emits exactly 1 output")
+            df = df.withColumn(out_cols[0], F.expr(tmpl.format(*frags)))
+            return self._null_filter(df, outs)
         if isinstance(op, MapOp):
             if op.column_fn is not None:
                 res = op.column_fn(*args)
@@ -536,3 +546,15 @@ class Compiler:
 
 def _ddl(t: str) -> T.DataType:
     return T.StructType.fromDDL(f"x {t}")[0].dataType
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported SQL literal for expr_op: {v!r}")

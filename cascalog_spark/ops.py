@@ -13,7 +13,6 @@ user Python functions fall back to (Arrow-vectorized pandas) UDFs.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Sequence
 
@@ -186,7 +185,7 @@ def defmapfn(returns="string", n_out: int = 1, name: Optional[str] = None):
         rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
         op = MapOp(name=name or fn.__name__, py_fn=fn,
                    returns=[parse_type(t) for t in rts], n_out=n_out)
-        return functools.wraps(fn)(op) if False else op
+        return op
 
     return deco
 
@@ -297,14 +296,9 @@ def expr_op(name: str, template: str, n_out: int = 1) -> MapOp:
     Example: ``expr_op("tax", "{0} * (1 + {1})")``.
     """
 
-    def column_fn(*cols):
-        # Column objects stringify via internal names, so route through F.expr
-        # by requiring the caller to pass through ``_sql_name``-annotated cols.
-        raise RuntimeError("expr_op is resolved by the compiler")
-
-    op = MapOp(name=name, column_fn=column_fn, n_out=n_out)
-    op.sql_template = template  # type: ignore[attr-defined]
-    return op
+    op = MapOp(name=name, n_out=n_out)
+    op.sql_template = template  # resolved by the compiler against the
+    return op                   # physical column names (ApplicationNode)
 
 
 # ---------------------------------------------------------------------------

@@ -140,8 +140,10 @@ def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
     if isinstance(op, FilterOp) and outfields:
         # filter-as-value capture (predicate.clj:170-187): boolean becomes a
         # column instead of filtering
+        from .ops import parse_type
         bool_op = MapOp(name=f"{op.name}-value", column_fn=op.column_fn,
-                        py_fn=op.py_fn, returns=["boolean"], n_out=1)
+                        py_fn=op.py_fn, returns=[parse_type("boolean")],
+                        n_out=1)
         op = bool_op
 
     if isinstance(op, (MapOp, MapcatOp)) and not outfields:
@@ -158,23 +160,32 @@ def _expand_outvars(rp: RawPredicate, fresh_filters: list) -> RawPredicate:
     predicates (parse.clj:565-589 ``split-outvar-constants``)."""
     new_out = []
     for o in rp.outfields:
-        if V.is_var(o) and not V.is_wildcard(o):
+        if V.is_wildcard(o):
+            # `_` in output position: ignore it (vars.clj:81-83) — a fresh
+            # NULLABLE var, no filter (a ?-var would drop null-output rows)
+            new_out.append(V.gen_nullable_var())
+            continue
+        if V.is_var(o):
             new_out.append(o)
             continue
-        fv = V.gen_var("?")
-        new_out.append(fv)
         if callable(o) or isinstance(o, FilterOp):
+            fv = V.gen_var("?")
+            new_out.append(fv)
             guard = lift(o, has_output=False)
             fresh_filters.append(
                 RawPredicate(kind="filter", op=guard, infields=[fv]))
-        else:
-            from .builtin import eq as _eq
-            fresh_filters.append(
-                RawPredicate(kind="filter",
-                             op=FilterOp(name="const-eq",
-                                         column_fn=lambda c, _k=o: c.eqNullSafe(_k) if _k is not None else c.isNull(),
-                                         py_fn=lambda x, _k=o: x == _k),
-                             infields=[fv]))
+            continue
+        # constant in output position → equality filter; for None the fresh
+        # var must be nullable, else the ?-null-filter drops the very rows
+        # the isNull filter keeps
+        fv = V.gen_nullable_var() if o is None else V.gen_var("?")
+        new_out.append(fv)
+        fresh_filters.append(
+            RawPredicate(kind="filter",
+                         op=FilterOp(name="const-eq",
+                                     column_fn=lambda c, _k=o: c.eqNullSafe(_k) if _k is not None else c.isNull(),
+                                     py_fn=lambda x, _k=o: x == _k),
+                         infields=[fv]))
     rp.outfields = new_out
     return rp
 
@@ -224,8 +235,17 @@ def normalize_query(outfields, predicates, options: Optional[dict] = None
                            aggregators=aggs, options=options)
 
 
+ALLOWED_OPTIONS = {"distinct", "sort", "reverse", "trap", "name",
+                   "reducers", "spill-threshold", "spill_threshold",
+                   "stats-fn", "stats_fn", "limit"}
+
+
 def _validate(outfields, gens, gensets, ops_, aggs, options) -> None:
     """parse.clj:104-154 ``validate-predicates!``."""
+    unknown = sorted(k for k in options if k not in ALLOWED_OPTIONS)
+    if unknown:
+        raise ValueError(f"unknown query option(s) {unknown}; "
+                         f"allowed: {sorted(ALLOWED_OPTIONS)}")
     if not gens:
         raise ValueError("query needs at least one generator")
     buffers = [a for a in aggs if isinstance(a.op, (BufferOp, LimitAgg))]

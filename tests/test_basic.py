@@ -214,3 +214,20 @@ def test_shared_subquery_fanout_persisted(spark):
                 if a1 == a2 and p1 < p2]
     rows = [tuple(r) for r in df.collect()]
     assert sorted(rows) == sorted(expected)
+
+
+def test_wildcard_and_none_in_output_position(spark):
+    """`_` output position is ignored (vars.clj:81-83); binding an output
+    to None keeps exactly the rows where the op returns null."""
+    from cascalog_spark.builtin import juxt
+    from cascalog_spark.ops import defmapfn
+
+    two = juxt(c.add, c.sub)
+    res = q(["?a"], ([(1, 2), (3, 4)], "?x", "?y"),
+            (two, "?x", "?y", ":>", "?a", "_")).run(spark)
+    assert sorted(res) == [(3,), (7,)]
+
+    nullify = defmapfn(returns="int")(lambda v: None if v == 1 else v)
+    res = q(["?x"], ([(1,), (2,)], "?x"),
+            (nullify, "?x", ":>", None)).run(spark)
+    assert sorted(res) == [(1,)]

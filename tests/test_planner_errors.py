@@ -99,3 +99,10 @@ def test_bad_sort_var_clear_error():
     with pytest.raises(ValueError, match=r":sort references unavailable"):
         q(["?k", "?f"], ([(1, 2)], "?k", "?v"),
           (firstv, "?v", ":>", "?f"), sort=["?typo"])
+
+
+def test_unknown_option_rejected():
+    """A typo'd option key errors at define time instead of being silently
+    ignored (options.clj:44-69 conflicting/unknown handling)."""
+    with pytest.raises(ValueError, match="unknown query option"):
+        q(["?x"], ([(1,)], "?x"), distnct=True)

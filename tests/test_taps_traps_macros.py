@@ -278,3 +278,64 @@ def test_decoded_tap_base64_records(spark, tmp_path):
                      schema="id bigint, name string")
     rows = sorted(tuple(r) for r in tap.load_df(spark).collect())
     assert rows == [(1, "ann"), (2, "bo")]
+
+
+def test_combinators_compose_python_ops(spark):
+    """c/negate, c/all, c/partial, c/juxt over PYTHON-fn ops — the reference
+    composes arbitrary ops (ops.clj:14-150), not just expression ops."""
+    from cascalog_spark.builtin import partial as c_partial
+    from cascalog_spark.ops import deffilterfn, defmapfn
+
+    @deffilterfn
+    def is_small(v):
+        return v < 3
+
+    @deffilterfn
+    def is_odd(v):
+        return v % 2 == 1
+
+    assert sorted(q(["?x"], ([(1,), (5,)], "?x"),
+                    (c.negate(is_small), "?x")).run(spark)) == [(5,)]
+    assert sorted(q(["?x"], ([(1,), (2,), (5,)], "?x"),
+                    (c.all_filters(is_small, is_odd), "?x")
+                    ).run(spark)) == [(1,)]
+    assert sorted(q(["?x"], ([(1,), (2,), (5,)], "?x"),
+                    (c.any_filters(is_small, is_odd), "?x")
+                    ).run(spark)) == [(1,), (2,), (5,)]
+    dbl = defmapfn(returns="bigint")(lambda k, v: k * v)
+    assert sorted(q(["?d"], ([(3,), (4,)], "?x"),
+                    (c_partial(dbl, 10), "?x", ":>", "?d")
+                    ).run(spark)) == [(30,), (40,)]
+    # mixing JVM-expression and Python ops is rejected with a clear error
+    with pytest.raises(ValueError, match="cannot combine"):
+        c.all_filters(is_small, c.odd)
+
+
+def test_expr_op_sql_template(spark):
+    """expr_op: SQL template resolved against physical columns/literals —
+    stays fully JVM-side (WholeStageCodegen)."""
+    from cascalog_spark.ops import expr_op
+
+    tax = expr_op("tax", "{0} * 2 + {1}")
+    res = q(["?t"], ([(1, 2), (3, 4)], "?x", "?y"),
+            (tax, "?x", "?y", ":>", "?t")).run(spark)
+    assert sorted(res) == [(4,), (10,)]
+    lit = expr_op("with_lit", "concat({0}, {1})")
+    res = q(["?s"], ([("a",), ("b",)], "?x"),
+            (lit, "?x", "~z", ":>", "?s")).run(spark)
+    assert sorted(res) == [("a~z",), ("b~z",)]
+
+
+def test_python_filter_as_value_with_trap(spark):
+    """Filter-as-value capture of a PYTHON filter under :trap — the boolean
+    return type must be a parsed DataType for the trapped UDF schema."""
+    from cascalog_spark.ops import deffilterfn
+
+    @deffilterfn
+    def odd(v):
+        return v % 2 == 1
+
+    trapped = []
+    res = q(["?x", "?o"], ([(1,), (2,)], "?x"), (odd, "?x", ":>", "?o"),
+            trap=lambda df: trapped.append(df)).run(spark)
+    assert sorted(res) == [(1, True), (2, False)]
