@@ -31,6 +31,8 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
     Returns (key_cols..., keep_id, n_dups).  One shuffle; map-side partial
     aggregation applies (native min/count).
     """
+    if keep not in ("min", "max"):
+        raise ValueError(f"exact_dedup: keep must be 'min' or 'max', got {keep!r}")
     agg_fn = F.min if keep == "min" else F.max
     return (df.groupBy(*key_cols)
               .agg(agg_fn(id_col).alias("keep_id"),
@@ -195,11 +197,16 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
     n_chunks = min(max_hamming + 1, 32)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     h = simhash(df.select(id_col, text_col), text_col, "sh")
+
+    def _chunk(i):
+        width = bounds[i + 1] - bounds[i]
+        if width >= 64:  # single-chunk case: the mask would overflow LongType
+            return F.col("sh")
+        return (F.shiftright(F.col("sh"), bounds[i])
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
     chunks = F.array(*[
-        F.struct(F.lit(i).alias("chunk"),
-                 F.shiftright(F.col("sh"), bounds[i])
-                 .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-                 .alias("cv"))
+        F.struct(F.lit(i).alias("chunk"), _chunk(i).alias("cv"))
         for i in range(n_chunks)])
     blocked = h.select(id_col, "sh", F.explode(chunks).alias("c")) \
                .select(id_col, "sh", F.col("c.chunk").alias("chunk"),
@@ -271,11 +278,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     sh = (with_shingles(df, text_col, n, "__sh")
           .select(F.col(id_col).alias("id"),
                   F.explode(F.col("__sh")).alias("shingle")))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefilter:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
                .where(F.col("df_") > 1000).select("shingle"))
         sh = sh.join(hot, on="shingle", how="left_anti")
+    # sizes AFTER the prefilter: numerator and denominator must count the
+    # same shingle universe or hot-shingle docs get a deflated Jaccard
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, on="shingle", how="inner")
               .where(F.col("a.id") < F.col("b.id"))

@@ -133,6 +133,19 @@ def ivf_assign_col(vec: Column,
     return -F.array_max(F.array(*entries))["ncid"]
 
 
+def _probe_cells(centroids, query_vec, n_probe: int) -> list:
+    """The n_probe centroid ids nearest the query by cosine (ties -> lowest
+    id) — shared by build-time and read-time probing so they can't diverge."""
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = ((sum(x * x for x in a) ** 0.5)
+               * (sum(y * y for y in b) ** 0.5)) or 1.0
+        return num / den
+
+    return [cid for cid, _ in sorted(
+        centroids, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0]))[:n_probe]]
+
+
 def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
@@ -145,14 +158,7 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     partition heaps, no global sort).
     """
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
-
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den
-
-    probe = [cid for cid, _ in sorted(
-        cents, key=lambda cv: (-_cos(query_vec, cv[1]), cv[0]))[:n_probe]]
+    probe = _probe_cells(cents, query_vec, n_probe)
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
     return (df.withColumn("__cell", ivf_assign_col(vec, cents))
@@ -162,7 +168,7 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def ivf_write_index(df: DataFrame, path: str, query_dims_example=None,
+def ivf_write_index(df: DataFrame, path: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_centroids: int = 16,
                     mode: str = "overwrite") -> list[tuple[int, list[float]]]:
@@ -186,13 +192,7 @@ def ivf_query_index(spark, path: str,
     """ANN top-k against an ``ivf_write_index`` layout: the `__cell IN
     probe` predicate is a PARTITION filter — only the probed cells' files
     are read (check ``PartitionFilters`` in the scan)."""
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den
-
-    probe = [cid for cid, cv in sorted(
-        centroids, key=lambda c_: (-_cos(query_vec, c_[1]), c_[0]))[:n_probe]]
+    probe = _probe_cells(centroids, query_vec, n_probe)
     df = spark.read.parquet(path).where(F.col("__cell").isin(probe))
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
@@ -217,6 +217,10 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                     .withColumn("__sig", F.lit(0))
     else:
         dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_probe is None:  # empty corpus -> no pairs
+            return (df.select(F.col(id_col).alias("id_a"),
+                              F.col(id_col).alias("id_b"),
+                              F.lit(0.0).alias("sim")).limit(0))
         planes = _hyperplanes(dim_probe["d"], n_planes, seed)
         blocked = df.select(F.col(id_col), vec.alias("v")) \
                     .withColumn("__sig", lsh_signature_col(F.col("v"), planes))

@@ -92,6 +92,10 @@ class JdbcTap(Tap):
         opts = {"url": self.url, "dbtable": self.table,
                 **self.read_options}
         if self.partition_column:
+            if self.lower_bound is None or self.upper_bound is None:
+                raise ValueError(
+                    "JdbcTap: partition_column requires lower_bound and "
+                    "upper_bound (Spark partitions the scan by range)")
             opts.update(partitionColumn=self.partition_column,
                         lowerBound=str(self.lower_bound),
                         upperBound=str(self.upper_bound),
@@ -142,8 +146,11 @@ class BucketedTap(Tap):
 @dataclass
 class CsvTap(Tap):
     """hfs-delimited analog (more_taps.clj:11-80): delimiter, header,
-    quote, strict (FAILFAST) / safe (DROPMALFORMED) / default PERMISSIVE,
-    per-column types via ``schema`` (the ``:classes`` option)."""
+    quote, per-column types via ``schema`` (the ``:classes`` option).
+    Cascading semantics: ``strict`` (arity mismatch throws) or ``safe=False``
+    (coercion error throws) → FAILFAST; default → PERMISSIVE (bad values
+    become null).  To drop malformed rows instead, pass
+    ``read_options={"mode": "DROPMALFORMED"}``."""
 
     fmt: str = "csv"
     delimiter: str = "\t"
@@ -153,8 +160,7 @@ class CsvTap(Tap):
     safe: bool = True
 
     def __post_init__(self):
-        mode = ("FAILFAST" if self.strict
-                else ("DROPMALFORMED" if not self.safe else "PERMISSIVE"))
+        mode = "FAILFAST" if (self.strict or not self.safe) else "PERMISSIVE"
         base = {"sep": self.delimiter, "header": str(self.header).lower(),
                 "quote": self.quote, "mode": mode}
         if self.schema is None:

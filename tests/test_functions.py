@@ -259,3 +259,32 @@ def test_shingle_fingerprint_stability(spark):
         ["id", "text"])
     out = {r.id: r.shingle_fp for r in shingle_fingerprint(df).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_simhash_near_dups_exact_match(spark):
+    """max_hamming=0 is the single-chunk case: equi-join on the full hash
+    (the 64-bit mask must not overflow LongType)."""
+    from cascalog_spark.functions.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),
+         (3, "a completely different sentence here")], ["doc_id", "text"])
+    pairs = [tuple(r) for r in
+             simhash_near_dups(docs, "doc_id", max_hamming=0).collect()]
+    assert pairs == [(1, 2, 0)]
+
+
+def test_cosine_pairs_empty_corpus(spark):
+    from cascalog_spark.functions.similarity import cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert cosine_pairs(empty).count() == 0
+
+
+def test_exact_dedup_rejects_bad_keep(spark):
+    from cascalog_spark.functions.dedup import exact_dedup
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="keep must be"):
+        exact_dedup(docs, ["text"], "doc_id", keep="first")

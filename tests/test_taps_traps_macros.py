@@ -339,3 +339,17 @@ def test_python_filter_as_value_with_trap(spark):
     res = q(["?x", "?o"], ([(1,), (2,)], "?x"), (odd, "?x", ":>", "?o"),
             trap=lambda df: trapped.append(df)).run(spark)
     assert sorted(res) == [(1, True), (2, False)]
+
+
+def test_csv_tap_mode_mapping_and_jdbc_bounds():
+    """Cascading semantics: strict or safe=False -> FAILFAST, default
+    PERMISSIVE; JDBC partitioned reads demand explicit bounds."""
+    from cascalog_spark.sources import CsvTap, JdbcTap
+
+    assert CsvTap(path="/tmp/x.csv").read_options["mode"] == "PERMISSIVE"
+    assert CsvTap(path="/tmp/x.csv", safe=False).read_options["mode"] == \
+        "FAILFAST"
+    assert CsvTap(path="/tmp/x.csv", strict=True).read_options["mode"] == \
+        "FAILFAST"
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        JdbcTap(url="jdbc:x", table="t", partition_column="id")._opts()
