@@ -116,6 +116,20 @@ AUDIO_META_SCHEMA = T.StructType([
 ])
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+META_SCHEMAS = {"image": IMAGE_META_SCHEMA, "audio": AUDIO_META_SCHEMA,
+                "video": VIDEO_META_SCHEMA}
+
+
 def _meta_cols(schema: T.StructType) -> list[str]:
     return [f.name for f in schema.fields]
 
@@ -134,7 +148,10 @@ def extract_media_metadata(df: DataFrame, kind: str = "image",
     """
     id_cols = id_cols if id_cols is not None else \
         [c for c in df.columns if c != content_col]
-    meta_schema = IMAGE_META_SCHEMA if kind == "image" else AUDIO_META_SCHEMA
+    meta_schema = META_SCHEMAS.get(kind)
+    if meta_schema is None:
+        raise ValueError(f"unknown media kind {kind!r}; register a schema in "
+                         f"META_SCHEMAS (have: {sorted(META_SCHEMAS)})")
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols] + list(meta_schema.fields))
     codec = _codec(kind)

@@ -151,7 +151,8 @@ def line_dup_ratio(df: DataFrame, text_col: str = "text",
     """Gopher-style repetition signal: fraction of a document's lines that
     are duplicates of an earlier line (0.0 = all unique).  Native
     split/array_distinct/size — no UDF."""
-    lines = F.filter(F.split(F.col(text_col), sep),
+    import re as _re
+    lines = F.filter(F.split(F.col(text_col), _re.escape(sep)),
                      lambda x: x != F.lit(""))
     n = F.size(lines)
     ratio = F.when(n > 0,

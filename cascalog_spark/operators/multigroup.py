@@ -55,6 +55,13 @@ def multigroup_n(spark: SparkSession, gens: list, group_fields: list[str],
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     cols_per_branch = [df.columns for df in dfs]
+    # the union pads missing columns with nulls, which silently floats
+    # integral pandas dtypes; remember which columns to restore per branch
+    int_cols_per_branch = [
+        [f.name for f in df.schema.fields
+         if f.dataType.simpleString() in ("tinyint", "smallint", "int",
+                                          "bigint")]
+        for df in dfs]
     tagged = [df.withColumn("__branch", F.lit(i))
               for i, df in enumerate(dfs)]
     u = tagged[0]
@@ -66,8 +73,14 @@ def multigroup_n(spark: SparkSession, gens: list, group_fields: list[str],
     def apply_fn(key, pdf):
         # closure captures only column lists + count — never the DataFrames
         # (they drag SparkContext into the pickle)
-        frames = [pdf.loc[pdf["__branch"] == i, cols_per_branch[i]]
-                  for i in range(n_branches)]
+        frames = []
+        for i in range(n_branches):
+            f = pdf.loc[pdf["__branch"] == i, cols_per_branch[i]]
+            ints = [c for c in int_cols_per_branch[i]
+                    if c in f.columns and f[c].dtype.kind == "f"]
+            if ints:  # nullable Int64 keeps exact integer semantics
+                f = f.astype({c: "Int64" for c in ints})
+            frames.append(f)
         return multibuffer(key, *frames)
 
     return u.groupBy(*group_fields).applyInPandas(apply_fn, schema)

@@ -99,22 +99,21 @@ class Workflow:
                 done.add(s.name)
 
         pending = [s for s in self.steps if s.name not in done]
-        sem = threading.Semaphore(max_parallel)
 
         def run_step(s: Step) -> None:
-            with sem:
-                try:
-                    for d in s.tmp_dirs:
-                        os.makedirs(d, exist_ok=True)
-                    s.fn()
-                    with open(self._marker(s.name), "w") as f:
-                        f.write("ok")
-                    with lock:
-                        done.add(s.name)
-                        status[s.name] = "done"
-                except Exception as e:
-                    with lock:
-                        errors.append((s.name, e))
+            # parallelism is bounded by the pool's max_workers
+            try:
+                for d in s.tmp_dirs:
+                    os.makedirs(d, exist_ok=True)
+                s.fn()
+                with open(self._marker(s.name), "w") as f:
+                    f.write("ok")
+                with lock:
+                    done.add(s.name)
+                    status[s.name] = "done"
+            except Exception as e:
+                with lock:
+                    errors.append((s.name, e))
 
         with ThreadPoolExecutor(max_workers=max_parallel) as pool:
             futures = {}
@@ -134,4 +133,9 @@ class Workflow:
         if errors:
             name, e = errors[0]
             raise RuntimeError(f"workflow step {name!r} failed: {e}") from e
+        unfinished = [s.name for s in self.steps if s.name not in done]
+        if unfinished:
+            raise RuntimeError(
+                f"workflow steps never became runnable (dependency cycle or "
+                f"dep on an impossible step): {unfinished}")
         return status

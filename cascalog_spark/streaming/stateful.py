@@ -29,8 +29,9 @@ def running_counts(stream_df: DataFrame, key_col: str,
         state.update((n,))
         yield pd.DataFrame({key_col: [key[0]], out_col: [n]})
 
+    key_t = stream_df.schema[key_col].dataType.simpleString()
     return (stream_df.groupBy(key_col).applyInPandasWithState(
-        fn, f"{key_col} long, {out_col} bigint", "n bigint",
+        fn, f"{key_col} {key_t}, {out_col} bigint", "n bigint",
         "update", GroupStateTimeout.NoTimeout))
 
 

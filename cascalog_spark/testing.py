@@ -24,7 +24,9 @@ def doublify(t):
 
 
 def _key(t):
-    return tuple(repr(x) for x in doublify(t))
+    # bytearray (Spark's BinaryType collect form) must compare equal to bytes
+    return tuple(repr(bytes(x) if isinstance(x, bytearray) else x)
+                 for x in doublify(t))
 
 
 def multiset_equal(expected, actual, approx: bool = False) -> bool:
@@ -51,10 +53,17 @@ def _approx_equal(expected, actual, rel=1e-9):
     return True
 
 
+def _run(query, spark):
+    if hasattr(query, "run"):
+        return query.run(spark)
+    if hasattr(query, "to_df"):
+        return [tuple(r) for r in query.to_df(spark).collect()]
+    return [tuple(r) for r in query.collect()]
+
+
 def assert_produces(query, spark, expected, approx: bool = False):
     """test?- analog: run query, compare as multiset, raise with diff."""
-    actual = query.run(spark) if hasattr(query, "run") else \
-        [tuple(r) for r in query.collect()]
+    actual = _run(query, spark)
     if not multiset_equal(expected, actual, approx=approx):
         ce, ca = Counter(map(_key, expected)), Counter(map(_key, actual))
         missing = ce - ca
@@ -63,14 +72,6 @@ def assert_produces(query, spark, expected, approx: bool = False):
             f"query produced wrong result.\n expected: {sorted(map(repr, expected))}\n"
             f" actual:   {sorted(map(repr, actual))}\n"
             f" missing:  {list(missing)}\n extra:    {list(extra)}")
-
-
-def _run(query, spark):
-    if hasattr(query, "run"):
-        return query.run(spark)
-    if hasattr(query, "to_df"):
-        return [tuple(r) for r in query.to_df(spark).collect()]
-    return [tuple(r) for r in query.collect()]
 
 
 def produces_some(query, spark, expected) -> bool:

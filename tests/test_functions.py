@@ -288,3 +288,18 @@ def test_exact_dedup_rejects_bad_keep(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="keep must be"):
         exact_dedup(docs, ["text"], "doc_id", keep="first")
+
+
+def test_line_dup_ratio_regex_special_sep(spark):
+    """A regex-special separator is treated literally."""
+    from cascalog_spark.functions.text import line_dup_ratio
+
+    d = spark.createDataFrame([("a.b.a",)], "text string")
+    v = line_dup_ratio(d, sep=".").collect()[0]["line_dup_ratio"]
+    assert abs(v - (1 - 2 / 3)) < 1e-6
+
+
+def test_multiset_equal_bytes_vs_bytearray():
+    from cascalog_spark.testing import multiset_equal
+
+    assert multiset_equal([(b"png",)], [(bytearray(b"png"),)])

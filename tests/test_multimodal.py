@@ -88,3 +88,19 @@ def test_media_exact_dedup(spark):
                       ["content_sha1"], "media_id")
     got = sorted((r.keep_id, r.n_dups) for r in out.collect())
     assert got == [(1, 2), (3, 1)]
+
+
+def test_video_codec_metadata_schema(spark):
+    """kind='video' gets its own schema — registered codec dimensions are
+    kept, unknown kinds are rejected."""
+    from cascalog_spark.functions.multimodal import (extract_media_metadata,
+                                                     register_codec)
+
+    register_codec("video", lambda b: {"format": "mp4", "width": 640,
+                                       "height": 480})
+    vdf = spark.createDataFrame([(1, bytearray(b"xx"))],
+                                "id long, content binary")
+    row = extract_media_metadata(vdf, kind="video").collect()[0]
+    assert (row["format"], row["width"], row["height"]) == ("mp4", 640, 480)
+    with pytest.raises(ValueError, match="unknown media kind"):
+        extract_media_metadata(vdf, kind="hologram")

@@ -235,3 +235,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     stream_to_memory(deduped, "dedup_out")
     got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect())
     assert got == ["a", "b", "c"]
+
+
+def test_running_counts_string_key(spark, tmp_path):
+    """Stateful running counts must derive the key column's type from the
+    stream schema (not assume long)."""
+    from cascalog_spark.streaming import running_counts
+
+    src = str(tmp_path / "rc_in")
+    spark.createDataFrame([("a",), ("a",), ("b",)], "user string") \
+         .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user string").parquet(src)
+    sq = (running_counts(stream, "user").writeStream.format("memory")
+          .queryName("rc_str_t").outputMode("update")
+          .trigger(availableNow=True).start())
+    sq.awaitTermination()
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM rc_str_t").collect())
+    assert rows == [("a", 2), ("b", 1)]
+
+
+def test_workflow_dependency_cycle_raises(tmp_path):
+    from cascalog_spark.plans import Workflow
+
+    wf = Workflow(str(tmp_path))
+    wf.step("a", lambda: None, deps=["b"])
+    wf.step("b", lambda: None, deps=["a"])
+    with pytest.raises(RuntimeError, match="never became runnable"):
+        wf.run()
+
+
+def test_multigroup_n_preserves_integer_dtypes(spark):
+    """Branch columns padded by the union must come back as exact integers
+    (nullable Int64), not float64."""
+    import pandas as pd
+
+    from cascalog_spark.operators.multigroup import multigroup_n
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")
+    right = spark.createDataFrame([(1, "x")], "k int, s string")
+
+    def buf(key, f0, f1):
+        return pd.DataFrame({"k": [key[0]], "total": [int(f0["v"].sum())],
+                             "dt": [str(f0["v"].dtype)]})
+
+    res = [tuple(r) for r in multigroup_n(
+        spark, [left, right], ["k"], buf,
+        "k int, total bigint, dt string").collect()]
+    assert res == [(1, 30, "Int64")]
