@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cascalog_spark import c, q
 
-SET = settings(max_examples=8, deadline=None,
+# CSPARK_FUZZ=N deepens the differential fuzz (default 8 examples/property)
+SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "8")),
+               deadline=None,
                suppress_health_check=[HealthCheck.function_scoped_fixture,
                                       HealthCheck.too_slow])
 
