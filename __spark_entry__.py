@@ -748,6 +748,27 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def orders_bigticket_hybrid(spark, sf_dir):
+    """HYBRID grouping: a Python sequential aggregator (defaggregatefn fold,
+    logic/def.clj:78-80) beside native expr aggs in ONE grouping — the
+    native side keeps map-side partial aggregation, the Python side goes
+    through applyInPandas, results joined on the group key.  Integer fold
+    so the result is summation-order independent."""
+    from cascalog_spark.ops import defaggregatefn
+
+    n_big = defaggregatefn(
+        init=lambda: 0,
+        step=lambda acc, tp: acc + (1 if tp > 100000.0 else 0),
+        final=lambda acc: acc, returns=["bigint"], name="n-bigticket")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?o_orderstatus", "?n_big", "?n_orders"],
+             (orders, {"o_orderstatus": "?o_orderstatus",
+                       "o_totalprice": "?tp"}),
+             (n_big, "?tp", ":>", "?n_big"),
+             (c.count, "?n_orders"),
+             ).to_df(spark)
+
+
 def doc_dup_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidate pairs →
     distributed connected components (min-label propagation, iterative,
@@ -850,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dup_ratio": doc_line_dup_ratio,
         "nation_branch_counts": nation_branch_counts,
         "doc_dup_clusters": doc_dup_clusters,
+        "orders_bigticket_hybrid": orders_bigticket_hybrid,
     }
 
 
@@ -1277,6 +1299,12 @@ def oracle_sql() -> dict[str, str]:
                                    / len(lines)::DOUBLE, 6)
                         ELSE 0.0 END AS line_dup_ratio
             FROM l""",
+        "orders_bigticket_hybrid": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+                     AS n_big,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus""",
         "nation_branch_counts": """
             SELECT COALESCE(c.nk, s.nk) AS nk,
                    COALESCE(c.cnt, 0) AS n_cust,
