@@ -136,3 +136,13 @@ def test_cross_join_only_where_declared(spark, sf_dir):
         plan = _plan(entry_mod.queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_hybrid_grouping_keeps_partial_agg(spark, sf_dir):
+    """The native half of a hybrid (expr + Python) grouping must still do
+    map-side partial aggregation; the Python half is one Arrow grouped-map;
+    the two meet in a join — no cartesian, no extra Python stages."""
+    plan = _plan(entry_mod.queries()["orders_bigticket_hybrid"](spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
