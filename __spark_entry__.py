@@ -748,6 +748,31 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking (64-token windows, 16-token overlap) — the
+    LLM-pipeline preprocessing stage; one row per chunk, fully native."""
+    from cascalog_spark.functions import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, max_tokens=64, overlap=16)
+
+
+def doc_pii_redaction(spark, sf_dir):
+    """PII scrubbing with RE2-safe patterns (identical cross-engine): a
+    synthetic email is appended per doc so the oracle exercises real
+    masking, then emails/phones/ipv4 are redacted and counted."""
+    from cascalog_spark.functions import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact: user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com")).alias("text"))
+    out = redact_pii(docs)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4",
+                      F.md5(F.col("redacted")).alias("redacted_md5"))
+
+
 def orders_bigticket_hybrid(spark, sf_dir):
     """HYBRID grouping: a Python sequential aggregator (defaggregatefn fold,
     logic/def.clj:78-80) beside native expr aggs in ONE grouping — the
@@ -872,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_branch_counts": nation_branch_counts,
         "doc_dup_clusters": doc_dup_clusters,
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
+        "doc_chunks": doc_chunks,
+        "doc_pii_redaction": doc_pii_redaction,
     }
 
 
@@ -1299,6 +1326,63 @@ def oracle_sql() -> dict[str, str]:
                                    / len(lines)::DOUBLE, 6)
                         ELSE 0.0 END AS line_dup_ratio
             FROM l""",
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) > 0 THEN
+                       list_transform(
+                         range(0, greatest(CAST(ceil(
+                           greatest(len(toks) - 16, 0) / 48.0) AS BIGINT), 1)),
+                         i -> array_to_string(
+                                list_slice(toks, i*48 + 1, i*48 + 64), ' '))
+                     ELSE [] END AS chunks
+              FROM t)
+            SELECT doc_id, chunk_idx, chunk,
+                   len(list_filter(regexp_split_to_array(chunk, '\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM (SELECT doc_id,
+                         generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+                         unnest(chunks) AS chunk
+                  FROM c) u""",
+        "doc_pii_redaction": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1
+              FROM d),
+            p AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone,
+                     regexp_replace(t1, '\+?[0-9][0-9()\-\s]{7,}[0-9]',
+                                    '[PHONE]', 'g') AS t2
+              FROM e),
+            i AS (
+              SELECT doc_id, n_email, n_phone,
+                     len(regexp_extract_all(t2,
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                       AS n_ipv4,
+                     regexp_replace(t2,
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                       '[IPV4]', 'g') AS redacted
+              FROM p)
+            SELECT doc_id, n_email, n_phone, n_ipv4,
+                   md5(redacted) AS redacted_md5
+            FROM i""",
         "orders_bigticket_hybrid": """
             SELECT o_orderstatus,
                    sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)

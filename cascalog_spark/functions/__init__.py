@@ -11,7 +11,8 @@ from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
-from .text import (clean_text, doc_fingerprint, lang_id, line_dup_ratio,
+from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
+                   line_dup_ratio, redact_pii,
                    quality_score, token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

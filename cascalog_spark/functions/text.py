@@ -159,3 +159,63 @@ def line_dup_ratio(df: DataFrame, text_col: str = "text",
                    F.round(1.0 - F.size(F.array_distinct(lines))
                            / n.cast("double"), 6)).otherwise(0.0)
     return df.withColumn(out_col, ratio)
+
+
+def chunk_text(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preprocessing stage of an LLM training pipeline.
+
+    Output: one row per chunk, ``(id_col, chunk_idx, chunk, n_tokens)``.
+    Windows advance by ``max_tokens - overlap`` tokens; the last window may
+    be short; empty docs yield no rows.  Fully native (split / sequence /
+    slice / posexplode) — scales with the scan, no Python."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("chunk_text: need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # number of windows = ceil(max(n - overlap, 0) / step), min 1 when n>0
+    n_chunks = F.when(
+        n > 0, F.ceil((F.greatest(n - F.lit(overlap), F.lit(0)))
+                      / F.lit(step)).cast("int")).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, max_tokens)))
+    chunks = F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+    out = (df.select(F.col(id_col), F.posexplode(chunks)
+                     .alias("chunk_idx", "chunk")))
+    return out.withColumn(
+        "n_tokens", F.size(F.filter(F.split(F.col("chunk"), r"\s+"),
+                                    lambda t: t != F.lit(""))))
+
+
+# RE2-safe patterns (no lookaround) — identical semantics in Spark's Java
+# regex and DuckDB's RE2, so redaction is oracle-checkable cross-engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted",
+               kinds: list[str] | None = None) -> DataFrame:
+    """Mask PII spans with ``[KIND]`` tokens and count them per kind —
+    the scrubbing stage of a training-data pipeline.
+
+    Adds ``out_col`` plus one ``n_<kind>`` count column per pattern.
+    Patterns are RE2-safe so the same regexes run in any engine.  Order
+    matters: emails are masked before phones so digit runs inside an
+    address aren't double-counted."""
+    kinds = list(kinds or PII_PATTERNS)
+    out = df
+    red = F.col(text_col)
+    for k in kinds:
+        pat = PII_PATTERNS[k]
+        out = out.withColumn(
+            f"n_{k}", F.size(F.regexp_extract_all(red, F.lit(pat), 0)))
+        red = F.regexp_replace(red, pat, f"[{k.upper()}]")
+    return out.withColumn(out_col, red)

@@ -303,3 +303,36 @@ def test_multiset_equal_bytes_vs_bytearray():
     from cascalog_spark.testing import multiset_equal
 
     assert multiset_equal([(b"png",)], [(bytearray(b"png"),)])
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    from cascalog_spark.functions import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),  # 10 tokens
+         (2, "x y"),                  # shorter than one window
+         (3, ""),                     # empty -> no rows
+         ], "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+            for r in chunk_text(docs, max_tokens=4, overlap=2).collect()}
+    # step=2: windows of 4 tokens starting at 0,2,4,6 -> ceil((10-2)/2)=4
+    assert rows[(1, 0)] == ("a b c d", 4)
+    assert rows[(1, 1)] == ("c d e f", 4)
+    assert rows[(1, 3)] == ("g h i j", 4)
+    assert rows[(2, 0)] == ("x y", 2)
+    assert not any(k[0] == 3 for k in rows)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, max_tokens=4, overlap=4)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from cascalog_spark.functions import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com or call +1 (555) 123-4567 from 10.0.0.1")],
+        "doc_id long, text string")
+    r = redact_pii(docs).collect()[0]
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (1, 1, 1)
+    assert "[EMAIL]" in r.redacted and "[PHONE]" in r.redacted \
+        and "[IPV4]" in r.redacted
+    assert "a@b.com" not in r.redacted
