@@ -634,7 +634,10 @@ def events_stream_daily_counts(spark, sf_dir):
             active.stop()
     sq = (agg.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_daily_counts: bounded stream did "
+                           "not drain within 300s")
     return (spark.table(name)
             .select(F.col("w.start").alias("day"), "event_type", "n",
                     "total_value"))
@@ -904,7 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # -- oracle SQL helpers ------------------------------------------------------
 
-_TOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_TOKS = (r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
+         r"x -> x != '')")
 
 
 def _shingle_sql(k: int = 3) -> str:
@@ -1096,7 +1100,7 @@ def oracle_sql() -> dict[str, str]:
             islands AS (
               SELECT user_id, ts,
                      sum(CASE WHEN prev_ts IS NULL
-                              OR ts - prev_ts > INTERVAL '30 minutes'
+                              OR ts - prev_ts >= INTERVAL '30 minutes'
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS session_id
@@ -1141,10 +1145,10 @@ def oracle_sql() -> dict[str, str]:
                      / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)
                      >= 0.6 THEN 0.3 ELSE 0.0 END)
             + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
-                     / (CASE WHEN len(list_filter(string_split(lower(text),' '),
-                                                  x -> x != '')) > 0
-                             THEN len(list_filter(string_split(lower(text),' '),
-                                                  x -> x != ''))
+                     / (CASE WHEN len(list_filter(regexp_split_to_array(
+                                        lower(text), '\s+'), x -> x != '')) > 0
+                             THEN len(list_filter(regexp_split_to_array(
+                                        lower(text), '\s+'), x -> x != ''))
                              ELSE 1 END)) BETWEEN 3 AND 12
                     THEN 0.3 ELSE 0.0 END), 1)::DOUBLE AS quality
             FROM documents""",
@@ -1195,8 +1199,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10""",
         "embedding_label_centroid_sim": """
             WITH elem AS (
-              SELECT label, i, embedding[i] AS v
-              FROM embeddings, range(1, 65) t(i)),
+              SELECT label, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings),
             m AS (
               SELECT label, i, sum(v) / count(*) AS mean_v
               FROM elem GROUP BY label, i)

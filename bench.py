@@ -4,7 +4,8 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced to full materialization via the noop sink (no driver
-collect, no disk write) so the measured time is the real plan execution.
+collect of results; the two ANN queries do fetch their query vector via a
+driver round-trip first — that lookup is part of the operation, no disk write) so the measured time is the real plan execution.
 """
 
 from __future__ import annotations
