@@ -751,6 +751,33 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def events_value_lag(spark, sf_dir):
+    """Windowed projection (SURVEY §2.5): each event with the user's
+    previous event value — lag over (ts, event_id) order, one shuffle on
+    user_id, streaming per-partition evaluation (no group buffer)."""
+    from cascalog_spark.functions.window import with_lag
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_lag(ev, "value", keys=["user_id"],
+                   order=[F.col("ts").asc(), F.col("event_id").asc()],
+                   out_col="prev_value")
+    return out.select("event_id", "user_id", "value", "prev_value")
+
+
+def events_value_running_sum(spark, sf_dir):
+    """Cumulative window aggregate: per-user running sum of value in
+    (ts, event_id) order — deterministic prefix sums, bit-identical
+    cross-engine."""
+    from cascalog_spark.functions.window import with_cumulative
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_cumulative(ev, F.sum("value"), keys=["user_id"],
+                          order=[F.col("ts").asc(), F.col("event_id").asc()],
+                          out_col="running_value")
+    return out.select("event_id", "user_id",
+                      F.round("running_value", 4).alias("running_value"))
+
+
 def doc_chunks(spark, sf_dir):
     """Context-window chunking (64-token windows, 16-token overlap) — the
     LLM-pipeline preprocessing stage; one row per chunk, fully native."""
@@ -902,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
         "doc_chunks": doc_chunks,
         "doc_pii_redaction": doc_pii_redaction,
+        "events_value_lag": events_value_lag,
+        "events_value_running_sum": events_value_running_sum,
     }
 
 
@@ -1331,6 +1360,18 @@ def oracle_sql() -> dict[str, str]:
                                    / len(lines)::DOUBLE, 6)
                         ELSE 0.0 END AS line_dup_ratio
             FROM l""",
+        "events_value_lag": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_value
+            FROM events""",
+        "events_value_running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4)
+                     AS running_value
+            FROM events""",
         "doc_chunks": r"""
             WITH t AS (
               SELECT doc_id,

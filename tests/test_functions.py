@@ -336,3 +336,25 @@ def test_redact_pii_masks_and_counts(spark):
     assert "[EMAIL]" in r.redacted and "[PHONE]" in r.redacted \
         and "[IPV4]" in r.redacted
     assert "a@b.com" not in r.redacted
+
+
+def test_window_pack_lag_lead_rolling(spark):
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions.window import (with_cumulative, with_lag,
+                                                 with_lead, with_rolling)
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k int, t int, v double")
+    order = [F.col("t").asc()]
+    out = with_lag(df, "v", ["k"], order, "prev")
+    out = with_lead(out, "v", ["k"], order, "next")
+    out = with_cumulative(out, F.sum("v"), ["k"], order, "run")
+    out = with_rolling(out, F.avg("v"), ["k"], order, "avg2", preceding=1)
+    rows = {(r.k, r.t): (r.prev, r.next, r.run, r.avg2)
+            for r in out.collect()}
+    assert rows[(1, 1)] == (None, 20.0, 10.0, 10.0)
+    assert rows[(1, 2)] == (10.0, 30.0, 30.0, 15.0)
+    assert rows[(1, 3)] == (20.0, None, 60.0, 25.0)
+    assert rows[(2, 1)] == (None, None, 5.0, 5.0)
