@@ -751,6 +751,21 @@ def order_price_median(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def doc_url_domains(spark, sf_dir):
+    """URL/domain source stats for a web corpus — a per-doc URL is
+    synthesized (docs have none) so the oracle exercises real extraction;
+    domains bucket by doc_id % 7."""
+    from cascalog_spark.functions import url_domain_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.col("text"),
+                 F.lit(" see https://site"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/page?id="),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return url_domain_counts(docs)
+
+
 def events_value_lag(spark, sf_dir):
     """Windowed projection (SURVEY §2.5): each event with the user's
     previous event value — lag over (ts, event_id) order, one shuffle on
@@ -931,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": doc_pii_redaction,
         "events_value_lag": events_value_lag,
         "events_value_running_sum": events_value_running_sum,
+        "doc_url_domains": doc_url_domains,
     }
 
 
@@ -1360,6 +1376,20 @@ def oracle_sql() -> dict[str, str]:
                                    / len(lines)::DOUBLE, 6)
                         ELSE 0.0 END AS line_dup_ratio
             FROM l""",
+        "doc_url_domains": r"""
+            WITH d AS (
+              SELECT text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example.com/page?id=' || CAST(doc_id AS VARCHAR)
+                       AS text
+              FROM documents),
+            u AS (
+              SELECT unnest(regexp_extract_all(text,
+                       'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?')) AS url
+              FROM d)
+            SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+                     AS domain,
+                   count(*) AS n_urls
+            FROM u GROUP BY 1""",
         "events_value_lag": """
             SELECT event_id, user_id, value,
                    lag(value) OVER (PARTITION BY user_id

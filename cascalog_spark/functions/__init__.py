@@ -12,7 +12,7 @@ from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk, lsh_ann_topk)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
-                   line_dup_ratio, redact_pii,
+                   line_dup_ratio, redact_pii, url_domain_counts,
                    quality_score, token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

@@ -219,3 +219,19 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             f"n_{k}", F.size(F.regexp_extract_all(red, F.lit(pat), 0)))
         red = F.regexp_replace(red, pat, f"[{k.upper()}]")
     return out.withColumn(out_col, red)
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+
+
+def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-corpus source stats: extract URLs (RE2-safe pattern), reduce to
+    registrable host, count per domain.  explode + groupBy — shuffles on
+    the domain key only."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    dom = F.lower(F.regexp_extract(F.col("url"),
+                                   r"https?://([A-Za-z0-9.-]+)", 1))
+    return (df.select(F.explode(urls).alias("url"))
+            .select(dom.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls")))
