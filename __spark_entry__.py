@@ -977,13 +977,17 @@ def _minhash_sql(num_perm: int) -> str:
 
 
 def _lsh_sig_sql(vec_expr: str, n_planes: int, dim: int = 64,
-                 seed: int = 42) -> str:
+                 seed: int = 42, total_planes: int | None = None,
+                 offset: int = 0) -> str:
     """DuckDB expression for the random-hyperplane LSH signature — same
-    deterministic planes as functions/similarity._hyperplanes."""
+    deterministic planes as functions/similarity._hyperplanes.  For banded
+    signatures, ``total_planes`` planes are generated and the band uses
+    planes [offset, offset+n_planes) with bit weights 2^0..2^(n-1)."""
     from cascalog_spark.functions.similarity import _hyperplanes
 
+    planes = _hyperplanes(dim, total_planes or n_planes, seed)
     terms = []
-    for i, p in enumerate(_hyperplanes(dim, n_planes, seed)):
+    for i, p in enumerate(planes[offset:offset + n_planes]):
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
         terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
                      f"THEN {2 ** i} ELSE 0 END)")

@@ -51,7 +51,13 @@ class Query:
         df = compiler.compile(self.plan())
         self._trap_dfs = compiler.trap_dfs
         self._persisted = compiler.persisted
-        return df.toDF(*out_names(self.outfields))
+        df = df.toDF(*out_names(self.outfields))
+        limit = self.options.get("limit")
+        if limit is not None:
+            # extension option (no reference analog): cap rows after the
+            # final projection; compiles to GlobalLimit/CollectLimit
+            df = df.limit(int(limit))
+        return df
 
     def flush_traps(self) -> None:
         """Write diverted error rows to the trap sink (:trap option,

@@ -42,7 +42,9 @@ gt = column_filter("gt", lambda a, b: a > b)
 lte = column_filter("lte", lambda a, b: a <= b)
 gte = column_filter("gte", lambda a, b: a >= b)
 eq = column_filter("eq", lambda *cs: _all_pairs_eq(cs))
-ne = column_filter("ne", lambda a, b: a != b)
+# null-safe negation: Clojure (not= nil nil) is false; plain != drops
+# rows where either side is null (ADVICE r1)
+ne = column_filter("ne", lambda a, b: ~a.eqNullSafe(b))
 odd = column_filter("odd", lambda c: c % 2 != 0)
 even = column_filter("even", lambda c: c % 2 == 0)
 is_null = column_filter("is_null", lambda c: c.isNull())
@@ -50,9 +52,12 @@ not_null = column_filter("not_null", lambda c: c.isNotNull())
 
 
 def _all_pairs_eq(cs):
-    acc = cs[0] == cs[1]
+    # eqNullSafe: Clojure (= nil nil) is true, and the engine's implicit
+    # dup-var equality uses null-safe compare — keep !var semantics
+    # consistent (ADVICE r1)
+    acc = cs[0].eqNullSafe(cs[1])
     for c in cs[2:]:
-        acc = acc & (cs[0] == c)
+        acc = acc & cs[0].eqNullSafe(c)
     return acc
 
 

@@ -283,6 +283,14 @@ def _attempt_join(tails: list[Tail]) -> list[Tail]:
 # main build (parse.clj:685-709 build-rule)
 
 
+def _binding_vars(bindings) -> set:
+    """Vars bound by a generator/genset binding list (dict or positional)."""
+    vals = (bindings[0].values()
+            if len(bindings) == 1 and isinstance(bindings[0], dict)
+            else bindings)
+    return {b for b in vals if V.is_var(b)}
+
+
 def prune_operations(nq: NormalizedQuery) -> list:
     """Dead-operation elimination (parse.clj:640-682): fixed-point removal of
     map ops whose outputs reach no output field / op input / agg input / sort
@@ -290,11 +298,19 @@ def prune_operations(nq: NormalizedQuery) -> list:
     reference).  Catalyst prunes dead Column exprs anyway — this exists to
     skip planning unused *UDF* applications, which Catalyst can't see into."""
     ops = list(nq.operations)
-    if any(rp.kind == "op" and not rp.infields for rp in ops):
+    # parse.clj:669-676 — pruning is disabled when ANY zero-input op, filter,
+    # or aggregator exists (e.g. c/count), not just zero-input map ops.
+    if any(not rp.infields for rp in ops) or \
+            any(not a.infields for a in nq.aggregators):
         return ops
     while True:
         needed = set(nq.outfields)
         needed |= set(nq.options.get("sort") or [])
+        for g in nq.generators:
+            # parse.clj:660-682 includes generator outvars: an op output that
+            # unifies with a generator-bound var IS an implicit equality
+            # constraint and must not be pruned.
+            needed |= _binding_vars(g.bindings)
         for rp in ops:
             needed |= {f for f in rp.infields if V.is_var(f)}
         for a in nq.aggregators:
@@ -302,10 +318,7 @@ def prune_operations(nq: NormalizedQuery) -> list:
         for gs in nq.gensets:
             # genset join vars (parse.clj:441-447): an op may exist solely
             # to feed the semi/anti-join key
-            bs = gs.bindings
-            vals = (bs[0].values() if len(bs) == 1 and isinstance(bs[0], dict)
-                    else bs)
-            needed |= {b for b in vals if V.is_var(b)}
+            needed |= _binding_vars(gs.bindings)
         removable = [rp for rp in ops
                      if rp.kind == "op" and rp.outfields
                      and not (set(rp.outfields) & needed)]

@@ -231,3 +231,53 @@ def test_wildcard_and_none_in_output_position(spark):
     res = q(["?x"], ([(1,), (2,)], "?x"),
             (nullify, "?x", ":>", None)).run(spark)
     assert sorted(res) == [(1,)]
+
+
+def test_prune_keeps_op_unifying_with_generator_var(spark):
+    """ADVICE r1 (high): an op whose output var unifies with a
+    generator-bound var is an implicit equality constraint and must NOT be
+    pruned (parse.clj:660-682 includes generator outvars in needed-fields)."""
+    res = q(["?a"], ([(1, 2), (1, 3)], "?a", "?b"),
+            (c.add, "?a", 1, ":>", "?b")).run(spark)
+    assert sorted(res) == [(1,)]
+    # named-binding generators too
+    src = spark.createDataFrame([(1, 2), (1, 3)], ["x", "y"])
+    res = q(["?a"], (src, {"x": "?a", "y": "?b"}),
+            (c.add, "?a", 1, ":>", "?b")).run(spark)
+    assert sorted(res) == [(1,)]
+
+
+def test_prune_disabled_by_zero_input_filter_and_agg():
+    """Pruning is disabled when ANY zero-input op/filter/aggregator exists
+    (parse.clj:669-676), not just zero-input map ops."""
+    from cascalog_spark.ops import deffilterfn
+    from cascalog_spark.planner import prune_operations
+    from cascalog_spark.predicates import normalize_query
+
+    always = deffilterfn()(lambda: True)
+    nq = normalize_query(["?a"], [([(1,)], "?a"),
+                                  (always,),
+                                  (c.add, "?a", 1, ":>", "?dead")], {})
+    assert len(prune_operations(nq)) == len(nq.operations)
+
+    nq2 = normalize_query(["?a", "?n"], [([(1,)], "?a"),
+                                         (c.count, ":>", "?n"),
+                                         (c.add, "?a", 1, ":>", "?dead")], {})
+    assert len(prune_operations(nq2)) == len(nq2.operations)
+
+
+def test_eq_ne_null_semantics(spark):
+    """ADVICE r1 (low): c.eq/c.ne are null-safe for !vars —
+    (= nil nil) is true in Clojure."""
+    rows = [(None, None), (1, None), (2, 2), (2, 3)]
+    res = q(["!x", "!y"], (rows, "!x", "!y"), (c.eq, "!x", "!y")).run(spark)
+    assert sorted(res, key=str) == sorted([(2, 2), (None, None)], key=str)
+    res = q(["!x", "!y"], (rows, "!x", "!y"), (c.ne, "!x", "!y")).run(spark)
+    assert sorted(res, key=str) == sorted([(1, None), (2, 3)], key=str)
+
+
+def test_limit_option(spark):
+    """ADVICE r1 (low): `limit` option caps rows after final projection
+    instead of silently no-opping."""
+    res = q(["?a"], ([(i,) for i in range(10)], "?a"), limit=3).run(spark)
+    assert len(res) == 3
