@@ -216,6 +216,10 @@ def band_signature_cols(planes: list[list[float]], bands: int, r_bits: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # `from __future__ import annotations` stringifies hints; resolve them
+    # against this function's globals for pandas_udf's type inference
+    globals().setdefault("pd", pd)
+
     P = np.asarray(planes, dtype=np.float64).T  # dim × (bands·r)
     weights = (2 ** np.arange(r_bits)).astype(np.int64)
 
@@ -279,10 +283,11 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                                   F.lit(0.0).alias("sim")).limit(0))
             dim = dim_probe["d"]
         planes = _hyperplanes(dim, bands * n_planes, seed)
+        vcol = F.col("v")
         if bands == 1:
-            bands_arr = F.array(lsh_signature_col(vec, planes).cast("long"))
+            bands_arr = F.array(lsh_signature_col(vcol, planes).cast("long"))
         else:
-            bands_arr = band_signature_cols(planes, bands, n_planes)(vec)
+            bands_arr = band_signature_cols(planes, bands, n_planes)(vcol)
         # norms once per ROW so each of the O(pairs-per-bucket) join rows
         # costs a single dot product instead of dot + two norm aggregates
         normed = (df.select(F.col(id_col), vec.alias("v"))

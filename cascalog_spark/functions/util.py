@@ -21,6 +21,17 @@ def ensure_parallelism(df: DataFrame,
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Partition-count probe WITHOUT df.rdd: with AQE on, .rdd materializes
+    # query stages (can run real jobs — r1 bench paid this twice per query).
+    # inputFiles() is a driver-side metadata call; a file source with >=
+    # target files already scans wide (parquet row-group splits only add
+    # partitions).  Non-file sources fall back to the RDD probe.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
