@@ -888,6 +888,53 @@ def nation_branch_counts(spark, sf_dir):
                       "nk int, n_cust bigint, n_supp bigint")
 
 
+def nation_balance_spread(spark, sf_dir):
+    """General defparallelbuf (ParallelBuffer, logic/def.clj:109-135;
+    cascading/platform.clj:252-278): map-side init/combine fold via
+    mapInPandas (no shuffle), reduce-side buffer over the partial
+    intermediates — acctbal spread + count per nation.  min/max/count are
+    order-independent so the result is bit-stable across engines."""
+    from cascalog_spark.ops import defparallelbuf
+
+    spread = defparallelbuf(
+        init=lambda v: (v, v, 1),
+        combine=lambda a, b: (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2]),
+        buffer=lambda inters: [(
+            max(i[1] for i in inters) - min(i[0] for i in inters),
+            sum(i[2] for i in inters))],
+        inter_returns=["double", "double", "long"],
+        returns=["double", "long"], n_out=2, name="bal-spread")
+    cust = _t(spark, sf_dir, "customer")
+    return q(["?nk", "?bal_spread", "?n_cust"],
+             (cust, {"c_nationkey": "?nk", "c_acctbal": "?bal"}),
+             (spread, "?bal", ":>", "?bal_spread", "?n_cust"),
+             ).to_df(spark)
+
+
+def orders_running_total_cents(spark, sf_dir):
+    """defbufferiterfn (logic/def.clj:86-88): streaming iterator buffer —
+    per-customer running total of order prices (in cents, so the cumulative
+    integer sum is bit-stable across engines), orders sorted by orderkey.
+    Compiles to repartition+sortWithinPartitions+mapInPandas: the group is
+    never materialized (api_test.clj:453-468 iterator semantics)."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint", "bigint"], n_out=2, name="run-total")
+    def running_total(rows):
+        acc = 0
+        for ok, tp in rows:
+            acc += int(round(tp * 100))
+            yield (ok, acc)
+
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?ck", "?ok2", "?rt_cents"],
+             (orders, {"o_custkey": "?ck", "o_orderkey": "?ok",
+                       "o_totalprice": "?tp"}),
+             (running_total, "?ok", "?tp", ":>", "?ok2", "?rt_cents"),
+             sort=["?ok"],
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -954,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_lengths": doc_clean_lengths,
         "doc_line_dup_ratio": doc_line_dup_ratio,
         "nation_branch_counts": nation_branch_counts,
+        "nation_balance_spread": nation_balance_spread,
+        "orders_running_total_cents": orders_running_total_cents,
         "doc_dup_clusters": doc_dup_clusters,
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
         "doc_chunks": doc_chunks,
@@ -1499,6 +1548,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM customer GROUP BY 1) c
             FULL JOIN (SELECT s_nationkey AS nk, count(*) AS cnt
                        FROM supplier GROUP BY 1) s ON c.nk = s.nk""",
+        "nation_balance_spread": """
+            SELECT c_nationkey AS nk,
+                   max(c_acctbal) - min(c_acctbal) AS bal_spread,
+                   count(*) AS n_cust
+            FROM customer GROUP BY 1""",
+        "orders_running_total_cents": """
+            SELECT o_custkey AS ck, o_orderkey AS ok2,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey) AS rt_cents
+            FROM orders""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
                      AS total_qty,

@@ -22,7 +22,8 @@ from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
                   defbufferfn, deffilterfn, defmapcatfn, defmapfn,
-                  defparallelagg, defprepfn, filterfn, mapcatfn, mapfn)
+                  defbufferiterfn, defparallelagg, defparallelbuf,
+                  defprepfn, filterfn, mapcatfn, mapfn)
 from .vars import gen_var, is_ground, is_ungrounding, is_var
 
 __version__ = "0.1.0"
@@ -34,7 +35,9 @@ __all__ = [
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",
     "select_fields", "name_vars", "out_names",
     "defmapfn", "defmapcatfn", "deffilterfn", "defaggregatefn",
-    "defbufferfn", "defparallelagg", "defprepfn", "mapfn", "mapcatfn",
+    "defbufferfn", "defbufferiterfn", "defparallelagg", "defparallelbuf",
+    "defprepfn",
+    "mapfn", "mapcatfn",
     "filterfn",
     "column_op", "column_filter",
     "MapOp", "MapcatOp", "FilterOp", "ParallelAgg", "SequentialAgg",

@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import vars as V
-from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
-                  SequentialAgg)
+from .ops import (BufferIterOp, BufferOp, FilterOp, LimitAgg, MapcatOp,
+                  MapOp, ParallelAgg, ParallelBufOp, SequentialAgg)
 from .planner import (ApplicationNode, EqualityFilterNode, ExistenceJoinNode,
                       FilterNode, GeneratorNode, GroupingNode, JoinNode,
                       MergeNode, Node, ProjectionNode, UniqueNode)
@@ -377,6 +377,10 @@ class Compiler:
 
         if len(aggs) == 1 and isinstance(aggs[0].op, LimitAgg):
             return self._compile_limit(df, node, aggs[0])
+        if len(aggs) == 1 and isinstance(aggs[0].op, ParallelBufOp):
+            return self._compile_parallel_buf(df, node, aggs[0])
+        if len(aggs) == 1 and isinstance(aggs[0].op, BufferIterOp):
+            return self._compile_buffer_iter(df, node, aggs[0])
         expr_aggs = [a for a in aggs
                      if isinstance(a.op, ParallelAgg) and a.op.expr_fn is not None]
         py_aggs = [a for a in aggs if a not in expr_aggs]
@@ -456,6 +460,180 @@ class Compiler:
         if rank_var:
             sel.append(F.col(rn).alias(self.namer.col(rank_var)))
         return df.select(*sel)
+
+    def _compile_parallel_buf(self, df, node: GroupingNode, rp) -> DataFrame:
+        """General ParallelBuffer (defparallelbuf, logic/def.clj:109-135;
+        cascading/platform.clj:252-278 ClojureBufferCombiner).
+
+        Stage 1 (``mapInPandas``, NO shuffle) folds each partition's rows
+        per group key with init/combine — the map-side combiner — so the
+        shuffle carries one intermediate row per (partition, key).
+        Stage 2 (``applyInPandas``) runs the user buffer over the collected
+        intermediates.  At scale the shuffle volume is O(partitions ×
+        distinct-keys), independent of input row count."""
+        import pandas as pd
+
+        op: ParallelBufOp = rp.op
+        namer = self.namer
+        group_cols = [namer.col(f) for f in node.group_fields]
+        # constants in agg input position → literal columns
+        in_cols = []
+        for i, f in enumerate(rp.infields):
+            if V.is_var(f):
+                in_cols.append(namer.col(f))
+            else:
+                cname = f"__pbconst_{i}"
+                df = df.withColumn(cname, F.lit(f))
+                in_cols.append(cname)
+        out_cols = [namer.col(o) for o in rp.outfields]
+        if len(out_cols) != op.n_out:
+            raise ValueError(f"{op.name}: declares {op.n_out} outputs, "
+                             f"bound to {len(out_cols)} vars")
+
+        global_agg = not group_cols
+        gkey = "__g"
+        if global_agg:
+            df = df.withColumn(gkey, F.lit(1))
+            group_cols_eff = [gkey]
+        else:
+            group_cols_eff = group_cols
+
+        src_schema = {f.name: f for f in df.schema.fields}
+        inter_cols = [f"__pb_{i}" for i in range(op.n_inter)]
+        stage1_fields = [src_schema[c] for c in group_cols_eff]
+        stage1_fields += [T.StructField(c, t)
+                          for c, t in zip(inter_cols, op.inter_returns)]
+        stage1_schema = T.StructType(stage1_fields)
+        init_fn, combine_fn, present_fn = \
+            op.init_fn, op.combine_fn, op.present_fn
+        buffer_fn = op.buffer_fn
+        n_keys = len(group_cols_eff)
+        sel_cols = group_cols_eff + in_cols
+        stage1_names = group_cols_eff + inter_cols
+
+        def partial(batches):
+            acc: dict = {}
+            for pdf in batches:
+                for row in pdf[sel_cols].itertuples(index=False, name=None):
+                    key, invals = row[:n_keys], row[n_keys:]
+                    inter = tuple(init_fn(*invals))
+                    prev = acc.get(key)
+                    acc[key] = inter if prev is None \
+                        else tuple(combine_fn(prev, inter))
+            if acc:
+                rows = []
+                for key, inter in acc.items():
+                    if present_fn is not None:
+                        inter = tuple(present_fn(inter))
+                    rows.append(key + inter)
+                yield pd.DataFrame(rows, columns=stage1_names)
+
+        partials = df.select(*sel_cols).mapInPandas(partial, stage1_schema)
+
+        out_fields = [src_schema[c] for c in group_cols_eff]
+        out_fields += [T.StructField(c, t)
+                       for c, t in zip(out_cols, op.returns)]
+        out_schema = T.StructType(out_fields)
+        out_names = group_cols_eff + out_cols
+
+        def present_group(pdf):
+            keyvals = tuple(pdf[c].iloc[0] for c in group_cols_eff)
+            inters = [tuple(r) for r in
+                      pdf[inter_cols].itertuples(index=False, name=None)]
+            out_rows = [keyvals + tuple(t) for t in buffer_fn(inters)]
+            return pd.DataFrame(out_rows, columns=out_names)
+
+        out = partials.groupBy(*group_cols_eff) \
+                      .applyInPandas(present_group, out_schema)
+        return out.drop(gkey) if global_agg else out
+
+    def _compile_buffer_iter(self, df, node: GroupingNode, rp) -> DataFrame:
+        """defbufferiterfn (logic/def.clj:86-88; api_test.clj:453-468):
+        the op gets a LAZY iterator over the group's rows.
+
+        ``repartition(keys)`` + ``sortWithinPartitions(keys, sort)`` makes
+        each group key-contiguous within one partition; ``mapInPandas``
+        then walks Arrow batches with ``itertools.groupby``, so the op's
+        iterator spans batch boundaries without materializing the group —
+        a group bigger than executor memory streams through (the reference
+        iterator-leak regression is exactly this property)."""
+        import itertools
+
+        import pandas as pd
+
+        op: BufferIterOp = rp.op
+        namer = self.namer
+        group_cols = [namer.col(f) for f in node.group_fields]
+        in_cols = []
+        for i, f in enumerate(rp.infields):
+            if V.is_var(f):
+                in_cols.append(namer.col(f))
+            else:
+                cname = f"__biconst_{i}"
+                df = df.withColumn(cname, F.lit(f))
+                in_cols.append(cname)
+        out_cols = [namer.col(o) for o in rp.outfields]
+
+        global_agg = not group_cols
+        gkey = "__g"
+        if global_agg:
+            df = df.withColumn(gkey, F.lit(1))
+            group_cols_eff = [gkey]
+        else:
+            group_cols_eff = group_cols
+
+        sort_cols = [namer.col(s) for s in node.sort]
+        sel_cols = list(dict.fromkeys(group_cols_eff + sort_cols + in_cols))
+        df = df.select(*sel_cols)
+        n_shuffle = node.reducers or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        df = df.repartition(n_shuffle, *group_cols_eff)
+        sort_exprs = [F.col(c) for c in group_cols_eff]
+        sort_exprs += [F.col(c).desc() if node.reverse else F.col(c).asc()
+                       for c in sort_cols]
+        df = df.sortWithinPartitions(*sort_exprs)
+
+        src_schema = {f.name: f for f in df.schema.fields}
+        out_fields = [src_schema[c] for c in group_cols_eff]
+        out_fields += [T.StructField(c, t)
+                       for c, t in zip(out_cols, op.returns)]
+        out_schema = T.StructType(out_fields)
+        out_names = group_cols_eff + out_cols
+        n_keys = len(group_cols_eff)
+        iter_cols = group_cols_eff + in_cols
+        iter_fn = op.iter_fn
+        CHUNK = 10_000
+
+        def norm_key(r):
+            # None/NaN group keys must compare equal to themselves or
+            # groupby would split a null-key group into per-row groups
+            return tuple(
+                (True, None) if v is None
+                or (isinstance(v, float) and v != v) else (False, v)
+                for v in r[:n_keys])
+
+        def stream(batches):
+            def rows():
+                for pdf in batches:
+                    yield from pdf[iter_cols].itertuples(index=False,
+                                                         name=None)
+
+            out_buf = []
+            for _nk, group in itertools.groupby(rows(), key=norm_key):
+                first = next(group)
+                key = first[:n_keys]
+                chained = itertools.chain([first], group)
+                for t in iter_fn(r[n_keys:] for r in chained):
+                    t = tuple(t) if isinstance(t, (list, tuple)) else (t,)
+                    out_buf.append(key + t)
+                    if len(out_buf) >= CHUNK:
+                        yield pd.DataFrame(out_buf, columns=out_names)
+                        out_buf = []
+            if out_buf:
+                yield pd.DataFrame(out_buf, columns=out_names)
+
+        out = df.mapInPandas(stream, out_schema)
+        return out.drop(gkey) if global_agg else out
 
     def _compile_pandas_grouping(self, df, node: GroupingNode,
                                  aggs=None) -> DataFrame:

@@ -157,6 +157,71 @@ class BufferOp:
 
 
 @dataclass(repr=False)
+class BufferIterOp:
+    """Whole-group function receiving a lazy ITERATOR over the group's rows.
+
+    Reference: ``defbufferiterfn`` (logic/def.clj:86-88, ClojureBufferIter.
+    java; api_test.clj:453-468 is the iterator-semantics regression spec) —
+    unlike ``defbufferfn``, the group is never materialized: the op pulls
+    rows one at a time, so groups larger than memory work.
+
+    Spark: ``repartition(keys)`` + ``sortWithinPartitions(keys, sort)`` +
+    ``mapInPandas`` — rows arrive key-contiguous, ``itertools.groupby``
+    hands the op a true lazy iterator spanning Arrow batch boundaries.
+    Peak memory is one Arrow batch + whatever the op itself retains,
+    independent of group size (vs BufferOp's whole-group pandas frame).
+
+    ``iter_fn(rows)``: rows is an iterator of input-value tuples; returns
+    an iterable (may itself be lazy) of output tuples (scalars allowed for
+    single-output ops).
+    """
+
+    name: str
+    iter_fn: Callable[..., Any] = None
+    returns: Sequence[Any] = ()
+    n_out: int = 1
+
+
+@dataclass(repr=False)
+class ParallelBufOp:
+    """General ParallelBuffer: map-side init/combine partial aggregation
+    feeding a reduce-side whole-group buffer.
+
+    Reference: ``defparallelbuf`` (logic/def.clj:109-135) compiled by
+    cascading/platform.clj:252-278 — ClojureBufferCombiner folds each map
+    task's tuples per group key (init + combine), emits one intermediate
+    tuple per (task, key), and the reduce-side buffer runs over the
+    collected intermediates.
+
+    Spark: stage 1 is ``mapInPandas`` (NO shuffle — per-partition dict
+    combine, the analog of the map-side LRU combiner), so the shuffle
+    carries one intermediate row per (partition, key) instead of every
+    input row; stage 2 is ``applyInPandas`` over the intermediates.
+
+    Contract::
+
+        init(*invals)            -> intermediate tuple (len n_inter)
+        combine(a, b)            -> intermediate tuple
+        present(a)               -> intermediate tuple (optional, applied
+                                    map-side after the partition fold)
+        buffer([intermediates])  -> iterable of output tuples (len n_out)
+    """
+
+    name: str
+    init_fn: Callable[..., Any] = None
+    combine_fn: Callable[[Any, Any], Any] = None
+    buffer_fn: Callable[[list], Any] = None
+    present_fn: Optional[Callable[[Any], Any]] = None
+    inter_returns: Sequence[Any] = ()  # Spark types of intermediate fields
+    returns: Sequence[Any] = ()  # Spark types of output fields
+    n_inter: int = 1
+    n_out: int = 1
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<ParallelBufOp {self.name}>"
+
+
+@dataclass(repr=False)
 class LimitAgg:
     """Per-group top-k (reference: ``c/limit`` / ``c/limit-rank``,
     logic/ops.clj:172-226, backed by ParallelBuffer + RandLong).
@@ -219,6 +284,38 @@ def defaggregatefn(init, step, final=None, returns="double", n_out: int = 1,
     rts = returns if isinstance(returns, (list, tuple)) else [returns] * n_out
     return SequentialAgg(name=name, init_fn=init, step_fn=step, final_fn=final,
                          returns=[parse_type(t) for t in rts], n_out=n_out)
+
+
+def defbufferiterfn(returns="string", n_out: int = 1,
+                    name: Optional[str] = None):
+    """Lift a Python iterator-consuming group fn to a streaming buffer
+    (reference ``defbufferiterfn``, logic/def.clj:86-88)."""
+
+    def deco(fn):
+        rts = returns if isinstance(returns, (list, tuple)) \
+            else [returns] * n_out
+        return BufferIterOp(name=name or fn.__name__, iter_fn=fn,
+                            returns=[parse_type(t) for t in rts],
+                            n_out=len(rts))
+
+    return deco
+
+
+def defparallelbuf(init, combine, buffer, present=None,
+                   inter_returns="double", n_inter: int = 1,
+                   returns="double", n_out: int = 1,
+                   name: str = "pbuf") -> ParallelBufOp:
+    """Construct a general ParallelBuffer (reference ``defparallelbuf``,
+    logic/def.clj:109-135).  See ParallelBufOp for the fn contract."""
+    irts = inter_returns if isinstance(inter_returns, (list, tuple)) \
+        else [inter_returns] * n_inter
+    orts = returns if isinstance(returns, (list, tuple)) \
+        else [returns] * n_out
+    return ParallelBufOp(name=name, init_fn=init, combine_fn=combine,
+                         buffer_fn=buffer, present_fn=present,
+                         inter_returns=[parse_type(t) for t in irts],
+                         returns=[parse_type(t) for t in orts],
+                         n_inter=len(irts), n_out=len(orts))
 
 
 def defprepfn(returns="string", n_out: int = 1, name: Optional[str] = None):
@@ -319,7 +416,7 @@ def lift(op, has_output: bool):
     from .builtin import KNOWN_CALLABLES
 
     if isinstance(op, (MapOp, MapcatOp, FilterOp, ParallelAgg, SequentialAgg,
-                       BufferOp, LimitAgg)):
+                       BufferOp, BufferIterOp, LimitAgg, ParallelBufOp)):
         return op
     if isinstance(op, (set, frozenset)):
         vals = sorted(op, key=repr)

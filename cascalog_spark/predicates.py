@@ -19,8 +19,8 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from . import vars as V
-from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
-                  SequentialAgg, lift)
+from .ops import (BufferIterOp, BufferOp, FilterOp, LimitAgg, MapcatOp,
+                  MapOp, ParallelAgg, ParallelBufOp, SequentialAgg, lift)
 
 OUT = ":>"
 IN = ":<"
@@ -28,7 +28,8 @@ IN = ":<"
 OPTION_KEYS = {":distinct", ":sort", ":reverse", ":trap", ":name",
                ":reducers", ":spill-threshold", ":limit"}
 
-AGG_TYPES = (ParallelAgg, SequentialAgg, BufferOp, LimitAgg)
+AGG_TYPES = (ParallelAgg, SequentialAgg, BufferOp, BufferIterOp, LimitAgg,
+             ParallelBufOp)
 
 
 @dataclass
@@ -248,8 +249,9 @@ def _validate(outfields, gens, gensets, ops_, aggs, options) -> None:
                          f"allowed: {sorted(ALLOWED_OPTIONS)}")
     if not gens:
         raise ValueError("query needs at least one generator")
-    buffers = [a for a in aggs if isinstance(a.op, (BufferOp, LimitAgg))]
-    non_buffers = [a for a in aggs if not isinstance(a.op, (BufferOp, LimitAgg))]
+    _buf_types = (BufferOp, BufferIterOp, LimitAgg, ParallelBufOp)
+    buffers = [a for a in aggs if isinstance(a.op, _buf_types)]
+    non_buffers = [a for a in aggs if not isinstance(a.op, _buf_types)]
     if len(buffers) > 1:
         raise ValueError("Multiple buffers aren't allowed in the same query")
     if buffers and non_buffers:

@@ -244,3 +244,153 @@ def test_sequential_agg_constant_infield(spark):
     res = q(["?k", "?s"], (data, "?k", "?v"),
             (addk, "?v", 2, ":>", "?s")).run(spark)
     assert sorted(res) == [(1, 60), (2, 60)]
+
+
+# ---------------------------------------------------------------------------
+# general defparallelbuf (reference logic/def.clj:109-135, ParallelBuffer)
+
+
+def _spread_pbuf():
+    from cascalog_spark.ops import defparallelbuf
+
+    return defparallelbuf(
+        init=lambda v: (v, v, 1),
+        combine=lambda a, b: (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2]),
+        buffer=lambda inters: [(
+            max(i[1] for i in inters) - min(i[0] for i in inters),
+            sum(i[2] for i in inters))],
+        inter_returns=["double", "double", "long"],
+        returns=["double", "long"], n_out=2, name="spread")
+
+
+def test_parallelbuf_grouped(spark):
+    rows = [("a", 1.0), ("a", 5.0), ("a", 2.0), ("b", 10.0), ("b", 4.0)]
+    res = q(["?k", "?spread", "?cnt"], (rows, "?k", "?v"),
+            (_spread_pbuf(), "?v", ":>", "?spread", "?cnt")).run(spark)
+    assert sorted(res) == [("a", 4.0, 3), ("b", 6.0, 2)]
+
+
+def test_parallelbuf_global(spark):
+    rows = [("a", 1.0), ("a", 5.0), ("b", 10.0), ("b", 4.0)]
+    res = q(["?spread", "?cnt"], (rows, "?k", "?v"),
+            (_spread_pbuf(), "?v", ":>", "?spread", "?cnt")).run(spark)
+    assert res == [(9.0, 4)]
+
+
+def test_parallelbuf_present_and_multirow_buffer(spark):
+    """present runs map-side after the partition fold (the reference's
+    extract fn); the buffer may emit multiple rows (limit-style)."""
+    from cascalog_spark.ops import defparallelbuf
+
+    top2 = defparallelbuf(
+        init=lambda v: ([v],),
+        combine=lambda a, b: (sorted(a[0] + b[0], reverse=True)[:2],),
+        present=lambda a: (sorted(a[0], reverse=True)[:2],),
+        buffer=lambda inters: [(x,) for x in
+                               sorted((v for i in inters for v in i[0]),
+                                      reverse=True)[:2]],
+        inter_returns=["array<double>"], returns=["double"], name="top2")
+    rows = [("a", 1.0), ("a", 5.0), ("a", 2.0), ("b", 10.0), ("b", 4.0)]
+    res = q(["?k", "?t"], (rows, "?k", "?v"),
+            (top2, "?v", ":>", "?t")).run(spark)
+    assert sorted(res) == [("a", 2.0), ("a", 5.0), ("b", 4.0), ("b", 10.0)]
+
+
+def test_parallelbuf_cannot_mix_with_aggs():
+    import pytest
+
+    with pytest.raises(ValueError, match="aggregators and buffers"):
+        q(["?k", "?s", "?n"], ([("a", 1.0)], "?k", "?v"),
+          (_spread_pbuf(), "?v", ":>", "?s", "_"),
+          (c.count, "?n"))
+
+
+def test_parallelbuf_shuffle_is_partial(spark):
+    """The exchange carries stage-1 intermediates (one row per partition ×
+    key), not input rows — check the plan shuffles AFTER the first
+    mapInPandas."""
+    rows = [("k%d" % (i % 3), float(i)) for i in range(1000)]
+    df = q(["?k", "?spread", "?cnt"], (rows, "?k", "?v"),
+           (_spread_pbuf(), "?v", ":>", "?spread", "?cnt")).to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two python map stages: partial (MapInPandas) then grouped buffer
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    rows_out = [tuple(r) for r in df.collect()]
+    assert len(rows_out) == 3
+
+
+# ---------------------------------------------------------------------------
+# defbufferiterfn (logic/def.clj:86-88; api_test.clj:453-468 iterator spec)
+
+
+def test_bufferiter_streaming_running_sum(spark):
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["double"], name="running_sum")
+    def running_sum(rows):
+        acc = 0.0
+        for (v,) in rows:
+            acc += v
+            yield (acc,)
+
+    rows = [("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 4.0)]
+    res = q(["?k", "?rs"], (rows, "?k", "?v"),
+            (running_sum, "?v", ":>", "?rs"), sort=["?v"]).run(spark)
+    assert sorted(res) == [("a", 1.0), ("a", 3.0), ("a", 6.0),
+                           ("b", 4.0), ("b", 14.0)]
+
+
+def test_bufferiter_null_group_key(spark):
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint"], name="cnt")
+    def cnt(rows):
+        yield (sum(1 for _ in rows),)
+
+    rows = [(None, 1.0), (None, 2.0), ("x", 5.0)]
+    res = q(["!k", "?n"], (rows, "!k", "?v"),
+            (cnt, "?v", ":>", "?n")).run(spark)
+    assert sorted(res, key=str) == sorted([(None, 2), ("x", 1)], key=str)
+
+
+def test_bufferiter_group_spanning_arrow_batches(spark):
+    """A group larger than one Arrow batch streams through — the iterator
+    spans batch boundaries without materializing the group (the reference
+    iterator-leak regression, api_test.clj:453-468)."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        @defbufferiterfn(returns=["bigint", "double"], n_out=2, name="cl")
+        def cnt_last(rows):
+            n, last = 0, None
+            for (v,) in rows:
+                n += 1
+                last = v
+            yield (n, last)
+
+        big = [("g", float(i)) for i in range(1000)] + [("h", 1.0)]
+        res = q(["?k", "?n", "?last"], (big, "?k", "?v"),
+                (cnt_last, "?v", ":>", "?n", "?last"),
+                sort=["?v"]).run(spark)
+        assert sorted(res) == [("g", 1000, 999.0), ("h", 1, 1.0)]
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_bufferiter_plan_has_no_grouped_map(spark):
+    """The streaming path is mapInPandas after an explicit repartition —
+    no FlatMapGroupsInPandas (whole-group materialization) in the plan."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint"], name="cnt")
+    def cnt(rows):
+        yield (sum(1 for _ in rows),)
+
+    df = q(["?k", "?n"], ([("a", 1.0)], "?k", "?v"),
+           (cnt, "?v", ":>", "?n")).to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
