@@ -32,12 +32,17 @@ from cascalog_spark.functions.text import (STOPWORDS, doc_fingerprint,
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert where needed
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader only accepts as long) and as TIMESTAMP(MICROS);
+        # adapt to whichever schema the driver generated.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer division — ts/1000 in double loses µs precision at ~1.7e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            # integer division — ts/1000 in double loses µs precision ~1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         # compact single-row-group files scan as ONE task; spread the
@@ -634,11 +639,19 @@ def events_stream_daily_counts(spark, sf_dir):
     a bounded stream (availableNow trigger → memory sink) — so the batch
     DuckDB oracle doubles as the streaming correctness check."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
+    # probe the batch schema so the stream adapts to nanos-as-long vs
+    # native-timestamp generations of the driver testdata
+    ts_is_long = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"] in ("bigint", "long")
+    schema = (f"event_id long, ts {'long' if ts_is_long else 'timestamp_ntz'}, "
+              "user_id long, event_type string, value double, props string")
     raw = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 4).alias("total_value")))

@@ -28,7 +28,10 @@ spark.sparkContext.setLogLevel("ERROR")
 schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 events = stream_tap(spark, "parquet", sf_dir, schema=schema,
                     pathGlobFilter="events.parquet")
-events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+if dict(events.dtypes)["ts"] in ("bigint", "long"):  # nanos-as-long generation
+    events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+else:
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
 
 # drop replayed event ids (state evicted once past the watermark), then
 # count per type per day — partial aggregation + watermark-bounded state
