@@ -948,6 +948,23 @@ def orders_running_total_cents(spark, sf_dir):
              ).to_df(spark)
 
 
+def lineitem_charge_vararg(spark, sf_dir):
+    """Vararg ``:<<`` selector (parse.clj:30-52 desugar-selectors): the
+    charge expression's input vector is assembled at runtime — dynamic arity
+    the plain ``:<`` form can't express (pred_macro_test.clj varargs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    charge_inputs = ["?price", "?dfrac", "?tfrac"]  # built dynamically
+    return q(["?flag", "?total_charge"],
+             (li, {"l_returnflag": "?flag", "l_extendedprice": "?price",
+                   "l_discount": "?disc", "l_tax": "?tax"}),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.add, 1.0, "?tax", ":>", "?tfrac"),
+             (c.mult, ":<<", charge_inputs, ":>", "?charge"),
+             (c.sum_agg, "?charge", ":>", "?tc"),
+             (c.round_to(2), "?tc", ":>", "?total_charge"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1016,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_branch_counts": nation_branch_counts,
         "nation_balance_spread": nation_balance_spread,
         "orders_running_total_cents": orders_running_total_cents,
+        "lineitem_charge_vararg": lineitem_charge_vararg,
         "doc_dup_clusters": doc_dup_clusters,
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
         "doc_chunks": doc_chunks,
@@ -1571,6 +1589,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderkey) AS rt_cents
             FROM orders""",
+        "lineitem_charge_vararg": """
+            SELECT l_returnflag AS flag,
+                   round(sum(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax)), 2) AS total_charge
+            FROM lineitem GROUP BY 1""",
         "lineitem_global_stats": """
             SELECT count(*) AS n_rows, round(sum(l_quantity), 2)
                      AS total_qty,

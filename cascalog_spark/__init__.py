@@ -19,6 +19,7 @@ from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   cross_join, defmain, describe_plan, except_gens, execute,
                   first_n, intersect_gens, lazy_generator, name_vars,
                   out_names, q, select_fields, union)
+from .predicates import predmacro
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
                   defbufferfn, deffilterfn, defmapcatfn, defmapfn,
@@ -29,7 +30,8 @@ from .vars import gen_var, is_ground, is_ungrounding, is_var
 __version__ = "0.1.0"
 
 __all__ = [
-    "Query", "Subquery", "q", "c", "parse_query", "combine", "union",
+    "Query", "Subquery", "q", "c", "parse_query", "predmacro",
+    "combine", "union",
     "execute", "first_n",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",

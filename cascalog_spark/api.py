@@ -142,7 +142,16 @@ class _MergedGen:
         for d in dfs[1:]:
             if len(d.columns) != len(base.columns):
                 raise ValueError("combine: generators have different arities")
-            out = out.union(d.toDF(*base.columns))
+            if (set(d.columns) == set(base.columns)
+                    and len(set(d.columns)) == len(d.columns)
+                    and d.columns != base.columns):
+                # same field names, different order: align by NAME like the
+                # reference Merge (algebra.clj sum over tails selects by
+                # field), not positionally — positional rename would silently
+                # cross columns
+                out = out.union(d.select(*base.columns))
+            else:
+                out = out.union(d.toDF(*base.columns))
         return out.distinct() if self.distinct else out
 
 

@@ -24,6 +24,10 @@ from .ops import (BufferIterOp, BufferOp, FilterOp, LimitAgg, MapcatOp,
 
 OUT = ":>"
 IN = ":<"
+VARARG_OUT = ":>>"
+VARARG_IN = ":<<"
+POSITIONAL = ":#>"
+SELECTORS = {IN, OUT, VARARG_IN, VARARG_OUT, POSITIONAL}
 
 OPTION_KEYS = {":distinct", ":sort", ":reverse", ":trap", ":name",
                ":reducers", ":spill-threshold", ":limit"}
@@ -70,22 +74,76 @@ def is_generator(x: object) -> bool:
     return False
 
 
+def _is_selector(a) -> bool:
+    return isinstance(a, str) and a in SELECTORS
+
+
+def _seq_payload(sel: str, payload: list) -> list:
+    """``:<<``/``:>>`` take ONE nested var sequence (parse.clj:30-52
+    desugar-selectors: ``{:>> (["?a"])} => {:>> ["?a"]}``) — the point is a
+    dynamically-built arg vector.  Tolerate the flat spelling too."""
+    if len(payload) == 1 and isinstance(payload[0], (list, tuple)) \
+            and not isinstance(payload[0], str):
+        return list(payload[0])
+    return list(payload)
+
+
 def _split_selector(args: list) -> tuple[list, list]:
-    """Split arg vector at ``:>`` (parse.clj:30-102).  Leading ``:<`` ignored."""
+    """Tokenize the arg vector at selector keywords (parse.clj:30-102
+    ``parse-variables``/``desugar-selectors``/``expand-positional-selector``).
+
+    Supported: ``:<`` input, ``:>`` output, ``:<<`` vararg input (next arg is
+    a var sequence), ``:>>`` vararg output, ``:#> n {pos: var}`` positional
+    output destructuring (unnamed positions get fresh nullable vars)."""
     args = [a for a in args]
-    if args and args[0] == IN:
-        args = args[1:]
-    if IN in args:
+    if not args:
+        return [], []
+    if not _is_selector(args[0]):
+        if not any(_is_selector(a) for a in args):
+            return args, []  # no selector: caller applies the op's default
+        args = [IN] + args  # parse.clj:76-78: implicit leading :<
+    groups: dict[str, list] = {}
+    cur = None
+    for a in args:
+        if _is_selector(a):
+            if a in groups:
+                raise ValueError(f"duplicate selector {a} in {args!r}")
+            cur = a
+            groups[a] = []
+        else:
+            groups[cur].append(a)
+    if IN in groups and VARARG_IN in groups:
+        raise ValueError(f"both ':<' and ':<<' in {args!r}")
+    if sum(k in groups for k in (OUT, VARARG_OUT, POSITIONAL)) > 1:
         raise ValueError(
-            f"':<' selector is only legal at the start of the arg vector "
-            f"(parse.clj:30-102); got {args!r}")
-    if OUT in args:
-        i = args.index(OUT)
-        outs = args[i + 1:]
-        if OUT in outs:
-            raise ValueError(f"multiple ':>' selectors in {args!r}")
-        return args[:i], outs
-    return args, []
+            f"only one of ':>', ':>>', ':#>' is allowed; got {args!r}")
+    ins = _seq_payload(VARARG_IN, groups[VARARG_IN]) \
+        if VARARG_IN in groups else groups.get(IN, [])
+    if POSITIONAL in groups:
+        payload = groups[POSITIONAL]
+        if len(payload) != 2 or not isinstance(payload[0], int) \
+                or not isinstance(payload[1], dict):
+            raise ValueError(
+                f"':#>' takes (field-count, {{position: var}}); got {payload!r}")
+        n, mapping = payload
+        outs = [V.gen_nullable_var() for _ in range(n)]
+        for pos, var in mapping.items():
+            if not isinstance(pos, int) or not 0 <= pos < n:
+                raise ValueError(
+                    f"':#>' position {pos!r} out of range for {n} fields")
+            outs[pos] = var
+    elif VARARG_OUT in groups:
+        outs = _seq_payload(VARARG_OUT, groups[VARARG_OUT])
+    else:
+        outs = groups.get(OUT, [])
+    return ins, outs
+
+
+def predmacro(fn):
+    """Decorator marking ``fn(invars, outvars) -> [predicate tuples]`` as a
+    predicate macro (predmacro.clj:19-128 ``def-predmacro``)."""
+    fn.__predmacro__ = True
+    return fn
 
 
 def is_predmacro(x) -> bool:
