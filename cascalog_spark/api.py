@@ -48,9 +48,16 @@ class Query:
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Compile to a DataFrame with user-facing column names."""
         compiler = Compiler(spark, trap=self.options.get("trap"))
+        df = self._to_df_with(compiler)
+        self._persisted = compiler.persisted
+        return df
+
+    def _to_df_with(self, compiler: Compiler) -> DataFrame:
+        """Compile with a caller-supplied Compiler (multi-sink ``execute``
+        shares one fan-out memo across queries this way; flow.clj:96-112
+        Semigroup-summed flows)."""
         df = compiler.compile(self.plan())
         self._trap_dfs = compiler.trap_dfs
-        self._persisted = compiler.persisted
         df = df.toDF(*out_names(self.outfields))
         limit = self.options.get("limit")
         if limit is not None:
@@ -198,19 +205,78 @@ def name_vars(gen, names) -> _BoundGen:
     return _BoundGen(gen, names=list(names))
 
 
-def execute(spark: SparkSession, query: Query, sink) -> None:
-    """?- : run the query into a sink tap (api.clj:100-111)."""
-    df = query.to_df(spark)
+def _sink_df(df: DataFrame, sink) -> None:
     if hasattr(sink, "save_df"):
         sink.save_df(df)
     elif callable(sink):
         sink(df)
     else:
         raise TypeError(f"not a sink: {sink!r}")
-    if hasattr(query, "flush_traps"):
-        query.flush_traps()
-    if hasattr(query, "unpersist"):
-        query.unpersist()
+
+
+def execute(spark: SparkSession, *args) -> None:
+    """?- : run one or more queries into sink taps.
+
+    Forms (reference ``?-`` takes repeated sink/query pairs and sums the
+    flows into ONE flow — flow.clj:96-112 ``Semigroup`` over ClojureFlow;
+    api.clj:100-111):
+
+    - ``execute(spark, query, sink)``            (single)
+    - ``execute(spark, (q1, s1), (q2, s2), ...)`` (multi-sink, one action set)
+    - ``execute(spark, [(q1, s1), (q2, s2)])``    (same, as a list)
+
+    Multi-sink queries share subplans: any subquery generator referenced by
+    more than one sink's query compiles once and is persisted for the span
+    of the run (the same persist-on-fan-out machinery that dedupes a
+    subquery referenced twice WITHIN a query), so a shared scan/join feeds
+    every sink without recomputation.
+    """
+    if len(args) == 2 and not isinstance(args[0], (tuple, list)):
+        pairs = [(args[0], args[1])]
+    elif len(args) == 1 and isinstance(args[0], list):
+        pairs = list(args[0])
+    else:
+        pairs = list(args)
+    if not pairs:
+        raise ValueError("execute: no (query, sink) pairs given")
+    for p in pairs:
+        if not (isinstance(p, (tuple, list)) and len(p) == 2):
+            raise TypeError(f"execute: expected (query, sink) pair, got {p!r}")
+
+    # cross-query fan-out census: a generator used by several sinks' plans
+    # persists exactly like one used twice within a plan
+    counts: dict[int, int] = {}
+    seen: set[str] = set()
+    census = Compiler(spark)
+    for qy, _ in pairs:
+        if isinstance(qy, Query):
+            census._count_subquery_sources(qy.plan(), counts, seen)
+    shared_memo: dict[int, DataFrame] = {}
+    persisted: list[DataFrame] = []
+
+    try:
+        for qy, sink in pairs:
+            if isinstance(qy, Query):
+                comp = Compiler(spark, trap=qy.options.get("trap"))
+                comp._src_counts = counts
+                comp._src_memo = shared_memo
+                comp.persisted = persisted
+                df = qy._to_df_with(comp)
+            elif isinstance(qy, DataFrame):
+                df = qy
+            elif hasattr(qy, "to_df"):
+                df = qy.to_df(spark)
+            else:
+                raise TypeError(f"not a query/generator: {qy!r}")
+            _sink_df(df, sink)
+            if hasattr(qy, "flush_traps"):
+                qy.flush_traps()
+    finally:
+        for df in persisted:
+            df.unpersist()
+        for qy, _ in pairs:
+            if hasattr(qy, "unpersist"):
+                qy.unpersist()
 
 
 class _BroadcastGen:

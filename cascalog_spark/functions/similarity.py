@@ -113,6 +113,44 @@ def ivf_centroids(df: DataFrame, id_col: str = "vec_id",
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_centroids_kmeans(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_centroids: int = 16, sample_rows: int = 100_000,
+                         seed: int = 42,
+                         max_iter: int = 20) -> list[tuple[int, list[float]]]:
+    """Sampled-KMeans centroids — the scale path for IVF cell seeding.
+
+    ``ivf_centroids``'s first-k-ids seed is deterministic (good for the
+    oracle) but degenerates when the id space is skewed: ids clustered in
+    one region of embedding space yield a handful of giant Voronoi cells.
+    Here we fit KMeans (pyspark.ml) on a bounded random sample — the fit
+    cost is O(sample · k · dim · iters) regardless of corpus size, and the
+    returned table plugs into the exact same ``ivf_assign_col`` /
+    ``ivf_write_index`` / ``ivf_query_index`` interface.
+
+    Sample bound: ``sample_rows`` caps the fit input (a fraction is
+    estimated with one cheap count; the sample is then hard-limited), so a
+    100 TB corpus still fits the driver-side model. Centroid ids are dense
+    0..k-1.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = df.count()
+    if n == 0:
+        return []
+    frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
+    sample = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    sample = sample.limit(sample_rows)
+    feats = sample.select(array_to_vector(F.col("__v")).alias("features"))
+    k = min(n_centroids, max(1, n if n < n_centroids else n_centroids))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_assign_col(vec: Column,
                    centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id by cosine (ties → smallest centroid id).
@@ -148,7 +186,9 @@ def _probe_cells(centroids, query_vec, n_probe: int) -> list:
 
 def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+                 n_centroids: int = 16, n_probe: int = 4,
+                 centroids: list[tuple[int, list[float]]] | None = None
+                 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into ``n_centroids``
     Voronoi cells, probe only the ``n_probe`` cells nearest the query.
 
@@ -157,7 +197,7 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     a native expression, the final top-k is TakeOrderedAndProject (per-
     partition heaps, no global sort).
     """
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    cents = centroids or ivf_centroids(df, id_col, vec_col, n_centroids)
     probe = _probe_cells(cents, query_vec, n_probe)
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
@@ -171,13 +211,15 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def ivf_write_index(df: DataFrame, path: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_centroids: int = 16,
-                    mode: str = "overwrite") -> list[tuple[int, list[float]]]:
+                    mode: str = "overwrite",
+                    centroids: list[tuple[int, list[float]]] | None = None
+                    ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: corpus written partitioned by ``__cell``
     (nearest-centroid id), so an ANN probe scans only n_probe/n_centroids
     of the FILES — at 100 TB the query cost is bounded by the probed cells,
     not the corpus.  Returns the centroid table (persist it beside the
     index; it is O(k·dim))."""
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    cents = centroids or ivf_centroids(df, id_col, vec_col, n_centroids)
     vec = F.col(vec_col).cast("array<double>")
     (df.withColumn("__cell", ivf_assign_col(vec, cents))
        .write.partitionBy("__cell").mode(mode).parquet(path))

@@ -259,3 +259,51 @@ def test_ivf_partial_probe_subset(spark, sf_dir):
     assert 0 < len(res) <= 5
     # query vector itself lives in a probed cell (its own nearest cell)
     assert res[0]["vec_id"] == 0 and res[0]["sim"] == 1.0
+
+
+def test_ivf_kmeans_centroids_balance_skewed_ids(spark):
+    """VERDICT r1 #8: first-k-ids seeding degenerates when the id space is
+    skewed (the k lowest ids all sit in one region of embedding space).
+    Sampled-KMeans centroids must recover balanced cells behind the same
+    ivf_assign_col interface."""
+    import random
+
+    from cascalog_spark.functions.similarity import (ivf_assign_col,
+                                                     ivf_centroids,
+                                                     ivf_centroids_kmeans)
+
+    rng = random.Random(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+               [0.0, 0.0, 10.0], [-10.0, -10.0, 0.0]]
+    rows = []
+    # ids 0..15 ALL in cluster 0 (skewed id space); remaining ids round-robin
+    for i in range(400):
+        cluster = 0 if i < 16 else i % 4
+        v = [c0 + rng.gauss(0, 0.5) for c0 in centers[cluster]]
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        [(i, v, (0 if i < 16 else i % 4)) for (i, v), _ in
+         zip(rows, range(len(rows)))],
+        ["vec_id", "embedding", "true_cluster"])
+    vec = F.col("embedding").cast("array<double>")
+
+    def purity(cents):
+        """Weighted mean over cells of (dominant true cluster fraction) —
+        1.0 means every Voronoi cell maps to exactly one real mode."""
+        cnt = (df.withColumn("__cell", ivf_assign_col(vec, cents))
+               .groupBy("__cell", "true_cluster").count().collect())
+        by_cell = {}
+        for r in cnt:
+            by_cell.setdefault(r["__cell"], []).append(r["count"])
+        total = sum(sum(v) for v in by_cell.values())
+        return sum(max(v) for v in by_cell.values()) / total
+
+    # first-4-ids centroids all come from cluster 0: four near-identical
+    # directions can't separate the other three modes
+    seed_purity = purity(ivf_centroids(df, n_centroids=4))
+    km_cents = ivf_centroids_kmeans(df, n_centroids=4, sample_rows=300,
+                                    seed=11)
+    km_purity = purity(km_cents)
+    assert len(km_cents) == 4
+    assert km_purity > 0.95
+    assert seed_purity < km_purity - 0.1

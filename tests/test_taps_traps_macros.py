@@ -353,3 +353,46 @@ def test_csv_tap_mode_mapping_and_jdbc_bounds():
         "FAILFAST"
     with pytest.raises(ValueError, match="requires lower_bound"):
         JdbcTap(url="jdbc:x", table="t", partition_column="id")._opts()
+
+
+# -- multi-sink execute ------------------------------------------------------
+
+
+def test_execute_multi_sink_shares_subplan(spark):
+    """?- with several sink/query pairs runs as one action set sharing
+    common subplans (flow.clj:96-112 Semigroup-summed flows): a subquery
+    referenced by BOTH sinks' queries compiles once, is persisted, and both
+    sink plans read the persisted subtree (InMemoryTableScan)."""
+    sub = q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a"),
+            (c.lt, "?a", 40))
+    q1 = q(["?p"], (sub, "?p", "?a"), (c.lt, "?a", 30))
+    q2 = q(["?p", "?b"], (sub, "?p", "?a"), (c.add, "?a", 1, ":>", "?b"))
+    got1, got2, plans = [], [], []
+
+    def sink1(df):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        got1.extend(tuple(r) for r in df.collect())
+
+    def sink2(df):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        got2.extend(tuple(r) for r in df.collect())
+
+    execute(spark, (q1, sink1), (q2, sink2))
+    assert sorted(got1) == [("alice",), ("david",)]
+    assert sorted(got2) == [("alice", 29), ("bob", 34), ("david", 26)]
+    # both sinks' physical plans read the shared persisted subquery
+    assert all("InMemoryTableScan" in p for p in plans)
+
+
+def test_execute_multi_sink_list_form_and_unpersist(spark):
+    """List form; shared persists are released after the run."""
+    sub = q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a"))
+    q1 = q(["?p"], (sub, "?p", "?a"), (c.gte, "?a", 33))
+    q2 = q(["?a"], (sub, "?p", "?a"), (c.lt, "?a", 30))
+    got = {}
+    execute(spark, [(q1, lambda df: got.setdefault("a", df.count())),
+                    (q2, lambda df: got.setdefault("b", df.count()))])
+    assert got == {"a": 2, "b": 2}
+    # nothing left cached once the action set completes
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty()
