@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -131,7 +132,8 @@ class Compiler:
             if df is None:
                 df = source.to_df(self.spark)
                 if (self._src_counts or {}).get(id(source), 0) > 1:
-                    df = df.persist()  # MEMORY_AND_DISK: spills, never OOMs
+                    # MEMORY_AND_DISK: spills, never OOMs
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
                     self.persisted.append(df)
                 self._src_memo[id(source)] = df
             return df
@@ -244,7 +246,11 @@ class Compiler:
         # point once for the main action AND the later trap flush
         udf = F.udf(wrapped, struct_t).asNondeterministic()
         tmp = "__mapout"
-        df = df.withColumn(tmp, udf(*args)).persist()
+        # explicit MEMORY_AND_DISK: an unbounded error fraction (every row
+        # could divert) must spill, never OOM — the trap split point caches
+        # the FULL input width until flush_traps runs
+        df = df.withColumn(tmp, udf(*args)).persist(
+            StorageLevel.MEMORY_AND_DISK)
         self.persisted.append(df)
         err = F.col(tmp).getField("__error")
         orig_cols = [c for c in df.columns if c != tmp]
@@ -300,7 +306,8 @@ class Compiler:
                                      T.StructField("__error", T.StringType())])
             udf = F.udf(safe, struct_t).asNondeterministic()
             tmp = "__filt"
-            df2 = df.withColumn(tmp, udf(*args)).persist()
+            df2 = df.withColumn(tmp, udf(*args)).persist(
+                StorageLevel.MEMORY_AND_DISK)
             self.persisted.append(df2)
             err = F.col(tmp).getField("__error")
             self.trap_dfs.append(

@@ -396,3 +396,31 @@ def test_execute_multi_sink_list_form_and_unpersist(spark):
     # nothing left cached once the action set completes
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().isEmpty()
+
+
+def test_trap_large_error_fraction_spills(spark):
+    """VERDICT r1 #10: the trap split persist is unbounded (every row could
+    divert), so it must use a spill-capable storage level.  80% of 100k
+    rows error; both sides stay exact and the cached split point is
+    MEMORY_AND_DISK (disk=true), never memory-only."""
+    from cascalog_spark import q as Q
+
+    @defmapfn(returns="bigint")
+    def fussy(v):
+        if v % 5 != 0:  # 80% divert
+            raise ValueError("bad row")
+        return v * 2
+
+    n = 100_000
+    df = spark.range(n).selectExpr("CAST(id AS BIGINT) AS v")
+    trapped = []
+    query = Q(["?v", "?o"], (df, "?v"), (fussy, "?v", ":>", "?o"),
+              trap=lambda tdf: trapped.append(tdf.count()))
+    out = query.to_df(spark)
+    # the split-point cache must be allowed to spill
+    levels = [d.storageLevel for d in query._persisted]
+    assert levels and all(l.useDisk and l.useMemory for l in levels)
+    assert out.count() == n // 5
+    query.flush_traps()
+    query.unpersist()
+    assert trapped == [n - n // 5]
