@@ -17,8 +17,9 @@ from . import builtin as c
 from .dsl import parse_query
 from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   cross_join, defmain, describe_plan, except_gens, execute,
-                  first_n, intersect_gens, lazy_generator, name_vars,
-                  out_names, q, select_fields, union)
+                  first_n, get_out_fields, intersect_gens, lazy_generator,
+                  name_vars, num_out_fields, out_names, q, select_fields,
+                  union)
 from .predicates import predmacro
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
@@ -35,7 +36,8 @@ __all__ = [
     "execute", "first_n",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",
-    "select_fields", "name_vars", "out_names",
+    "select_fields", "name_vars", "out_names", "get_out_fields",
+    "num_out_fields",
     "defmapfn", "defmapcatfn", "deffilterfn", "defaggregatefn",
     "defbufferfn", "defbufferiterfn", "defparallelagg", "defparallelbuf",
     "defprepfn",

@@ -205,6 +205,45 @@ def name_vars(gen, names) -> _BoundGen:
     return _BoundGen(gen, names=list(names))
 
 
+def get_out_fields(gen) -> list[str]:
+    """Declared output fields of a generator (parse.clj IOutputFields /
+    platform.clj:353-361).
+
+    Queries and subqueries answer with their out-vars; taps answer with
+    their DECLARED field list. A tap without declared fields is the
+    Fields/ALL case — the reference asserts ("Cannot get specific
+    out-fields from tap") rather than guessing, because the concrete
+    columns aren't knowable without reading the source. CascalogTap
+    delegates to its source side."""
+    if isinstance(gen, Query):
+        return list(gen.outfields)
+    if isinstance(gen, Subquery):
+        return list(gen.outfields)
+    if isinstance(gen, _BoundGen):
+        if gen.names is not None:
+            return list(gen.names)
+        if gen.cols is not None:
+            return list(gen.cols)
+        return get_out_fields(gen.gen)
+    # CascalogTap pairs a source generator with a sink — delegate to source
+    if hasattr(gen, "source") and hasattr(gen, "sink"):
+        return get_out_fields(gen.source)
+    fields = getattr(gen, "fields", None)
+    if fields:
+        return list(fields)
+    if hasattr(gen, "load_df") or hasattr(gen, "__cascalog_generator__"):
+        raise ValueError(
+            f"Cannot get specific out-fields from tap {gen!r}: no declared "
+            "field list (Fields/ALL source)")
+    raise TypeError(f"not a generator: {gen!r}")
+
+
+def num_out_fields(gen) -> int:
+    """Arity of a generator (parse.clj INumOutFields): the count of its
+    declared out-fields; same throw behavior for field-less taps."""
+    return len(get_out_fields(gen))
+
+
 def _sink_df(df: DataFrame, sink) -> None:
     if hasattr(sink, "save_df"):
         sink.save_df(df)

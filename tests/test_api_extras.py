@@ -307,3 +307,31 @@ def test_ivf_kmeans_centroids_balance_skewed_ids(spark):
     assert len(km_cents) == 4
     assert km_purity > 0.95
     assert seed_purity < km_purity - 0.1
+
+
+def test_get_out_fields_parity(spark):
+    """parse.clj IOutputFields / platform.clj:353-361: queries and
+    declared-field taps answer; a field-less tap THROWS (Fields/ALL has no
+    specific out-fields) instead of guessing."""
+    import pytest
+
+    from cascalog_spark import (Subquery, get_out_fields, name_vars,
+                                num_out_fields, q as Q, select_fields)
+    from cascalog_spark.sources import CascalogTap, MemoryTap, ParquetTap
+
+    query = Q(["?a", "?b"], ([(1, 2)], "?a", "?b"))
+    assert get_out_fields(query) == ["?a", "?b"]
+    assert num_out_fields(query) == 2
+    assert get_out_fields(Subquery("?x", "?n")) == ["?x", "?n"]
+
+    tap = MemoryTap(["p", "a"], [("x", 1)])
+    assert get_out_fields(tap) == ["p", "a"]
+    assert get_out_fields(CascalogTap(source=tap, sink=None)) == ["p", "a"]
+    assert get_out_fields(ParquetTap(path="/x", fields=["c1"])) == ["c1"]
+    assert get_out_fields(name_vars(tap, ["?p", "?a"])) == ["?p", "?a"]
+    assert get_out_fields(select_fields(tap, ["a"])) == ["a"]
+
+    with pytest.raises(ValueError, match="Cannot get specific out-fields"):
+        get_out_fields(ParquetTap(path="/x"))
+    with pytest.raises(TypeError, match="not a generator"):
+        get_out_fields(42)
