@@ -965,6 +965,54 @@ def lineitem_charge_vararg(spark, sf_dir):
              ).to_df(spark)
 
 
+def doc_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
+    sharing any 3-token shingle with the held-out benchmark slice
+    (doc_id % 25 == 0), with the count of distinct shared shingles.  The
+    benchmark shingle set is broadcast — the corpus side never shuffles."""
+    from cascalog_spark.functions import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return (contamination(corpus, bench, k=3)
+            .select("doc_id", "n_hits"))
+
+
+def doc_boilerplate_removal(spark, sf_dir):
+    """C4-style hot-line removal at word granularity (the synthetic corpus
+    is single-line): tokens present in ≥400 of the 500 docs are
+    boilerplate; texts are rebuilt in original order without them."""
+    from cascalog_spark.functions import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, min_docs=400, sep=" ")
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (mixture weighting): md5-hash
+    thresholding per source stratum — reproducible across engines, no RNG,
+    no shuffle; sources src0-src4 keep everything, the rest keep 30%."""
+    from cascalog_spark.functions import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fracs = {f"src{i}": (1.0 if i < 5 else 0.3) for i in range(20)}
+    return (stratified_sample(docs, fracs, "source", id_col="doc_id",
+                              seed=42)
+            .select("doc_id", "source"))
+
+
+def doc_packed_sequences(spark, sf_dir):
+    """Context-window sequence packing: greedy contiguous fill of 512-token
+    training sequences per source shard (window cumsum — never a global
+    sort), with position-in-sequence numbering."""
+    from cascalog_spark.functions import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=512, part_col="source",
+                          id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1041,6 +1089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_lag": events_value_lag,
         "events_value_running_sum": events_value_running_sum,
         "doc_url_domains": doc_url_domains,
+        "doc_decontamination": doc_decontamination,
+        "doc_boilerplate_removal": doc_boilerplate_removal,
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_packed_sequences": doc_packed_sequences,
     }
 
 
@@ -1619,4 +1671,67 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2""",
+        "doc_decontamination": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 = 0),
+            corp AS (
+              SELECT doc_id, unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 <> 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM corp JOIN bench USING (s)
+            GROUP BY doc_id""",
+        "doc_boilerplate_removal": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            ex AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(arr) + 1),
+                             i -> struct_pack(pos := i, line := arr[i])))
+                             AS u
+                    FROM arrs) t),
+            hot AS (
+              SELECT line FROM ex
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 400),
+            kept AS (
+              SELECT * FROM ex
+              WHERE line NOT IN (SELECT line FROM hot)),
+            reasm AS (
+              SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT a.doc_id,
+                   coalesce(r.clean, '') AS clean,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   len(a.arr) - coalesce(r.n_kept, 0) AS n_removed
+            FROM arrs a LEFT JOIN reasm r ON a.doc_id = r.doc_id""",
+        "doc_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(concat('0x', substr(md5(
+                     CAST(doc_id AS VARCHAR) || '_42'), 1, 15)) AS BIGINT)
+                   % 1000000) / 1000000.0
+                < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 1.0 ELSE 0.3 END""",
+        "doc_packed_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents),
+            cm AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS cum
+              FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY source,
+                       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                     ORDER BY doc_id) - 1 AS BIGINT) AS seq_pos
+            FROM cm""",
     }

@@ -6,6 +6,8 @@ semantics allow, Arrow-vectorized pandas UDFs only for genuinely bit-twiddly
 ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
+from .corpus import (boilerplate_lines, contamination, decontaminate,
+                     pack_sequences, remove_boilerplate, stratified_sample)
 from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
                     minhash_signature, ngram_jaccard_pairs, simhash)
 from .embed import embed_text, register_embedder

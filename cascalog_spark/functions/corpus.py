@@ -1,0 +1,187 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+boilerplate (hot-line) removal, deterministic stratified sampling, and
+context-window sequence packing.
+
+These are the pipeline stages between "raw filtered docs" and "training
+batches".  All are native DataFrame compositions (no Python in the hot
+path) with exact ANSI-SQL twins for the DuckDB oracle, and each is shaped
+for 100 TB:
+
+- decontamination broadcasts the BENCHMARK shingle set (benchmarks are
+  MBs; the corpus is the big side and is never collected or shuffled
+  beyond its own explode→semi-join),
+- boilerplate removal broadcasts the hot-line set (by definition a tiny
+  fraction of distinct lines),
+- stratified sampling is a pure map-side filter (md5-hash thresholding —
+  no sampling shuffle, deterministic across engines and retries),
+- sequence packing windows within a partition column (never a global
+  single-partition sort).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import with_shingles
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a holdout/eval set)
+
+
+def contamination(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination stats: corpus docs sharing at least one
+    k-token shingle with any benchmark doc → ``(id_col, n_hits)`` where
+    ``n_hits`` counts the doc's DISTINCT shingles seen in the benchmark.
+
+    The standard train/test-overlap check for pretraining corpora
+    (GPT-3/PaLM-style n-gram decontamination).  The benchmark's distinct
+    shingle set is broadcast — eval sets are MBs while the corpus is the
+    100 TB side, so the join is map-side with no corpus shuffle; the
+    per-doc groupBy shuffles only the contaminated subset."""
+    c = with_shingles(corpus, text_col, k, "__sh")
+    b = with_shingles(benchmark, text_col, k, "__sh")
+    bench_sh = b.select(F.explode("__sh").alias("__s")).distinct()
+    return (c.select(F.col(id_col), F.explode("__sh").alias("__s"))
+            .join(F.broadcast(bench_sh), "__s")
+            .groupBy(id_col)
+            # shingles are distinct per doc already (array_distinct)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop contaminated docs from the corpus (left-anti against the
+    contaminated id set)."""
+    hits = contamination(corpus, benchmark, k, text_col, id_col)
+    return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# boilerplate / hot-line removal (C4-style line-level dedup)
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sep: str = "\n") -> DataFrame:
+    """Lines appearing in ≥ ``min_docs`` DISTINCT documents — the C4
+    "repeated line" boilerplate set (nav bars, cookie banners, license
+    headers).  Returns ``(line, n_docs)``.  One shuffle on the line key;
+    count-distinct is a partial-aggregating native agg."""
+    lines = F.filter(F.split(F.col(text_col), re.escape(sep)),
+                     lambda x: x != F.lit(""))
+    return (df.select(F.col(id_col), F.explode(lines).alias("line"))
+            .groupBy("line")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate(df: DataFrame, min_docs: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       sep: str = "\n") -> DataFrame:
+    """Rebuild each document without its boilerplate lines →
+    ``(id_col, clean, n_kept, n_removed)``.
+
+    The hot-line set is broadcast (boilerplate is by definition a small
+    fraction of DISTINCT lines even on a 100 TB corpus); the reassembly
+    groups by doc id — order restored via the exploded line position, so
+    the output text is byte-deterministic.  Docs whose every line is
+    boilerplate survive with empty text (they are filter candidates, not
+    silent drops)."""
+    hot = boilerplate_lines(df, min_docs, text_col, id_col, sep)
+    lines = F.filter(F.split(F.col(text_col), re.escape(sep)),
+                     lambda x: x != F.lit(""))
+    ex = df.select(F.col(id_col),
+                   F.posexplode(lines).alias("__pos", "line"))
+    kept = ex.join(F.broadcast(hot.select("line")), on="line",
+                   how="left_anti")
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.concat_ws(
+                        sep, F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("__pos"), F.col("line")))),
+                            lambda s: s["line"])).alias("clean"),
+                        F.count(F.lit(1)).alias("n_kept")))
+    totals = df.select(F.col(id_col), F.size(lines).alias("__total"))
+    return (totals.join(reassembled, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                    (F.col("__total")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .alias("n_removed")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+
+
+def _unit_hash(col, seed: int):
+    """Uniform [0,1) from md5 — bit-identical in DuckDB via
+    (CAST(('0x'||substr(md5(x||'_'||seed),1,15)) AS BIGINT) % 1000000)
+    / 1000000.0; deterministic across retries/engines (a seeded
+    ``sample()`` is neither)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", col.cast("string"), F.lit(str(seed)))),
+        1, 15), 16, 10).cast("bigint")
+    return (h % 1000000) / F.lit(1000000.0)
+
+
+def stratified_sample(df: DataFrame, fractions, strata_col: str,
+                      id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash01(id, seed) < fraction(stratum)``.
+
+    ``fractions`` is a single float or a {stratum: fraction} dict (missing
+    strata keep 0.0 — explicit is better than surprise inclusion).  This
+    is a pure map-side filter: no shuffle, no RNG state, reproducible on
+    retry and identical in any engine that has md5 — the properties a
+    100 TB mixture-weighting pass actually needs (Spark's ``sampleBy``
+    is per-partition-RNG and not portable)."""
+    u = _unit_hash(F.col(id_col), seed)
+    if isinstance(fractions, dict):
+        frac = F.lit(0.0)
+        for s, f in sorted(fractions.items()):
+            frac = F.when(F.col(strata_col) == F.lit(s),
+                          F.lit(float(f))).otherwise(frac)
+    else:
+        frac = F.lit(float(fractions))
+    return df.where(u < frac)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window batch assembly)
+
+
+def pack_sequences(df: DataFrame, max_tokens: int = 512,
+                   part_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    ``(id_col, part_col, n_tokens, seq_id, seq_pos)``.
+
+    Greedy contiguous fill in deterministic ``id_col`` order: a doc joins
+    the sequence its running token offset falls into
+    (``seq_id = floor(offset / max_tokens)``), ``seq_pos`` numbers docs
+    within a sequence.  The window partitions by ``part_col`` — packing is
+    per-shard by design (training shards don't pack across files), so
+    there is never a global single-partition sort; for a skewed
+    ``part_col`` add a hash-shard column and pack within
+    ``(part_col, shard)``."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    out = (df.select(F.col(id_col), F.col(part_col),
+                     F.size(toks).alias("n_tokens"))
+           .withColumn("__cum", F.sum("n_tokens").over(w))
+           .withColumn("seq_id",
+                       F.floor((F.col("__cum") - F.col("n_tokens"))
+                               / F.lit(max_tokens)).cast("bigint")))
+    w2 = Window.partitionBy(part_col, "seq_id").orderBy(id_col)
+    return (out.withColumn("seq_pos",
+                           (F.row_number().over(w2) - 1).cast("bigint"))
+            .drop("__cum"))

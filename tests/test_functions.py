@@ -358,3 +358,87 @@ def test_window_pack_lag_lead_rolling(spark):
     assert rows[(1, 2)] == (10.0, 30.0, 30.0, 15.0)
     assert rows[(1, 3)] == (20.0, None, 60.0, 25.0)
     assert rows[(2, 1)] == (None, None, 5.0, 5.0)
+
+
+def test_contamination_and_decontaminate(spark):
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import contamination, decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words here today friends"),
+         (3, "quick brown fox is a common benchmark phrase")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "we test the quick brown fox sentence")],
+        "doc_id long, text string")
+    hits = contamination(corpus, bench, k=3)
+    got = {r.doc_id: r.n_hits for r in hits.collect()}
+    # docs 1 and 3 share 3-gram "quick brown fox" (and doc 1 also
+    # "the quick brown"); doc 2 shares nothing
+    assert set(got) == {1, 3}
+    assert got[1] >= 2 and got[3] >= 1
+    clean = decontaminate(corpus, bench, k=3)
+    assert [r.doc_id for r in clean.collect()] == [2]
+    # scale shape: benchmark side is broadcast
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_remove_boilerplate_order_and_empty(spark):
+    from cascalog_spark.functions import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "COOKIE\nreal content one\nCOOKIE\nmore text"),
+         (2, "COOKIE\nother body"),
+         (3, "COOKIE"),
+         (4, "untouched doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.clean, r.n_kept, r.n_removed)
+           for r in remove_boilerplate(docs, min_docs=3).collect()}
+    # line order survives reassembly; doc 3 becomes empty, not dropped
+    assert out[1] == ("real content one\nmore text", 2, 2)
+    assert out[2] == ("other body", 1, 1)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("untouched doc", 1, 0)
+
+
+def test_stratified_sample_deterministic_no_shuffle(spark):
+    from cascalog_spark.functions import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string")
+    s1 = stratified_sample(df, {"a": 1.0, "b": 0.25}, "source")
+    s2 = stratified_sample(df, {"a": 1.0, "b": 0.25}, "source")
+    r1 = sorted(r.doc_id for r in s1.collect())
+    assert r1 == sorted(r.doc_id for r in s2.collect())  # deterministic
+    n_a = sum(1 for r in s1.collect() if r.source == "a")
+    n_b = sum(1 for r in s1.collect() if r.source == "b")
+    assert n_a == 1000              # fraction 1.0 keeps everything
+    assert 150 < n_b < 350          # ~25% of 1000
+    # unlisted strata keep nothing
+    assert stratified_sample(df, {"a": 1.0}, "source") \
+        .where("source = 'b'").count() == 0
+    # map-side only: no Exchange in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_and_positions(spark):
+    from cascalog_spark.functions import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * 40)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted((r.doc_id, r.seq_id, r.seq_pos)
+                 for r in pack_sequences(df, max_tokens=100).collect())
+    # 40-token docs: docs start at offsets 0,40,80,120... → seq changes
+    # when offset crosses each 100-token boundary
+    assert out[0] == (0, 0, 0) and out[1] == (1, 0, 1) and out[2] == (2, 0, 2)
+    assert out[3] == (3, 1, 0)   # offset 120 → seq 1
+    seqs = {}
+    for d, s, p in out:
+        seqs.setdefault(s, []).append(p)
+    for ps in seqs.values():
+        assert ps == list(range(len(ps)))  # dense positions per sequence
