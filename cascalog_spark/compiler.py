@@ -263,12 +263,17 @@ class Compiler:
         return df.drop(tmp)
 
     def _apply_mapcat(self, df, op: MapcatOp, args, out_cols) -> DataFrame:
+        # explode_fast, not F.explode: InferFiltersFromGenerate would
+        # otherwise duplicate the array expression (or the Python UDF call!)
+        # into a pushed-down size() filter — see functions/util.py
+        from .functions.util import explode_fast
+
         tmp = "__mc"
         if op.column_fn is not None:
             arr = op.column_fn(*args)
             if len(out_cols) == 1:
-                return df.withColumn(out_cols[0], F.explode(arr))
-            df = df.withColumn(tmp, F.explode(arr))
+                return explode_fast(df, arr, out_cols[0])
+            df = explode_fast(df, arr, tmp)
             for i, name in enumerate(out_cols):
                 df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
             return df.drop(tmp)
@@ -277,12 +282,12 @@ class Compiler:
         if op.n_out == 1:
             udf = _batched_udf(lambda *v: list(fn(*v) or []),
                                [T.ArrayType(op.returns[0])], 1, len(args))
-            return df.withColumn(out_cols[0], F.explode(udf(*args)))
+            return explode_fast(df, udf(*args), out_cols[0])
         struct_t = T.StructType([
             T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)])
         udf = _batched_udf(lambda *v: [tuple(r) for r in (fn(*v) or [])],
                            [T.ArrayType(struct_t)], 1, len(args))
-        df = df.withColumn(tmp, F.explode(udf(*args)))
+        df = explode_fast(df, udf(*args), tmp)
         for i, name in enumerate(out_cols):
             df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
         return df.drop(tmp)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import with_shingles
+from .util import explode_fast
 
 
 # ---------------------------------------------------------------------------
@@ -45,8 +46,10 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
     per-doc groupBy shuffles only the contaminated subset."""
     c = with_shingles(corpus, text_col, k, "__sh")
     b = with_shingles(benchmark, text_col, k, "__sh")
-    bench_sh = b.select(F.explode("__sh").alias("__s")).distinct()
-    return (c.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    bench_sh = (explode_fast(b, F.col("__sh"), "__s")
+                .select("__s").distinct())
+    return (explode_fast(c, F.col("__sh"), "__s")
+            .select(F.col(id_col), "__s")
             .join(F.broadcast(bench_sh), "__s")
             .groupBy(id_col)
             # shingles are distinct per doc already (array_distinct)
@@ -75,7 +78,8 @@ def boilerplate_lines(df: DataFrame, min_docs: int = 3,
     count-distinct is a partial-aggregating native agg."""
     lines = F.filter(F.split(F.col(text_col), re.escape(sep)),
                      lambda x: x != F.lit(""))
-    return (df.select(F.col(id_col), F.explode(lines).alias("line"))
+    return (explode_fast(df, lines, "line")
+            .select(F.col(id_col), "line")
             .groupBy("line")
             .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
             .where(F.col("n_docs") >= min_docs))
@@ -96,8 +100,8 @@ def remove_boilerplate(df: DataFrame, min_docs: int = 3,
     hot = boilerplate_lines(df, min_docs, text_col, id_col, sep)
     lines = F.filter(F.split(F.col(text_col), re.escape(sep)),
                      lambda x: x != F.lit(""))
-    ex = df.select(F.col(id_col),
-                   F.posexplode(lines).alias("__pos", "line"))
+    ex = (explode_fast(df, lines, "line", pos_name="__pos")
+          .select(F.col(id_col), "__pos", "line"))
     kept = ex.join(F.broadcast(hot.select("line")), on="line",
                    how="left_anti")
     reassembled = (kept.groupBy(id_col)

@@ -275,9 +275,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     verifier.  ``prefilter`` drops ubiquitous shingles (doc-freq > 1000) to
     bound skew, mirroring common-word salting.
     """
-    sh = (with_shingles(df, text_col, n, "__sh")
-          .select(F.col(id_col).alias("id"),
-                  F.explode(F.col("__sh")).alias("shingle")))
+    from .util import explode_fast
+
+    sh = (explode_fast(with_shingles(df, text_col, n, "__sh")
+                       .select(F.col(id_col).alias("id"), "__sh"),
+                       F.col("__sh"), "shingle")
+          .select("id", "shingle"))
     if prefilter:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
                .where(F.col("df_") > 1000).select("shingle"))

@@ -341,12 +341,16 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
             bands_arr = band_signature_cols(planes, bands, n_planes)(vcol)
         # norms once per ROW so each of the O(pairs-per-bucket) join rows
         # costs a single dot product instead of dot + two norm aggregates
+        from .util import explode_fast
+
         normed = (df.select(F.col(id_col), vec.alias("v"))
                   .select(F.col(id_col), "v",
                           norm_col(F.col("v")).alias("nrm"),
-                          bands_arr.alias("__bands"))
+                          bands_arr.alias("__bands")))
+        normed = (explode_fast(normed, F.col("__bands"), "__bsig",
+                               pos_name="__band")
                   .select(F.col(id_col), "v", "nrm", "__bands",
-                          F.posexplode("__bands").alias("__band", "__bsig")))
+                          "__band", "__bsig"))
     sig_cache = None
     if materialize and not exact:
         from pyspark import StorageLevel

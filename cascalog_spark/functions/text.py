@@ -184,8 +184,10 @@ def chunk_text(df: DataFrame, max_tokens: int = 512, overlap: int = 64,
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, max_tokens)))
     chunks = F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
-    out = (df.select(F.col(id_col), F.posexplode(chunks)
-                     .alias("chunk_idx", "chunk")))
+    from .util import explode_fast
+
+    out = explode_fast(df, chunks, "chunk", pos_name="chunk_idx") \
+        .select(id_col, "chunk_idx", "chunk")
     return out.withColumn(
         "n_tokens", F.size(F.filter(F.split(F.col("chunk"), r"\s+"),
                                     lambda t: t != F.lit(""))))
@@ -228,10 +230,12 @@ def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Web-corpus source stats: extract URLs (RE2-safe pattern), reduce to
     registrable host, count per domain.  explode + groupBy — shuffles on
     the domain key only."""
+    from .util import explode_fast
+
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
     dom = F.lower(F.regexp_extract(F.col("url"),
                                    r"https?://([A-Za-z0-9.-]+)", 1))
-    return (df.select(F.explode(urls).alias("url"))
+    return (explode_fast(df, urls, "url")
             .select(dom.alias("domain"))
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_urls")))
