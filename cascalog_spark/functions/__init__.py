@@ -8,8 +8,9 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 
 from .corpus import (boilerplate_lines, contamination, decontaminate,
                      pack_sequences, remove_boilerplate, stratified_sample)
-from .dedup import (dedup_clusters, exact_dedup, minhash_lsh_candidates,
-                    minhash_signature, ngram_jaccard_pairs, simhash)
+from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
+                    minhash_lsh_candidates, minhash_signature,
+                    ngram_jaccard_pairs, simhash)
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_similarity_col, ivf_ann_topk,

@@ -39,6 +39,35 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str,
                    F.count(F.lit(1)).alias("n_dups")))
 
 
+def exact_dedup_incremental(new_df: DataFrame, index_df: DataFrame | None,
+                            key_cols: list[str],
+                            id_col: str) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest dedup: drop rows of a NEW batch whose key already
+    exists in the corpus index, then dedup the batch against itself.
+
+    Returns ``(unique_new_rows, updated_index)`` where the index holds one
+    ``(key_cols..., keep_id)`` row per distinct key ever seen.  At 100 TB
+    the index is a parquet table partitioned/bucketed by key hash; the
+    anti-join shuffles only the (small) incoming batch against it, and the
+    returned updated index unions just the batch's novel keys — callers
+    append those (``sinkmode="update"``) rather than rewriting the index.
+    """
+    batch_keep = exact_dedup(new_df, key_cols, id_col, keep="min")
+    batch_unique = new_df.join(
+        batch_keep.select(*key_cols,
+                          F.col("keep_id").alias(id_col)),
+        on=[*key_cols, id_col], how="left_semi")
+    if index_df is not None:
+        batch_unique = batch_unique.join(index_df.select(*key_cols),
+                                         on=key_cols, how="left_anti")
+    new_index_rows = batch_unique.select(*key_cols, F.col(id_col)
+                                         .alias("keep_id"))
+    updated = (new_index_rows if index_df is None
+               else index_df.select(*key_cols, "keep_id")
+               .unionByName(new_index_rows))
+    return batch_unique, updated
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

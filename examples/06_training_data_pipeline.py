@@ -1,7 +1,9 @@
 """End-to-end training-data pipeline over the documents table:
 
-    clean → quality gate → exact + near dedup → PII redaction →
-    context-window chunking → token accounting
+    clean → quality gate → exact + near dedup → boilerplate removal →
+    benchmark decontamination → PII redaction → stratified mixture
+    sampling → context-window chunking → sequence packing →
+    token accounting
 
 Every stage is partition-parallel DataFrame ops (no driver-side loops), so
 the same script shape runs on a 1000-executor cluster — only the paths and
@@ -17,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.sql import SparkSession
 
-from cascalog_spark.functions import (chunk_text, minhash_lsh_candidates,
-                                      redact_pii)
+from cascalog_spark.functions import (chunk_text, decontaminate,
+                                      minhash_lsh_candidates, pack_sequences,
+                                      redact_pii, remove_boilerplate,
+                                      stratified_sample)
 from cascalog_spark.functions.dedup import dedup_clusters, exact_dedup
 from cascalog_spark.functions.text import clean_text, quality_score
 
@@ -48,18 +52,34 @@ drop = clusters.where(F.col("node") != F.col("cluster")) \
                .select(F.col("node").alias("doc_id"))
 docs = docs.join(drop, "doc_id", "left_anti")
 
-# 4. PII scrubbing (RE2-safe masks), then context-window chunking
+# 4. boilerplate removal (C4 hot-line rule; word-level on this corpus)
+clean = remove_boilerplate(docs, min_docs=int(n0 * 0.8), sep=" ") \
+    .select("doc_id", F.col("clean").alias("text"))
+docs = docs.drop("text").join(clean, "doc_id")
+
+# 5. benchmark decontamination: drop docs overlapping the eval slice
+bench = docs.where(F.col("doc_id") % 97 == 0)
+docs = decontaminate(docs.where(F.col("doc_id") % 97 != 0), bench, k=8)
+
+# 6. PII scrubbing (RE2-safe masks)
 docs = redact_pii(docs).drop("text") \
     .withColumnRenamed("redacted", "text")
-chunks = chunk_text(docs, max_tokens=128, overlap=16)
 
-# 5. accounting
+# 7. deterministic mixture weighting per source, then chunk + pack
+docs = stratified_sample(
+    docs, {f"src{i}": (1.0 if i < 10 else 0.5) for i in range(20)}, "source")
+chunks = chunk_text(docs, max_tokens=128, overlap=16)
+packed = pack_sequences(docs, max_tokens=512)
+
+# 8. accounting
 stats = chunks.agg(
     F.count(F.lit(1)).alias("n_chunks"),
     F.sum("n_tokens").alias("total_tokens"),
     F.round(F.avg("n_tokens"), 1).alias("avg_chunk_tokens")).collect()[0]
 n_docs = docs.count()
-print(f"{n0} raw docs -> {n_docs} kept after quality+dedup")
+n_seqs = packed.agg(F.count_distinct("source", "seq_id")).collect()[0][0]
+print(f"{n0} raw docs -> {n_docs} kept after quality+dedup+decontam+sample")
 print(f"chunks: {stats['n_chunks']}, tokens: {stats['total_tokens']}, "
-      f"avg chunk: {stats['avg_chunk_tokens']} tokens")
+      f"avg chunk: {stats['avg_chunk_tokens']} tokens; "
+      f"{n_seqs} packed 512-token sequences")
 spark.stop()

@@ -442,3 +442,26 @@ def test_pack_sequences_budget_and_positions(spark):
         seqs.setdefault(s, []).append(p)
     for ps in seqs.values():
         assert ps == list(range(len(ps)))  # dense positions per sequence
+
+
+def test_exact_dedup_incremental_batches(spark):
+    """Continuous-ingest dedup: batch 2 drops rows whose fingerprint was
+    seen in batch 1 OR earlier in batch 2; the index accumulates one row
+    per distinct key."""
+    from cascalog_spark.functions.dedup import exact_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, fp string")
+    u1, idx1 = exact_dedup_incremental(b1, None, ["fp"], "doc_id")
+    assert sorted(r.doc_id for r in u1.collect()) == [1, 2]  # 3 dups 1
+    assert sorted((r.fp, r.keep_id) for r in idx1.collect()) == \
+        [("aa", 1), ("bb", 2)]
+
+    b2 = spark.createDataFrame(
+        [(10, "bb"), (11, "cc"), (12, "cc"), (13, "dd")],
+        "doc_id long, fp string")
+    u2, idx2 = exact_dedup_incremental(b2, idx1, ["fp"], "doc_id")
+    # bb already indexed; cc dedups within the batch; dd is novel
+    assert sorted(r.doc_id for r in u2.collect()) == [11, 13]
+    assert sorted((r.fp, r.keep_id) for r in idx2.collect()) == \
+        [("aa", 1), ("bb", 2), ("cc", 11), ("dd", 13)]
