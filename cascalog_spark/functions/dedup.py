@@ -151,31 +151,39 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str,
 
     Returns candidate pairs (id_a, id_b), id_a < id_b, deduped.  The
     candidate search is an equi-join on (band_idx, band_hash) — shuffle on a
-    uniform hash key; no cross join.  Verify candidates with
-    ``ngram_jaccard_pairs`` or exact similarity downstream.
+    uniform hash key; no cross join.  Cross-band duplicates are suppressed
+    by the first-matching-band rule (a pair is emitted only from the LOWEST
+    band index whose hashes agree — a native filter over the carried band
+    array), replacing the ``dropDuplicates`` that used to re-shuffle the
+    full candidate set.  Verify candidates with ``ngram_jaccard_pairs`` or
+    exact similarity downstream.
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
     r = num_perm // bands
     sigs = minhash_signature(df.select(id_col, text_col), text_col,
                              sig_col, num_perm, shingle_k)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws(",", *[
-                     F.col(sig_col)[b * r + j].cast("string")
-                     for j in range(r)])).alias("bh"))
+    bands_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(sig_col)[b * r + j].cast("string")
+            for j in range(r)]))
         for b in range(bands)])
-    buckets = (sigs.select(F.col(id_col),
-                           F.explode(band_structs).alias("bb"))
-               .select(id_col, F.col("bb.band").alias("band"),
-                       F.col("bb.bh").alias("bh")))
+    from .util import explode_fast
+
+    buckets = explode_fast(
+        sigs.select(F.col(id_col), bands_arr.alias("__bhs")),
+        F.col("__bhs"), "bh", pos_name="band")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (a.join(b, on=["band", "bh"], how="inner")
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .dropDuplicates())
-    return pairs
+    joined = (a.join(b, on=["band", "bh"], how="inner")
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if bands > 1:
+        earlier = F.zip_with(
+            F.slice(F.col("a.__bhs"), F.lit(1), F.col("band")),
+            F.slice(F.col("b.__bhs"), F.lit(1), F.col("band")),
+            lambda x, y: x == y)
+        joined = joined.where(~F.exists(earlier, lambda z: z))
+    return joined.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"))
 
 
 # ---------------------------------------------------------------------------
