@@ -340,3 +340,12 @@ KNOWN_CALLABLES = {
     max: column_op("greatest", lambda *cs: F.greatest(*cs)),
     min: column_op("least", lambda *cs: F.least(*cs)),
 }
+
+
+# Reference-name aliases, LAST so they can't shadow Python builtins anywhere
+# above: Cascalog spells the aggregators c/sum, c/min, c/max (ops.clj
+# def-aggregateops), while the Python builtins max/min passed directly as
+# predicates keep their scalar greatest/least lifting via PY_FN_MAP.
+sum = sum_agg
+min = min_agg
+max = max_agg

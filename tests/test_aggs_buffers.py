@@ -447,3 +447,18 @@ def test_megagroup_skewed_agg_and_buffers(spark):
     # secondary sort: last value of the ascending walk is the group max
     assert brows["mega"][1] == max(i for i in range(n) if (i % 10) < 6)
     assert sum(v[0] for v in brows.values()) == n
+
+
+def test_reference_name_agg_aliases(spark):
+    """c.sum/c.min/c.max are the Cascalog op names (ops.clj); Python's own
+    max/min builtins as predicates still lift to scalar greatest/least."""
+    res = q(["?label", "?s", "?lo", "?hi"],
+            (PAIR, "?label", "?n"),
+            (c.sum, "?n", ":>", "?s"),
+            (c.min, "?n", ":>", "?lo"),
+            (c.max, "?n", ":>", "?hi")).run(spark)
+    assert sorted(res) == [("a", 6, 1, 3), ("b", 15, 5, 10), ("c", 7, 7, 7)]
+
+    scalar = q(["?m"], ([(1, 5), (7, 2)], "?x", "?y"),
+               (max, "?x", "?y", ":>", "?m")).run(spark)
+    assert sorted(scalar) == [(5,), (7,)]
