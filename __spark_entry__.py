@@ -965,6 +965,39 @@ def lineitem_charge_vararg(spark, sf_dir):
              ).to_df(spark)
 
 
+def events_stream_user_counts(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState — SURVEY §2.9):
+    cumulative per-user event counts driven as a bounded stream
+    (availableNow → memory sink, update mode).  The final per-key state
+    must equal the batch GROUP BY — so the batch DuckDB oracle checks the
+    distributed state machinery exactly."""
+    from cascalog_spark.streaming.stateful import running_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"] in ("bigint", "long")
+    schema = (f"event_id long, ts {'long' if ts_is_long else 'timestamp_ntz'}, "
+              "user_id long, event_type string, value double, props string")
+    raw = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    counts = running_counts(raw, "user_id")
+    name = "events_stream_user_counts"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = (counts.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(availableNow=True).start())
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_user_counts: bounded stream did "
+                           "not drain within 300s")
+    # update mode appends one row per key per micro-batch; the cumulative
+    # count is monotone, so the final state is the per-key max
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_total").alias("n_total")))
+
+
 def doc_decontamination(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
     sharing any 3-token shingle with the held-out benchmark slice
@@ -1089,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_lag": events_value_lag,
         "events_value_running_sum": events_value_running_sum,
         "doc_url_domains": doc_url_domains,
+        "events_stream_user_counts": events_stream_user_counts,
         "doc_decontamination": doc_decontamination,
         "doc_boilerplate_removal": doc_boilerplate_removal,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1671,6 +1705,9 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2""",
+        "events_stream_user_counts": """
+            SELECT user_id, count(*) AS n_total
+            FROM events GROUP BY user_id""",
         "doc_decontamination": f"""
             WITH bench AS (
               SELECT DISTINCT unnest({_shingle_sql(3)}) AS s
