@@ -27,6 +27,9 @@ def explode_fast(df: DataFrame, arr: Column, out_name: str,
     (an element-null filter would eat those).
     """
     pos_tmp, out_tmp = "__xpf_pos", "__xpf_val"
+    while pos_tmp in df.columns or out_tmp in df.columns:
+        pos_tmp += "_"
+        out_tmp += "_"
     keep = [c for c in df.columns if c not in (out_name, pos_name)]
     out = (df.select(*keep, F.posexplode_outer(arr).alias(pos_tmp, out_tmp))
            .where(F.col(pos_tmp).isNotNull()))
