@@ -465,3 +465,63 @@ def test_exact_dedup_incremental_batches(spark):
     assert sorted(r.doc_id for r in u2.collect()) == [11, 13]
     assert sorted((r.fp, r.keep_id) for r in idx2.collect()) == \
         [("aa", 1), ("bb", 2), ("cc", 11), ("dd", 13)]
+
+
+def test_corpus_ops_invariants_random_docs(spark):
+    """Invariant fuzz for the corpus pack on pseudo-random docs:
+
+    - remove_boilerplate with an unreachable threshold is an identity on
+      text; per-doc kept+removed always equals the line count
+    - pack_sequences: token offsets of a sequence's docs all fall inside
+      that sequence's budget window, positions are dense, and every doc
+      appears exactly once
+    - stratified_sample at fraction 1.0/0.0 keeps all/none; sampling is a
+      subset of the input
+    """
+    import random
+
+    from cascalog_spark.functions import (pack_sequences,
+                                          remove_boilerplate,
+                                          stratified_sample)
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     f"s{i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # boilerplate identity below threshold
+    out = {r.doc_id: r for r in
+           remove_boilerplate(df, min_docs=10**6, sep=" ").collect()}
+    for i, text, _ in rows:
+        toks = [t for t in text.split(" ") if t]
+        assert out[i].clean == " ".join(toks)
+        assert out[i].n_removed == 0 and out[i].n_kept == len(toks)
+
+    # packing invariants
+    packed = pack_sequences(df, max_tokens=64, part_col="source").collect()
+    assert sorted(r.doc_id for r in packed) == [r[0] for r in rows]
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.source, []).append(r)
+    for src, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert r.seq_id == offset // 64, (src, r)
+            offset += r.n_tokens
+        seqs = {}
+        for r in rs:
+            seqs.setdefault(r.seq_id, []).append(r.seq_pos)
+        for ps in seqs.values():
+            assert sorted(ps) == list(range(len(ps)))
+
+    # sampling bounds
+    assert stratified_sample(df, 1.0, "source").count() == 200
+    assert stratified_sample(df, 0.0, "source").count() == 0
+    some = stratified_sample(df, 0.4, "source")
+    ids = {r.doc_id for r in some.collect()}
+    assert ids <= set(range(200)) and 30 < len(ids) < 130
