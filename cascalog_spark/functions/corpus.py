@@ -34,7 +34,8 @@ from .util import explode_fast
 
 
 def contamination(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast: bool = True) -> DataFrame:
     """Per-document contamination stats: corpus docs sharing at least one
     k-token shingle with any benchmark doc → ``(id_col, n_hits)`` where
     ``n_hits`` counts the doc's DISTINCT shingles seen in the benchmark.
@@ -43,14 +44,19 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
     (GPT-3/PaLM-style n-gram decontamination).  The benchmark's distinct
     shingle set is broadcast — eval sets are MBs while the corpus is the
     100 TB side, so the join is map-side with no corpus shuffle; the
-    per-doc groupBy shuffles only the contaminated subset."""
+    per-doc groupBy shuffles only the contaminated subset.  Pass
+    ``broadcast=False`` when the "benchmark" is itself corpus-sized (e.g.
+    cross-corpus overlap audits) — the join then falls back to a shuffle
+    join on the uniform shingle key."""
     c = with_shingles(corpus, text_col, k, "__sh")
     b = with_shingles(benchmark, text_col, k, "__sh")
     bench_sh = (explode_fast(b, F.col("__sh"), "__s")
                 .select("__s").distinct())
+    if broadcast:
+        bench_sh = F.broadcast(bench_sh)
     return (explode_fast(c, F.col("__sh"), "__s")
             .select(F.col(id_col), "__s")
-            .join(F.broadcast(bench_sh), "__s")
+            .join(bench_sh, "__s")
             .groupBy(id_col)
             # shingles are distinct per doc already (array_distinct)
             .agg(F.count(F.lit(1)).alias("n_hits")))
@@ -146,8 +152,19 @@ def stratified_sample(df: DataFrame, fractions, strata_col: str,
     is a pure map-side filter: no shuffle, no RNG state, reproducible on
     retry and identical in any engine that has md5 — the properties a
     100 TB mixture-weighting pass actually needs (Spark's ``sampleBy``
-    is per-partition-RNG and not portable)."""
+    is per-partition-RNG and not portable).
+
+    ``fractions`` may also be a DataFrame with columns
+    ``(strata_col, "fraction")`` — the mixture-table form for thousands of
+    strata, where a CASE chain would be unwieldy; it is broadcast-joined
+    (weight tables are tiny) and missing strata still keep 0.0."""
     u = _unit_hash(F.col(id_col), seed)
+    if isinstance(fractions, DataFrame):
+        w = fractions.select(F.col(strata_col),
+                             F.col("fraction").cast("double"))
+        return (df.join(F.broadcast(w), on=strata_col, how="left")
+                .where(u < F.coalesce(F.col("fraction"), F.lit(0.0)))
+                .drop("fraction"))
     if isinstance(fractions, dict):
         frac = F.lit(0.0)
         for s, f in sorted(fractions.items()):
@@ -164,28 +181,41 @@ def stratified_sample(df: DataFrame, fractions, strata_col: str,
 
 def pack_sequences(df: DataFrame, max_tokens: int = 512,
                    part_col: str = "source", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   n_shards: int | None = None) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences:
-    ``(id_col, part_col, n_tokens, seq_id, seq_pos)``.
+    ``(id_col, part_col, n_tokens, seq_id, seq_pos)``
+    (+ ``shard`` when ``n_shards`` is set).
 
     Greedy contiguous fill in deterministic ``id_col`` order: a doc joins
     the sequence its running token offset falls into
     (``seq_id = floor(offset / max_tokens)``), ``seq_pos`` numbers docs
     within a sequence.  The window partitions by ``part_col`` — packing is
     per-shard by design (training shards don't pack across files), so
-    there is never a global single-partition sort; for a skewed
-    ``part_col`` add a hash-shard column and pack within
-    ``(part_col, shard)``."""
+    there is never a global single-partition sort.
+
+    ``n_shards`` is the skew guard: when one ``part_col`` value holds a
+    disproportionate share of the corpus (or there is only one), packing
+    additionally shards by ``pmod(md5-hash(id), n_shards)`` and the window
+    runs per ``(part_col, shard)`` — each window partition is bounded at
+    ~1/n_shards of the hot key.  Packing is an approximation by nature
+    (greedy fill), so per-shard packing loses nothing."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda t: t != F.lit(""))
-    w = Window.partitionBy(part_col).orderBy(id_col)
-    out = (df.select(F.col(id_col), F.col(part_col),
-                     F.size(toks).alias("n_tokens"))
-           .withColumn("__cum", F.sum("n_tokens").over(w))
+    out = df.select(F.col(id_col), F.col(part_col),
+                    F.size(toks).alias("n_tokens"))
+    part_keys = [part_col]
+    if n_shards is not None:
+        h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                   16, 10).cast("bigint")
+        out = out.withColumn("shard", F.pmod(h, F.lit(n_shards)))
+        part_keys = [part_col, "shard"]
+    w = Window.partitionBy(*part_keys).orderBy(id_col)
+    out = (out.withColumn("__cum", F.sum("n_tokens").over(w))
            .withColumn("seq_id",
                        F.floor((F.col("__cum") - F.col("n_tokens"))
                                / F.lit(max_tokens)).cast("bigint")))
-    w2 = Window.partitionBy(part_col, "seq_id").orderBy(id_col)
+    w2 = Window.partitionBy(*part_keys, "seq_id").orderBy(id_col)
     return (out.withColumn("seq_pos",
                            (F.row_number().over(w2) - 1).cast("bigint"))
             .drop("__cum"))

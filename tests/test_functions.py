@@ -525,3 +525,44 @@ def test_corpus_ops_invariants_random_docs(spark):
     some = stratified_sample(df, 0.4, "source")
     ids = {r.doc_id for r in some.collect()}
     assert ids <= set(range(200)) and 30 < len(ids) < 130
+
+
+def test_stratified_sample_mixture_table_and_pack_shards(spark):
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import pack_sequences, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", " ".join(["w"] * 20))
+         for i in range(1000)],
+        "doc_id long, source string, text string")
+
+    # mixture-table form == dict form, row for row
+    wtab = spark.createDataFrame([("a", 1.0), ("b", 0.25)],
+                                 "source string, fraction double")
+    via_tab = sorted(r.doc_id for r in
+                     stratified_sample(df, wtab, "source").collect())
+    via_dict = sorted(r.doc_id for r in
+                      stratified_sample(df, {"a": 1.0, "b": 0.25},
+                                        "source").collect())
+    assert via_tab == via_dict
+    # strata missing from the table keep nothing
+    only_a = spark.createDataFrame([("a", 1.0)], "source string, fraction double")
+    assert stratified_sample(df, only_a, "source") \
+        .where("source = 'b'").count() == 0
+
+    # sharded packing: every doc appears once; window partitions bounded
+    packed = pack_sequences(df, max_tokens=100, n_shards=8)
+    rows = packed.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(1000))
+    assert set(r.shard for r in rows) <= set(range(8))
+    # offsets and dense positions hold within each (source, shard)
+    by_part = {}
+    for r in rows:
+        by_part.setdefault((r.source, r.shard), []).append(r)
+    for rs in by_part.values():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert r.seq_id == offset // 100
+            offset += r.n_tokens
