@@ -778,14 +778,19 @@ def doc_line_dup_ratio(spark, sf_dir):
 
 
 def order_price_median(spark, sf_dir):
-    """Exact interpolated percentiles (F.percentile ↔ quantile_cont) —
-    order-statistics aggregation beyond the reference's monoid set."""
+    """Exact interpolated percentiles through the DSL aggregator surface
+    (c.percentile → F.percentile ↔ quantile_cont) — order-statistics
+    aggregation beyond the reference's monoid set, with post-agg
+    rounding ops."""
     orders = _t(spark, sf_dir, "orders")
-    return (orders.groupBy("o_orderstatus")
-            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
-                 .alias("median_price"),
-                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
-                 .alias("p90_price")))
+    return q(["?o_orderstatus", "?median_price", "?p90_price"],
+             (orders, {"o_orderstatus": "?o_orderstatus",
+                       "o_totalprice": "?tp"}),
+             (c.percentile(0.5), "?tp", ":>", "?m"),
+             (c.percentile(0.9), "?tp", ":>", "?p"),
+             (c.round_to(4), "?m", ":>", "?median_price"),
+             (c.round_to(4), "?p", ":>", "?p90_price"),
+             ).to_df(spark)
 
 
 def doc_url_domains(spark, sf_dir):

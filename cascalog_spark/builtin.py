@@ -156,6 +156,24 @@ collect_list = ParallelAgg("collect-list", expr_fn=lambda c: F.collect_list(c))
 collect_set = ParallelAgg("collect-set", expr_fn=lambda c: F.collect_set(c))
 first_agg = ParallelAgg("first", expr_fn=lambda c: F.first(c, ignorenulls=False))
 
+def percentile(p: float) -> ParallelAgg:
+    """Exact interpolated percentile aggregator (order statistics beyond
+    the reference's monoid set; Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont`` ↔ pandas ``quantile(interpolation='linear')``)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile: p must be in [0,1], got {p}")
+    return ParallelAgg(
+        f"percentile-{p}",
+        expr_fn=lambda c: F.percentile(c, F.lit(float(p))),
+        pandas_fn=lambda pdf: pdf.iloc[:, 0].quantile(p,
+                                                      interpolation="linear"),
+        returns=("double",))
+
+
+def median() -> ParallelAgg:
+    return percentile(0.5)
+
+
 # cascalog-math stats.clj:24-48 (+ Welford 1-pass variance, stats.clj:7-22 —
 # Spark's var_pop/var_samp are already single-pass numerically stable)
 var_pop = ParallelAgg("variance", expr_fn=lambda c: F.var_pop(c))

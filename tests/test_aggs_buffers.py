@@ -462,3 +462,18 @@ def test_reference_name_agg_aliases(spark):
     scalar = q(["?m"], ([(1, 5), (7, 2)], "?x", "?y"),
                (max, "?x", "?y", ":>", "?m")).run(spark)
     assert sorted(scalar) == [(5,), (7,)]
+
+
+def test_percentile_aggregator(spark):
+    """c.percentile: exact interpolated order statistic as a DSL agg,
+    multi-agg-compatible with the monoid set."""
+    data = [("a", float(v)) for v in range(1, 5)] + [("b", 10.0)]
+    res = q(["?k", "?med", "?n"],
+            (data, "?k", "?v"),
+            (c.percentile(0.5), "?v", ":>", "?med"),
+            (c.count, "?n")).run(spark)
+    assert sorted(res) == [("a", 2.5, 4), ("b", 10.0, 1)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be in"):
+        c.percentile(1.5)
