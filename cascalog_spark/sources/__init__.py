@@ -1,3 +1,4 @@
 from .taps import (BinaryFileTap, BucketedTap, CascalogTap, CsvTap,
-                   DecodedTap, JdbcTap, JsonTap, MemoryTap, ParquetTap,
+                   DecodedTap, JdbcTap, JsonTap, MemoryTap, OrcTap,
+                   ParquetTap,
                    SequenceFileTap, StdoutSink, TextLineTap, hfs_tap, lfs_tap)

@@ -73,6 +73,15 @@ class ParquetTap(Tap):
 
 
 @dataclass
+class OrcTap(Tap):
+    """ORC source/sink (Spark-native columnar alternative; same pushdown /
+    pruning / splittability story as parquet — tap-matrix completion for
+    shops standardized on ORC)."""
+
+    fmt: str = "orc"
+
+
+@dataclass
 class JdbcTap(Tap):
     """JDBC source/sink (tap-matrix completion; no reference equivalent —
     Cascading taps were HDFS-only).  Partitioned reads via

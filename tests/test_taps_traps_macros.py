@@ -434,3 +434,19 @@ def test_trap_large_error_fraction_spills(spark):
     query.flush_traps()
     query.unpersist()
     assert trapped == [n - n // 5]
+
+
+def test_orc_tap_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC tap: write via execute, read back through a query; the filter
+    must reach the ORC reader (same pushdown story as parquet)."""
+    from cascalog_spark.sources import OrcTap
+
+    path = str(tmp_path / "ages.orc")
+    execute(spark,
+            q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a")),
+            OrcTap(path=path))
+    back = q(["?p"], (OrcTap(path=path), {"p": "?p", "a": "?a"}),
+             (c.lt, "?a", 30))
+    assert sorted(back.run(spark)) == [("alice",), ("david",)]
+    plan = back.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(a,30)" in plan
