@@ -123,6 +123,13 @@ def parse_query(src: str, env: Optional[dict] = None, **options) -> Query:
             preds.append((head_sym, *[_atom(a) for a in form[1:]]))
             continue
         head = _resolve_head(head_sym, env)
-        preds.append((head, *[_atom(a) if isinstance(a, str) else a
-                              for a in form[1:]]))
+        preds.append((head, *[_resolve_arg(a) for a in form[1:]]))
     return Query(outfields, *preds, **options)
+
+
+def _resolve_arg(a):
+    """Atomize an argument, recursing into nested vectors (the ``:<<`` /
+    ``:>>`` vararg payloads are written as ``[?a ?b]`` sub-vectors)."""
+    if isinstance(a, list):
+        return [_resolve_arg(x) for x in a]
+    return _atom(a) if isinstance(a, str) else a

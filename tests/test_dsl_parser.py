@@ -79,3 +79,18 @@ def test_unresolved_symbol_error():
 def test_unbalanced_parens_error():
     with pytest.raises(ValueError, match="missing"):
         parse_query("[?x] (src ?x", env={"src": [(1,)]})
+
+
+def test_textual_vararg_selector(spark):
+    """Vararg ``:<<`` with a nested var vector in the textual form
+    (pred_macro_test.clj varargs through the `<-` string surface);
+    literals inside nested vectors atomize too."""
+    from cascalog_spark import parse_query
+
+    data = [(2.0, 3.0), (4.0, 5.0)]
+    qr = parse_query("""
+        [?prod]
+        (pairs ?a ?b)
+        (mult :<< [?a ?b 10] :> ?prod)
+    """, env={"pairs": data})
+    assert sorted(qr.run(spark)) == [(60.0,), (200.0,)]
