@@ -18,8 +18,8 @@ from .dsl import parse_query
 from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   cross_join, defmain, describe_plan, except_gens, execute,
                   first_n, get_out_fields, intersect_gens, lazy_generator,
-                  name_vars, num_out_fields, out_names, q, select_fields,
-                  union)
+                  name_vars, num_out_fields, out_names, q, run_many,
+                  select_fields, union)
 from .predicates import predmacro
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
@@ -33,7 +33,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Query", "Subquery", "q", "c", "parse_query", "predmacro",
     "combine", "union",
-    "execute", "first_n",
+    "execute", "first_n", "run_many",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",
     "except_gens", "checkpoint_gen", "defmain", "describe_plan",
     "select_fields", "name_vars", "out_names", "get_out_fields",

@@ -318,6 +318,21 @@ def execute(spark: SparkSession, *args) -> None:
                 qy.unpersist()
 
 
+def run_many(spark: SparkSession, *queries) -> list[list[tuple]]:
+    """??- with several queries (api.clj:113-140 ``run-to-memory!`` /
+    flow.clj all-to-memory): execute them as ONE action set — shared
+    subquery generators compile once (same fan-out machinery as multi-sink
+    ``execute``) — and return each query's tuples in order."""
+    results: list[list[tuple]] = [[] for _ in queries]
+
+    def _mem_sink(i):
+        return lambda df: results.__setitem__(
+            i, [tuple(r) for r in df.collect()])
+
+    execute(spark, [(qy, _mem_sink(i)) for i, qy in enumerate(queries)])
+    return results
+
+
 class _BroadcastGen:
     """hash-join-with-tiny analog (operations.clj:412-454): explicit
     broadcast opt-in for a generator.  Spark already auto-broadcasts below

@@ -450,3 +450,16 @@ def test_orc_tap_roundtrip_with_pushdown(spark, tmp_path):
     assert sorted(back.run(spark)) == [("alice",), ("david",)]
     plan = back.to_df(spark)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(a,30)" in plan
+
+
+def test_run_many_shares_one_action_set(spark):
+    """??- with several queries (run-to-memory!): results in order, shared
+    subquery compiled once."""
+    from cascalog_spark import run_many
+
+    sub = q(["?p", "?a"], (MemoryTap(["p", "a"], AGE), "?p", "?a"))
+    r1, r2 = run_many(spark,
+                      q(["?p"], (sub, "?p", "?a"), (c.lt, "?a", 30)),
+                      q(["?a"], (sub, "?p", "?a"), (c.gte, "?a", 40)))
+    assert sorted(r1) == [("alice",), ("david",)]
+    assert r2 == [(40,)]
