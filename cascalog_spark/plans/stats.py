@@ -58,14 +58,19 @@ def counter(spark: SparkSession, name: str):
     return acc
 
 
-def execute_with_stats(spark: SparkSession, query, sink,
+def execute_with_stats(spark: SparkSession, query, sink=None,
                        name: Optional[str] = None,
                        stats_fn: Optional[Callable[[dict], None]] = None,
                        counters: Optional[dict] = None) -> dict:
     """?- with :name and :stats-fn semantics (flow.clj:60-94): runs the
     query into the sink, then invokes ``stats_fn`` with a stats map
     {name, duration_sec, successful, counters} — counter values read from
-    the supplied accumulators after completion."""
+    the supplied accumulators after completion.
+
+    Multi-sink form: pass a list of ``(query, sink)`` pairs as ``query``
+    (``sink=None``) — the whole Semigroup-summed flow runs as one timed,
+    named action set, exactly the reference's ``(?- sink1 q1 sink2 q2)``
+    under one flow name."""
     from ..api import execute
 
     if name:
@@ -73,7 +78,10 @@ def execute_with_stats(spark: SparkSession, query, sink,
     t0 = time.perf_counter()
     ok = False
     try:
-        execute(spark, query, sink)
+        if sink is None and isinstance(query, list):
+            execute(spark, query)
+        else:
+            execute(spark, query, sink)
         ok = True
     finally:
         stats = {

@@ -282,3 +282,24 @@ def test_multigroup_n_preserves_integer_dtypes(spark):
         spark, [left, right], ["k"], buf,
         "k int, total bigint, dt string").collect()]
     assert res == [(1, 30, "Int64")]
+
+
+def test_execute_with_stats_multi_sink(spark):
+    """Stats wrapper over the multi-sink flow form: one timed action set,
+    both sinks written."""
+    from cascalog_spark import q as Q, c
+
+    data = [("a", 1), ("b", 2)]
+    sub = Q(["?k", "?v"], (data, "?k", "?v"))
+    got = {}
+    seen = []
+    stats = execute_with_stats(
+        spark,
+        [(Q(["?k"], (sub, "?k", "?v"), (c.gt, "?v", 1)),
+          lambda df: got.setdefault("a", df.collect())),
+         (Q(["?v"], (sub, "?k", "?v")),
+          lambda df: got.setdefault("b", df.count()))],
+        name="multi", stats_fn=seen.append)
+    assert [tuple(r) for r in got["a"]] == [("b",)]
+    assert got["b"] == 2
+    assert stats["successful"] and seen[0]["name"] == "multi"
