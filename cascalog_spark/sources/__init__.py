@@ -1,4 +1,4 @@
 from .taps import (BinaryFileTap, BucketedTap, CascalogTap, CsvTap,
                    DecodedTap, JdbcTap, JsonTap, MemoryTap, OrcTap,
-                   ParquetTap,
+                   ParquetTap, RangePartitionedTap,
                    SequenceFileTap, StdoutSink, TextLineTap, hfs_tap, lfs_tap)

@@ -463,3 +463,32 @@ def test_run_many_shares_one_action_set(spark):
                       q(["?a"], (sub, "?p", "?a"), (c.gte, "?a", 40)))
     assert sorted(r1) == [("alice",), ("david",)]
     assert r2 == [(40,)]
+
+
+def test_range_partitioned_tap_disjoint_file_ranges(spark, tmp_path):
+    """RangePartitionedTap: every output file covers a disjoint key range
+    (the property parquet min/max pruning needs), and a range predicate
+    reaches the scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.sources import RangePartitionedTap
+
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v")
+    tap = RangePartitionedTap(path=str(tmp_path / "ranged"),
+                              range_by=["k"], n_ranges=8)
+    tap.save_df(df)
+
+    back = spark.read.parquet(tap.path)
+    per_file = (back.groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+                .collect())
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint: min/max stats can prune range scans
+    assert back.count() == 10_000
+
+    plan = (back.where("k BETWEEN 100 AND 200")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "GreaterThanOrEqual(k,100)" in plan and \
+        "LessThanOrEqual(k,200)" in plan
