@@ -335,3 +335,18 @@ def test_get_out_fields_parity(spark):
         get_out_fields(ParquetTap(path="/x"))
     with pytest.raises(TypeError, match="not a generator"):
         get_out_fields(42)
+
+
+def test_bench_contract_shape():
+    """bench.py must keep the driver contract: headline set is importable,
+    every bench query exists in queries(), and each has an oracle (the
+    driver records BENCH_r{N} against these names)."""
+    import bench as bench_mod
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(bench_mod.BENCH_QUERIES) >= 15
+    for name in bench_mod.BENCH_QUERIES:
+        assert name in qs, f"bench query {name} missing from queries()"
+        assert name in oracles, f"bench query {name} has no oracle"
