@@ -1,0 +1,43 @@
+"""Regenerate QUERIES.json — the explicit query manifest for the driver.
+
+The driver's CORRECTNESS harness replayed a stale 50-key list in round 2
+while ``__spark_entry__.queries()`` had grown to 70; this manifest makes the
+full registry discoverable without importing Spark.  Run:
+
+    python tools/make_queries_manifest.py
+
+``tests/test_queries_manifest.py`` keeps the file in sync.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_manifest() -> dict:
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    return {
+        "count": len(names),
+        "queries": [
+            {"name": n, "oracle": n in oracles} for n in names
+        ],
+    }
+
+
+def main() -> None:
+    manifest = build_manifest()
+    out = REPO / "QUERIES.json"
+    out.write_text(json.dumps(manifest, indent=2) + "\n")
+    n_oracle = sum(1 for r in manifest["queries"] if r["oracle"])
+    print(f"wrote {out}: {manifest['count']} queries, {n_oracle} with oracles")
+
+
+if __name__ == "__main__":
+    main()
