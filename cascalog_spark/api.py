@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import vars as V
 from .compiler import Compiler
 from .planner import MergeNode, Node, ProjectionNode, build_plan
-from .predicates import normalize_query
+from .predicates import is_generator, normalize_query
 
 
 class Query:
@@ -219,6 +219,10 @@ def get_out_fields(gen) -> list[str]:
         return list(gen.outfields)
     if isinstance(gen, Subquery):
         return list(gen.outfields)
+    if isinstance(gen, DataFrame):
+        # DataFrames are accepted generators everywhere else (is_generator,
+        # execute); their schema IS the declared field list
+        return list(gen.columns)
     if isinstance(gen, _BoundGen):
         if gen.names is not None:
             return list(gen.names)
@@ -270,8 +274,25 @@ def execute(spark: SparkSession, *args) -> None:
     subquery referenced twice WITHIN a query), so a shared scan/join feeds
     every sink without recomputation.
     """
-    if len(args) == 2 and not isinstance(args[0], (tuple, list)):
-        pairs = [(args[0], args[1])]
+    def _is_sink(s):
+        return hasattr(s, "save_df") or (callable(s) and not is_generator(s))
+
+    def _is_pair(p):
+        return isinstance(p, (tuple, list)) and len(p) == 2 and _is_sink(p[1])
+
+    if len(args) == 2:
+        # ambiguous zone: the query itself may be a tuple/list (in-memory
+        # rows are valid generators) — decide by whether the SECOND arg is
+        # a sink (single form) or both args are (query, sink) pairs
+        if _is_sink(args[1]):
+            pairs = [(args[0], args[1])]
+        elif _is_pair(args[0]) and _is_pair(args[1]):
+            pairs = list(args)
+        else:
+            raise TypeError(
+                "execute: 2-arg form must be (query, sink) or two "
+                f"(query, sink) pairs; second arg {args[1]!r} is neither "
+                "a sink (save_df/callable) nor a pair")
     elif len(args) == 1 and isinstance(args[0], list):
         pairs = list(args[0])
     else:
@@ -305,6 +326,9 @@ def execute(spark: SparkSession, *args) -> None:
                 df = qy
             elif hasattr(qy, "to_df"):
                 df = qy.to_df(spark)
+            elif is_generator(qy):
+                # taps and literal-rows collections are runnable directly
+                df = Compiler(spark)._source_df(qy)
             else:
                 raise TypeError(f"not a query/generator: {qy!r}")
             _sink_df(df, sink)

@@ -13,8 +13,9 @@ from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
                     ngram_jaccard_pairs, simhash)
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
-                         cosine_similarity_col, ivf_ann_topk,
-                         ivf_centroids_kmeans, lsh_ann_topk)
+                         cosine_pairs_scoped, cosine_similarity_col,
+                         ivf_ann_topk, ivf_centroids_kmeans, lsh_ann_topk,
+                         release_cosine_cache)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    line_dup_ratio, redact_pii, url_domain_counts,
                    quality_score, token_count, tokenize)

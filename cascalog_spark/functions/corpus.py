@@ -93,23 +93,28 @@ def boilerplate_lines(df: DataFrame, min_docs: int = 3,
 
 def remove_boilerplate(df: DataFrame, min_docs: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       sep: str = "\n") -> DataFrame:
+                       sep: str = "\n", broadcast: bool = True) -> DataFrame:
     """Rebuild each document without its boilerplate lines →
     ``(id_col, clean, n_kept, n_removed)``.
 
-    The hot-line set is broadcast (boilerplate is by definition a small
-    fraction of DISTINCT lines even on a 100 TB corpus); the reassembly
-    groups by doc id — order restored via the exploded line position, so
-    the output text is byte-deterministic.  Docs whose every line is
-    boilerplate survive with empty text (they are filter candidates, not
-    silent drops)."""
+    The hot-line set is broadcast by default (boilerplate is usually a
+    small fraction of DISTINCT lines even on a 100 TB corpus); when that
+    assumption fails — low ``min_docs`` or heavily templated corpora can
+    push the hot set past Spark's 8 GB broadcast limit — pass
+    ``broadcast=False`` to fall back to a shuffled anti-join (same escape
+    hatch as ``contamination``'s).  The reassembly groups by doc id —
+    order restored via the exploded line position, so the output text is
+    byte-deterministic.  Docs whose every line is boilerplate survive with
+    empty text (they are filter candidates, not silent drops)."""
     hot = boilerplate_lines(df, min_docs, text_col, id_col, sep)
     lines = F.filter(F.split(F.col(text_col), re.escape(sep)),
                      lambda x: x != F.lit(""))
     ex = (explode_fast(df, lines, "line", pos_name="__pos")
           .select(F.col(id_col), "__pos", "line"))
-    kept = ex.join(F.broadcast(hot.select("line")), on="line",
-                   how="left_anti")
+    hot_side = hot.select("line")
+    if broadcast:
+        hot_side = F.broadcast(hot_side)
+    kept = ex.join(hot_side, on="line", how="left_anti")
     reassembled = (kept.groupBy(id_col)
                    .agg(F.concat_ws(
                         sep, F.transform(

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,13 +142,27 @@ def ivf_centroids_kmeans(df: DataFrame, id_col: str = "vec_id",
     if n == 0:
         return []
     frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
-    sample = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    sample = vecs
     if frac < 1.0:
         sample = sample.sample(fraction=frac, seed=seed)
     sample = sample.limit(sample_rows)
-    feats = sample.select(array_to_vector(F.col("__v")).alias("features"))
-    k = min(n_centroids, max(1, n if n < n_centroids else n_centroids))
+    feats = (sample.select(array_to_vector(F.col("__v")).alias("features"))
+             .persist())
+    got = feats.count()
+    if got < n_centroids and frac < 1.0:
+        # unlucky/small sample returned fewer rows than k — the Bernoulli
+        # fraction is only an expectation.  Fall back to a deterministic
+        # prefix of the full data (still bounded by sample_rows).
+        feats.unpersist()
+        feats = (vecs.limit(sample_rows)
+                 .select(array_to_vector(F.col("__v")).alias("features"))
+                 .persist())
+        got = feats.count()
+    # k from the rows the fit will actually see, never the full-corpus n
+    k = max(1, min(n_centroids, got))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    feats.unpersist()
     return [(i, [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())]
 
@@ -312,10 +328,14 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
       (MEMORY_AND_DISK) so the self-join's two sides share ONE signature
       computation instead of re-running the scan + signature stage per
       side (measured 3.8× on the bench corpus).  At 100 TB this is the
-      "write the signature index once, join against it" pattern; the
-      persisted handle is attached to the result as
-      ``df._cosine_sig_cache`` for callers that want to release it early
-      (otherwise Spark's LRU block eviction reclaims it).
+      "write the signature index once, join against it" pattern.  The
+      persisted table is NOT auto-evicted (MEMORY_AND_DISK disk blocks
+      survive until unpersist or context cleanup), so callers running many
+      ``cosine_pairs`` calls in one session should release it after the
+      consuming action: ``release_cosine_cache(result_df)``, or wrap the
+      whole compute in ``with cosine_pairs_scoped(...) as pairs:`` which
+      unpersists on exit.  The handle is also available directly as
+      ``df._cosine_sig_cache``.
 
     ``exact=True`` skips blocking (testing/small inputs only).
     """
@@ -383,3 +403,33 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                    F.round(sim, 6).alias("sim")))
     out._cosine_sig_cache = sig_cache
     return out
+
+
+def release_cosine_cache(pairs_df: DataFrame) -> bool:
+    """Unpersist the signature table behind a ``cosine_pairs`` result.
+
+    Call after the consuming action (collect/write).  Returns True if a
+    persisted cache was released, False if there was nothing to release
+    (``materialize=False`` / ``exact=True`` results).  Idempotent.
+    """
+    cache = getattr(pairs_df, "_cosine_sig_cache", None)
+    if cache is None:
+        return False
+    cache.unpersist()
+    pairs_df._cosine_sig_cache = None
+    return True
+
+
+@contextmanager
+def cosine_pairs_scoped(df: DataFrame, **kwargs):
+    """``cosine_pairs`` with deterministic signature-cache cleanup.
+
+    >>> with cosine_pairs_scoped(embs, threshold=0.95) as pairs:
+    ...     pairs.write.parquet(out)          # cache alive here
+    ... # cache unpersisted on exit (also on exception)
+    """
+    pairs = cosine_pairs(df, **kwargs)
+    try:
+        yield pairs
+    finally:
+        release_cosine_cache(pairs)

@@ -566,3 +566,84 @@ def test_stratified_sample_mixture_table_and_pack_shards(spark):
         for r in rs:
             assert r.seq_id == offset // 100
             offset += r.n_tokens
+
+
+def _n_cached_rdds(spark):
+    return len([i for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+
+
+def test_cosine_pairs_cache_release(spark):
+    """Repeated cosine_pairs calls must not accumulate persisted blocks
+    once released — release_cosine_cache / cosine_pairs_scoped contract."""
+    from cascalog_spark.functions import (cosine_pairs, cosine_pairs_scoped,
+                                          release_cosine_cache)
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _n_cached_rdds(spark)
+    for _ in range(3):
+        pairs = cosine_pairs(df, threshold=0.99, n_planes=4, dim=3)
+        pairs.count()
+        assert release_cosine_cache(pairs) is True
+        assert release_cosine_cache(pairs) is False  # idempotent
+    assert _n_cached_rdds(spark) == base
+    with cosine_pairs_scoped(df, threshold=0.99, n_planes=4, dim=3) as p:
+        p.count()
+    assert _n_cached_rdds(spark) == base
+    # materialize=False results have nothing to release
+    p2 = cosine_pairs(df, threshold=0.99, n_planes=4, dim=3,
+                      materialize=False)
+    assert release_cosine_cache(p2) is False
+
+
+def test_get_out_fields_dataframe(spark):
+    """DataFrames are generators everywhere; IOutputFields must agree."""
+    from cascalog_spark.api import get_out_fields, num_out_fields
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert get_out_fields(df) == ["k", "v"]
+    assert num_out_fields(df) == 2
+
+
+def test_execute_two_arg_rows_generator(spark, tmp_path):
+    """A literal-rows generator (itself a list) in the 2-arg execute form
+    must be treated as (query, sink), not misread as multi-sink pairs."""
+    from cascalog_spark import execute
+
+    got = []
+    rows = [(1, "a"), (2, "b")]
+    execute(spark, rows, lambda df: got.extend(df.collect()))
+    assert sorted((r[0], r[1]) for r in got) == rows
+    with pytest.raises(TypeError, match="neither"):
+        execute(spark, rows, "not-a-sink")
+
+
+def test_remove_boilerplate_no_broadcast_same_answer(spark):
+    from cascalog_spark.functions import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "HOT\nbody one"), (2, "HOT\nbody two"), (3, "HOT\nbody three")],
+        "doc_id long, text string")
+    bc = {tuple(r) for r in remove_boilerplate(docs, min_docs=3).collect()}
+    sj = {tuple(r) for r in
+          remove_boilerplate(docs, min_docs=3, broadcast=False).collect()}
+    assert bc == sj
+    plan = (remove_boilerplate(docs, min_docs=3, broadcast=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    # escape hatch really avoids the broadcast on the anti-join side
+    assert "BroadcastHashJoin LeftAnti" not in plan
+
+
+def test_ivf_centroids_kmeans_tiny_input(spark):
+    """k must derive from the rows the fit sees: a tiny corpus with a
+    fractional sample that could return < k rows still fits cleanly."""
+    from cascalog_spark.functions.similarity import ivf_centroids_kmeans
+
+    rows = [(i, [float(i), float(i * 2), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids_kmeans(df, n_centroids=4, sample_rows=2, seed=7)
+    assert 1 <= len(cents) <= 4
+    assert all(len(v) == 3 for _, v in cents)
+    ids = [c for c, _ in cents]
+    assert ids == list(range(len(ids)))
