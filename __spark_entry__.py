@@ -720,6 +720,18 @@ def orders_fixed_sample(spark, sf_dir):
              ).to_df(spark)
 
 
+def orders_fixed_sample_det(spark, sf_dir):
+    """c.fixed_sample_deterministic: content-keyed uniform 50-sample —
+    md5(values,seed) sort key makes the selected set engine-reproducible,
+    so unlike orders_fixed_sample this one IS hash-checkable."""
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?ok", "?ck"],
+             (orders, {"o_orderkey": "?k", "o_custkey": "?c"}),
+             (c.fixed_sample_deterministic(50, seed=7), "?k", "?c",
+              ":>", "?ok", "?ck"),
+             ).to_df(spark)
+
+
 def nation_keys_combined(spark, sf_dir):
     """Bag union — ``combine`` keeps duplicates (api.clj:178-186 vs the
     deduping ``union``)."""
@@ -1118,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
+        "orders_fixed_sample_det": orders_fixed_sample_det,
         "media_image_meta": media_image_meta,
         "events_stream_daily_counts": events_stream_daily_counts,
         "nation_keys_combined": nation_keys_combined,
@@ -1707,6 +1720,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey AS nk FROM supplier""",
         # orders_fixed_sample: omitted — random sampling is engine-specific;
         # driver records the rows-only check (row count asserted in tests).
+        "orders_fixed_sample_det": """
+            SELECT o_orderkey AS ok, o_custkey AS ck
+            FROM orders
+            ORDER BY md5(concat_ws('_', CAST(o_orderkey AS VARCHAR),
+                                   CAST(o_custkey AS VARCHAR), '7'))
+            LIMIT 50""",
         "media_image_meta": """
             SELECT doc_id, 'png' AS format,
                    (n_chars % 640 + 1)::INT AS width,

@@ -202,6 +202,21 @@ def fixed_sample(n: int, seed=None) -> LimitAgg:
     return LimitAgg(name="fixed-sample", n=n, random=True, seed=seed)
 
 
+def fixed_sample_deterministic(n: int, seed: int = 42) -> LimitAgg:
+    """``c/fixed-sample`` with a content-derived sort key: order by
+    ``md5(concat(values, seed))`` and keep the first n.
+
+    Same uniform-sample shape as ``fixed_sample`` (md5 of distinct inputs
+    is uniform), but the selected set is a pure function of (data, seed) —
+    stable across engines, retries, and partitionings, so it is
+    oracle-checkable and safe to use in pipelines that must be
+    reproducible (the `rand()`-keyed variant re-draws per task attempt).
+    Global form compiles to TakeOrderedAndProject (per-partition heaps),
+    never a single-partition sort."""
+    return LimitAgg(name="fixed-sample-det", n=n, random=True, seed=seed,
+                    deterministic=True)
+
+
 # ---------------------------------------------------------------------------
 # operator combinators (ops.clj:14-150).  Column-expression members compose
 # into one Column expression (stays JVM-side); Python-fn members compose

@@ -438,7 +438,15 @@ class Compiler:
         (ops.clj:172-269).  Streaming top-k: survives huge groups."""
         op: LimitAgg = rp.op
         group_cols = [self.namer.col(f) for f in node.group_fields]
-        if op.random:
+        if op.random and op.deterministic:
+            # content-derived uniform key: md5(values ++ seed).  Reproducible
+            # across engines/retries (DuckDB spells it identically), unlike
+            # rand(), which re-draws per task attempt.
+            key = F.concat_ws(
+                "_", *[self._c(i).cast("string") for i in rp.infields],
+                F.lit(str(op.seed)))
+            order = [F.md5(key)]
+        elif op.random:
             order = [F.rand(op.seed) if op.seed is not None else F.rand()]
         elif node.sort:
             order = [self._c(s).desc() if node.reverse else self._c(s).asc()

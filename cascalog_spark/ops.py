@@ -237,6 +237,9 @@ class LimitAgg:
     n_out: int = 1
     random: bool = False  # c/fixed-sample: order by rand(seed) instead of sort
     seed: Optional[int] = None
+    # c/fixed-sample-deterministic: order by md5(values, seed) — same
+    # uniform-sample semantics but reproducible across engines/retries
+    deterministic: bool = False
 
 
 # ---------------------------------------------------------------------------

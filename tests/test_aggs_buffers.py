@@ -477,3 +477,26 @@ def test_percentile_aggregator(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must be in"):
         c.percentile(1.5)
+
+
+def test_fixed_sample_deterministic_global_and_grouped(spark):
+    rows = [(f"g{i % 3}", i) for i in range(60)]
+    def run_once(seed):
+        query = q(["?l2", "?n2"],
+                  (rows, "?label", "?n"),
+                  (c.fixed_sample_deterministic(5, seed=seed),
+                   "?label", "?n", ":>", "?l2", "?n2"))
+        return sorted(query.run(spark))
+    a, b = run_once(7), run_once(7)
+    assert a == b, "same seed must select the same set"
+    assert len(a) == 5 and all(tuple(r) in rows for r in a)
+    assert run_once(8) != a, "different seed draws a different set"
+    # grouped: n per group, still deterministic
+    grouped = q(["?label", "?s"],
+                (rows, "?label", "?n"),
+                (c.fixed_sample_deterministic(4, seed=3), "?n", ":>", "?s"))
+    g1, g2 = sorted(grouped.run(spark)), sorted(grouped.run(spark))
+    assert g1 == g2
+    from collections import Counter
+    per = Counter(l for l, _ in g1)
+    assert per == {"g0": 4, "g1": 4, "g2": 4}
