@@ -18,8 +18,8 @@ from .dsl import parse_query
 from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   cross_join, defmain, describe_plan, except_gens, execute,
                   first_n, get_out_fields, intersect_gens, lazy_generator,
-                  name_vars, num_out_fields, out_names, q, run_many,
-                  select_fields, union)
+                  name_vars, num_out_fields, out_names, plan_dot, q,
+                  run_many, select_fields, union)
 from .predicates import predmacro
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,

@@ -101,6 +101,16 @@ class Query:
         """api.clj:71-86 ``explain`` — Catalyst plan instead of a DOT file."""
         self.to_df(spark).explain(mode=mode)
 
+    def describe_dot(self, path: str | None = None) -> str:
+        """Logical plan as Graphviz DOT (api.clj:71-86 writes the flow DOT
+        via Cascading ``writeDOT``; here the planner IR).  Returns the DOT
+        text; writes it to ``path`` when given.  No Spark session needed."""
+        dot = plan_dot(self.plan())
+        if path is not None:
+            with open(path, "w") as fh:
+                fh.write(dot + "\n")
+        return dot
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Query {self.outfields}>"
 
@@ -533,6 +543,55 @@ def describe_plan(node, indent: int = 0) -> str:
     for _name, kids in children:
         for k in kids:
             lines.append(describe_plan(k, indent + 1))
+    return "\n".join(lines)
+
+
+def plan_dot(node) -> str:
+    """Logical plan as Graphviz DOT — the reference's ``explain`` writes the
+    compiled flow to a DOT file (api.clj:71-86 via Cascading's
+    ``Flow#writeDOT``); this renders the planner IR the same way.  Pure
+    string build, no Spark session and no graphviz dependency needed."""
+    import dataclasses
+
+    from .planner import Node
+
+    lines = ["digraph cascalog_plan {",
+             '  rankdir="BT";',
+             '  node [shape=box, fontname="Helvetica"];']
+    counter = [0]
+
+    def _label(n) -> str:
+        scalars = []
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            if f.name == "identifier" or isinstance(v, Node):
+                continue
+            if isinstance(v, list) and v and all(isinstance(x, Node) for x in v):
+                continue
+            if f.name == "aggs" and isinstance(v, list):
+                scalars.append("aggs=[" + ", ".join(
+                    getattr(a.op, "name", str(a.op)) for a in v) + "]")
+            elif v not in (None, [], False) and not callable(v):
+                scalars.append(f"{f.name}={v!r}")
+        body = "\\n".join([type(n).__name__] + scalars)
+        return body.replace('"', '\\"')
+
+    def _walk(n) -> str:
+        nid = f"n{counter[0]}"
+        counter[0] += 1
+        lines.append(f'  {nid} [label="{_label(n)}"];')
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            kids = ([v] if isinstance(v, Node)
+                    else v if (isinstance(v, list) and v
+                               and all(isinstance(x, Node) for x in v))
+                    else [])
+            for k in kids:
+                lines.append(f"  {_walk(k)} -> {nid};")
+        return nid
+
+    _walk(node)
+    lines.append("}")
     return "\n".join(lines)
 
 

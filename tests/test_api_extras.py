@@ -350,3 +350,23 @@ def test_bench_contract_shape():
     for name in bench_mod.BENCH_QUERIES:
         assert name in qs, f"bench query {name} missing from queries()"
         assert name in oracles, f"bench query {name} has no oracle"
+
+
+def test_describe_dot_valid_tree(tmp_path):
+    """describe_dot: valid DOT, one node per IR node, tree-shaped edges
+    (reference explain writes the flow DOT — api.clj:71-86)."""
+    import re
+    from cascalog_spark import q, c
+
+    rows = [("a", 1), ("b", 2), ("a", 3)]
+    query = q(["?k", "?s"], (rows, "?k", "?v"), (c.sum_agg, "?v", ":>", "?s"))
+    out = tmp_path / "plan.dot"
+    dot = query.describe_dot(str(out))
+    assert out.read_text().strip() == dot.strip()
+    assert dot.startswith("digraph") and dot.rstrip().endswith("}")
+    assert dot.count("{") == dot.count("}")
+    nodes = re.findall(r'^\s*(n\d+) \[label="', dot, re.M)
+    edges = re.findall(r'^\s*n\d+ -> n\d+;', dot, re.M)
+    assert len(nodes) == len(set(nodes)) >= 2
+    assert len(edges) == len(nodes) - 1  # tree
+    assert "GroupingNode" in dot
