@@ -176,3 +176,57 @@ def test_explode_fast_no_inferred_size_filter(spark):
     rows = [(r.id, r.tok) for r in
             explode_fast(df2, F.col("arr"), "tok").collect()]
     assert rows == [(1, "x"), (1, None), (1, "y")]
+
+
+def test_stratified_sample_stays_map_side(spark):
+    """80%-skewed stratum: the sample is a pure filter — no Exchange may
+    appear in the plan for either the scalar or the dict form."""
+    from cascalog_spark.functions import stratified_sample
+
+    rows = [(i, "hot" if i % 10 < 8 else f"cold{i % 10}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for fr in (0.25, {"hot": 0.1, "cold8": 0.9}):
+        out = stratified_sample(df, fr, "source")
+        assert "Exchange" not in _plan(out), f"shuffle in {fr!r} form"
+    # broadcast mixture-table form may exchange ONLY for the broadcast
+    w = spark.createDataFrame([("hot", 0.1)], "source string, fraction double")
+    plan = _plan(stratified_sample(df, w, "source"))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_n_shards_bounds_hot_key(spark):
+    """One part value holds 80% of docs: n_shards must split its window
+    partition so no single window sees the whole hot key."""
+    from collections import Counter
+
+    from cascalog_spark.functions import pack_sequences
+
+    n = 500
+    rows = [(i, "hot" if i < int(n * 0.8) else "cold", "tok " * (i % 7 + 1))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, max_tokens=16, n_shards=8)
+    got = out.collect()
+    assert len(got) == n  # nothing dropped
+    assert "shard" in out.columns
+    per_window = Counter((r.source, r.shard) for r in got)
+    hot_total = int(n * 0.8)
+    assert len({s for (src, s) in per_window if src == "hot"}) == 8
+    assert max(per_window.values()) < hot_total * 0.3, \
+        "a single window partition still holds most of the hot key"
+    # the physical window partition spec must include the shard column
+    plan = _plan(out)
+    assert "shard" in plan.split("Window")[1][:400]
+
+
+def test_pack_sequences_plan_no_global_sort(spark):
+    """Packing must never compile to a global (single-partition) sort."""
+    from cascalog_spark.functions import pack_sequences
+
+    df = spark.createDataFrame([(i, "s", "a b c") for i in range(50)],
+                               "doc_id long, source string, text string")
+    for kw in ({}, {"n_shards": 4}):
+        plan = _plan(pack_sequences(df, max_tokens=8, **kw))
+        assert "Exchange SinglePartition" not in plan
+        assert "Sort [" in plan and "global=true" not in plan.lower()
