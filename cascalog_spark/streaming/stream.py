@@ -99,3 +99,82 @@ def stream_dedup(df: DataFrame, keys: list, ts_col: Optional[str] = None,
         return df.withWatermark(ts_col, watermark) \
                  .dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def trapped_stream_map(df: DataFrame, fn, in_cols: list,
+                       out_cols: list, returns: list) -> DataFrame:
+    """Apply a Python fn to a streaming DataFrame with ``:trap`` semantics
+    (the streaming face of the batch compiler's trap split,
+    operations.clj:617-644): instead of failing the query, a row whose fn
+    throws carries the error in ``__error`` and its outputs as null.
+
+    Pair with ``write_stream_trapped`` to divert errored rows to a trap
+    sink per micro-batch while clean rows flow to the main sink — the
+    poison record never kills the stream.
+    """
+    from pyspark.sql import types as T
+
+    struct_t = T.StructType(
+        [T.StructField(f"_{i}", t) for i, t in enumerate(returns)]
+        + [T.StructField("__error", T.StringType())])
+    n_out = len(out_cols)
+
+    def wrapped(*vals):
+        try:
+            r = fn(*vals)
+            r = tuple(r) if n_out > 1 else (r,)
+            return r + (None,)
+        except Exception as e:  # diverted, not fatal
+            return tuple([None] * n_out) + (f"{type(e).__name__}: {e}",)
+
+    # asNondeterministic for the same reason as the batch trap: Catalyst
+    # must not re-evaluate the fn per branch (double-draw could land a row
+    # in both the trap and the output)
+    udf = F.udf(wrapped, struct_t).asNondeterministic()
+    tmp = "__trapout"
+    out = df.withColumn(tmp, udf(*[F.col(c) for c in in_cols]))
+    for i, name in enumerate(out_cols):
+        out = out.withColumn(name, F.col(tmp).getField(f"_{i}"))
+    return out.withColumn("__error", F.col(tmp).getField("__error")) \
+              .drop(tmp)
+
+
+def write_stream_trapped(df: DataFrame, main_sink, trap_sink,
+                         error_col: str = "__error",
+                         checkpoint: Optional[str] = None,
+                         trigger: Optional[dict] = None,
+                         query_name: Optional[str] = None):
+    """foreachBatch sink with error diversion: each micro-batch is split
+    ONCE on ``error_col`` — errored rows (with the error message) go to
+    ``trap_sink``, clean rows (error column dropped) to ``main_sink``.
+
+    Sinks are batch sinks: a Tap (``save_df``) or a callable(DataFrame).
+    The batch is persisted for the span of the split so the UDF that
+    produced the error column runs once per row, not once per branch —
+    exactly the batch trap's persist-at-the-split-point rule.
+    """
+    def _sink(batch_df, sink):
+        if hasattr(sink, "save_df"):
+            sink.save_df(batch_df)
+        elif callable(sink):
+            sink(batch_df)
+        else:  # pragma: no cover - arg error
+            raise TypeError(f"not a sink: {sink!r}")
+
+    err = F.col(error_col)
+
+    def process(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        try:
+            _sink(batch_df.filter(err.isNotNull()), trap_sink)
+            _sink(batch_df.filter(err.isNull()).drop(error_col), main_sink)
+        finally:
+            batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -303,3 +303,45 @@ def test_execute_with_stats_multi_sink(spark):
     assert [tuple(r) for r in got["a"]] == [("b",)]
     assert got["b"] == 2
     assert stats["successful"] and seen[0]["name"] == "multi"
+
+
+def test_streaming_trap_poison_record(spark, tmp_path):
+    """:trap for streams: a poison record is diverted to the trap sink
+    with its error; the query survives and clean rows reach the main sink."""
+    from pyspark.sql import types as T
+
+    from cascalog_spark.streaming import (stream_tap, trapped_stream_map,
+                                          write_stream_trapped)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "10"), (2, "poison"), (3, "30"), (4, "40")],
+        "id long, raw string").write.parquet(src)
+
+    sdf = stream_tap(spark, "parquet", src, schema="id long, raw string")
+    mapped = trapped_stream_map(
+        sdf, lambda raw: int(raw) * 2, ["raw"], ["doubled"],
+        [T.LongType()])
+
+    good, bad = [], []
+    qy = write_stream_trapped(
+        mapped, lambda df: good.extend(df.collect()),
+        lambda df: bad.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"))
+    qy.awaitTermination()
+    assert qy.exception() is None, "poison record must not kill the stream"
+    assert sorted((r.id, r.doubled) for r in good) == \
+        [(1, 20), (3, 60), (4, 80)]
+    assert [(r.id, r.raw) for r in bad] == [(2, "poison")]
+    assert "ValueError" in bad[0]["__error"]
+    # restart with same checkpoint: availableNow re-drain sees no new data
+    good2 = []
+    qy2 = write_stream_trapped(
+        trapped_stream_map(stream_tap(spark, "parquet", src,
+                                      schema="id long, raw string"),
+                           lambda raw: int(raw) * 2, ["raw"], ["doubled"],
+                           [T.LongType()]),
+        lambda df: good2.extend(df.collect()), lambda df: None,
+        checkpoint=str(tmp_path / "ckpt"))
+    qy2.awaitTermination()
+    assert good2 == [], "checkpoint must dedupe the drained batch"
