@@ -951,6 +951,34 @@ def nation_balance_spread(spark, sf_dir):
              ).to_df(spark)
 
 
+def lineitem_flag_running_qty(spark, sf_dir):
+    """defbufferiterfn on a MEGAGROUP: lineitem grouped by l_returnflag is
+    ~3 groups of ~200k rows at sf0.1 — each group spans many Arrow batches,
+    exercising the streaming-iterator path (state carried across batches,
+    group never materialized).  Running quantity in integer cents so the
+    cumulative sum is bit-stable across engines."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint", "bigint", "bigint"], n_out=3,
+                     name="run-qty")
+    def running_qty(rows):
+        acc = 0
+        for ok, ln, qty in rows:
+            acc += int(round(qty * 100))
+            yield (ok, ln, acc)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?flag", "?ok2", "?ln2", "?rq_cents"],
+             (li, {"l_returnflag": "?flag", "l_orderkey": "?ok",
+                   "l_linenumber": "?ln", "l_quantity": "?qty"}),
+             (running_qty, "?ok", "?ln", "?qty",
+              ":>", "?ok2", "?ln2", "?rq_cents"),
+             # (ok, ln) is NOT unique in the synthetic data — qty tiebreak
+             # makes the prefix-sum multiset deterministic cross-engine
+             sort=["?ok", "?ln", "?qty"],
+             ).to_df(spark)
+
+
 def orders_running_total_cents(spark, sf_dir):
     """defbufferiterfn (logic/def.clj:86-88): streaming iterator buffer —
     per-customer running total of order prices (in cents, so the cumulative
@@ -1142,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_branch_counts": nation_branch_counts,
         "nation_balance_spread": nation_balance_spread,
         "orders_running_total_cents": orders_running_total_cents,
+        "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "lineitem_charge_vararg": lineitem_charge_vararg,
         "doc_dup_clusters": doc_dup_clusters,
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
@@ -1703,6 +1732,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderkey) AS rt_cents
             FROM orders""",
+        "lineitem_flag_running_qty": """
+            SELECT l_returnflag AS flag, l_orderkey AS ok2,
+                   l_linenumber AS ln2,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber, l_quantity
+                     ROWS UNBOUNDED PRECEDING)
+                   AS rq_cents
+            FROM lineitem""",
         "lineitem_charge_vararg": """
             SELECT l_returnflag AS flag,
                    round(sum(l_extendedprice * (1.0 - l_discount)

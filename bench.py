@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "region_priority_rollup",
     "embedding_cosine_near_dup",
     "embedding_ivf_topk",
+    # megagroup streaming-iterator buffer: ~3 groups x ~200k rows at sf0.1,
+    # state carried across Arrow batches (defbufferiterfn path)
+    "lineitem_flag_running_qty",
 ]
 
 
@@ -68,11 +71,14 @@ def main() -> None:
     entry_mod.revenue_per_nation(spark, SF_DIR) \
         .write.format("noop").mode("overwrite").save()
 
-    # min of 2 passes per query: the host is multi-tenant and load spikes
-    # dominate single-shot wall clock; min-of-n is the standard
-    # noise-robust estimator for short benchmarks
+    # min of N passes per query (default 2, --repeat N for more): the host
+    # is multi-tenant and load spikes dominate single-shot wall clock;
+    # min-of-n is the standard noise-robust estimator for short benchmarks
+    n_pass = 2
+    if "--repeat" in sys.argv:
+        n_pass = int(sys.argv[sys.argv.index("--repeat") + 1])
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_pass):
         for name in BENCH_QUERIES:
             fn = qs[name]
             t0 = time.perf_counter()
