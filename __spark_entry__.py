@@ -1101,6 +1101,27 @@ def doc_packed_sequences(spark, sf_dir):
                           id_col="doc_id")
 
 
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: per-doc char fraction covered by
+    the most frequent 2-gram and by duplicated 3-grams — explode+count on
+    (doc, gram), no UDF, exact DuckDB twin."""
+    from cascalog_spark.functions import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, n_top=2, n_dup=3)
+
+
+def doc_domain_cap(spark, sf_dir):
+    """Domain quota capping: at most 20 docs per source, chosen by the
+    deterministic md5(id,seed) order — the mixture-control step before
+    packing; Window row_number per stratum, reproducible cross-engine."""
+    from cascalog_spark.functions import cap_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_per_stratum(docs, 20, "source", id_col="doc_id", seed=11)
+            .select("doc_id", "source"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1184,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_removal": doc_boilerplate_removal,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_packed_sequences": doc_packed_sequences,
+        "doc_repetition_signals": doc_repetition_signals,
+        "doc_domain_cap": doc_domain_cap,
     }
 
 
@@ -1843,4 +1866,53 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
                      ORDER BY doc_id) - 1 AS BIGINT) AS seq_pos
             FROM cm""",
+        "doc_repetition_signals": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t,
+                     length(array_to_string({_TOKS}, '')) AS chars
+              FROM documents),
+            c2 AS (
+              SELECT doc_id, g, count(*) AS c,
+                     length(replace(g, ' ', '')) AS w
+              FROM (SELECT doc_id, unnest(
+                      CASE WHEN len(t) >= 2 THEN
+                        list_transform(range(0, len(t)-2+1),
+                          i -> array_to_string(list_slice(t, i+1, i+2), ' '))
+                      ELSE [] END) AS g
+                    FROM toks)
+              GROUP BY 1, 2, length(replace(g, ' ', ''))),
+            top2 AS (SELECT doc_id, max(c*w) AS topv FROM c2 GROUP BY 1),
+            c3 AS (
+              SELECT doc_id, g, count(*) AS c,
+                     length(replace(g, ' ', '')) AS w
+              FROM (SELECT doc_id, unnest(
+                      CASE WHEN len(t) >= 3 THEN
+                        list_transform(range(0, len(t)-3+1),
+                          i -> array_to_string(list_slice(t, i+1, i+3), ' '))
+                      ELSE [] END) AS g
+                    FROM toks)
+              GROUP BY 1, 2, length(replace(g, ' ', ''))),
+            dup3 AS (SELECT doc_id,
+                            sum(CASE WHEN c > 1 THEN c*w ELSE 0 END) AS dupv
+                     FROM c3 GROUP BY 1)
+            SELECT t.doc_id,
+                   CASE WHEN chars > 0 THEN
+                     round(least(1.0, coalesce(topv, 0) / chars), 6)
+                   ELSE 0.0 END AS top_ngram_char_frac,
+                   CASE WHEN chars > 0 THEN
+                     round(least(1.0, coalesce(dupv, 0) / chars), 6)
+                   ELSE 0.0 END AS dup_ngram_char_frac
+            FROM toks t
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN dup3 USING (doc_id)""",
+        "doc_domain_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY (CAST(concat('0x', substr(md5(
+                                   CAST(doc_id AS VARCHAR) || '_11'), 1, 15))
+                                 AS BIGINT) % 1000000) / 1000000.0 ASC,
+                                doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 20""",
     }

@@ -7,7 +7,8 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
 from .corpus import (boilerplate_lines, contamination, decontaminate,
-                     pack_sequences, remove_boilerplate, stratified_sample)
+                     cap_per_stratum, pack_sequences, remove_boilerplate,
+                     stratified_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
                     minhash_lsh_candidates, minhash_signature,
                     ngram_jaccard_pairs, simhash)
@@ -17,7 +18,7 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          ivf_ann_topk, ivf_centroids_kmeans, lsh_ann_topk,
                          release_cosine_cache)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
-                   line_dup_ratio, redact_pii, url_domain_counts,
-                   quality_score, token_count, tokenize)
+                   line_dup_ratio, redact_pii, repetition_signals,
+                   url_domain_counts, quality_score, token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

@@ -224,3 +224,23 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
     return (out.withColumn("seq_pos",
                            (F.row_number().over(w2) - 1).cast("bigint"))
             .drop("__cum"))
+
+
+def cap_per_stratum(df: DataFrame, n: int, strata_col: str,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Domain/source quota capping: keep at most ``n`` rows per stratum,
+    chosen by the deterministic md5(id, seed) key — the mixture-control
+    step of a corpus pipeline (cap any one domain's share before packing).
+
+    Window + row_number per stratum: partial shuffle on the stratum key
+    only; the hash order makes the kept set a pure function of
+    (data, seed) — reproducible on retry and oracle-checkable (same
+    QUALIFY row_number() spelling in any engine).  A skewed hot stratum is
+    bounded by the window's external sort (spills, never OOMs); when the
+    cap is small relative to the hot key, AQE's skew-join handling does
+    not apply to windows, so extremely hot strata pay one sorted pass —
+    the price of an exact per-key quota."""
+    u = _unit_hash(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))

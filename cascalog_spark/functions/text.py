@@ -239,3 +239,72 @@ def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             .select(dom.alias("domain"))
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_urls")))
+
+
+def char_ngrams_col(toks: Column, n: int) -> Column:
+    """All token n-grams (space-joined, duplicates kept); empty array when
+    the doc has fewer than n tokens.  Sequence is guarded — Spark's
+    sequence(1, 0) would count DOWN, not produce an empty range."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_top: int = 2,
+                       n_dup: int = 3) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021, appendix
+    A1.1 "repetitious text" filters) →
+    ``(id_col, top_ngram_char_frac, dup_ngram_char_frac)``:
+
+    - ``top_ngram_char_frac``: fraction of the doc's token characters
+      covered by occurrences of its single most frequent ``n_top``-gram.
+    - ``dup_ngram_char_frac``: fraction covered by ``n_dup``-grams that
+      occur more than once.
+
+    Shape at scale: explode → count keyed on (doc, gram) — ONE shuffle per
+    signal with map-side partial aggregation (gram cardinality per doc is
+    bounded by token count), then a per-doc rollup on the same key prefix
+    and a join back to the per-doc char totals, all partitioned by doc id.
+    No UDFs anywhere; char weight of a gram = its non-space length, so the
+    DuckDB oracle can reproduce values bit-for-bit.
+    """
+    from .util import explode_fast
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    totals = base.select(
+        F.col(id_col),
+        F.length(F.concat_ws("", F.col("__t"))).alias("__chars"))
+
+    def per_doc(n: int, dup_only: bool, out: str) -> DataFrame:
+        ex = (explode_fast(base, char_ngrams_col(F.col("__t"), n), "__g")
+              .select(F.col(id_col), "__g"))
+        w = F.length(F.regexp_replace(F.col("__g"), " ", ""))
+        cnt = (ex.groupBy(id_col, "__g")
+               .agg(F.count(F.lit(1)).alias("__c"), F.first(w).alias("__w")))
+        covered = F.col("__c") * F.col("__w")
+        if dup_only:
+            val = F.sum(F.when(F.col("__c") > 1, covered).otherwise(F.lit(0)))
+        else:
+            val = F.max(covered)
+        return cnt.groupBy(id_col).agg(val.alias(out))
+
+    top = per_doc(n_top, False, "__top")
+    dup = per_doc(n_dup, True, "__dup")
+    # overlapping occurrences can over-count chars (count*len > total for
+    # "a a a a"): clamp so the signal stays a true fraction in [0, 1].
+    # NB the chars>0 guard must be an explicit WHEN — least() SKIPS nulls
+    # (least(1.0, null) = 1.0), so a null ratio would clamp UP, not out
+    frac = (lambda c: F.when(
+        F.col("__chars") > 0,
+        F.round(F.least(F.lit(1.0),
+                        F.coalesce(c, F.lit(0)).cast("double")
+                        / F.col("__chars")), 6)).otherwise(F.lit(0.0)))
+    return (totals.join(top, on=id_col, how="left")
+            .join(dup, on=id_col, how="left")
+            .select(F.col(id_col),
+                    frac(F.col("__top")).alias("top_ngram_char_frac"),
+                    frac(F.col("__dup")).alias("dup_ngram_char_frac")))

@@ -647,3 +647,41 @@ def test_ivf_centroids_kmeans_tiny_input(spark):
     assert all(len(v) == 3 for _, v in cents)
     ids = [c for c, _ in cents]
     assert ids == list(range(len(ids)))
+
+
+def test_repetition_signals_edges(spark):
+    from cascalog_spark.functions import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),       # one repeated token
+         (2, "all tokens here are unique"),
+         (3, "ab"),                        # fewer than n tokens
+         (4, "")],                         # empty doc
+        "doc_id long, text string")
+    out = {r.doc_id: (r.top_ngram_char_frac, r.dup_ngram_char_frac)
+           for r in repetition_signals(docs, n_top=2, n_dup=2).collect()}
+    assert len(out) == 4, "every doc keeps a row"
+    # doc 1: 3x "spam spam" covers 3*8=24 > 16 chars -> clamped to 1.0
+    assert out[1] == (1.0, 1.0)
+    # doc 2: every 2-gram unique; top covers its own chars only
+    assert out[2][1] == 0.0 and 0.0 < out[2][0] < 1.0
+    assert out[3] == (0.0, 0.0) and out[4] == (0.0, 0.0)
+
+
+def test_cap_per_stratum_deterministic(spark):
+    from cascalog_spark.functions import cap_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted((r.doc_id, r.source)
+               for r in cap_per_stratum(df, 5, "source", seed=1).collect())
+    b = sorted((r.doc_id, r.source)
+               for r in cap_per_stratum(df, 5, "source", seed=1).collect())
+    assert a == b and len(a) == 15
+    from collections import Counter
+    assert set(Counter(s for _, s in a).values()) == {5}
+    c = sorted((r.doc_id, r.source)
+               for r in cap_per_stratum(df, 5, "source", seed=2).collect())
+    assert c != a, "seed changes the kept set"
+    # cap above the stratum size keeps everything
+    assert cap_per_stratum(df, 100, "source").count() == 90
