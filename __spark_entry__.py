@@ -1122,6 +1122,37 @@ def doc_domain_cap(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def events_asof_purchase(spark, sf_dir):
+    """As-of join (extension operator): each click event attributed to the
+    user's latest purchase at-or-before it — union+sort+last_value carry
+    per user-id partition, never a per-group UDF."""
+    from cascalog_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, purchases, on="user_id",
+                    right_cols=["event_id", "value"], suffix="_p",
+                    tiebreak="event_id")
+    return out.select(F.col("event_id"), F.col("user_id"),
+                      F.col("event_id_p").alias("purchase_event_id"),
+                      F.round(F.col("value"), 6).alias("purchase_value"))
+
+
+def embedding_knn_join(spark, sf_dir):
+    """Batch exact k-NN join: 5 query vectors against the whole embedding
+    corpus — broadcast queries, native fold dot product, salted two-stage
+    top-k (shuffle carries <= q*n_salt*k rows, not q*n)."""
+    from cascalog_spark.functions import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return knn_join(emb, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1207,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packed_sequences": doc_packed_sequences,
         "doc_repetition_signals": doc_repetition_signals,
         "doc_domain_cap": doc_domain_cap,
+        "events_asof_purchase": events_asof_purchase,
+        "embedding_knn_join": embedding_knn_join,
     }
 
 
@@ -1915,4 +1948,28 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rn
               FROM documents)
             WHERE rn <= 20""",
+        "events_asof_purchase": """
+            SELECT l.event_id, l.user_id,
+                   r.purchase_event_id, r.purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            LEFT JOIN LATERAL (
+              SELECT p.event_id AS purchase_event_id,
+                     round(p.value, 6) AS purchase_value
+              FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = l.user_id AND p.ts <= l.ts
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) r ON TRUE""",
+        "embedding_knn_join": """
+            SELECT q.query_id, r.vec_id, r.sim
+            FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5) q
+            CROSS JOIN LATERAL (
+              SELECT e.vec_id, round(
+                  list_dot_product(e.embedding::DOUBLE[], q.qv)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+              FROM embeddings e
+              ORDER BY sim DESC, e.vec_id ASC LIMIT 5) r""",
     }

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -433,3 +433,55 @@ def cosine_pairs_scoped(df: DataFrame, **kwargs):
         yield pairs
     finally:
         release_cosine_cache(pairs)
+
+
+def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "embedding",
+             n_salt: int = 32) -> DataFrame:
+    """Batch exact k-NN: for EACH query row, the ``k`` index rows with the
+    highest cosine → ``(query_id_col, id_col, sim)``.
+
+    The query batch is the small side (an inference batch, an eval set)
+    and is broadcast: the candidate scoring is a BroadcastNestedLoopJoin —
+    every index partition scores its rows against all q queries with zero
+    corpus shuffle, sims computed by the native sequential-fold dot
+    product (bit-identical to the DuckDB oracle's list_dot_product).
+
+    Top-k is a salted two-stage window so the shuffle never carries the
+    q x n scored rows: stage 1 takes per-(query, salt) top-k (q x n rows
+    reduced partition-locally to <= q * n_salt * k), stage 2 reduces those
+    to the global per-query top-k.  Exact: the true top-k is a subset of
+    the union of per-salt top-ks.  Ties broken by ascending id on both
+    stages — fully deterministic.
+
+    For corpus-scale query sets use the IVF path (``ivf_write_index`` +
+    per-cell equi-join) instead of broadcasting.
+    """
+    qv = F.col("__qv")
+    qside = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        (norm_col(F.col(query_vec_col).cast("array<double>")))
+        .alias("__qnrm"))
+    vec = F.col(vec_col).cast("array<double>")
+    scored = (index.select(F.col(id_col), vec.alias("__v"),
+                           norm_col(vec).alias("__nrm"))
+              .join(F.broadcast(qside))
+              .select(F.col("__qid"), F.col(id_col),
+                      F.round(dot_col(F.col("__v"), qv)
+                              / (F.col("__nrm") * F.col("__qnrm")), 6)
+                      .alias("sim")))
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    w1 = (Window.partitionBy("__qid", salt)
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    w2 = (Window.partitionBy("__qid")
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    return (scored
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= k)
+            .withColumn("__rn2", F.row_number().over(w2))
+            .where(F.col("__rn2") <= k)
+            .select(F.col("__qid").alias(query_id_col), F.col(id_col),
+                    "sim"))

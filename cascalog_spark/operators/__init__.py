@@ -1,1 +1,2 @@
+from .asof import asof_join
 from .multigroup import multigroup, multigroup_n

@@ -685,3 +685,78 @@ def test_cap_per_stratum_deterministic(spark):
     assert c != a, "seed changes the kept set"
     # cap above the stratum size keeps everything
     assert cap_per_stratum(df, 100, "source").count() == 90
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as DT
+
+    from cascalog_spark.operators import asof_join
+    from pyspark.sql import functions as F
+
+    t = lambda s: DT(2024, 1, s)
+    left = spark.createDataFrame(
+        [(1, "u1", t(5)), (2, "u1", t(10)), (3, "u2", t(3)), (4, "u3", t(7))],
+        "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", t(4), 100, 1.0),   # before both u1 rows
+         ("u1", t(10), 200, 2.0),  # ties lid=2's ts -> inclusive match
+         ("u1", t(10), 300, 3.0),  # same ts: greater tiebreak (rid) wins
+         ("u2", t(9), 400, 4.0)],  # after u2's only left row -> no match
+        "user string, ts timestamp, rid long, val double")
+    out = {r.lid: (r.rid, r.val) for r in
+           asof_join(left, right, on="user", right_cols=["rid", "val"],
+                     tiebreak="rid").collect()}
+    assert out[1] == (100, 1.0)
+    assert out[2] == (300, 3.0)          # inclusive + deterministic tiebreak
+    assert out[3] == (None, None)        # right is later than left
+    assert out[4] == (None, None)        # key missing entirely
+    # tolerance: a 12h window voids lid=1's 1-day-old match but keeps
+    # lid=2's same-timestamp match
+    tol = {r.lid: r.rid for r in
+           asof_join(left, right, on="user", right_cols=["rid", "val"],
+                     tiebreak="rid",
+                     tolerance=F.expr("INTERVAL 12 HOURS")).collect()}
+    assert tol[1] is None and tol[2] == 300
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The whole as-of join must cost ONE hash exchange on the key."""
+    from cascalog_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 5, 10)], "lid long, k long, ts long")
+    right = spark.createDataFrame([(5, 8, 7)], "k long, ts long, v long")
+    plan = (asof_join(left, right, on="k", right_cols=["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    from cascalog_spark.functions import knn_join
+    from cascalog_spark.functions.similarity import brute_force_topk
+
+    rows = [(i, [float((i * 7 + j) % 11) for j in range(4)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (emb.where("vec_id < 3")
+               .withColumnRenamed("vec_id", "query_id"))
+    got = {}
+    for r in knn_join(emb, queries, k=4).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.sim))
+    assert set(got) == {0, 1, 2}
+    for qid, vec in [(q, v) for q, v in rows[:3]]:
+        expect = [(r.vec_id, r.sim)
+                  for r in brute_force_topk(emb, vec, k=4).collect()]
+        assert sorted(got[qid]) == sorted(expect), f"query {qid}"
+
+
+def test_knn_join_plan_broadcasts_queries(spark):
+    from cascalog_spark.functions import knn_join
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    q = emb.withColumnRenamed("vec_id", "query_id")
+    plan = (knn_join(emb, q, k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan  # no global-window funnel
