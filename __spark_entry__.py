@@ -1122,6 +1122,58 @@ def doc_domain_cap(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue, global
+    top-10 (TakeOrderedAndProject) — date-window predicates pushed to both
+    fact scans."""
+    from cascalog_spark import first_n
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = _dt.datetime(1998, 3, 15)
+    inner = q(["?ok", "?od", "?op", "?revenue"],
+              (cust, {"c_custkey": "?ck", "c_mktsegment": "?seg"}),
+              (orders, {"o_orderkey": "?ok", "o_custkey": "?ck",
+                        "o_orderdate": "?od", "o_orderpriority": "?op"}),
+              (li, {"l_orderkey": "?ok", "l_extendedprice": "?price",
+                    "l_discount": "?disc", "l_shipdate": "?sd"}),
+              (c.eq, "?seg", "BUILDING"),
+              (c.lt, "?od", cutoff),
+              (c.gt, "?sd", cutoff),
+              (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+              (c.mult, "?price", "?dfrac", ":>", "?rev"),
+              (c.sum_agg, "?rev", ":>", "?r"),
+              (c.round_to(4), "?r", ":>", "?revenue"))
+    return first_n(inner, 10, sort=["?revenue", "?ok"],
+                   reverse=True).to_df(spark)
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer (4-way join,
+    'R'-flag filter pushed to the lineitem scan), global top-20."""
+    from cascalog_spark import first_n
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    inner = q(["?ck", "?cname", "?nname", "?revenue"],
+              (cust, {"c_custkey": "?ck", "c_name": "?cname",
+                      "c_nationkey": "?nk"}),
+              (orders, {"o_orderkey": "?ok", "o_custkey": "?ck"}),
+              (li, {"l_orderkey": "?ok", "l_extendedprice": "?price",
+                    "l_discount": "?disc", "l_returnflag": "?rf"}),
+              (nation, {"n_nationkey": "?nk", "n_name": "?nname"}),
+              (c.eq, "?rf", "R"),
+              (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+              (c.mult, "?price", "?dfrac", ":>", "?rev"),
+              (c.sum_agg, "?rev", ":>", "?r"),
+              (c.round_to(4), "?r", ":>", "?revenue"))
+    return first_n(inner, 20, sort=["?revenue", "?ck"],
+                   reverse=True).to_df(spark)
+
+
 def events_asof_purchase(spark, sf_dir):
     """As-of join (extension operator): each click event attributed to the
     user's latest purchase at-or-before it — union+sort+last_value carry
@@ -1240,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": doc_domain_cap,
         "events_asof_purchase": events_asof_purchase,
         "embedding_knn_join": embedding_knn_join,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q10_returned_items": q10_returned_items,
     }
 
 
@@ -1972,4 +2026,28 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
               FROM embeddings e
               ORDER BY sim DESC, e.vec_id ASC LIMIT 5) r""",
+        "q3_shipping_priority": """
+            SELECT l_orderkey AS ok, o_orderdate AS od,
+                   o_orderpriority AS op,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, ok DESC LIMIT 10""",
+        "q10_returned_items": """
+            SELECT c_custkey AS ck, c_name AS cname, n_name AS nname,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, ck DESC LIMIT 20""",
     }

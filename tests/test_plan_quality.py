@@ -230,3 +230,23 @@ def test_pack_sequences_plan_no_global_sort(spark):
         plan = _plan(pack_sequences(df, max_tokens=8, **kw))
         assert "Exchange SinglePartition" not in plan
         assert "Sort [" in plan and "global=true" not in plan.lower()
+
+
+def test_q3_pushed_filters_and_topk(spark, sf_dir):
+    """Q3 shape: date/segment predicates reach the scans; global top-10 is
+    TakeOrderedAndProject; nothing single-partition except the final take."""
+    df = entry_mod.q3_shipping_priority(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [I") >= 2 or \
+        plan.count("PushedFilters: [") >= 3  # cust seg + orders date + li date
+    assert "BroadcastHashJoin" in plan  # AQE/CBO broadcasts the small side
+
+
+def test_q10_broadcast_nation(spark, sf_dir):
+    df = entry_mod.q10_returned_items(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1] if \
+        "PushedFilters" in plan else True
