@@ -1122,6 +1122,30 @@ def doc_domain_cap(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def doc_top_bigrams(spark, sf_dir):
+    """Corpus heavy hitters: top-50 token bigrams — explode + map-side
+    partially-aggregated count + TakeOrderedAndProject top-k."""
+    from cascalog_spark.functions import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=50)
+
+
+def doc_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest exact dedup: even doc_ids form the standing index,
+    odd doc_ids are the incoming batch — batch self-dedup (keep min id per
+    text) then anti-join against the index keys; only novel keys survive."""
+    from cascalog_spark.functions import exact_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    index_side = (docs.where(F.col("doc_id") % 2 == 0)
+                  .select("text", F.col("doc_id").alias("keep_id")))
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    unique_new, _updated = exact_dedup_incremental(
+        batch, index_side, key_cols=["text"], id_col="doc_id")
+    return unique_new.select("doc_id", "source")
+
+
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue, global
     top-10 (TakeOrderedAndProject) — date-window predicates pushed to both
@@ -1294,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_join": embedding_knn_join,
         "q3_shipping_priority": q3_shipping_priority,
         "q10_returned_items": q10_returned_items,
+        "doc_top_bigrams": doc_top_bigrams,
+        "doc_incremental_dedup": doc_incremental_dedup,
     }
 
 
@@ -2050,4 +2076,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag = 'R'
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, ck DESC LIMIT 20""",
+        "doc_top_bigrams": f"""
+            WITH g AS (
+              SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(0, len(t)-2+1),
+                         i -> array_to_string(list_slice(t, i+1, i+2), ' '))
+                     ELSE [] END) AS ngram
+              FROM (SELECT {_TOKS} AS t FROM documents))
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "doc_incremental_dedup": """
+            WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text)
+            SELECT b.doc_id, b.source
+            FROM batch b JOIN keep USING (doc_id)
+            WHERE NOT EXISTS (SELECT 1 FROM documents i
+                              WHERE i.doc_id % 2 = 0
+                                AND i.text = b.text)""",
     }

@@ -308,3 +308,30 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     frac(F.col("__top")).alias("top_ngram_char_frac"),
                     frac(F.col("__dup")).alias("dup_ngram_char_frac")))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 100,
+               text_col: str = "text", id_col: str = "doc_id",
+               by_doc_freq: bool = False) -> DataFrame:
+    """Corpus-level heavy hitters: the ``k`` most frequent token n-grams →
+    ``(ngram, n_occurrences)`` — the vocabulary/boilerplate audit step of
+    a corpus pipeline.
+
+    explode → count keyed on the gram (map-side partial aggregation
+    collapses each partition's repeats before the shuffle) → global top-k
+    as orderBy+limit = TakeOrderedAndProject per-partition heaps, never a
+    full sort.  ``by_doc_freq=True`` counts distinct docs containing the
+    gram instead of raw occurrences (array_distinct per doc before the
+    explode — still one shuffle).  Ties broken by gram text ascending —
+    deterministic, oracle-checkable."""
+    from .util import explode_fast
+
+    toks = tokens_col(F.col(text_col))
+    grams = char_ngrams_col(toks, n)
+    if by_doc_freq:
+        grams = F.array_distinct(grams)
+    ex = explode_fast(df.select(grams.alias("__gs")), F.col("__gs"), "ngram")
+    return (ex.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+            .limit(k))

@@ -766,3 +766,22 @@ def test_knn_join_plan_broadcasts_queries(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan
     assert "SinglePartition" not in plan  # no global-window funnel
+
+
+def test_top_ngrams_occurrence_vs_docfreq(spark):
+    from cascalog_spark.functions import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"),   # "x y" occurs 3x in one doc
+         (2, "a b"), (3, "a b")],
+        "doc_id long, text string")
+    occ = {r.ngram: r.n_occurrences
+           for r in top_ngrams(docs, n=2, k=10).collect()}
+    assert occ["x y"] == 3 and occ["a b"] == 2
+    df_ = {r.ngram: r.n_occurrences
+           for r in top_ngrams(docs, n=2, k=10, by_doc_freq=True).collect()}
+    assert df_["x y"] == 1 and df_["a b"] == 2
+    # plan: top-k must be TakeOrderedAndProject, not a global sort
+    plan = (top_ngrams(docs, n=2, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
