@@ -489,6 +489,16 @@ def embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def embedding_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN: only rows in the query's signature bucket are
+    scored (at scale: signature-partitioned corpus → file pruning); exact
+    deterministic-plane oracle via the same signature SQL."""
+    from cascalog_spark.functions.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=6)
+
+
 def embedding_label_centroid_sim(spark, sf_dir):
     """Per-label mean-vector norms — vectorized array aggregation."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "embedding_lsh_topk": embedding_lsh_topk,
     }
 
 
@@ -2086,6 +2097,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "embedding_lsh_topk": f"""
+            WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                        WHERE vec_id = 0),
+            qsig AS (SELECT {_lsh_sig_sql('qv.v', 6)} AS sig FROM qv)
+            SELECT e.vec_id, round(
+                list_dot_product(e.embedding::DOUBLE[], qv.v)
+                / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(qv.v, qv.v))), 6) AS sim
+            FROM embeddings e, qv, qsig
+            WHERE {_lsh_sig_sql('e.embedding::DOUBLE[]', 6)} = qsig.sig
+            ORDER BY sim DESC, e.vec_id ASC LIMIT 10""",
         "doc_incremental_dedup": """
             WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
             keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text)
