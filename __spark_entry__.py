@@ -489,6 +489,40 @@ def embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def supplier_ops_ecosystem(spark, sf_dir):
+    """The ops-ecosystem surface in one driver-checked query: a Python
+    set as a membership filter (predmacro.clj sets-as-ops lifting), the
+    comp combinator fusing two column ops into ONE expression, a
+    predicate macro expanding to sum/count/div, and a defprepfn
+    (setup-once-per-worker) post-agg scorer."""
+    from cascalog_spark import defprepfn, gen_var
+
+    def mean_of(invars, outvars):
+        s, cnt = gen_var("?"), gen_var("?")
+        return [(c.sum_agg, invars[0], ":>", s),
+                (c.count, cnt),
+                (c.div, s, cnt, ":>", outvars[0])]
+
+    mean_of.__predmacro__ = True
+
+    @defprepfn(returns="double")
+    def shifted(): # stands in for a per-worker model load
+        offset = 100.0
+        return lambda x: x + offset
+
+    sq = c.column_op("sq", lambda x: x * x)
+    neg = c.column_op("neg", lambda x: -x)
+    sup = _t(spark, sf_dir, "supplier")
+    return q(["?nk", "?scored"],
+             (sup, {"s_nationkey": "?nk", "s_acctbal": "?bal"}),
+             (frozenset(range(13)), "?nk"),
+             (c.comp(neg, sq), "?bal", ":>", "?negsq"),
+             (mean_of, "?negsq", ":>", "?mean"),
+             (shifted, "?mean", ":>", "?sc"),
+             (c.round_to(4), "?sc", ":>", "?scored"),
+             ).to_df(spark)
+
+
 def embedding_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN: only rows in the query's signature bucket are
     scored (at scale: signature-partitioned corpus → file pruning); exact
@@ -1331,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": doc_top_bigrams,
         "doc_incremental_dedup": doc_incremental_dedup,
         "embedding_lsh_topk": embedding_lsh_topk,
+        "supplier_ops_ecosystem": supplier_ops_ecosystem,
     }
 
 
@@ -2097,6 +2132,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "supplier_ops_ecosystem": """
+            SELECT s_nationkey AS nk,
+                   round(sum(-(s_acctbal * s_acctbal))
+                         / count(*) + 100.0, 4) AS scored
+            FROM supplier
+            WHERE s_nationkey IN (0,1,2,3,4,5,6,7,8,9,10,11,12)
+            GROUP BY 1""",
         "embedding_lsh_topk": f"""
             WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
                         WHERE vec_id = 0),
