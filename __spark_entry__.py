@@ -325,6 +325,20 @@ def events_daily_windows(spark, sf_dir):
                     "total_value"))
 
 
+def events_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (1-day width, 12-hour slide): each event
+    lands in exactly width/slide windows — the overlap form the tumbling
+    query can't express.  Oracle: union of two phase-shifted tumbling
+    bucketings (a slide that divides the width is equivalent)."""
+    events = _t(spark, sf_dir, "events")
+    return (events.groupBy(
+                F.window("ts", "1 day", "12 hours").alias("w"),
+                F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n"))
+
+
 def user_sessions(spark, sf_dir):
     """Sessionization via native session_window (30-min gap) — the
     streaming-scale form of the reference's time-sorted buffer idiom
@@ -1303,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_year": orders_by_year,
         "part_name_words": part_name_words,
         "events_daily_windows": events_daily_windows,
+        "events_sliding_windows": events_sliding_windows,
         "user_sessions": user_sessions,
         "latest_event_per_user": latest_event_per_user,
         "value_range_per_type": value_range_per_type,
@@ -1559,6 +1574,15 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2""",
+        "events_sliding_windows": """
+            WITH b AS (SELECT time_bucket(INTERVAL '12 hours',
+                                          ts::TIMESTAMP) AS s, event_type
+                       FROM events),
+            w AS (SELECT s AS window_start, event_type FROM b
+                  UNION ALL
+                  SELECT s - INTERVAL '12 hours', event_type FROM b)
+            SELECT window_start, event_type, count(*) AS n
+            FROM w GROUP BY 1, 2""",
         "user_sessions": """
             WITH ordered AS (
               SELECT user_id, ts::TIMESTAMP AS ts,
