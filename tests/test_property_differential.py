@@ -304,3 +304,47 @@ def test_buffer_with_secondary_sort(spark, data):
     expected = [(k, min(v for kk, v in data if kk == k))
                 for k in {k for k, _ in data}]
     assert _multiset(res) == _multiset(expected)
+
+
+# -- asof_join vs pandas merge_asof (the reference model for point-in-time
+#    joins); right (key, ts) pairs kept unique so both tie-rules coincide
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),
+    min_size=0, max_size=12)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50),
+              st.integers(-100, 100)),
+    min_size=0, max_size=12,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+@given(left=_asof_left, right=_asof_right,
+       tol=st.one_of(st.none(), st.integers(1, 20)))
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
+    import pandas as pd
+
+    from cascalog_spark.operators import asof_join
+
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long, v long")
+    got = {r.lid: r.v for r in
+           asof_join(ldf, rdf, on="k", right_cols=["v"],
+                     tolerance=tol).collect()}
+
+    lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(left)],
+                      columns=["lid", "k", "ts"]).sort_values("ts",
+                                                              kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable")
+    kwargs = {"tolerance": tol} if tol is not None else {}
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        **kwargs)
+    expect = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+              for r in exp.itertuples()}
+    assert got == expect
