@@ -10,8 +10,10 @@ most recent right payload is carried forward with
 ``last_value(ignorenulls)`` over the running window — a native window
 expression, whole-stage codegen'd, that scales to any number of rows per
 key because nothing is ever materialized per group.  At 100 TB this is the
-same plan a hand-tuned union-sort-carry SQL would produce, and AQE handles
-skewed keys' partition splitting.
+same plan a hand-tuned union-sort-carry SQL would produce.  A pathological
+hot key is one window partition (AQE's skew splitting applies to joins,
+not windows): it is bounded by the window's external sort — spills, never
+OOMs — which is the price of exact per-key time ordering.
 """
 
 from __future__ import annotations
