@@ -174,6 +174,23 @@ def median() -> ParallelAgg:
     return percentile(0.5)
 
 
+def approx_percentile(p: float, accuracy: int = 10_000) -> ParallelAgg:
+    """Approximate percentile (Greenwald-Khanna sketch,
+    ``F.percentile_approx``) — the 100 TB path: the sketch merges
+    map-side in O(accuracy) memory per group, where the exact
+    ``c.percentile`` must shuffle and sort every value.  Error is bounded
+    by ``1/accuracy`` rank fraction.  Approximation is engine-specific, so
+    queries using it get rows-only oracle checks (like
+    ``c.approx_distinct``); tests bound it against the exact aggregator."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"approx_percentile: p must be in [0,1], got {p}")
+    return ParallelAgg(
+        f"approx-percentile-{p}",
+        expr_fn=lambda c: F.percentile_approx(c, F.lit(float(p)),
+                                              F.lit(int(accuracy))),
+        returns=("double",))
+
+
 # cascalog-math stats.clj:24-48 (+ Welford 1-pass variance, stats.clj:7-22 —
 # Spark's var_pop/var_samp are already single-pass numerically stable)
 var_pop = ParallelAgg("variance", expr_fn=lambda c: F.var_pop(c))

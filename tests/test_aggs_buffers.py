@@ -500,3 +500,20 @@ def test_fixed_sample_deterministic_global_and_grouped(spark):
     from collections import Counter
     per = Counter(l for l, _ in g1)
     assert per == {"g0": 4, "g1": 4, "g2": 4}
+
+
+def test_approx_percentile_bounds_exact(spark):
+    """GK-sketch percentile stays within rank-error bounds of the exact
+    aggregator on a skewed value distribution, per group and globally."""
+    rows = [(f"g{i % 2}", float(i * i % 997)) for i in range(2000)]
+    query = q(["?g", "?exact", "?approx"],
+              (rows, "?g", "?v"),
+              (c.percentile(0.9), "?v", ":>", "?exact"),
+              (c.approx_percentile(0.9), "?v", ":>", "?approx"))
+    for g, exact, approx in query.run(spark):
+        # rank error 1/accuracy -> value error bounded by neighborhood;
+        # generous tolerance still catches a broken sketch wiring
+        assert abs(approx - exact) <= 50.0, (g, exact, approx)
+    import pytest
+    with pytest.raises(ValueError, match="p must be"):
+        c.approx_percentile(1.5)
