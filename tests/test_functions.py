@@ -785,3 +785,32 @@ def test_top_ngrams_occurrence_vs_docfreq(spark):
     plan = (top_ngrams(docs, n=2, k=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round3_ops_empty_inputs(spark):
+    """Empty left/right/corpus inputs: every round-3 operator returns an
+    empty (or left-padded) result with the right schema, never throws."""
+    from cascalog_spark.functions import (cap_per_stratum, knn_join,
+                                          repetition_signals, top_ngrams)
+    from cascalog_spark.operators import asof_join
+
+    docs0 = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert repetition_signals(docs0).count() == 0
+    assert top_ngrams(docs0).count() == 0
+    assert cap_per_stratum(docs0, 5, "source").count() == 0
+
+    left = spark.createDataFrame([(1, 5, 10)], "lid long, k long, ts long")
+    right0 = spark.createDataFrame([], "k long, ts long, v long")
+    out = asof_join(left, right0, on="k", right_cols=["v"]).collect()
+    assert [(r.lid, r.v) for r in out] == [(1, None)]  # left row padded
+    left0 = spark.createDataFrame([], "lid long, k long, ts long")
+    right = spark.createDataFrame([(5, 8, 7)], "k long, ts long, v long")
+    assert asof_join(left0, right, on="k", right_cols=["v"]).count() == 0
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    q0 = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert knn_join(emb, q0, k=3).count() == 0
+    emb0 = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    qs = emb.withColumnRenamed("vec_id", "query_id")
+    assert knn_join(emb0, qs, k=3).count() == 0
