@@ -537,6 +537,20 @@ def supplier_ops_ecosystem(spark, sf_dir):
              ).to_df(spark)
 
 
+def embedding_ivf_knn_join(spark, sf_dir):
+    """Corpus-scale batch ANN: 5 query vectors joined to their IVF probe
+    cells (equi-join on cell id — neither side broadcast-dependent), exact
+    rescoring, salted per-query top-5.  Deterministic ties → oracle."""
+    from cascalog_spark.functions import ivf_knn_join
+    from cascalog_spark.functions.similarity import ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=16)
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_knn_join(emb, queries, cents, k=5, n_probe=4)
+
+
 def embedding_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN: only rows in the query's signature bucket are
     scored (at scale: signature-partitioned corpus → file pruning); exact
@@ -1381,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "embedding_lsh_topk": embedding_lsh_topk,
         "supplier_ops_ecosystem": supplier_ops_ecosystem,
+        "embedding_ivf_knn_join": embedding_ivf_knn_join,
     }
 
 
@@ -2156,6 +2171,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "embedding_ivf_knn_join": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY vec_id ASC LIMIT 16),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+            probe AS (SELECT qid, cid FROM (
+                        SELECT q.qid, c.cid, row_number() OVER (
+                          PARTITION BY q.qid
+                          ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC,
+                                   c.cid ASC) AS rn
+                        FROM q CROSS JOIN cents c)
+                      WHERE rn <= 4),
+            assigned AS (SELECT vec_id, v, cid AS cell FROM (
+                           SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC,
+                                      c.cid ASC) AS rn
+                           FROM e CROSS JOIN cents c)
+                         WHERE rn = 1),
+            scored AS (SELECT p.qid, a.vec_id,
+                              round({_COS.format(a='a.v', b='q.qv')}, 6)
+                                AS sim
+                       FROM assigned a
+                       JOIN probe p ON a.cell = p.cid
+                       JOIN q ON q.qid = p.qid)
+            SELECT qid AS query_id, vec_id, sim FROM (
+              SELECT qid, vec_id, sim, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+              FROM scored)
+            WHERE rn <= 5""",
         "supplier_ops_ecosystem": """
             SELECT s_nationkey AS nk,
                    round(sum(-(s_acctbal * s_acctbal))

@@ -485,3 +485,73 @@ def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("__rn2") <= k)
             .select(F.col("__qid").alias(query_id_col), F.col(id_col),
                     "sim"))
+
+
+def ivf_knn_join(index: DataFrame, queries: DataFrame,
+                 centroids: list[tuple[int, list[float]]],
+                 k: int = 10, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "embedding",
+                 n_salt: int = 32) -> DataFrame:
+    """Corpus-scale batch ANN join: top-k approximate neighbors for EACH
+    query row, with BOTH sides distributed — the path for query sets too
+    large to broadcast (``knn_join``'s assumption).
+
+    The only driver-side object is the centroid table (O(cells·dim)):
+    index rows get ONE Voronoi cell (native argmax, ``ivf_assign_col``);
+    query rows get their ``n_probe`` nearest cells (native sort + slice +
+    explode — no collect of the query table); candidates are the cell
+    EQUI-JOIN (shuffle keyed by cell id, both sides partition-parallel),
+    rescored exactly and reduced by the same salted two-stage top-k as
+    ``knn_join``.  Shuffle volume: index rows once (by cell), query rows
+    n_probe times — independent of q x n.
+
+    Approximate in the IVF sense (recall bounded by probed cells), but
+    DETERMINISTIC: assignment/probe/top-k all tie-break on ids, so the
+    result is a pure function of (data, centroids) — oracle-checkable.
+    """
+    def _unit(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    vec = F.col(vec_col).cast("array<double>")
+    idx = index.select(
+        F.col(id_col), vec.alias("__v"), norm_col(vec).alias("__nrm"),
+        ivf_assign_col(vec, centroids).alias("__cell"))
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    # rank cells by dot against unit centroids (∝ cosine: the query norm is
+    # constant across cells) — negsim-first struct sort = sim desc, cid asc
+    entries = F.array(*[
+        F.struct((-dot_col(qv, _lit_arr(_unit(cv)))).alias("negsim"),
+                 F.lit(cid).alias("cid"))
+        for cid, cv in centroids])
+    probes = F.transform(F.slice(F.array_sort(entries), 1, n_probe),
+                         lambda s: s["cid"])
+    from .util import explode_fast
+
+    qside = explode_fast(
+        queries.select(F.col(query_id_col).alias("__qid"),
+                       qv.alias("__qv"), norm_col(qv).alias("__qnrm"),
+                       probes.alias("__probes")),
+        F.col("__probes"), "__cell").select("__qid", "__qv", "__qnrm",
+                                            "__cell")
+
+    scored = (idx.join(qside, on="__cell")
+              .select(F.col("__qid"), F.col(id_col),
+                      F.round(dot_col(F.col("__v"), F.col("__qv"))
+                              / (F.col("__nrm") * F.col("__qnrm")), 6)
+                      .alias("sim")))
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    w1 = (Window.partitionBy("__qid", salt)
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    w2 = (Window.partitionBy("__qid")
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    return (scored
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= k)
+            .withColumn("__rn2", F.row_number().over(w2))
+            .where(F.col("__rn2") <= k)
+            .select(F.col("__qid").alias(query_id_col), F.col(id_col),
+                    "sim"))

@@ -814,3 +814,33 @@ def test_round3_ops_empty_inputs(spark):
     emb0 = spark.createDataFrame([], "vec_id long, embedding array<double>")
     qs = emb.withColumnRenamed("vec_id", "query_id")
     assert knn_join(emb0, qs, k=3).count() == 0
+
+
+def test_ivf_knn_join_matches_per_query_ivf_topk(spark):
+    """The batch IVF join must agree exactly with the single-query IVF
+    path given the same centroids and probe count."""
+    from cascalog_spark.functions import ivf_knn_join
+    from cascalog_spark.functions.similarity import (ivf_ann_topk,
+                                                     ivf_centroids)
+
+    rows = [(i, [float((i * 13 + j * 7) % 23 - 11) for j in range(6)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(emb, n_centroids=8)
+    queries = (emb.where("vec_id < 3")
+               .withColumnRenamed("vec_id", "query_id"))
+    got = {}
+    for r in ivf_knn_join(emb, queries, cents, k=4, n_probe=3).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.sim))
+    assert set(got) == {0, 1, 2}
+    for qid, vec in rows[:3]:
+        expect = [(r.vec_id, r.sim) for r in
+                  ivf_ann_topk(emb, vec, k=4, n_probe=3,
+                               centroids=cents).collect()]
+        assert sorted(got[qid]) == sorted(expect), f"query {qid}"
+    # plan: candidates come from an equi-join on the cell id — never a
+    # cartesian/nested-loop product of corpus x queries
+    plan = (ivf_knn_join(emb, queries, cents, k=4, n_probe=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
