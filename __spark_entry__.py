@@ -537,6 +537,23 @@ def supplier_ops_ecosystem(spark, sf_dir):
              ).to_df(spark)
 
 
+def lineitem_multiout_agg(spark, sf_dir):
+    """multipagg (multi-in/multi-out parallel agg, def.clj:137-164): ONE
+    aggregator emitting two output fields — compiles to two native agg
+    exprs in one HashAggregate (map-side partial agg intact)."""
+    from cascalog_spark import defparallelagg
+
+    @defparallelagg
+    def sum_and_count(col):
+        return [F.round(F.sum(col), 4), F.count(col)]
+
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?flag", "?total_qty", "?n_items"],
+             (li, {"l_returnflag": "?flag", "l_quantity": "?qty"}),
+             (sum_and_count, "?qty", ":>", "?total_qty", "?n_items"),
+             ).to_df(spark)
+
+
 def embedding_ivf_knn_join(spark, sf_dir):
     """Corpus-scale batch ANN: 5 query vectors joined to their IVF probe
     cells (equi-join on cell id — neither side broadcast-dependent), exact
@@ -1396,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": embedding_lsh_topk,
         "supplier_ops_ecosystem": supplier_ops_ecosystem,
         "embedding_ivf_knn_join": embedding_ivf_knn_join,
+        "lineitem_multiout_agg": lineitem_multiout_agg,
     }
 
 
@@ -2171,6 +2189,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "lineitem_multiout_agg": """
+            SELECT l_returnflag AS flag,
+                   round(sum(l_quantity), 4) AS total_qty,
+                   count(l_quantity) AS n_items
+            FROM lineitem GROUP BY 1""",
         "embedding_ivf_knn_join": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
