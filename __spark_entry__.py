@@ -996,6 +996,18 @@ def doc_dup_clusters(spark, sf_dir):
                                         F.col("cluster"))
 
 
+def doc_near_dedup(spark, sf_dir):
+    """End-to-end near-duplicate removal: LSH candidates → connected
+    components → keep each cluster's min-id representative.  The
+    composition a corpus pipeline actually ships; oracle = the recursive-
+    CTE closure over the same md5-minhash pairs, anti-joined."""
+    from cascalog_spark.functions import near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (near_dedup(docs, num_perm=8, bands=4)
+            .select("doc_id", "source"))
+
+
 def nation_branch_counts(spark, sf_dir):
     """multigroup: cogroup customer & supplier on nationkey with a custom
     multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
@@ -1414,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_ops_ecosystem": supplier_ops_ecosystem,
         "embedding_ivf_knn_join": embedding_ivf_knn_join,
         "lineitem_multiout_agg": lineitem_multiout_agg,
+        "doc_near_dedup": doc_near_dedup,
     }
 
 
@@ -1696,6 +1709,20 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.m = e.src)
             SELECT node AS doc_id, least(node, min(m)) AS cluster
             FROM reach GROUP BY node""",
+        "doc_near_dedup": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT src AS node, dst AS m FROM edges
+                      UNION
+                      SELECT r.node, e.dst
+                      FROM reach r JOIN edges e ON r.m = e.src),
+            clusters AS (SELECT node, least(node, min(m)) AS cluster
+                         FROM reach GROUP BY node),
+            losers AS (SELECT node FROM clusters WHERE node != cluster)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l
+                              WHERE l.node = d.doc_id)""",
         "ngram_jaccard_sim_pairs": f"""
             WITH sh AS (
               SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS shingle

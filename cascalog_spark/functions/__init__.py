@@ -10,7 +10,7 @@ from .corpus import (boilerplate_lines, contamination, decontaminate,
                      cap_per_stratum, pack_sequences, remove_boilerplate,
                      stratified_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
-                    minhash_lsh_candidates, minhash_signature,
+                    minhash_lsh_candidates, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, simhash)
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,

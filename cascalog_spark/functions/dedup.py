@@ -340,3 +340,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     return jac
+
+
+def near_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", num_perm: int = 16, bands: int = 4,
+               shingle_k: int = 3, max_iter: int = 20) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the composition a corpus
+    pipeline actually runs: MinHash-LSH candidate pairs → connected
+    components → keep each cluster's minimum-id representative, drop the
+    rest.  Returns the deduplicated corpus with all original columns.
+
+    Scale shape: inherits the bucketed candidate join (never all-pairs)
+    and the iterative min-label propagation (localCheckpoint per round,
+    nothing collected); the final keep/drop is one anti-join against the
+    (small) non-representative id set — at 100 TB that set is the
+    duplicate fraction only, not the corpus."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
+                                   shingle_k)
+    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    losers = (clusters.where(F.col("node") != F.col("cluster"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, on=id_col, how="left_anti")
