@@ -996,6 +996,18 @@ def doc_dup_clusters(spark, sf_dir):
                                         F.col("cluster"))
 
 
+def events_value_quartiles(spark, sf_dir):
+    """Equi-depth bucketing (window ntile) — quantile stratification per
+    event type, deterministic via the (value, event_id) tiebreak order."""
+    from cascalog_spark.functions.window import with_ntile
+
+    ev = _t(spark, sf_dir, "events")
+    return (with_ntile(ev, 4, ["event_type"],
+                       [F.col("value").asc(), F.col("event_id").asc()],
+                       out_col="quartile")
+            .select("event_id", "event_type", "quartile"))
+
+
 def doc_near_dedup(spark, sf_dir):
     """End-to-end near-duplicate removal: LSH candidates → connected
     components → keep each cluster's min-id representative.  The
@@ -1427,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_knn_join": embedding_ivf_knn_join,
         "lineitem_multiout_agg": lineitem_multiout_agg,
         "doc_near_dedup": doc_near_dedup,
+        "events_value_quartiles": events_value_quartiles,
     }
 
 
@@ -1709,6 +1722,12 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.m = e.src)
             SELECT node AS doc_id, least(node, min(m)) AS cluster
             FROM reach GROUP BY node""",
+        "events_value_quartiles": """
+            SELECT event_id, event_type,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC)
+                     AS quartile
+            FROM events""",
         "doc_near_dedup": f"""
             WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -51,3 +51,18 @@ def with_rolling(df: DataFrame, agg: Column, keys: list[str], order: list,
     """Aggregate over the current row and the ``preceding`` rows before it."""
     w = _window(keys, order).rowsBetween(-preceding, Window.currentRow)
     return df.withColumn(out_col, agg.over(w))
+
+
+def with_rank(df: DataFrame, keys: list[str], order: list,
+              out_col: str = "rank", dense: bool = False) -> DataFrame:
+    """rank()/dense_rank() over (keys, order) — the limit-rank idiom
+    (ops.clj:208-226) as a reusable window column."""
+    fn = F.dense_rank if dense else F.rank
+    return df.withColumn(out_col, fn().over(_window(keys, order)))
+
+
+def with_ntile(df: DataFrame, n: int, keys: list[str], order: list,
+               out_col: str = "bucket") -> DataFrame:
+    """ntile(n) buckets over (keys, order) — equi-depth bucketing for
+    quantile stratification (e.g. length-quartile corpus splits)."""
+    return df.withColumn(out_col, F.ntile(n).over(_window(keys, order)))
