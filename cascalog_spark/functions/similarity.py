@@ -460,14 +460,17 @@ def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
     per-cell equi-join) instead of broadcasting.
     """
     qv = F.col("__qv")
-    qside = queries.select(
+    qside = queries.where(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
         (norm_col(F.col(query_vec_col).cast("array<double>")))
         .alias("__qnrm"))
     vec = F.col(vec_col).cast("array<double>")
-    scored = (index.select(F.col(id_col), vec.alias("__v"),
-                           norm_col(vec).alias("__nrm"))
+    # null vectors can't rank (and DuckDB orders nulls first on DESC —
+    # an oracle trap); drop them on both sides
+    scored = (index.where(F.col(vec_col).isNotNull())
+              .select(F.col(id_col), vec.alias("__v"),
+                      norm_col(vec).alias("__nrm"))
               .join(F.broadcast(qside))
               .select(F.col("__qid"), F.col(id_col),
                       F.round(dot_col(F.col("__v"), qv)
@@ -516,10 +519,11 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
         return [x / n for x in v]
 
     vec = F.col(vec_col).cast("array<double>")
-    idx = index.select(
+    idx = index.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), norm_col(vec).alias("__nrm"),
         ivf_assign_col(vec, centroids).alias("__cell"))
 
+    queries = queries.where(F.col(query_vec_col).isNotNull())
     qv = F.col(query_vec_col).cast("array<double>")
     # rank cells by dot against unit centroids (∝ cosine: the query norm is
     # constant across cells) — negsim-first struct sort = sim desc, cid asc

@@ -844,3 +844,37 @@ def test_ivf_knn_join_matches_per_query_ivf_topk(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_joins_ignore_null_vectors(spark):
+    from cascalog_spark.functions import ivf_knn_join, knn_join
+    from cascalog_spark.functions.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, None)],
+        "query_id long, embedding array<double>")
+    got = knn_join(emb, qs, k=2).collect()
+    assert {r.query_id for r in got} == {100}
+    assert all(r.vec_id != 1 for r in got)
+    cents = ivf_centroids(emb.where("embedding is not null"), n_centroids=2)
+    got2 = ivf_knn_join(emb, qs, cents, k=2, n_probe=2).collect()
+    assert {r.query_id for r in got2} == {100}
+    assert all(r.vec_id != 1 for r in got2)
+
+
+def test_asof_join_multi_key(spark):
+    from cascalog_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", "x", 10), (2, "a", "y", 10), (3, "b", "x", 10)],
+        "lid long, k1 string, k2 string, ts long")
+    right = spark.createDataFrame(
+        [("a", "x", 5, 100), ("a", "y", 7, 200), ("b", "z", 1, 300)],
+        "k1 string, k2 string, ts long, v long")
+    out = {r.lid: r.v for r in
+           asof_join(left, right, on=["k1", "k2"],
+                     right_cols=["v"]).collect()}
+    assert out == {1: 100, 2: 200, 3: None}
