@@ -1282,8 +1282,9 @@ def q3_shipping_priority(spark, sf_dir):
               (c.mult, "?price", "?dfrac", ":>", "?rev"),
               (c.sum_agg, "?rev", ":>", "?r"),
               (c.round_to(4), "?r", ":>", "?revenue"))
-    return first_n(inner, 10, sort=["?revenue", "?ok"],
-                   reverse=True).to_df(spark)
+    # true Q3 ordering: revenue DESC, orderdate ASC (+ok tiebreak)
+    return first_n(inner, 10, sort=[("?revenue", "desc"), ("?od", "asc"),
+                                    ("?ok", "asc")]).to_df(spark)
 
 
 def q10_returned_items(spark, sf_dir):
@@ -2213,7 +2214,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
               AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
             GROUP BY 1, 2, 3
-            ORDER BY revenue DESC, ok DESC LIMIT 10""",
+            ORDER BY revenue DESC, od ASC, ok ASC LIMIT 10""",
         "q10_returned_items": """
             SELECT c_custkey AS ck, c_name AS cname, n_name AS nname,
                    round(sum(l_extendedprice * (1.0 - l_discount)), 4)

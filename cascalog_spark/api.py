@@ -656,7 +656,12 @@ def lazy_generator(rows, fields, spark: SparkSession = None,
 
 
 def first_n(gen, n: int, sort=None, reverse: bool = False):
-    """c/first-n (ops.clj:273-304): global top-n of a generator."""
+    """c/first-n (ops.clj:273-304): global top-n of a generator.
+
+    ``sort`` entries are either var names (direction from ``reverse``) or
+    ``(var, "asc"|"desc")`` pairs for mixed-direction ordering (e.g. the
+    TPC-H Q3 ``revenue DESC, orderdate ASC`` shape).  orderBy+limit →
+    TakeOrderedAndProject: per-partition heaps, never a global sort."""
 
     class _FirstN:
         __cascalog_generator__ = True
@@ -666,8 +671,17 @@ def first_n(gen, n: int, sort=None, reverse: bool = False):
             if sort:
                 cols = sort if isinstance(sort, (list, tuple)) else [sort]
                 from pyspark.sql import functions as F
-                order = [F.col(V.sanitize_name(c)).desc() if reverse
-                         else F.col(V.sanitize_name(c)).asc() for c in cols]
+                order = []
+                for entry in cols:
+                    if (isinstance(entry, (list, tuple))
+                            and len(entry) == 2
+                            and str(entry[1]).lower() in ("asc", "desc")):
+                        name, direction = entry
+                        desc = str(direction).lower() == "desc"
+                    else:
+                        name, desc = entry, reverse
+                    col = F.col(V.sanitize_name(name))
+                    order.append(col.desc() if desc else col.asc())
                 df = df.orderBy(*order)
             return df.limit(n)
 

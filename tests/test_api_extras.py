@@ -370,3 +370,18 @@ def test_describe_dot_valid_tree(tmp_path):
     assert len(nodes) == len(set(nodes)) >= 2
     assert len(edges) == len(nodes) - 1  # tree
     assert "GroupingNode" in dot
+
+
+def test_first_n_mixed_directions(spark):
+    """(var, 'asc'|'desc') sort entries: Q3-style revenue DESC, date ASC."""
+    from cascalog_spark import first_n, q
+
+    rows = [("a", 10, 3), ("b", 10, 1), ("c", 5, 2), ("d", 20, 9)]
+    inner = q(["?k", "?rev", "?d"], (rows, "?k", "?rev", "?d"))
+    got = first_n(inner, 3, sort=[("?rev", "desc"), ("?d", "asc")]) \
+        .to_df(spark).collect()
+    assert [(r.k) for r in got] == ["d", "b", "a"]
+    # plan stays TakeOrderedAndProject
+    plan = (first_n(inner, 3, sort=[("?rev", "desc"), ("?d", "asc")])
+            .to_df(spark)._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
