@@ -13,8 +13,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from cascalog_spark.functions import (cap_per_stratum, knn_join,
-                                      repetition_signals, stratified_sample,
-                                      top_ngrams)
+                                      near_dedup, repetition_signals,
+                                      stratified_sample, top_ngrams)
 from cascalog_spark.operators import asof_join
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -34,6 +34,11 @@ print("after repetition filter:", clean.count(), "/", docs.count())
 
 # 2. corpus audit: the dominant bigrams (boilerplate candidates)
 top_ngrams(clean, n=2, k=5).show(truncate=False)
+
+# 2b. near-duplicate removal: keep one representative per LSH cluster
+deduped = near_dedup(clean, num_perm=8, bands=4)
+print("after near-dedup:", deduped.count(), "/", clean.count())
+clean = deduped
 
 # 3. domain quota: no source may contribute more than 30 docs...
 capped = cap_per_stratum(clean, 30, "source")
