@@ -1343,6 +1343,131 @@ def embedding_knn_join(spark, sf_dir):
     return knn_join(emb, queries, k=5)
 
 
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
+    predicate reaches the parquet scan (PushedFilters), one partial+final
+    HashAggregate, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    return q(["?revenue"],
+             (li, {"l_extendedprice": "?price", "l_discount": "?disc",
+                   "l_quantity": "?qty", "l_shipdate": "?sd"}),
+             (c.gte, "?sd", lo), (c.lt, "?sd", hi),
+             (c.gte, "?disc", 0.05), (c.lte, "?disc", 0.07),
+             (c.lt, "?qty", 24.0),
+             (c.mult, "?price", "?disc", ":>", "?rev"),
+             (c.sum_agg, "?rev", ":>", "?r"),
+             (c.round_to(4), "?r", ":>", "?revenue"),
+             ).to_df(spark)
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join (GeneratorSet) feeding an
+    aggregation — count date-windowed orders per priority that have at
+    least one returned lineitem.  The subquery never multiplies rows
+    (LeftSemi), so the count is per-order, not per-lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    returned = q(["?ok"],
+                 (li, {"l_orderkey": "?ok", "l_returnflag": "?rf"}),
+                 (c.eq, "?rf", "R"), distinct=True)
+    return q(["?o_orderpriority", "?order_count"],
+             (orders, {"o_orderkey": "?ok", "o_orderdate": "?od",
+                       "o_orderpriority": "?o_orderpriority"}),
+             (c.gte, "?od", _dt.datetime(1997, 1, 1)),
+             (c.lt, "?od", _dt.datetime(1997, 7, 1)),
+             (returned, "?ok", ":>", True),
+             (c.count, "?order_count"),
+             ).to_df(spark)
+
+
+def q12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + CONDITIONAL aggregation — a
+    case-when column op classifies each order's priority and two sums
+    count each class per linestatus (one shuffle, map-side partials)."""
+    from cascalog_spark import column_op
+
+    is_urgent = column_op(
+        "is_urgent",
+        lambda p: F.when(p.isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return q(["?l_linestatus", "?high_count", "?low_count"],
+             (li, {"l_orderkey": "?ok", "l_linestatus": "?l_linestatus",
+                   "l_shipdate": "?sd"}),
+             (orders, {"o_orderkey": "?ok", "o_orderpriority": "?prio"}),
+             (c.lt, "?sd", _dt.datetime(1998, 1, 1)),
+             (is_urgent, "?prio", ":>", "?hi"),
+             (c.sub, 1, "?hi", ":>", "?lo"),
+             (c.sum_agg, "?hi", ":>", "?high_count"),
+             (c.sum_agg, "?lo", ":>", "?low_count"),
+             ).to_df(spark)
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: part-lineitem join + ratio of two conditional sums
+    via POST-AGG arithmetic (div/mult/round applied to aggregate outputs —
+    operations.clj post-group op chain semantics)."""
+    from cascalog_spark import column_op
+
+    is_promo = column_op(
+        "is_promo", lambda t: F.when(t == "ECONOMY", 1.0).otherwise(0.0))
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return q(["?promo_pct"],
+             (li, {"l_partkey": "?pk", "l_extendedprice": "?price",
+                   "l_discount": "?disc", "l_shipdate": "?sd"}),
+             (part, {"p_partkey": "?pk", "p_type": "?ptype"}),
+             (c.gte, "?sd", _dt.datetime(1997, 9, 1)),
+             (c.lt, "?sd", _dt.datetime(1997, 10, 1)),
+             (c.sub, 1.0, "?disc", ":>", "?df"),
+             (c.mult, "?price", "?df", ":>", "?rev"),
+             (is_promo, "?ptype", ":>", "?pf"),
+             (c.mult, "?pf", "?rev", ":>", "?prev"),
+             (c.sum_agg, "?prev", ":>", "?pr"),
+             (c.sum_agg, "?rev", ":>", "?r"),
+             (c.div, "?pr", "?r", ":>", "?ratio"),
+             (c.mult, 100.0, "?ratio", ":>", "?pct"),
+             (c.round_to(6), "?pct", ":>", "?promo_pct"),
+             ).to_df(spark)
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING via subquery-as-join-generator — an
+    aggregated subquery (sum qty per order) joins back against orders +
+    customer, with the threshold filter applied to the aggregate output."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = q(["?ok", "?total_qty"],
+            (li, {"l_orderkey": "?ok", "l_quantity": "?qty"}),
+            (c.sum_agg, "?qty", ":>", "?tq"),
+            (c.round_to(2), "?tq", ":>", "?total_qty"))
+    return q(["?cname", "?ck", "?ok", "?od", "?tp", "?total_qty"],
+             (big, "?ok", "?total_qty"),
+             (orders, {"o_orderkey": "?ok", "o_custkey": "?ck",
+                       "o_orderdate": "?od", "o_totalprice": "?tp"}),
+             (cust, {"c_custkey": "?ck", "c_name": "?cname"}),
+             (c.gt, "?total_qty", 300.0),
+             ).to_df(spark)
+
+
+def q2_cheapest_part_per_brand(spark, sf_dir):
+    """TPC-H Q2 shape: correlated-min via ARGMIN JOIN-BACK — a min-agg
+    subquery per brand re-joined on (brand, price) equality to recover the
+    row(s) achieving the minimum.  Implicit equality on the shared
+    ?min_price var is the join predicate."""
+    part = _t(spark, sf_dir, "part")
+    mins = q(["?brand", "?min_price"],
+             (part, {"p_brand": "?brand", "p_retailprice": "?rp"}),
+             (c.min_agg, "?rp", ":>", "?min_price"))
+    return q(["?brand", "?p_name", "?min_price"],
+             (part, {"p_brand": "?brand", "p_name": "?p_name",
+                     "p_retailprice": "?min_price"}),
+             (mins, "?brand", "?min_price"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1441,6 +1566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_multiout_agg": lineitem_multiout_agg,
         "doc_near_dedup": doc_near_dedup,
         "events_value_quartiles": events_value_quartiles,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q4_order_priority": q4_order_priority,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q2_cheapest_part_per_brand": q2_cheapest_part_per_brand,
     }
 
 
@@ -2299,4 +2430,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM documents i
                               WHERE i.doc_id % 2 = 0
                                 AND i.text = b.text)""",
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1""",
+        "q12_priority_by_status": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1""",
+        "q14_promo_revenue": """
+            SELECT round(100.0 *
+                     sum(CASE WHEN p_type = 'ECONOMY'
+                         THEN l_extendedprice * (1.0 - l_discount)
+                         ELSE 0.0 END)
+                     / sum(l_extendedprice * (1.0 - l_discount)), 6)
+                   AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""",
+        "q18_large_orders": """
+            SELECT c_name AS cname, c_custkey AS ck, o_orderkey AS ok,
+                   o_orderdate AS od, o_totalprice AS tp,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING round(sum(l_quantity), 2) > 300.0""",
+        "q2_cheapest_part_per_brand": """
+            WITH mins AS (SELECT p_brand AS brand,
+                                 min(p_retailprice) AS min_price
+                          FROM part GROUP BY 1)
+            SELECT brand, p_name, min_price
+            FROM part JOIN mins
+              ON p_brand = brand AND p_retailprice = min_price""",
     }
