@@ -1343,6 +1343,18 @@ def embedding_knn_join(spark, sf_dir):
     return knn_join(emb, queries, k=5)
 
 
+def embedding_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup shape): cluster embeddings into 16 Voronoi
+    cells (native nearest-centroid exprs), drop rows cosine-similar > 0.35
+    to a lower-id row IN THE SAME CELL — candidate join is per-cell, never
+    corpus²."""
+    from cascalog_spark.functions import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, threshold=0.35, n_clusters=16)
+            .select("vec_id", "label"))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1572,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
         "q2_cheapest_part_per_brand": q2_cheapest_part_per_brand,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
     }
 
 
@@ -2481,4 +2494,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT brand, p_name, min_price
             FROM part JOIN mins
               ON p_brand = brand AND p_retailprice = min_price""",
+        "embedding_semantic_dedup": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY vec_id ASC LIMIT 16),
+            assigned AS (SELECT vec_id, v, cid AS cell FROM (
+                           SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC,
+                                      c.cid ASC) AS rn
+                           FROM e CROSS JOIN cents c)
+                         WHERE rn = 1),
+            losers AS (SELECT DISTINCT y.vec_id FROM assigned x
+                       JOIN assigned y
+                         ON x.cell = y.cell AND x.vec_id < y.vec_id
+                       WHERE {_COS.format(a='x.v', b='y.v')} > 0.35)
+            SELECT vec_id, label FROM e
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
     }

@@ -361,3 +361,56 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     losers = (clusters.where(F.col("node") != F.col("cluster"))
               .select(F.col("node").alias(id_col)))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) dedup — SemDeDup shape
+
+
+def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95, n_clusters: int = 16,
+                          centroids: list[tuple[int, list[float]]]
+                          | None = None) -> DataFrame:
+    """Ids REMOVED by semantic dedup (SemDeDup, Abbas et al. 2023 shape):
+    cluster the embedding space, then within each cluster drop any row
+    whose cosine similarity to a LOWER-id row exceeds ``threshold``
+    (greedy first-wins, matching exact_dedup's keep='min' convention).
+
+    Scale shape: nearest-centroid assignment is a native Column expression
+    (no UDF); the candidate pass is a self-equi-join ON THE CLUSTER ID —
+    cost Σ|cellᵢ|², never corpus², and k is chosen ∝ corpus size to bound
+    |cell|.  One shuffle per side keyed by cell; giant cells fall to AQE
+    skew-join splitting.  Pass ``centroids`` from ``ivf_centroids_kmeans``
+    for balanced cells at scale (the default first-k-ids seeding is
+    deterministic for oracle checks).
+    """
+    from .similarity import cosine_similarity_col, ivf_assign_col, \
+        ivf_centroids
+
+    cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
+    if not cents:  # empty corpus → nothing to drop
+        return df.select(F.col(id_col)).limit(0)
+    vec = F.col(vec_col).cast("array<double>")
+    a = (df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+         .withColumn("__cell", ivf_assign_col(F.col("__v"), cents)))
+    x, y = a.alias("x"), a.alias("y")
+    sim = cosine_similarity_col(F.col("x.__v"), F.col("y.__v"))
+    return (x.join(y, on=[F.col("x.__cell") == F.col("y.__cell"),
+                          F.col("x.__id") < F.col("y.__id")])
+            .where(sim > threshold)
+            .select(F.col("y.__id").alias(id_col))
+            .distinct())
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_clusters: int = 16,
+                   centroids: list[tuple[int, list[float]]] | None = None
+                   ) -> DataFrame:
+    """Semantically deduplicated corpus: ``df`` minus
+    ``semantic_dedup_losers`` (one anti-join; the loser set is the
+    duplicate fraction only, not the corpus)."""
+    losers = semantic_dedup_losers(df, id_col, vec_col, threshold,
+                                   n_clusters, centroids)
+    return df.join(losers, on=id_col, how="left_anti")

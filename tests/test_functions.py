@@ -878,3 +878,40 @@ def test_asof_join_multi_key(spark):
            asof_join(left, right, on=["k1", "k2"],
                      right_cols=["v"]).collect()}
     assert out == {1: 100, 2: 200, 3: None}
+
+
+def test_semantic_dedup_greedy_first_wins(spark):
+    from cascalog_spark.functions import semantic_dedup, semantic_dedup_losers
+
+    # vec 1 duplicates vec 0; vec 3 duplicates vec 2; vec 4 is alone.
+    # Explicit centroids so each dup pair shares a cell (first-k-ids
+    # seeding would make vec 1 its own centroid → boundary miss, the
+    # documented approximation of cluster-blocked dedup).
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0]),
+         (3, [0.01, 0.999]), (4, [-1.0, -1.0])],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])]
+    losers = {r.vec_id for r in
+              semantic_dedup_losers(emb, threshold=0.95,
+                                    centroids=cents).collect()}
+    assert losers == {1, 3}
+    kept = {r.vec_id for r in
+            semantic_dedup(emb, threshold=0.95, centroids=cents).collect()}
+    assert kept == {0, 2, 4}
+    # empty input
+    assert semantic_dedup(emb.limit(0), n_clusters=2).count() == 0
+
+
+def test_semantic_dedup_join_is_cell_keyed(spark):
+    """The candidate join must be an equi-join on the cluster id — a
+    cartesian/BNL join here would be corpus² at scale."""
+    from cascalog_spark.functions import semantic_dedup_losers
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    plan = semantic_dedup_losers(emb, n_clusters=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
