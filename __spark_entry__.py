@@ -1355,6 +1355,16 @@ def embedding_semantic_dedup(spark, sf_dir):
             .select("vec_id", "label"))
 
 
+def doc_tfidf_terms(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per doc: ONE explode feeds both the
+    (doc,term) tf counts and (reused, not re-exploded) the per-term doc
+    frequency; smoothed idf; per-doc Window prune."""
+    from cascalog_spark.functions import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs, top_k=3)
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1585,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q2_cheapest_part_per_brand": q2_cheapest_part_per_brand,
         "embedding_semantic_dedup": embedding_semantic_dedup,
+        "doc_tfidf_terms": doc_tfidf_terms,
     }
 
 
@@ -2512,4 +2523,21 @@ def oracle_sql() -> dict[str, str]:
                        WHERE {_COS.format(a='x.v', b='y.v')} > 0.35)
             SELECT vec_id, label FROM e
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+        "doc_tfidf_terms": f"""
+            WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term
+                           FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (SELECT doc_id, term, tf, df,
+                              round(tf * (ln((1.0 + n) / (1.0 + df))
+                                          + 1.0), 6) AS tfidf
+                       FROM tf JOIN dfreq USING (term), n)
+            SELECT doc_id, term, tf, df, tfidf, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3""",
     }

@@ -20,7 +20,7 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          knn_join, lsh_ann_topk, release_cosine_cache)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    line_dup_ratio, redact_pii, repetition_signals,
-                   top_ngrams, url_domain_counts, quality_score,
+                   tf_idf, top_ngrams, url_domain_counts, quality_score,
                    token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

@@ -335,3 +335,76 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 100,
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
             .limit(k))
+
+
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           top_k: int | None = None, materialize: bool = True) -> DataFrame:
+    """Corpus TF-IDF → ``(id, term, tf, df, tfidf)``, optionally the
+    ``top_k`` terms per doc (+``rank``) — the keyword/feature-weighting
+    stage of a corpus pipeline.
+
+    tf = raw term count in the doc; idf = ln((1+N)/(1+df)) + 1 (smoothed,
+    sklearn convention, never divides by zero).
+
+    Scale shape: the corpus is tokenized ONCE — the (id, term, tf)
+    aggregate is persisted (``materialize=True``) because both the output
+    rows and the per-term doc-frequency derive from it; without the
+    persist Catalyst re-expands the whole explode for the df branch
+    (tokenizing 100 TB twice).  df comes from a groupBy on the persisted
+    aggregate (map-side partials absorb hot stopword terms) and joins
+    back keyed on the term — AQE skew-split handles the Zipf head.  N is
+    injected via a 1-row broadcast cross join.  ``top_k`` prunes with a
+    per-doc Window row_number — partition-parallel over docs.
+
+    Cache lifecycle: the persisted handle is attached as
+    ``out._tfidf_cache``; call ``release_tfidf_cache(out)`` after the
+    consuming action (or pass ``materialize=False`` to trade the double
+    tokenization for zero cache footprint).
+    """
+    from pyspark import StorageLevel
+
+    from .util import explode_fast
+
+    terms = explode_fast(
+        df.select(F.col(id_col).alias("__id"),
+                  tokens_col(F.col(text_col)).alias("__toks")),
+        F.col("__toks"), "term")
+    # (id, term) counts — the single corpus-sized shuffle
+    tf = (terms.groupBy("__id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    if materialize:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    # doc frequency reuses tf (already one row per (doc, term))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * (F.log((F.lit(1.0) + F.col("__n"))
+                                       / (F.lit(1.0) + F.col("df")))
+                                 + F.lit(1.0)))
+              .select(F.col("__id").alias(id_col), "term", "tf", "df",
+                      F.round("tfidf", 6).alias("tfidf")))
+    out = scored
+    if top_k is not None:
+        from pyspark.sql import Window
+        w = (Window.partitionBy(id_col)
+             .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= top_k))
+    if materialize:
+        out._tfidf_cache = tf
+    return out
+
+
+def release_tfidf_cache(out_df: DataFrame) -> bool:
+    """Unpersist the (id, term, tf) aggregate behind a ``tf_idf`` result.
+    Returns True if a cache handle was found and released."""
+    cached = getattr(out_df, "_tfidf_cache", None)
+    if cached is None:
+        return False
+    cached.unpersist()
+    out_df._tfidf_cache = None
+    return True

@@ -915,3 +915,47 @@ def test_semantic_dedup_join_is_cell_keyed(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tf_idf_counts_and_topk(spark):
+    from cascalog_spark.functions import tf_idf
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+            for r in tf_idf(docs).collect()}
+    # "a" appears in 2 docs, twice in doc 1
+    assert rows[(1, "a")][0] == 2 and rows[(1, "a")][1] == 2
+    assert rows[(2, "c")][0] == 1 and rows[(2, "c")][1] == 1
+    exp = round(2 * (math.log((1 + 3) / (1 + 2)) + 1.0), 6)
+    assert abs(rows[(1, "a")][2] - exp) < 1e-9
+    # empty doc contributes no terms
+    assert not any(d == 3 for d, _ in rows)
+    top1 = tf_idf(docs, top_k=1).collect()
+    assert {r.doc_id for r in top1} == {1, 2}
+    assert all(r.rank == 1 for r in top1)
+
+
+def test_tf_idf_single_explode(spark):
+    """With materialize=True the df branch reads the persisted tf
+    aggregate (InMemoryTableScan) — the corpus is tokenized once; the
+    release helper drops the cache."""
+    from cascalog_spark.functions import tf_idf
+    from cascalog_spark.functions.text import release_tfidf_cache
+
+    docs = spark.createDataFrame([(1, "x y"), (2, "y z")],
+                                 "doc_id long, text string")
+    out = tf_idf(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both the output branch and the df branch consume the SAME persisted
+    # tf aggregate (the printer shows the cached definition under each
+    # InMemoryTableScan; runtime computes it once)
+    assert plan.count("InMemoryTableScan") == 2
+    assert release_tfidf_cache(out) is True
+    assert release_tfidf_cache(out) is False
+    # opt-out path recomputes instead of caching
+    plain = tf_idf(docs, materialize=False)
+    p2 = plain._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in p2
