@@ -1365,6 +1365,21 @@ def doc_tfidf_terms(spark, sf_dir):
     return tf_idf(docs, top_k=3)
 
 
+def doc_corpus_mix(spark, sf_dir):
+    """Weighted training mixture: 'head' sources (src0-4) upsampled 2.5x
+    (2 full epochs + deterministic half-sample 3rd), the tail kept at 0.3
+    — md5-threshold fractional keeps (map-side, no shuffle), native
+    explode(sequence) epoch fan-out, bag union."""
+    from cascalog_spark.functions import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    head_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    head = docs.where(F.col("source").isin(head_srcs))
+    tail = docs.where(~F.col("source").isin(head_srcs))
+    mixed = mix_corpora({"head": (head, 2.5), "tail": (tail, 0.3)})
+    return mixed.select("doc_id", "mix_source", "epoch")
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1596,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_cheapest_part_per_brand": q2_cheapest_part_per_brand,
         "embedding_semantic_dedup": embedding_semantic_dedup,
         "doc_tfidf_terms": doc_tfidf_terms,
+        "doc_corpus_mix": doc_corpus_mix,
     }
 
 
@@ -2540,4 +2556,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY tfidf DESC, term ASC) AS rank
               FROM scored)
             WHERE rank <= 3""",
+        "doc_corpus_mix": """
+            WITH u AS (SELECT doc_id, source,
+                (CAST(concat('0x', substr(md5(
+                   CAST(doc_id AS VARCHAR) || '_42'), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 AS h
+              FROM documents)
+            SELECT doc_id, 'head' AS mix_source, e AS epoch
+            FROM u CROSS JOIN (VALUES (0), (1), (2)) t(e)
+            WHERE source IN ('src0','src1','src2','src3','src4')
+              AND (e < 2 OR h < 0.5)
+            UNION ALL
+            SELECT doc_id, 'tail' AS mix_source, 0 AS epoch
+            FROM u
+            WHERE source NOT IN ('src0','src1','src2','src3','src4')
+              AND h < 0.3""",
     }

@@ -7,8 +7,8 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
 from .corpus import (boilerplate_lines, contamination, decontaminate,
-                     cap_per_stratum, pack_sequences, remove_boilerplate,
-                     stratified_sample)
+                     cap_per_stratum, mix_corpora, pack_sequences,
+                     remove_boilerplate, stratified_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
                     minhash_lsh_candidates, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, semantic_dedup,

@@ -180,6 +180,48 @@ def stratified_sample(df: DataFrame, fractions, strata_col: str,
     return df.where(u < frac)
 
 
+def mix_corpora(sources: dict[str, tuple[DataFrame, float]],
+                id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Weighted training mixture: union the ``sources`` with per-source
+    sampling weights, tagged ``(mix_source, epoch)`` — the dataset-mixing
+    step that turns N corpora + mixture weights into one training stream.
+
+    Weight semantics (the LLM-mixing convention): weight w keeps each doc
+    ``floor(w)`` full times (``epoch`` = 0..floor(w)-1) plus one extra
+    copy with probability ``frac(w)`` — so 2.5 means "2 full epochs + a
+    deterministic half-sample third epoch", 0.3 means "keep 30%".
+
+    Scale shape: the fractional keep is the same md5-threshold map-side
+    filter as ``stratified_sample`` (zero shuffle, retry-deterministic,
+    engine-portable); integer upsampling is ``explode(sequence(...))`` —
+    JVM-native, no data motion; the final union is a bag union (no
+    distinct pass).  Schemas must match across sources (union by name).
+    """
+    if not sources:
+        raise ValueError("mix_corpora: at least one source required")
+    parts = []
+    for name, (df, weight) in sorted(sources.items()):
+        if weight < 0:
+            raise ValueError(f"mix_corpora: negative weight for {name!r}")
+        full, frac = int(weight), weight - int(weight)
+        u = _unit_hash(F.col(id_col), seed)
+        # epoch ids 0..full-1 unconditionally; epoch `full` iff the md5
+        # draw keeps the doc for the fractional remainder
+        n_epochs = (F.lit(full)
+                    + F.when(u < F.lit(frac), 1).otherwise(0))
+        part = (df.withColumn("__n_ep", n_epochs)
+                .where(F.col("__n_ep") > 0)
+                .withColumn("epoch", F.explode(
+                    F.sequence(F.lit(0), F.col("__n_ep") - 1)))
+                .drop("__n_ep")
+                .withColumn("mix_source", F.lit(name)))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (context-window batch assembly)
 

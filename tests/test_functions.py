@@ -959,3 +959,41 @@ def test_tf_idf_single_explode(spark):
     plain = tf_idf(docs, materialize=False)
     p2 = plain._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in p2
+
+
+def test_mix_corpora_weight_semantics(spark):
+    import pytest
+    from cascalog_spark.functions import mix_corpora
+
+    a = spark.createDataFrame([(i, "a") for i in range(40)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(i, "b") for i in range(100, 140)],
+                              "doc_id long, text string")
+    out = mix_corpora({"a": (a, 2.0), "b": (b, 1.0)})
+    rows = out.groupBy("mix_source").count().collect()
+    got = {r.mix_source: r["count"] for r in rows}
+    assert got == {"a": 80, "b": 40}      # integer weights are exact
+    eps = {r.epoch for r in out.where("mix_source = 'a'").collect()}
+    assert eps == {0, 1}
+    # fractional weight: deterministic subset, repeatable
+    half = mix_corpora({"a": (a, 0.5)})
+    n1 = half.count()
+    assert 0 < n1 < 40
+    assert mix_corpora({"a": (a, 0.5)}).count() == n1
+    # weight 0 → source fully dropped
+    assert mix_corpora({"a": (a, 0.0)}).count() == 0
+    with pytest.raises(ValueError):
+        mix_corpora({})
+    with pytest.raises(ValueError):
+        mix_corpora({"a": (a, -1.0)})
+
+
+def test_mix_corpora_map_side_only(spark):
+    """The mixture is filters + explode + union — NO shuffle."""
+    from cascalog_spark.functions import mix_corpora
+
+    a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y")], "doc_id long, text string")
+    plan = mix_corpora({"a": (a, 1.5), "b": (b, 0.25)})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
