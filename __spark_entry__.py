@@ -1380,6 +1380,26 @@ def doc_corpus_mix(spark, sf_dir):
     return mixed.select("doc_id", "mix_source", "epoch")
 
 
+def events_click_in_purchase_window(spark, sf_dir):
+    """Range (interval) join extension operator: clicks attributed to the
+    purchase window [purchase_ts, +1h) of the same user — bucketized band
+    join (hour buckets → equi-join on (user, bucket) + exact bound
+    filter), never a nested-loop join."""
+    from cascalog_spark.operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id",
+                         F.col("ts").alias("lo"),
+                         (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                         .alias("hi")))
+    out = range_join(clicks, purchases, "ts", "lo", "hi", on="user_id",
+                     bucket=3600.0)
+    return out.select("click_id", "user_id", "purchase_id")
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1612,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_dedup": embedding_semantic_dedup,
         "doc_tfidf_terms": doc_tfidf_terms,
         "doc_corpus_mix": doc_corpus_mix,
+        "events_click_in_purchase_window": events_click_in_purchase_window,
     }
 
 
@@ -2571,4 +2592,14 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             WHERE source NOT IN ('src0','src1','src2','src3','src4')
               AND h < 0.3""",
+        "events_click_in_purchase_window": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   p.event_id AS purchase_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts
+             AND c.ts < p.ts + INTERVAL 1 HOUR""",
     }

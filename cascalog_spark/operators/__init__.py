@@ -1,2 +1,3 @@
 from .asof import asof_join
 from .multigroup import multigroup, multigroup_n
+from .range_join import range_join

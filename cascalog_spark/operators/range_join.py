@@ -1,0 +1,91 @@
+"""Range (interval) join — a point-in-interval join Spark has no native
+operator for: without help, `l.v BETWEEN r.lo AND r.hi` plans as a
+BroadcastNestedLoopJoin / CartesianProduct, which is O(|L|·|R|) and a
+100 TB non-starter.
+
+The standard scale rewrite (bucketized band join, as used by interval-join
+implementations in stream processors): pick a bucket width, explode each
+right interval into the buckets it covers, assign each left point to its
+bucket, equi-join on (keys…, bucket), then apply the exact bound predicate.
+Cost is one shuffle keyed by (keys, bucket) — partition-parallel — plus a
+fan-out factor of ceil(span/bucket) on the right side only.
+
+Choosing ``bucket``: close to the typical interval span ⇒ fan-out ~1-2
+rows per interval and candidate lists stay small.  Intervals wildly larger
+than ``bucket`` fan out proportionally — guarded by
+``max_buckets_per_interval`` (hard error via raise_error, not silent
+truncation).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _to_num(col: Column, dtype: str) -> Column:
+    """Timestamps → epoch seconds (fractional); numerics pass through."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col) / F.lit(1_000_000.0)
+    if dtype == "date":
+        return F.unix_date(col).cast("double")
+    return col.cast("double")
+
+
+def range_join(left: DataFrame, right: DataFrame, left_val: str,
+               right_lo: str, right_hi: str, on: str | list | None = None,
+               bucket: float = 1.0, how: str = "inner",
+               lo_inclusive: bool = True, hi_inclusive: bool = False,
+               suffix: str = "_r",
+               max_buckets_per_interval: int = 10_000) -> DataFrame:
+    """Join each left row (point ``left_val``) to the right rows whose
+    interval [``right_lo``, ``right_hi``] contains it, optionally
+    restricted to equal ``on`` keys.  Bound inclusivity is configurable
+    (default half-open [lo, hi)); ``how`` is 'inner' or 'left' (left keeps
+    unmatched points with nulls).
+
+    ``bucket`` is in the value's units — SECONDS for timestamp columns,
+    DAYS·86400 if you want day buckets on dates, the raw unit for
+    numerics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be inner|left, got {how!r}")
+    b = float(bucket)
+    if b <= 0:
+        raise ValueError("range_join: bucket must be > 0")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    # resolve output-name collisions before the join (keys join by name)
+    collide = (set(right.columns) - set(keys)) & set(left.columns)
+    r = right
+    for c in sorted(collide):
+        r = r.withColumnRenamed(c, c + suffix)
+    r_lo = right_lo + suffix if right_lo in collide else right_lo
+    r_hi = right_hi + suffix if right_hi in collide else right_hi
+
+    rdts, ldts = dict(r.dtypes), dict(left.dtypes)
+    lo_num = _to_num(F.col(r_lo), rdts[r_lo])
+    hi_num = _to_num(F.col(r_hi), rdts[r_hi])
+    val_num = _to_num(F.col(left_val), ldts[left_val])
+
+    lo_b = F.floor(lo_num / F.lit(b)).cast("long")
+    hi_b = F.floor(hi_num / F.lit(b)).cast("long")
+    hi_b_guarded = F.when(
+        hi_b - lo_b + 1 > F.lit(max_buckets_per_interval),
+        F.raise_error(F.lit(
+            "range_join: interval spans more than "
+            f"{max_buckets_per_interval} buckets — raise `bucket` or "
+            "max_buckets_per_interval")).cast("long")).otherwise(hi_b)
+
+    rb = r.withColumn("__bkt", F.explode(F.sequence(lo_b, hi_b_guarded)))
+    lb = left.withColumn("__bkt", F.floor(val_num / F.lit(b)).cast("long"))
+
+    lo_cmp = lo_num <= val_num if lo_inclusive else lo_num < val_num
+    hi_cmp = val_num <= hi_num if hi_inclusive else val_num < hi_num
+    conds = ([lb["__bkt"] == rb["__bkt"]]
+             + [lb[k] == rb[k] for k in keys]
+             + [lo_cmp, hi_cmp])
+    joined = lb.join(rb, reduce(lambda a, c: a & c, conds), how)
+    return joined.drop(rb["__bkt"]).drop(lb["__bkt"]) \
+                 .drop(*[rb[k] for k in keys])

@@ -997,3 +997,67 @@ def test_mix_corpora_map_side_only(spark):
     plan = mix_corpora({"a": (a, 1.5), "b": (b, 0.25)})._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_range_join_semantics(spark):
+    from cascalog_spark.operators import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 10.0), (3, "a", 15.0), (4, "b", 5.0),
+         (5, "a", 99.0)],
+        "pid long, k string, v double")
+    iv = spark.createDataFrame(
+        [(10, "a", 0.0, 10.0), (11, "a", 10.0, 20.0), (12, "b", 4.0, 6.0)],
+        "iid long, k string, lo double, hi double")
+    # half-open [lo, hi): v=10 matches interval 11 only
+    got = sorted((r.pid, r.iid) for r in
+                 range_join(pts, iv, "v", "lo", "hi", on="k",
+                            bucket=7.0).collect())
+    assert got == [(1, 10), (2, 11), (3, 11), (4, 12)]
+    # inclusive hi: v=10 matches both
+    got2 = sorted((r.pid, r.iid) for r in
+                  range_join(pts, iv, "v", "lo", "hi", on="k", bucket=7.0,
+                             hi_inclusive=True).collect())
+    assert (2, 10) in got2 and (2, 11) in got2
+    # left join keeps unmatched points
+    got3 = sorted((r.pid, r.iid) for r in
+                  range_join(pts, iv, "v", "lo", "hi", on="k", bucket=7.0,
+                             how="left").collect())
+    assert (5, None) in got3
+    # without keys: cross-key containment
+    got4 = sorted((r.pid, r.iid) for r in
+                  range_join(pts, iv, "v", "lo", "hi", bucket=7.0).collect())
+    assert (4, 10) in got4  # b-point in a-interval once keys are dropped
+
+
+def test_range_join_no_nested_loop_and_guard(spark):
+    import pytest
+    from cascalog_spark.operators import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid long, lo double, hi double")
+    plan = range_join(pts, iv, "v", "lo", "hi", bucket=1.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # an interval spanning > max buckets fails loudly, never truncates
+    wide = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(pts, wide, "v", "lo", "hi", bucket=1.0,
+                   max_buckets_per_interval=100).collect()
+
+
+def test_range_join_timestamp_and_collisions(spark):
+    from pyspark.sql import functions as F
+    from cascalog_spark.operators import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:30:00"), (2, "u1", "2024-01-01 13:00:00")],
+        "event_id long, user_id string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    win = spark.createDataFrame(
+        [(7, "u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "event_id long, user_id string, lo string, hi string") \
+        .withColumn("lo", F.to_timestamp("lo")).withColumn("hi", F.to_timestamp("hi"))
+    out = range_join(ev, win, "ts", "lo", "hi", on="user_id", bucket=3600.0)
+    rows = out.collect()
+    assert [(r.event_id, r.event_id_r) for r in rows] == [(1, 7)]
