@@ -1400,6 +1400,21 @@ def events_click_in_purchase_window(spark, sf_dir):
     return out.select("click_id", "user_id", "purchase_id")
 
 
+def embedding_quantized_codes(spark, sf_dir):
+    """Scalar int8 quantization (SQ8): per-dim corpus min/max (one agg
+    pass, no explode) → affine code map as a native transform expr — 4x
+    vector-storage cut for the ANN index tier.  Integer codes, so the
+    oracle comparison is exact."""
+    from cascalog_spark.functions import (quantization_stats,
+                                          quantize_embeddings)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = quantization_stats(emb, dim=64)
+    return (quantize_embeddings(emb, stats=stats)
+            .where(F.col("vec_id") < 20)
+            .select("vec_id", "codes"))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1633,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": doc_tfidf_terms,
         "doc_corpus_mix": doc_corpus_mix,
         "events_click_in_purchase_window": events_click_in_purchase_window,
+        "embedding_quantized_codes": embedding_quantized_codes,
     }
 
 
@@ -2602,4 +2618,20 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.ts >= p.ts
              AND c.ts < p.ts + INTERVAL 1 HOUR""",
+        "embedding_quantized_codes": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            st AS (SELECT
+                     [{', '.join(f'min(v[{i}])' for i in range(1, 65))}]
+                       AS mins,
+                     [{', '.join(f'max(v[{i}])' for i in range(1, 65))}]
+                       AS maxs
+                   FROM e)
+            SELECT vec_id, list_transform(range(1, 65),
+              i -> CAST(least(255, greatest(0, floor(
+                     (v[i] - st.mins[i])
+                     / (CASE WHEN st.maxs[i] > st.mins[i]
+                             THEN st.maxs[i] - st.mins[i] ELSE 1.0 END)
+                     * 256.0))) AS INT)) AS codes
+            FROM e, st WHERE vec_id < 20""",
     }

@@ -16,8 +16,10 @@ from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
-                         ivf_ann_topk, ivf_centroids_kmeans, ivf_knn_join,
-                         knn_join, lsh_ann_topk, release_cosine_cache)
+                         dequantize_col, ivf_ann_topk,
+                         ivf_centroids_kmeans, ivf_knn_join, knn_join,
+                         lsh_ann_topk, quantization_stats,
+                         quantize_embeddings, release_cosine_cache)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    line_dup_ratio, redact_pii, repetition_signals,
                    tf_idf, top_ngrams, url_domain_counts, quality_score,

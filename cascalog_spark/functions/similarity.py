@@ -435,6 +435,72 @@ def cosine_pairs_scoped(df: DataFrame, **kwargs):
         release_cosine_cache(pairs)
 
 
+def quantization_stats(df: DataFrame, vec_col: str = "embedding",
+                       dim: int | None = None
+                       ) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — ONE aggregate pass with
+    2·dim agg expressions (map-side partials, no explode, no shuffle of
+    vector rows; the result is O(dim) on the driver, like a centroid
+    table)."""
+    vec = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        dim = df.select(F.size(vec).alias("d")).where("d is not null") \
+                .first()["d"]
+    aggs = ([F.min(vec[i]).alias(f"mn{i}") for i in range(dim)]
+            + [F.max(vec[i]).alias(f"mx{i}") for i in range(dim)])
+    row = df.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "codes",
+                        stats: tuple[list[float], list[float]] | None = None
+                        ) -> DataFrame:
+    """Scalar int8 quantization (faiss-SQ8 shape): per-dimension affine
+    map to codes 0..255 — ``floor((x - minᵢ) / scaleᵢ · 256)`` clamped —
+    cutting vector storage 4× (the difference between an in-memory and a
+    spilled ANN index at 100 TB).
+
+    The code map is a pure native expression (transform over the array
+    with literal min/scale tables — no UDF, no shuffle); ``stats`` from
+    ``quantization_stats`` (compute once, reuse for every batch — new
+    data quantizes against the FROZEN corpus stats, as an index
+    requires).  Zero-width dimensions map to code 0.
+    """
+    if stats is None:
+        stats = quantization_stats(df, vec_col)
+    mins, maxs = stats
+    scale = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+    mins_l, scale_l = _lit_arr(mins), _lit_arr(scale)
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        vec,
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.floor(
+                (x - F.element_at(mins_l, i + 1))
+                / F.element_at(scale_l, i + 1) * F.lit(256.0))
+                .cast("int"))).cast("int"))
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_col(codes: Column,
+                   stats: tuple[list[float], list[float]]) -> Column:
+    """Reconstruct approximate doubles from int8 codes (bucket midpoint:
+    ``minᵢ + (code + 0.5)/256 · scaleᵢ``) — for exact-rescoring
+    candidates that were ranked on quantized vectors."""
+    mins, maxs = stats
+    scale = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+    mins_l, scale_l = _lit_arr(mins), _lit_arr(scale)
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mins_l, i + 1)
+        + (c.cast("double") + F.lit(0.5)) / F.lit(256.0)
+        * F.element_at(scale_l, i + 1))
+
+
 def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",

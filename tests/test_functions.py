@@ -1061,3 +1061,30 @@ def test_range_join_timestamp_and_collisions(spark):
     out = range_join(ev, win, "ts", "lo", "hi", on="user_id", bucket=3600.0)
     rows = out.collect()
     assert [(r.event_id, r.event_id_r) for r in rows] == [(1, 7)]
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from cascalog_spark.functions import (dequantize_col, quantization_stats,
+                                          quantize_embeddings)
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, -1.0, 5.0]), (1, [1.0, 1.0, 5.0]), (2, [0.5, 0.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    stats = quantization_stats(emb)
+    assert stats == ([0.0, -1.0, 5.0], [1.0, 1.0, 5.0])
+    qz = quantize_embeddings(emb, stats=stats)
+    codes = {r.vec_id: r.codes for r in qz.collect()}
+    assert codes[0] == [0, 0, 0]          # mins → 0; zero-width dim → 0
+    assert codes[1] == [255, 255, 0]      # maxs clamp to 255
+    assert codes[2] == [128, 128, 0]
+    # reconstruction error bounded by half a bucket
+    rec = qz.withColumn("r", dequantize_col(F.col("codes"), stats))
+    for row in rec.collect():
+        for orig, approx, mn, mx in zip(row.embedding, row.r,
+                                        stats[0], stats[1]):
+            width = (mx - mn) if mx > mn else 1.0
+            assert abs(orig - approx) <= width / 256.0 + 1e-12
+    # quantization is a pure map — no shuffle
+    plan = qz._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
