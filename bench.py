@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     # megagroup streaming-iterator buffer: ~3 groups x ~200k rows at sf0.1,
     # state carried across Arrow batches (defbufferiterfn path)
     "lineitem_flag_running_qty",
+    # round-3 extension entries (no recorded-baseline counterpart — see
+    # BASELINE.md round-3 notes): corpus TF-IDF, SemDeDup, interval join
+    "doc_tfidf_terms",
+    "embedding_semantic_dedup",
+    "events_click_in_purchase_window",
 ]
 
 

@@ -348,3 +348,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
     expect = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
               for r in exp.itertuples()}
     assert got == expect
+
+
+# -- range_join vs a brute-force interval containment model
+
+_rj_pts = st.lists(st.tuples(st.integers(0, 2), st.integers(-30, 30)),
+                   min_size=0, max_size=10)
+_rj_ivs = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-30, 30), st.integers(0, 15)),
+    min_size=0, max_size=10)
+
+
+@given(pts=_rj_pts, ivs=_rj_ivs,
+       bucket=st.sampled_from([1.0, 3.0, 7.0, 50.0]),
+       hi_inc=st.booleans())
+@SET
+def test_range_join_matches_bruteforce(spark, pts, ivs, bucket, hi_inc):
+    from cascalog_spark.operators import range_join
+
+    if not pts or not ivs:
+        return
+    ldf = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(pts)],
+        "pid long, k long, v double")
+    rdf = spark.createDataFrame(
+        [(j, k, float(lo), float(lo + span))
+         for j, (k, lo, span) in enumerate(ivs)],
+        "iid long, k long, lo double, hi double")
+    got = {(r.pid, r.iid) for r in
+           range_join(ldf, rdf, "v", "lo", "hi", on="k",
+                      bucket=bucket, hi_inclusive=hi_inc).collect()}
+    expect = {(i, j)
+              for i, (pk, v) in enumerate(pts)
+              for j, (ik, lo, span) in enumerate(ivs)
+              if pk == ik and lo <= v
+              and (v <= lo + span if hi_inc else v < lo + span)}
+    assert got == expect
