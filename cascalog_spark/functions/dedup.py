@@ -385,17 +385,21 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     for balanced cells at scale (the default first-k-ids seeding is
     deterministic for oracle checks).
     """
-    from .similarity import cosine_similarity_col, ivf_assign_col, \
-        ivf_centroids
+    from .similarity import dot_col, ivf_assign_col, ivf_centroids, \
+        norm_col
 
     cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
     if not cents:  # empty corpus → nothing to drop
         return df.select(F.col(id_col)).limit(0)
     vec = F.col(vec_col).cast("array<double>")
-    a = (df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    # per-row norm precomputed ONCE — the pair predicate then costs one
+    # dot product instead of three array aggregates per candidate
+    a = (df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
+                   norm_col(vec).alias("__n"))
          .withColumn("__cell", ivf_assign_col(F.col("__v"), cents)))
     x, y = a.alias("x"), a.alias("y")
-    sim = cosine_similarity_col(F.col("x.__v"), F.col("y.__v"))
+    sim = (dot_col(F.col("x.__v"), F.col("y.__v"))
+           / (F.col("x.__n") * F.col("y.__n")))
     return (x.join(y, on=[F.col("x.__cell") == F.col("y.__cell"),
                           F.col("x.__id") < F.col("y.__id")])
             .where(sim > threshold)
