@@ -1421,6 +1421,18 @@ def embedding_quantized_codes(spark, sf_dir):
             .select("vec_id", "codes"))
 
 
+def doc_classifier_scores(spark, sf_dir):
+    """fastText-shape linear quality classifier INFERENCE: md5-hashed
+    bag-of-words buckets, literal weight table, sigmoid — a pure native
+    map over docs (no UDF/shuffle/join), the corpus-scale scoring side of
+    an offline-fitted classifier."""
+    from cascalog_spark.functions import linear_text_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = [((-1) ** i) * (i % 5) / 10.0 for i in range(16)]
+    return linear_text_classifier(docs, weights, bias=-0.5)
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1655,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_mix": doc_corpus_mix,
         "events_click_in_purchase_window": events_click_in_purchase_window,
         "embedding_quantized_codes": embedding_quantized_codes,
+        "doc_classifier_scores": doc_classifier_scores,
     }
 
 
@@ -2640,4 +2653,15 @@ def oracle_sql() -> dict[str, str]:
                              THEN st.maxs[i] - st.mins[i] ELSE 1.0 END)
                      * 256.0))) AS INT)) AS codes
             FROM e, st WHERE vec_id < 20""",
+        "doc_classifier_scores": f"""
+            WITH w AS (SELECT [{', '.join(
+                str(((-1) ** i) * (i % 5) / 10.0) for i in range(16))
+            }]::DOUBLE[] AS wv)
+            SELECT doc_id, round(
+              1.0 / (1.0 + exp(-(-0.5 + coalesce(list_sum(
+                list_transform({_TOKS},
+                  t -> wv[CAST((CAST(concat('0x', substr(md5(t), 1, 15))
+                                AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
+              6) AS score
+            FROM documents, w""",
     }

@@ -399,6 +399,38 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def linear_text_classifier(df: DataFrame, weights: list[float],
+                           bias: float = 0.0, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           out_col: str = "score") -> DataFrame:
+    """fastText-shape linear classifier over hashed bag-of-words features:
+    ``score = sigmoid(bias + Σ_tokens w[bucket(token)])`` — the
+    quality-classifier scoring pass of a corpus pipeline (the weights come
+    from an offline fit; this op is the 100 TB-scale INFERENCE side).
+
+    Fully native: tokens hash to buckets via md5 (engine-portable, same
+    trick as the minhash family), the weight table is a literal array
+    indexed per token, the per-doc sum is an array aggregate — no UDF, no
+    shuffle, no join; a pure map over docs.  ``len(weights)`` is the
+    feature dimension (typical 2**18 at production scale — still just a
+    broadcast literal).
+    """
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("linear_text_classifier: weights must be non-empty")
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens_col(F.col(text_col))
+    bucket = lambda t: (  # noqa: E731 — md5 → uniform bucket, portable
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % F.lit(dim))
+    z = F.aggregate(
+        toks, F.lit(float(bias)),
+        lambda acc, t: acc + F.element_at(w_arr,
+                                          (bucket(t) + 1).cast("int")))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(F.col(id_col), F.round(score, 6).alias(out_col))
+
+
 def release_tfidf_cache(out_df: DataFrame) -> bool:
     """Unpersist the (id, term, tf) aggregate behind a ``tf_idf`` result.
     Returns True if a cache handle was found and released."""

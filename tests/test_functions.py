@@ -1088,3 +1088,24 @@ def test_quantize_dequantize_roundtrip(spark):
     # quantization is a pure map — no shuffle
     plan = qz._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_linear_text_classifier(spark):
+    import math
+    import pytest
+    from cascalog_spark.functions import linear_text_classifier
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")],
+                                 "doc_id long, text string")
+    # uniform weights: score depends only on token count
+    out = {r.doc_id: r.score
+           for r in linear_text_classifier(
+               docs, [0.5] * 8, bias=-0.25).collect()}
+    assert abs(out[1] - round(1 / (1 + math.exp(-(-0.25 + 1.0))), 6)) < 1e-9
+    assert abs(out[2] - round(1 / (1 + math.exp(0.25)), 6)) < 1e-9
+    with pytest.raises(ValueError):
+        linear_text_classifier(docs, [])
+    # pure map: no exchange, no python UDF
+    plan = linear_text_classifier(docs, [0.1] * 4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
