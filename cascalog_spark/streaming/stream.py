@@ -101,6 +101,42 @@ def stream_dedup(df: DataFrame, keys: list, ts_col: Optional[str] = None,
     return df.dropDuplicates(keys)
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, on: str | list,
+                         left_ts: str, right_ts: str,
+                         lower: str, upper: str,
+                         left_watermark: str = "1 hour",
+                         right_watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream interval join: left rows match right rows with equal
+    ``on`` keys whose ``right_ts`` lies in
+    ``[left_ts - lower, left_ts + upper]`` — the streaming face of the
+    batch ``operators.range_join`` (click↔purchase attribution on live
+    streams).
+
+    Uses Structured Streaming's NATIVE stream-stream join with an
+    event-time range condition: the watermarks + the time bound let the
+    engine EVICT join state once a row can no longer match (an unbounded
+    stream-stream join would otherwise buffer both streams forever) —
+    this is the supported pattern from the Spark streaming join guide,
+    not a custom operator.  ``lower``/``upper`` are interval strings
+    (e.g. ``"0 seconds"``, ``"1 hour"``).  Outer joins additionally
+    require BOTH watermarks so the engine knows when to emit unmatched
+    rows.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.expr(f"l.{left_ts} - INTERVAL {lower}")
+    hi = F.expr(f"l.{left_ts} + INTERVAL {upper}")
+    cond = cond & (F.col(f"r.{right_ts}") >= lo) \
+                & (F.col(f"r.{right_ts}") <= hi)
+    return l.join(r, cond, how)
+
+
 def trapped_stream_map(df: DataFrame, fn, in_cols: list,
                        out_cols: list, returns: list) -> DataFrame:
     """Apply a Python fn to a streaming DataFrame with ``:trap`` semantics

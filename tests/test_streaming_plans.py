@@ -345,3 +345,47 @@ def test_streaming_trap_poison_record(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"))
     qy2.awaitTermination()
     assert good2 == [], "checkpoint must dedupe the drained batch"
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (native event-time range join with
+    watermark state eviction) produces the same pairs as the batch
+    inequality join."""
+    from cascalog_spark.streaming import stream_interval_join, stream_tap
+
+    csrc = str(tmp_path / "clicks")
+    psrc = str(tmp_path / "purch")
+    clicks = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:05:00"), (2, "u1", "2024-01-01 10:20:00"),
+         (3, "u2", "2024-01-01 10:05:00"), (4, "u1", "2024-01-01 12:00:00")],
+        ["click_id", "user_id", "ts_str"]) \
+        .withColumn("cts", F.to_timestamp("ts_str")).drop("ts_str")
+    purch = spark.createDataFrame(
+        [(10, "u1", "2024-01-01 10:00:00"), (11, "u2", "2024-01-01 10:00:00")],
+        ["purchase_id", "user_id", "ts_str"]) \
+        .withColumn("pts", F.to_timestamp("ts_str")).drop("ts_str")
+    clicks.write.parquet(csrc)
+    purch.write.parquet(psrc)
+
+    sj = stream_interval_join(
+        stream_tap(spark, "parquet", csrc, schema=clicks.schema),
+        stream_tap(spark, "parquet", psrc, schema=purch.schema),
+        on="user_id", left_ts="cts", right_ts="pts",
+        lower="10 minutes", upper="0 seconds",
+        left_watermark="1 hour", right_watermark="1 hour") \
+        .select("click_id", "purchase_id")
+    qy = (sj.writeStream.format("memory").queryName("ivj")
+          .outputMode("append").trigger(availableNow=True).start())
+    try:
+        qy.awaitTermination(120)
+        got = {(r.click_id, r.purchase_id)
+               for r in spark.sql("SELECT * FROM ivj").collect()}
+    finally:
+        qy.stop()
+    # batch oracle: purchase within [click-10min, click]
+    batch = {(r.click_id, r.purchase_id) for r in clicks.join(
+        purch, (clicks.user_id == purch.user_id)
+        & (purch.pts >= F.expr("cts - INTERVAL 10 minutes"))
+        & (purch.pts <= F.col("cts"))).collect()}
+    assert batch == {(1, 10), (3, 11)}
+    assert got == batch
