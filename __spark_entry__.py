@@ -1433,6 +1433,16 @@ def doc_classifier_scores(spark, sf_dir):
     return linear_text_classifier(docs, weights, bias=-0.5)
 
 
+def doc_unigram_nll(spark, sf_dir):
+    """Perplexity-proxy quality signal: per-doc mean NLL under the
+    corpus unigram model (add-0.5 smoothing) — tf and corpus counts from
+    ONE persisted aggregate, corpus totals broadcast as a 1-row table."""
+    from cascalog_spark.functions import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll(docs)
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1668,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_click_in_purchase_window": events_click_in_purchase_window,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_classifier_scores": doc_classifier_scores,
+        "doc_unigram_nll": doc_unigram_nll,
     }
 
 
@@ -2664,4 +2675,17 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_unigram_nll": f"""
+            WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term
+                           FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+            cnt AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY 1),
+            tot AS (SELECT sum(ct)::DOUBLE AS total,
+                           count(*)::DOUBLE AS vocab FROM cnt)
+            SELECT doc_id,
+                   round(-sum(tf * ln((ct + 0.5) / (total + 0.5 * vocab)))
+                         / sum(tf), 6) AS nll
+            FROM tf JOIN cnt USING (term), tot
+            GROUP BY 1""",
     }

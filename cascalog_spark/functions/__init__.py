@@ -22,7 +22,7 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          quantize_embeddings, release_cosine_cache)
 from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    line_dup_ratio, linear_text_classifier, redact_pii,
-                   repetition_signals, tf_idf, top_ngrams,
+                   repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_counts, quality_score, token_count, tokenize)
 from .skew import salted_join
 from .util import ensure_parallelism

@@ -399,6 +399,51 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def unigram_nll(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", alpha: float = 0.5,
+                materialize: bool = True) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus unigram
+    model — the perplexity-proxy quality signal (the cheap stand-in for
+    LM-perplexity filtering à la CCNet/Gopher): gibberish and
+    boilerplate-free natural text separate on this score with no model
+    artifact needed.
+
+    ``p(t) = (count(t) + α) / (total + α·|V|)`` (add-α smoothing);
+    ``nll(doc) = −Σ tf·ln p / Σ tf``.  Both the per-doc stream and the
+    corpus counts derive from ONE (id, term, tf) aggregate (same persist
+    contract as ``tf_idf`` — release with ``release_tfidf_cache``); the
+    corpus-level totals are a 1-row broadcast.  Docs with zero tokens are
+    absent from the output.
+    """
+    from pyspark import StorageLevel
+
+    from .util import explode_fast
+
+    terms = explode_fast(
+        df.select(F.col(id_col).alias("__id"),
+                  tokens_col(F.col(text_col)).alias("__toks")),
+        F.col("__toks"), "term")
+    tf = (terms.groupBy("__id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    if materialize:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vocab"))
+    logp = F.log((F.col("ct") + F.lit(alpha))
+                 / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
+    out = (tf.join(counts, on="term")
+           .crossJoin(F.broadcast(totals))
+           .groupBy("__id")
+           .agg((-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__nll"))
+           .select(F.col("__id").alias(id_col),
+                   F.round("__nll", 6).alias("nll")))
+    if materialize:
+        out._tfidf_cache = tf
+    return out
+
+
 def linear_text_classifier(df: DataFrame, weights: list[float],
                            bias: float = 0.0, id_col: str = "doc_id",
                            text_col: str = "text",

@@ -1109,3 +1109,23 @@ def test_linear_text_classifier(spark):
     plan = linear_text_classifier(docs, [0.1] * 4)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_unigram_nll_math(spark):
+    import math
+    from cascalog_spark.functions import unigram_nll
+    from cascalog_spark.functions.text import release_tfidf_cache
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b"), (3, "")],
+                                 "doc_id long, text string")
+    out = unigram_nll(docs, alpha=0.5)
+    rows = {r.doc_id: r.nll for r in out.collect()}
+    # corpus: a->2, b->2, total 4, vocab 2
+    pa = (2 + 0.5) / (4 + 0.5 * 2)
+    pb = (2 + 0.5) / (4 + 0.5 * 2)
+    exp1 = round(-(2 * math.log(pa) + 1 * math.log(pb)) / 3, 6)
+    exp2 = round(-math.log(pb), 6)
+    assert abs(rows[1] - exp1) < 1e-9
+    assert abs(rows[2] - exp2) < 1e-9
+    assert 3 not in rows          # empty doc absent
+    release_tfidf_cache(out)
