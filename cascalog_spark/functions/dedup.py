@@ -371,7 +371,9 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95, n_clusters: int = 16,
                           centroids: list[tuple[int, list[float]]]
-                          | None = None) -> DataFrame:
+                          | None = None,
+                          method: str = "cells",
+                          **lsh_opts) -> DataFrame:
     """Ids REMOVED by semantic dedup (SemDeDup, Abbas et al. 2023 shape):
     cluster the embedding space, then within each cluster drop any row
     whose cosine similarity to a LOWER-id row exceeds ``threshold``
@@ -384,10 +386,34 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     skew-join splitting.  Pass ``centroids`` from ``ivf_centroids_kmeans``
     for balanced cells at scale (the default first-k-ids seeding is
     deterministic for oracle checks).
-    """
-    from .similarity import dot_col, ivf_assign_col, ivf_centroids, \
-        norm_col
 
+    ``method``: 'cells' (default) = SemDeDup's literal cluster blocking —
+    exact, deterministic, what the oracle checks; cost is O(n·k)
+    assignment + Σ|cell|² pair scoring, so k must track corpus size and
+    both terms grow superlinearly (the 8× scaling smoke measured 12.9×
+    wall).  'lsh' = banded hyperplane-LSH blocking via ``cosine_pairs``
+    (assignment O(n·planes) INDEPENDENT of corpus size, bucket-bounded
+    pair scoring, hot-bucket cap) — the 100 TB path; same keep-min-id
+    semantics, block boundary approximation differs.  Extra ``lsh_opts``
+    (n_planes/bands/seed/bucket_cap/dim) pass through to
+    ``cosine_pairs``.
+    """
+    from .similarity import cosine_pairs, dot_col, ivf_assign_col, \
+        ivf_centroids, norm_col
+
+    if method == "lsh":
+        # cosine_pairs already guarantees id_a < id_b (keep-min-id) and
+        # uses sim >= threshold (vs the cells path's strict >)
+        pairs = cosine_pairs(df, threshold=threshold, id_col=id_col,
+                             vec_col=vec_col, **lsh_opts)
+        out = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # propagate the signature-cache handle; caller releases via
+        # similarity.release_cosine_cache(out) after the consuming action
+        out._cosine_sig_cache = getattr(pairs, "_cosine_sig_cache", None)
+        return out
+    if method != "cells":
+        raise ValueError(f"semantic_dedup: method must be cells|lsh, "
+                         f"got {method!r}")
     cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
     if not cents:  # empty corpus → nothing to drop
         return df.select(F.col(id_col)).limit(0)
@@ -410,11 +436,13 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    n_clusters: int = 16,
-                   centroids: list[tuple[int, list[float]]] | None = None
-                   ) -> DataFrame:
+                   centroids: list[tuple[int, list[float]]] | None = None,
+                   method: str = "cells", **lsh_opts) -> DataFrame:
     """Semantically deduplicated corpus: ``df`` minus
     ``semantic_dedup_losers`` (one anti-join; the loser set is the
-    duplicate fraction only, not the corpus)."""
+    duplicate fraction only, not the corpus).  ``method='lsh'`` is the
+    corpus-scale blocking path (see semantic_dedup_losers)."""
     losers = semantic_dedup_losers(df, id_col, vec_col, threshold,
-                                   n_clusters, centroids)
+                                   n_clusters, centroids, method,
+                                   **lsh_opts)
     return df.join(losers, on=id_col, how="left_anti")

@@ -1129,3 +1129,27 @@ def test_unigram_nll_math(spark):
     assert abs(rows[2] - exp2) < 1e-9
     assert 3 not in rows          # empty doc absent
     release_tfidf_cache(out)
+
+
+def test_semantic_dedup_lsh_method(spark):
+    """LSH-blocked semantic dedup: same keep-min-id semantics on a clear
+    duplicate; cache handle propagated for release."""
+    from cascalog_spark.functions import semantic_dedup, semantic_dedup_losers
+    from cascalog_spark.functions.similarity import release_cosine_cache
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+         (2, [-1.0, 0.2, 0.4]), (3, [0.1, -0.9, 0.3])],
+        "vec_id long, embedding array<double>")
+    losers = semantic_dedup_losers(emb, threshold=0.95, method="lsh",
+                                   n_planes=4, bands=2, dim=3)
+    got = {r.vec_id for r in losers.collect()}
+    assert got == {1}
+    kept = {r.vec_id for r in
+            semantic_dedup(emb, threshold=0.95, method="lsh",
+                           n_planes=4, bands=2, dim=3).collect()}
+    assert kept == {0, 2, 3}
+    assert release_cosine_cache(losers) in (True, False)
+    import pytest
+    with pytest.raises(ValueError):
+        semantic_dedup_losers(emb, method="nope")
