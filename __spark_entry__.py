@@ -1443,6 +1443,24 @@ def doc_unigram_nll(spark, sf_dir):
     return unigram_nll(docs)
 
 
+def user_status_scd2(spark, sf_dir):
+    """SCD2 (type-2 slowly-changing-dimension) history build: each user's
+    event_type stream collapsed into [eff_start, eff_end) version chains —
+    per-key windows only, one shuffle, no global sort."""
+    from cascalog_spark.operators import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    ups = (ev.where(F.col("user_id") < 30)
+           .select("user_id", F.col("event_type").alias("status"), "ts"))
+    hist = scd2_history(ups, ["user_id"], ["status"])
+    # open versions use the conventional high-date sentinel (also keeps
+    # the cross-engine row comparator away from NULL-vs-value ordering)
+    return hist.withColumn(
+        "eff_end", F.coalesce(F.col("eff_end"),
+                              F.lit("9999-12-31 00:00:00")
+                              .cast("timestamp")))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1679,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
+        "user_status_scd2": user_status_scd2,
     }
 
 
@@ -2688,4 +2707,17 @@ def oracle_sql() -> dict[str, str]:
                          / sum(tf), 6) AS nll
             FROM tf JOIN cnt USING (term), tot
             GROUP BY 1""",
+        "user_status_scd2": """
+            WITH u AS (SELECT user_id, event_type AS status, ts
+                       FROM events WHERE user_id < 30),
+            s AS (SELECT *, lag(status) OVER (
+                    PARTITION BY user_id ORDER BY ts, status) AS prev
+                  FROM u),
+            surv AS (SELECT user_id, status, ts FROM s
+                     WHERE prev IS NULL OR prev != status)
+            SELECT user_id, status, ts AS eff_start,
+                   coalesce(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, status),
+                            TIMESTAMP '9999-12-31 00:00:00') AS eff_end
+            FROM surv""",
     }

@@ -1153,3 +1153,42 @@ def test_semantic_dedup_lsh_method(spark):
     import pytest
     with pytest.raises(ValueError):
         semantic_dedup_losers(emb, method="nope")
+
+
+def test_scd2_history_and_merge(spark):
+    from cascalog_spark.operators import scd2_history, scd2_merge
+
+    ups = spark.createDataFrame(
+        [("k1", "A", 1), ("k1", "A", 2), ("k1", "B", 3), ("k2", "X", 5)],
+        "k string, v string, ts long")
+    hist = {tuple(r) for r in scd2_history(ups, ["k"], ["v"]).collect()}
+    assert hist == {("k1", "A", 1, 3), ("k1", "B", 3, None),
+                    ("k2", "X", 5, None)}
+
+    cur = spark.createDataFrame(
+        [("k1", "Z", 0, 1),      # closed history — must pass untouched
+         ("k1", "A", 1, None),   # open; batch's leading A@1,2 is a no-op
+         ("k3", "Q", 0, None)],  # key absent from batch — stays open
+        "k string, v string, eff_start long, eff_end long")
+    merged = {tuple(r) for r in scd2_merge(cur, ups, ["k"], ["v"]).collect()}
+    assert merged == {("k1", "Z", 0, 1),
+                      ("k1", "A", 1, 3),     # closed at first real change
+                      ("k1", "B", 3, None),  # new open version
+                      ("k2", "X", 5, None),  # brand-new key
+                      ("k3", "Q", 0, None)}  # untouched
+    # merge with current=None is a pure history build
+    again = {tuple(r) for r in scd2_merge(None, ups, ["k"], ["v"]).collect()}
+    assert again == hist
+
+
+def test_scd2_single_key_shuffle(spark):
+    """scd2_history is windows over ONE key partitioning — exactly one
+    exchange, no global sort."""
+    from cascalog_spark.operators import scd2_history
+
+    ups = spark.createDataFrame([("a", "x", 1), ("a", "y", 2)],
+                                "k string, v string, ts long")
+    plan = scd2_history(ups, ["k"], ["v"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
