@@ -1461,6 +1461,29 @@ def user_status_scd2(spark, sf_dir):
                               .cast("timestamp")))
 
 
+def order_price_hist(spark, sf_dir):
+    """Fixed-width histogram (data profiling): 20 buckets over
+    o_totalprice — one bucket-keyed aggregate, map-side partials collapse
+    each partition to <= bins rows before the shuffle."""
+    from cascalog_spark.functions import histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=20)
+
+
+def user_event_type_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event counts as one column per
+    event_type — native Spark pivot with the value list pinned (no extra
+    distinct-values job), zero-filled."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.where(F.col("user_id") < 20)
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, subset=types))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1698,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
+        "order_price_hist": order_price_hist,
+        "user_event_type_pivot": user_event_type_pivot,
     }
 
 
@@ -2720,4 +2745,30 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, status),
                             TIMESTAMP '9999-12-31 00:00:00') AS eff_end
             FROM surv""",
+        "order_price_hist": """
+            WITH st AS (SELECT min(o_totalprice)::DOUBLE AS lo,
+                               max(o_totalprice)::DOUBLE AS hi
+                        FROM orders),
+            b AS (SELECT CAST(least(19, greatest(0, floor(
+                           (o_totalprice::DOUBLE - lo)
+                           / ((hi - lo) / 20.0)))) AS INT) AS bucket,
+                         lo, (hi - lo) / 20.0 AS w
+                  FROM orders, st)
+            SELECT bucket, round(lo + bucket * w, 6) AS lo_edge,
+                   round(lo + (bucket + 1) * w, 6) AS hi_edge,
+                   count(*) AS n
+            FROM b GROUP BY 1, 2, 3""",
+        "user_event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS view
+            FROM events WHERE user_id < 20 GROUP BY 1""",
     }

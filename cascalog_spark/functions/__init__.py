@@ -25,4 +25,5 @@ from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_counts, quality_score, token_count, tokenize)
 from .skew import salted_join
+from .stats import histogram
 from .util import ensure_parallelism

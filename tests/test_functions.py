@@ -1192,3 +1192,28 @@ def test_scd2_single_key_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_histogram_edges_and_degenerate(spark):
+    import pytest
+    from cascalog_spark.functions import histogram
+
+    df = spark.createDataFrame([(float(x),) for x in range(0, 101)],
+                               "v double")
+    h = {r.bucket: (r.lo_edge, r.hi_edge, r.n)
+         for r in histogram(df, "v", bins=10).collect()}
+    assert len(h) == 10
+    assert h[0] == (0.0, 10.0, 10)
+    assert h[9] == (90.0, 100.0, 11)      # max clamps into last bucket
+    assert sum(n for _, _, n in h.values()) == 101
+    # explicit bounds: out-of-range values clamp, not drop
+    h2 = {r.bucket: r.n for r in
+          histogram(df, "v", bins=2, lo=40.0, hi=60.0).collect()}
+    assert h2[0] == 50 and h2[1] == 51
+    # single-value column (degenerate range) and empty input
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    ho = histogram(one, "v", bins=4).collect()
+    assert len(ho) == 1 and ho[0].n == 2
+    assert histogram(df.limit(0), "v", bins=4).count() == 0
+    with pytest.raises(ValueError):
+        histogram(df, "v", bins=0)
