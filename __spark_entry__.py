@@ -1484,6 +1484,23 @@ def user_event_type_pivot(spark, sf_dir):
             .na.fill(0, subset=types))
 
 
+def orders_status_rollup(spark, sf_dir):
+    """Native ROLLUP (hierarchical subtotals): order counts + revenue at
+    (status, priority), (status), and grand-total levels in ONE
+    aggregation pass — Catalyst expands the grouping sets, partial aggs
+    still apply.  NULL grouping cells coalesced to 'ALL' so the oracle
+    comparison never sorts NULL against values."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n_orders", "revenue"))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1723,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_status_scd2": user_status_scd2,
         "order_price_hist": order_price_hist,
         "user_event_type_pivot": user_event_type_pivot,
+        "orders_status_rollup": orders_status_rollup,
     }
 
 
@@ -2771,4 +2789,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                        END)::BIGINT AS view
             FROM events WHERE user_id < 20 GROUP BY 1""",
+        "orders_status_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     }

@@ -384,3 +384,57 @@ def test_range_join_matches_bruteforce(spark, pts, ivs, bucket, hi_inc):
               if pk == ik and lo <= v
               and (v <= lo + span if hi_inc else v < lo + span)}
     assert got == expect
+
+
+# -- scd2_merge vs a pure-python SCD2 model
+
+_scd_cur = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3)),  # (key, open value)
+    min_size=0, max_size=3, unique_by=lambda r: r[0])
+_scd_ups = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(10, 20)),
+    min_size=0, max_size=8, unique_by=lambda r: (r[0], r[2]))
+
+
+def _scd2_model(cur_open, ups):
+    """cur_open: {key: value} open rows at eff_start=0; ups: (k, v, ts)."""
+    out = []
+    keys = {k for k, _ in cur_open.items()} | {k for k, _, _ in ups}
+    for k in sorted(keys):
+        chain = sorted([(ts, v) for kk, v, ts in ups if kk == k])
+        surv = []
+        prev = None
+        for ts, v in chain:
+            if prev is None or v != prev:
+                surv.append((ts, v))
+            prev = v
+        if k in cur_open:
+            ov = cur_open[k]
+            if surv and surv[0][1] == ov:
+                surv = surv[1:]
+            end = surv[0][0] if surv else None
+            out.append((k, ov, 0, end))
+        for i, (ts, v) in enumerate(surv):
+            end = surv[i + 1][0] if i + 1 < len(surv) else None
+            out.append((k, v, ts, end))
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+@given(cur=_scd_cur, ups=_scd_ups)
+@SET
+def test_scd2_merge_matches_model(spark, cur, ups):
+    from cascalog_spark.operators import scd2_merge
+
+    if not ups:
+        return
+    cur_open = dict(cur)
+    cdf = None
+    if cur_open:
+        cdf = spark.createDataFrame(
+            [(k, v, 0, None) for k, v in sorted(cur_open.items())],
+            "k long, v long, eff_start long, eff_end long")
+    udf_ = spark.createDataFrame(ups, "k long, v long, ts long")
+    got = sorted(((r.k, r.v, r.eff_start, r.eff_end)
+                  for r in scd2_merge(cdf, udf_, ["k"], ["v"]).collect()),
+                 key=lambda r: (r[0], r[2]))
+    assert got == _scd2_model(cur_open, ups)
