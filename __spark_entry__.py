@@ -1501,6 +1501,58 @@ def orders_status_rollup(spark, sf_dir):
                     "n_orders", "revenue"))
 
 
+def events_sessionized(spark, sf_dir):
+    """Gap-based sessionization as a pure Window rewrite (no per-group
+    buffer materialization): new session when >30 min since the user's
+    previous event; ids are per-user cumulative session starts."""
+    from cascalog_spark.functions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev.where(F.col("user_id") < 10), "ts", ["user_id"],
+                     gap=1800.0)
+    return out.select("event_id", "user_id", "session_id")
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Hypertable-style time rollup with GAP FILL: hourly event counts
+    per user including empty hours between each user's first and last
+    event — native sequence+explode spine, no driver loop."""
+    from cascalog_spark.functions import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(ev.where(F.col("user_id") < 5), "ts", ["user_id"],
+                      [F.count(F.lit(1)).alias("n")], step=3600.0)
+    return out.select("user_id", "bucket_start",
+                      F.coalesce("n", F.lit(0)).alias("n"))
+
+
+def customer_snapshot_diff(spark, sf_dir):
+    """Table reconciliation: diff the customer table against a derived
+    snapshot (keys dropped, balances perturbed, keys added) — one
+    full-outer join, classification as a projection, diffs only."""
+    from cascalog_spark.operators import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_acctbal")
+    snap = (base.where(F.col("c_custkey") % 50 != 0)
+            .withColumn("c_acctbal",
+                        F.when(F.col("c_custkey") % 7 == 0,
+                               F.round(F.col("c_acctbal") + 100.0, 2))
+                        .otherwise(F.col("c_acctbal"))))
+    added = (base.where(F.col("c_custkey") % 50 == 1)
+             .select((F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                     "c_acctbal"))
+    snap = snap.unionByName(added)
+    out = table_diff(base, snap, ["c_custkey"], ["c_acctbal"])
+    # added/removed rows carry NULL on the absent side — pin a sentinel
+    # so the cross-engine row comparator never orders NULL vs value
+    return out.select("c_custkey", "diff",
+                      F.coalesce("c_acctbal_l", F.lit(-1.0))
+                      .alias("c_acctbal_l"),
+                      F.coalesce("c_acctbal_r", F.lit(-1.0))
+                      .alias("c_acctbal_r"))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1741,6 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_hist": order_price_hist,
         "user_event_type_pivot": user_event_type_pivot,
         "orders_status_rollup": orders_status_rollup,
+        "events_sessionized": events_sessionized,
+        "events_hourly_rollup": events_hourly_rollup,
+        "customer_snapshot_diff": customer_snapshot_diff,
     }
 
 
@@ -2796,4 +2851,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "events_sessionized": """
+            WITH u AS (SELECT event_id, user_id, ts FROM events
+                       WHERE user_id < 10),
+            s AS (SELECT event_id, user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) / 1000000.0
+                                  - epoch_us(lag(ts) OVER w) / 1000000.0
+                                  > 1800.0
+                              THEN 1 ELSE 0 END AS st
+                  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT event_id, user_id,
+                   CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                        AS BIGINT) AS session_id
+            FROM s""",
+        "events_hourly_rollup": """
+            WITH u AS (SELECT user_id,
+                              CAST(floor(epoch_us(ts) / 1000000.0 / 3600.0)
+                                   * 3600 AS BIGINT) AS b
+                       FROM events WHERE user_id < 5),
+            a AS (SELECT user_id, b AS bucket_start, count(*) AS n
+                  FROM u GROUP BY 1, 2),
+            sp AS (SELECT user_id,
+                          unnest(range(mn, mx + 1, 3600)) AS bucket_start
+                   FROM (SELECT user_id, min(b) AS mn, max(b) AS mx
+                         FROM u GROUP BY 1))
+            SELECT sp.user_id, sp.bucket_start,
+                   coalesce(a.n, 0)::BIGINT AS n
+            FROM sp LEFT JOIN a USING (user_id, bucket_start)""",
+        "customer_snapshot_diff": """
+            WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+            snap AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN round(c_acctbal + 100.0, 2)
+                          ELSE c_acctbal END AS c_acctbal
+              FROM base WHERE c_custkey % 50 != 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_acctbal FROM base
+              WHERE c_custkey % 50 = 1),
+            j AS (SELECT coalesce(b.c_custkey, s.c_custkey) AS c_custkey,
+                         b.c_acctbal AS c_acctbal_l,
+                         s.c_acctbal AS c_acctbal_r,
+                         b.c_custkey IS NULL AS only_r,
+                         s.c_custkey IS NULL AS only_l
+                  FROM base b FULL OUTER JOIN snap s
+                    ON b.c_custkey = s.c_custkey)
+            SELECT c_custkey,
+                   CASE WHEN only_r THEN 'added'
+                        WHEN only_l THEN 'removed'
+                        ELSE 'changed' END AS diff,
+                   coalesce(c_acctbal_l, -1.0) AS c_acctbal_l,
+                   coalesce(c_acctbal_r, -1.0) AS c_acctbal_r
+            FROM j
+            WHERE only_r OR only_l
+               OR c_acctbal_l IS DISTINCT FROM c_acctbal_r""",
     }

@@ -26,4 +26,5 @@ from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    url_domain_counts, quality_score, token_count, tokenize)
 from .skew import salted_join
 from .stats import histogram
+from .window import sessionize, time_rollup
 from .util import ensure_parallelism

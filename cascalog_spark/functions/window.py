@@ -66,3 +66,62 @@ def with_ntile(df: DataFrame, n: int, keys: list[str], order: list,
     """ntile(n) buckets over (keys, order) — equi-depth bucketing for
     quantile stratification (e.g. length-quartile corpus splits)."""
     return df.withColumn(out_col, F.ntile(n).over(_window(keys, order)))
+
+
+def sessionize(df: DataFrame, ts_col: str, keys: list[str],
+               gap: float = 1800.0,
+               out_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization as a PURE WINDOW rewrite of the sorted-
+    buffer idiom (api_test.clj:450-468 / the defbufferfn ``user_sessions``
+    path): a new session starts when the gap to the previous event exceeds
+    ``gap`` seconds; ``session_id`` = cumulative count of session starts
+    per key (0-based, deterministic).
+
+    Scale: one shuffle keyed by ``keys``, two streaming window passes —
+    no group ever materializes in Python memory, so million-event users
+    that would OOM an applyInPandas buffer stream straight through.
+    """
+    dt = dict(df.dtypes)[ts_col]
+    c = F.col(ts_col)
+    num = (F.unix_micros(c) / F.lit(1_000_000.0)
+           if dt.startswith("timestamp") else c.cast("double"))
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev = F.lag(num).over(w)
+    is_start = (prev.isNull() | ((num - prev) > F.lit(float(gap))))
+    return df.withColumn(
+        out_col,
+        (F.sum(is_start.cast("long"))
+         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         - F.lit(1)).cast("long"))
+
+
+def time_rollup(df: DataFrame, ts_col: str, keys: list[str], aggs: list,
+                step: float = 3600.0, fill: bool = True,
+                bucket_col: str = "bucket_start") -> DataFrame:
+    """Hypertable-style time rollup: bucket events into fixed ``step``-
+    second windows per key and aggregate; with ``fill=True``, emit EMPTY
+    buckets between each key's first and last event (gap-fill), so
+    downstream charts/joins see a dense time spine.
+
+    The spine is generated per key with sequence+explode (native, sized
+    span/step — no driver loop); empty buckets left-join the aggregate
+    and surface NULL aggregates (caller coalesces as desired).  One
+    shuffle for the aggregate + one for the spine join, both keyed by
+    (keys, bucket).
+    """
+    dt = dict(df.dtypes)[ts_col]
+    c = F.col(ts_col)
+    num = (F.unix_micros(c) / F.lit(1_000_000.0)
+           if dt.startswith("timestamp") else c.cast("double"))
+    b = (F.floor(num / F.lit(float(step))) * F.lit(int(step))).cast("long")
+    agged = (df.withColumn(bucket_col, b)
+             .groupBy(*keys, bucket_col).agg(*aggs))
+    if not fill:
+        return agged
+    spine = (df.withColumn("__b", b)
+             .groupBy(*keys)
+             .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+             .select(*keys, F.explode(F.sequence(
+                 F.col("__lo"), F.col("__hi"),
+                 F.lit(int(step)))).alias(bucket_col)))
+    return spine.join(agged, on=[*keys, bucket_col], how="left")

@@ -1217,3 +1217,57 @@ def test_histogram_edges_and_degenerate(spark):
     assert histogram(df.limit(0), "v", bins=4).count() == 0
     with pytest.raises(ValueError):
         histogram(df, "v", bins=0)
+
+
+def test_sessionize_window_semantics(spark):
+    from cascalog_spark.functions import sessionize
+
+    rows = [(1, "u", 0.0), (2, "u", 100.0), (3, "u", 2000.0),
+            (4, "u", 2100.0), (5, "u", 9999.0), (6, "w", 50.0)]
+    df = spark.createDataFrame(rows, "eid long, user string, ts double")
+    got = {r.eid: r.session_id
+           for r in sessionize(df, "ts", ["user"], gap=1800.0).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 0}
+    # no per-group UDF, exactly one key shuffle
+    plan = sessionize(df, "ts", ["user"], gap=1800.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_rollup_gap_fill(spark):
+    from cascalog_spark.functions import time_rollup
+
+    rows = [("u", 10.0), ("u", 3700.0), ("u", 11000.0)]
+    df = spark.createDataFrame(rows, "user string, ts double")
+    out = {(r.user, r.bucket_start): r.n
+           for r in time_rollup(df, "ts", ["user"],
+                                [F.count(F.lit(1)).alias("n")],
+                                step=3600.0).collect()}
+    # buckets 0, 3600 occupied; 7200 filled empty (NULL); 10800 occupied
+    assert out[("u", 0)] == 1 and out[("u", 3600)] == 1
+    assert out[("u", 7200)] is None
+    assert out[("u", 10800)] == 1
+    assert len(out) == 4
+    nofill = time_rollup(df, "ts", ["user"],
+                         [F.count(F.lit(1)).alias("n")],
+                         step=3600.0, fill=False)
+    assert nofill.count() == 3
+
+
+def test_table_diff_classes(spark):
+    from cascalog_spark.operators import table_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)],
+                              "k long, s string, v double")
+    b = spark.createDataFrame([(1, "x", 1.0), (2, "y", 9.0), (4, "n", 4.0)],
+                              "k long, s string, v double")
+    got = {r.k: r.diff for r in table_diff(a, b, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    full = {r.k: r.diff
+            for r in table_diff(a, b, ["k"], changed_only=False).collect()}
+    assert full[1] == "same"
+    # null-safe compare: NULL == NULL is 'same'
+    c = spark.createDataFrame([(1, None, 1.0)], "k long, s string, v double")
+    d = spark.createDataFrame([(1, None, 1.0)], "k long, s string, v double")
+    assert table_diff(c, d, ["k"]).count() == 0
