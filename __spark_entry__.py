@@ -1553,6 +1553,23 @@ def customer_snapshot_diff(spark, sf_dir):
                       .alias("c_acctbal_r"))
 
 
+def doc_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection: odd-id docs (today's batch)
+    checked against the even-id corpus INDEX (persisted (id, band, bh)
+    rows — bucketed on (band, bh) at scale, so the batch join prunes to
+    its own buckets) plus batch-vs-batch self-candidates."""
+    from cascalog_spark.functions.dedup import (
+        minhash_index, minhash_lsh_candidates_incremental)
+
+    docs = _t(spark, sf_dir, "documents")
+    index_docs = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    index = minhash_index(index_docs, "doc_id", num_perm=8, bands=4)
+    pairs, _new_rows = minhash_lsh_candidates_incremental(
+        batch, index, "doc_id", num_perm=8, bands=4)
+    return pairs
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1796,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": events_sessionized,
         "events_hourly_rollup": events_hourly_rollup,
         "customer_snapshot_diff": customer_snapshot_diff,
+        "doc_minhash_incremental": doc_minhash_incremental,
     }
 
 
@@ -2907,4 +2925,20 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE only_r OR only_l
                OR c_acctbal_l IS DISTINCT FROM c_acctbal_r""",
+        "doc_minhash_incremental": f"""
+            WITH sh AS (
+              SELECT doc_id, {_shingle_sql(3)} AS shingles FROM documents),
+            sigs AS (
+              SELECT doc_id, [{_minhash_sql(num_perm)}] AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, {band_exprs} FROM sigs),
+            buckets AS ({band_union}),
+            ev AS (SELECT * FROM buckets WHERE doc_id % 2 = 0),
+            od AS (SELECT * FROM buckets WHERE doc_id % 2 = 1)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ev a JOIN od b ON a.band = b.band AND a.bh = b.bh
+            UNION
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM od a JOIN od b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id""",
     }

@@ -186,6 +186,58 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str,
                          F.col(f"b.{id_col}").alias("id_b"))
 
 
+def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
+                  num_perm: int = 16, bands: int = 4,
+                  shingle_k: int = 3) -> DataFrame:
+    """Persistable near-dup index: ``(id, band, bh)`` — one row per doc
+    per band.  Write it partitioned/bucketed by ``(band, bh)`` so daily
+    incremental passes prune to matching buckets instead of rescanning
+    the corpus; append new batches' rows after each ingest."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    r = num_perm // bands
+    sigs = minhash_signature(df.select(id_col, text_col), text_col,
+                             "minhash", num_perm, shingle_k)
+    bands_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col("minhash")[b * r + j].cast("string")
+            for j in range(r)]))
+        for b in range(bands)])
+    from .util import explode_fast
+
+    return explode_fast(
+        sigs.select(F.col(id_col), bands_arr.alias("__bhs")),
+        F.col("__bhs"), "bh", pos_name="band").drop("__bhs")
+
+
+def minhash_lsh_candidates_incremental(
+        batch: DataFrame, index: DataFrame | None, id_col: str,
+        text_col: str = "text", num_perm: int = 16, bands: int = 4,
+        shingle_k: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for continuous ingest: candidate
+    pairs of a NEW batch against (a) the existing ``minhash_index`` and
+    (b) itself, plus the batch's own index rows to append.
+
+    Returns ``(pairs, batch_index)``: ``pairs`` has ``(id_a, id_b)`` with
+    id_a the EXISTING/batch-lower id.  The batch-vs-index join touches
+    only buckets the batch lands in (equi-join on (band, bh) — with the
+    index bucketed on that key, a daily batch never rescans the corpus);
+    batch-vs-batch reuses the standard banded self-join.  Same parameters
+    MUST be used across runs (signatures are parameter-dependent)."""
+    bidx = minhash_index(batch, id_col, text_col, num_perm, bands,
+                         shingle_k)
+    self_pairs = minhash_lsh_candidates(batch, id_col, text_col,
+                                        num_perm, bands, shingle_k)
+    if index is None:
+        return self_pairs, bidx
+    cross = (index.alias("a")
+             .join(bidx.alias("b"), on=["band", "bh"], how="inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .where(F.col("id_a") != F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return cross.unionByName(self_pairs), bidx
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -1271,3 +1271,38 @@ def test_table_diff_classes(spark):
     c = spark.createDataFrame([(1, None, 1.0)], "k long, s string, v double")
     d = spark.createDataFrame([(1, None, 1.0)], "k long, s string, v double")
     assert table_diff(c, d, ["k"]).count() == 0
+
+
+def test_minhash_incremental_vs_full(spark):
+    """Incremental (index + batch) candidates must equal the full-corpus
+    candidate set restricted to pairs touching the batch."""
+    from cascalog_spark.functions import minhash_lsh_candidates
+    from cascalog_spark.functions.dedup import (
+        minhash_index, minhash_lsh_candidates_incremental)
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog num " + str(i % 3))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b) for r in
+            minhash_lsh_candidates(df, "doc_id", num_perm=8,
+                                   bands=4).collect()}
+    old = df.where("doc_id % 2 = 0")
+    batch = df.where("doc_id % 2 = 1")
+    idx = minhash_index(old, "doc_id", num_perm=8, bands=4)
+    pairs, new_rows = minhash_lsh_candidates_incremental(
+        batch, idx, "doc_id", num_perm=8, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    batch_ids = {1, 3, 5, 7, 9, 11}
+    want = {(a, b) for a, b in full if a in batch_ids or b in batch_ids}
+    # normalize direction: cross pairs are (index_id, batch_id)
+    norm = {tuple(sorted(p)) for p in got}
+    assert norm == {tuple(sorted(p)) for p in want}
+    # appended index rows cover every batch doc in every band
+    assert new_rows.select("doc_id").distinct().count() == 6
+    assert new_rows.count() == 6 * 4
+    # index=None degenerates to the batch self-join
+    p2, _ = minhash_lsh_candidates_incremental(
+        batch, None, "doc_id", num_perm=8, bands=4)
+    self_only = {(r.id_a, r.id_b) for r in p2.collect()}
+    assert self_only == {(a, b) for a, b in full
+                         if a in batch_ids and b in batch_ids}
