@@ -1570,6 +1570,16 @@ def doc_minhash_incremental(spark, sf_dir):
     return pairs
 
 
+def doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): 100 docs with inclusion odds ∝ n_chars — md5 draw +
+    exp(ln(u)/w) keys, TakeOrderedAndProject top-n, engine-reproducible."""
+    from cascalog_spark.functions import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 100, "n_chars").select("doc_id", "source")
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1814,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "customer_snapshot_diff": customer_snapshot_diff,
         "doc_minhash_incremental": doc_minhash_incremental,
+        "doc_weighted_sample": doc_weighted_sample,
     }
 
 
@@ -2941,4 +2952,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id, b.doc_id
             FROM od a JOIN od b ON a.band = b.band AND a.bh = b.bh
             WHERE a.doc_id < b.doc_id""",
+        "doc_weighted_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     CASE WHEN n_chars > 0 THEN
+                       exp(ln(((CAST(concat('0x', substr(md5(
+                         CAST(doc_id AS VARCHAR) || '_42'), 1, 15))
+                         AS BIGINT) % 1000000) / 1000000.0) + 1e-12)
+                         / CAST(n_chars AS DOUBLE))
+                     ELSE 0.0 END AS k
+              FROM documents)
+            ORDER BY k DESC, doc_id ASC LIMIT 100""",
     }

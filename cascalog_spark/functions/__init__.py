@@ -8,7 +8,8 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 
 from .corpus import (boilerplate_lines, contamination, decontaminate,
                      cap_per_stratum, mix_corpora, pack_sequences,
-                     remove_boilerplate, stratified_sample)
+                     remove_boilerplate, stratified_sample,
+                     weighted_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
                     minhash_lsh_candidates, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, semantic_dedup,

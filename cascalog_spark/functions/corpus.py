@@ -180,6 +180,32 @@ def stratified_sample(df: DataFrame, fractions, strata_col: str,
     return df.where(u < frac)
 
 
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws ``u = hash01(id, seed)`` and keeps the
+    ``n`` largest ``u^(1/w)`` keys — inclusion probability proportional
+    to ``weight_col`` (quality-weighted corpus subsetting without a
+    shuffle-the-world pass).
+
+    The md5 draw makes the selected set retry-stable and engine-
+    reproducible (same property as ``stratified_sample``); the top-n is
+    TakeOrderedAndProject (per-partition heaps).  Rows with weight <= 0
+    are excluded (their key is 0)."""
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be > 0")
+    u = _unit_hash(F.col(id_col), seed)
+    w = F.col(weight_col).cast("double")
+    # ln-domain for numeric stability: key = exp(ln(u)/w); u in [0,1) so
+    # ln(u) <= 0; w<=0 → key 0 (excluded before any real candidate)
+    key = F.when(w > 0, F.exp(F.log(u + F.lit(1e-12)) / w)) \
+           .otherwise(F.lit(0.0))
+    return (df.withColumn("__wkey", key)
+            .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+            .limit(n)
+            .drop("__wkey"))
+
+
 def mix_corpora(sources: dict[str, tuple[DataFrame, float]],
                 id_col: str = "doc_id", seed: int = 42) -> DataFrame:
     """Weighted training mixture: union the ``sources`` with per-source

@@ -1306,3 +1306,31 @@ def test_minhash_incremental_vs_full(spark):
     self_only = {(r.id_a, r.id_b) for r in p2.collect()}
     assert self_only == {(a, b) for a, b in full
                          if a in batch_ids and b in batch_ids}
+
+
+def test_weighted_sample_properties(spark):
+    import pytest
+    from cascalog_spark.functions import weighted_sample
+
+    rows = [(i, float(1 if i < 50 else 1000)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 20, "w")
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 20
+    # heavy-weight rows dominate the sample
+    assert sum(1 for i in ids if i >= 50) >= 15
+    # deterministic across runs
+    again = {r.doc_id for r in weighted_sample(df, 20, "w").collect()}
+    assert again == ids
+    # zero/negative weights never selected when positives suffice
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0), (4, 1.0)],
+        "doc_id long, w double")
+    assert {r.doc_id for r in
+            weighted_sample(z, 2, "w").collect()} == {3, 4}
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
+    # top-n must be TakeOrderedAndProject, never a global sort
+    plan = weighted_sample(df, 5, "w")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
