@@ -152,6 +152,15 @@ distinct_count = ParallelAgg("distinct-count",
                              pandas_fn=lambda pdf: len(pdf.drop_duplicates()))
 approx_distinct_count = ParallelAgg("approx-distinct-count",
                                     expr_fn=lambda *cs: F.approx_count_distinct(*cs))
+# Mergeable distinct-count sketches (Datasketches HLL): build per-batch/
+# partition sketches, store them as binary columns, union across batches
+# later — the incremental-analytics pattern where re-scanning history for
+# each day's distinct-users number is a 100 TB non-starter.
+hll_sketch = ParallelAgg("hll-sketch",
+                         expr_fn=lambda c: F.hll_sketch_agg(c))
+hll_union = ParallelAgg("hll-union",
+                        expr_fn=lambda c: F.hll_union_agg(c))
+hll_estimate = column_op("hll-estimate", F.hll_sketch_estimate)
 collect_list = ParallelAgg("collect-list", expr_fn=lambda c: F.collect_list(c))
 collect_set = ParallelAgg("collect-set", expr_fn=lambda c: F.collect_set(c))
 first_agg = ParallelAgg("first", expr_fn=lambda c: F.first(c, ignorenulls=False))

@@ -517,3 +517,31 @@ def test_approx_percentile_bounds_exact(spark):
     import pytest
     with pytest.raises(ValueError, match="p must be"):
         c.approx_percentile(1.5)
+
+
+def test_hll_sketch_merge_pipeline(spark):
+    """Mergeable HLL distinct-count sketches through the DSL: per-day
+    sketches union to the same estimate as a one-shot sketch over the
+    full data — the store-sketches-not-rescans pattern."""
+    from cascalog_spark import c, q
+
+    rows = [(d, u) for d in (1, 2, 3) for u in range(d * 10, d * 10 + 20)]
+    df = spark.createDataFrame(rows, "day int, user int")
+    # exact distinct across days: users 10..49 → 40
+    daily = q(["?day", "?sk"],
+              (df, {"day": "?day", "user": "?u"}),
+              (c.hll_sketch, "?u", ":>", "?sk"))
+    merged = q(["?n"],
+               (daily, "?day", "?sk"),
+               (c.hll_union, "?sk", ":>", "?m"),
+               (c.hll_estimate, "?m", ":>", "?n"))
+    est = merged.run(spark)[0][0]
+    exact = df.select("user").distinct().count()
+    assert exact == 40
+    assert abs(est - exact) <= max(2, exact * 0.05)
+    # one-shot sketch agrees with the merged-sketch estimate
+    oneshot = q(["?n"],
+                (df, {"user": "?u"}),
+                (c.hll_sketch, "?u", ":>", "?sk"),
+                (c.hll_estimate, "?sk", ":>", "?n")).run(spark)[0][0]
+    assert oneshot == est
