@@ -26,6 +26,7 @@ from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_counts, quality_score, token_count, tokenize)
 from .skew import salted_join
+from .layout import write_zordered, zorder_key
 from .stats import histogram
 from .window import sessionize, time_rollup
 from .util import ensure_parallelism

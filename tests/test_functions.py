@@ -1334,3 +1334,54 @@ def test_weighted_sample_properties(spark):
     plan = weighted_sample(df, 5, "w")._jdf \
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_morton_math(spark):
+    import pytest
+    from cascalog_spark.functions import zorder_key
+
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)],
+                               "x int, y int")
+    stats = {"x": (0.0, 4.0), "y": (0.0, 4.0)}
+    got = {(r.x, r.y): r.z for r in df.withColumn(
+        "z", zorder_key(df, ["x", "y"], bits=2, stats=stats)).collect()}
+    # classic 4x4 Morton curve: z = interleave(bits(x), bits(y))
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    # cell = floor(v/4 * 4) = v for ints 0..3 with these stats
+    assert got == {(x, y): morton(x, y)
+                   for x in range(4) for y in range(4)}
+    with pytest.raises(ValueError):
+        zorder_key(df, [], bits=2)
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """Z-ordered files carry tight per-file min/max on BOTH clustered
+    columns — the property multi-dimensional data skipping needs (a
+    1-column range layout only bounds its own column)."""
+    from pyspark.sql import functions as F
+    from cascalog_spark.functions import write_zordered
+
+    n = 40_000
+    df = spark.range(n).selectExpr("id % 200 AS a",
+                                   "CAST(id / 200 AS LONG) AS b")
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, ["a", "b"], bits=8, n_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    per_file = (back.groupBy(F.input_file_name().alias("f"))
+                .agg((F.max("a") - F.min("a")).alias("spana"),
+                     (F.max("b") - F.min("b")).alias("spanb"))
+                .collect())
+    assert len(per_file) > 4
+    avg_a = sum(r.spana for r in per_file) / len(per_file)
+    avg_b = sum(r.spanb for r in per_file) / len(per_file)
+    # each file covers a small fraction of both global spans (200 each)
+    assert avg_a < 200 * 0.6
+    assert avg_b < 200 * 0.6
