@@ -1580,6 +1580,20 @@ def doc_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, 100, "n_chars").select("doc_id", "source")
 
 
+def orders_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering key over two dimensions — the layout
+    primitive behind multi-dimensional parquet skipping; pinned stats so
+    the bit-interleave arithmetic is engine-reproducible."""
+    from cascalog_spark.functions import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    stats = {"o_totalprice": (0.0, 500000.0), "o_custkey": (0.0, 2000.0)}
+    key = zorder_key(orders, ["o_totalprice", "o_custkey"], bits=8,
+                     stats=stats)
+    return (orders.where(F.col("o_orderkey") < 400)
+            .select("o_orderkey", key.alias("zkey")))
+
+
 def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure range-filter scan + GLOBAL sum — every
     predicate reaches the parquet scan (PushedFilters), one partial+final
@@ -1825,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_snapshot_diff": customer_snapshot_diff,
         "doc_minhash_incremental": doc_minhash_incremental,
         "doc_weighted_sample": doc_weighted_sample,
+        "orders_zorder_keys": orders_zorder_keys,
     }
 
 
@@ -2963,4 +2978,20 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END AS k
               FROM documents)
             ORDER BY k DESC, doc_id ASC LIMIT 100""",
+        "orders_zorder_keys": f"""
+            WITH cells AS (
+              SELECT o_orderkey,
+                     least(255, greatest(0, CAST(floor(
+                       (o_totalprice::DOUBLE - 0.0) / 500000.0 * 256.0)
+                       AS BIGINT))) AS ca,
+                     least(255, greatest(0, CAST(floor(
+                       (o_custkey::DOUBLE - 0.0) / 2000.0 * 256.0)
+                       AS BIGINT))) AS cb
+              FROM orders WHERE o_orderkey < 400)
+            SELECT o_orderkey,
+                   ({' + '.join(
+                       f"(((ca >> {b}) & 1) << {2 * b}) + "
+                       f"(((cb >> {b}) & 1) << {2 * b + 1})"
+                       for b in range(8))}) AS zkey
+            FROM cells""",
     }
