@@ -223,10 +223,35 @@ def minhash_lsh_candidates_incremental(
     index bucketed on that key, a daily batch never rescans the corpus);
     batch-vs-batch reuses the standard banded self-join.  Same parameters
     MUST be used across runs (signatures are parameter-dependent)."""
-    bidx = minhash_index(batch, id_col, text_col, num_perm, bands,
-                         shingle_k)
-    self_pairs = minhash_lsh_candidates(batch, id_col, text_col,
-                                        num_perm, bands, shingle_k)
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    r = num_perm // bands
+    # ONE signature pass over the batch feeds both the appended index
+    # rows and the self-join (a second minhash_lsh_candidates call would
+    # re-tokenize and re-hash the whole batch)
+    sigs = minhash_signature(batch.select(id_col, text_col), text_col,
+                             "minhash", num_perm, shingle_k)
+    bands_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col("minhash")[b * r + j].cast("string")
+            for j in range(r)]))
+        for b in range(bands)])
+    from .util import explode_fast
+
+    buckets = explode_fast(
+        sigs.select(F.col(id_col), bands_arr.alias("__bhs")),
+        F.col("__bhs"), "bh", pos_name="band")
+    bidx = buckets.drop("__bhs")
+    a, bb = buckets.alias("a"), buckets.alias("b")
+    self_pairs = (a.join(bb, on=["band", "bh"], how="inner")
+                  .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if bands > 1:
+        earlier = F.zip_with(
+            F.slice(F.col("a.__bhs"), F.lit(1), F.col("band")),
+            F.slice(F.col("b.__bhs"), F.lit(1), F.col("band")),
+            lambda x, y: x == y)
+        self_pairs = self_pairs.where(~F.exists(earlier, lambda z: z))
+    self_pairs = self_pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                                   F.col(f"b.{id_col}").alias("id_b"))
     if index is None:
         return self_pairs, bidx
     cross = (index.alias("a")
