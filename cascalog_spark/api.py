@@ -58,6 +58,10 @@ class Query:
         Semigroup-summed flows)."""
         df = compiler.compile(self.plan())
         self._trap_dfs = compiler.trap_dfs
+        # dynamic typing: remember which OUTPUT positions hold pickled
+        # Python objects so run() can decode them (to_df leaves binary)
+        self._pickled_idx = [i for i, c in enumerate(df.columns)
+                             if c in compiler.pickled_cols]
         df = df.toDF(*out_names(self.outfields))
         limit = self.options.get("limit")
         if limit is not None:
@@ -80,6 +84,11 @@ class Query:
     def run(self, spark: SparkSession) -> list[tuple]:
         """??- : execute and return tuples to driver memory (api.clj:113-140)."""
         rows = [tuple(r) for r in self.to_df(spark).collect()]
+        pidx = set(getattr(self, "_pickled_idx", []))
+        if pidx:
+            import pickle as _pkl
+            rows = [tuple(_pkl.loads(v) if i in pidx and v is not None
+                          else v for i, v in enumerate(r)) for r in rows]
         self.flush_traps()
         self.unpersist()
         return rows

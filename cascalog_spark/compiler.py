@@ -29,12 +29,26 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import pickle
+
 from . import vars as V
 from .ops import (BufferIterOp, BufferOp, FilterOp, LimitAgg, MapcatOp,
-                  MapOp, ParallelAgg, ParallelBufOp, SequentialAgg)
+                  MapOp, ParallelAgg, ParallelBufOp, PyObjectType,
+                  SequentialAgg)
 from .planner import (ApplicationNode, EqualityFilterNode, ExistenceJoinNode,
                       FilterNode, GeneratorNode, GroupingNode, JoinNode,
                       MergeNode, Node, ProjectionNode, UniqueNode)
+
+
+def _norm_t(t):
+    if isinstance(t, PyObjectType):
+        return T.BinaryType()
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_norm_t(t.elementType), t.containsNull)
+    if isinstance(t, T.StructType):
+        return T.StructType([T.StructField(f.name, _norm_t(f.dataType),
+                                           f.nullable) for f in t.fields])
+    return t
 
 
 def _batched_udf(fn, returns, n_out: int, n_in: int):
@@ -44,6 +58,9 @@ def _batched_udf(fn, returns, n_out: int, n_in: int):
     and beats a hand-rolled pandas_udf elementwise loop (whose per-value
     NaN/np-scalar normalization costs more than it saves)."""
     del n_in
+    # PyObjectType is an engine-side marker; Spark's Arrow type checker
+    # dispatches on the exact class, so hand it the plain BinaryType
+    returns = [_norm_t(t) for t in returns]
     if n_out == 1:
         return F.udf(fn, returns[0], useArrow=True)
     struct_t = T.StructType([
@@ -69,6 +86,11 @@ class Compiler:
         self._src_memo: dict[int, DataFrame] = {}
         self._src_counts: dict[int, int] | None = None
         self.persisted: list[DataFrame] = []
+        # dynamic typing (SURVEY §1.2 / conf.clj:86-94 Kryo analog):
+        # physical column names currently holding PICKLED Python objects —
+        # heterogeneous raw-collection columns and ``returns="object"`` op
+        # outputs.  Python-op inputs on these are transparently unpickled.
+        self.pickled_cols: set[str] = set()
 
     # -- entry ---------------------------------------------------------------
 
@@ -117,6 +139,45 @@ class Compiler:
         ``with-constants``)."""
         return [self._c(f) if V.is_var(f) else F.lit(f) for f in infields]
 
+    def _py_io_wrap(self, fn, op, infields):
+        """Pickled-object boundary for a Python op: unpickle flagged input
+        positions, pickle outputs declared ``returns="object"``.  Returns
+        (wrapped_fn, object_out_flags)."""
+        in_flags = [V.is_var(f) and self.namer.col(f) in self.pickled_cols
+                    for f in infields]
+        out_flags = [isinstance(t, PyObjectType)
+                     for t in getattr(op, "returns", []) or []]
+        if not any(in_flags) and not any(out_flags):
+            return fn, out_flags
+        n_out = getattr(op, "n_out", 1)
+
+        def dec(args):
+            return [pickle.loads(a) if flg and a is not None else a
+                    for flg, a in zip(in_flags, args)]
+
+        def enc_row(res):
+            if n_out == 1:
+                return pickle.dumps(res) if out_flags and out_flags[0] \
+                    else res
+            return tuple(pickle.dumps(v) if flg and v is not None else v
+                         for flg, v in zip(out_flags, res))
+
+        if isinstance(op, MapcatOp):
+            def wrapped(*args):
+                return [enc_row(r) for r in (fn(*dec(args)) or [])]
+        elif isinstance(op, FilterOp):
+            def wrapped(*args):
+                return fn(*dec(args))
+        else:
+            def wrapped(*args):
+                return enc_row(fn(*dec(args)))
+        return wrapped, out_flags
+
+    def _mark_object_outs(self, out_cols, out_flags):
+        for name, flg in zip(out_cols, out_flags):
+            if flg:
+                self.pickled_cols.add(name)
+
     def _null_filter(self, df: DataFrame, fields) -> DataFrame:
         """FilterNull of non-nullable ``?``-vars (operations.clj:716-722)."""
         subset = [self.namer.col(f) for f in fields if V.is_non_nullable(f)]
@@ -143,7 +204,30 @@ class Compiler:
                 raise ValueError("can't use an empty collection as a generator")
             rows = [r if isinstance(r, (tuple, list)) else (r,) for r in source]
             rows = [tuple(r) for r in rows]
-            return self.spark.createDataFrame(rows)
+            # dynamic typing: a column mixing value TYPES (the reference's
+            # Kryo-serialized heterogeneous tuples, api_test.clj:617-628)
+            # would be silently string-coerced by createDataFrame — pickle
+            # it instead and record the column for transparent decode
+            n_cols = len(rows[0])
+            mixed, widened = set(), set()
+            for i in range(n_cols):
+                ts = {type(r[i]) for r in rows if r[i] is not None}
+                if len(ts) > 1:
+                    # pure numeric mixes widen to double (the reference's
+                    # own testing semantics normalizes numbers to doubles)
+                    if ts <= {int, float}:
+                        widened.add(i)
+                    else:
+                        mixed.add(i)
+            if mixed or widened:
+                rows = [tuple(pickle.dumps(v) if i in mixed
+                              else float(v) if i in widened and v is not None
+                              else v
+                              for i, v in enumerate(r)) for r in rows]
+            df = self.spark.createDataFrame(rows)
+            if mixed:
+                df.__cs_pickled__ = {df.columns[i] for i in mixed}
+            return df
         raise TypeError(f"not a generator: {source!r}")
 
     # -- node rules ----------------------------------------------------------
@@ -151,6 +235,12 @@ class Compiler:
     def _compile_GeneratorNode(self, node: GeneratorNode) -> DataFrame:
         df = self._source_df(node.source)
         src_cols = df.columns
+        src_pickled = getattr(df, "__cs_pickled__", set())
+        if src_pickled:
+            for v, colref in node.col_bindings.items():
+                phys = src_cols[colref] if isinstance(colref, int) else colref
+                if phys in src_pickled:
+                    self.pickled_cols.add(self.namer.col(v))
 
         def ref_col(colref):
             return F.col(src_cols[colref]) if isinstance(colref, int) \
@@ -202,20 +292,24 @@ class Compiler:
                 for c, name in zip(res, out_cols):
                     df = df.withColumn(name, c)
             else:
-                df = self._apply_py_map(df, op, args, out_cols)
+                df = self._apply_py_map(df, op, args, out_cols,
+                                        node.infields)
         elif isinstance(op, MapcatOp):
-            df = self._apply_mapcat(df, op, args, out_cols)
+            df = self._apply_mapcat(df, op, args, out_cols, node.infields)
         else:
             raise TypeError(f"cannot apply {op!r} as a map operation")
         return self._null_filter(df, outs)
 
-    def _apply_py_map(self, df, op: MapOp, args, out_cols) -> DataFrame:
+    def _apply_py_map(self, df, op: MapOp, args, out_cols,
+                      infields=()) -> DataFrame:
         if self.trap is not None:
             return self._apply_py_map_trapped(df, op, args, out_cols)
+        fn, out_flags = self._py_io_wrap(op.py_fn, op, infields)
+        self._mark_object_outs(out_cols, out_flags)
         if op.n_out == 1:
-            udf = _batched_udf(op.py_fn, op.returns, 1, len(args))
+            udf = _batched_udf(fn, op.returns, 1, len(args))
             return df.withColumn(out_cols[0], udf(*args))
-        udf = _batched_udf(op.py_fn, op.returns, op.n_out, len(args))
+        udf = _batched_udf(fn, op.returns, op.n_out, len(args))
         tmp = "__mapout"
         df = df.withColumn(tmp, udf(*args))
         for i, name in enumerate(out_cols):
@@ -262,7 +356,8 @@ class Compiler:
             df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
         return df.drop(tmp)
 
-    def _apply_mapcat(self, df, op: MapcatOp, args, out_cols) -> DataFrame:
+    def _apply_mapcat(self, df, op: MapcatOp, args, out_cols,
+                      infields=()) -> DataFrame:
         # explode_fast, not F.explode: InferFiltersFromGenerate would
         # otherwise duplicate the array expression (or the Python UDF call!)
         # into a pushed-down size() filter — see functions/util.py
@@ -278,7 +373,8 @@ class Compiler:
                 df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
             return df.drop(tmp)
         # python fn → Arrow-batched array<...> UDF + explode
-        fn = op.py_fn
+        fn, out_flags = self._py_io_wrap(op.py_fn, op, infields)
+        self._mark_object_outs(out_cols, out_flags)
         if op.n_out == 1:
             udf = _batched_udf(lambda *v: list(fn(*v) or []),
                                [T.ArrayType(op.returns[0])], 1, len(args))
@@ -320,7 +416,8 @@ class Compiler:
                    .select(*df.columns, err.alias("__error")))
             return df2.filter(err.isNull() & F.col(tmp).getField("keep")) \
                       .drop(tmp)
-        udf = _batched_udf(lambda *v: bool(op.py_fn(*v)),
+        pfn, _ = self._py_io_wrap(op.py_fn, op, node.infields)
+        udf = _batched_udf(lambda *v: bool(pfn(*v)),
                            [T.BooleanType()], 1, len(args))
         return df.filter(udf(*args))
 

@@ -23,10 +23,20 @@ from pyspark.sql import types as T
 # type helpers
 
 
+class PyObjectType(T.BinaryType):
+    """Marker type: the column carries PICKLED arbitrary Python objects —
+    the engine's analog of the reference's Kryo-serialized untyped tuple
+    values (conf.clj:86-94).  Physically a BinaryType; the compiler
+    pickles op outputs declared ``returns="object"`` and transparently
+    unpickles at every Python-op boundary and in ``run()``."""
+
+
 def parse_type(t) -> T.DataType:
     if isinstance(t, T.DataType):
         return t
     if isinstance(t, str):
+        if t.strip().lower() == "object":
+            return PyObjectType()
         return T.StructType.fromDDL(f"x {t}")[0].dataType
     raise TypeError(f"cannot parse Spark type from {t!r}")
 
