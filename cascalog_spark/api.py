@@ -368,11 +368,19 @@ def run_many(spark: SparkSession, *queries) -> list[list[tuple]]:
     ``execute``) — and return each query's tuples in order."""
     results: list[list[tuple]] = [[] for _ in queries]
 
-    def _mem_sink(i):
-        return lambda df: results.__setitem__(
-            i, [tuple(r) for r in df.collect()])
+    def _mem_sink(i, qy):
+        def sink(df):
+            rows = [tuple(r) for r in df.collect()]
+            pidx = set(getattr(qy, "_pickled_idx", []))
+            if pidx:  # decode pickled-object outputs, like Query.run()
+                import pickle as _pkl
+                rows = [tuple(_pkl.loads(v) if j in pidx and v is not None
+                              else v for j, v in enumerate(r))
+                        for r in rows]
+            results[i] = rows
+        return sink
 
-    execute(spark, [(qy, _mem_sink(i)) for i, qy in enumerate(queries)])
+    execute(spark, [(qy, _mem_sink(i, qy)) for i, qy in enumerate(queries)])
     return results
 
 

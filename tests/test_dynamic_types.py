@@ -84,3 +84,14 @@ def test_join_on_pickled_values(spark):
             (lhs, "?k", "?l"),
             (rhs, "?k", "?r")).run(spark)
     assert sorted(res, key=str) == [("a", 1, 10), (2, 2, 20)]
+
+
+def test_run_many_decodes_objects(spark):
+    from cascalog_spark import run_many
+
+    wrap = mapfn(lambda v: (v, v), returns="object", name="wrap2")
+    q1 = q(["?o"], ([(1,), (2,)], "?x"), (wrap, "?x", ":>", "?o"))
+    q2 = q(["?x"], ([(7,)], "?x"))
+    r1, r2 = run_many(spark, q1, q2)
+    assert sorted(r1) == [((1, 1),), ((2, 2),)]
+    assert r2 == [(7,)]
