@@ -303,7 +303,8 @@ class Compiler:
     def _apply_py_map(self, df, op: MapOp, args, out_cols,
                       infields=()) -> DataFrame:
         if self.trap is not None:
-            return self._apply_py_map_trapped(df, op, args, out_cols)
+            return self._apply_py_map_trapped(df, op, args, out_cols,
+                                              infields)
         fn, out_flags = self._py_io_wrap(op.py_fn, op, infields)
         self._mark_object_outs(out_cols, out_flags)
         if op.n_out == 1:
@@ -316,14 +317,17 @@ class Compiler:
             df = df.withColumn(name, F.col(tmp).getField(f"_{i}"))
         return df.drop(tmp)
 
-    def _apply_py_map_trapped(self, df, op: MapOp, args, out_cols) -> DataFrame:
+    def _apply_py_map_trapped(self, df, op: MapOp, args, out_cols,
+                              infields=()) -> DataFrame:
         """Trap wrapper: op exceptions produce an __error column; errored
         rows are split off to the trap sink, clean rows continue
         (operations.clj:617-644; Spark badRecordsPath pattern)."""
         struct_t = T.StructType(
-            [T.StructField(f"_{i}", t) for i, t in enumerate(op.returns)]
+            [T.StructField(f"_{i}", _norm_t(t))
+             for i, t in enumerate(op.returns)]
             + [T.StructField("__error", T.StringType())])
-        fn = op.py_fn
+        fn, out_flags = self._py_io_wrap(op.py_fn, op, infields)
+        self._mark_object_outs(out_cols, out_flags)
         n_out = op.n_out
 
         def wrapped(*vals):

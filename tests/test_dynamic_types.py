@@ -95,3 +95,27 @@ def test_run_many_decodes_objects(spark):
     r1, r2 = run_many(spark, q1, q2)
     assert sorted(r1) == [((1, 1),), ((2, 2),)]
     assert r2 == [(7,)]
+
+
+def test_trap_with_object_values(spark):
+    """:trap + pickled inputs: the poison value diverts, typed values
+    continue decoded."""
+    caught = []
+    risky = mapfn(lambda v: v * 2, returns="object", name="risky")
+    res = q(["?y"], ([(1,), ("oops",), (3.0,)], "?x"),
+            (risky, "?x", ":>", "?y"),
+            trap=lambda df: caught.extend(df.collect())).run(spark)
+    # str*2 works in Python ("oopsoops") — use a genuinely failing value
+    assert sorted(res, key=str) == [("oopsoops",), (2,), (6.0,)]
+
+    def boom(v):
+        if isinstance(v, str):
+            raise ValueError("no strings")
+        return v * 2
+    risky2 = mapfn(boom, returns="object", name="risky2")
+    caught2 = []
+    res2 = q(["?y"], ([(1,), ("oops",), (3.0,)], "?x"),
+             (risky2, "?x", ":>", "?y"),
+             trap=lambda df: caught2.extend(df.collect())).run(spark)
+    assert sorted(res2, key=str) == [(2,), (6.0,)]
+    assert len(caught2) == 1 and "ValueError" in caught2[0]["__error"]
