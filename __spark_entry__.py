@@ -1345,7 +1345,7 @@ def embedding_knn_join(spark, sf_dir):
 
 def embedding_semantic_dedup(spark, sf_dir):
     """Semantic dedup (SemDeDup shape): cluster embeddings into 16 Voronoi
-    cells (native nearest-centroid exprs), drop rows cosine-similar > 0.35
+    cells (native nearest-centroid exprs), drop rows cosine-similar >= 0.35
     to a lower-id row IN THE SAME CELL — candidate join is per-cell, never
     corpus².  Centroids cached per sf_dir (the cluster table is built once
     and reused, like the IVF index)."""
@@ -2764,7 +2764,7 @@ def oracle_sql() -> dict[str, str]:
             losers AS (SELECT DISTINCT y.vec_id FROM assigned x
                        JOIN assigned y
                          ON x.cell = y.cell AND x.vec_id < y.vec_id
-                       WHERE {_COS.format(a='x.v', b='y.v')} > 0.35)
+                       WHERE {_COS.format(a='x.v', b='y.v')} >= 0.35)
             SELECT vec_id, label FROM e
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
         "doc_tfidf_terms": f"""

@@ -157,7 +157,8 @@ class Compiler:
 
         def enc_row(res):
             if n_out == 1:
-                return pickle.dumps(res) if out_flags and out_flags[0] \
+                return pickle.dumps(res) \
+                    if out_flags and out_flags[0] and res is not None \
                     else res
             return tuple(pickle.dumps(v) if flg and v is not None else v
                          for flg, v in zip(out_flags, res))
@@ -220,7 +221,9 @@ class Compiler:
                     else:
                         mixed.add(i)
             if mixed or widened:
-                rows = [tuple(pickle.dumps(v) if i in mixed
+                # None stays a SQL NULL (never pickled) so `?`-var
+                # non-nullable semantics still drop it downstream
+                rows = [tuple(pickle.dumps(v) if i in mixed and v is not None
                               else float(v) if i in widened and v is not None
                               else v
                               for i, v in enumerate(r)) for r in rows]
@@ -399,7 +402,9 @@ class Compiler:
         if op.column_fn is not None:
             return df.filter(op.column_fn(*args))
         if self.trap is not None:
-            fn = op.py_fn
+            # same pickled-object decode as the non-trap path — a raw
+            # op.py_fn here would see pickle bytes for heterogeneous cols
+            fn, _ = self._py_io_wrap(op.py_fn, op, node.infields)
 
             def safe(*v):
                 try:

@@ -444,12 +444,18 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
 # semantic (embedding-space) dedup — SemDeDup shape
 
 
+#: corpus size above which ``method='auto'`` switches from the exact
+#: 'cells' blocking (Σ|cell|² pair cost — superlinear when k tracks n) to
+#: the 'lsh' blocking whose assignment cost is independent of corpus size.
+AUTO_LSH_THRESHOLD = 100_000
+
+
 def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95, n_clusters: int = 16,
                           centroids: list[tuple[int, list[float]]]
                           | None = None,
-                          method: str = "cells",
+                          method: str = "auto",
                           **lsh_opts) -> DataFrame:
     """Ids REMOVED by semantic dedup (SemDeDup, Abbas et al. 2023 shape):
     cluster the embedding space, then within each cluster drop any row
@@ -464,23 +470,29 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     for balanced cells at scale (the default first-k-ids seeding is
     deterministic for oracle checks).
 
-    ``method``: 'cells' (default) = SemDeDup's literal cluster blocking —
-    exact, deterministic, what the oracle checks; cost is O(n·k)
+    ``method``: 'auto' (default) = 'cells' below ``AUTO_LSH_THRESHOLD``
+    rows (exact, deterministic — what the oracle checks), 'lsh' above it
+    — the scale path is the DEFAULT once the corpus is big enough to need
+    it.  'cells' = SemDeDup's literal cluster blocking; cost is O(n·k)
     assignment + Σ|cell|² pair scoring, so k must track corpus size and
     both terms grow superlinearly (the 8× scaling smoke measured 12.9×
     wall).  'lsh' = banded hyperplane-LSH blocking via ``cosine_pairs``
     (assignment O(n·planes) INDEPENDENT of corpus size, bucket-bounded
     pair scoring, hot-bucket cap) — the 100 TB path; same keep-min-id
-    semantics, block boundary approximation differs.  Extra ``lsh_opts``
+    semantics and the same ``sim >= threshold`` comparison, block
+    boundary approximation differs.  Extra ``lsh_opts``
     (n_planes/bands/seed/bucket_cap/dim) pass through to
     ``cosine_pairs``.
     """
     from .similarity import cosine_pairs, dot_col, ivf_assign_col, \
         ivf_centroids, norm_col
 
+    if method == "auto":
+        # one cheap count decides the blocking strategy (parquet counts
+        # are metadata-fast; for in-memory frames it is a single scan)
+        method = "lsh" if df.count() > AUTO_LSH_THRESHOLD else "cells"
     if method == "lsh":
-        # cosine_pairs already guarantees id_a < id_b (keep-min-id) and
-        # uses sim >= threshold (vs the cells path's strict >)
+        # cosine_pairs already guarantees id_a < id_b (keep-min-id)
         pairs = cosine_pairs(df, threshold=threshold, id_col=id_col,
                              vec_col=vec_col, **lsh_opts)
         out = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -489,7 +501,7 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
         out._cosine_sig_cache = getattr(pairs, "_cosine_sig_cache", None)
         return out
     if method != "cells":
-        raise ValueError(f"semantic_dedup: method must be cells|lsh, "
+        raise ValueError(f"semantic_dedup: method must be auto|cells|lsh, "
                          f"got {method!r}")
     cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
     if not cents:  # empty corpus → nothing to drop
@@ -505,7 +517,7 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
            / (F.col("x.__n") * F.col("y.__n")))
     return (x.join(y, on=[F.col("x.__cell") == F.col("y.__cell"),
                           F.col("x.__id") < F.col("y.__id")])
-            .where(sim > threshold)
+            .where(sim >= threshold)  # same inclusivity as the lsh path
             .select(F.col("y.__id").alias(id_col))
             .distinct())
 
@@ -514,7 +526,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    n_clusters: int = 16,
                    centroids: list[tuple[int, list[float]]] | None = None,
-                   method: str = "cells", **lsh_opts) -> DataFrame:
+                   method: str = "auto", **lsh_opts) -> DataFrame:
     """Semantically deduplicated corpus: ``df`` minus
     ``semantic_dedup_losers`` (one anti-join; the loser set is the
     duplicate fraction only, not the corpus).  ``method='lsh'`` is the

@@ -463,7 +463,9 @@ def linear_text_classifier(df: DataFrame, weights: list[float],
     dim = len(weights)
     if dim == 0:
         raise ValueError("linear_text_classifier: weights must be non-empty")
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    # ONE array Literal, not dim CreateArray children — a 2**18-wide
+    # F.array(*lits) blows up analysis/codegen (falls back to interpreted)
+    w_arr = F.lit([float(w) for w in weights])
     toks = tokens_col(F.col(text_col))
     bucket = lambda t: (  # noqa: E731 — md5 → uniform bucket, portable
         F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")

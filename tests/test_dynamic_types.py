@@ -119,3 +119,48 @@ def test_trap_with_object_values(spark):
              trap=lambda df: caught2.extend(df.collect())).run(spark)
     assert sorted(res2, key=str) == [(2,), (6.0,)]
     assert len(caught2) == 1 and "ValueError" in caught2[0]["__error"]
+
+def test_trap_with_filterfn_on_pickled_column(spark):
+    """:trap + filterfn over a heterogeneous column: inputs must be
+    DECODED before the filter runs (the trap branch previously bypassed
+    the pickled-object wrapper, silently dropping every row)."""
+    caught = []
+    is_num = filterfn(lambda v: isinstance(v, (int, float)), name="is_num_t")
+    res = q(["?x"], ([("word.",), (1,), (2.5,)], "?x"),
+            (is_num, "?x"),
+            trap=lambda df: caught.extend(df.collect())).run(spark)
+    assert sorted(res, key=str) == [(1,), (2.5,)]
+    assert caught == []  # no errors — just a filter
+
+    def picky(v):
+        if isinstance(v, str):
+            raise ValueError("no strings")
+        return v > 1
+    picky_f = filterfn(picky, name="picky")
+    caught2 = []
+    res2 = q(["?x"], ([("word.",), (1,), (2.5,)], "?x"),
+             (picky_f, "?x"),
+             trap=lambda df: caught2.extend(df.collect())).run(spark)
+    assert sorted(res2, key=str) == [(2.5,)]
+    assert len(caught2) == 1 and "ValueError" in caught2[0]["__error"]
+
+
+def test_null_in_heterogeneous_column_still_drops(spark):
+    """None in a mixed-type column stays a SQL NULL (not pickled bytes),
+    so non-nullable ?-vars still drop it — reference nil semantics."""
+    res = q(["?x"], ([(1,), ("a",), (None,)], "?x")).run(spark)
+    assert len(res) == 2 and (1,) in res and ("a",) in res
+    # and !-vars keep it as a real None
+    res2 = q(["!x"], ([(1,), ("a",), (None,)], "!x")).run(spark)
+    assert len(res2) == 3 and (None,) in res2 and (1,) in res2
+
+
+def test_object_op_returning_none_is_null(spark):
+    """A returns='object' op emitting None produces SQL NULL, so a
+    downstream ?-var filters the row (the single-output encode path
+    previously pickled None into non-null bytes)."""
+    maybe = mapfn(lambda v: v * 2 if v != 2 else None,
+                  returns="object", name="maybe_none")
+    res = q(["?y"], ([(1,), (2,), (3,)], "?x"),
+            (maybe, "?x", ":>", "?y")).run(spark)
+    assert sorted(res, key=str) == [(2,), (6,)]
