@@ -1356,7 +1356,7 @@ def embedding_semantic_dedup(spark, sf_dir):
     key = ("semdedup", sf_dir)
     if key not in _IVF_CENTS_CACHE:
         _IVF_CENTS_CACHE[key] = ivf_centroids(emb, n_centroids=16)
-    return (semantic_dedup(emb, threshold=0.35,
+    return (semantic_dedup(emb, threshold=0.35, method="cells",
                            centroids=_IVF_CENTS_CACHE[key])
             .select("vec_id", "label"))
 

@@ -1155,6 +1155,47 @@ def test_semantic_dedup_lsh_method(spark):
         semantic_dedup_losers(emb, method="nope")
 
 
+def test_semantic_dedup_auto_selects_scale_path(spark, monkeypatch):
+    """method='auto' (the default) picks the exact cells blocking below
+    AUTO_LSH_THRESHOLD and the LSH scale path above it — the 100 TB
+    default is the O(n·planes) path, not the superlinear Σ|cell|² one."""
+    from cascalog_spark.functions import dedup as dd
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+         (2, [-1.0, 0.2, 0.4]), (3, [0.1, -0.9, 0.3])],
+        "vec_id long, embedding array<double>")
+    # below threshold → cells path (no LSH signature cache attached)
+    small = dd.semantic_dedup_losers(emb, threshold=0.95, n_clusters=1)
+    assert getattr(small, "_cosine_sig_cache", None) is None
+    assert {r.vec_id for r in small.collect()} == {1}
+    # force the corpus to look "big" → auto must route to lsh
+    monkeypatch.setattr(dd, "AUTO_LSH_THRESHOLD", 2)
+    big = dd.semantic_dedup_losers(emb, threshold=0.95,
+                                   n_planes=4, bands=2, dim=3)
+    assert hasattr(big, "_cosine_sig_cache")  # lsh path marker
+    assert {r.vec_id for r in big.collect()} == {1}
+    from cascalog_spark.functions.similarity import release_cosine_cache
+    release_cosine_cache(big)
+
+
+def test_semantic_dedup_threshold_inclusive_both_paths(spark):
+    """sim == threshold drops the higher id on BOTH methods (>= parity)."""
+    from cascalog_spark.functions import semantic_dedup_losers
+
+    # identical vectors → sim exactly 1.0
+    emb = spark.createDataFrame(
+        [(0, [0.6, 0.8, 0.0]), (1, [0.6, 0.8, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cells = {r.vec_id for r in
+             semantic_dedup_losers(emb, threshold=1.0, n_clusters=1,
+                                   method="cells").collect()}
+    lsh = {r.vec_id for r in
+           semantic_dedup_losers(emb, threshold=1.0, method="lsh",
+                                 n_planes=4, bands=2, dim=3).collect()}
+    assert cells == {1} and lsh == {1}
+
+
 def test_scd2_history_and_merge(spark):
     from cascalog_spark.operators import scd2_history, scd2_merge
 
