@@ -1730,56 +1730,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "revenue_per_nation": revenue_per_nation,
-        "local_supplier_volume": local_supplier_volume,
-        "top3_orders_per_customer": top3_orders_per_customer,
-        "customer_order_counts": customer_order_counts,
-        "customers_without_orders": customers_without_orders,
-        "segments_with_big_orders": segments_with_big_orders,
-        "order_flag_join": order_flag_join,
-        "events_by_type": events_by_type,
-        "events_json_extract": events_json_extract,
-        "part_brand_stats": part_brand_stats,
-        "priority_price_variance": priority_price_variance,
-        "distinct_parts_per_flag": distinct_parts_per_flag,
-        "nation_account_balance": nation_account_balance,
-        "wordcount_docs": wordcount_docs,
-        "mutual_followers_events": mutual_followers_events,
-        "orders_by_year": orders_by_year,
-        "part_name_words": part_name_words,
-        "events_daily_windows": events_daily_windows,
-        "events_sliding_windows": events_sliding_windows,
-        "user_sessions": user_sessions,
-        "latest_event_per_user": latest_event_per_user,
-        "value_range_per_type": value_range_per_type,
-        "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
-        "customer_only_nations": customer_only_nations,
-        "supplier_nations_broadcast": supplier_nations_broadcast,
-        "doc_token_counts": doc_token_counts,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_quality": doc_quality,
-        "doc_lang_id": doc_lang_id,
-        "exact_dedup_docs": exact_dedup_docs,
-        "minhash_near_dup_candidates": minhash_near_dup_candidates,
-        "ngram_jaccard_sim_pairs": ngram_jaccard_sim_pairs,
-        "simhash_doc_hashes": simhash_doc_hashes,
-        "embedding_topk": embedding_topk,
-        "embedding_label_centroid_sim": embedding_label_centroid_sim,
-        "region_priority_rollup": region_priority_rollup,
-        "top2_suppliers_per_nation": top2_suppliers_per_nation,
-        "global_top5_orders": global_top5_orders,
-        "discount_var_by_month": discount_var_by_month,
-        "region_pairs_cross": region_pairs_cross,
-        "customer_name_parse": customer_name_parse,
-        "embedding_cosine_near_dup": embedding_cosine_near_dup,
-        "embedding_ivf_topk": embedding_ivf_topk,
-        "lineitem_global_stats": lineitem_global_stats,
-        "active_nation_keys": active_nation_keys,
-        "orders_fixed_sample": orders_fixed_sample,
-        "orders_fixed_sample_det": orders_fixed_sample_det,
-        "media_image_meta": media_image_meta,
-        "events_stream_daily_counts": events_stream_daily_counts,
+        # NEW-FIRST ORDER: entries never hash-checked by the
+        # driver (absent from CORRECTNESS_r01..r03) lead, so a
+        # head-sampling harness reaches them; the long-green
+        # r01 tier follows.  Names are byte-stable.
         "nation_keys_combined": nation_keys_combined,
         "customer_balance_flags": customer_balance_flags,
         "order_price_minmax": order_price_minmax,
@@ -1840,6 +1794,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_incremental": doc_minhash_incremental,
         "doc_weighted_sample": doc_weighted_sample,
         "orders_zorder_keys": orders_zorder_keys,
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_per_nation": revenue_per_nation,
+        "local_supplier_volume": local_supplier_volume,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "customer_order_counts": customer_order_counts,
+        "customers_without_orders": customers_without_orders,
+        "segments_with_big_orders": segments_with_big_orders,
+        "order_flag_join": order_flag_join,
+        "events_by_type": events_by_type,
+        "events_json_extract": events_json_extract,
+        "part_brand_stats": part_brand_stats,
+        "priority_price_variance": priority_price_variance,
+        "distinct_parts_per_flag": distinct_parts_per_flag,
+        "nation_account_balance": nation_account_balance,
+        "wordcount_docs": wordcount_docs,
+        "mutual_followers_events": mutual_followers_events,
+        "orders_by_year": orders_by_year,
+        "part_name_words": part_name_words,
+        "events_daily_windows": events_daily_windows,
+        "events_sliding_windows": events_sliding_windows,
+        "user_sessions": user_sessions,
+        "latest_event_per_user": latest_event_per_user,
+        "value_range_per_type": value_range_per_type,
+        "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
+        "customer_only_nations": customer_only_nations,
+        "supplier_nations_broadcast": supplier_nations_broadcast,
+        "doc_token_counts": doc_token_counts,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_near_dup_candidates": minhash_near_dup_candidates,
+        "ngram_jaccard_sim_pairs": ngram_jaccard_sim_pairs,
+        "simhash_doc_hashes": simhash_doc_hashes,
+        "embedding_topk": embedding_topk,
+        "embedding_label_centroid_sim": embedding_label_centroid_sim,
+        "region_priority_rollup": region_priority_rollup,
+        "top2_suppliers_per_nation": top2_suppliers_per_nation,
+        "global_top5_orders": global_top5_orders,
+        "discount_var_by_month": discount_var_by_month,
+        "region_pairs_cross": region_pairs_cross,
+        "customer_name_parse": customer_name_parse,
+        "embedding_cosine_near_dup": embedding_cosine_near_dup,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "lineitem_global_stats": lineitem_global_stats,
+        "active_nation_keys": active_nation_keys,
+        "orders_fixed_sample": orders_fixed_sample,
+        "orders_fixed_sample_det": orders_fixed_sample_det,
+        "media_image_meta": media_image_meta,
+        "events_stream_daily_counts": events_stream_daily_counts,
     }
 
 

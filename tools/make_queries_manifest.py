@@ -23,10 +23,18 @@ def build_manifest() -> dict:
 
     names = list(e.queries())
     oracles = e.oracle_sql()
+    # which entries have a driver-side hash-check on record (any round)
+    checked: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(f.read_text()).keys())
+    unchecked = [n for n in names if n not in checked]
     return {
         "count": len(names),
+        "driver_unchecked_count": len(unchecked),
+        "driver_unchecked": unchecked,
         "queries": [
-            {"name": n, "oracle": n in oracles} for n in names
+            {"name": n, "oracle": n in oracles,
+             "driver_checked": n in checked} for n in names
         ],
     }
 
