@@ -167,6 +167,18 @@ def ivf_centroids_kmeans(df: DataFrame, id_col: str = "vec_id",
             for i, c in enumerate(model.clusterCenters())]
 
 
+def _resolve_centroids(centroids, df, id_col, vec_col, n_centroids):
+    """Centroid spec → centroid table.  ``None`` → deterministic
+    first-k-ids seed (oracle mode — degenerates under id-space skew);
+    ``'kmeans'`` → sampled-KMeans fit (the scale default: balanced
+    Voronoi cells regardless of id layout); a list passes through."""
+    if centroids is None:
+        return ivf_centroids(df, id_col, vec_col, n_centroids)
+    if centroids == "kmeans":
+        return ivf_centroids_kmeans(df, id_col, vec_col, n_centroids)
+    return centroids
+
+
 def ivf_assign_col(vec: Column,
                    centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id by cosine (ties → smallest centroid id).
@@ -203,7 +215,7 @@ def _probe_cells(centroids, query_vec, n_probe: int) -> list:
 def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_centroids: int = 16, n_probe: int = 4,
-                 centroids: list[tuple[int, list[float]]] | None = None
+                 centroids: list[tuple[int, list[float]]] | str | None = None
                  ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into ``n_centroids``
     Voronoi cells, probe only the ``n_probe`` cells nearest the query.
@@ -211,9 +223,11 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     Scale path: write the corpus partitioned by ``__cell`` so the probe
     prunes to n_probe/n_centroids of the files; the per-row assignment is
     a native expression, the final top-k is TakeOrderedAndProject (per-
-    partition heaps, no global sort).
+    partition heaps, no global sort).  ``centroids='kmeans'`` fits
+    balanced cells (use when the id space is skewed); default is the
+    deterministic first-k-ids seed.
     """
-    cents = centroids or ivf_centroids(df, id_col, vec_col, n_centroids)
+    cents = _resolve_centroids(centroids, df, id_col, vec_col, n_centroids)
     probe = _probe_cells(cents, query_vec, n_probe)
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
@@ -228,14 +242,15 @@ def ivf_write_index(df: DataFrame, path: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_centroids: int = 16,
                     mode: str = "overwrite",
-                    centroids: list[tuple[int, list[float]]] | None = None
-                    ) -> list[tuple[int, list[float]]]:
+                    centroids: list[tuple[int, list[float]]] | str | None
+                    = None) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: corpus written partitioned by ``__cell``
     (nearest-centroid id), so an ANN probe scans only n_probe/n_centroids
     of the FILES — at 100 TB the query cost is bounded by the probed cells,
     not the corpus.  Returns the centroid table (persist it beside the
-    index; it is O(k·dim))."""
-    cents = centroids or ivf_centroids(df, id_col, vec_col, n_centroids)
+    index; it is O(k·dim)).  ``centroids='kmeans'`` fits balanced cells
+    (the scale path under id-space skew)."""
+    cents = _resolve_centroids(centroids, df, id_col, vec_col, n_centroids)
     vec = F.col(vec_col).cast("array<double>")
     (df.withColumn("__cell", ivf_assign_col(vec, cents))
        .write.partitionBy("__cell").mode(mode).parquet(path))
@@ -557,12 +572,12 @@ def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ivf_knn_join(index: DataFrame, queries: DataFrame,
-                 centroids: list[tuple[int, list[float]]],
+                 centroids: list[tuple[int, list[float]]] | str,
                  k: int = 10, n_probe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id",
                  query_vec_col: str = "embedding",
-                 n_salt: int = 32) -> DataFrame:
+                 n_salt: int = 32, n_centroids: int = 16) -> DataFrame:
     """Corpus-scale batch ANN join: top-k approximate neighbors for EACH
     query row, with BOTH sides distributed — the path for query sets too
     large to broadcast (``knn_join``'s assumption).
@@ -584,6 +599,8 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
         n = sum(x * x for x in v) ** 0.5 or 1.0
         return [x / n for x in v]
 
+    centroids = _resolve_centroids(centroids, index, id_col, vec_col,
+                                   n_centroids)
     vec = F.col(vec_col).cast("array<double>")
     idx = index.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), norm_col(vec).alias("__nrm"),

@@ -1426,3 +1426,56 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     # each file covers a small fraction of both global spans (200 each)
     assert avg_a < 200 * 0.6
     assert avg_b < 200 * 0.6
+
+
+def test_ivf_kmeans_centroids_bound_cells_under_id_skew(spark):
+    """centroids='kmeans' keeps Voronoi cells balanced when the id space
+    is skewed (low ids all in one region of embedding space — the
+    first-k-ids seed then packs near-identical centroids there and one
+    far cell swallows the rest of the corpus)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from cascalog_spark.functions.similarity import (
+        _resolve_centroids, ivf_assign_col)
+
+    rnd = random.Random(11)
+
+    def around(base, eps=0.05):
+        v = [b + rnd.uniform(-eps, eps) for b in base]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # ids 0..7: tight cluster at e0; ids 8..199: spread over 6 other
+    # well-separated directions
+    dirs = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0],
+            [0, 0, 0, 1.0], [-1.0, 0, 0, 0], [0, -1.0, 0, 0]]
+    # exactly duplicated low-id vectors: the first-k-ids "centroids" are
+    # k copies of one point, every row ties and collapses into cell 0
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)]
+    rows += [(8 + j, around(dirs[j % 6])) for j in range(192)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cell_ratio(cents):
+        counts = (emb.select(ivf_assign_col(
+                      F.col("embedding").cast("array<double>"), cents)
+                      .alias("c"))
+                  .groupBy("c").count().collect())
+        sizes = [r["count"] for r in counts]
+        return max(sizes) / (sum(sizes) / k)  # mean over ALL k cells
+
+    k = 8
+    det = _resolve_centroids(None, emb, "vec_id", "embedding", k)
+    km = _resolve_centroids("kmeans", emb, "vec_id", "embedding", k)
+    assert len(km) == k
+    r_det, r_km = cell_ratio(det), cell_ratio(km)
+    # first-k-ids: 8 centroids in one cluster -> one cell holds ~all 192
+    # spread rows (ratio ~ k * 192/200); kmeans finds the real structure
+    assert r_det > 4.0          # documents the degenerate mode
+    assert r_km < 2.5           # bounded max/mean under skew
+    # and the kmeans table drives the same downstream API
+    from cascalog_spark.functions.similarity import ivf_ann_topk
+    got = ivf_ann_topk(emb, around([0, 1.0, 0, 0]), k=3,
+                       centroids="kmeans", n_probe=2)
+    assert got.count() == 3
