@@ -11,9 +11,10 @@ from .corpus import (boilerplate_lines, contamination, decontaminate,
                      remove_boilerplate, stratified_sample,
                      weighted_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
-                    minhash_lsh_candidates, minhash_signature, near_dedup,
-                    ngram_jaccard_pairs, semantic_dedup,
-                    semantic_dedup_losers, simhash)
+                    exact_substring_dedup, exact_substring_spans,
+                    kgram_anchors, minhash_lsh_candidates,
+                    minhash_signature, near_dedup, ngram_jaccard_pairs,
+                    semantic_dedup, semantic_dedup_losers, simhash)
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,

@@ -535,3 +535,113 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                                    n_clusters, centroids, method,
                                    **lsh_opts)
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated-span) dedup — Lee et al. 2022 shape
+# ("Deduplicating Training Data Makes Language Models Better"): find and
+# remove SPANS of text duplicated across documents, not whole near-dup
+# docs.  Spark-first re-expression of the suffix-array approach:
+# positional k-gram anchors + equi-join ownership + gap-and-island span
+# merge — every stage a bounded shuffle, nothing all-pairs.
+
+#: token joiner inside a gram hash — a unit separator, so token
+#: boundaries can't alias ("ab","c" vs "a","bc")
+_GRAM_SEP = "\x1f"
+
+
+def kgram_anchors(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, pos, gram): one md5 anchor per k-token window of each doc.
+
+    Native end to end: tokens materialized once, positions generated with
+    ``sequence`` AFTER tokenization (map-side — no shuffle), the gram is
+    md5 over the unit-separator-joined window (engine-portable: DuckDB's
+    ``md5(array_to_string(..., chr(31)))`` is bit-identical).  Row count
+    is Σ(n_tokens - k + 1) — linear in corpus tokens, the same cost class
+    as the shingle pass of MinHash.
+    """
+    from .util import explode_fast
+
+    toks = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    n = F.size("__toks")
+    pos_seq = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+               .otherwise(F.array().cast("array<int>"))
+    out = explode_fast(toks.withColumn("__pos_seq", pos_seq),
+                       F.col("__pos_seq"), "pos")
+    gram = F.md5(F.concat_ws(
+        _GRAM_SEP, F.slice("__toks", F.col("pos") + 1, F.lit(k))))
+    return out.select(F.col(id_col), F.col("pos").cast("int").alias("pos"),
+                      gram.alias("gram"))
+
+
+def exact_substring_spans(df: DataFrame, k: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Maximal duplicated spans per doc: (id, span_start, span_end,
+    span_tokens) in TOKEN offsets, where every k-gram of the span also
+    occurs in a LOWER-id document (keep-min-doc ownership, matching
+    exact_dedup's keep='min' convention; same-doc internal repetition is
+    not counted — see ``repetition_signals`` for that axis).
+
+    Shape: (1) groupBy gram → min owner id (one shuffle, md5-uniform
+    keys); (2) anchors ⋈ owners on gram (equi-join, same key); (3)
+    per-doc gap-and-island merge of consecutive duplicated positions
+    (window by id — one shuffle on doc id).  Runs of overlapping k-grams
+    collapse into ONE span row, so output is bounded by distinct
+    duplicated regions, not duplicated tokens.
+    """
+    from pyspark.sql import Window
+
+    anchors = kgram_anchors(df, k, id_col, text_col)
+    owners = anchors.groupBy("gram").agg(F.min(id_col).alias("__owner"))
+    dup = (anchors.join(owners, on="gram")
+           .where(F.col("__owner") < F.col(id_col)))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (dup.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__grp", F.col("pos") - F.col("__rn")))
+    return (runs.groupBy(id_col, "__grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k - 1).cast("int").alias("span_end"))
+            .select(F.col(id_col), F.col("span_start"), F.col("span_end"),
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("int").alias("span_tokens")))
+
+
+def exact_substring_dedup(df: DataFrame, k: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          out_col: str | None = None) -> DataFrame:
+    """Documents with cross-doc duplicated spans REMOVED (the doc owning
+    the span — smallest id — keeps it; later docs lose those tokens).
+
+    Rebuild is a native higher-order filter: spans collected into one
+    array struct per doc (bounded: distinct duplicated regions, not
+    duplicated tokens), docs LEFT-join their span list (one shuffle on
+    id), tokens dropped when their index falls inside any span.  Output
+    text is token-normalized (lowercased, single-space joined) — the
+    same normalization the anchors were computed over; all other columns
+    pass through unchanged.
+    """
+    out_col = out_col or text_col
+    spans = (exact_substring_spans(df, k, id_col, text_col)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("__spans")))
+    toks = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    joined = toks.join(spans, on=id_col, how="left")
+
+    def covered(i):
+        return F.exists(F.col("__spans"),
+                        lambda s: (i >= s["span_start"])
+                        & (i <= s["span_end"]))
+
+    kept = F.when(F.col("__spans").isNull(), F.col("__toks")) \
+            .otherwise(F.filter("__toks", lambda t, i: ~covered(i)))
+    joined = joined.withColumn("__clean", F.array_join(kept, " "))
+    if out_col == text_col:
+        sel = [F.col("__clean").alias(out_col) if c == text_col
+               else F.col(c) for c in df.columns]
+    else:  # keep the original text, append the cleaned column
+        sel = [F.col(c) for c in df.columns] \
+            + [F.col("__clean").alias(out_col)]
+    return joined.select(*sel)

@@ -1479,3 +1479,58 @@ def test_ivf_kmeans_centroids_bound_cells_under_id_skew(spark):
     got = ivf_ann_topk(emb, around([0, 1.0, 0, 0]), k=3,
                        centroids="kmeans", n_probe=2)
     assert got.count() == 3
+
+
+def test_exact_substring_spans_and_dedup(spark):
+    """Lee et al.-style duplicated-span removal: the lower-id doc keeps
+    the shared span, later docs lose exactly those tokens; overlapping
+    k-gram runs merge into one maximal span."""
+    from cascalog_spark.functions import (exact_substring_dedup,
+                                          exact_substring_spans)
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(0, "intro A " + shared + " tail of doc zero"),
+         (1, "doc one starts here " + shared + " and ends differently"),
+         (2, "no duplicated run here at all whatsoever nothing shared")],
+        "doc_id long, text string")
+    spans = exact_substring_spans(df, k=5).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # shared span sits at token offsets 4..15 in doc 1 (12 tokens)
+    assert (s.doc_id, s.span_start, s.span_end, s.span_tokens) \
+        == (1, 4, 15, 12)
+    clean = {r.doc_id: r.text
+             for r in exact_substring_dedup(df, k=5).collect()}
+    assert clean[0] == ("intro a " + shared + " tail of doc zero")
+    assert clean[1] == "doc one starts here and ends differently"
+    assert "nothing shared" in clean[2]
+
+
+def test_exact_substring_edge_cases(spark):
+    """Docs shorter than k produce no anchors; identical docs strip the
+    whole later copy to empty text; non-text columns pass through."""
+    from cascalog_spark.functions import (exact_substring_dedup,
+                                          exact_substring_spans,
+                                          kgram_anchors)
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h", "en"),
+         (1, "a b c d e f g h", "en"),      # exact copy -> fully removed
+         (2, "tiny", "fr"),                 # < k tokens -> no anchors
+         (3, "", "de")],                    # empty
+        "doc_id long, text string, lang string")
+    assert kgram_anchors(df.where("doc_id >= 2"), k=5).count() == 0
+    spans = exact_substring_spans(df, k=5).collect()
+    assert len(spans) == 1 and spans[0].doc_id == 1
+    assert (spans[0].span_start, spans[0].span_end) == (0, 7)
+    clean = {r.doc_id: (r.text, r.lang)
+             for r in exact_substring_dedup(df, k=5).collect()}
+    assert clean[0] == ("a b c d e f g h", "en")
+    assert clean[1] == ("", "en")
+    assert clean[2] == ("tiny", "fr")
+    assert clean[3] == ("", "de")
+    # out_col variant keeps the original text column untouched
+    both = exact_substring_dedup(df, k=5, out_col="clean").collect()
+    row1 = [r for r in both if r.doc_id == 1][0]
+    assert row1.clean == "" and row1.text == "a b c d e f g h"
