@@ -492,3 +492,45 @@ def test_range_partitioned_tap_disjoint_file_ranges(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "GreaterThanOrEqual(k,100)" in plan and \
         "LessThanOrEqual(k,200)" in plan
+
+
+def test_glob_tap_schema_disagreement_contract(spark, tmp_path):
+    """Schema-on-read glob taps (reference tap.clj Fields/ALL +
+    platform.clj:353-361): when globbed files disagree on schema, the
+    default parquet read resolves fields from a subset of footers (extra
+    columns silently absent), mergeSchema=true unions the schemas with
+    NULLs for missing fields, and a mismatched declared schema surfaces
+    as NULL columns rather than silent coercion."""
+    from cascalog_spark.sources.taps import ParquetTap
+
+    a, b = str(tmp_path / "part_a"), str(tmp_path / "part_b")
+    spark.createDataFrame([(1, "x")], "k long, v string") \
+        .write.parquet(a)
+    spark.createDataFrame([(2, "y", 9.5)], "k long, v string, w double") \
+        .write.parquet(b)
+    glob = f"{tmp_path}/part_*"
+
+    # mergeSchema on: field union, missing fields -> NULL
+    merged = ParquetTap(path=glob,
+                        read_options={"mergeSchema": "true"}) \
+        .load_df(spark)
+    assert set(merged.columns) == {"k", "v", "w"}
+    rows = {r.k: r.w for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+    # mergeSchema off (default): schema comes from sampled footers —
+    # selecting a column that exists only in some files is either absent
+    # (planner AnalysisException) or NULL-filled, never silently wrong
+    plain = ParquetTap(path=glob).load_df(spark)
+    assert {"k", "v"} <= set(plain.columns)
+    if "w" not in plain.columns:
+        import pytest
+        from pyspark.errors import AnalysisException
+        with pytest.raises(AnalysisException):
+            plain.select("w").collect()
+
+    # declared-fields subset still projects cleanly over the union
+    sub = ParquetTap(path=glob, read_options={"mergeSchema": "true"},
+                     fields=["k"]).load_df(spark)
+    assert sub.columns == ["k"]
+    assert {r.k for r in sub.collect()} == {1, 2}
