@@ -1432,15 +1432,22 @@ def embedding_quantized_codes(spark, sf_dir):
     """Scalar int8 quantization (SQ8): per-dim corpus min/max (one agg
     pass, no explode) → affine code map as a native transform expr — 4x
     vector-storage cut for the ANN index tier.  Integer codes, so the
-    oracle comparison is exact."""
+    oracle comparison is exact.  The check surface is scalar (md5 of the
+    joined code string + two spot dims) because the driver's
+    canonicalizer cannot sort/hash raw array columns."""
     from cascalog_spark.functions import (quantization_stats,
                                           quantize_embeddings)
 
     emb = _t(spark, sf_dir, "embeddings")
     stats = quantization_stats(emb, dim=64)
-    return (quantize_embeddings(emb, stats=stats)
-            .where(F.col("vec_id") < 20)
-            .select("vec_id", "codes"))
+    codes = (quantize_embeddings(emb, stats=stats)
+             .where(F.col("vec_id") < 20))
+    return codes.select(
+        "vec_id",
+        F.md5(F.array_join(F.col("codes").cast("array<string>"), ","))
+         .alias("codes_md5"),
+        F.col("codes")[0].cast("int").alias("c0"),
+        F.col("codes")[31].cast("int").alias("c31"))
 
 
 def doc_classifier_scores(spark, sf_dir):
@@ -1475,11 +1482,13 @@ def user_status_scd2(spark, sf_dir):
     ups = (ev.where(F.col("user_id") < 30)
            .select("user_id", F.col("event_type").alias("status"), "ts"))
     hist = scd2_history(ups, ["user_id"], ["status"])
-    # open versions use the conventional high-date sentinel (also keeps
-    # the cross-engine row comparator away from NULL-vs-value ordering)
+    # open versions use a high-date sentinel (keeps the cross-engine row
+    # comparator away from NULL-vs-value ordering); 2262-01-01 rather
+    # than the conventional 9999-12-31 because the check surface must
+    # survive pandas' ns-resolution datetime64 (max 2262-04-11)
     return hist.withColumn(
         "eff_end", F.coalesce(F.col("eff_end"),
-                              F.lit("9999-12-31 00:00:00")
+                              F.lit("2262-01-01 00:00:00")
                               .cast("timestamp")))
 
 
@@ -1753,9 +1762,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # NEW-FIRST ORDER: entries never hash-checked by the
-        # driver (absent from CORRECTNESS_r01..r03) lead, so a
-        # head-sampling harness reaches them; the long-green
-        # r01 tier follows.  Names are byte-stable.
+        # driver lead, so a head-sampling harness reaches them;
+        # the long-green tier follows.  Head of r5 = the 12
+        # queries at r4 positions 51-62 (just past the 50-row
+        # sample head) + the 4 rows red in CORRECTNESS_r04 whose
+        # oracle/check-surface fixes land this round.
+        "doc_classifier_scores": doc_classifier_scores,
+        "doc_unigram_nll": doc_unigram_nll,
+        "user_status_scd2": user_status_scd2,
+        "order_price_hist": order_price_hist,
+        "user_event_type_pivot": user_event_type_pivot,
+        "orders_status_rollup": orders_status_rollup,
+        "events_sessionized": events_sessionized,
+        "events_hourly_rollup": events_hourly_rollup,
+        "customer_snapshot_diff": customer_snapshot_diff,
+        "doc_minhash_incremental": doc_minhash_incremental,
+        "doc_weighted_sample": doc_weighted_sample,
+        "orders_zorder_keys": orders_zorder_keys,
+        "orders_bigticket_hybrid": orders_bigticket_hybrid,
+        "orders_running_total_cents": orders_running_total_cents,
+        "lineitem_flag_running_qty": lineitem_flag_running_qty,
+        "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
         "nation_keys_combined": nation_keys_combined,
@@ -1766,11 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dup_ratio": doc_line_dup_ratio,
         "nation_branch_counts": nation_branch_counts,
         "nation_balance_spread": nation_balance_spread,
-        "orders_running_total_cents": orders_running_total_cents,
-        "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "lineitem_charge_vararg": lineitem_charge_vararg,
         "doc_dup_clusters": doc_dup_clusters,
-        "orders_bigticket_hybrid": orders_bigticket_hybrid,
         "doc_chunks": doc_chunks,
         "doc_pii_redaction": doc_pii_redaction,
         "events_value_lag": events_value_lag,
@@ -1805,19 +1829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": doc_tfidf_terms,
         "doc_corpus_mix": doc_corpus_mix,
         "events_click_in_purchase_window": events_click_in_purchase_window,
-        "embedding_quantized_codes": embedding_quantized_codes,
-        "doc_classifier_scores": doc_classifier_scores,
-        "doc_unigram_nll": doc_unigram_nll,
-        "user_status_scd2": user_status_scd2,
-        "order_price_hist": order_price_hist,
-        "user_event_type_pivot": user_event_type_pivot,
-        "orders_status_rollup": orders_status_rollup,
-        "events_sessionized": events_sessionized,
-        "events_hourly_rollup": events_hourly_rollup,
-        "customer_snapshot_diff": customer_snapshot_diff,
-        "doc_minhash_incremental": doc_minhash_incremental,
-        "doc_weighted_sample": doc_weighted_sample,
-        "orders_zorder_keys": orders_zorder_keys,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_per_nation": revenue_per_nation,
         "local_supplier_volume": local_supplier_volume,
@@ -2423,7 +2434,8 @@ def oracle_sql() -> dict[str, str]:
             FROM i""",
         "orders_bigticket_hybrid": """
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN o_totalprice > 100000.0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_big,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderstatus""",
@@ -2442,16 +2454,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY 1""",
         "orders_running_total_cents": """
             SELECT o_custkey AS ck, o_orderkey AS ok2,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-                     PARTITION BY o_custkey ORDER BY o_orderkey) AS rt_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey)
+                     AS BIGINT) AS rt_cents
             FROM orders""",
         "lineitem_flag_running_qty": """
             SELECT l_returnflag AS flag, l_orderkey AS ok2,
-                   l_linenumber AS ln2,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+                   CAST(l_linenumber AS BIGINT) AS ln2,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
                      PARTITION BY l_returnflag
                      ORDER BY l_orderkey, l_linenumber, l_quantity
-                     ROWS UNBOUNDED PRECEDING)
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS rq_cents
             FROM lineitem""",
         "lineitem_charge_vararg": """
@@ -2899,13 +2912,18 @@ def oracle_sql() -> dict[str, str]:
                      [{', '.join(f'max(v[{i}])' for i in range(1, 65))}]
                        AS maxs
                    FROM e)
-            SELECT vec_id, list_transform(range(1, 65),
+            , c AS (SELECT vec_id, list_transform(range(1, 65),
               i -> CAST(least(255, greatest(0, floor(
                      (v[i] - st.mins[i])
                      / (CASE WHEN st.maxs[i] > st.mins[i]
                              THEN st.maxs[i] - st.mins[i] ELSE 1.0 END)
                      * 256.0))) AS INT)) AS codes
-            FROM e, st WHERE vec_id < 20""",
+            FROM e, st WHERE vec_id < 20)
+            SELECT vec_id,
+                   md5(array_to_string(codes, ',')) AS codes_md5,
+                   CAST(codes[1] AS INT) AS c0,
+                   CAST(codes[32] AS INT) AS c31
+            FROM c""",
         "doc_classifier_scores": f"""
             WITH w AS (SELECT [{', '.join(
                 str(((-1) ** i) * (i % 5) / 10.0) for i in range(16))
@@ -2941,7 +2959,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, status, ts AS eff_start,
                    coalesce(lead(ts) OVER (PARTITION BY user_id
                                            ORDER BY ts, status),
-                            TIMESTAMP '9999-12-31 00:00:00') AS eff_end
+                            TIMESTAMP '2262-01-01 00:00:00') AS eff_end
             FROM surv""",
         "order_price_hist": """
             WITH st AS (SELECT min(o_totalprice)::DOUBLE AS lo,
