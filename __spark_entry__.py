@@ -1277,8 +1277,8 @@ def doc_exact_substring_dedup(spark, sf_dir):
     from cascalog_spark.functions import exact_substring_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return (exact_substring_dedup(docs, k=8)
-            .select("doc_id", F.col("text").alias("clean_text")))
+    return (exact_substring_dedup(docs, k=8, out_col="clean_text")
+            .select("doc_id", "clean_text"))
 
 
 def q3_shipping_priority(spark, sf_dir):

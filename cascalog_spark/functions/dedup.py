@@ -341,19 +341,33 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                   id_b: str = "id_b", max_iter: int = 20,
+                   method: str = "label") -> DataFrame:
     """Connected components over near-dup candidate pairs →
     ``(node, cluster)`` with cluster = min id in the component — the step
     that turns pairwise candidates into keep/drop decisions (keep one doc
     per cluster).
 
-    Distributed min-label propagation: each node takes the min label among
-    itself and its neighbors; iterate to fixed point (≤ graph diameter
-    rounds, typically 2-4 for near-dup clusters).  Convergence is detected
-    by the strictly-decreasing label sum (one cheap scalar agg per round,
-    no row-wise diff join); each round localCheckpoints to cut lineage —
-    nothing ever collects to the driver.
+    ``method='label'`` (default): distributed min-label propagation — each
+    node takes the min label among itself and its neighbors; iterate to
+    fixed point.  Rounds = O(graph diameter), typically 2-4 for near-dup
+    clusters; convergence detected by the strictly-decreasing label sum
+    (one cheap scalar agg per round, no row-wise diff join); each round
+    localCheckpoints to cut lineage — nothing ever collects to the driver.
+
+    ``method='star'``: alternating large-star/small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — O(log n) rounds regardless of diameter, the safe choice when dup
+    clusters can be CHAIN-shaped (A~B~C~... transitive near-dup chains in
+    web-scale corpora), where label propagation would need diameter
+    rounds.  Same output contract; both methods leave the round count on
+    the result as ``_cc_rounds``.
     """
+    if method == "star":
+        return _dedup_clusters_star(pairs, id_a, id_b, max_iter)
+    if method != "label":
+        raise ValueError(f"dedup_clusters: method must be label|star, "
+                         f"got {method!r}")
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).distinct() \
@@ -361,6 +375,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.node)
                  .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -370,11 +385,87 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                                   F.coalesce(F.col("nmin"), F.col("label")))
                           .alias("label"))
                   .localCheckpoint())
+        rounds += 1
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.withColumnRenamed("label", "cluster")
+    out = labels.withColumnRenamed("label", "cluster")
+    out._cc_rounds = rounds
+    return out
+
+
+def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    Each round rewires the edge set toward stars centered at component
+    minima:
+
+    - LARGE-STAR (per node u over its full neighborhood Γ(u)): connect
+      every strictly-larger neighbor v > u to m = min(Γ(u) ∪ {u}).
+    - SMALL-STAR (per node u over its smaller neighbors, edges oriented
+      larger→smaller): connect u and all of Γ(u) to m = min(Γ(u) ∪ {u}).
+
+    Both are one groupBy-min + one equi-join — no per-node state, no
+    driver collect; localCheckpoint per round cuts lineage.  Converges in
+    O(log n) rounds on ANY topology (provably O(log² n), observed ~log n)
+    — on a path graph of 2^k nodes this finishes in ~k rounds where label
+    propagation needs 2^k.  Convergence = edge multiset fixed point,
+    detected by a (count, xxhash64-sum) fingerprint — two scalars per
+    round, collision-safe in practice and only ever terminates EARLY on a
+    collision, never produces wrong labels on the final star set.
+    """
+    e = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    nodes = (e.select(F.col("a").alias("node"))
+             .union(e.select(F.col("b").alias("node"))).distinct()
+             .localCheckpoint())
+    # orient larger→smaller; self-loops carry no connectivity
+    edges = (e.where(F.col("a") != F.col("b"))
+             .select(F.greatest("a", "b").alias("src"),
+                     F.least("a", "b").alias("dst"))
+             .distinct().localCheckpoint())
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iter):
+        # -- large-star: full neighborhood (both directions)
+        und = edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        mins = (und.groupBy("src")
+                .agg(F.min("dst").alias("__md"))
+                .select("src", F.least("__md", F.col("src")).alias("m")))
+        edges = (und.join(mins, "src")
+                 .where(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .distinct())
+        # -- small-star: smaller neighbors only (edges stay larger→smaller)
+        mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+        j = edges.join(mins, "src")
+        edges = (j.where(F.col("dst") != F.col("m"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .union(j.select("src", F.col("m").alias("dst")))
+                 .distinct().localCheckpoint())
+        rounds += 1
+        fp = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            # (edges are distinct, so no xor self-cancellation)
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h")).first()
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged edge set is a star forest larger→component-min; isolated
+    # nodes (self-loop-only inputs) label themselves
+    label_map = edges.groupBy(F.col("src").alias("node")) \
+                     .agg(F.min("dst").alias("__lbl"))
+    out = (nodes.join(label_map, "node", "left")
+           .select("node", F.coalesce("__lbl", F.col("node"))
+                   .alias("cluster")))
+    out._cc_rounds = rounds
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
@@ -421,7 +512,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 def near_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_perm: int = 16, bands: int = 4,
-               shingle_k: int = 3, max_iter: int = 20) -> DataFrame:
+               shingle_k: int = 3, max_iter: int = 20,
+               cc_method: str = "label") -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the composition a corpus
     pipeline actually runs: MinHash-LSH candidate pairs → connected
     components → keep each cluster's minimum-id representative, drop the
@@ -431,10 +523,12 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     and the iterative min-label propagation (localCheckpoint per round,
     nothing collected); the final keep/drop is one anti-join against the
     (small) non-representative id set — at 100 TB that set is the
-    duplicate fraction only, not the corpus."""
+    duplicate fraction only, not the corpus.  ``cc_method='star'``
+    switches the component step to O(log n)-round large/small-star
+    contraction for corpora where dup clusters can be chain-shaped."""
     pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
                                    shingle_k)
-    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    clusters = dedup_clusters(pairs, max_iter=max_iter, method=cc_method)
     losers = (clusters.where(F.col("node") != F.col("cluster"))
               .select(F.col("node").alias(id_col)))
     return df.join(losers, on=id_col, how="left_anti")
@@ -452,7 +546,8 @@ AUTO_LSH_THRESHOLD = 100_000
 
 def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          threshold: float = 0.95, n_clusters: int = 16,
+                          threshold: float = 0.95,
+                          n_clusters: int | None = None,
                           centroids: list[tuple[int, list[float]]]
                           | None = None,
                           method: str = "auto",
@@ -473,7 +568,13 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     ``method``: 'auto' (default) = 'cells' below ``AUTO_LSH_THRESHOLD``
     rows (exact, deterministic — what the oracle checks), 'lsh' above it
     — the scale path is the DEFAULT once the corpus is big enough to need
-    it.  'cells' = SemDeDup's literal cluster blocking; cost is O(n·k)
+    it.  Auto-routing only applies when NO cells-specific argument was
+    given: passing ``centroids`` or ``n_clusters`` pins ``method='cells'``
+    (they would be silently ignored on the lsh path otherwise).  Note
+    'auto' runs one EAGER ``df.count()`` to pick the strategy — metadata-
+    fast on parquet sources, a full scan for unpersisted in-memory plans;
+    pass an explicit ``method`` to stay fully lazy.
+    'cells' = SemDeDup's literal cluster blocking; cost is O(n·k)
     assignment + Σ|cell|² pair scoring, so k must track corpus size and
     both terms grow superlinearly (the 8× scaling smoke measured 12.9×
     wall).  'lsh' = banded hyperplane-LSH blocking via ``cosine_pairs``
@@ -488,9 +589,15 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
         ivf_centroids, norm_col
 
     if method == "auto":
-        # one cheap count decides the blocking strategy (parquet counts
-        # are metadata-fast; for in-memory frames it is a single scan)
-        method = "lsh" if df.count() > AUTO_LSH_THRESHOLD else "cells"
+        if centroids is not None or n_clusters is not None:
+            # cells-specific args pin the exact path — never silently
+            # ignore an explicit centroid table by switching to lsh
+            method = "cells"
+        else:
+            # one EAGER count decides the blocking strategy (parquet
+            # counts are metadata-fast; unpersisted in-memory plans pay
+            # a scan — pass method= explicitly to stay lazy)
+            method = "lsh" if df.count() > AUTO_LSH_THRESHOLD else "cells"
     if method == "lsh":
         # cosine_pairs already guarantees id_a < id_b (keep-min-id)
         pairs = cosine_pairs(df, threshold=threshold, id_col=id_col,
@@ -503,7 +610,8 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     if method != "cells":
         raise ValueError(f"semantic_dedup: method must be auto|cells|lsh, "
                          f"got {method!r}")
-    cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
+    cents = centroids or ivf_centroids(df, id_col, vec_col,
+                                       n_clusters or 16)
     if not cents:  # empty corpus → nothing to drop
         return df.select(F.col(id_col)).limit(0)
     vec = F.col(vec_col).cast("array<double>")
@@ -524,7 +632,7 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
-                   n_clusters: int = 16,
+                   n_clusters: int | None = None,
                    centroids: list[tuple[int, list[float]]] | None = None,
                    method: str = "auto", **lsh_opts) -> DataFrame:
     """Semantically deduplicated corpus: ``df`` minus
@@ -610,7 +718,7 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
 
 def exact_substring_dedup(df: DataFrame, k: int = 8,
                           id_col: str = "doc_id", text_col: str = "text",
-                          out_col: str | None = None) -> DataFrame:
+                          out_col: str = "clean_text") -> DataFrame:
     """Documents with cross-doc duplicated spans REMOVED (the doc owning
     the span — smallest id — keeps it; later docs lose those tokens).
 
@@ -621,8 +729,13 @@ def exact_substring_dedup(df: DataFrame, k: int = 8,
     text is token-normalized (lowercased, single-space joined) — the
     same normalization the anchors were computed over; all other columns
     pass through unchanged.
+
+    The cleaned text lands in ``out_col`` (default ``clean_text``),
+    PRESERVING the original ``text_col`` — the normalization is lossy
+    (case/punctuation/whitespace), so destroying the source formatting
+    must be opt-in: pass ``out_col=text_col`` for in-place rewrite.
+    (Changed in r5: the default was previously in-place.)
     """
-    out_col = out_col or text_col
     spans = (exact_substring_spans(df, k, id_col, text_col)
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))

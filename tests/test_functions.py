@@ -180,6 +180,56 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_dedup_clusters_star_equivalence_random_graphs(spark):
+    """Large-star/small-star contraction produces the same (node, cluster)
+    map as min-label propagation on random graphs — same keep/drop
+    decisions from either engine."""
+    import random
+
+    from cascalog_spark.functions import dedup_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(20, 80))]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        lab = {r.node: r.cluster
+               for r in dedup_clusters(pairs, max_iter=100).collect()}
+        star = {r.node: r.cluster
+                for r in dedup_clusters(pairs, method="star").collect()}
+        assert lab == star, f"trial {trial}: {lab} != {star}"
+
+
+def test_dedup_clusters_star_logarithmic_rounds_on_path(spark):
+    """The scale property the star method exists for: a PATH graph (the
+    adversarial chain-shaped dup cluster) converges in O(log n) rounds
+    where label propagation needs O(n).  128-node path: star must finish
+    in <= 12 rounds (observed ~7); label propagation provably needs >= 60
+    rounds to move the min label 127 hops."""
+    from cascalog_spark.functions import dedup_clusters
+
+    n = 128
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["id_a", "id_b"])
+    out = dedup_clusters(pairs, method="star", max_iter=20)
+    got = out.collect()
+    assert all(r.cluster == 0 for r in got) and len(got) == n
+    assert out._cc_rounds <= 12, out._cc_rounds
+
+
+def test_dedup_clusters_star_isolated_and_self_loops(spark):
+    """Self-loop-only nodes form their own singleton cluster; mixed input
+    keeps the contract (every input node labeled)."""
+    from cascalog_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2), (2, 1)],
+                                  ["id_a", "id_b"])
+    got = {r.node: r.cluster
+           for r in dedup_clusters(pairs, method="star").collect()}
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
 def test_minhash_lsh_candidates_runs(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog today"),
             (2, "the quick brown fox jumps over the lazy dog tonight"),
@@ -1500,11 +1550,13 @@ def test_exact_substring_spans_and_dedup(spark):
     # shared span sits at token offsets 4..15 in doc 1 (12 tokens)
     assert (s.doc_id, s.span_start, s.span_end, s.span_tokens) \
         == (1, 4, 15, 12)
-    clean = {r.doc_id: r.text
-             for r in exact_substring_dedup(df, k=5).collect()}
+    out = exact_substring_dedup(df, k=5).collect()
+    clean = {r.doc_id: r.clean_text for r in out}
     assert clean[0] == ("intro a " + shared + " tail of doc zero")
     assert clean[1] == "doc one starts here and ends differently"
     assert "nothing shared" in clean[2]
+    # default preserves the original text column (lossy rewrite is opt-in)
+    assert {r.doc_id: r.text for r in out}[0].startswith("intro A ")
 
 
 def test_exact_substring_edge_cases(spark):
@@ -1524,13 +1576,13 @@ def test_exact_substring_edge_cases(spark):
     spans = exact_substring_spans(df, k=5).collect()
     assert len(spans) == 1 and spans[0].doc_id == 1
     assert (spans[0].span_start, spans[0].span_end) == (0, 7)
-    clean = {r.doc_id: (r.text, r.lang)
+    clean = {r.doc_id: (r.clean_text, r.lang)
              for r in exact_substring_dedup(df, k=5).collect()}
     assert clean[0] == ("a b c d e f g h", "en")
     assert clean[1] == ("", "en")
     assert clean[2] == ("tiny", "fr")
     assert clean[3] == ("", "de")
-    # out_col variant keeps the original text column untouched
-    both = exact_substring_dedup(df, k=5, out_col="clean").collect()
-    row1 = [r for r in both if r.doc_id == 1][0]
-    assert row1.clean == "" and row1.text == "a b c d e f g h"
+    # in-place rewrite is opt-in via out_col=text_col
+    inplace = exact_substring_dedup(df, k=5, out_col="text").collect()
+    row1 = [r for r in inplace if r.doc_id == 1][0]
+    assert row1.text == "" and "clean_text" not in inplace[0].asDict()

@@ -33,6 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         # driver hash tolerates DuckDB's us vs Spark's ns units
         if pd.api.types.is_datetime64_any_dtype(df[c].dtype):
             df[c] = df[c].astype("datetime64[us]")
+        # integer WIDTH is also tolerated (doc_exact_substring_spans was
+        # hash-green r4 with spark int32 vs duck int64); int-vs-float is
+        # the boundary that fails, so widen ints and leave floats alone
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
