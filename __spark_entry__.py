@@ -1092,6 +1092,32 @@ def lineitem_flag_running_qty(spark, sf_dir):
              ).to_df(spark)
 
 
+def lineitem_flag_running_qty_par(spark, sf_dir):
+    """The megagroup running sum again, compiled through the
+    ``prefix_assoc=True`` two-pass parallel prefix scan: each ~200k-row
+    flag group is range-blocked on l_orderkey, folded per block, and
+    stitched with carry-in offsets — parallelism #groups x blocks instead
+    of #groups (=3).  Bit-identical to lineitem_flag_running_qty."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint", "bigint", "bigint"], n_out=3,
+                     name="run-qty-par", prefix_assoc=True)
+    def running_qty(rows):
+        acc = 0
+        for ok, ln, qty in rows:
+            acc += int(round(qty * 100))
+            yield (ok, ln, acc)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return q(["?flag", "?ok2", "?ln2", "?rq_cents"],
+             (li, {"l_returnflag": "?flag", "l_orderkey": "?ok",
+                   "l_linenumber": "?ln", "l_quantity": "?qty"}),
+             (running_qty, "?ok", "?ln", "?qty",
+              ":>", "?ok2", "?ln2", "?rq_cents"),
+             sort=["?ok", "?ln", "?qty"],
+             ).to_df(spark)
+
+
 def orders_running_total_cents(spark, sf_dir):
     """defbufferiterfn (logic/def.clj:86-88): streaming iterator buffer —
     per-customer running total of order prices (in cents, so the cumulative
@@ -1782,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bigticket_hybrid": orders_bigticket_hybrid,
         "orders_running_total_cents": orders_running_total_cents,
         "lineitem_flag_running_qty": lineitem_flag_running_qty,
+        "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -3093,4 +3120,16 @@ def oracle_sql() -> dict[str, str]:
                        f"(((cb >> {b}) & 1) << {2 * b + 1})"
                        for b in range(8))}) AS zkey
             FROM cells""",
+    } | {
+        # the parallel-prefix compilation must be bit-identical to the
+        # exact streaming path, so it shares that query's oracle verbatim
+        "lineitem_flag_running_qty_par": """
+            SELECT l_returnflag AS flag, l_orderkey AS ok2,
+                   CAST(l_linenumber AS BIGINT) AS ln2,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber, l_quantity
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS rq_cents
+            FROM lineitem""",
     }

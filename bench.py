@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     # megagroup streaming-iterator buffer: ~3 groups x ~200k rows at sf0.1,
     # state carried across Arrow batches (defbufferiterfn path)
     "lineitem_flag_running_qty",
+    # same scan through the prefix_assoc two-pass parallel prefix
+    # compilation (r5): parallelism #groups x blocks instead of #groups
+    "lineitem_flag_running_qty_par",
     # round-3 extension entries (no recorded-baseline counterpart — see
     # BASELINE.md round-3 notes): corpus TF-IDF, SemDeDup, interval join
     "doc_tfidf_terms",
@@ -77,8 +80,17 @@ def main() -> None:
     # and take 2-3 executions to reach steady state (measured: q1 1.33s
     # cold → 0.47s by pass 3).  Suite-head queries were paying the whole
     # ramp; every timed pass below now runs against warm plan shapes.
+    def run_once(name):
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        # prefix_assoc queries persist their scan intermediate; release
+        # it between passes so repeated runs don't stack cached frames
+        cache = getattr(df, "_prefix_scan_cache", None)
+        if cache is not None:
+            cache.unpersist()
+
     for name in BENCH_QUERIES:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        run_once(name)
 
     # min of N warm passes per query (default 2, --repeat N for more): the
     # host is multi-tenant and load spikes dominate single-shot wall
@@ -90,10 +102,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(n_pass):
         for name in BENCH_QUERIES:
-            fn = qs[name]
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            run_once(name)
             el = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
 

@@ -688,6 +688,8 @@ class Compiler:
         import pandas as pd
 
         op: BufferIterOp = rp.op
+        if op.prefix_assoc:
+            return self._compile_buffer_iter_prefix(df, node, rp)
         namer = self.namer
         group_cols = [namer.col(f) for f in node.group_fields]
         in_cols = []
@@ -760,6 +762,170 @@ class Compiler:
 
         out = df.mapInPandas(stream, out_schema)
         return out.drop(gkey) if global_agg else out
+
+    def _compile_buffer_iter_prefix(self, df, node: GroupingNode,
+                                    rp) -> DataFrame:
+        """Two-pass parallel prefix scan for ``prefix_assoc`` bufferiter
+        ops — the MEGAGROUP escape hatch (a handful of giant groups bounds
+        the exact path's parallelism at #groups).
+
+        Classic decomposition, fully declarative (no driver collect, no
+        partition-index coupling):
+
+        1. BLOCK each group by range on the first sort column —
+           per-group ``percentile_approx`` boundaries (one agg, O(groups)
+           rows, broadcast back), block id = #boundaries strictly below
+           the key (native ``aggregate`` over the boundary array; equal
+           keys never split across blocks).
+        2. SCAN pass (ONE Python pass): run ``iter_fn`` per (group,
+           block) segment streaming, tagging outputs with an emission
+           sequence number; persist the result (MEMORY_AND_DISK — it
+           feeds two consumers and Python is the expensive pass).
+        3. CARRY: block finals = ``max_by(scan, seq)`` per (group,
+           block) — a native agg over the persisted scan — then the
+           exclusive prefix sum within each group is a window over that
+           O(groups x blocks) table.
+        4. STITCH: one broadcast join adds each block's carry-in to the
+           scan column.
+
+        Parallelism is #groups x blocks instead of #groups.  Requires
+        ``:sort`` — an additive scan without an order is meaningless.
+        The persisted intermediate rides on the result as
+        ``_prefix_scan_cache`` (same lifecycle convention as
+        ``cosine_pairs``): unpersist after the consuming action, or let
+        Spark's LRU evict it.
+        """
+        import itertools
+
+        import pandas as pd
+
+        op: BufferIterOp = rp.op
+        namer = self.namer
+        if not node.sort:
+            raise ValueError(
+                f"prefix_assoc bufferiter '{op.name}' requires :sort — an "
+                "additive prefix scan is only defined over an ordering")
+        group_cols = [namer.col(f) for f in node.group_fields]
+        in_cols = []
+        for i, f in enumerate(rp.infields):
+            if V.is_var(f):
+                in_cols.append(namer.col(f))
+            else:
+                cname = f"__biconst_{i}"
+                df = df.withColumn(cname, F.lit(f))
+                in_cols.append(cname)
+        out_cols = [namer.col(o) for o in rp.outfields]
+
+        global_agg = not group_cols
+        gkey = "__g"
+        if global_agg:
+            df = df.withColumn(gkey, F.lit(1))
+            group_cols_eff = [gkey]
+        else:
+            group_cols_eff = group_cols
+
+        sort_cols = [namer.col(s) for s in node.sort]
+        key1 = sort_cols[0]
+        sel_cols = list(dict.fromkeys(group_cols_eff + sort_cols + in_cols))
+        df = df.select(*sel_cols)
+        n_shuffle = node.reducers or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_blocks = max(2, n_shuffle)
+
+        # -- 1. range-block each group on the first sort column.  The
+        # boundary table is O(groups x blocks) — broadcast-sized by
+        # construction (prefix_assoc targets FEW giant groups; many small
+        # groups already parallelize on the exact path).
+        fracs = [i / n_blocks for i in range(1, n_blocks)]
+        bnds = (df.groupBy(*group_cols_eff)
+                .agg(F.percentile_approx(key1, fracs, 10_000)
+                     .alias("__bnds")))
+        key1c = F.col(key1)
+        df = df.join(F.broadcast(bnds), group_cols_eff, "left")
+        blk = F.aggregate(
+            F.col("__bnds"), F.lit(0),
+            lambda acc, b: acc
+            + F.when(key1c > b, 1).otherwise(0))
+        # null-key groups miss the (non-null-safe) boundary join: they
+        # collapse into block 0 — correct, just unsplit
+        df = df.withColumn("__blk", F.coalesce(blk, F.lit(0)).cast("int")) \
+               .drop("__bnds")
+
+        keys2 = group_cols_eff + ["__blk"]
+        df = df.repartition(n_shuffle, *keys2)
+        sort_exprs = [F.col(c) for c in keys2]
+        sort_exprs += [F.col(c).desc() if node.reverse else F.col(c).asc()
+                       for c in sort_cols]
+        df = df.sortWithinPartitions(*sort_exprs)
+
+        src_schema = {f.name: f for f in df.schema.fields}
+        key_fields = [src_schema[c] for c in keys2]
+        scan_col = out_cols[-1]
+        scan_type = op.returns[-1]
+        n_keys = len(keys2)
+        iter_cols = keys2 + in_cols
+        iter_fn = op.iter_fn
+        CHUNK = 10_000
+
+        def norm_key(r):
+            return tuple(
+                (True, None) if v is None
+                or (isinstance(v, float) and v != v) else (False, v)
+                for v in r[:n_keys])
+
+        def seg_rows(batches):
+            def rows():
+                for pdf in batches:
+                    yield from pdf[iter_cols].itertuples(index=False,
+                                                         name=None)
+            for _nk, group in itertools.groupby(rows(), key=norm_key):
+                first = next(group)
+                yield first[:n_keys], itertools.chain([first], group)
+
+        # -- 2. ONE Python pass: per-block scan outputs + emission seq
+        out_schema = T.StructType(
+            key_fields + [T.StructField(c, t)
+                          for c, t in zip(out_cols, op.returns)]
+            + [T.StructField("__seq", T.LongType())])
+        out_names = keys2 + out_cols + ["__seq"]
+
+        def scan(batches):
+            out_buf = []
+            for key, seg in seg_rows(batches):
+                for seq, t in enumerate(
+                        iter_fn(r[n_keys:] for r in seg)):
+                    t = tuple(t) if isinstance(t, (list, tuple)) else (t,)
+                    out_buf.append(key + t + (seq,))
+                    if len(out_buf) >= CHUNK:
+                        yield pd.DataFrame(out_buf, columns=out_names)
+                        out_buf = []
+            if out_buf:
+                yield pd.DataFrame(out_buf, columns=out_names)
+
+        scanned = df.mapInPandas(scan, out_schema) \
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+
+        # -- 3. block finals -> exclusive per-group prefix (tiny table)
+        w = (Window.partitionBy(*group_cols_eff).orderBy("__blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        carries = (scanned.groupBy(*keys2)
+                   .agg(F.max_by(F.col(scan_col), F.col("__seq"))
+                        .alias("__fin"))
+                   .select(*keys2,
+                           F.coalesce(F.sum("__fin").over(w), F.lit(0))
+                           .alias("__carry")))
+
+        # -- 4. stitch: broadcast carry-in join, fix the scan column
+        out = (scanned.join(F.broadcast(carries), keys2, "left")
+               .withColumn(scan_col,
+                           (F.col(scan_col)
+                            + F.coalesce(F.col("__carry"), F.lit(0)))
+                           .cast(scan_type))
+               .drop("__blk", "__carry", "__seq"))
+        if global_agg:
+            out = out.drop(gkey)
+        out._prefix_scan_cache = scanned
+        return out
 
     def _compile_pandas_grouping(self, df, node: GroupingNode,
                                  aggs=None) -> DataFrame:

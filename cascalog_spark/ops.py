@@ -184,12 +184,26 @@ class BufferIterOp:
     ``iter_fn(rows)``: rows is an iterator of input-value tuples; returns
     an iterable (may itself be lazy) of output tuples (scalars allowed for
     single-output ops).
+
+    ``prefix_assoc``: opt-in parallel-prefix escape hatch for MEGAGROUPS
+    (few giant groups → parallelism bounded by #groups on the exact
+    path).  Declares the op an ADDITIVE PREFIX SCAN: for any split of the
+    sorted group into prefix P and suffix S,
+    ``iter_fn(P + S) == iter_fn(P) ++ [shift(o) for o in iter_fn(S)]``
+    where ``shift`` adds the LAST output row of ``iter_fn(P)``'s final
+    column to the final column and leaves every other column unchanged
+    (i.e. the last output column is a running monoid sum; the rest are
+    prefix-independent row echoes).  The compiler then blocks each group
+    by range on the first sort column and runs the classic two-pass
+    parallel prefix-sum (per-block fold + carry-in join) — parallelism =
+    #groups × blocks.  The exact streaming path stays the default.
     """
 
     name: str
     iter_fn: Callable[..., Any] = None
     returns: Sequence[Any] = ()
     n_out: int = 1
+    prefix_assoc: bool = False
 
 
 @dataclass(repr=False)
@@ -300,16 +314,21 @@ def defaggregatefn(init, step, final=None, returns="double", n_out: int = 1,
 
 
 def defbufferiterfn(returns="string", n_out: int = 1,
-                    name: Optional[str] = None):
+                    name: Optional[str] = None,
+                    prefix_assoc: bool = False):
     """Lift a Python iterator-consuming group fn to a streaming buffer
-    (reference ``defbufferiterfn``, logic/def.clj:86-88)."""
+    (reference ``defbufferiterfn``, logic/def.clj:86-88).
+
+    ``prefix_assoc=True`` declares the op an additive prefix scan and
+    unlocks the two-pass parallel-prefix compilation for megagroups —
+    see BufferIterOp for the exact contract."""
 
     def deco(fn):
         rts = returns if isinstance(returns, (list, tuple)) \
             else [returns] * n_out
         return BufferIterOp(name=name or fn.__name__, iter_fn=fn,
                             returns=[parse_type(t) for t in rts],
-                            n_out=len(rts))
+                            n_out=len(rts), prefix_assoc=prefix_assoc)
 
     return deco
 

@@ -380,6 +380,73 @@ def test_bufferiter_group_spanning_arrow_batches(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_bufferiter_prefix_assoc_equivalence(spark):
+    """prefix_assoc=True (two-pass parallel prefix scan) produces exactly
+    the exact streaming path's output — incl. null group keys, ties on
+    the first sort column, and negative increments."""
+    import random
+
+    from cascalog_spark.ops import defbufferiterfn
+
+    def mk(prefix):
+        @defbufferiterfn(returns=["bigint", "bigint"], n_out=2,
+                         name="rsum", prefix_assoc=prefix)
+        def rsum(rows):
+            acc = 0
+            for i, v in rows:
+                acc += v
+                yield (i, acc)
+        return rsum
+
+    rng = random.Random(11)
+    rows = [(rng.choice(["a", "b", None]), i, rng.randrange(-50, 100))
+            for i in range(3000)]
+    # heavy first-sort-key ties: i // 10 collides 10 rows per value
+    rows = [(k, i // 10, i, v) for k, (i, v) in
+            ((k, (i, v)) for (k, i, v) in rows for _ in [0])]
+
+    def run(prefix):
+        return q(["!k", "?i2", "?rs"],
+                 (rows, "!k", "?t", "?i", "?v"),
+                 (mk(prefix), "?i", "?v", ":>", "?i2", "?rs"),
+                 sort=["?t", "?i"]).run(spark)
+
+    assert sorted(run(False), key=str) == sorted(run(True), key=str)
+
+
+def test_bufferiter_prefix_assoc_global_group(spark):
+    """Global (no group vars) prefix scan — one logical group split
+    across blocks, carry chain across all of them."""
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint", "bigint"], n_out=2,
+                     name="gsum", prefix_assoc=True)
+    def gsum(rows):
+        acc = 0
+        for (i, v) in rows:
+            acc += v
+            yield (i, acc)
+
+    rows = [(i, 1) for i in range(500)]
+    res = q(["?i2", "?rs"], (rows, "?i", "?v"),
+            (gsum, "?i", "?v", ":>", "?i2", "?rs"),
+            sort=["?i"]).run(spark)
+    assert sorted(res) == [(i, i + 1) for i in range(500)]
+
+
+def test_bufferiter_prefix_assoc_requires_sort(spark):
+    from cascalog_spark.ops import defbufferiterfn
+
+    @defbufferiterfn(returns=["bigint"], name="c", prefix_assoc=True)
+    def c_(rows):
+        yield (sum(1 for _ in rows),)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="requires :sort"):
+        q(["?k", "?n"], ([("a", 1.0)], "?k", "?v"),
+          (c_, "?v", ":>", "?n")).to_df(spark)
+
+
 def test_bufferiter_plan_has_no_grouped_map(spark):
     """The streaming path is mapInPandas after an explicit repartition —
     no FlatMapGroupsInPandas (whole-group materialization) in the plan."""
