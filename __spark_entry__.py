@@ -1159,6 +1159,51 @@ def lineitem_charge_vararg(spark, sf_dir):
              ).to_df(spark)
 
 
+def events_stream_late_data(spark, sf_dir):
+    """Watermark LATE-DATA semantics, driver-oracled: events replayed as
+    three deterministic micro-batches (stage_file_batches + file source
+    with maxFilesPerTrigger=1); batch 2's rows arrive behind the
+    watermark set by batch 0, so Spark DROPS every late row whose 1-day
+    window has closed (window.end <= watermark-for-late-events).  The
+    expected output therefore includes the drops — the DuckDB oracle
+    reproduces the kept-row set arithmetically: wm = max(batch0.ts) - 2h;
+    batch-2 rows survive iff their window end > wm.  Batch 1 is pinned to
+    the min-ts slice of its partition so it cannot advance the watermark,
+    making the lagging late-events watermark (Spark 3.4+ splits it from
+    the eviction watermark) unambiguous across engines."""
+    from cascalog_spark.streaming import stage_file_batches
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts")))
+    b0 = ev.where(F.col("event_id") % 4 < 2)
+    mid = ev.where(F.col("event_id") % 4 == 2)
+    min_ts = mid.agg(F.min("ts")).first()[0]  # fixture scalar, O(1)
+    b1 = mid.where(F.col("ts") == F.lit(min_ts))
+    b2 = ev.where(F.col("event_id") % 4 == 3)
+    d = stage_file_batches([b0, b1, b2])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(d))
+    agg = (raw.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 day").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    name = "events_stream_late_data"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(availableNow=True).start())
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_late_data: bounded stream did "
+                           "not drain within 300s")
+    # update mode re-emits a window per batch; per-window counts are
+    # monotone, so the final state is the max
+    return (spark.table(name)
+            .groupBy(F.col("w.start").alias("day"))
+            .agg(F.max("n").alias("n")))
+
+
 def events_stream_user_counts(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState — SURVEY §2.9):
     cumulative per-user event counts driven as a bounded stream
@@ -1809,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total_cents": orders_running_total_cents,
         "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
+        "events_stream_late_data": events_stream_late_data,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -2533,6 +2579,22 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "events_stream_late_data": """
+            WITH b0 AS (SELECT ts FROM events WHERE event_id % 4 < 2),
+            b1 AS (SELECT ts FROM events WHERE event_id % 4 = 2
+                   AND ts = (SELECT min(ts) FROM events
+                             WHERE event_id % 4 = 2)),
+            b2 AS (SELECT ts FROM events WHERE event_id % 4 = 3),
+            wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM b0),
+            kept AS (SELECT ts FROM b0
+                     UNION ALL SELECT ts FROM b1
+                     UNION ALL
+                     SELECT b2.ts FROM b2, wm
+                     WHERE date_trunc('day', b2.ts) + INTERVAL 1 DAY
+                           > wm.w)
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n
+            FROM kept GROUP BY 1""",
         "doc_decontamination": f"""
             WITH bench AS (
               SELECT DISTINCT unnest({_shingle_sql(3)}) AS s

@@ -190,9 +190,12 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
                   num_perm: int = 16, bands: int = 4,
                   shingle_k: int = 3) -> DataFrame:
     """Persistable near-dup index: ``(id, band, bh)`` — one row per doc
-    per band.  Write it partitioned/bucketed by ``(band, bh)`` so daily
-    incremental passes prune to matching buckets instead of rescanning
-    the corpus; append new batches' rows after each ingest."""
+    per band.  Write it through ``BucketedTap(bucket_by=["band", "bh"])``
+    so daily incremental passes join the index WITHOUT shuffling it
+    (only the batch side pays an Exchange — plan-gated in
+    tests/test_plan_quality.py::
+    test_minhash_bucketed_index_join_zero_index_exchange); append new
+    batches' rows after each ingest."""
     assert num_perm % bands == 0, "bands must divide num_perm"
     r = num_perm // bands
     sigs = minhash_signature(df.select(id_col, text_col), text_col,

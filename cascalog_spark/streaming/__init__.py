@@ -1,5 +1,5 @@
 from .stateful import running_counts, stateful_op
-from .stream import (session_windows, sliding_counts, stream_dedup,
-                     stream_interval_join, stream_tap, stream_to_memory,
-                     trapped_stream_map, tumbling_agg, write_stream,
-                     write_stream_trapped)
+from .stream import (session_windows, sliding_counts, stage_file_batches,
+                     stream_dedup, stream_interval_join, stream_tap,
+                     stream_to_memory, trapped_stream_map, tumbling_agg,
+                     write_stream, write_stream_trapped)

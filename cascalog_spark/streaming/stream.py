@@ -58,6 +58,37 @@ def session_windows(df: DataFrame, ts_col: str, gap: str, keys: list,
         *(aggs or [F.count(F.lit(1)).alias("n_events")]))
 
 
+def stage_file_batches(dfs: list, path: Optional[str] = None,
+                       prefix: str = "batch") -> str:
+    """Write each DataFrame as exactly ONE parquet file under ``path``,
+    mtime-ordered, so a file-source stream with ``maxFilesPerTrigger=1``
+    replays them as deterministic micro-batches — the fixture harness for
+    watermark/late-data semantics (the file source orders by modification
+    time, so distinct synthetic mtimes pin the batch order).
+
+    Returns the directory; read it back with::
+
+        spark.readStream.schema(s).option("maxFilesPerTrigger", "1")
+             .option("pathGlobFilter", "batch*.parquet").parquet(dir)
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    d = path or tempfile.mkdtemp(prefix="stream_batches_")
+    os.makedirs(d, exist_ok=True)
+    for i, b in enumerate(dfs):
+        tmp = os.path.join(d, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{prefix}{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i * 1000,) * 2)
+    return d
+
+
 def write_stream(df: DataFrame, fmt: str, path: Optional[str] = None,
                  checkpoint: Optional[str] = None,
                  output_mode: str = "append", trigger: Optional[dict] = None,

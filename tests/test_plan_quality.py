@@ -250,3 +250,47 @@ def test_q10_broadcast_nation(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "l_returnflag" in plan.split("PushedFilters")[1] if \
         "PushedFilters" in plan else True
+
+
+def test_minhash_bucketed_index_join_zero_index_exchange(spark, tmp_path):
+    """The incremental-index scale contract (dedup.py minhash_index):
+    the index written via BucketedTap bucketed on (band, bh) must join a
+    daily batch WITHOUT shuffling the index — only the (small) batch side
+    pays an Exchange.  Gate: the bucketed read shows up in the scan and
+    the candidates plan carries exactly one fewer Exchange than the same
+    plan over an unbucketed index; results are identical either way."""
+    from cascalog_spark.functions.dedup import (
+        minhash_index, minhash_lsh_candidates_incremental)
+    from cascalog_spark.sources import BucketedTap
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog num "
+             + str(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.where("doc_id % 2 = 0")
+    batch = df.where("doc_id % 2 = 1")
+    idx = minhash_index(old, "doc_id", num_perm=8, bands=4)
+
+    tap = BucketedTap(table="mh_idx_gate", path=str(tmp_path / "idx"),
+                      bucket_by=["band", "bh"], n_buckets=4)
+    tap.save_df(idx)
+    plain_path = str(tmp_path / "idx_plain")
+    idx.write.parquet(plain_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_pairs, _ = minhash_lsh_candidates_incremental(
+            batch, tap.load_df(spark), "doc_id", num_perm=8, bands=4)
+        plain_pairs, _ = minhash_lsh_candidates_incremental(
+            batch, spark.read.parquet(plain_path), "doc_id",
+            num_perm=8, bands=4)
+        bplan = bucketed_pairs._jdf.queryExecution().executedPlan() \
+                                   .toString()
+        pplan = plain_pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in bplan  # index read IS bucket-aware
+        # bucketing removed the index-side shuffle and nothing else
+        assert bplan.count("Exchange") == pplan.count("Exchange") - 1
+        got_b = sorted((r.id_a, r.id_b) for r in bucketed_pairs.collect())
+        got_p = sorted((r.id_a, r.id_b) for r in plain_pairs.collect())
+        assert got_b == got_p and got_b  # same candidates, non-empty
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_gate")
