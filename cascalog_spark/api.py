@@ -68,6 +68,13 @@ class Query:
             # extension option (no reference analog): cap rows after the
             # final projection; compiles to GlobalLimit/CollectLimit
             df = df.limit(int(limit))
+        if compiler.prefix_caches:
+            # surface the prefix_assoc scan persist on the FINAL frame
+            # (projection wrapping drops python attrs) so callers can
+            # unpersist after their action
+            df._prefix_scan_cache = (
+                compiler.prefix_caches[0] if len(compiler.prefix_caches) == 1
+                else compiler.prefix_caches)
         return df
 
     def flush_traps(self) -> None:

@@ -86,6 +86,9 @@ class Compiler:
         self._src_memo: dict[int, DataFrame] = {}
         self._src_counts: dict[int, int] | None = None
         self.persisted: list[DataFrame] = []
+        # prefix_assoc bufferiters persist their scan intermediate; handles
+        # surface on the final DataFrame as _prefix_scan_cache for release
+        self.prefix_caches: list[DataFrame] = []
         # dynamic typing (SURVEY §1.2 / conf.clj:86-94 Kryo analog):
         # physical column names currently holding PICKLED Python objects —
         # heterogeneous raw-collection columns and ``returns="object"`` op
@@ -925,6 +928,7 @@ class Compiler:
         if global_agg:
             out = out.drop(gkey)
         out._prefix_scan_cache = scanned
+        self.prefix_caches.append(scanned)
         return out
 
     def _compile_pandas_grouping(self, df, node: GroupingNode,

@@ -294,3 +294,21 @@ def test_minhash_bucketed_index_join_zero_index_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS mh_idx_gate")
+
+
+def test_prefix_assoc_plan_single_python_pass(spark, sf_dir):
+    """prefix_assoc bufferiter: ONE MapInPandas (the persisted scan feeds
+    both the finals agg and the stitch join via InMemoryTableScan), the
+    carry-in comes back as a broadcast join, and nothing cartesian."""
+    df = entry_mod.lineitem_flag_running_qty_par(spark, sf_dir)
+    plan = _plan(df)
+    # every MapInPandas occurrence is the cached subtree printed under an
+    # InMemoryRelation — i.e. NO uncached Python pass exists; the toString
+    # repeats the relation once per scan, so equality is the invariant
+    assert plan.count("MapInPandas") == plan.count("InMemoryRelation")
+    assert plan.count("InMemoryTableScan") == 2    # both consumers reuse it
+    assert "BroadcastHashJoin" in plan             # carry-in join
+    assert "CartesianProduct" not in plan
+    cache = getattr(df, "_prefix_scan_cache", None)
+    assert cache is not None
+    cache.unpersist()
