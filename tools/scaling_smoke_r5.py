@@ -1,0 +1,121 @@
+"""Scaling smoke for the round-5 operators — gated (exits nonzero on a
+blown ratio):
+
+1. prefix_assoc parallel prefix scan at 8x rows: wall ratio must stay
+   well under 8 on fixed cores (the whole point is parallelism beyond
+   #groups), AND the parallel path must beat the exact streaming path
+   at 8x.
+2. star-contraction connected components on PATH graphs (the
+   adversarial chain topology): rounds must grow ~log n, not ~n —
+   gate: rounds(8192-path) <= rounds(512-path) + 6 (log2 gap is 4).
+
+Same protocol as the r3/r4 smokes: replicate sf0.1 8x with disjoint id
+spaces, min-of-2 wall times, local[32].
+
+Run: python tools/scaling_smoke_r5.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+SF = "/root/testdata/sf0.1"
+
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+failures = []
+
+
+def timeit(fn, n=2):
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        cache = getattr(df, "_prefix_scan_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+# -- 1. prefix_assoc at 8x --------------------------------------------------
+from cascalog_spark import q  # noqa: E402
+from cascalog_spark.ops import defbufferiterfn  # noqa: E402
+
+li1 = spark.read.parquet(f"{SF}/lineitem.parquet") \
+    .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity") \
+    .repartition(32).persist()
+k = spark.range(8).select(F.col("id").alias("__k"))
+li8 = (li1.crossJoin(F.broadcast(k))
+       .withColumn("l_orderkey",
+                   F.col("l_orderkey") + F.col("__k") * 10_000_000)
+       .drop("__k").repartition(64).persist())
+li1.count(), li8.count()
+
+
+def mk(prefix):
+    @defbufferiterfn(returns=["bigint", "bigint", "bigint"], n_out=3,
+                     name="run-qty", prefix_assoc=prefix)
+    def running_qty(rows):
+        acc = 0
+        for ok, ln, qty in rows:
+            acc += int(round(qty * 100))
+            yield (ok, ln, acc)
+    return running_qty
+
+
+def scan_query(df, prefix):
+    return q(["?flag", "?ok2", "?ln2", "?rq"],
+             (df, {"l_returnflag": "?flag", "l_orderkey": "?ok",
+                   "l_linenumber": "?ln", "l_quantity": "?qty"}),
+             (mk(prefix), "?ok", "?ln", "?qty",
+              ":>", "?ok2", "?ln2", "?rq"),
+             sort=["?ok", "?ln", "?qty"]).to_df(spark)
+
+
+par1 = timeit(lambda: scan_query(li1, True))
+par8 = timeit(lambda: scan_query(li8, True))
+exact8 = timeit(lambda: scan_query(li8, False))
+ratio = round(par8 / par1, 2)
+print(f"prefix_assoc: 1x={par1}s 8x={par8}s ratio={ratio} "
+      f"(exact at 8x: {exact8}s)")
+if ratio > 6:
+    failures.append(f"prefix_assoc 8x ratio {ratio} > 6")
+if par8 >= exact8:
+    failures.append(f"prefix_assoc at 8x ({par8}s) does not beat the "
+                    f"exact path ({exact8}s) — megagroups grew 8x, the "
+                    "parallel path must win there")
+
+# -- 2. star CC round growth on chain graphs ---------------------------------
+from cascalog_spark.functions import dedup_clusters  # noqa: E402
+
+rounds = {}
+for n in (512, 8192):
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = dedup_clusters(pairs, method="star", max_iter=40)
+    t0 = time.perf_counter()
+    bad = out.where(F.col("cluster") != 0).count()
+    wall = round(time.perf_counter() - t0, 2)
+    rounds[n] = out._cc_rounds
+    print(f"star CC path n={n}: rounds={out._cc_rounds} wall={wall}s "
+          f"wrong_labels={bad}")
+    if bad:
+        failures.append(f"star CC path n={n}: {bad} wrong labels")
+if rounds[8192] > rounds[512] + 6:
+    failures.append(f"star CC rounds grew {rounds[512]}->{rounds[8192]} "
+                    "on 16x path length — not logarithmic")
+
+if failures:
+    print("SMOKE FAILURES:")
+    for f in failures:
+        print(" -", f)
+    sys.exit(1)
+print("scaling smoke r5: all gates passed")
