@@ -1251,6 +1251,41 @@ def doc_decontamination(spark, sf_dir):
             .select("doc_id", "n_hits"))
 
 
+def doc_decontamination_bloom(spark, sf_dir):
+    """The same decontamination through the Bloom PREFILTER path
+    (corpus.py contamination_bloom): the corpus scan tests shingles
+    against a broadcast 128 KiB bitset inside codegen — only
+    bloom-positive shingles reach the exact verify join, so the result
+    is bit-identical to doc_decontamination (same oracle) while the
+    corpus side never joins a string set."""
+    from cascalog_spark.functions import contamination_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return (contamination_bloom(corpus, bench, k=3)
+            .select("doc_id", "n_hits"))
+
+
+def orders_flag_cube(spark, sf_dir):
+    """Native CUBE (all grouping-set combinations): counts + revenue at
+    (status, flag), (status), (flag), and grand-total levels in ONE
+    aggregation pass over the lineitem-orders join — Catalyst expands the
+    grouping sets map-side, so partial aggregation still collapses each
+    partition before the single shuffle.  NULL cells coalesced to 'ALL'
+    for NULL-free cross-engine sorting."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (j.cube("o_orderstatus", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    "n_items", "revenue"))
+
+
 def doc_boilerplate_removal(spark, sf_dir):
     """C4-style hot-line removal at word granularity (the synthetic corpus
     is single-line): tokens present in ≥400 of the 500 docs are
@@ -1855,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
         "events_stream_late_data": events_stream_late_data,
+        "doc_decontamination_bloom": doc_decontamination_bloom,
+        "orders_flag_cube": orders_flag_cube,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -3083,6 +3120,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "orders_flag_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(l_returnflag, 'ALL') AS flag,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY CUBE (o_orderstatus, l_returnflag)""",
         "events_sessionized": """
             WITH u AS (SELECT event_id, user_id, ts FROM events
                        WHERE user_id < 10),
@@ -3183,6 +3227,18 @@ def oracle_sql() -> dict[str, str]:
                        for b in range(8))}) AS zkey
             FROM cells""",
     } | {
+        # the bloom prefilter must be bit-identical to the exact
+        # decontamination (FPs die in the verify join) — same oracle
+        "doc_decontamination_bloom": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 = 0),
+            corp AS (
+              SELECT doc_id, unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 <> 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM corp JOIN bench USING (s)
+            GROUP BY doc_id""",
         # the parallel-prefix compilation must be bit-identical to the
         # exact streaming path, so it shares that query's oracle verbatim
         "lineitem_flag_running_qty_par": """

@@ -6,9 +6,10 @@ semantics allow, Arrow-vectorized pandas UDFs only for genuinely bit-twiddly
 ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
-from .corpus import (boilerplate_lines, contamination, decontaminate,
+from .corpus import (bloom_contains, boilerplate_lines, contamination,
+                     contamination_bloom, decontaminate,
                      cap_per_stratum, mix_corpora, pack_sequences,
-                     remove_boilerplate, stratified_sample,
+                     remove_boilerplate, shingle_bloom, stratified_sample,
                      weighted_sample)
 from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
                     exact_substring_dedup, exact_substring_spans,

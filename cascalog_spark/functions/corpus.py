@@ -71,6 +71,90 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
     return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
 
 
+def shingle_bloom(benchmark: DataFrame, k: int = 8,
+                  text_col: str = "text", n_bits: int = 1 << 20,
+                  n_hashes: int = 3) -> DataFrame:
+    """Bloom filter of the benchmark's distinct k-token shingles as a
+    ONE-ROW DataFrame (``words: array<bigint>``, ``n_bits/64`` words) —
+    built entirely with native expressions: ``n_hashes`` seeded xxhash64
+    positions per shingle, ``bit_or`` per 64-bit word, sparse→dense via
+    ``map_from_entries`` + ``transform(sequence(...))``.  No UDF, no
+    driver collect; broadcast the single row and prefilter corpus
+    shingles map-side with ``bloom_contains``.
+
+    Size the filter ~10 bits/element for ~1% FP at ``n_hashes=3``
+    (default 2^20 bits = 128 KiB ≈ 100k shingles) — broadcast cost is
+    the BITSET, not a hash set of strings."""
+    assert n_bits % 64 == 0, "n_bits must be a multiple of 64"
+    n_words = n_bits // 64
+    b = with_shingles(benchmark, text_col, k, "__sh")
+    sh = (explode_fast(b, F.col("__sh"), "__s")
+          .select("__s").distinct())
+    pos = sh.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64("__s", F.lit(j)), F.lit(n_bits))
+        for j in range(n_hashes)])).alias("p"))
+    words = (pos.select(
+                 (F.col("p") / 64).cast("long").alias("w"),
+                 F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                                 (F.col("p") % 64).cast("int")).alias("b"))
+             .groupBy("w").agg(F.expr("bit_or(b)").alias("bits")))
+    return (words.agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))).alias("__m"))
+            .select(F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("long")),
+                    F.lit(0).cast("bigint"))).alias("words")))
+
+
+def bloom_contains(words_col, value_col, n_bits: int = 1 << 20,
+                   n_hashes: int = 3):
+    """Membership test Column against a ``shingle_bloom`` word array —
+    the same seeded hashes, all bits must be set.  Pure expression (runs
+    inside whole-stage codegen on the corpus scan)."""
+    checks = []
+    for j in range(n_hashes):
+        p = F.pmod(F.xxhash64(value_col, F.lit(j)), F.lit(n_bits))
+        word = F.element_at(words_col, (p / 64).cast("int") + 1)
+        mask = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                               (p % 64).cast("int"))
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def contamination_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", n_bits: int = 1 << 20,
+                        n_hashes: int = 3) -> DataFrame:
+    """``contamination`` with a Bloom PREFILTER on the corpus side —
+    bit-identical results (bloom false positives are removed by the
+    exact verify join), different scale shape: the corpus scan tests
+    each shingle against a broadcast BITSET (``n_bits/8`` bytes, default
+    128 KiB) inside codegen, so at 100 TB the full corpus never enters a
+    join — only bloom-positive shingles (true hits + ~1% FP) reach the
+    exact broadcast semi-join.  vs plain ``contamination``, the
+    broadcast shrinks from a string hash set (~50+ B/entry) to ~10
+    bits/entry and the join input shrinks by the non-contaminated
+    fraction."""
+    bloom = shingle_bloom(benchmark, k, text_col, n_bits, n_hashes)
+    c = with_shingles(corpus, text_col, k, "__sh")
+    cand = (explode_fast(c, F.col("__sh"), "__s")
+            .select(F.col(id_col), "__s")
+            .join(F.broadcast(bloom))  # 1-row bitset, map-side
+            .where(bloom_contains(F.col("words"), F.col("__s"),
+                                  n_bits, n_hashes))
+            .drop("words"))
+    b = with_shingles(benchmark, text_col, k, "__sh")
+    bench_sh = (explode_fast(b, F.col("__sh"), "__s")
+                .select("__s").distinct())
+    return (cand.join(F.broadcast(bench_sh), "__s")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 # ---------------------------------------------------------------------------
 # boilerplate / hot-line removal (C4-style line-level dedup)
 

@@ -436,6 +436,45 @@ def test_contamination_and_decontaminate(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
 
+def test_contamination_bloom_equals_exact(spark, sf_dir):
+    """Bloom-prefiltered contamination is bit-identical to the exact
+    path at real data volume (FPs removed by the verify join), and the
+    bloom itself admits every true shingle while rejecting most
+    non-members."""
+    from cascalog_spark.functions import (bloom_contains, contamination,
+                                          contamination_bloom,
+                                          shingle_bloom)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where("doc_id % 25 = 0")
+    corp = docs.where("doc_id % 25 <> 0")
+    exact = {(r.doc_id, r.n_hits)
+             for r in contamination(corp, bench, k=3).collect()}
+    blm = {(r.doc_id, r.n_hits)
+           for r in contamination_bloom(corp, bench, k=3).collect()}
+    assert exact == blm and exact
+
+    # no false negatives: every benchmark shingle passes its own bloom
+    from cascalog_spark.functions.corpus import with_shingles
+    from cascalog_spark.functions.util import explode_fast
+    from pyspark.sql import functions as F
+    bloom = shingle_bloom(bench, k=3)
+    bsh = (explode_fast(with_shingles(bench, "text", 3, "__sh"),
+                        F.col("__sh"), "__s").select("__s").distinct())
+    missed = (bsh.join(F.broadcast(bloom))
+              .where(~bloom_contains(F.col("words"), F.col("__s")))
+              .count())
+    assert missed == 0
+    # and the FP rate on non-member shingles is a real prefilter (<10%)
+    csh = (explode_fast(with_shingles(corp, "text", 3, "__sh"),
+                        F.col("__sh"), "__s").select("__s").distinct()
+           .join(bsh, "__s", "left_anti"))
+    n_non = csh.count()
+    n_fp = (csh.join(F.broadcast(bloom))
+            .where(bloom_contains(F.col("words"), F.col("__s"))).count())
+    assert n_fp < 0.1 * n_non, (n_fp, n_non)
+
+
 def test_remove_boilerplate_order_and_empty(spark):
     from cascalog_spark.functions import remove_boilerplate
 
