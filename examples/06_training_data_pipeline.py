@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.sql import SparkSession
 
-from cascalog_spark.functions import (chunk_text, decontaminate,
+from cascalog_spark.functions import (chunk_text, contamination_bloom,
+                                      exact_substring_dedup,
                                       minhash_lsh_candidates, pack_sequences,
                                       redact_pii, remove_boilerplate,
                                       stratified_sample)
@@ -45,21 +46,31 @@ keep = exact_dedup(docs.withColumn("fp", F.md5("text")), ["fp"], "doc_id") \
 docs = docs.join(keep, "doc_id", "left_semi")
 
 # 3. near dedup: MinHash-LSH candidates → connected components → keep the
-#    cluster representative (min id); non-clustered docs pass through
+#    cluster representative (min id); non-clustered docs pass through.
+#    method='star' = O(log n)-round contraction, safe for chain-shaped
+#    transitive dup clusters (the web-scale topology)
 pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
-clusters = dedup_clusters(pairs)
+clusters = dedup_clusters(pairs, method="star")
 drop = clusters.where(F.col("node") != F.col("cluster")) \
                .select(F.col("node").alias("doc_id"))
 docs = docs.join(drop, "doc_id", "left_anti")
+
+# 3b. exact-substring (duplicated-span) dedup: later docs lose token
+#     spans already owned by an earlier doc (Lee et al. 2022 shape)
+docs = exact_substring_dedup(docs, k=8, out_col="text")
 
 # 4. boilerplate removal (C4 hot-line rule; word-level on this corpus)
 clean = remove_boilerplate(docs, min_docs=int(n0 * 0.8), sep=" ") \
     .select("doc_id", F.col("clean").alias("text"))
 docs = docs.drop("text").join(clean, "doc_id")
 
-# 5. benchmark decontamination: drop docs overlapping the eval slice
+# 5. benchmark decontamination: drop docs overlapping the eval slice —
+#    bloom-prefiltered, so the corpus side tests a broadcast bitset in
+#    codegen and only bloom-positive shingles reach the exact join
 bench = docs.where(F.col("doc_id") % 97 == 0)
-docs = decontaminate(docs.where(F.col("doc_id") % 97 != 0), bench, k=8)
+corpus = docs.where(F.col("doc_id") % 97 != 0)
+hits = contamination_bloom(corpus, bench, k=8)
+docs = corpus.join(hits.select("doc_id"), "doc_id", "left_anti")
 
 # 6. PII scrubbing (RE2-safe masks)
 docs = redact_pii(docs).drop("text") \
