@@ -1534,6 +1534,33 @@ def events_click_in_purchase_window(spark, sf_dir):
     return out.select("click_id", "user_id", "purchase_id")
 
 
+def events_session_overlap(spark, sf_dir):
+    """Interval × interval overlap join (operators/range_join.py
+    interval_overlap_join): click activity windows [ts, ts+30min)
+    overlapping purchase windows [ts, ts+1h) for the same user — both
+    sides explode into time buckets, equi-join on (user, bucket), each
+    pair attributed to its overlap-start bucket so no distinct shuffle.
+    Native `a.lo < b.hi AND b.lo < a.hi` would be a cartesian plan."""
+    from cascalog_spark.operators import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .where(F.col("user_id") < 40)
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("lo"),
+                      (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                      .alias("hi")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .where(F.col("user_id") < 40)
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.col("ts").alias("lo"),
+                     (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                     .alias("hi")))
+    out = interval_overlap_join(clicks, purch, "lo", "hi", "lo", "hi",
+                                on="user_id", bucket=1800.0)
+    return out.select("click_id", "user_id", "purchase_id")
+
+
 def embedding_quantized_codes(spark, sf_dir):
     """Scalar int8 quantization (SQ8): per-dim corpus min/max (one agg
     pass, no explode) → affine code map as a native transform expr — 4x
@@ -1892,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_late_data": events_stream_late_data,
         "doc_decontamination_bloom": doc_decontamination_bloom,
         "orders_flag_cube": orders_flag_cube,
+        "events_session_overlap": events_session_overlap,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -3127,6 +3155,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY CUBE (o_orderstatus, l_returnflag)""",
+        "events_session_overlap": """
+            WITH c AS (SELECT event_id AS click_id, user_id, ts AS lo,
+                              ts + INTERVAL 30 MINUTE AS hi
+                       FROM events
+                       WHERE event_type = 'click' AND user_id < 40),
+            p AS (SELECT event_id AS purchase_id, user_id, ts AS lo,
+                         ts + INTERVAL 1 HOUR AS hi
+                  FROM events
+                  WHERE event_type = 'purchase' AND user_id < 40)
+            SELECT c.click_id, c.user_id, p.purchase_id
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND c.lo < p.hi AND p.lo < c.hi""",
         "events_sessionized": """
             WITH u AS (SELECT event_id, user_id, ts FROM events
                        WHERE user_id < 10),

@@ -1,5 +1,5 @@
 from .asof import asof_join
 from .multigroup import multigroup, multigroup_n
-from .range_join import range_join
+from .range_join import interval_overlap_join, range_join
 from .scd2 import scd2_history, scd2_merge
 from .diff import table_diff

@@ -1119,6 +1119,51 @@ def test_range_join_semantics(spark):
     assert (4, 10) in got4  # b-point in a-interval once keys are dropped
 
 
+def test_interval_overlap_join_equiv_and_no_dups(spark):
+    """interval_overlap_join == the naive overlap predicate on random
+    intervals (multi-bucket spans, shared keys, touching endpoints) —
+    each overlapping pair exactly once (bucket attribution, no
+    distinct)."""
+    import random
+
+    from cascalog_spark.operators import interval_overlap_join
+
+    rng = random.Random(5)
+    L = [(i, rng.choice(["a", "b"]), lo := rng.uniform(0, 100),
+          lo + rng.uniform(0, 30)) for i in range(60)]
+    R = [(i, rng.choice(["a", "b"]), lo := rng.uniform(0, 100),
+          lo + rng.uniform(0, 30)) for i in range(60)]
+    ldf = spark.createDataFrame(L, "lid long, k string, lo double, hi double")
+    rdf = spark.createDataFrame(R, "rid long, k string, lo double, hi double")
+    got = [(r.lid, r.rid) for r in
+           interval_overlap_join(ldf, rdf, "lo", "hi", "lo", "hi",
+                                 on="k", bucket=8.0).collect()]
+    want = [(a[0], b[0]) for a in L for b in R
+            if a[1] == b[1] and a[2] < b[3] and b[2] < a[3]]
+    assert sorted(got) == sorted(want) and len(got) == len(set(got))
+    # half-open: touching endpoints do NOT overlap
+    t1 = spark.createDataFrame([(1, 0.0, 5.0)], "lid long, lo double, hi double")
+    t2 = spark.createDataFrame([(2, 5.0, 9.0)], "rid long, lo double, hi double")
+    assert interval_overlap_join(t1, t2, "lo", "hi", "lo", "hi",
+                                 bucket=4.0).count() == 0
+
+
+def test_interval_overlap_join_plan_and_guard(spark):
+    import pytest
+
+    from cascalog_spark.operators import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0.0, 10.0)], "lid long, lo double, hi double")
+    b = spark.createDataFrame([(2, 5.0, 15.0)], "rid long, lo double, hi double")
+    out = interval_overlap_join(a, b, "lo", "hi", "lo", "hi", bucket=2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert out.count() == 1
+    with pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(a, b, "lo", "hi", "lo", "hi", bucket=0.001,
+                              max_buckets_per_interval=10).count()
+
+
 def test_range_join_no_nested_loop_and_guard(spark):
     import pytest
     from cascalog_spark.operators import range_join
