@@ -458,20 +458,17 @@ def test_contamination_bloom_equals_exact(spark, sf_dir):
     from cascalog_spark.functions.corpus import with_shingles
     from cascalog_spark.functions.util import explode_fast
     from pyspark.sql import functions as F
-    bloom = shingle_bloom(bench, k=3)
+    words = shingle_bloom(bench, k=3)
     bsh = (explode_fast(with_shingles(bench, "text", 3, "__sh"),
                         F.col("__sh"), "__s").select("__s").distinct())
-    missed = (bsh.join(F.broadcast(bloom))
-              .where(~bloom_contains(F.col("words"), F.col("__s")))
-              .count())
+    missed = bsh.where(~bloom_contains(words, F.col("__s"))).count()
     assert missed == 0
     # and the FP rate on non-member shingles is a real prefilter (<10%)
     csh = (explode_fast(with_shingles(corp, "text", 3, "__sh"),
                         F.col("__sh"), "__s").select("__s").distinct()
            .join(bsh, "__s", "left_anti"))
     n_non = csh.count()
-    n_fp = (csh.join(F.broadcast(bloom))
-            .where(bloom_contains(F.col("words"), F.col("__s"))).count())
+    n_fp = csh.where(bloom_contains(words, F.col("__s"))).count()
     assert n_fp < 0.1 * n_non, (n_fp, n_non)
 
 
