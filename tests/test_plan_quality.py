@@ -300,6 +300,9 @@ def test_prefix_assoc_plan_single_python_pass(spark, sf_dir):
     """prefix_assoc bufferiter: ONE MapInPandas (the persisted scan feeds
     both the finals agg and the stitch join via InMemoryTableScan), the
     carry-in comes back as a broadcast join, and nothing cartesian."""
+    # other tests may leave persisted frames that add InMemoryRelations
+    # to this plan's input side — the counts below assume a clean cache
+    spark.catalog.clearCache()
     df = entry_mod.lineitem_flag_running_qty_par(spark, sf_dir)
     plan = _plan(df)
     # every MapInPandas occurrence is the cached subtree printed under an
