@@ -1561,6 +1561,20 @@ def events_session_overlap(spark, sf_dir):
     return out.select("click_id", "user_id", "purchase_id")
 
 
+def customer_name_fuzzy_pairs(spark, sf_dir):
+    """EXACT edit-distance <= 1 pairs via the FastSS deletion-neighborhood
+    equi-join (dedup.py fuzzy_dup_pairs): candidates from exploded
+    single-deletion variants (shuffle keyed by variant, never all-pairs),
+    verified with native levenshtein.  The oracle is the all-pairs
+    brute force — tractable at sf0.01, which is exactly why the engine
+    side must NOT be."""
+    from cascalog_spark.functions import fuzzy_dup_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_dup_pairs(cust.select("c_custkey", "c_name"),
+                           "c_custkey", "c_name")
+
+
 def embedding_quantized_codes(spark, sf_dir):
     """Scalar int8 quantization (SQ8): per-dim corpus min/max (one agg
     pass, no explode) → affine code map as a native transform expr — 4x
@@ -1920,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontamination_bloom": doc_decontamination_bloom,
         "orders_flag_cube": orders_flag_cube,
         "events_session_overlap": events_session_overlap,
+        "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -3167,6 +3182,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.click_id, c.user_id, p.purchase_id
             FROM c JOIN p ON c.user_id = p.user_id
              AND c.lo < p.hi AND p.lo < c.hi""",
+        "customer_name_fuzzy_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1""",
         "events_sessionized": """
             WITH u AS (SELECT event_id, user_id, ts FROM events
                        WHERE user_id < 10),

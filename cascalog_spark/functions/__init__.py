@@ -11,9 +11,10 @@ from .corpus import (bloom_contains, boilerplate_lines, contamination,
                      cap_per_stratum, mix_corpora, pack_sequences,
                      remove_boilerplate, shingle_bloom, stratified_sample,
                      weighted_sample)
-from .dedup import (dedup_clusters, exact_dedup, exact_dedup_incremental,
+from .dedup import (dedup_clusters, deletion_variants_col, exact_dedup,
+                    exact_dedup_incremental,
                     exact_substring_dedup, exact_substring_spans,
-                    kgram_anchors, minhash_lsh_candidates,
+                    fuzzy_dup_pairs, kgram_anchors, minhash_lsh_candidates,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,
                     semantic_dedup, semantic_dedup_losers, simhash)
 from .embed import embed_text, register_embedder

@@ -471,6 +471,55 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     return out
 
 
+def deletion_variants_col(s, max_len: int = 256):
+    """Array Column of ``s`` plus every single-character-deletion variant
+    — the FastSS d=1 neighborhood, built natively (``transform`` over a
+    position ``sequence``; no UDF).  Strings longer than ``max_len`` are
+    truncated for variant generation (guards the fan-out; callers match
+    on the verify predicate anyway)."""
+    t = F.substring(s, 1, max_len)
+    n = F.length(t)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(F.substring(t, F.lit(1), (i - 1).cast("int")),
+                           t.substr(i + 1, n)))
+    return F.array_union(F.array(t), dels)
+
+
+def fuzzy_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                    max_len: int = 256) -> DataFrame:
+    """EXACT edit-distance ≤ 1 pairs (typo-level dup detection for
+    titles / URLs / names) — the FastSS deletion-neighborhood scheme:
+    two strings within one edit share at least one single-deletion
+    variant, so candidates come from an EQUI-JOIN on the exploded
+    variant set (fan-out len+1 per row, shuffle keyed by variant hash —
+    never all-pairs), then ``levenshtein ≤ 1`` verifies exactly.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, one row per
+    pair.  Exact for strings up to ``max_len`` chars (longer strings are
+    compared on their ``max_len`` prefix for candidate generation but
+    verified on the full value).  At corpus scale this is the cheap
+    first pass before the shingle/MinHash machinery — a typo'd URL never
+    survives it."""
+    from .util import explode_fast
+
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__t"))
+    v = explode_fast(
+        base.withColumn("__vs", deletion_variants_col(F.col("__t"),
+                                                      max_len)),
+        F.col("__vs"), "__v").select("__id", "__t", "__v")
+    a, b = v.alias("a"), v.alias("b")
+    dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"))
+    return (a.join(b, on=[F.col("a.__v") == F.col("b.__v"),
+                          F.col("a.__id") < F.col("b.__id")])
+            .where(dist <= 1)
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    dist.cast("int").alias("dist"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
                         prefilter: bool = True) -> DataFrame:

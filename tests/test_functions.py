@@ -230,6 +230,62 @@ def test_dedup_clusters_star_isolated_and_self_loops(spark):
     assert got == {5: 5, 1: 1, 2: 1}
 
 
+def test_fuzzy_dup_pairs_exact_vs_bruteforce(spark):
+    """FastSS deletion-neighborhood join finds EXACTLY the edit-distance
+    <= 1 pairs — verified against the all-pairs levenshtein on random
+    strings with injected insert/delete/substitute typos."""
+    import random
+
+    from cascalog_spark.functions import fuzzy_dup_pairs
+
+    rng = random.Random(3)
+    base = ["".join(rng.choice("abcdef") for _ in range(rng.randrange(3, 12)))
+            for _ in range(25)]
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((3 * i, s))
+        mut = list(s)
+        op = rng.choice(["del", "ins", "sub", "none"])
+        p = rng.randrange(len(mut))
+        if op == "del":
+            del mut[p]
+        elif op == "ins":
+            mut.insert(p, rng.choice("abcdef"))
+        elif op == "sub":
+            mut[p] = rng.choice("abcdef")
+        rows.append((3 * i + 1, "".join(mut)))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted((r.id_a, r.id_b, r.dist)
+                 for r in fuzzy_dup_pairs(df, "id", "name").collect())
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted((x, y, lev(a, b))
+                  for (x, a) in rows for (y, b) in rows
+                  if x < y and lev(a, b) <= 1)
+    assert got == want and len(got) >= 25 // 2  # 'none' mutations at d=0
+
+
+def test_fuzzy_dup_pairs_no_cartesian(spark):
+    from cascalog_spark.functions import fuzzy_dup_pairs
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id long, s string")
+    out = fuzzy_dup_pairs(df, "id", "s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert [(r.id_a, r.id_b, r.dist) for r in out.collect()] == [(1, 2, 1)]
+
+
 def test_minhash_lsh_candidates_runs(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog today"),
             (2, "the quick brown fox jumps over the lazy dog tonight"),
