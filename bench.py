@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "doc_tfidf_terms",
     "embedding_semantic_dedup",
     "events_click_in_purchase_window",
+    # round-5 entries: interval x interval overlap, duplicated-span dedup
+    "events_session_overlap",
+    "doc_exact_substring_dedup",
 ]
 
 

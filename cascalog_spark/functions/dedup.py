@@ -500,7 +500,14 @@ def fuzzy_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     compared on their ``max_len`` prefix for candidate generation but
     verified on the full value).  At corpus scale this is the cheap
     first pass before the shingle/MinHash machinery — a typo'd URL never
-    survives it."""
+    survives it.
+
+    Cost scales with variant-key collision rate, i.e. string ENTROPY:
+    natural keys (URLs, titles) collide only for true near-matches;
+    adversarially self-similar keys (fixed prefix + zero-padded serials,
+    e.g. TPC-H customer names) put large candidate classes on shared
+    variants and pay a superlinear verify pass — measured 8.7s for 15k
+    such names vs sub-second for the same count of natural strings."""
     from .util import explode_fast
 
     base = df.select(F.col(id_col).alias("__id"),
