@@ -438,3 +438,37 @@ def test_scd2_merge_matches_model(spark, cur, ups):
                   for r in scd2_merge(cdf, udf_, ["k"], ["v"]).collect()),
                  key=lambda r: (r[0], r[2]))
     assert got == _scd2_model(cur_open, ups)
+
+
+# -- interval_overlap_join vs the naive all-pairs overlap model --------------
+
+_iv = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),          # key
+              st.integers(min_value=0, max_value=40),          # lo
+              st.integers(min_value=0, max_value=25)),         # span
+    min_size=0, max_size=10)
+
+
+@given(left=_iv, right=_iv,
+       bucket=st.sampled_from([1.0, 3.0, 7.0, 50.0]))
+@SET
+def test_interval_overlap_join_matches_model(spark, left, right, bucket):
+    """Bucketized overlap join == naive half-open overlap predicate for
+    arbitrary interval sets (zero-width intervals, heavy bucket-boundary
+    ties, spans larger and smaller than the bucket)."""
+    from cascalog_spark.operators import interval_overlap_join
+
+    if not left or not right:
+        return
+    L = [(i, k, float(lo), float(lo + sp))
+         for i, (k, lo, sp) in enumerate(left)]
+    R = [(i, k, float(lo), float(lo + sp))
+         for i, (k, lo, sp) in enumerate(right)]
+    ldf = spark.createDataFrame(L, "lid long, k long, lo double, hi double")
+    rdf = spark.createDataFrame(R, "rid long, k long, lo double, hi double")
+    got = sorted((r.lid, r.rid) for r in
+                 interval_overlap_join(ldf, rdf, "lo", "hi", "lo", "hi",
+                                       on="k", bucket=bucket).collect())
+    want = sorted((a[0], b[0]) for a in L for b in R
+                  if a[1] == b[1] and a[2] < b[3] and b[2] < a[3])
+    assert got == want
