@@ -315,3 +315,25 @@ def test_prefix_assoc_plan_single_python_pass(spark, sf_dir):
     cache = getattr(df, "_prefix_scan_cache", None)
     assert cache is not None
     cache.unpersist()
+
+
+def test_scan_report_surface(spark, sf_dir):
+    """scan_report: pushdown + column pruning + join/exchange counts as a
+    dict — the pre-flight a pipeline author runs before a 100x scale-up."""
+    from cascalog_spark.plans import scan_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import pyspark.sql.functions as F
+    df = (li.where(F.col("l_quantity") > 30)
+          .select("l_orderkey", "l_quantity"))
+    rep = scan_report(df)
+    assert rep["scans"] and rep["scans"][0]["format"] == "parquet"
+    assert rep["scans"][0]["n_columns"] == 2          # pruned to projection
+    assert any("l_quantity" in f for f in
+               rep["scans"][0]["pushed_filters"])     # predicate at the scan
+    assert rep["cartesian"] is False
+    assert rep["n_python"] == 0
+
+    crossed = li.limit(1).crossJoin(li.limit(1).select(
+        F.col("l_orderkey").alias("ok2")))
+    assert scan_report(crossed)["cartesian"] is True
