@@ -1578,6 +1578,28 @@ def customer_name_fuzzy_pairs(spark, sf_dir):
                            "c_custkey", "c_name")
 
 
+def media_phash_pairs(spark, sf_dir):
+    """Perceptual near-dup pairs over synthesized binary media (text bytes
+    as the stand-in payload): real pHash math (32x32 gray -> 2-D DCT ->
+    low-frequency median threshold -> 64 bits) on the deterministic fake
+    decode, then the pigeonhole-blocked hamming join.  No DuckDB oracle —
+    the DCT is not SQL-expressible; semantics are pytest-verified
+    (identical bytes -> hamming 0, perturbed copies within radius,
+    unrelated content excluded), so the driver records the rows-only
+    check by design."""
+    from cascalog_spark.functions import media_phash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select("doc_id",
+                        F.encode(F.col("text"), "UTF-8").alias("content"))
+    # plant re-uploads: the same payloads under new ids — every original
+    # must pair with its copy at hamming 0
+    copies = media.select((F.col("doc_id") + 100000).alias("doc_id"),
+                          "content")
+    return media_phash_near_dups(media.unionByName(copies), "doc_id",
+                                 max_hamming=2)
+
+
 def embedding_quantized_codes(spark, sf_dir):
     """Scalar int8 quantization (SQ8): per-dim corpus min/max (one agg
     pass, no explode) → affine code map as a native transform expr — 4x
@@ -1938,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_flag_cube": orders_flag_cube,
         "events_session_overlap": events_session_overlap,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
+        "media_phash_pairs": media_phash_pairs,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,

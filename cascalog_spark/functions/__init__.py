@@ -14,9 +14,13 @@ from .corpus import (bloom_contains, boilerplate_lines, contamination,
 from .dedup import (dedup_clusters, deletion_variants_col, exact_dedup,
                     exact_dedup_incremental,
                     exact_substring_dedup, exact_substring_spans,
-                    fuzzy_dup_pairs, kgram_anchors, minhash_lsh_candidates,
+                    fuzzy_dup_pairs, hamming_near_dups, kgram_anchors,
+                    minhash_lsh_candidates,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,
                     semantic_dedup, semantic_dedup_losers, simhash)
+from .multimodal import (extract_media_metadata, media_dedup_keys,
+                         media_phash, media_phash_near_dups,
+                         register_codec, sample_frames)
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,

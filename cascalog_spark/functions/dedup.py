@@ -305,15 +305,18 @@ def simhash(df: DataFrame, text_col: str = "text",
                                              _simhash64(F.col(text_col)))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+def hamming_near_dups(df: DataFrame, id_col: str, hash_col: str,
                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, pigeonhole-blocked:
-    split the 64 bits into k+1 chunks — two hashes within hamming k share at
-    least one chunk exactly → equi-join per chunk, then verify bit_count of
-    the XOR.  No cross join at any k."""
+    """Pairs whose 64-bit hashes are within hamming distance ≤ k,
+    pigeonhole-blocked: split the 64 bits into k+1 chunks — two hashes
+    within hamming k share at least one chunk exactly → equi-join per
+    chunk, then verify ``bit_count`` of the XOR.  No cross join at any k.
+
+    Works over ANY int64 fingerprint column — SimHash text signatures,
+    perceptual image hashes (``media_phash``), rolling-hash doc prints."""
     n_chunks = min(max_hamming + 1, 32)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    h = simhash(df.select(id_col, text_col), text_col, "sh")
+    h = df.select(id_col, F.col(hash_col).alias("sh"))
 
     def _chunk(i):
         width = bounds[i + 1] - bounds[i]
@@ -337,6 +340,14 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
                     F.col(f"b.{id_col}").alias("id_b"),
                     hamming.alias("hamming"))
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k — SimHash the text,
+    then the generic pigeonhole-blocked ``hamming_near_dups``."""
+    h = simhash(df.select(id_col, text_col), text_col, "sh")
+    return hamming_near_dups(h, id_col, "sh", max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,90 @@ def media_dedup_keys(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Exact-bytes dedup key for media: sha1 over the binary column — native
     Column expr (no Python), ready for exact_dedup()."""
     return df.withColumn("content_sha1", F.sha1(F.col(content_col)))
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (pHash)
+
+
+def _fake_gray32(content: bytes):
+    """Deterministic stand-in for 'decode + grayscale + resize to 32x32':
+    byte values tiled/truncated into a 32x32 float matrix.  Swap in a real
+    decoder via ``register_codec('image_gray', fn)`` where
+    ``fn(content: bytes) -> 32x32 array-like``."""
+    import numpy as np
+
+    b = np.frombuffer(content, dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    reps = -(-1024 // b.size)  # ceil
+    return np.tile(b, reps)[:1024].astype(np.float64).reshape(32, 32)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the pHash transform) — plain numpy."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+def media_phash(df: DataFrame, content_col: str = "content",
+                out_col: str = "phash") -> DataFrame:
+    """64-bit PERCEPTUAL hash per media row (classic pHash): decode to a
+    32x32 grayscale matrix (pluggable — the in-container default is a
+    deterministic byte-tiling fake), 2-D DCT, keep the low-frequency 8x8
+    block (DC dropped), threshold against its median → 64 bits.
+
+    The hash math (DCT + median threshold) is REAL; only the decode is a
+    stub.  Arrow-batched ``mapInPandas``, one matrix multiply pair per
+    row, binary never leaves the executor.  Pair with
+    ``dedup.hamming_near_dups`` for blocked perceptual near-dup joins —
+    visually-similar media differ in a few low-frequency bits, so small
+    hamming radii find re-encodes/resizes."""
+    import numpy as np
+
+    decode = _CODECS.get("image_gray", _fake_gray32)
+    id_cols = [c for c in df.columns if c != content_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField(out_col, T.LongType())])
+    D = _dct_matrix(32)
+
+    def process(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                if content is None:
+                    out.append(None)
+                    continue
+                g = np.asarray(decode(bytes(content)), dtype=np.float64)
+                d = (D @ g @ D.T)[:8, :8].flatten()
+                d = d[1:]  # drop DC — overall brightness
+                bits = d > np.median(d)
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append(v)
+            res = pdf[id_cols].copy()
+            res[out_col] = pd.Series(out, index=pdf.index, dtype="object")
+            yield res
+
+    return df.mapInPandas(process, out_schema)
+
+
+def media_phash_near_dups(df: DataFrame, id_col: str,
+                          content_col: str = "content",
+                          max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-dup pairs over a binary media column: pHash +
+    pigeonhole-blocked hamming join (never all-pairs)."""
+    from .dedup import hamming_near_dups
+
+    h = media_phash(df.select(id_col, content_col), content_col, "phash")
+    return hamming_near_dups(h, id_col, "phash", max_hamming)

@@ -104,3 +104,52 @@ def test_video_codec_metadata_schema(spark):
     assert (row["format"], row["width"], row["height"]) == ("mp4", 640, 480)
     with pytest.raises(ValueError, match="unknown media kind"):
         extract_media_metadata(vdf, kind="hologram")
+
+
+def test_media_phash_perceptual_near_dup(spark):
+    """pHash: identical bytes → identical hash; a small local perturbation
+    (a re-encode stand-in) stays within a small hamming radius; unrelated
+    content does not pair.  The DCT low-frequency math is real — only the
+    decode is the deterministic fake."""
+    import random
+
+    from cascalog_spark.functions import media_phash, media_phash_near_dups
+
+    rng = random.Random(9)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    near = bytearray(base)
+    for _ in range(8):                       # small local corruption
+        near[rng.randrange(len(near))] ^= 0x01
+    other = bytes(rng.randrange(256) for _ in range(4096))
+    rows = [(1, base), (2, base), (3, bytes(near)), (4, other)]
+    df = spark.createDataFrame(rows, "mid long, content binary")
+
+    h = {r.mid: r.phash for r in media_phash(df).collect()}
+    assert h[1] == h[2]                      # exact copy → exact hash
+    assert h[1] != h[4]
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in media_phash_near_dups(df, "mid",
+                                            max_hamming=12).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 12   # perturbed copy found
+    assert all(4 not in p for p in pairs)            # unrelated stays out
+
+
+def test_media_phash_null_and_registered_decoder(spark):
+    from cascalog_spark.functions import media_phash
+    from cascalog_spark.functions.multimodal import _CODECS
+
+    df = spark.createDataFrame([(1, None), (2, b"\x00" * 64)],
+                               "mid long, content binary")
+    got = {r.mid: r.phash for r in media_phash(df).collect()}
+    assert got[1] is None and isinstance(got[2], int)
+
+    # a registered real decoder takes precedence over the fake
+    import numpy as np
+    _CODECS["image_gray"] = lambda b: np.full((32, 32), len(b), float)
+    try:
+        h = media_phash(df).where("mid = 2").first().phash
+        assert isinstance(h, int)  # constant image → all-equal DCT tail
+    finally:
+        del _CODECS["image_gray"]
