@@ -25,8 +25,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _to_num(col: Column, dtype: str) -> Column:
-    """Timestamps → epoch seconds (fractional); numerics pass through."""
+    """Timestamps → epoch seconds (fractional); numerics pass through.
+    TIMESTAMP_NTZ casts through TIMESTAMP first (unix_micros requires it;
+    both join sides get the same session-zone interpretation, so bucket
+    assignment and bound comparisons stay consistent)."""
     if dtype.startswith("timestamp"):
+        if "ntz" in dtype:
+            col = col.cast("timestamp")
         return F.unix_micros(col) / F.lit(1_000_000.0)
     if dtype == "date":
         return F.unix_date(col).cast("double")

@@ -93,6 +93,41 @@ if par8 >= exact8:
                     f"exact path ({exact8}s) — megagroups grew 8x, the "
                     "parallel path must win there")
 
+# -- 1b. interval_overlap_join at 8x -----------------------------------------
+from cascalog_spark.operators import interval_overlap_join  # noqa: E402
+
+ev1 = (spark.read.parquet(f"{SF}/events.parquet")
+       .select("event_id", "user_id", "event_type", "ts")
+       .repartition(32).persist())
+ev8 = (ev1.crossJoin(F.broadcast(k))
+       .withColumn("event_id", F.col("event_id") + F.col("__k") * 10_000_000)
+       .withColumn("user_id", F.col("user_id") + F.col("__k") * 1_000_000)
+       .drop("__k").repartition(64).persist())
+ev1.count(), ev8.count()
+
+
+def overlap(ev):
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("cid"), "user_id",
+                      F.col("ts").alias("lo"),
+                      (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                      .alias("hi")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("pid"), "user_id",
+                     F.col("ts").alias("lo"),
+                     (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi")))
+    return interval_overlap_join(clicks, purch, "lo", "hi", "lo", "hi",
+                                 on="user_id", bucket=1800.0) \
+        .select("cid", "pid")
+
+
+ov1 = timeit(lambda: overlap(ev1))
+ov8 = timeit(lambda: overlap(ev8))
+ratio_ov = round(ov8 / ov1, 2)
+print(f"interval_overlap_join: 1x={ov1}s 8x={ov8}s ratio={ratio_ov}")
+if ratio_ov > 6:
+    failures.append(f"interval_overlap_join 8x ratio {ratio_ov} > 6")
+
 # -- 2. star CC round growth on chain graphs ---------------------------------
 from cascalog_spark.functions import dedup_clusters  # noqa: E402
 
