@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Full verification sweep — everything the driver and judge check, locally:
+#   1. pytest suite (correctness, plan gates, property fuzzes)
+#   2. driver-faithful strict oracle check over every queries() entry
+#      (dtype-sensitive — stricter than the pytest replica)
+#   3. bench (one JSON line; compare against BASELINE.md)
+#   4. gated scaling smokes (exit nonzero on a blown ratio)
+# Usage: bash tools/ci.sh [--quick]   (--quick skips the smokes)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 pytest =="
+python -m pytest tests/ -q
+
+echo "== 2/4 strict oracle check (sf0.01) =="
+python tools/driver_check.py
+
+echo "== 3/4 bench (sf0.1) =="
+python bench.py
+
+if [[ "${1:-}" != "--quick" ]]; then
+  echo "== 4/4 scaling smokes =="
+  python tools/scaling_smoke_r4.py
+  python tools/scaling_smoke_r5.py
+fi
+echo "CI sweep: all green"
