@@ -1578,6 +1578,30 @@ def customer_name_fuzzy_pairs(spark, sf_dir):
                            "c_custkey", "c_name")
 
 
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (corpus.py split_corpus):
+    cumulative md5-hash intervals, pure map-side — a doc keeps its split
+    across reruns and engines, the property leakage audits need.  The
+    oracle recomputes the identical hash arithmetic."""
+    from cascalog_spark.functions import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_corpus(docs, {"train": 8, "val": 1, "test": 1}) \
+        .select("doc_id", "split")
+
+
+def doc_temperature_mixture(spark, sf_dir):
+    """Temperature mixture sampling (p ∝ count^alpha, alpha=0.5): head
+    sources down-sampled toward the smallest stratum via a broadcast
+    per-stratum rate table + the deterministic md5 threshold.  Oracle
+    reproduces the rate arithmetic with a window count."""
+    from cascalog_spark.functions import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_mixture(docs, "source", alpha=0.5)
+            .select("doc_id", "source"))
+
+
 def media_phash_pairs(spark, sf_dir):
     """Perceptual near-dup pairs over synthesized binary media (text bytes
     as the stand-in payload): real pHash math (32x32 gray -> 2-D DCT ->
@@ -1961,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_overlap": events_session_overlap,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "media_phash_pairs": media_phash_pairs,
+        "doc_split_assign": doc_split_assign,
+        "doc_temperature_mixture": doc_temperature_mixture,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
@@ -2746,6 +2772,27 @@ def oracle_sql() -> dict[str, str]:
                    % 1000000) / 1000000.0
                 < CASE WHEN source IN ('src0','src1','src2','src3','src4')
                        THEN 1.0 ELSE 0.3 END""",
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (CAST(concat('0x', substr(md5(
+                            CAST(doc_id AS VARCHAR) || '_42'), 1, 15))
+                            AS BIGINT) % 1000000) / 1000000.0 AS u
+                  FROM documents)""",
+        "doc_temperature_mixture": """
+            WITH n AS (SELECT doc_id, source,
+                              count(*) OVER (PARTITION BY source) AS ns
+                       FROM documents),
+            m AS (SELECT doc_id, source, ns,
+                         min(ns) OVER () AS mn FROM n)
+            SELECT doc_id, source FROM m
+            WHERE (CAST(concat('0x', substr(md5(
+                     CAST(doc_id AS VARCHAR) || '_42'), 1, 15)) AS BIGINT)
+                   % 1000000) / 1000000.0
+                < power(CAST(ns AS DOUBLE) / mn, -0.5)""",
         "doc_packed_sequences": r"""
             WITH t AS (
               SELECT doc_id, source,

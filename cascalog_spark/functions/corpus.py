@@ -255,6 +255,63 @@ def _unit_hash(col, seed: int):
     return (h % 1000000) / F.lit(1000000.0)
 
 
+def split_corpus(df: DataFrame, weights: dict, id_col: str = "doc_id",
+                 out_col: str = "split", seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``out_col`` label per
+    row, chosen by where ``hash01(id, seed)`` falls in the cumulative
+    weight intervals (weights normalized; insertion order fixes the
+    interval layout).  Pure map-side — no shuffle, no RNG state; a doc
+    keeps its split across reruns, retries, and engines (the property
+    leakage audits depend on — ``randomSplit`` re-rolls per run).
+
+    Filter on the label (``.where("split = 'train'")``) or write
+    partitioned by it."""
+    if not weights:
+        raise ValueError("split_corpus: weights must be non-empty")
+    total = float(sum(weights.values()))
+    u = _unit_hash(F.col(id_col), seed)
+    acc = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def temperature_mixture(df: DataFrame, strata_col: str, alpha: float,
+                        id_col: str = "doc_id", seed: int = 42,
+                        max_rate: float = 1.0) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-corpus
+    rebalancing rule, p(stratum) ∝ count^alpha): per-stratum keep rate
+    ``(count / min_count) ** (alpha - 1)`` — anchored at the SMALLEST
+    stratum because a filter can only down-sample, so the smallest keeps
+    ``max_rate`` and larger strata shrink toward it.  alpha=1 keeps the
+    natural distribution; alpha→0 flattens every stratum to ~min_count
+    rows.
+
+    One tiny per-stratum count aggregate broadcast back; the keep
+    decision is the same deterministic md5 threshold as
+    ``stratified_sample`` — map-side, engine-portable, reproducible."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("temperature_mixture: alpha must be in [0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select(F.col(strata_col),
+                     (F.lit(float(max_rate))
+                      * F.pow(F.col("__n") / F.col("__mn"),
+                              F.lit(float(alpha) - 1.0))).alias("__rate")))
+    u = _unit_hash(F.col(id_col), seed)
+    return (df.join(F.broadcast(rates), on=strata_col, how="left")
+            .where(u < F.coalesce(F.col("__rate"), F.lit(0.0)))
+            .drop("__rate"))
+
+
 def stratified_sample(df: DataFrame, fractions, strata_col: str,
                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff

@@ -1723,3 +1723,57 @@ def test_exact_substring_edge_cases(spark):
     inplace = exact_substring_dedup(df, k=5, out_col="text").collect()
     row1 = [r for r in inplace if r.doc_id == 1][0]
     assert row1.text == "" and "clean_text" not in inplace[0].asDict()
+
+
+def test_split_corpus_deterministic_partition(spark, sf_dir):
+    """Every doc gets exactly one split; proportions track the weights;
+    assignment is a pure function of (id, seed) — stable across calls
+    and independent of row order."""
+    from cascalog_spark.functions import split_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {r.doc_id: r.split for r in split_corpus(docs, w).collect()}
+    b = {r.doc_id: r.split
+         for r in split_corpus(docs.orderBy("n_chars"), w).collect()}
+    assert a == b and len(a) == docs.count()
+    from collections import Counter
+    c = Counter(a.values())
+    n = len(a)
+    assert 0.7 < c["train"] / n < 0.9          # ~0.8
+    assert c["val"] + c["test"] > 0
+    # different seed reshuffles, same seed does not
+    c2 = {r.doc_id: r.split
+          for r in split_corpus(docs, w, seed=7).collect()}
+    assert c2 != a
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        split_corpus(docs, {})
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha=0 flattens every stratum toward the smallest; alpha=1 keeps
+    the natural distribution; rates anchor at the smallest stratum (a
+    filter cannot upsample)."""
+    from collections import Counter
+
+    from cascalog_spark.functions import temperature_mixture
+
+    rows = ([(i, "head") for i in range(1000)]
+            + [(10_000 + i, "mid") for i in range(200)]
+            + [(20_000 + i, "tail") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    flat = Counter(r.source for r in
+                   temperature_mixture(df, "source", alpha=0.0).collect())
+    # every stratum lands near the tail's 50 rows
+    assert flat["tail"] == 50
+    assert 25 <= flat["mid"] <= 80 and 25 <= flat["head"] <= 80
+
+    natural = Counter(r.source for r in
+                      temperature_mixture(df, "source", alpha=1.0).collect())
+    assert natural == Counter({"head": 1000, "mid": 200, "tail": 50})
+
+    mid = Counter(r.source for r in
+                  temperature_mixture(df, "source", alpha=0.5).collect())
+    assert flat["head"] < mid["head"] < natural["head"]
