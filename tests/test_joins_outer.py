@@ -103,3 +103,49 @@ def test_op_feeding_only_genset_not_pruned(spark):
             (c.lower, "?w", ":>", "?w2"),
             (stops, "?w2", ":>", False)).run(spark)
     assert sorted(res) == [("Fox",), ("quick",)]
+
+
+def test_bloated_join_reference_parity(spark):
+    """api_test.clj:104-119 verbatim: a 4-way join over nullable !vars with
+    :distinct — null attribute values flow through every join."""
+    gender = [("n", "male"), ("j", "male"), ("a", None), ("z", "female")]
+    interest = [("n", "bball"), ("n", "dl"), ("j", "tennis"),
+                ("z", "stuff"), ("a", "shoes")]
+    friends = [("n", "j"), ("n", "m"), ("n", "a"),
+               ("j", "a"), ("a", "z"), ("z", "a")]
+    age = [("z", 20), ("a", 10), ("n", 15)]
+    res = q(["!p", "!interest", "!age", "!gender"],
+            (friends, "!p", "_"),
+            (age, "!p", "!age"),
+            (interest, "!p", "!interest"),
+            (gender, "!p", "!gender"),
+            distinct=True).run(spark)
+    assert sorted(res, key=str) == sorted(
+        [("n", "bball", 15, "male"), ("n", "dl", 15, "male"),
+         ("a", "shoes", 10, None), ("z", "stuff", 20, "female")], key=str)
+
+
+def test_multi_rule_composition_reference_parity(spark):
+    """api_test.clj:193-216 verbatim: subqueries as generators composing
+    three rules deep (agg rule -> self-join rule -> null-filter rule)."""
+    age = [("n", 24), ("c", 40), ("j", 23), ("g", 50)]
+    interest = [("n", "bb", None), ("n", "fb", 20),
+                ("g", "ck", 30), ("j", "nz", 10),
+                ("j", "hk", 1), ("jj", "ee", None)]
+    follows = [("n", "j"), ("j", "n"), ("j", "a"), ("n", "a"), ("g", "q")]
+
+    many_follow = q(["?p"], (follows, "?p", "_"),
+                    (c.count, "?c"), (c.gt, "?c", 1))
+    active_follows = q(["?p", "?p2"],
+                       (many_follow, "?p"), (many_follow, "?p2"),
+                       (follows, "?p", "?p2"))
+    unknown_interest = q(["?p"],
+                         (age, "?p", "?a"),
+                         (interest, "?p", "_", "!i"),
+                         (c.is_null, "!i"))
+    weird_follows = q(["?p", "?p2"],
+                      (active_follows, "?p", "?p2"),
+                      (unknown_interest, "?p2"))
+    assert sorted(active_follows.run(spark)) == [("j", "n"), ("n", "j")]
+    assert sorted(unknown_interest.run(spark)) == [("n",)]
+    assert sorted(weird_follows.run(spark)) == [("j", "n")]
