@@ -149,3 +149,20 @@ def test_multi_rule_composition_reference_parity(spark):
     assert sorted(active_follows.run(spark)) == [("j", "n"), ("n", "j")]
     assert sorted(unknown_interest.run(spark)) == [("n",)]
     assert sorted(weird_follows.run(spark)) == [("j", "n")]
+
+
+def test_outer_join_complex_reference_parity(spark):
+    """api_test.clj:310-323 verbatim: TWO ungrounding generators against a
+    ground spine — rec2 additionally joins on ?a, so ("b",30) must NOT
+    match rec2's ("b",100,16) row (the join key is (?p, ?a))."""
+    age = [("a", 20), ("b", 30), ("c", 27), ("d", 40)]
+    rec1 = [("a", 1, 2), ("b", 30, 16), ("e", 3, 4)]
+    rec2 = [("a", 20, 6), ("c", 27, 25), ("c", 1, 11),
+            ("f", 30, 1), ("b", 100, 16)]
+    res = q(["?p", "?a", "!!f1", "!!f2", "!!f3"],
+            (age, "?p", "?a"),
+            (rec1, "?p", "!!f1", "!!f2"),
+            (rec2, "?p", "?a", "!!f3")).run(spark)
+    assert sorted(res, key=str) == sorted(
+        [("a", 20, 1, 2, 6), ("c", 27, None, None, 25),
+         ("d", 40, None, None, None), ("b", 30, 30, 16, None)], key=str)
