@@ -612,3 +612,26 @@ def test_hll_sketch_merge_pipeline(spark):
                 (c.hll_sketch, "?u", ":>", "?sk"),
                 (c.hll_estimate, "?sk", ":>", "?n")).run(spark)[0][0]
     assert oneshot == est
+
+
+def test_complex_noncomplex_agg_mix_reference_parity(spark):
+    """api_test.clj:172-191 verbatim: TWO native combiner aggs (count,
+    sum) and one sequential defaggregatefn (evens-vs-odds fold) in the
+    SAME grouping — the hybrid compilation path."""
+    from cascalog_spark.ops import defaggregatefn
+
+    evens_vs_odds = defaggregatefn(
+        init=lambda: 0,
+        step=lambda ctx, v: ctx - 1 if v % 2 == 1 else ctx + 1,
+        final=lambda ctx: (ctx,),
+        returns="bigint", name="evens-vs-odds")
+
+    num = [("a", 1), ("a", 2), ("a", 5), ("c", 6), ("d", 9), ("a", 12),
+           ("c", 16), ("e", 16)]
+    res = q(["?a", "?c", "?e", "?s"],
+            (num, "?a", "?n"),
+            (c.count, "?c"),
+            (c.sum_agg, "?n", ":>", "?s"),
+            (evens_vs_odds, "?n", ":>", "?e")).run(spark)
+    assert sorted(res) == [("a", 4, 0, 20), ("c", 2, 2, 22),
+                           ("d", 1, -1, 9), ("e", 1, 1, 16)]
