@@ -23,7 +23,7 @@ from cascalog_spark.functions import (chunk_text, contamination_bloom,
                                       exact_substring_dedup,
                                       minhash_lsh_candidates, pack_sequences,
                                       redact_pii, remove_boilerplate,
-                                      stratified_sample)
+                                      split_corpus, stratified_sample)
 from cascalog_spark.functions.dedup import dedup_clusters, exact_dedup
 from cascalog_spark.functions.text import clean_text, quality_score
 
@@ -76,21 +76,29 @@ docs = corpus.join(hits.select("doc_id"), "doc_id", "left_anti")
 docs = redact_pii(docs).drop("text") \
     .withColumnRenamed("redacted", "text")
 
-# 7. deterministic mixture weighting per source, then chunk + pack
+# 7. deterministic mixture weighting per source, then a stable
+#    train/val/test split (a doc keeps its split across reruns — the
+#    leakage-audit property), then chunk + pack the TRAIN slice only
 docs = stratified_sample(
     docs, {f"src{i}": (1.0 if i < 10 else 0.5) for i in range(20)}, "source")
-chunks = chunk_text(docs, max_tokens=128, overlap=16)
-packed = pack_sequences(docs, max_tokens=512)
+docs = split_corpus(docs, {"train": 8, "val": 1, "test": 1})
+train = docs.where(F.col("split") == "train").drop("split")
+chunks = chunk_text(train, max_tokens=128, overlap=16)
+packed = pack_sequences(train, max_tokens=512)
 
 # 8. accounting
 stats = chunks.agg(
     F.count(F.lit(1)).alias("n_chunks"),
     F.sum("n_tokens").alias("total_tokens"),
     F.round(F.avg("n_tokens"), 1).alias("avg_chunk_tokens")).collect()[0]
-n_docs = docs.count()
+by_split = {r.split: r.n for r in
+            docs.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+n_docs = sum(by_split.values())
 n_seqs = packed.agg(F.count_distinct("source", "seq_id")).collect()[0][0]
-print(f"{n0} raw docs -> {n_docs} kept after quality+dedup+decontam+sample")
-print(f"chunks: {stats['n_chunks']}, tokens: {stats['total_tokens']}, "
+print(f"{n0} raw docs -> {n_docs} kept after quality+dedup+decontam+sample "
+      f"(splits: {by_split})")
+print(f"train chunks: {stats['n_chunks']}, tokens: {stats['total_tokens']}, "
       f"avg chunk: {stats['avg_chunk_tokens']} tokens; "
       f"{n_seqs} packed 512-token sequences")
 spark.stop()
