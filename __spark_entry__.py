@@ -1946,6 +1946,261 @@ def q2_cheapest_part_per_brand(spark, sf_dir):
              ).to_df(spark)
 
 
+def q7_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume with a
+    DISJUNCTIVE cross-var predicate ((n1,n2) in either direction) — the same
+    nation generator appears twice with different var bindings (self-join
+    branch aliasing), and the OR is a single native Column filter over both
+    name vars (predicate.clj:87-98 any-fn-as-filter)."""
+    from cascalog_spark import column_filter, column_op
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair_ok = column_filter(
+        "nation-pair",
+        lambda a, b: ((a == "NATION_3") & (b == "NATION_7"))
+        | ((a == "NATION_7") & (b == "NATION_3")))
+    ship_year = column_op("ship_year", F.year)
+    return q(["?supp_nation", "?cust_nation", "?l_year", "?volume"],
+             (supp, {"s_suppkey": "?sk", "s_nationkey": "?snk"}),
+             (li, {"l_orderkey": "?ok", "l_suppkey": "?sk",
+                   "l_extendedprice": "?price", "l_discount": "?disc",
+                   "l_shipdate": "?sd"}),
+             (orders, {"o_orderkey": "?ok", "o_custkey": "?ck"}),
+             (cust, {"c_custkey": "?ck", "c_nationkey": "?cnk"}),
+             (nation, {"n_nationkey": "?snk", "n_name": "?supp_nation"}),
+             (nation, {"n_nationkey": "?cnk", "n_name": "?cust_nation"}),
+             (pair_ok, "?supp_nation", "?cust_nation"),
+             (c.gte, "?sd", _dt.datetime(1996, 1, 1)),
+             (c.lt, "?sd", _dt.datetime(1998, 1, 1)),
+             (ship_year, "?sd", ":>", "?l_year"),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?rev"),
+             (c.sum_agg, "?rev", ":>", "?v"),
+             (c.round_to(4), "?v", ":>", "?volume"),
+             ).to_df(spark)
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — 7-generator join (nation
+    twice: customer-region side + supplier-nation side), conditional
+    volume via a when/otherwise map op, and a POST-AGG ratio of the two
+    sums per order year."""
+    from cascalog_spark import column_op
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    order_year = column_op("order_year", F.year)
+    nat_volume = column_op(
+        "nat_volume",
+        lambda name, vol: F.when(name == "NATION_5", vol).otherwise(0.0))
+    return q(["?o_year", "?mkt_share"],
+             (part, {"p_partkey": "?pk", "p_type": "?ptype"}),
+             (c.eq, "?ptype", "ECONOMY"),
+             (li, {"l_orderkey": "?ok", "l_partkey": "?pk",
+                   "l_suppkey": "?sk", "l_extendedprice": "?price",
+                   "l_discount": "?disc"}),
+             (orders, {"o_orderkey": "?ok", "o_custkey": "?ck",
+                       "o_orderdate": "?od"}),
+             (c.gte, "?od", _dt.datetime(1996, 1, 1)),
+             (c.lt, "?od", _dt.datetime(1998, 1, 1)),
+             (cust, {"c_custkey": "?ck", "c_nationkey": "?cnk"}),
+             (nation, {"n_nationkey": "?cnk", "n_regionkey": "?crk"}),
+             (region, {"r_regionkey": "?crk", "r_name": "?rname"}),
+             (c.eq, "?rname", "ASIA"),
+             (supp, {"s_suppkey": "?sk", "s_nationkey": "?snk"}),
+             (nation, {"n_nationkey": "?snk", "n_name": "?supp_nation"}),
+             (order_year, "?od", ":>", "?o_year"),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?vol"),
+             (nat_volume, "?supp_nation", "?vol", ":>", "?nvol"),
+             (c.sum_agg, "?nvol", ":>", "?nv"),
+             (c.sum_agg, "?vol", ":>", "?tv"),
+             (c.div, "?nv", "?tv", ":>", "?share"),
+             (c.round_to(6), "?share", ":>", "?mkt_share"),
+             ).to_df(spark)
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer-order-count DISTRIBUTION — the order side
+    is pre-filtered in a subquery (the ON-clause filter of Q13's LEFT
+    JOIN), outer-joined via !!var so zero-order customers count as 0, then
+    a SECOND aggregation groups customers by their count.  Two stacked
+    aggregation levels across subquery boundaries."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    # ON-clause filter: only non-urgent orders participate in the count
+    fo = q(["?ck", "?ok"],
+           (orders, {"o_custkey": "?ck", "o_orderkey": "?ok",
+                     "o_orderpriority": "?pri"}),
+           (c.ne, "?pri", "1-URGENT"))
+    per_cust = q(["?custkey", "?c_count"],
+                 (cust, {"c_custkey": "?custkey"}),
+                 (fo, "?custkey", "!!ok"),
+                 (c.count_notnull, "!!ok", ":>", "?c_count"))
+    return q(["?c_count", "?custdist"],
+             (per_cust, "?custkey", "?c_count"),
+             (c.count, "?custdist"),
+             ).to_df(spark)
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by revenue via the VIEW + scalar-max
+    join-back idiom — per-supplier revenue subquery, a global (group-less)
+    max over it, and an equality join of the two on the rounded revenue
+    value recovers the argmax row(s)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = q(["?sk", "?total_rev"],
+            (li, {"l_suppkey": "?sk", "l_extendedprice": "?price",
+                  "l_discount": "?disc", "l_shipdate": "?sd"}),
+            (c.gte, "?sd", _dt.datetime(1996, 1, 1)),
+            (c.lt, "?sd", _dt.datetime(1996, 4, 1)),
+            (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+            (c.mult, "?price", "?dfrac", ":>", "?r"),
+            (c.sum_agg, "?r", ":>", "?tr"),
+            (c.round_to(2), "?tr", ":>", "?total_rev"))
+    mx = q(["?total_rev"],
+           (rev, "?sk2", "?tr2"),
+           (c.max_agg, "?tr2", ":>", "?total_rev"))
+    return q(["?s_suppkey", "?s_name", "?total_rev"],
+             (rev, "?s_suppkey", "?total_rev"),
+             (mx, "?total_rev"),
+             (supp, {"s_suppkey": "?s_suppkey", "s_name": "?s_name"}),
+             ).to_df(spark)
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: CORRELATED-AVG subquery — per-part average quantity
+    joined back to the lineitem scan; rows below 20% of their part's
+    average feed a global sum/7.  (l_quantity is small-integer-valued
+    doubles, so both engines' averages are bit-exact and the 0.2*avg
+    comparison is deterministic.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_qty = q(["?pk", "?aq"],
+                (li, {"l_partkey": "?pk", "l_quantity": "?q"}),
+                (c.avg, "?q", ":>", "?aq"))
+    return q(["?avg_yearly"],
+             (li, {"l_partkey": "?pk", "l_quantity": "?qty",
+                   "l_extendedprice": "?price"}),
+             (part, {"p_partkey": "?pk", "p_brand": "?brand"}),
+             (c.eq, "?brand", "Brand#17"),
+             (avg_qty, "?pk", "?aq"),
+             (c.mult, 0.2, "?aq", ":>", "?cutoff"),
+             (c.lt, "?qty", "?cutoff"),
+             (c.sum_agg, "?price", ":>", "?sp"),
+             (c.div, "?sp", 7.0, ":>", "?ay"),
+             (c.round_to(4), "?ay", ":>", "?avg_yearly"),
+             ).to_df(spark)
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: DISJUNCTION OF CONJUNCTIONS spanning both join
+    sides — three (brand, size-range, quantity-range) branches OR-ed in
+    one native Column predicate over part+lineitem vars, feeding a global
+    revenue sum.  The equi-join key is still extracted and pushed down;
+    only the residual disjunction stays as a post-join filter."""
+    from cascalog_spark import column_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    branch = column_filter(
+        "brand-size-qty",
+        lambda b, s, qv: ((b == "Brand#12") & s.between(1, 5)
+                          & qv.between(1.0, 11.0))
+        | ((b == "Brand#23") & s.between(1, 10) & qv.between(10.0, 20.0))
+        | ((b == "Brand#4") & s.between(1, 15) & qv.between(20.0, 30.0)))
+    return q(["?revenue"],
+             (li, {"l_partkey": "?pk", "l_quantity": "?qty",
+                   "l_extendedprice": "?price", "l_discount": "?disc"}),
+             (part, {"p_partkey": "?pk", "p_brand": "?brand",
+                     "p_size": "?size"}),
+             (branch, "?brand", "?size", "?qty"),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?rev"),
+             (c.sum_agg, "?rev", ":>", "?r"),
+             (c.round_to(4), "?r", ":>", "?revenue"),
+             ).to_df(spark)
+
+
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS dual correlated self-join,
+    compiled as the scale-correct AGGREGATE REWRITE — for a faulted ('F')
+    order, supplier s with a returned ('R') lineitem qualifies iff the
+    order has >=2 distinct suppliers (EXISTS another supplier) and exactly
+    1 distinct returning supplier (NOT EXISTS another returner; s is that
+    one).  The oracle runs the genuine EXISTS/NOT EXISTS SQL, so the
+    value-hash match proves the rewrite.  Counts one row per returned
+    lineitem, exactly like Q21's FROM l1."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nsupp = q(["?ok", "?ns"],
+              (li, {"l_orderkey": "?ok", "l_suppkey": "?s1"}),
+              (c.distinct_count, "?s1", ":>", "?ns"))
+    nbad = q(["?ok", "?nb"],
+             (li, {"l_orderkey": "?ok", "l_suppkey": "?s2",
+                   "l_returnflag": "?rf2"}),
+             (c.eq, "?rf2", "R"),
+             (c.distinct_count, "?s2", ":>", "?nb"))
+    return q(["?s_name", "?numwait"],
+             (li, {"l_orderkey": "?ok", "l_suppkey": "?sk",
+                   "l_returnflag": "?rf"}),
+             (c.eq, "?rf", "R"),
+             (orders, {"o_orderkey": "?ok", "o_orderstatus": "?st"}),
+             (c.eq, "?st", "F"),
+             (nsupp, "?ok", "?ns"),
+             (c.gte, "?ns", 2),
+             (nbad, "?ok", "?nb"),
+             (c.eq, "?nb", 1),
+             (supp, {"s_suppkey": "?sk", "s_name": "?s_name"}),
+             (c.count, "?numwait"),
+             ).to_df(spark)
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: SCALAR SUBQUERY (group-less avg, 1 row) joined in
+    with NO shared vars — the planner's cartesian fallback
+    (parse.clj cross-join idiom) — plus an ANTI-JOIN against a FILTERED
+    orders subquery (genset :> False; the testdata has no order-less
+    customers, so Q22's "no orders" becomes "no URGENT orders" to keep the
+    result nonempty) and a final segment rollup."""
+    from cascalog_spark import column_filter
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    in_segs = column_filter(
+        "in-segs", lambda s: s.isin("AUTOMOBILE", "MACHINERY"))
+    pos_avg = q(["?avg_bal"],
+                (cust, {"c_acctbal": "?b", "c_mktsegment": "?sg"}),
+                (in_segs, "?sg"),
+                (c.gt, "?b", 0.0),
+                (c.avg, "?b", ":>", "?avg_bal"))
+    urgent = q(["?uck"],
+               (orders, {"o_custkey": "?uck", "o_orderpriority": "?pri"}),
+               (c.eq, "?pri", "1-URGENT"), distinct=True)
+    return q(["?c_mktsegment", "?numcust", "?totacctbal"],
+             (cust, {"c_custkey": "?ck", "c_acctbal": "?bal",
+                     "c_mktsegment": "?c_mktsegment"}),
+             (in_segs, "?c_mktsegment"),
+             (pos_avg, "?avg_bal"),
+             (c.gt, "?bal", "?avg_bal"),
+             (urgent, "?ck", ":>", False),
+             (c.count, "?numcust"),
+             (c.sum_agg, "?bal", ":>", "?tb"),
+             (c.round_to(2), "?tb", ":>", "?totacctbal"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -1963,6 +2218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries at r4 positions 51-62 (just past the 50-row
         # sample head) + the 4 rows red in CORRECTNESS_r04 whose
         # oracle/check-surface fixes land this round.
+        # Round-5 second wave: the TPC-H planner-shape completion
+        # pack (q7/q8/q13/q15/q17/q19/q21/q22) — never sampled,
+        # so they lead.
+        "q7_nation_volume_shipping": q7_nation_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2169,6 +2435,110 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id"""
 
     return {
+        "q7_nation_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS volume
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1.0 - l_discount) AS volume
+              FROM supplier
+              JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            ) GROUP BY 1, 2, 3""",
+        "q8_market_share": """
+            SELECT o_year, round(nv / tv, 6) AS mkt_share FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     sum(CASE WHEN n2.n_name = 'NATION_5'
+                         THEN l_extendedprice * (1.0 - l_discount)
+                         ELSE 0.0 END) AS nv,
+                     sum(l_extendedprice * (1.0 - l_discount)) AS tv
+              FROM part
+              JOIN lineitem ON p_partkey = l_partkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1)""",
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count""",
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l1.l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l1
+            JOIN part ON p_partkey = l1.l_partkey
+            WHERE p_brand = 'Brand#17'
+              AND l1.l_quantity < 0.2 * (
+                SELECT avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)""",
+        "q19_discounted_revenue": """
+            SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1.0 AND 11.0)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10.0 AND 20.0)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "q21_suppliers_kept_waiting": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name""",
+        "q22_global_sales_opportunity": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+              AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0
+                  AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
