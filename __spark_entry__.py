@@ -1020,6 +1020,20 @@ def doc_near_dedup(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def doc_near_dedup_best(spark, sf_dir):
+    """near_dedup(keep='best'): per duplicate cluster keep the row
+    maximising a quality score (here n_chars — longest copy wins, id
+    tiebreak) instead of the minimum id — what a pipeline with a quality
+    model actually drops.  Oracle = the same recursive-CTE closure plus a
+    row_number over (cluster, score DESC, id)."""
+    from cascalog_spark.functions import near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (near_dedup(docs, num_perm=8, bands=4, keep="best",
+                       score_col="n_chars")
+            .select("doc_id", "source"))
+
+
 def nation_branch_counts(spark, sf_dir):
     """multigroup: cogroup customer & supplier on nationkey with a custom
     multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
@@ -2201,6 +2215,33 @@ def q22_global_sales_opportunity(spark, sf_dir):
              ).to_df(spark)
 
 
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: supplier count per part attribute triple with a
+    NOT-IN exclusion subquery — suppliers with negative balance are
+    excluded via a negated genset over a FILTERED supplier subquery, then
+    count(DISTINCT supplier) per (brand, type, size).  lineitem is the
+    part<->supplier bridge (the testdata ships no partsupp table — the
+    documented narrowing for Q9/Q11/Q20 too)."""
+    from cascalog_spark import column_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    size_in = column_filter("size-in", lambda s: s.isin(1, 5, 9, 13))
+    bad_supp = q(["?bsk"],
+                 (supp, {"s_suppkey": "?bsk", "s_acctbal": "?bal"}),
+                 (c.lt, "?bal", 0.0), distinct=True)
+    return q(["?p_brand", "?p_type", "?p_size", "?supplier_cnt"],
+             (part, {"p_partkey": "?pk", "p_brand": "?p_brand",
+                     "p_type": "?p_type", "p_size": "?p_size"}),
+             (c.ne, "?p_brand", "Brand#12"),
+             (size_in, "?p_size"),
+             (li, {"l_partkey": "?pk", "l_suppkey": "?sk"}),
+             (bad_supp, "?sk", ":>", False),
+             (c.distinct_count, "?sk", ":>", "?supplier_cnt"),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2229,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "doc_near_dedup_best": doc_near_dedup_best,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2539,6 +2582,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment""",
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 13)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -2753,6 +2804,26 @@ def oracle_sql() -> dict[str, str]:
             clusters AS (SELECT node, least(node, min(m)) AS cluster
                          FROM reach GROUP BY node),
             losers AS (SELECT node FROM clusters WHERE node != cluster)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l
+                              WHERE l.node = d.doc_id)""",
+        "doc_near_dedup_best": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT src AS node, dst AS m FROM edges
+                      UNION
+                      SELECT r.node, e.dst
+                      FROM reach r JOIN edges e ON r.m = e.src),
+            clusters AS (SELECT node, least(node, min(m)) AS cluster
+                         FROM reach GROUP BY node),
+            ranked AS (SELECT c.node,
+                              row_number() OVER (
+                                PARTITION BY c.cluster
+                                ORDER BY d.n_chars DESC, c.node ASC) AS rn
+                       FROM clusters c
+                       JOIN documents d ON d.doc_id = c.node),
+            losers AS (SELECT node FROM ranked WHERE rn > 1)
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",

@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     # round-5 entries: interval x interval overlap, duplicated-span dedup
     "events_session_overlap",
     "doc_exact_substring_dedup",
+    # round-5 TPC-H pack representatives: 7-generator broadcast-star join
+    # with post-agg share ratio; EXISTS/NOT-EXISTS aggregate rewrite
+    # (3 lineitem branches)
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
 ]
 
 

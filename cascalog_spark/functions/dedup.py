@@ -583,24 +583,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 def near_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_perm: int = 16, bands: int = 4,
                shingle_k: int = 3, max_iter: int = 20,
-               cc_method: str = "label") -> DataFrame:
+               cc_method: str = "label", keep: str = "min",
+               score_col: str | None = None) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the composition a corpus
     pipeline actually runs: MinHash-LSH candidate pairs → connected
-    components → keep each cluster's minimum-id representative, drop the
-    rest.  Returns the deduplicated corpus with all original columns.
+    components → keep one representative per cluster, drop the rest.
+    Returns the deduplicated corpus with all original columns.
+
+    ``keep='min'`` (default) keeps each cluster's minimum-id row;
+    ``keep='best'`` keeps the row maximising ``score_col`` (min id as the
+    deterministic tiebreak) — what a training pipeline actually wants when
+    a quality score exists: drop the low-quality copies, not the
+    high-id ones.
 
     Scale shape: inherits the bucketed candidate join (never all-pairs)
     and the iterative min-label propagation (localCheckpoint per round,
     nothing collected); the final keep/drop is one anti-join against the
     (small) non-representative id set — at 100 TB that set is the
-    duplicate fraction only, not the corpus.  ``cc_method='star'``
-    switches the component step to O(log n)-round large/small-star
-    contraction for corpora where dup clusters can be chain-shaped."""
+    duplicate fraction only, not the corpus.  ``keep='best'`` adds one
+    equi-join of the cluster map against the corpus scores plus a
+    per-cluster max-struct aggregate — both keyed on cluster members, so
+    the extra cost also scales with the duplicate fraction, not the
+    corpus.  ``cc_method='star'`` switches the component step to
+    O(log n)-round large/small-star contraction for corpora where dup
+    clusters can be chain-shaped."""
+    if keep not in ("min", "best"):
+        raise ValueError(f"near_dedup: keep must be 'min' or 'best', "
+                         f"got {keep!r}")
+    if keep == "best" and not score_col:
+        raise ValueError("near_dedup: keep='best' requires score_col")
     pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
                                    shingle_k)
     clusters = dedup_clusters(pairs, max_iter=max_iter, method=cc_method)
-    losers = (clusters.where(F.col("node") != F.col("cluster"))
-              .select(F.col("node").alias(id_col)))
+    if keep == "min":
+        losers = (clusters.where(F.col("node") != F.col("cluster"))
+                  .select(F.col("node").alias(id_col)))
+    else:
+        # rank cluster members by score DESC (id ASC tiebreak, any id
+        # type); everyone past rank 1 is a loser.  clusters has one row
+        # per MEMBER of a non-trivial cluster only, so the score join and
+        # the per-cluster window are both sized by the duplicate
+        # fraction, not the corpus.
+        from pyspark.sql import Window
+
+        member = clusters.select(F.col("node").alias(id_col), "cluster")
+        scored = member.join(
+            df.select(id_col, F.col(score_col).alias("_nd_score")),
+            on=id_col, how="inner")
+        w = (Window.partitionBy("cluster")
+             .orderBy(F.col("_nd_score").desc(), F.col(id_col).asc()))
+        losers = (scored.withColumn("_nd_rn", F.row_number().over(w))
+                  .where(F.col("_nd_rn") > 1).select(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -169,6 +169,36 @@ def test_dedup_clusters_connected_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_near_dedup_keep_best(spark):
+    """keep='best' keeps the max-score member per cluster (id tiebreak);
+    singletons untouched; keep='min' unchanged; arg validation loud."""
+    import pytest
+
+    from cascalog_spark.functions import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = [(1, base + "alpha", 10), (2, base + "alpha beta", 99),
+            (3, base + "alpha", 50),  # cluster {1,2,3}: best = 2
+            (7, "completely different short text here", 5)]  # singleton
+    df = spark.createDataFrame(rows, "doc_id long, text string, score int")
+    best = near_dedup(df, num_perm=8, bands=4, keep="best",
+                      score_col="score")
+    assert sorted(r.doc_id for r in best.collect()) == [2, 7]
+    kept_min = near_dedup(df, num_perm=8, bands=4)
+    assert sorted(r.doc_id for r in kept_min.collect()) == [1, 7]
+    # score ties fall back to min id deterministically
+    tied = spark.createDataFrame(
+        [(1, base, 5), (2, base, 5), (7, "other words entirely", 1)],
+        "doc_id long, text string, score int")
+    got = near_dedup(tied, num_perm=8, bands=4, keep="best",
+                     score_col="score")
+    assert sorted(r.doc_id for r in got.collect()) == [1, 7]
+    with pytest.raises(ValueError, match="score_col"):
+        near_dedup(df, keep="best")
+    with pytest.raises(ValueError, match="keep"):
+        near_dedup(df, keep="median")
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     from cascalog_spark.functions import dedup_clusters
 

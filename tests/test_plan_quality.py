@@ -296,6 +296,50 @@ def test_minhash_bucketed_index_join_zero_index_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS mh_idx_gate")
 
 
+def test_bucketed_fact_fact_join_zero_exchange(spark, sf_dir, tmp_path):
+    """Co-located fact-fact join: lineitem and orders each written once via
+    BucketedTap hashed+sorted on the join key, then equi-joined THROUGH THE
+    DSL — the plan must be a SortMergeJoin with ZERO Exchange and both
+    scans bucket-aware.  This is the recurring-fact-join pattern at 100 TB
+    (pay the layout shuffle once at write, never again per query); the
+    compiler's var-rename projections must stay alias-aware so the scan's
+    HashPartitioning survives to the join (CoGroup-with-pre-partitioned-
+    inputs analog, SURVEY §2.3 join-with-smaller family)."""
+    from cascalog_spark import q
+    from cascalog_spark.sources import BucketedTap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    t1 = BucketedTap(table="li_bkt_gate", path=str(tmp_path / "li"),
+                     bucket_by=["l_orderkey"], n_buckets=8,
+                     sinkmode="replace")
+    t2 = BucketedTap(table="ord_bkt_gate", path=str(tmp_path / "ord"),
+                     bucket_by=["o_orderkey"], n_buckets=8,
+                     sinkmode="replace")
+    t1.save_df(li)
+    t2.save_df(orders)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = q(["?ok", "?qty", "?tp"],
+                   (t1.load_df(spark), {"l_orderkey": "?ok",
+                                        "l_quantity": "?qty"}),
+                   (t2.load_df(spark), {"o_orderkey": "?ok",
+                                        "o_totalprice": "?tp"}),
+                   ).to_df(spark)
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0  # neither fact shuffles
+        assert plan.count("Bucketed: true") == 2  # both reads bucket-aware
+        assert n == li.count()  # every lineitem finds its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bkt_gate")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt_gate")
+
+
 def test_prefix_assoc_plan_single_python_pass(spark, sf_dir):
     """prefix_assoc bufferiter: ONE MapInPandas (the persisted scan feeds
     both the finals agg and the stitch join via InMemoryTableScan), the
