@@ -1034,6 +1034,20 @@ def doc_near_dedup_best(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def doc_gopher_filter(spark, sf_dir):
+    """Gopher rule-bundle keep/drop (Rae et al. 2021 A1.1) over the
+    documents table — one native Column pass, no shuffle.  Scalar check
+    surface: the sorted fail-reason array is projected to a
+    comma-joined string (driver canonicalizer can't sort array cols)."""
+    from cascalog_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_rules(docs, min_tokens=40, min_stopword_distinct=2)
+    return out.select(
+        "doc_id", "keep",
+        F.concat_ws(",", F.col("fail_reasons")).alias("reasons"))
+
+
 def nation_branch_counts(spark, sf_dir):
     """multigroup: cogroup customer & supplier on nationkey with a custom
     multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
@@ -2272,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "doc_near_dedup_best": doc_near_dedup_best,
+        "doc_gopher_filter": doc_gopher_filter,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2807,6 +2822,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",
+        "doc_gopher_filter": r"""
+            WITH sig AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines,
+                     length(regexp_replace(lower(text), '\s', '', 'g'))
+                       AS tok_chars,
+                     length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3
+                       + length(text) - length(replace(text, '…', ''))
+                       AS n_ellipsis
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_toks,
+                     greatest(len(toks), 1) AS safe_n,
+                     greatest(len(lines), 1) AS safe_lines,
+                     tok_chars, n_hash, n_ellipsis,
+                     len(list_filter(lines,
+                         l -> substr(ltrim(l), 1, 1) = '-'
+                           OR substr(ltrim(l), 1, 1) = '*'
+                           OR substr(ltrim(l), 1, 1) = '•')) AS n_bullet,
+                     len(list_filter(lines,
+                         l -> ends_with(rtrim(l), '...')
+                           OR ends_with(rtrim(l), '…'))) AS n_ell_lines,
+                     len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+                     len(list_intersect(toks,
+                         ['the','be','to','of','and','that','have','with']))
+                       AS n_stop
+              FROM sig),
+            flags AS (
+              SELECT doc_id,
+                     list_sort(list_filter([
+                       CASE WHEN NOT (n_toks >= 40 AND n_toks <= 100000)
+                            THEN 'n_tokens' END,
+                       CASE WHEN NOT (tok_chars / safe_n >= 3.0
+                                  AND tok_chars / safe_n <= 10.0)
+                            THEN 'mean_word_len' END,
+                       CASE WHEN NOT (n_hash / safe_n <= 0.1)
+                            THEN 'hash_ratio' END,
+                       CASE WHEN NOT (n_ellipsis / safe_n <= 0.1)
+                            THEN 'ellipsis_ratio' END,
+                       CASE WHEN NOT (n_bullet / safe_lines <= 0.9)
+                            THEN 'bullet_lines' END,
+                       CASE WHEN NOT (n_ell_lines / safe_lines <= 0.3)
+                            THEN 'ellipsis_lines' END,
+                       CASE WHEN NOT (n_alpha / safe_n >= 0.8)
+                            THEN 'alpha_words' END,
+                       CASE WHEN NOT (n_stop >= 2)
+                            THEN 'stopwords' END],
+                       x -> x IS NOT NULL)) AS fr
+              FROM m)
+            SELECT doc_id, len(fr) = 0 AS keep,
+                   array_to_string(fr, ',') AS reasons
+            FROM flags""",
         "doc_near_dedup_best": f"""
             WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

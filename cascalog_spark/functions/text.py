@@ -109,6 +109,90 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.round(score, 1))
 
 
+#: distinct-stopword rule lexicon (Gopher A1.1 uses a fixed tiny list)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_tokens: int = 50, max_tokens: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_hash_word_ratio: float = 0.1,
+                 max_ellipsis_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stopword_distinct: int = 2,
+                 keep_col: str = "keep",
+                 reasons_col: str = "fail_reasons") -> DataFrame:
+    """Gopher document-quality rule bundle (Rae et al. 2021, appendix
+    A1.1) — the classic pre-training keep/drop filter, as ONE pass of
+    native Column expressions (no UDF, no shuffle, no join):
+
+    - ``n_tokens``: token count within [min_tokens, max_tokens]
+    - ``mean_word_len``: mean token length within bounds
+    - ``hash_ratio`` / ``ellipsis_ratio``: '#' count / '...' or '…'
+      occurrences per word ≤ bound
+    - ``bullet_lines`` / ``ellipsis_lines``: fraction of lines starting
+      with a bullet (-, *, •) / ending with an ellipsis ≤ bound
+    - ``alpha_words``: fraction of tokens containing ≥1 alphabetic
+      char ≥ bound
+    - ``stopwords``: ≥ ``min_stopword_distinct`` DISTINCT hits from
+      :data:`GOPHER_STOPWORDS`
+
+    Adds ``keep`` (bool) and ``fail_reasons`` (sorted array of the rule
+    names above that failed — empty when kept).  All arithmetic is exact
+    count ratios, so a SQL oracle reproduces it bit-for-bit; project
+    ``concat_ws(',', fail_reasons)`` for hash surfaces that need scalars.
+    At 100 TB this is a straight map over the corpus scan — it pipelines
+    with the read and costs no exchange."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    safe_n = F.when(n_toks > 0, n_toks).otherwise(F.lit(1))
+    tok_chars = F.length(F.regexp_replace(F.lower(text), r"\s", ""))
+    mean_word = tok_chars / safe_n
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        (F.length(text)
+         - F.length(F.regexp_replace(text, r"\.\.\.", "")))
+        / F.lit(3)
+        + F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    safe_lines = F.when(n_lines > 0, n_lines).otherwise(F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda ln: F.substring(F.ltrim(ln), 1, 1)
+                        .isin("-", "*", "•"))) / safe_lines)
+    ell_line_frac = (
+        F.size(F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"))) / safe_lines)
+    alpha_frac = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+                  / safe_n)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(toks, stop_arr))
+    checks = [
+        ("n_tokens", (n_toks >= min_tokens) & (n_toks <= max_tokens)),
+        ("mean_word_len", (mean_word >= min_mean_word_len)
+         & (mean_word <= max_mean_word_len)),
+        ("hash_ratio", n_hash / safe_n <= max_hash_word_ratio),
+        ("ellipsis_ratio", n_ellipsis / safe_n <= max_ellipsis_word_ratio),
+        ("bullet_lines", bullet_frac <= max_bullet_line_frac),
+        ("ellipsis_lines", ell_line_frac <= max_ellipsis_line_frac),
+        ("alpha_words", alpha_frac >= min_alpha_word_frac),
+        ("stopwords", n_stop_distinct >= min_stopword_distinct),
+    ]
+    reasons = F.array_sort(F.filter(
+        F.array(*[F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                  for name, ok in checks]),
+        lambda x: x.isNotNull()))
+    return (df.withColumn(reasons_col, reasons)
+            .withColumn(keep_col, F.size(F.col(reasons_col)) == 0))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out_col: str = "fingerprint") -> DataFrame:
     """Exact-content fingerprint: md5 of whitespace-normalized lowercased

@@ -827,6 +827,39 @@ def test_ivf_centroids_kmeans_tiny_input(spark):
     assert ids == list(range(len(ids)))
 
 
+def test_gopher_rules_branches(spark):
+    """Exercise every rule branch the synthetic corpus can't: bullets,
+    ellipsis lines/chars, hash symbols, non-alpha tokens, empty doc."""
+    from cascalog_spark.functions.text import gopher_rules
+
+    good = ("the data and that table have rows with " * 8).strip()
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "short one"),                             # n_tokens
+        (3, "- a\n- b\n- c\nthe of and that " + good),  # bullet_lines
+        (4, ("so it goes...\nand on...\nmore...\nthe end\n" + good)),
+        (5, "# ## ### #### " + good),                 # hash_ratio
+        (6, ("12345 67890 11111 22222 33333 44444 " * 8 + good)),
+        (7, ""),                                      # empty: n_tokens+…
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_rules(df, min_tokens=40, max_bullet_line_frac=0.2,
+                       max_ellipsis_line_frac=0.3,
+                       max_hash_word_ratio=0.05,
+                       min_alpha_word_frac=0.9)
+    got = {r.doc_id: (r.keep, list(r.fail_reasons)) for r in out.collect()}
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "n_tokens" in got[2][1]
+    assert "bullet_lines" in got[3][1]
+    assert "ellipsis_lines" in got[4][1]
+    assert "hash_ratio" in got[5][1]
+    assert "alpha_words" in got[6][1]
+    assert got[7][0] is False and "n_tokens" in got[7][1]
+    # reasons are sorted + deduped-by-construction
+    for _, reasons in got.values():
+        assert reasons == sorted(reasons)
+
+
 def test_repetition_signals_edges(spark):
     from cascalog_spark.functions import repetition_signals
 
