@@ -1268,6 +1268,59 @@ def events_stream_user_counts(spark, sf_dir):
             .agg(F.max("n_total").alias("n_total")))
 
 
+def events_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time RANGE join (streaming/stream.py
+    stream_interval_join), driver-oracled: click events joined to
+    same-user purchase events with purchase_ts in
+    [click_ts, click_ts + 30 min], both sides streamed.  Driven as ONE
+    availableNow batch, the inner join emits exactly the batch-join
+    matches (watermarks only evict state BETWEEN batches), so the plain
+    SQL range join is the exact oracle — this gives the native
+    stream-stream join machinery a driver CORRECTNESS row to complement
+    the pytest batch-equivalence tests."""
+    from cascalog_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"] in ("bigint", "long")
+    schema = (f"event_id long, ts {'long' if ts_is_long else 'timestamp_ntz'}, "
+              "user_id long, event_type string, value double, props string")
+
+    def src():
+        raw = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if ts_is_long:
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (src().where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (src().where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes",
+        left_watermark="1 hour", right_watermark="1 hour")
+    out = joined.select(F.col("l.user_id").alias("user_id"),
+                        "click_id", "purchase_id")
+    name = "events_stream_interval_join"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_interval_join: bounded stream "
+                           "did not drain within 300s")
+    return spark.table(name)
+
+
 def doc_decontamination(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
     sharing any 3-token shingle with the held-out benchmark slice
@@ -2287,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
+        "events_stream_interval_join": events_stream_interval_join,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2822,6 +2876,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",
+        "events_stream_interval_join": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM events c
+            JOIN events p ON p.user_id = c.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
         "doc_gopher_filter": r"""
             WITH sig AS (
               SELECT doc_id,
