@@ -56,6 +56,32 @@ class Tap:
         return df
 
     def save_df(self, df: DataFrame) -> None:
+        if self.sinkmode == "update_partitions":
+            # dynamic partition overwrite: replace ONLY the partitions
+            # present in df, keep every other partition untouched — the
+            # idempotent daily-incremental writer (re-running a day's job
+            # rewrites that day, never appends duplicates and never
+            # truncates history).  Extends tap.clj's :keep/:update/
+            # :replace triple with the mode a partitioned lake needs.
+            if not self.partition_by:
+                raise ValueError(
+                    "sinkmode='update_partitions' requires partition_by "
+                    "(there is no partition unit to overwrite)")
+            spark = df.sparkSession
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (df.write.format(self.fmt)
+                 .options(**self.write_options)
+                 .mode("overwrite")
+                 .partitionBy(*self.partition_by)
+                 .save(self.path))
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+            return
         writer = (df.write.format(self.fmt)
                   .options(**self.write_options)
                   .mode(SINKMODES.get(self.sinkmode, self.sinkmode)))

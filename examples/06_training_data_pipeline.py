@@ -25,7 +25,8 @@ from cascalog_spark.functions import (chunk_text, contamination_bloom,
                                       redact_pii, remove_boilerplate,
                                       split_corpus, stratified_sample)
 from cascalog_spark.functions.dedup import dedup_clusters, exact_dedup
-from cascalog_spark.functions.text import clean_text, quality_score
+from cascalog_spark.functions.text import (clean_text, gopher_rules,
+                                           quality_score)
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 spark = (SparkSession.builder.master("local[*]")
@@ -36,8 +37,12 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 n0 = docs.count()
 
-# 1. normalize + quality gate (native regexp chains, no UDF)
+# 1. normalize + quality gates: Gopher rule bundle (keep/drop with
+#    per-rule reasons) then the scalar quality score — all native
+#    regexp/array chains, no UDF
 docs = clean_text(docs, out_col="text")
+docs = gopher_rules(docs, min_tokens=20, min_stopword_distinct=1) \
+    .where(F.col("keep")).drop("keep", "fail_reasons")
 docs = quality_score(docs).where(F.col("quality") >= 0.5).drop("quality")
 
 # 2. exact dedup: keep the lowest doc_id per normalized fingerprint

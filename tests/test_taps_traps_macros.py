@@ -75,6 +75,34 @@ def test_template_tap_partitioned_sink(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+def test_update_partitions_sinkmode(spark, tmp_path):
+    """sinkmode='update_partitions' = dynamic partition overwrite: the
+    re-written day replaces in place, untouched days survive, new days
+    append — the idempotent incremental writer."""
+    import pytest
+
+    path = str(tmp_path / "daily")
+    tap = ParquetTap(path=path, partition_by=["day"],
+                     sinkmode="update_partitions")
+    tap.save_df(spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "day int, v string"))
+    # rewrite day=2 (fewer rows: overwrite, not append) + brand-new day=3
+    tap.save_df(spark.createDataFrame(
+        [(2, "C"), (3, "d")], "day int, v string"))
+    got = {(r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (1, "b"), (2, "C"), (3, "d")}
+    # re-running the same batch is idempotent
+    tap.save_df(spark.createDataFrame([(2, "C"), (3, "d")],
+                                      "day int, v string"))
+    assert spark.read.parquet(path).count() == 4
+    # the session conf is restored, and partition_by is mandatory
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    with pytest.raises(ValueError, match="partition_by"):
+        ParquetTap(path=path, sinkmode="update_partitions").save_df(
+            spark.createDataFrame([(1, "x")], "day int, v string"))
+
+
 def test_cascalog_tap_fn_sink(spark):
     # fn-sink receives the DataFrame (cascading/platform.clj:320-324)
     captured = []
