@@ -58,6 +58,34 @@ def counter(spark: SparkSession, name: str):
     return acc
 
 
+def observed_stats(df, name: str = "stats", **metrics):
+    """Native, zero-cost dynamic stats for pure-Column pipelines — the
+    Spark-first face of the counter API: ``counter()`` accumulators only
+    tick from inside Python ops, but an all-native flow has none, so this
+    attaches aggregate metrics to the DataFrame via ``df.observe`` and
+    they are computed DURING the next action (no extra pass, no extra
+    shuffle; Datasource-agnostic).
+
+    Returns ``(df, observation)``; read ``observation.get`` after any
+    action on the returned frame.
+
+    Example::
+
+        df, obs = observed_stats(df, rows=F.count(F.lit(1)),
+                                 null_ids=F.count_if(F.col("id").isNull()))
+        sink.save_df(df)
+        print(obs.get)   # {'rows': ..., 'null_ids': ...}
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("observed_stats: pass at least one metric "
+                         "(name=aggregate Column)")
+    obs = Observation(name)
+    cols = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(obs, *cols), obs
+
+
 def execute_with_stats(spark: SparkSession, query, sink=None,
                        name: Optional[str] = None,
                        stats_fn: Optional[Callable[[dict], None]] = None,

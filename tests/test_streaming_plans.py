@@ -177,6 +177,27 @@ def test_stats_and_counters(spark):
     assert captured["counters"]["evens"] == 2
 
 
+def test_observed_stats_native_metrics(spark):
+    """observed_stats: metrics computed during the action itself — the
+    native stats path for flows with no Python op to tick a counter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.plans import observed_stats
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)], "id long, v string")
+    out, obs = observed_stats(
+        df, name="gate",
+        rows=F.count(F.lit(1)),
+        null_v=F.count(F.when(F.col("v").isNull(), 1)),
+        max_id=F.max("id"))
+    assert out.count() == 4  # the action that materializes the metrics
+    assert obs.get == {"rows": 4, "null_v": 2, "max_id": 4}
+    with pytest.raises(ValueError, match="at least one metric"):
+        observed_stats(df)
+
+
 def test_dead_op_pruning():
     from cascalog_spark.ops import defmapfn
     from cascalog_spark.predicates import normalize_query
