@@ -1048,6 +1048,29 @@ def doc_gopher_filter(spark, sf_dir):
         F.concat_ws(",", F.col("fail_reasons")).alias("reasons"))
 
 
+def doc_cross_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (MassiveText boilerplate rule): the
+    corpus has no newlines, so 8-token lines are synthesized natively
+    (sequence + slice — ONE tokenization), then any line already seen in
+    an earlier (id, position) is dropped corpus-wide.  Check surface:
+    md5 of the rebuilt text (exact duplicate docs keep only the first
+    copy's lines, so later copies rebuild empty)."""
+    from cascalog_spark.functions import cross_doc_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lined = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda b: F.array_join(
+                            F.slice(toks, b * 8 + 1, 8), " ")),
+            "\n"))
+    out = cross_doc_line_dedup(lined)
+    return out.select("doc_id", F.md5("dedup_text").alias("dedup_md5"))
+
+
 def nation_branch_counts(spark, sf_dir):
     """multigroup: cogroup customer & supplier on nationkey with a custom
     multibuffer over both branches' tuples (MultiGroupBy.java:50-195,
@@ -2341,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
+        "doc_cross_line_dedup": doc_cross_line_dedup,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2876,6 +2900,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",
+        "doc_cross_line_dedup": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(
+                         0, CAST(ceil(len(list_filter(
+                              string_split_regex(text, '\s+'),
+                              t -> t <> '')) / 8.0) AS INT) - 1),
+                       b -> array_to_string(
+                         list_filter(string_split_regex(text, '\s+'),
+                                     t -> t <> '')[b*8+1 : b*8+8], ' '))
+                       AS lines
+              FROM documents),
+            ex AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM lined, unnest(generate_series(1, len(lines))) AS t(i)),
+            flagged AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(lower(line)))
+                       ORDER BY doc_id, pos) AS rn,
+                     length(trim(line)) AS ln
+              FROM ex),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+              FROM flagged WHERE rn = 1 OR ln < 1
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(r.dedup_text, '')) AS dedup_md5
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""",
         "events_stream_interval_join": """
             SELECT c.user_id, c.event_id AS click_id,
                    p.event_id AS purchase_id

@@ -12,7 +12,8 @@ from .corpus import (bloom_contains, boilerplate_lines, contamination,
                      remove_boilerplate, shingle_bloom, split_corpus,
                      stratified_sample, temperature_mixture,
                      weighted_sample)
-from .dedup import (dedup_clusters, deletion_variants_col, exact_dedup,
+from .dedup import (cross_doc_line_dedup, dedup_clusters,
+                    deletion_variants_col, exact_dedup,
                     exact_dedup_incremental,
                     exact_substring_dedup, exact_substring_spans,
                     fuzzy_dup_pairs, hamming_near_dups, kgram_anchors,

@@ -861,3 +861,59 @@ def exact_substring_dedup(df: DataFrame, k: int = 8,
         sel = [F.col(c) for c in df.columns] \
             + [F.col("__clean").alias(out_col)]
     return joined.select(*sel)
+
+
+def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", sep: str = "\n",
+                         min_chars: int = 1,
+                         out_col: str = "dedup_text") -> DataFrame:
+    """Cross-document LINE dedup (MassiveText / C4 repeated-boilerplate
+    rule at corpus granularity): a line that already appeared in an
+    earlier document — ordered by (id, position) — is dropped from every
+    later one; the first occurrence survives.  Lines shorter than
+    ``min_chars`` after trimming are never deduped (empty/separator
+    lines are not boilerplate evidence).
+
+    All native: posexplode the lines, md5 the trimmed lowercased line as
+    the dedup key, one min-struct aggregate picks the global first owner
+    per key (uniform md5 keys — no skew), one equi-join on the same key
+    marks survivors, and per-doc reassembly is array_sort over collected
+    (pos, line) structs — no Python, no window over the corpus.  Three
+    shuffles total (owner agg, owner join, doc reassembly), each keyed
+    uniformly; at 100 TB every stage has map-side partial aggregation.
+
+    Returns the input columns plus ``out_col`` (lines re-joined with
+    ``sep``; original ``text_col`` preserved — pass ``out_col=text_col``
+    to rewrite in place, same contract as exact_substring_dedup)."""
+    import re as _re
+
+    lines = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("__pos", "__line"))
+        .withColumn("__key", F.md5(F.trim(F.lower(F.col("__line"))))))
+    eligible = F.length(F.trim(F.col("__line"))) >= min_chars
+    owners = (lines.where(eligible)
+              .groupBy("__key")
+              .agg(F.min(F.struct(F.col(id_col).alias("__oid"),
+                                  F.col("__pos").alias("__opos")))
+                   .alias("__owner")))
+    kept = (lines.join(owners, on="__key", how="left")
+            .where((~eligible)
+                   | ((F.col("__owner.__oid") == F.col(id_col))
+                      & (F.col("__owner.__opos") == F.col("__pos")))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"]),
+                   sep).alias("__rebuilt")))
+    joined = df.join(rebuilt, on=id_col, how="left")
+    clean = F.coalesce(F.col("__rebuilt"), F.lit(""))
+    if out_col == text_col:
+        sel = [clean.alias(out_col) if c == text_col else F.col(c)
+               for c in df.columns]
+    else:
+        sel = [F.col(c) for c in df.columns] + [clean.alias(out_col)]
+    return joined.select(*sel)

@@ -199,6 +199,33 @@ def test_near_dedup_keep_best(spark):
         near_dedup(df, keep="median")
 
 
+def test_cross_doc_line_dedup(spark):
+    """First occurrence (by id, then position) keeps a line; later docs
+    and later repeats in the SAME doc lose it; short lines exempt;
+    whitespace/case-normalized matching; original text preserved."""
+    from cascalog_spark.functions import cross_doc_line_dedup
+
+    rows = [
+        (1, "Common Header\nalpha body\ncommon header\n-"),
+        (2, "common header  \nbeta body\n-"),
+        (3, "gamma body\nBETA BODY\n-"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.dedup_text
+           for r in cross_doc_line_dedup(df, min_chars=2).collect()}
+    # doc 1 keeps its first "Common Header", loses the in-doc repeat
+    assert out[1] == "Common Header\nalpha body\n-"
+    # doc 2 loses the header (normalized match incl. trailing spaces)
+    assert out[2] == "beta body\n-"
+    # doc 3 loses BETA BODY (case-normalized vs doc 2's line)
+    assert out[3] == "gamma body\n-"
+    # the "-" line is under min_chars → survives everywhere (3 copies)
+    assert all(o.endswith("-") for o in out.values())
+    # original column untouched
+    cols = cross_doc_line_dedup(df).columns
+    assert cols == ["doc_id", "text", "dedup_text"]
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     from cascalog_spark.functions import dedup_clusters
 
