@@ -206,6 +206,39 @@ def trapped_stream_map(df: DataFrame, fn, in_cols: list,
               .drop(tmp)
 
 
+def write_stream_to_tap(df: DataFrame, tap,
+                        checkpoint: Optional[str] = None,
+                        trigger: Optional[dict] = None,
+                        query_name: Optional[str] = None):
+    """Stream into a batch Tap via foreachBatch — every micro-batch goes
+    through ``tap.save_df``, so the whole tap matrix (parquet/orc/csv/
+    jdbc/bucketed, partition_by templates) is a streaming sink too.
+
+    The interesting composition is ``sinkmode='update_partitions'``: each
+    micro-batch overwrites exactly the partitions it touches (the
+    streaming upsert into a partitioned lake — late re-deliveries of a
+    day REWRITE that day idempotently instead of appending duplicates).
+    ``sinkmode='update'`` appends.  ``replace``/``keep`` are rejected
+    loudly — per-micro-batch overwrite would clobber previous batches,
+    per-micro-batch ignore would drop them."""
+    if getattr(tap, "sinkmode", None) in ("replace", "keep"):
+        raise ValueError(
+            "write_stream_to_tap: sinkmode must be 'update' or "
+            "'update_partitions' — per-micro-batch "
+            f"'{tap.sinkmode}' would clobber or drop earlier batches")
+
+    def process(batch_df, batch_id):
+        tap.save_df(batch_df)
+
+    writer = df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def write_stream_trapped(df: DataFrame, main_sink, trap_sink,
                          error_col: str = "__error",
                          checkpoint: Optional[str] = None,

@@ -177,6 +177,36 @@ def test_stats_and_counters(spark):
     assert captured["counters"]["evens"] == 2
 
 
+def test_write_stream_to_tap_update_partitions(spark, tmp_path):
+    """Streaming upsert into a partitioned lake: each micro-batch
+    overwrites exactly the day-partitions it carries (idempotent
+    re-delivery), earlier days survive; replace/keep sinkmodes loudly
+    rejected."""
+    import pytest
+
+    from cascalog_spark.sources import ParquetTap
+    from cascalog_spark.streaming import (stage_file_batches,
+                                          write_stream_to_tap)
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "day int, v string")
+    b1 = spark.createDataFrame([(2, "B2"), (3, "c")], "day int, v string")
+    src = stage_file_batches([b0, b1], path=str(tmp_path / "src"))
+    raw = (spark.readStream.schema("day int, v string")
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    tap = ParquetTap(path=str(tmp_path / "lake"), partition_by=["day"],
+                     sinkmode="update_partitions")
+    sq = write_stream_to_tap(raw, tap,
+                             checkpoint=str(tmp_path / "ckpt"),
+                             query_name="to_tap_test")
+    assert sq.awaitTermination(120)
+    got = {(r.day, r.v) for r in spark.read.parquet(tap.path).collect()}
+    # day 1 from batch 0 survives; day 2 was REWRITTEN by batch 1
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+    with pytest.raises(ValueError, match="clobber"):
+        write_stream_to_tap(raw, ParquetTap(path="x", sinkmode="replace"))
+
+
 def test_observed_stats_native_metrics(spark):
     """observed_stats: metrics computed during the action itself — the
     native stats path for flows with no Python op to tick a counter."""
