@@ -128,6 +128,40 @@ print(f"interval_overlap_join: 1x={ov1}s 8x={ov8}s ratio={ratio_ov}")
 if ratio_ov > 6:
     failures.append(f"interval_overlap_join 8x ratio {ratio_ov} > 6")
 
+# -- 1c. cross_doc_line_dedup at 8x ------------------------------------------
+# NB: replication is the WORST case for this op — every line of a
+# replicated doc is a cross-copy duplicate, so the owner table is 8x
+# denser than any natural corpus.
+from cascalog_spark.functions import cross_doc_line_dedup  # noqa: E402
+
+docs1 = (spark.read.parquet(f"{SF}/documents.parquet")
+         .select("doc_id", "text").repartition(32).persist())
+docs8 = (docs1.crossJoin(F.broadcast(k))
+         .withColumn("doc_id", F.col("doc_id") + F.col("__k") * 10_000_000)
+         .drop("__k").repartition(64).persist())
+docs1.count(), docs8.count()
+
+
+def lined_dedup(d):
+    toks = F.split(F.col("text"), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lined = d.withColumn(
+        "text",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1),
+                        lambda b: F.array_join(
+                            F.slice(toks, b * 8 + 1, 8), " ")), "\n"))
+    return cross_doc_line_dedup(lined).select(
+        "doc_id", F.md5("dedup_text").alias("m"))
+
+
+ld1 = timeit(lambda: lined_dedup(docs1))
+ld8 = timeit(lambda: lined_dedup(docs8))
+ratio_ld = round(ld8 / ld1, 2)
+print(f"cross_doc_line_dedup: 1x={ld1}s 8x={ld8}s ratio={ratio_ld}")
+if ratio_ld > 6:
+    failures.append(f"cross_doc_line_dedup 8x ratio {ratio_ld} > 6")
+
 # -- 2. star CC round growth on chain graphs ---------------------------------
 from cascalog_spark.functions import dedup_clusters  # noqa: E402
 
