@@ -296,6 +296,37 @@ def test_minhash_bucketed_index_join_zero_index_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS mh_idx_gate")
 
 
+def test_q8_broadcast_star(spark, sf_dir):
+    """Q8's 7-generator join: every dim broadcasts around ONE fact-fact
+    SortMergeJoin; the part-type filter reaches the scan."""
+    df = entry_mod.q8_market_share(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ECONOMY" in plan  # p_type pushed to the part scan
+
+
+def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    """Q19's OR-of-conjunctions must stay a RESIDUAL filter on an
+    equi-join (partkey extracted), never degrade to a nested-loop."""
+    df = entry_mod.q19_discounted_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_subquery_one_row_bnlj_only(spark, sf_dir):
+    """Q22's group-less scalar subquery joins via a single-row
+    BroadcastNestedLoopJoin — the ONLY nested-loop in the plan; the
+    anti-join and the customer scan stay hash-based."""
+    df = entry_mod.q22_global_sales_opportunity(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_fact_fact_join_zero_exchange(spark, sf_dir, tmp_path):
     """Co-located fact-fact join: lineitem and orders each written once via
     BucketedTap hashed+sorted on the join key, then equi-joined THROUGH THE
