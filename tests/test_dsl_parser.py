@@ -10,6 +10,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cascalog_spark import c, parse_query
 
 
+def test_vars_classification_reference_cases():
+    """vars_test.clj ported verbatim (cascalog-core/test/cascalog/logic/
+    vars_test.clj:5-49): var recognition, wildcard reservation,
+    groundness, generated var families, sanitize munging."""
+    from cascalog_spark import vars as V
+
+    # "Strings work as vars" (vars_test.clj:5-7)
+    assert all(V.is_var(v) for v in ["?a", "?face_two", "!!two", "!a"])
+    # "The underscore is reserved but..." — here "_" IS a positional
+    # wildcard var (vars.clj:81-83 replaces it with a fresh var)
+    assert V.is_var("_") and V.is_wildcard("_")
+    assert not V.is_var("plain") and not V.is_var(10)
+    # "Unground vars begin with !!" (vars_test.clj:15-16)
+    assert V.is_ungrounding("!!a")
+    # "! and ? vars are ground." (vars_test.clj:18-19)
+    assert V.is_ground(["!a", "?a"])
+    # "Adding !!a causes the test to fail." (vars_test.clj:21-22)
+    assert not V.is_ground(["!!a", "!a", "?a"])
+    # "A sequence of vars is only fully ground if every var is ground."
+    assert V.is_ground(["?b", "!a", "?a"])
+    assert not V.is_ground(["!!b", "!a", "?a"])
+    # nullable/non-nullable split is exclusive (vars_test.clj:36-48)
+    nns = [V.gen_var("?") for _ in range(10)]
+    ns = [V.gen_nullable_var() for _ in range(10)]
+    assert all(V.is_non_nullable(v) and not V.is_nullable(v) for v in nns)
+    assert all(V.is_nullable(v) and not V.is_non_nullable(v) for v in ns)
+    assert len(set(nns + ns)) == 20  # generated vars are unique
+    # sanitize strips sigils and munges non-word chars (vars_test.clj:51-55)
+    assert V.sanitize_name("?a") == "a"
+    assert V.sanitize_name("!!a") == "a"
+    assert V.sanitize_name("?face-two") == "face_two"
+    assert V.sanitize_name("?") == "_c"  # never an empty column name
+
+
 def test_wordcount_textual(spark):
     sentences = spark.createDataFrame(
         [("the quick fox",), ("the lazy dog the",)], ["s"])

@@ -251,6 +251,87 @@ def test_dead_op_pruning():
     assert len(prune_operations(nq2)) == 1
 
 
+def test_parse_variables_selector_cases():
+    """parse_test.clj:9-25 ported: selectors expand to unsugared
+    input/output splits; an explicit selector overrides the default."""
+    from cascalog_spark.predicates import _split_selector
+
+    # explicit :> wins regardless of the op's default direction
+    assert _split_selector(["?a", "?b", ":>", 4]) == (["?a", "?b"], [4])
+    # no selector → everything lands on one side; the CALLER applies the
+    # op default (map ops: trailing outputs; filters: all inputs)
+    assert _split_selector(["?a", "?b"]) == (["?a", "?b"], [])
+    # malformed selector combos are loud
+    import pytest
+    with pytest.raises(ValueError, match="duplicate"):
+        _split_selector([":>", "?a", ":>", "?b"])
+    with pytest.raises(ValueError, match="only one of"):
+        _split_selector(["?a", ":>", "?b", ":>>", ["?c"]])
+
+
+def test_prune_operations_reference_cases():
+    """parse_test.clj:50-129 test-prune-operations ported verbatim: the
+    seven keep/prune decisions over gen/minus/plus/count/even?/inc/sort."""
+    from cascalog_spark.builtin import add, even, mult, sub
+    from cascalog_spark.planner import prune_operations
+    from cascalog_spark.predicates import normalize_query
+
+    gen = [(1, 2), (3, 4)]
+
+    def names(ops):
+        return sorted(rp.op.name for rp in ops
+                      if rp.kind in ("op", "filter"))
+
+    # 1. prune plus (output unused in out-fields)
+    nq = normalize_query(["?minus"], [
+        (gen, "?a", "?b"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus")])
+    assert names(prune_operations(nq)) == ["sub"]
+    # 2. prune CHAINED dead ops (plus and inc-plus both go)
+    nq = normalize_query(["?minus"], [
+        (gen, "?a", "?b"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus"),
+        (mult, "?plus", 2, ":>", "?inc_plus")])
+    assert names(prune_operations(nq)) == ["sub"]
+    # 3. do NOT prune when the outvar feeds another predicate (even?)
+    nq = normalize_query(["?minus"], [
+        (gen, "?a", "?b"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus"),
+        (even, "?plus")])
+    kept = prune_operations(nq)
+    assert names(kept) == ["add", "even", "sub"]
+    # 4. do NOT prune filter predicates themselves
+    nq = normalize_query(["?plus"], [
+        (gen, "?a", "?b"),
+        (add, "?b", "?a", ":>", "?plus"),
+        (even, "?plus")])
+    assert names(prune_operations(nq)) == ["add", "even"]
+    # 5. no-input predicate (count) disables pruning entirely
+    from cascalog_spark import c
+    nq = normalize_query(["?minus", "?count"], [
+        (gen, "?a", "?b"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus"),
+        (c.count, "?count")])
+    assert names(prune_operations(nq)) == ["add", "sub"]
+    # 6. outvar used in the :sort option survives
+    nq = normalize_query(["?minus"], [
+        (gen, "?a", "?b"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus")], options={"sort": ["?plus"]})
+    assert names(prune_operations(nq)) == ["add", "sub"]
+    # 7. outvar bound by ANOTHER generator (a join key) survives
+    nq = normalize_query(["?minus", "!!alpha"], [
+        (gen, "?a", "?b"),
+        ([(3, "a"), (7, "b")], "?plus", "!!alpha"),
+        (sub, "?b", "?a", ":>", "?minus"),
+        (add, "?b", "?a", ":>", "?plus")])
+    assert names(prune_operations(nq)) == ["add", "sub"]
+
+
 def test_dead_op_pruned_end_to_end(spark):
     # the pruned UDF would throw if executed — proves it's not planned
     from cascalog_spark.ops import defmapfn
