@@ -635,3 +635,59 @@ def test_complex_noncomplex_agg_mix_reference_parity(spark):
             (evens_vs_odds, "?n", ":>", "?e")).run(spark)
     assert sorted(res) == [("a", 4, 0, 20), ("c", 2, 2, 22),
                            ("d", 1, -1, 9), ("e", 1, 1, 16)]
+
+
+def test_defops_reference_cases(spark):
+    """defops_test.clj + def_test.clj ported: decorated ops stay callable
+    as plain Python fns (def_test.clj:23-31), higher-order op factories
+    close over params (ident-stateful, defops_test.clj:28-45), identity
+    map ops are transparent (defops-arg-parsing-test), and a multi-input
+    parallel agg fuses to one native expression (agg-test,
+    defops_test.clj:68-87)."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.ops import defparallelagg
+
+    @defmapfn(returns="bigint", name="plus-two")
+    def plus_two(x):
+        return x + 2
+
+    # "operations defined with def*fn work as normal functions."
+    assert plus_two(2) == 4
+
+    # "Higher order mapfns work normally" / ident-stateful closure
+    def ident_stateful(y):
+        state = 3
+
+        @defmapfn(returns="bigint", name="ident-stateful")
+        def fn(x):
+            return x + y + state
+
+        return fn
+
+    assert ident_stateful(2)(4) == 9  # callable as a plain fn too
+    src = [(1,), (2,)]
+    query = q(["?y"], (src, "?x"), (ident_stateful(1), "?x", ":>", "?y"))
+    assert_produces(query, spark, [(5,), (6,)])
+
+    # identity op is a transparent transformation (ident/-doc/-meta/-both)
+    @defmapfn(returns="bigint", name="ident")
+    def ident(x):
+        """Identity operation."""
+        return x
+
+    assert ident.py_fn.__doc__ == "Identity operation."  # doc preserved
+    assert_produces(q(["?y"], (src, "?x"), (ident, "?x", ":>", "?y")),
+                    spark, src)
+
+    # agg-test: init 5-arg → state, combine → one ?sum; natively ONE
+    # fused agg expression (map-side partials for free)
+    @defparallelagg
+    def multi_combine(a, b, c_, d, e):
+        return F.sum(a + b + c_) + F.sum(d + e)
+
+    srcw = [(1, 2, 3, 4, 5), (5, 6, 7, 8, 9)]
+    query = q(["?sum"],
+              (srcw, "?a", "?b", "?c", "?d", "?e"),
+              (multi_combine, "?a", "?b", "?c", "?d", "?e", ":>", "?sum"))
+    assert_produces(query, spark, [(50,)])
