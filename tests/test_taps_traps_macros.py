@@ -562,3 +562,162 @@ def test_glob_tap_schema_disagreement_contract(spark, tmp_path):
                      fields=["k"]).load_df(spark)
     assert sub.columns == ["k"]
     assert {r.k for r in sub.collect()} == {1, 2}
+
+
+def test_pred_macro_reference_cases(spark):
+    """pred_macro_test.clj:17-43,218-226 ported: multi-predicate macros
+    with internal temp vars, wildcard output capture, filter-macros via
+    in/out var unification, and NESTED predicate macros."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.predicates import predmacro
+    from cascalog_spark.vars import gen_var
+
+    num1 = [(0,), (1,), (2,), (3,)]
+
+    @predmacro
+    def mac1(invars, outvars):
+        t = gen_var("?")
+        return [(c.add, invars[0], 1, ":>", t),
+                (c.mult, t, 2, ":>", outvars[0]),
+                (c.add, invars[0], t, ":>", outvars[1])]
+
+    dec = c.column_op("dec", lambda x: x - 1)
+    qr = q(["?t", "?o"],
+           (num1, "?n"),
+           (mac1, "?n", ":>", "_", "?o"),
+           (dec, "?n", ":>", "?t"))
+    assert_produces(qr, spark, [(-1, 1), (0, 3), (1, 5), (2, 7)])
+
+    # mac2 (pred_macro_test.clj:17-19): out var unifies with the input →
+    # keeps fixpoints of x*x (0 and 1)
+    @predmacro
+    def mac2(invars, outvars):
+        return [(c.mult, invars[0], invars[0], ":>", invars[0])]
+
+    qr2 = q(["?n"], (num1, "?n"), (mac2, "?n"))
+    assert_produces(qr2, spark, [(0,), (1,)])
+
+    # mac3 (clj:26-28,40-43): same var as input AND output at the CALL
+    # site — n+n == n only for 0
+    @predmacro
+    def mac3(invars, outvars):
+        return [(c.add, invars[0], invars[0], ":>", outvars[0])]
+
+    qr3 = q(["?n"], (num1, "?n"), (mac3, "?n", ":>", "?n"))
+    assert_produces(qr3, spark, [(0,)])
+
+    # nested predmacro (clj:206-226): pm2 invokes pm1 via vararg
+    # selectors plus its own filter
+    bang = c.column_op("append-bang",
+                       lambda x: F.concat(x.cast("string"), F.lit("!")))
+    small = c.column_filter("small-op", lambda x: x < 4)
+
+    @predmacro
+    def pm1(invars, outvars):
+        return [(bang, i, ":>", v) for i, v in zip(invars, outvars)]
+
+    @predmacro
+    def pm2(invars, outvars):
+        return [(pm1, ":<<", list(invars), ":>>", list(outvars)),
+                (small, invars[0])]
+
+    integers = [(1,), (4,)]
+    qr4 = q(["?v"], (integers, "?i"), (pm2, "?i", ":>", "?v"))
+    assert_produces(qr4, spark, [("1!",)])
+
+
+def test_composites_reference_cases(spark):
+    """pred_macro_test.clj:46-128 test-composites ported: any/all over
+    vararg predicates (incl. repeated input vars and :> False capture),
+    negate, comp chains (map∘map and filter∘map), juxt with mixed
+    map/filter ops, and c/each."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def _sum(*cs):
+        return reduce(lambda a, b: a + b, cs)
+
+    odd_sum = c.column_filter("odd-sum", lambda *cs: _sum(*cs) % 2 != 0)
+    mult3_sum = c.column_filter("mult3-sum", lambda *cs: _sum(*cs) % 3 == 0)
+    large_total = c.column_filter("large-total", lambda *cs: _sum(*cs) > 10)
+    nums = [(1, 2), (3, 3), (4, 6)]
+
+    qr = q(["!a", "!b"], (nums, "!a", "!b"),
+           (c.any_filters(odd_sum, mult3_sum, large_total), "!a", "!b"))
+    assert_produces(qr, spark, [(1, 2), (3, 3)])
+
+    qr = q(["!a", "!b"], (nums, "!a", "!b"),
+           (c.any_filters(odd_sum, large_total), "!a", "!b", "!a"))
+    assert_produces(qr, spark, [(3, 3), (4, 6)])
+
+    # filter-as-value negation: capture the composite's boolean as False
+    qr = q(["!a", "!b"], (nums, "!a", "!b"),
+           (c.any_filters(odd_sum, large_total), "!a", "!b", "!a",
+            ":>", False))
+    assert_produces(qr, spark, [(1, 2)])
+
+    qr = q(["!a", "!b"], (nums, "!a", "!b"),
+           (c.all_filters(odd_sum, large_total, mult3_sum),
+            "!a", "!b", "!b", "!b", "!b", "!b", "!b", "!b"))
+    assert_produces(qr, spark, [(1, 2)])
+
+    qr = q(["!a", "!b"], (nums, "!a", "!b"),
+           (c.all_filters(odd_sum, mult3_sum), "!a"))
+    assert_produces(qr, spark, [(3, 3)])
+
+    qr = q(["!a"], (nums, "_", "!a"), (c.negate(c.odd), "!a"))
+    assert_produces(qr, spark, [(2,), (6,)])
+
+    qr = q(["!a"], (nums, "!a", "!b"), (c.negate(c.lt), "!a", "!b"))
+    assert_produces(qr, spark, [(3,)])
+
+    # comp: filter∘map captures a boolean; negate flips it
+    qr = q(["!c"], (nums, "!a", "!b"),
+           (c.comp(c.odd, c.add), "!a", "!b", ":>", "!c"))
+    assert_produces(qr, spark, [(True,), (False,), (False,)])
+    qr = q(["!c"], (nums, "!a", "!b"),
+           (c.comp(c.negate(c.odd), c.add), "!a", "!b", ":>", "!c"))
+    assert_produces(qr, spark, [(False,), (True,), (True,)])
+
+    inc = c.column_op("inc", lambda x: x + 1)
+    dbl = c.column_op("double-num", lambda x: x * 2)
+    qr = q(["!c"], (nums, "!a", "_"),
+           (c.comp(inc, dbl, inc), "!a", ":>", "!c"))
+    assert_produces(qr, spark, [(5,), (9,), (11,)])
+    qr = q(["!c"], (nums, "!a", "_"), (c.comp(inc), "!a", ":>", "!c"))
+    assert_produces(qr, spark, [(2,), (4,), (5,)])
+
+    qr = q(["!v1", "!v2"], (nums, "!a", "!b"),
+           (c.juxt(inc, dbl), "!a", ":>", "!v1", "!v2"))
+    assert_produces(qr, spark, [(2, 2), (4, 6), (5, 8)])
+
+    qr = q(["!v1", "!v2", "!v3"], (nums, "!a", "!b"),
+           (c.juxt(c.add, c.sub, c.lt), "!a", "!b",
+            ":>", "!v1", "!v2", "!v3"))
+    assert_produces(qr, spark, [(3, -1, True), (6, 0, False),
+                                (10, -2, True)])
+
+    # c/each (clj:190-204): op applied var-wise; filter variant too
+    bang = c.column_op("append-bang",
+                       lambda x: F.concat(x.cast("string"), F.lit("!")))
+    triples = [(1, 2, 3), (3, 4, 1)]
+    qr = q(["!v1", "!v2"], (triples, "!a", "!b", "!c"),
+           (c.each(bang), "!a", "!b", ":>", "!v1", "!v2"))
+    assert_produces(qr, spark, [("1!", "2!"), ("3!", "4!")])
+    qr = q(["!v"], (triples, "!a", "!b", "!c"),
+           (c.each(bang), "!b", ":>", "!v"))
+    assert_produces(qr, spark, [("2!",), ("4!",)])
+
+    # composite composites (clj:228-241)
+    nums5 = [(1, 2), (3, 3), (4, 6), (6, 8), (-2, -1)]
+    qr = q(["!a"], (nums5, "!a", "_"),
+           (c.negate(c.any_filters(c.odd, mult3_sum)), "!a"))
+    assert_produces(qr, spark, [(4,), (-2,)])
+    pos = c.column_filter("pos", lambda x: x > 0)
+    small = c.column_filter("small", lambda x: x < 10)
+    qr = q(["!a"], (nums5, "!a", "_"),
+           (c.any_filters(c.all_filters(c.odd, mult3_sum),
+                          c.all_filters(c.even, pos, small)), "!a"))
+    assert_produces(qr, spark, [(3,), (4,), (6,)])
