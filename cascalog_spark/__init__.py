@@ -16,10 +16,10 @@ drives outer joins; Catalyst owns all physical planning.
 from . import builtin as c
 from .dsl import parse_query
 from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
-                  cross_join, defmain, describe_plan, except_gens, execute,
-                  first_n, get_out_fields, intersect_gens, lazy_generator,
-                  name_vars, num_out_fields, out_names, plan_dot, q,
-                  run_many, select_fields, union)
+                  construct, cross_join, defmain, describe_plan, except_gens,
+                  execute, first_n, get_out_fields, intersect_gens,
+                  lazy_generator, name_vars, num_out_fields, out_names,
+                  plan_dot, q, run_many, select_fields, union)
 from .predicates import predmacro
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
@@ -31,7 +31,7 @@ from .vars import gen_var, is_ground, is_ungrounding, is_var
 __version__ = "0.1.0"
 
 __all__ = [
-    "Query", "Subquery", "q", "c", "parse_query", "predmacro",
+    "Query", "Subquery", "q", "construct", "c", "parse_query", "predmacro",
     "combine", "union",
     "execute", "first_n", "run_many",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",

@@ -136,6 +136,14 @@ def q(outfields, *predicates, **options) -> Query:
     return Query(outfields, *predicates, **options)
 
 
+def construct(outfields, predicates, **options) -> Query:
+    """Dynamic query construction from predicates-as-data (api.clj
+    ``construct``; api_secondary_test.clj:53-70): identical to ``q`` but
+    takes the predicate LIST built at runtime as one argument — the form
+    you reach for when assembling predicates programmatically."""
+    return Query(outfields, *predicates, **options)
+
+
 def out_names(outfields) -> list[str]:
     """User-facing column names: sigils stripped, uniquified."""
     names, used = [], set()

@@ -249,6 +249,23 @@ def _expand_outvars(rp: RawPredicate, fresh_filters: list) -> RawPredicate:
     return rp
 
 
+def _expand_symmetric_agg(pred) -> list:
+    """Symmetric aggregator expansion (ops.clj def-aggregateops: ``c/sum
+    ?a ?b ?c :> ?s1 ?s2 ?s3`` means one independent sum PER COLUMN —
+    api_secondary_test.clj:73-80).  A single-column ParallelAgg called
+    with n inputs and n matching outputs splits into n per-column agg
+    predicates; everything else passes through untouched."""
+    if not (isinstance(pred, (tuple, list)) and pred):
+        return [pred]
+    head, *args = pred
+    if not isinstance(head, ParallelAgg) or head.n_out != 1:
+        return [pred]
+    infields, outfields = _split_selector(args)
+    if len(infields) <= 1 or len(infields) != len(outfields):
+        return [pred]
+    return [(head, i, ":>", o) for i, o in zip(infields, outfields)]
+
+
 def normalize_query(outfields, predicates, options: Optional[dict] = None
                     ) -> NormalizedQuery:
     """parse.clj:725-758 ``build-query``/``parse-subquery`` analog."""
@@ -283,9 +300,10 @@ def normalize_query(outfields, predicates, options: Optional[dict] = None
         _expand(p)
 
     for p in expanded:
-        rp = normalize_predicate(p, fresh)
-        {"generator": gens, "generator_set": gensets, "op": ops_,
-         "filter": ops_, "agg": aggs}[rp.kind].append(rp)
+        for sp in _expand_symmetric_agg(p):
+            rp = normalize_predicate(sp, fresh)
+            {"generator": gens, "generator_set": gensets, "op": ops_,
+             "filter": ops_, "agg": aggs}[rp.kind].append(rp)
     ops_.extend(fresh)
 
     _validate(outfields, gens, gensets, ops_, aggs, options)

@@ -385,3 +385,67 @@ def test_first_n_mixed_directions(spark):
     plan = (first_n(inner, 3, sort=[("?rev", "desc"), ("?d", "asc")])
             .to_df(spark)._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_api_secondary_reference_cases(spark):
+    """api_secondary_test.clj ported: symmetric multi-column aggregators
+    (clj:73-80), construct from predicates-as-data with !!var padding
+    (clj:53-62), fail-to-construct missing-var error (clj:64-70),
+    higher-order query builders incl. a buffer param (clj:34-51),
+    scalar-sequence sources and literal-join data structures
+    (clj:82-88,199-205)."""
+    import pytest
+
+    from cascalog_spark import c, construct, defbufferfn, q
+    from cascalog_spark.testing import assert_produces
+
+    # symmetric ops: one agg PER column
+    nums3 = [(1, 2, 3), (10, 20, 30), (100, 200, 300)]
+    qr = q(["?s1", "?s2", "?s3", "?min1", "?min2", "?min3",
+            "?max1", "?max2", "?max3"],
+           (nums3, "?a", "?b", "?c"),
+           (c.sum_agg, "?a", "?b", "?c", ":>", "?s1", "?s2", "?s3"),
+           (c.min_agg, "?a", "?b", "?c", ":>", "?min1", "?min2", "?min3"),
+           (c.max_agg, "?a", "?b", "?c", ":>", "?max1", "?max2", "?max3"))
+    assert_produces(qr, spark, [(111, 222, 333, 1, 2, 3, 100, 200, 300)])
+
+    # construct: predicates assembled as data; !!g pads the outer join
+    age = [("alice", 25), ("bob", 30)]
+    gender = [("alice", "f"), ("charlie", "m")]
+    inc = c.column_op("inc", lambda x: x + 1)
+    preds = [[age, "?p", "?a"], [inc, "?a", ":>", "?a2"]]
+    preds.append([gender, "?p", "!!g"])
+    qr = construct(["?p", "?a2", "!!g"], preds)
+    assert_produces(qr, spark, [("alice", 26, "f"), ("bob", 31, None)])
+
+    # fail-to-construct: an output var no predicate supplies is loud
+    foos = [("alice",), ("bob",)]
+    with pytest.raises(Exception, match="bar"):
+        construct(["?foo", "?bar"], [[foos, "?foo"]]).run(spark)
+
+    # higher-order: a fn parameterized on the op builds the query
+    nums = [(1, 1), (2, 2), (1, 3)]
+
+    def op_to_pairs(sq, op):
+        return q(["?c"], (sq, "?a", "?b"), (op, "?a", "?b", ":>", "?c"))
+
+    assert_produces(op_to_pairs(nums, c.add), spark, [(2,), (4,), (4,)])
+    assert_produces(op_to_pairs(nums, c.sub), spark, [(0,), (0,), (-2,)])
+
+    @defbufferfn(returns=["bigint"], name="sum+1")
+    def sum_plus_1(pdf):
+        import pandas as pd
+        return pd.DataFrame({"s": [int(pdf.iloc[:, 0].sum()) + 1]})
+
+    assert_produces(op_to_pairs(nums, sum_plus_1), spark, [(5,)])
+
+    # literal collections join like any generator (test-data-structure)
+    src = [(1, 5), (5, 6), (8, 2)]
+    qr = q(["?a", "?b"], ([(1,), (2,)], "?a"), (src, "?a", "?b"))
+    assert_produces(qr, spark, [(1, 5)])
+
+    # scalar-sequence source: [1 2 3] == [[1] [2] [3]]
+    assert_produces(q(["?n"], ([(1,), (2,), (3,)], "?n")), spark,
+                    [(1,), (2,), (3,)])
+    assert_produces(q(["?n"], ([1, 2, 3], "?n")), spark,
+                    [(1,), (2,), (3,)])
