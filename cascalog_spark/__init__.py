@@ -20,7 +20,7 @@ from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   execute, first_n, get_out_fields, intersect_gens,
                   lazy_generator, name_vars, num_out_fields, out_names,
                   plan_dot, q, run_many, select_fields, union)
-from .predicates import predmacro
+from .predicates import predmacro, predmacro_template
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,
                   defbufferfn, deffilterfn, defmapcatfn, defmapfn,
@@ -31,7 +31,8 @@ from .vars import gen_var, is_ground, is_ungrounding, is_var
 __version__ = "0.1.0"
 
 __all__ = [
-    "Query", "Subquery", "q", "construct", "c", "parse_query", "predmacro",
+    "Query", "Subquery", "q", "construct", "c", "parse_query",
+    "predmacro", "predmacro_template",
     "combine", "union",
     "execute", "first_n", "run_many",
     "cross_join", "lazy_generator", "broadcast_gen", "intersect_gens",

@@ -146,6 +146,47 @@ def predmacro(fn):
     return fn
 
 
+def predmacro_template(invars, outvars, predicates):
+    """Declarative predicate-macro TEMPLATE (the JCascalog
+    ``PredicateMacroTemplate.build`` analog,
+    src/java/jcascalog/PredicateMacroTemplate.java; exercised by
+    jcascalog_test.clj:57-68): a macro declared as a predicate LIST over
+    fixed interface vars.  On every expansion the interface vars map to
+    the caller's vars and every OTHER var appearing in the template is
+    renamed to a fresh var of the same kind — so a caller var that
+    happens to share a template-internal name (the reference test feeds
+    ``?sum`` into a template that uses ``?sum`` internally) can never
+    capture it."""
+    iface = list(invars) + list(outvars)
+
+    def _prefix(v: str) -> str:
+        if v.startswith("!!"):
+            return "!!"
+        return v[0]
+
+    @predmacro
+    def expand(actual_in, actual_out):
+        if len(actual_in) != len(invars) or len(actual_out) != len(outvars):
+            raise ValueError(
+                f"predmacro_template: expected {len(invars)} inputs / "
+                f"{len(outvars)} outputs, got {len(actual_in)}/"
+                f"{len(actual_out)}")
+        from . import vars as V
+
+        mapping = dict(zip(iface, list(actual_in) + list(actual_out)))
+
+        def sub(x):
+            if isinstance(x, str) and V.is_var(x) and x != "_":
+                if x not in mapping:
+                    mapping[x] = V.gen_var(_prefix(x))
+                return mapping[x]
+            return x
+
+        return [tuple(sub(x) for x in p) for p in predicates]
+
+    return expand
+
+
 def is_predmacro(x) -> bool:
     return callable(x) and getattr(x, "__predmacro__", False)
 

@@ -449,3 +449,85 @@ def test_api_secondary_reference_cases(spark):
                     [(1,), (2,), (3,)])
     assert_produces(q(["?n"], ([1, 2, 3], "?n")), spark,
                     [(1,), (2,), (3,)])
+
+
+def test_jcascalog_reference_cases(spark):
+    """jcascalog_test.clj ported through the fluent Subquery facade:
+    vanilla double-sum chain, constant equality filter + DISTINCT
+    option, predicate macros through .predicate/.out, the
+    PredicateMacroTemplate with intermediate-var RENAMING (the caller's
+    ?sum must not capture the template's internal ?sum), first-n over a
+    subquery with a CONSTANT in a generator binding position, and
+    Api/each symmetric application."""
+    from cascalog_spark import (Subquery, c, first_n, predmacro,
+                                predmacro_template, q)
+    from cascalog_spark.testing import assert_produces
+    from cascalog_spark.vars import gen_var
+
+    value = [("a", 1), ("a", 2), ("b", 10), ("c", 3), ("b", 2), ("a", 6)]
+    res = (Subquery("?letter", "?doublesum")
+           .predicate(value, "?letter", "?v")
+           .predicate(c.mult, "?v", 2).out("?double")
+           .predicate(c.sum_agg, "?double").out("?doublesum")
+           .run(spark))
+    assert sorted(res) == [("a", 18), ("b", 24), ("c", 6)]
+
+    res = (Subquery("?letter")
+           .predicate(value, "?letter", "_")
+           .predicate(c.eq, "?letter", "a")
+           .run(spark))
+    assert sorted(res) == [("a",)] * 3
+
+    res = (Subquery("?letter")
+           .predicate(value, "?letter", "_")
+           .predicate(c.eq, "?letter", "a")
+           .option(distinct=True)
+           .run(spark))
+    assert res == [("a",)]
+
+    # my-avg predicate macro (jcascalog_test.clj:41-54)
+    @predmacro
+    def my_avg(invars, outvars):
+        cnt, s = gen_var("!"), gen_var("!")
+        return [(c.count, cnt),
+                (c.sum_agg, invars[0], ":>", s),
+                (c.div, s, cnt, ":>", outvars[0])]
+
+    nums = [(1,), (2,), (3,), (4,), (5,)]
+    res = (Subquery("?avg")
+           .predicate(nums, "?v")
+           .predicate(my_avg, "?v").out("?avg")
+           .run(spark))
+    assert res == [(3.0,)]
+
+    # PredicateMacroTemplate (clj:56-68): caller binds ?sum — the
+    # template's OWN ?sum must rename away instead of colliding
+    my_avg_template = predmacro_template(
+        ["?v"], ["?avg"],
+        [(c.count, "?count"),
+         (c.sum_agg, "?v", ":>", "?sum"),
+         (c.div, "?sum", "?count", ":>", "?avg")])
+    res = (Subquery("?avg")
+           .predicate(nums, "?sum")
+           .predicate(my_avg_template, "?sum").out("?avg")
+           .run(spark))
+    assert res == [(3.0,)]
+
+    # first-n over a subquery + CONSTANT in generator binding position
+    data = [("a", 1), ("a", 1), ("b", 1), ("c", 1), ("c", 1), ("a", 1),
+            ("d", 1)]
+    sq = (Subquery("?l", "?count")
+          .predicate(data, "?l", "_")
+          .predicate(c.count, "?count")
+          .build())
+    firstn = first_n(sq, 2, sort=["?count"], reverse=True)
+    res = q(["?l"], (firstn, "?l", 2)).run(spark)
+    assert res == [("c",)]
+
+    # Api/each(Sum) over three vars (clj:84-90) = one independent sum
+    # per column — the symmetric-aggregator expansion
+    res = q(["?x", "?y", "?z"],
+            ([(1, 2, 3), (4, 5, 6)], "?a", "?b", "?c"),
+            (c.sum_agg, "?a", "?b", "?c", ":>", "?x", "?y", "?z"),
+            ).run(spark)
+    assert res == [(5, 7, 9)]
