@@ -58,6 +58,7 @@ class Query:
         Semigroup-summed flows)."""
         df = compiler.compile(self.plan())
         self._trap_dfs = compiler.trap_dfs
+        self._nested_trapped = compiler.nested_trapped
         # dynamic typing: remember which OUTPUT positions hold pickled
         # Python objects so run() can decode them (to_df leaves binary)
         self._pickled_idx = [i for i, c in enumerate(df.columns)
@@ -87,6 +88,10 @@ class Query:
                 trap.save_df(tdf)
             elif callable(trap):
                 trap(tdf)
+        # multi-trap scoping (cascading_api_test.clj:209-225): inner
+        # subqueries flush to their OWN trap sinks
+        for sub in getattr(self, "_nested_trapped", []):
+            sub.flush_traps()
 
     def run(self, spark: SparkSession) -> list[tuple]:
         """??- : execute and return tuples to driver memory (api.clj:113-140)."""

@@ -78,6 +78,11 @@ class Compiler:
         # Python op throws are diverted to the trap instead of failing the job
         self.trap = trap
         self.trap_dfs: list[DataFrame] = []
+        # subquery generators carrying their OWN :trap (multi-trap
+        # scoping, cascading_api_test.clj:209-225): recorded here so the
+        # outer query's flush also flushes the inner query's diverted
+        # rows to the INNER trap sink
+        self.nested_trapped: list = []
         # fan-out sharing (SURVEY §4: memoized zipper walk → "persist() when
         # fan-out > 1"): a subquery generator referenced by several branches
         # compiles once and is persisted so the action computes it once
@@ -196,6 +201,9 @@ class Compiler:
             df = self._src_memo.get(id(source))
             if df is None:
                 df = source.to_df(self.spark)
+                if hasattr(source, "flush_traps") and \
+                        getattr(source, "options", {}).get("trap") is not None:
+                    self.nested_trapped.append(source)
                 if (self._src_counts or {}).get(id(source), 0) > 1:
                     # MEMORY_AND_DISK: spills, never OOMs
                     df = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -721,3 +721,63 @@ def test_composites_reference_cases(spark):
            (c.any_filters(c.all_filters(c.odd, mult3_sum),
                           c.all_filters(c.even, pos, small)), "!a"))
     assert_produces(qr, spark, [(3,), (4,), (6,)])
+
+
+def test_trap_joins_and_multi_trap(spark):
+    """cascading_api_test.clj:190-225 ported: a trap AFTER a join diverts
+    the joined row (with join-produced fields available to the failing
+    op), and NESTED traps scope per subquery — the inner query's
+    failures hit the inner trap, the outer query's failures hit the
+    outer trap."""
+
+    def odd_fail_fn(n):
+        if n % 2 == 1:
+            raise RuntimeError("odd!")
+        return True
+
+    @deffilterfn
+    def odd_fail(n):
+        return odd_fail_fn(n)
+
+    @deffilterfn
+    def odd_fail2(n, g):
+        return odd_fail_fn(n)
+
+    age = [("A", 20), ("B", 21)]
+    gender = [("A", "m"), ("B", "f")]
+    # trap after the join, single input var
+    trap1 = []
+    qr = q(["?p", "?a", "?g"],
+           (age, "?p", "?a"), (gender, "?p", "?g"),
+           (odd_fail, "?a"),
+           trap=lambda df: trap1.extend(tuple(r) for r in df.collect()))
+    assert qr.run(spark) == [("A", 20, "m")]
+    assert len(trap1) == 1 and 21 in trap1[0]
+    # trap after the join, the failing op SEES a join-produced field
+    trap2 = []
+    qr = q(["?p", "?a", "?g"],
+           (age, "?p", "?a"), (gender, "?p", "?g"),
+           (odd_fail2, "?a", "?g"),
+           trap=lambda df: trap2.extend(tuple(r) for r in df.collect()))
+    assert qr.run(spark) == [("A", 20, "m")]
+    assert len(trap2) == 1 and 21 in trap2[0] and "f" in trap2[0]
+
+    # multi-trap (clj:209-225): inner subquery trap vs outer query trap
+    @deffilterfn
+    def odd_fail3(w, p, a):
+        return odd_fail_fn(w)
+
+    weight = [("A", 191), ("B", 192)]
+    inner_trap, outer_trap = [], []
+    sq = q(["?p", "?a"], (age, "?p", "?a"), (odd_fail, "?a"),
+           trap=lambda df: inner_trap.extend(
+               tuple(r) for r in df.collect()))
+    outer = q(["?p", "?a", "?w"],
+              (sq, "?p", "?a"), (weight, "?p", "?w"),
+              (odd_fail3, "?w", "?p", "?a"),
+              trap=lambda df: outer_trap.extend(
+                  tuple(r) for r in df.collect()))
+    assert outer.run(spark) == []
+    assert len(inner_trap) == 1 and 21 in inner_trap[0]  # B's odd age
+    assert len(outer_trap) == 1  # A's odd weight, post-join tuple
+    assert 191 in outer_trap[0] and "A" in outer_trap[0]
