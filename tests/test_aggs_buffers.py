@@ -160,6 +160,19 @@ def test_combine_and_union(spark):
     assert_produces(both, spark, [(1,), (2,), (2,), (3,)])
     uni = q(["?n"], (union(qa, qb), "?n"))
     assert_produces(uni, spark, [(1,), (2,), (3,)])
+    # run-union-combine-tests (cascading_api_test.clj:228-258) verbatim:
+    # raw vectors as inputs, 1/2/3-ary forms
+    v1, v2, v3 = [(1,), (2,), (3,)], [(3,), (4,), (5,)], [(2,), (4,), (6,)]
+    assert_produces(q(["?n"], (union(v1, v2), "?n")), spark,
+                    [(1,), (2,), (3,), (4,), (5,)])
+    assert_produces(q(["?n"], (union(v1, v2, v3), "?n")), spark,
+                    [(1,), (2,), (3,), (4,), (5,), (6,)])
+    assert_produces(q(["?n"], (union(v2), "?n")), spark,
+                    [(3,), (4,), (5,)])
+    assert_produces(q(["?n"], (combine(v1, v3), "?n")), spark,
+                    [(1,), (2,), (3,), (2,), (4,), (6,)])
+    assert_produces(q(["?n"], (combine(v1, v2, v3), "?n")), spark,
+                    [(1,), (2,), (3,), (3,), (4,), (5,), (2,), (4,), (6,)])
 
 
 def test_first_n(spark):
