@@ -337,6 +337,19 @@ def test_get_out_fields_parity(spark):
         get_out_fields(42)
 
 
+def test_select_fields_cascalogtap_query(spark):
+    """cascading_api_test.clj:278-285 verbatim: select-fields over a
+    cascalog-tap REORDERS (f4, f2) inside a query."""
+    from cascalog_spark import q as Q, select_fields
+    from cascalog_spark.sources import CascalogTap, MemoryTap
+
+    data = MemoryTap(["f1", "f2", "f3", "f4"],
+                     [(1, 2, 3, 4), (11, 12, 13, 14), (21, 22, 23, 24)])
+    ct = CascalogTap(source=data, sink=None)
+    qr = Q(["?a", "?b"], (select_fields(ct, ["f4", "f2"]), "?a", "?b"))
+    assert sorted(qr.run(spark)) == [(4, 2), (14, 12), (24, 22)]
+
+
 def test_bench_contract_shape():
     """bench.py must keep the driver contract: headline set is importable,
     every bench query exists in queries(), and each has an oracle (the
