@@ -281,3 +281,58 @@ def test_limit_option(spark):
     instead of silently no-opping."""
     res = q(["?a"], ([(i,) for i in range(10)], "?a"), limit=3).run(spark)
     assert len(res) == 3
+
+
+def test_filter_same_field_reference_cases(spark):
+    """api_test.clj:218-245 test-filter-same-field verbatim: implicit
+    equality through repeated vars — in generators, in op OUTPUTS
+    unifying with bound vars (including an op's own input), chained
+    self-unifying ops, cross-generator unification, and aggregation over
+    a same-var-filtered stream."""
+    nums = [(1, 1), (0, 0), (1, 2), (3, 7), (8, 64), (7, 1), (2, 4),
+            (6, 6)]
+    assert_produces(q(["?n"], (nums, "?n", "?n")), spark,
+                    [(1,), (0,), (6,)])
+    assert_produces(
+        q(["?n", "?n2"], (nums, "?n", "?n2"),
+          (c.mult, "?n", "?n", ":>", "?n2")),
+        spark, [(1, 1), (0, 0), (8, 64), (2, 4)])
+    assert_produces(
+        q(["?n"], (nums, "?n", "?n"),
+          (c.mult, "?n", "?n", ":>", "?n"),
+          (c.add, "?n", "?n", ":>", "?n")),
+        spark, [(0,)])
+    assert_produces(
+        q(["?n", "?n2"], (nums, "?n", "?n"), (nums, "?n", "?n2")),
+        spark, [(1, 1), (1, 2), (0, 0), (6, 6)])
+    assert_produces(
+        q(["?s"], (nums, "?n", "?n"),
+          (c.mult, 2, "?n", ":>", "?n2"),
+          (c.sum_agg, "?n2", ":>", "?s")),
+        spark, [(14,)])
+    assert_produces(
+        q(["?n2"], (nums, "?n", "?n"), (nums, "?n2", "?n2"),
+          (c.mult, 6, "?n", ":>", "?n2")),
+        spark, [(6,), (0,)])
+
+
+def test_sort_reference_cases(spark):
+    """api_test.clj:250-263 test-sort verbatim: :sort/:reverse inline
+    options feeding a select-first buffer."""
+    import pandas as pd
+
+    from cascalog_spark import defbufferfn
+
+    @defbufferfn(returns=["bigint"], name="select-first")
+    def select_first(pdf):
+        return pd.DataFrame({"v": [pdf.iloc[0, 0]]})
+
+    pairs = [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 20)]
+    qr = q(["?f1", "?f2"], (pairs, "?f1", "?v"),
+           (":sort", "?v"),
+           (select_first, "?v", ":>", "?f2"))
+    assert_produces(qr, spark, [("a", 1), ("b", 10)])
+    qr = q(["?f1", "?f2"], (pairs, "?f1", "?v"),
+           (":sort", "?v"), (":reverse", True),
+           (select_first, "?v", ":>", "?f2"))
+    assert_produces(qr, spark, [("a", 3), ("b", 20)])
