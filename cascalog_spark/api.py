@@ -228,14 +228,26 @@ class _BoundGen:
         df = g.to_df(spark) if hasattr(g, "to_df") else (
             g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
         if self.cols is not None:
-            df = df.select(*self.cols)
+            # subquery columns carry sanitized names (?f6 → f6) — accept
+            # the logic-var spelling too (api_test.clj:711-719 selects
+            # "!f1" off a subquery)
+            df = df.select(*[c if c in df.columns else V.sanitize_name(c)
+                             for c in self.cols])
         if self.names is not None:
             df = df.toDF(*[V.sanitize_name(n) for n in self.names])
         return df
 
+    def run(self, spark: SparkSession) -> list[tuple]:
+        """test?- convenience: select-fields/name-vars results run
+        directly as queries in the reference tests."""
+        return [tuple(r) for r in self.to_df(spark).collect()]
+
 
 def select_fields(gen, fields) -> _BoundGen:
-    """Project a generator to named source columns (api.clj:154-163)."""
+    """Project a generator to named source columns (api.clj:154-163).
+    Accepts a single field name or a sequence (api_test.clj:715)."""
+    if isinstance(fields, str):
+        fields = [fields]
     return _BoundGen(gen, cols=list(fields))
 
 

@@ -219,8 +219,23 @@ def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
                 raise ValueError("generator-set takes exactly one output")
             return RawPredicate(kind="generator_set", op=None, source=head,
                                 bindings=list(infields), flag=outfields[0])
+        # fn GUARD in a binding position (api_test.clj:577-591
+        # ``(pairs odd? ?b)``): bind a fresh var and filter it — the
+        # same split-outvar-constants rewrite, generator-side.  Sets and
+        # other non-callable values stay equality constants.
+        rewritten = []
+        for b in infields:
+            if not isinstance(b, dict) and (callable(b) or
+                                            isinstance(b, FilterOp)):
+                fv = V.gen_var("?")
+                guard = lift(b, has_output=False)
+                fresh_filters.append(
+                    RawPredicate(kind="filter", op=guard, infields=[fv]))
+                rewritten.append(fv)
+            else:
+                rewritten.append(b)
         return RawPredicate(kind="generator", op=None, source=head,
-                            bindings=list(infields))
+                            bindings=rewritten)
 
     infields, outfields = _split_selector(args)
     op = lift(head, has_output=bool(outfields))
@@ -245,6 +260,23 @@ def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
                         py_fn=op.py_fn, returns=[parse_type("boolean")],
                         n_out=1)
         op = bool_op
+
+    if isinstance(op, MapOp) and not outfields and op.n_out == 1:
+        # "mapops can be used as filters if there are no output
+        # variables" (api_test.clj:690-693): keep rows whose single
+        # output is truthy
+        if op.column_fn is not None:
+            return RawPredicate(
+                kind="filter",
+                op=FilterOp(name=f"{op.name}-as-filter",
+                            column_fn=lambda *cs, _f=op.column_fn:
+                            _f(*cs).cast("boolean")),
+                infields=infields)
+        return RawPredicate(
+            kind="filter",
+            op=FilterOp(name=f"{op.name}-as-filter",
+                        py_fn=lambda *vs, _f=op.py_fn: bool(_f(*vs))),
+            infields=infields)
 
     if isinstance(op, (MapOp, MapcatOp)) and not outfields:
         raise ValueError(

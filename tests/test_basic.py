@@ -336,3 +336,125 @@ def test_sort_reference_cases(spark):
            (":sort", "?v"), (":reverse", True),
            (select_first, "?v", ":>", "?f2"))
     assert_produces(qr, spark, [("a", 3), ("b", 20)])
+
+
+def test_constraint_and_capture_reference_cases(spark):
+    """api_test.clj:567-709 ported: fn guards in generator BINDING and op
+    OUTPUT positions, multi-output op outputs unifying to one var,
+    constant substitution incl. aggregator outputs, sets as predicate
+    ops, filter-capture variants, mapops as filters, and op params via
+    higher-order factories (var-apply)."""
+    from cascalog_spark import defmapfn
+
+    def odd_py(x):
+        return x % 2 != 0
+
+    def even_py(x):
+        return x % 2 == 0
+
+    pairs = [(1, 2), (2, 4), (3, 3)]
+    # complex constraints (clj:577-591)
+    @defmapfn(returns=["bigint", "bigint"], n_out=2, name="double-times")
+    def double_times(x, y):
+        return (2 * x, y)
+
+    qr = q(["?a", "?b"], (pairs, "?a", "?b"),
+           (double_times, "?a", "?b", ":>", "?b", "?b"))
+    assert_produces(qr, spark, [(1, 2), (2, 4)])
+    qr = q(["?b"], (pairs, odd_py, "?b"),
+           (c.mult, "?b", 3, ":>", even_py))
+    assert_produces(qr, spark, [(2,)])
+
+    # constant substitution (clj:593-609)
+    pairs2 = [(1, 2), (1, 3), (2, 5)]
+    qr = q(["?a", "?b"], (pairs2, "?a", "?b"),
+           (c.mult, 2, "?b", ":>", 4))
+    assert_produces(qr, spark, [(1, 2)])
+    qr = q(["?a"], (pairs2, "?a", "?b"), (c.count, 2))
+    assert_produces(qr, spark, [(1,)])
+    # plain callables demand a declared return type when CAPTURED (our
+    # documented narrowing) — the builtin odd filter captures fine
+    qr = q(["?a"], (pairs2, "?a", "_"), (c.odd, "?a", ":>", False))
+    assert_produces(qr, spark, [(2,)])
+
+    # sets as predicate ops (clj:657-667)
+    people = [("bob",), ("sam",)]
+    qr = q(["?person"], (people, "?person"), ({"bob"}, "?person"))
+    assert_produces(qr, spark, [("bob",)])
+
+    # filter capture (clj:669-693)
+    src = [(1,), (2,)]
+    qr = q(["?x", "?z"], (src, "?x"), (c.odd, "?x", ":>", "?z"))
+    assert_produces(qr, spark, [(1, True), (2, False)])
+    qr = q(["?x"], (src, "?x"), (c.odd, "?x", ":>", False))
+    assert_produces(qr, spark, [(2,)])
+    qr = q(["?x"], (src, "?x"),
+           (c.odd, "?x", ":>", lambda v: v is False))
+    assert_produces(qr, spark, [(2,)])
+    # a mapop with no output vars acts as a truthiness filter
+    even_map = c.column_op("even-map", lambda x: x % 2 == 0)
+    qr = q(["?x"], (src, "?x"), (even_map, "?x"))
+    assert_produces(qr, spark, [(2,)])
+
+    # var-apply (clj:628-650): op params through a factory closure
+    def var_apply(fn):
+        from cascalog_spark import mapfn
+
+        @defmapfn(returns="bigint", name="var-apply")
+        def applied(*xs):
+            return fn(*xs)
+
+        return applied
+
+    import operator
+    num_src = [(1, 2), (3, 4)]
+    qr = q(["?x", "?y", "?z"], (num_src, "?x", "?y"),
+           (var_apply(operator.mul), "?x", "?y", ":>", "?z"))
+    assert_produces(qr, spark, [(1, 2, 2), (3, 4, 12)])
+
+
+def test_select_fields_and_limit_reference_cases(spark):
+    """api_test.clj:711-783 ported: select-fields over a subquery
+    (single-name and reordered forms) and the c/limit + c/limit-rank
+    battery under :sort/:reverse, grouped and ungrouped."""
+    from cascalog_spark import select_fields
+
+    wide = [(1, 2, 3, 4, 5, 6)]
+    sq = q(["!f1", "!f4", "!f5", "?f6"],
+           (wide, "!f1", "!f2", "!f3", "!f4", "!f5", "?f6"))
+    assert select_fields(sq, "!f1").run(spark) == [(1,)]
+    assert select_fields(sq, ["!f1", "?f6"]).run(spark) == [(1, 6)]
+    assert select_fields(sq, ["!f5", "!f4", "?f6"]).run(spark) == [(5, 4, 6)]
+
+    pair = [("a", 1), ("a", 3), ("a", 2), ("a", 4), ("b", 1), ("b", 6),
+            ("b", 7), ("c", 0)]
+    # global limit 2 ascending
+    qr = q(["?n2"], (pair, "_", "?n"), (":sort", "?n"),
+           (c.limit(2), "?n", ":>", "?n2"))
+    assert_produces(qr, spark, [(0,), (1,)])
+    # limit-rank 3 ascending with rank output
+    qr = q(["?n2", "?r"], (pair, "_", "?n"), (":sort", "?n"),
+           (c.limit_rank(3), "?n", ":>", "?n2", "?r"))
+    assert_produces(qr, spark, [(0, 1), (1, 2), (1, 3)])
+    # reverse limit over two sort keys, two captured fields
+    qr = q(["?l2", "?n2"], (pair, "?l", "?n"),
+           (":sort", "?l", "?n"), (":reverse", True),
+           (c.limit(2), "?l", "?n", ":>", "?l2", "?n2"))
+    assert_produces(qr, spark, [("c", 0), ("b", 7)])
+    # limit 3 ascending keeps the duplicate 1s
+    qr = q(["?n2"], (pair, "_", "?n"), (":sort", "?n"),
+           (c.limit(3), "?n", ":>", "?n2"))
+    assert_produces(qr, spark, [(0,), (1,), (1,)])
+    # reverse global limit
+    qr = q(["?n2"], (pair, "_", "?n"), (":sort", "?n"),
+           (":reverse", True), (c.limit(2), "?n", ":>", "?n2"))
+    assert_produces(qr, spark, [(6,), (7,)])
+    qr = q(["?n2", "?r"], (pair, "_", "?n"), (":sort", "?n"),
+           (":reverse", True),
+           (c.limit_rank(2), "?n", ":>", "?n2", "?r"))
+    assert_produces(qr, spark, [(6, 2), (7, 1)])
+    # GROUPED limit: ?l in the output → per-group top 2
+    qr = q(["?l", "?n2"], (pair, "?l", "?n"), (":sort", "?n"),
+           (c.limit(2), "?n", ":>", "?n2"))
+    assert_produces(qr, spark, [("a", 1), ("a", 2), ("b", 1), ("b", 6),
+                                ("c", 0)])
