@@ -212,11 +212,30 @@ def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
 
     if is_generator(head):
         infields, outfields = _split_selector(args)
+        if not infields and outfields and \
+                not any(o is True or o is False for o in outfields):
+            # generator fields ARE outputs in the reference grammar —
+            # ``(sentence :>> [?line])`` (api_test.clj:428-439) binds via
+            # an out-selector.  A genset always has in-position bindings
+            # before its :> flag, so no-bindings + out-payload means
+            # "these are the bindings".
+            infields, outfields = outfields, []
         if outfields:
             # GeneratorSet: existence filter (predicate.clj:130-131;
             # parse.clj:591-612).  Out must be True/False or a flag var.
             if len(outfields) != 1:
                 raise ValueError("generator-set takes exactly one output")
+            # "No ungrounding vars allowed in generators-as-sets"
+            # (api_test.clj:343-351; parse.clj:113-129)
+            bound = (list(infields[0].values())
+                     if len(infields) == 1 and isinstance(infields[0], dict)
+                     else list(infields))
+            bad = [v for v in bound + [outfields[0]]
+                   if isinstance(v, str) and V.is_ungrounding(v)]
+            if bad:
+                raise ValueError(
+                    f"ungrounding vars are not allowed in "
+                    f"generators-as-sets: {bad}")
             return RawPredicate(kind="generator_set", op=None, source=head,
                                 bindings=list(infields), flag=outfields[0])
         # fn GUARD in a binding position (api_test.clj:577-591

@@ -166,3 +166,41 @@ def test_outer_join_complex_reference_parity(spark):
     assert sorted(res, key=str) == sorted(
         [("a", 20, 1, 2, 6), ("c", 27, None, None, 25),
          ("d", 40, None, None, None), ("b", 30, 30, 16, None)], key=str)
+
+
+def test_outer_join_anon_wildcard(spark):
+    """api_test.clj:441-449 test-outer-join-anon verbatim: a wildcard
+    rides along the !!var generator; unmatched left rows pad with
+    null."""
+    person = [("a",), ("b",), ("c",)]
+    follows = [("a", "b", 1), ("c", "e", 2), ("c", "d", 3)]
+    qr = q(["?p", "!!p2"], (person, "?p"), (follows, "?p", "!!p2", "_"))
+    assert_produces(qr, spark,
+                    [("a", "b"), ("c", "e"), ("c", "d"), ("b", None)])
+
+
+def test_dynamic_vars_reference_cases(spark):
+    """api_test.clj:415-439 test-dynamic-vars: out-vars held in a Python
+    list, applied through :>> / :<< — queries built by ordinary
+    functions."""
+    from pyspark.sql import functions as F
+
+    def lala_appended(source):
+        outvars = ["?a"]
+        suffix = c.column_op(
+            "lala", lambda s: F.concat(s, F.lit("lalala")))
+        return q(outvars,
+                 (source, "?line"),
+                 (suffix, "?line", ":>>", outvars))
+
+    sentence = [("nathan david",), ("chicken",)]
+    qr = q(["?out"], (lala_appended(sentence), "?out"))
+    assert_produces(qr, spark,
+                    [("nathan davidlalala",), ("chickenlalala",)])
+
+    append_a = c.column_op("append-a",
+                           lambda s, a: F.concat(s, a.cast("string")))
+    qr = q(["?out"],
+           (sentence, ":>>", ["?line"]),
+           (append_a, ":<<", ["?line", "a"], ":>>", ["?out"]))
+    assert_produces(qr, spark, [("nathan davida",), ("chickena",)])

@@ -106,3 +106,24 @@ def test_unknown_option_rejected():
     ignored (options.clj:44-69 conflicting/unknown handling)."""
     with pytest.raises(ValueError, match="unknown query option"):
         q(["?x"], ([(1,)], "?x"), distnct=True)
+
+
+def test_outer_join_assertions_reference_cases():
+    """api_test.clj:325-351 test-outer-join-assertions: all four illegal
+    !!var placements are loud — two generators, op output, genset
+    binding, genset flag."""
+    age = [("a", 20), ("b", 30), ("c", 27), ("d", 40)]
+    rec1 = [("a", 1, 2), ("b", 30, 16), ("e", 3, 4)]
+    with pytest.raises(ValueError, match="ungrounding var"):
+        _plan(["!!a", "?c"], (age, "!!a", "?b"),
+              (rec1, "!!a", "?f1", "?f2"),
+              (c.sub, "?b", 2, ":>", "?c"))
+    with pytest.raises(ValueError, match="ungrounding var"):
+        _plan(["!!a", "!!c"], (age, "!!a", "?b"),
+              (c.sub, "?b", 2, ":>", "!!c"))
+    with pytest.raises(ValueError, match="generators-as-sets"):
+        _plan(["!!a"], (age, "!!a", "?b"),
+              (rec1, "!!a", "_", "_", ":>", True))
+    with pytest.raises(ValueError, match="generators-as-sets"):
+        _plan(["?a", "!!c"], (age, "?a", "?b"),
+              (rec1, "?a", "_", "_", ":>", "!!c"))
