@@ -704,3 +704,39 @@ def test_defops_reference_cases(spark):
               (srcw, "?a", "?b", "?c", "?d", "?e"),
               (multi_combine, "?a", "?b", "?c", "?d", "?e", ":>", "?sum"))
     assert_produces(query, spark, [(50,)])
+
+
+def test_nullable_agg_and_multi_parallel_agg(spark):
+    """api_test.clj:526-531 (nullable agg output var) and :553-565
+    (multi-in/multi-out defparallelagg, alone and mixed with a
+    sequential fold in one grouping)."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark import defaggregatefn
+    from cascalog_spark.ops import ParallelAgg
+
+    follows = [("a", "b"), ("b", "c"), ("a", "c")]
+    qr = q(["?p", "!c"], (follows, "?p", "_"), (c.count, "!c"))
+    assert_produces(qr, spark, [("a", 2), ("b", 1)])
+
+    # multipagg: init (v1,v2,v3)->(v1, v2+v3); combine col-wise (+, *)
+    multipagg = ParallelAgg(
+        name="multipagg", n_out=2,
+        expr_fn=lambda a, b, cc: [F.sum(a), F.product(b + cc)])
+    vals = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    qr = q(["?d", "?e", "?count"],
+           (vals, "?a", "?b", "?c"),
+           (multipagg, "?a", "?b", "?c", ":>", "?d", "?e"),
+           (c.count, "?count"))
+    got = qr.run(spark)
+    assert [(int(d), int(e), n) for d, e, n in got] == [(12, 935, 3)]
+
+    slow_count = defaggregatefn(
+        init=lambda: 0, step=lambda acc, v: acc + 1,
+        final=lambda acc: acc, returns="bigint", name="slow-count")
+    qr = q(["?d", "?e", "?count2"],
+           (vals, "?a", "?b", "?c"),
+           (multipagg, "?a", "?b", "?c", ":>", "?d", "?e"),
+           (slow_count, "?c", ":>", "?count2"))
+    got = qr.run(spark)
+    assert [(int(d), int(e), n) for d, e, n in got] == [(12, 935, 3)]
