@@ -1034,6 +1034,23 @@ def doc_near_dedup_best(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def doc_exact_substring_incremental(spark, sf_dir):
+    """Continuous-ingest exact-substring dedup: odd-id docs (the batch)
+    lose token spans whose every 8-gram exists in the standing even-id
+    anchor index OR belongs to a lower-odd-id batch doc — the corpus is
+    never rescanned (dedup.py exact_substring_dedup_incremental).
+    Check surface: md5 of the rebuilt text per batch doc."""
+    from cascalog_spark.functions import (exact_substring_dedup_incremental,
+                                          exact_substring_index)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = exact_substring_index(corpus, k=8)
+    clean, _updated = exact_substring_dedup_incremental(batch, idx, k=8)
+    return clean.select("doc_id", F.md5("clean_text").alias("clean_md5"))
+
+
 def doc_gopher_filter(spark, sf_dir):
     """Gopher rule-bundle keep/drop (Rae et al. 2021 A1.1) over the
     documents table — one native Column pass, no shuffle.  Scalar check
@@ -2365,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
         "doc_cross_line_dedup": doc_cross_line_dedup,
+        "doc_exact_substring_incremental": doc_exact_substring_incremental,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -2900,6 +2918,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",
+        "doc_exact_substring_incremental": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            p AS (SELECT doc_id, t,
+                         unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS pos
+                  FROM toks),
+            anchors AS (SELECT doc_id, pos,
+                               md5(array_to_string(t[pos+1:pos+8], chr(31)))
+                                 AS gram
+                        FROM p),
+            idx AS (SELECT DISTINCT gram FROM anchors
+                    WHERE doc_id % 2 = 0),
+            ba AS (SELECT * FROM anchors WHERE doc_id % 2 = 1),
+            owners AS (SELECT gram, min(doc_id) AS owner
+                       FROM ba GROUP BY 1),
+            dup AS (SELECT DISTINCT doc_id, pos FROM (
+                      SELECT b.doc_id, b.pos FROM ba b
+                      JOIN owners o USING (gram)
+                      WHERE o.owner < b.doc_id
+                      UNION ALL
+                      SELECT b.doc_id, b.pos FROM ba b
+                      WHERE EXISTS (SELECT 1 FROM idx i
+                                    WHERE i.gram = b.gram))),
+            runs AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (
+                              PARTITION BY doc_id ORDER BY pos) AS grp
+                     FROM dup),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                      FROM runs GROUP BY doc_id, grp),
+            tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                              unnest(range(0, len(t))) AS pos
+                       FROM toks WHERE doc_id % 2 = 1),
+            kept AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tokpos tp
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM spans s
+                       WHERE s.doc_id = tp.doc_id
+                         AND tp.pos BETWEEN s.s AND s.e)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(a.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            WHERE d.doc_id % 2 = 1""",
         "doc_cross_line_dedup": r"""
             WITH lined AS (
               SELECT doc_id,

@@ -15,7 +15,9 @@ from .corpus import (bloom_contains, boilerplate_lines, contamination,
 from .dedup import (cross_doc_line_dedup, dedup_clusters,
                     deletion_variants_col, exact_dedup,
                     exact_dedup_incremental,
-                    exact_substring_dedup, exact_substring_spans,
+                    exact_substring_dedup,
+                    exact_substring_dedup_incremental,
+                    exact_substring_index, exact_substring_spans,
                     fuzzy_dup_pairs, hamming_near_dups, kgram_anchors,
                     minhash_lsh_candidates,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,

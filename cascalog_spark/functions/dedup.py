@@ -839,8 +839,17 @@ def exact_substring_dedup(df: DataFrame, k: int = 8,
     must be opt-in: pass ``out_col=text_col`` for in-place rewrite.
     (Changed in r5: the default was previously in-place.)
     """
-    spans = (exact_substring_spans(df, k, id_col, text_col)
-             .groupBy(id_col)
+    spans = exact_substring_spans(df, k, id_col, text_col)
+    return _strip_spans(df, spans, id_col, text_col, out_col)
+
+
+def _strip_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                 text_col: str, out_col: str) -> DataFrame:
+    """Drop each doc's tokens covered by any (span_start, span_end) row —
+    the shared rebuild tail of the batch and incremental span dedups.
+    One shuffle (spans collect_list keyed on id) + a left join; token
+    filtering is a native higher-order filter."""
+    spans = (spans.groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("__spans")))
     toks = df.withColumn("__toks", tokens_col(F.col(text_col)))
@@ -861,6 +870,61 @@ def exact_substring_dedup(df: DataFrame, k: int = 8,
         sel = [F.col(c) for c in df.columns] \
             + [F.col("__clean").alias(out_col)]
     return joined.select(*sel)
+
+
+def exact_substring_index(df: DataFrame, k: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Standing k-gram anchor index for CONTINUOUS-INGEST span dedup:
+    the distinct gram hashes of the corpus (ownership is simply "the
+    index" — everything in it precedes any future batch).  Persist it
+    bucketed on ``gram`` (BucketedTap) and the incremental join below
+    never shuffles the index side — the same zero-Exchange contract as
+    ``minhash_index``."""
+    return kgram_anchors(df, k, id_col, text_col).select("gram").distinct()
+
+
+def exact_substring_dedup_incremental(
+        batch: DataFrame, index_df: DataFrame | None, k: int = 8,
+        id_col: str = "doc_id", text_col: str = "text",
+        out_col: str = "clean_text") -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-substring (duplicated-span) dedup: NEW docs lose
+    token spans whose every k-gram already exists in the standing
+    ``index_df`` OR is owned by a lower-id doc within the batch (the
+    batch-internal rule matches ``exact_substring_dedup`` exactly).
+    Returns ``(clean_batch, updated_index)``.
+
+    Scale shape: the batch's anchors semi-join the index on md5-uniform
+    gram keys (index side stays put when bucketed), the batch-internal
+    owner pass aggregates ONLY the batch, and the index grows by the
+    batch's distinct new grams — the corpus is never rescanned, the
+    continuous-ingest contract shared with ``exact_dedup_incremental``
+    and ``minhash_lsh_candidates_incremental``."""
+    from pyspark.sql import Window
+
+    anchors = kgram_anchors(batch, k, id_col, text_col)
+    owners = anchors.groupBy("gram").agg(F.min(id_col).alias("__owner"))
+    batch_dup = (anchors.join(owners, on="gram")
+                 .where(F.col("__owner") < F.col(id_col))
+                 .select(id_col, "pos"))
+    if index_df is not None:
+        idx_dup = (anchors.join(index_df.select("gram"), on="gram",
+                                how="left_semi")
+                   .select(id_col, "pos"))
+        dup = batch_dup.unionByName(idx_dup).distinct()
+        updated = (index_df.select("gram")
+                   .unionByName(anchors.select("gram")).distinct())
+    else:
+        dup = batch_dup
+        updated = anchors.select("gram").distinct()
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (dup.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__grp", F.col("pos") - F.col("__rn")))
+    spans = (runs.groupBy(id_col, "__grp")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + k - 1).cast("int").alias("span_end"))
+             .select(id_col, "span_start", "span_end"))
+    return _strip_spans(batch, spans, id_col, text_col, out_col), updated
 
 
 def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",

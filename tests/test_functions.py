@@ -1867,3 +1867,42 @@ def test_temperature_mixture_flattens_head(spark):
     mid = Counter(r.source for r in
                   temperature_mixture(df, "source", alpha=0.5).collect())
     assert flat["head"] < mid["head"] < natural["head"]
+
+
+def test_exact_substring_dedup_incremental(spark):
+    """Incremental span dedup == the batch variant when the index holds
+    exactly the earlier (lower-id) docs; None-index = batch-internal
+    only; the updated index covers corpus + batch grams."""
+    from cascalog_spark.functions import (exact_substring_dedup,
+                                          exact_substring_dedup_incremental,
+                                          exact_substring_index)
+
+    span = "one two three four five six seven eight"  # one 8-gram
+    rows = [
+        (1, f"{span} corpus tail words here"),
+        (2, "completely unrelated early document text body"),
+        (3, f"{span} later doc keeps its own suffix"),     # loses span
+        (4, f"batch dup {span} and batch dup {span} x"),   # loses to 3? no: to corpus
+        (5, "fresh text with no duplicated window at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.where("doc_id <= 2")
+    batch = df.where("doc_id >= 3")
+
+    idx = exact_substring_index(corpus, k=8)
+    inc_clean, updated = exact_substring_dedup_incremental(batch, idx, k=8)
+    batch_clean = exact_substring_dedup(df, k=8)
+    got_inc = {r.doc_id: r.clean_text for r in inc_clean.collect()}
+    got_all = {r.doc_id: r.clean_text
+               for r in batch_clean.collect() if r.doc_id >= 3}
+    assert got_inc == got_all  # identical decision for the batch docs
+    assert "one two three" not in got_inc[3]  # span owned by the corpus
+    assert got_inc[3].endswith("later doc keeps its own suffix")
+    # updated index covers both corpus and batch grams
+    n_idx = idx.count()
+    assert updated.count() > n_idx
+    # None index = batch-internal ownership only (doc 3 owns the span)
+    only_batch, _ = exact_substring_dedup_incremental(batch, None, k=8)
+    got = {r.doc_id: r.clean_text for r in only_batch.collect()}
+    assert "one two three four five six seven eight" in got[3]
+    assert "one two three" not in got[4]
