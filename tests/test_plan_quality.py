@@ -371,6 +371,48 @@ def test_bucketed_fact_fact_join_zero_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_bkt_gate")
 
 
+def test_exact_substring_index_bucketed_zero_exchange(spark, tmp_path):
+    """exact_substring_index persisted via BucketedTap on gram joins a
+    new batch WITHOUT shuffling the index (one fewer Exchange than the
+    plain-parquet index, identical results) — the same zero-Exchange
+    incremental contract gated for minhash_index."""
+    from cascalog_spark.functions import (exact_substring_dedup_incremental,
+                                          exact_substring_index)
+    from cascalog_spark.sources import BucketedTap
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{span} corpus doc {i} filler words")
+            for i in range(0, 8, 2)] + \
+           [(i, f"{span} batch doc {i} other filler")
+            for i in range(1, 8, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = exact_substring_index(df.where("doc_id % 2 = 0"), k=8)
+    batch = df.where("doc_id % 2 = 1")
+    tap = BucketedTap(table="ess_idx_gate", path=str(tmp_path / "idx"),
+                      bucket_by=["gram"], n_buckets=4, sinkmode="replace")
+    tap.save_df(idx)
+    plain = str(tmp_path / "idx_plain")
+    idx.write.parquet(plain)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_clean, _ = exact_substring_dedup_incremental(
+            batch, tap.load_df(spark), k=8)
+        p_clean, _ = exact_substring_dedup_incremental(
+            batch, spark.read.parquet(plain), k=8)
+        bplan = b_clean._jdf.queryExecution().executedPlan().toString()
+        pplan = p_clean._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in bplan
+        assert bplan.count("Exchange") == pplan.count("Exchange") - 1
+        got_b = sorted((r.doc_id, r.clean_text) for r in b_clean.collect())
+        got_p = sorted((r.doc_id, r.clean_text) for r in p_clean.collect())
+        assert got_b == got_p and got_b
+        # the shared span is corpus-owned: every batch doc lost it
+        assert all("alpha beta" not in t for _, t in got_b)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ess_idx_gate")
+
+
 def test_prefix_assoc_plan_single_python_pass(spark, sf_dir):
     """prefix_assoc bufferiter: ONE MapInPandas (the persisted scan feeds
     both the finals agg and the stitch join via InMemoryTableScan), the
