@@ -1613,6 +1613,25 @@ def embedding_semantic_dedup(spark, sf_dir):
             .select("vec_id", "label"))
 
 
+def embedding_semantic_incremental(spark, sf_dir):
+    """Continuous-ingest SemDeDup (dedup.py semantic_dedup_incremental):
+    odd-vec_id batch deduped against the standing even-vec_id
+    representative set (reps always win), then within itself (greedy
+    min-id) — both sides assigned to the SAME 16 fixed cells, so every
+    comparison is a per-cell equi-join and the corpus is never
+    rescanned."""
+    from cascalog_spark.functions import semantic_dedup_incremental
+    from cascalog_spark.functions.similarity import ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    reps = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_centroids(reps, n_centroids=16)
+    kept, _updated = semantic_dedup_incremental(
+        batch, reps, threshold=0.35, centroids=cents)
+    return kept.select("vec_id", "label")
+
+
 def doc_tfidf_terms(spark, sf_dir):
     """Corpus TF-IDF, top-3 terms per doc: ONE explode feeds both the
     (doc,term) tf counts and (reused, not re-exploded) the per-term doc
@@ -2383,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": events_stream_interval_join,
         "doc_cross_line_dedup": doc_cross_line_dedup,
         "doc_exact_substring_incremental": doc_exact_substring_incremental,
+        "embedding_semantic_incremental": embedding_semantic_incremental,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -3778,6 +3798,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT brand, p_name, min_price
             FROM part JOIN mins
               ON p_brand = brand AND p_retailprice = min_price""",
+        "embedding_semantic_incremental": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            reps AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+            batch AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM reps
+                      ORDER BY vec_id ASC LIMIT 16),
+            ar AS (SELECT vec_id, v, cid AS cell FROM (
+                     SELECT r.vec_id, r.v, c.cid, row_number() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY {_COS.format(a='r.v', b='c.cv')} DESC,
+                                c.cid ASC) AS rn
+                     FROM reps r CROSS JOIN cents c)
+                   WHERE rn = 1),
+            ab AS (SELECT vec_id, v, cid AS cell FROM (
+                     SELECT b.vec_id, b.v, c.cid, row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_COS.format(a='b.v', b='c.cv')} DESC,
+                                c.cid ASC) AS rn
+                     FROM batch b CROSS JOIN cents c)
+                   WHERE rn = 1),
+            losers AS (
+              SELECT DISTINCT b.vec_id FROM ab b JOIN ar r
+                ON b.cell = r.cell
+              WHERE {_COS.format(a='b.v', b='r.v')} >= 0.35
+              UNION
+              SELECT DISTINCT y.vec_id FROM ab x JOIN ab y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE {_COS.format(a='x.v', b='y.v')} >= 0.35)
+            SELECT vec_id, label FROM batch
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
         "embedding_semantic_dedup": f"""
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),

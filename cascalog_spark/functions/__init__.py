@@ -21,7 +21,8 @@ from .dedup import (cross_doc_line_dedup, dedup_clusters,
                     fuzzy_dup_pairs, hamming_near_dups, kgram_anchors,
                     minhash_lsh_candidates,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,
-                    semantic_dedup, semantic_dedup_losers, simhash)
+                    semantic_dedup, semantic_dedup_incremental,
+                    semantic_dedup_losers, simhash)
 from .multimodal import (extract_media_metadata, media_dedup_keys,
                          media_phash, media_phash_near_dups,
                          register_codec, sample_frames)

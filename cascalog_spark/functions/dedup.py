@@ -748,6 +748,68 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def semantic_dedup_incremental(
+        batch: DataFrame, reps: DataFrame | None,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        threshold: float = 0.95,
+        centroids: list[tuple[int, list[float]]] | None = None,
+        n_clusters: int = 16) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest SemDeDup: a new embedding batch is deduped
+    against the STANDING representative set, then within itself, without
+    ever rescanning the corpus.  Returns ``(kept_batch, updated_reps)``
+    — survivors join the representative set for the next batch.
+
+    Both sides assign to the SAME fixed centroid cells (pass
+    ``centroids`` — e.g. from ``ivf_centroids_kmeans`` on a corpus
+    sample — so cell ids are stable across batches; defaults to
+    first-k-ids seeding over ``reps``/``batch`` only for small runs),
+    and the cross join is an equi-join ON THE CELL: cost
+    Σ|batch_cell|·|reps_cell| + Σ|batch_cell|², never |corpus|².  A
+    batch row is dropped if it matches any representative at
+    ``>= threshold`` (reps always win — they arrived earlier) or a
+    lower-id batch row (the greedy first-wins rule of the batch
+    variant)."""
+    from .similarity import dot_col, ivf_assign_col, ivf_centroids, norm_col
+
+    cents = centroids or ivf_centroids(
+        reps if reps is not None else batch, id_col, vec_col, n_clusters)
+    if not cents:
+        return batch, batch.select(id_col, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+
+    def prep(d, prefix):
+        return (d.select(F.col(id_col).alias(f"{prefix}id"),
+                         vec.alias(f"{prefix}v"),
+                         norm_col(vec).alias(f"{prefix}n"))
+                .withColumn(f"{prefix}cell",
+                            ivf_assign_col(F.col(f"{prefix}v"), cents)))
+
+    b = prep(batch, "__b")
+    losers = None
+    if reps is not None:
+        r = prep(reps, "__r")
+        sim_r = (dot_col(F.col("__bv"), F.col("__rv"))
+                 / (F.col("__bn") * F.col("__rn")))
+        vs_reps = (b.join(r, on=F.col("__bcell") == F.col("__rcell"))
+                   .where(sim_r >= threshold)
+                   .select(F.col("__bid").alias(id_col)))
+        losers = vs_reps
+    x, y = b.alias("x"), b.alias("y")
+    sim_b = (dot_col(F.col("x.__bv"), F.col("y.__bv"))
+             / (F.col("x.__bn") * F.col("y.__bn")))
+    vs_batch = (x.join(y, on=[F.col("x.__bcell") == F.col("y.__bcell"),
+                              F.col("x.__bid") < F.col("y.__bid")])
+                .where(sim_b >= threshold)
+                .select(F.col("y.__bid").alias(id_col)))
+    losers = vs_batch if losers is None else \
+        losers.unionByName(vs_batch)
+    kept = batch.join(losers.distinct(), on=id_col, how="left_anti")
+    new_reps = kept.select(id_col, vec_col)
+    updated = (new_reps if reps is None
+               else reps.select(id_col, vec_col).unionByName(new_reps))
+    return kept, updated
+
+
 # ---------------------------------------------------------------------------
 # exact-substring (duplicated-span) dedup — Lee et al. 2022 shape
 # ("Deduplicating Training Data Makes Language Models Better"): find and

@@ -1906,3 +1906,39 @@ def test_exact_substring_dedup_incremental(spark):
     got = {r.doc_id: r.clean_text for r in only_batch.collect()}
     assert "one two three four five six seven eight" in got[3]
     assert "one two three" not in got[4]
+
+
+def test_semantic_dedup_incremental(spark):
+    """Batch-vs-representatives SemDeDup: reps always win, batch-internal
+    greedy min-id matches the batch variant, survivors grow the rep set,
+    None-reps bootstraps."""
+    from cascalog_spark.functions import semantic_dedup_incremental
+
+    def v(x, y):
+        return [float(x), float(y)]
+
+    reps = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1))],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, v(1, 0.001)),   # ~dup of rep 1 → dropped
+         (11, v(0.6, 0.8)),   # novel direction → kept
+         (12, v(0.6, 0.8)),   # dup of 11 (lower batch id) → dropped
+         (13, v(-1, 0.2))],   # novel → kept
+        "vec_id long, embedding array<double>")
+    cents = [(0, v(1, 0)), (1, v(0, 1)), (2, v(-1, 0)), (3, v(1, 1))]
+    kept, updated = semantic_dedup_incremental(
+        batch, reps, threshold=0.95, centroids=cents)
+    assert sorted(r.vec_id for r in kept.collect()) == [11, 13]
+    assert sorted(r.vec_id for r in updated.collect()) == [1, 2, 11, 13]
+    # bootstrap: no reps yet → batch-internal only
+    kept0, reps0 = semantic_dedup_incremental(
+        batch, None, threshold=0.95, centroids=cents)
+    assert sorted(r.vec_id for r in kept0.collect()) == [10, 11, 13]
+    assert sorted(r.vec_id for r in reps0.collect()) == [10, 11, 13]
+    # second batch against the grown rep set: 11's dup now rep-owned
+    batch2 = spark.createDataFrame(
+        [(20, v(0.6, 0.8))], "vec_id long, embedding array<double>")
+    kept2, _ = semantic_dedup_incremental(
+        batch2, updated, threshold=0.95, centroids=cents)
+    assert kept2.count() == 0
