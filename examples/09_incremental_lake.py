@@ -22,8 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cascalog_spark.functions.dedup import (minhash_index,
-                                            minhash_lsh_candidates_incremental)
+from cascalog_spark.functions.dedup import (exact_substring_dedup_incremental,
+                                            exact_substring_index,
+                                            minhash_index,
+                                            minhash_lsh_candidates_incremental,
+                                            semantic_dedup_incremental)
+from cascalog_spark.functions.similarity import ivf_centroids
 from cascalog_spark.plans import observed_stats
 from cascalog_spark.sources import BucketedTap, ParquetTap
 from cascalog_spark.streaming import stage_file_batches, write_stream_to_tap
@@ -87,7 +91,9 @@ print(f"bucketed fact-fact join: SortMergeJoin with "
       f"{plan.count('Exchange')} Exchanges (layout paid once at write)")
 spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
-# -- 3. incremental near-dup index: today's docs vs the standing index
+# -- 3. incremental dedup, three modalities, corpus never rescanned:
+#    near-dup candidates vs the minhash index, duplicated-span removal
+#    vs the k-gram anchor index, semantic dedup vs the representatives
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 standing = docs.where(F.col("doc_id") % 2 == 0)
 today = docs.where(F.col("doc_id") % 2 == 1)
@@ -95,8 +101,20 @@ idx = minhash_index(standing, "doc_id", num_perm=8, bands=4)
 pairs, new_idx = minhash_lsh_candidates_incremental(
     today, idx, "doc_id", num_perm=8, bands=4)
 n_pairs = pairs.count()
-print(f"incremental dedup: {n_pairs} candidate pairs for today's batch; "
-      f"index grows by the batch, corpus never recomputed")
+span_idx = exact_substring_index(standing, k=8)
+clean_today, span_idx2 = exact_substring_dedup_incremental(
+    today, span_idx, k=8)
+n_clean = clean_today.count()
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+reps = emb.where(F.col("vec_id") % 2 == 0)
+newv = emb.where(F.col("vec_id") % 2 == 1)
+cents = ivf_centroids(reps, n_centroids=16)
+kept_vecs, reps2 = semantic_dedup_incremental(
+    newv, reps, threshold=0.35, centroids=cents)
+print(f"incremental dedup: {n_pairs} near-dup candidate pairs; "
+      f"{n_clean} span-cleaned docs; "
+      f"{kept_vecs.count()}/{newv.count()} new vectors kept — "
+      f"indexes grow by the batch, corpus never recomputed")
 
 # -- 4. observe(): ingest metrics ride the write action itself
 gated, obs = observed_stats(
