@@ -1375,6 +1375,19 @@ def doc_decontamination(spark, sf_dir):
             .select("doc_id", "n_hits"))
 
 
+def doc_contamination_scores(spark, sf_dir):
+    """Scored decontamination (corpus.py contamination_score): per-doc
+    FRACTION of distinct 3-token shingles present in the benchmark
+    slice — every corpus doc gets a row (clean docs 0.0), the number
+    you sweep to pick the drop threshold."""
+    from cascalog_spark.functions import contamination_score
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return contamination_score(corpus, bench, k=3)
+
+
 def doc_decontamination_bloom(spark, sf_dir):
     """The same decontamination through the Bloom PREFILTER path
     (corpus.py contamination_bloom): the corpus scan tests shingles
@@ -2403,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cross_line_dedup": doc_cross_line_dedup,
         "doc_exact_substring_incremental": doc_exact_substring_incremental,
         "embedding_semantic_incremental": embedding_semantic_incremental,
+        "doc_contamination_scores": doc_contamination_scores,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_unigram_nll": doc_unigram_nll,
         "user_status_scd2": user_status_scd2,
@@ -3440,6 +3454,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    count(*) AS n
             FROM kept GROUP BY 1""",
+        "doc_contamination_scores": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 = 0),
+            corp AS (
+              SELECT doc_id, unnest({_shingle_sql(3)}) AS s
+              FROM documents WHERE doc_id % 25 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM corp JOIN bench USING (s) GROUP BY doc_id),
+            totals AS (SELECT doc_id, len({_shingle_sql(3)}) AS n_sh
+                       FROM documents WHERE doc_id % 25 <> 0)
+            SELECT t.doc_id,
+                   round(coalesce(h.n_hits, 0)
+                         / greatest(t.n_sh, 1), 6) AS contamination
+            FROM totals t LEFT JOIN hits h USING (doc_id)""",
         "doc_decontamination": f"""
             WITH bench AS (
               SELECT DISTINCT unnest({_shingle_sql(3)}) AS s

@@ -7,7 +7,7 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
 from .corpus import (bloom_contains, boilerplate_lines, contamination,
-                     contamination_bloom, decontaminate,
+                     contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, mix_corpora, pack_sequences,
                      remove_boilerplate, shingle_bloom, split_corpus,
                      stratified_sample, temperature_mixture,

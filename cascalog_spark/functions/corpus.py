@@ -62,6 +62,30 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
             .agg(F.count(F.lit(1)).alias("n_hits")))
 
 
+def contamination_score(corpus: DataFrame, benchmark: DataFrame,
+                        k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", broadcast: bool = True,
+                        out_col: str = "contamination") -> DataFrame:
+    """Per-document contaminated-shingle FRACTION in [0, 1] — the
+    measurement you sweep to pick a decontamination threshold (boolean
+    membership tells you *that* a doc overlaps an eval set; the score
+    tells you *how much*, separating incidental n-gram collisions from
+    verbatim inclusions).  Every corpus doc gets a row: clean docs score
+    0.0, docs shorter than one shingle score 0.0.
+
+    Cost = ``contamination`` (broadcast bench set, no corpus shuffle)
+    plus one map-side per-doc shingle count and a left join keyed on doc
+    id — the denominator never re-tokenizes (``with_shingles`` is the
+    same single pass the hit count uses)."""
+    hits = contamination(corpus, benchmark, k, text_col, id_col, broadcast)
+    totals = with_shingles(corpus, text_col, k, "__sh") \
+        .select(F.col(id_col), F.size("__sh").alias("__n_sh"))
+    frac = (F.coalesce(F.col("n_hits"), F.lit(0))
+            / F.greatest(F.col("__n_sh"), F.lit(1)))
+    return (totals.join(hits, on=id_col, how="left")
+            .select(F.col(id_col), F.round(frac, 6).alias(out_col)))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 8,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
