@@ -2381,6 +2381,116 @@ def q16_supplier_part_counts(spark, sf_dir):
              ).to_df(spark)
 
 
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted): product-type profit — a p_name LIKE
+    substring residual over a 5-table star (part, lineitem, supplier,
+    orders, nation), profit per (nation, order year).  The testdata
+    ships no partsupp table, so profit omits Q9's
+    ps_supplycost * l_quantity term (documented narrowing, q16
+    docstring) — the planner shape (LIKE residual + fact-fact join +
+    year extraction + 2-key grouping) is Q9's."""
+    from cascalog_spark import column_filter, column_op
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    name_like = column_filter("name-like", lambda nm: nm.contains("red"))
+    order_year = column_op("order_year", F.year)
+    return q(["?nation", "?o_year", "?profit"],
+             (part, {"p_partkey": "?pk", "p_name": "?pname"}),
+             (name_like, "?pname"),
+             (li, {"l_orderkey": "?ok", "l_partkey": "?pk",
+                   "l_suppkey": "?sk", "l_extendedprice": "?price",
+                   "l_discount": "?disc"}),
+             (supp, {"s_suppkey": "?sk", "s_nationkey": "?nk"}),
+             (orders, {"o_orderkey": "?ok", "o_orderdate": "?od"}),
+             (nation, {"n_nationkey": "?nk", "n_name": "?nation"}),
+             (order_year, "?od", ":>", "?o_year"),
+             (c.sub, 1.0, "?disc", ":>", "?dfrac"),
+             (c.mult, "?price", "?dfrac", ":>", "?amount"),
+             (c.sum_agg, "?amount", ":>", "?p"),
+             (c.round_to(4), "?p", ":>", "?profit"),
+             ).to_df(spark)
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted): per-part value HAVING > fraction of
+    the GLOBAL total of the SAME subquery — the grouped view is reused
+    twice (per-part rows + a group-less scalar total), joined with no
+    shared vars (cartesian scalar fallback), then filtered.  Value =
+    shipped quantity from ASIA-region suppliers: integer-valued doubles,
+    so both engines' sums and the 0.001*total threshold are exact (no
+    partsupp table — see q16 docstring)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    v = q(["?pk", "?value"],
+          (li, {"l_partkey": "?pk", "l_suppkey": "?sk",
+                "l_quantity": "?qty"}),
+          (supp, {"s_suppkey": "?sk", "s_nationkey": "?nk"}),
+          (nation, {"n_nationkey": "?nk", "n_regionkey": "?rk"}),
+          (region, {"r_regionkey": "?rk", "r_name": "?rn"}),
+          (c.eq, "?rn", "ASIA"),
+          (c.sum_agg, "?qty", ":>", "?value"))
+    total = q(["?thr"],
+              (v, "?pk2", "?v2"),
+              (c.sum_agg, "?v2", ":>", "?tot"),
+              (c.mult, 0.001, "?tot", ":>", "?thr"))
+    return q(["?p_partkey", "?value"],
+             (v, "?p_partkey", "?value"),
+             (total, "?thr"),
+             (c.gt, "?value", "?thr"),
+             ).to_df(spark)
+
+
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): NESTED SEMI-JOIN CHAIN — suppliers
+    having some 'red' part whose 1996 shipped quantity (by that
+    supplier) exceeds 30% of the part's total 1996 quantity.  The
+    qualifying set joins two stacked aggregation subqueries over the
+    same fact scan + the part name filter, collapses to distinct
+    suppliers, and semi-joins (genset exists) into the supplier scan —
+    Q20's availqty > 0.5*sum(qty) chain with lineitem standing in for
+    partsupp (see q16 docstring).  Quantity sums are integer-valued →
+    the threshold compare is deterministic across engines."""
+    from cascalog_spark import column_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    name_like = column_filter("name-like", lambda nm: nm.contains("red"))
+    ps = q(["?pk", "?sk", "?sq"],
+           (li, {"l_partkey": "?pk", "l_suppkey": "?sk",
+                 "l_quantity": "?qty", "l_shipdate": "?sd"}),
+           (c.gte, "?sd", _dt.datetime(1996, 1, 1)),
+           (c.lt, "?sd", _dt.datetime(1997, 1, 1)),
+           (c.sum_agg, "?qty", ":>", "?sq"))
+    ptot = q(["?pk", "?tq"],
+             (li, {"l_partkey": "?pk", "l_quantity": "?qty2",
+                   "l_shipdate": "?sd2"}),
+             (c.gte, "?sd2", _dt.datetime(1996, 1, 1)),
+             (c.lt, "?sd2", _dt.datetime(1997, 1, 1)),
+             (c.sum_agg, "?qty2", ":>", "?tq"))
+    good = q(["?gsk"],
+             (ps, "?pk", "?gsk", "?sq"),
+             (part, {"p_partkey": "?pk", "p_name": "?pname"}),
+             (name_like, "?pname"),
+             (ptot, "?pk", "?tq"),
+             (c.mult, 0.3, "?tq", ":>", "?thr"),
+             (c.gt, "?sq", "?thr"),
+             distinct=True)
+    return q(["?s_name", "?n_name"],
+             (supp, {"s_suppkey": "?sk", "s_name": "?s_name",
+                     "s_nationkey": "?nk"}),
+             (good, "?sk", ":>", True),
+             (nation, {"n_nationkey": "?nk", "n_name": "?n_name"}),
+             ).to_df(spark)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2410,6 +2520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q16_supplier_part_counts": q16_supplier_part_counts,
+        # Round-5 third wave: the adapted Q9/Q11/Q20 shapes (partsupp
+        # stand-in) — TPC-H shape coverage now 22/22.
+        "q9_product_type_profit": q9_product_type_profit,
+        "q11_important_stock": q11_important_stock,
+        "q20_part_promotion": q20_part_promotion,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
@@ -2735,6 +2850,46 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN (
                 SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
             GROUP BY 1, 2, 3""",
+        "q9_product_type_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS profit
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2""",
+        "q11_important_stock": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey, sum(l_quantity) AS value
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY 1)
+            SELECT p_partkey, value FROM v
+            WHERE value > (SELECT 0.001 * sum(value) FROM v)""",
+        "q20_part_promotion": """
+            WITH ps AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     sum(l_quantity) AS sq
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1, 2),
+            ptot AS (
+              SELECT pk, sum(sq) AS tq FROM ps GROUP BY 1)
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT DISTINCT sk FROM ps
+              JOIN ptot USING (pk)
+              JOIN part ON pk = p_partkey
+              WHERE p_name LIKE '%red%' AND sq > 0.3 * tq)""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -111,6 +111,13 @@ class Compiler:
         if isinstance(node, GeneratorNode):
             if hasattr(src, "__cascalog_generator__"):
                 counts[id(src)] = counts.get(id(src), 0) + 1
+                # recurse INTO the subquery's own plan (once) so a
+                # generator shared between nesting levels — e.g. TPC-H
+                # Q11/Q15's view used both per-group and under a scalar
+                # aggregate of itself — counts as fan-out and persists
+                # instead of recomputing its whole upstream per branch
+                if counts[id(src)] == 1 and hasattr(src, "plan"):
+                    self._count_subquery_sources(src.plan(), counts, seen)
             return
         for child in (src, getattr(node, "left", None),
                       getattr(node, "right", None),
@@ -200,7 +207,26 @@ class Compiler:
         if hasattr(source, "__cascalog_generator__"):  # subquery
             df = self._src_memo.get(id(source))
             if df is None:
-                df = source.to_df(self.spark)
+                if hasattr(source, "_to_df_with") and \
+                        hasattr(source, "options"):
+                    # child compiler SHARING the fan-out memo: a generator
+                    # referenced both here and inside the nested subquery
+                    # compiles (and persists) once across nesting levels
+                    child = Compiler(
+                        self.spark, trap=source.options.get("trap"))
+                    child._src_memo = self._src_memo
+                    child._src_counts = self._src_counts
+                    child.persisted = self.persisted
+                    child.prefix_caches = self.prefix_caches
+                    df = source._to_df_with(child)
+                    self.nested_trapped.extend(child.nested_trapped)
+                else:
+                    df = source.to_df(self.spark)
+                # dynamic typing: surface the subquery's pickled output
+                # positions so the OUTER query decodes them at op inputs
+                pidx = getattr(source, "_pickled_idx", None)
+                if pidx:
+                    df.__cs_pickled__ = {df.columns[i] for i in pidx}
                 if hasattr(source, "flush_traps") and \
                         getattr(source, "options", {}).get("trap") is not None:
                     self.nested_trapped.append(source)

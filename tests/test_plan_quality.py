@@ -454,3 +454,33 @@ def test_scan_report_surface(spark, sf_dir):
     crossed = li.limit(1).crossJoin(li.limit(1).select(
         F.col("l_orderkey").alias("ok2")))
     assert scan_report(crossed)["cartesian"] is True
+
+
+def test_cross_level_subquery_fanout_persists(spark, sf_dir):
+    """A view reused at two NESTING LEVELS (TPC-H Q11/Q15 idiom: grouped
+    subquery + a scalar aggregate OF that subquery) must compile once and
+    persist — the plan shows InMemoryTableScan on both consumers instead
+    of recomputing the whole upstream (a second full fact scan at 100 TB)."""
+    df = entry_mod.q15_top_supplier(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    df11 = entry_mod.q11_important_stock(spark, sf_dir)
+    assert _plan(df11).count("InMemoryTableScan") >= 2
+
+
+def test_q9_broadcast_star_single_fact_shuffle(spark, sf_dir):
+    """Adapted Q9: all four dims broadcast around the lineitem-orders
+    fact join; the LIKE residual must not break the part broadcast."""
+    df = entry_mod.q9_product_type_profit(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain_no_cartesian(spark, sf_dir):
+    """Adapted Q20: the nested qualifying-supplier chain reaches the
+    supplier scan as a LeftSemi join; no cartesian anywhere."""
+    df = entry_mod.q20_part_promotion(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
