@@ -1457,6 +1457,23 @@ def doc_packed_sequences(spark, sf_dir):
                           id_col="doc_id")
 
 
+def doc_budget_selection(spark, sf_dir):
+    """Token-budget corpus selection: spend 40% of the corpus's total
+    token budget on the longest documents (n_chars desc, doc_id
+    tie-break) — the histogram two-pass scale path (range-bin the order
+    column, driver prefix-sums O(bins) bucket totals, only the boundary
+    bucket pays an exact in-bucket window).  Integer weights + integer
+    budget → bit-identical to the oracle's global window spelling."""
+    from cascalog_spark.functions import select_by_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    t = token_count(docs).select("doc_id", "n_chars", "n_tokens")
+    total = t.agg(F.sum("n_tokens")).first()[0]
+    budget = total * 2 // 5
+    return select_by_budget(t, budget, "n_tokens", "n_chars",
+                            method="histogram", bins=16)
+
+
 def doc_repetition_signals(spark, sf_dir):
     """Gopher-style repetition filters: per-doc char fraction covered by
     the most frequent 2-gram and by duplicated 3-grams — explode+count on
@@ -2525,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": q9_product_type_profit,
         "q11_important_stock": q11_important_stock,
         "q20_part_promotion": q20_part_promotion,
+        "doc_budget_selection": doc_budget_selection,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
@@ -3049,6 +3067,15 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
         "doc_token_counts": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents""",
+        "doc_budget_selection": f"""
+            WITH t AS (
+              SELECT doc_id, n_chars, len({_TOKS}) AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens FROM (
+              SELECT *, sum(n_tokens)
+                        OVER (ORDER BY n_chars DESC, doc_id) AS cum
+              FROM t)
+            WHERE cum <= (SELECT (sum(n_tokens) * 2) // 5 FROM t)""",
         "doc_fingerprints": r"""
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

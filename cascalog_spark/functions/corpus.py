@@ -501,3 +501,101 @@ def cap_per_stratum(df: DataFrame, n: int, strata_col: str,
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def select_by_budget(df: DataFrame, budget, weight_col: str,
+                     order_col: str, id_col: str = "doc_id",
+                     ascending: bool = False, method: str = "auto",
+                     bins: int = 1024,
+                     window_threshold: int = 200_000) -> DataFrame:
+    """Token-budget corpus selection: keep the best rows — ordered by
+    ``order_col`` (descending by default; ``id_col`` breaks ties) — while
+    the RUNNING TOTAL of ``weight_col`` stays within ``budget``.  The
+    "spend a fixed token budget on the highest-quality documents" step of
+    a training-data pipeline.
+
+    Semantically ``sum(weight) OVER (ORDER BY order, id) <= budget`` —
+    but a global ordered window is a single-partition sort, dead at
+    100 TB.  ``method='histogram'`` is the scale path, exact in two
+    bounded passes (the same idea as the prefix_assoc bufferiter scan):
+
+    1. one aggregate pass bins ``order_col`` into ``bins`` range buckets
+       and sums weight per bucket (``bins`` rows to the driver — O(bins),
+       never data-sized);
+    2. the driver prefix-sums the bucket totals to find the BOUNDARY
+       bucket where the budget is crossed: whole buckets before it are
+       kept outright (map-side filter, no sort), buckets after it are
+       dropped outright, and only the ~1/bins boundary slice pays an
+       exact in-bucket cumulative window (partitioned BY BUCKET, so it
+       never globally sorts).
+
+    With integer weights every comparison is exact; the kept set is
+    bit-identical to the window spelling.  Degenerate ``order_col``
+    distributions (one massive tie) collapse the boundary bucket to the
+    whole input — the documented worst case, equal to ``method='window'``.
+
+    ``method='auto'`` routes by a cheap upper bound: window below
+    ``window_threshold`` rows, histogram above.  Returns the input rows
+    (original columns) that fit the budget."""
+    if method == "auto":
+        method = "window" if _cheap_count(df) <= window_threshold \
+            else "histogram"
+    ocol = F.col(order_col).desc() if not ascending \
+        else F.col(order_col).asc()
+    if method == "window":
+        w = Window.orderBy(ocol, F.col(id_col).asc())
+        return (df.withColumn("__cum", F.sum(weight_col).over(w))
+                .where(F.col("__cum") <= F.lit(budget)).drop("__cum"))
+    if method != "histogram":
+        raise ValueError(f"unknown method: {method!r}")
+
+    stats = df.agg(F.min(order_col).alias("lo"),
+                   F.max(order_col).alias("hi")).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None or lo == hi:
+        # empty input or one giant tie: no range to bin — exact window
+        w = Window.orderBy(ocol, F.col(id_col).asc())
+        return (df.withColumn("__cum", F.sum(weight_col).over(w))
+                .where(F.col("__cum") <= F.lit(budget)).drop("__cum"))
+    # bucket 0 = best order_col values (max end when descending)
+    span = (F.col(order_col).cast("double") - F.lit(float(lo))) \
+        / F.lit(float(hi) - float(lo))
+    frac = (F.lit(1.0) - span) if not ascending else span
+    b = F.least(F.floor(frac * F.lit(bins)).cast("bigint"),
+                F.lit(bins - 1))
+    binned = df.withColumn("__b", b)
+    per_bucket = (binned.groupBy("__b")
+                  .agg(F.sum(weight_col).alias("__w"))
+                  .collect())
+    totals = {r["__b"]: r["__w"] for r in per_bucket}
+    cum, boundary, prefix = 0, None, 0
+    for k in sorted(totals):
+        if cum + totals[k] > budget:
+            boundary, prefix = k, cum
+            break
+        cum += totals[k]
+    if boundary is None:
+        return df  # everything fits
+    wb = Window.partitionBy("__b").orderBy(ocol, F.col(id_col).asc())
+    in_boundary = (F.col("__b") == F.lit(boundary))
+    kept = (binned
+            .where(F.col("__b") <= F.lit(boundary))
+            .withColumn("__cum", F.when(in_boundary,
+                                        F.sum(weight_col).over(wb))
+                        .otherwise(F.lit(0)))
+            .where((~in_boundary)
+                   | (F.col("__cum") + F.lit(prefix) <= F.lit(budget)))
+            .drop("__b", "__cum"))
+    return kept
+
+
+def _cheap_count(df: DataFrame) -> int:
+    """Upper-bound row estimate without a full count when possible."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        n = plan.stats().rowCount()
+        if n.isDefined():
+            return int(str(n.get()))
+    except Exception:
+        pass
+    return df.count()

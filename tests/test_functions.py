@@ -1942,3 +1942,64 @@ def test_semantic_dedup_incremental(spark):
     kept2, _ = semantic_dedup_incremental(
         batch2, updated, threshold=0.95, centroids=cents)
     assert kept2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# select_by_budget (token-budget corpus selection)
+
+
+def test_select_by_budget_histogram_equals_window(spark):
+    """The histogram two-pass scale path must be bit-identical to the
+    exact global-window spelling, including boundary-bucket tie-breaks."""
+    from cascalog_spark.functions import select_by_budget
+    rows = [(i, (i * 37) % 100, 5 + (i * 13) % 20) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "w"])
+    total = sum(r[2] for r in rows)
+    for budget in (0, total // 3, total - 1, total + 10):
+        for bins in (1, 4, 64):
+            kw = select_by_budget(df, budget, "w", "score",
+                                  method="window")
+            kh = select_by_budget(df, budget, "w", "score",
+                                  method="histogram", bins=bins)
+            got_w = sorted(r["doc_id"] for r in kw.collect())
+            got_h = sorted(r["doc_id"] for r in kh.collect())
+            assert got_w == got_h, (budget, bins)
+
+
+def test_select_by_budget_semantics_vs_python(spark):
+    """Running-total semantics: greedy keep in (score desc, id) order
+    while the cumulative weight fits; first overflowing row drops but
+    later smaller rows do NOT back-fill (prefix-sum, not knapsack)."""
+    from cascalog_spark.functions import select_by_budget
+    rows = [(1, 9, 6), (2, 9, 3), (3, 8, 4), (4, 7, 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "w"])
+    kept = sorted(r["doc_id"] for r in
+                  select_by_budget(df, 10, "w", "score",
+                                   method="histogram", bins=8).collect())
+    # order: 1 (cum 6), 2 (cum 9), 3 (cum 13 > 10 drop), 4 (cum 14 drop)
+    assert kept == [1, 2]
+
+
+def test_select_by_budget_one_giant_tie_falls_back(spark):
+    """All-equal order column: no range to bin; exact window fallback."""
+    from cascalog_spark.functions import select_by_budget
+    df = spark.createDataFrame([(i, 5, 2) for i in range(10)],
+                               ["doc_id", "score", "w"])
+    kept = sorted(r["doc_id"] for r in
+                  select_by_budget(df, 7, "w", "score",
+                                   method="histogram").collect())
+    assert kept == [0, 1, 2]   # ids break the tie: 2+2+2=6 <= 7
+
+
+def test_select_by_budget_histogram_no_global_sort(spark):
+    """The scale path must never produce a single-partition global sort:
+    its only window partitions BY BUCKET."""
+    from cascalog_spark.functions import select_by_budget
+    df = spark.createDataFrame([(i, i % 50, 3) for i in range(500)],
+                               ["doc_id", "score", "w"])
+    kh = select_by_budget(df, 300, "w", "score", method="histogram")
+    plan = kh._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    kw = select_by_budget(df, 300, "w", "score", method="window")
+    wplan = kw._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in wplan   # the documented small-N path
