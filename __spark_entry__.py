@@ -1816,6 +1816,18 @@ def embedding_quantized_codes(spark, sf_dir):
         F.col("codes")[31].cast("int").alias("c31"))
 
 
+def embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix G = X^T X over the embedding corpus (the
+    covariance/PCA building block): per-Arrow-batch BLAS partials via
+    mapInPandas, reduced BY POSITION in Spark (shuffle = #batches x d^2
+    scalars — never data-sized, no driver-sized collect), emitted as
+    (i, j, value) cells rounded for cross-engine hash stability."""
+    from cascalog_spark.functions import gram_matrix_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_df(emb, ndigits=4)
+
+
 def doc_classifier_scores(spark, sf_dir):
     """fastText-shape linear quality classifier INFERENCE: md5-hashed
     bag-of-words buckets, literal weight table, sigmoid — a pure native
@@ -2543,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q20_part_promotion": q20_part_promotion,
         "doc_budget_selection": doc_budget_selection,
+        "embedding_gram": embedding_gram,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
@@ -4100,6 +4113,17 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.ts >= p.ts
              AND c.ts < p.ts + INTERVAL 1 HOUR""",
+        "embedding_gram": """
+            WITH u AS (
+              SELECT vec_id, s.i - 1 AS i,
+                     CAST(embedding[s.i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s),
+            g AS (
+              SELECT a.i AS i, b.i AS j,
+                     round(sum(a.x * b.x), 4) AS value
+              FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2)
+            SELECT i, j, value FROM g""",
         "embedding_quantized_codes": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

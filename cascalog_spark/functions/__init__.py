@@ -37,6 +37,7 @@ from .text import (chunk_text, clean_text, doc_fingerprint, lang_id,
                    line_dup_ratio, linear_text_classifier, redact_pii,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_counts, quality_score, token_count, tokenize)
+from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .skew import salted_join
 from .layout import write_zordered, zorder_key
 from .stats import histogram

@@ -2003,3 +2003,50 @@ def test_select_by_budget_histogram_no_global_sort(spark):
     kw = select_by_budget(df, 300, "w", "score", method="window")
     wplan = kw._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in wplan   # the documented small-N path
+
+
+# ---------------------------------------------------------------------------
+# linalg: distributed Gram / covariance / PCA
+
+
+def test_linalg_moments_match_numpy(spark):
+    import numpy as np
+    from cascalog_spark.functions import moments
+    rng = [[float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)]
+           for i in range(200)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)],
+                               ["id", "vec"])
+    n, mu, cov = moments(df, vec_col="vec")
+    x = np.asarray(rng)
+    assert n == 200
+    assert np.abs(mu - x.mean(axis=0)).max() < 1e-12
+    assert np.abs(cov - np.cov(x.T)).max() < 1e-9
+
+
+def test_linalg_pca_projection_native_and_correct(spark):
+    import numpy as np
+    from cascalog_spark.functions import pca_fit, pca_project
+    rng = [[float((i * 13 + j * 5) % 17) / 4.0 for j in range(8)]
+           for i in range(150)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)],
+                               ["id", "vec"])
+    mean, comps, ev = pca_fit(df, k=3, vec_col="vec")
+    assert np.abs(comps @ comps.T - np.eye(3)).max() < 1e-9
+    assert ev[0] >= ev[1] >= ev[2] >= -1e-12
+    proj = pca_project(df, mean, comps, vec_col="vec")
+    x = np.asarray(rng)
+    want = (x - mean) @ comps.T
+    got = np.asarray([r["pca"] for r in
+                      proj.orderBy("id").select("pca").collect()])
+    assert np.abs(got - want).max() < 1e-9
+    # projection must stay native — no Python eval in the plan
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_linalg_moments_empty_raises(spark):
+    import pytest as _pytest
+    from cascalog_spark.functions import moments
+    df = spark.createDataFrame([], "id long, vec array<double>")
+    with _pytest.raises(ValueError):
+        moments(df, vec_col="vec")
