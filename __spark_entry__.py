@@ -1828,6 +1828,17 @@ def embedding_gram(spark, sf_dir):
     return gram_matrix_df(emb, ndigits=4)
 
 
+def doc_bigram_nll(spark, sf_dir):
+    """Perplexity-proxy quality, one step up the n-gram ladder: per-doc
+    mean NLL under the corpus bigram model (conditional add-0.5
+    smoothing; history totals + vocab are rollups of the ONE (id,t1,t2)
+    aggregate — no second tokenization)."""
+    from cascalog_spark.functions import bigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_nll(docs)
+
+
 def doc_classifier_scores(spark, sf_dir):
     """fastText-shape linear quality classifier INFERENCE: md5-hashed
     bag-of-words buckets, literal weight table, sigmoid — a pure native
@@ -2556,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": q20_part_promotion,
         "doc_budget_selection": doc_budget_selection,
         "embedding_gram": embedding_gram,
+        "doc_bigram_nll": doc_bigram_nll,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
@@ -4156,6 +4168,23 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_bigram_nll": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(tk)),
+                                 i -> struct_pack(t1 := tk[i],
+                                                  t2 := tk[i+1]))) AS s
+                   FROM toks WHERE len(tk) >= 2),
+            tf AS (SELECT doc_id, s.t1 AS t1, s.t2 AS t2, count(*) AS tf
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT t1, t2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+            c1 AS (SELECT t1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+            v AS (SELECT count(DISTINCT t2)::DOUBLE AS vocab FROM c12)
+            SELECT doc_id,
+                   round(-sum(tf * ln((c12 + 0.5) / (c1 + 0.5 * vocab)))
+                         / sum(tf), 6) AS bigram_nll
+            FROM tf JOIN c12 USING (t1, t2) JOIN c1 USING (t1), v
+            GROUP BY 1""",
         "doc_unigram_nll": f"""
             WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term
                            FROM documents),

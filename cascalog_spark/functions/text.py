@@ -528,6 +528,59 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def bigram_nll(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", alpha: float = 0.5,
+               materialize: bool = True) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus BIGRAM
+    model — one step up the n-gram ladder from ``unigram_nll``
+    (repetitive templated text scores low on bigram surprise even when
+    its unigram profile looks natural; the pair separates boilerplate
+    from prose).
+
+    ``p(t2|t1) = (count(t1,t2) + α) / (count(t1,·) + α·|V|)`` where
+    ``count(t1,·)`` is t1's occurrences as a history and ``|V|`` the
+    predicted-token vocabulary (both derived from the ONE (id, t1, t2,
+    tf) aggregate — no second tokenization pass; history totals and the
+    1-row vocab broadcast are rollups of it).  ``nll(doc) =
+    −Σ tf·ln p / Σ tf`` over the doc's bigram occurrences; docs with
+    fewer than 2 tokens are absent.  Same persist contract as
+    ``tf_idf``/``unigram_nll`` — release with ``release_tfidf_cache``."""
+    from pyspark import StorageLevel
+
+    from .util import explode_fast
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pairs_arr = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                           lambda a, b: F.struct(a.alias("t1"),
+                                                 b.alias("t2")))
+    pairs = explode_fast(
+        df.where(n >= 2).select(F.col(id_col).alias("__id"),
+                                pairs_arr.alias("__bg")),
+        F.col("__bg"), "bg")
+    tf = (pairs.select("__id", F.col("bg.t1").alias("t1"),
+                       F.col("bg.t2").alias("t2"))
+          .groupBy("__id", "t1", "t2")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    if materialize:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    c12 = tf.groupBy("t1", "t2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(
+        F.countDistinct("t2").cast("double").alias("__vocab"))
+    logp = F.log((F.col("c12") + F.lit(alpha))
+                 / (F.col("c1") + F.lit(alpha) * F.col("__vocab")))
+    out = (tf.join(c12, on=["t1", "t2"]).join(c1, on="t1")
+           .crossJoin(F.broadcast(vocab))
+           .groupBy("__id")
+           .agg((-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__nll"))
+           .select(F.col("__id").alias(id_col),
+                   F.round("__nll", 6).alias("bigram_nll")))
+    if materialize:
+        out._tfidf_cache = tf
+    return out
+
+
 def linear_text_classifier(df: DataFrame, weights: list[float],
                            bias: float = 0.0, id_col: str = "doc_id",
                            text_col: str = "text",

@@ -2050,3 +2050,22 @@ def test_linalg_moments_empty_raises(spark):
     df = spark.createDataFrame([], "id long, vec array<double>")
     with _pytest.raises(ValueError):
         moments(df, vec_col="vec")
+
+
+def test_bigram_nll_separates_repetition(spark):
+    """A doc that endlessly repeats one bigram must score a LOWER
+    bigram surprise than varied prose over the same vocabulary; short
+    (<2 token) docs are absent."""
+    from cascalog_spark.functions import bigram_nll
+    from cascalog_spark.functions.text import release_tfidf_cache
+    rows = [
+        (1, "the cat sat on the mat while the dog ran to the gate"),
+        (2, "buy now buy now buy now buy now buy now buy now"),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_nll(df)
+    got = {r["doc_id"]: r["bigram_nll"] for r in out.collect()}
+    release_tfidf_cache(out)
+    assert set(got) == {1, 2}          # doc 3 has no bigrams
+    assert got[2] < got[1]             # repetition = low bigram NLL

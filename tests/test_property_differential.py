@@ -472,3 +472,37 @@ def test_interval_overlap_join_matches_model(spark, left, right, bucket):
     want = sorted((a[0], b[0]) for a in L for b in R
                   if a[1] == b[1] and a[2] < b[3] and b[2] < a[3])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# select_by_budget vs a pure-Python prefix-sum model
+
+
+_budget_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),    # score (dense ties)
+              st.integers(min_value=1, max_value=9)),     # weight
+    min_size=0, max_size=25)
+
+
+@given(data=_budget_rows, budget=st.integers(min_value=0, max_value=80),
+       bins=st.sampled_from([1, 3, 16]))
+@SET
+def test_select_by_budget_matches_python_model(spark, data, budget, bins):
+    """Histogram path == greedy prefix-sum in (score desc, id) order,
+    for arbitrary tie structure, budgets, and bin counts."""
+    from cascalog_spark.functions import select_by_budget
+    rows_ = [(i, s, w) for i, (s, w) in enumerate(data)]
+    # the contract is the window spelling: the cumulative total INCLUDES
+    # dropped rows' weights (prefix-sum cut, not greedy knapsack)
+    expected, cum = [], 0
+    for i, s, w in sorted(rows_, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum <= budget:
+            expected.append(i)
+    if not rows_:
+        return
+    df = spark.createDataFrame(rows_, "id long, score long, w long")
+    got = sorted(r["id"] for r in
+                 select_by_budget(df, budget, "w", "score", id_col="id",
+                                  method="histogram", bins=bins).collect())
+    assert got == sorted(expected)
