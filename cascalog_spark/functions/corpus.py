@@ -535,7 +535,10 @@ def select_by_budget(df: DataFrame, budget, weight_col: str,
     whole input — the documented worst case, equal to ``method='window'``.
 
     ``method='auto'`` routes by a cheap upper bound: window below
-    ``window_threshold`` rows, histogram above.  Returns the input rows
+    ``window_threshold`` rows, histogram above.  NOTE: when the plan
+    carries no row-count statistics, 'auto' pays one EAGER ``df.count()``
+    to decide (same caveat as ``semantic_dedup(method='auto')``) — pass
+    ``method=`` explicitly to stay lazy.  Returns the input rows
     (original columns) that fit the budget."""
     if method == "auto":
         method = "window" if _cheap_count(df) <= window_threshold \

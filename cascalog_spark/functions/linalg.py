@@ -127,16 +127,29 @@ def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding"):
 
 def pca_project(df: DataFrame, mean, components,
                 vec_col: str = "embedding",
-                out_col: str = "pca") -> DataFrame:
+                out_col: str = "pca",
+                explained_variance=None,
+                eps: float = 1e-12) -> DataFrame:
     """Project vectors onto fitted components: ``out = C (x - mu)`` as a
     NATIVE Column expression — one zip_with/aggregate dot product per
     component against literal arrays; no Python in the projection pass
-    (same idiom as similarity.cosine_to_query_col)."""
+    (same idiom as similarity.cosine_to_query_col).
+
+    Pass ``explained_variance`` (from ``pca_fit``) to WHITEN: each
+    output dim is scaled by ``1/sqrt(var)`` so components have unit
+    variance — the usual preprocessing before cosine-based semantic
+    dedup/clustering (folded into the literal component vectors; the
+    runtime expression is unchanged)."""
+    comps = np.asarray(components, dtype=np.float64)
+    if explained_variance is not None:
+        scale = 1.0 / np.sqrt(np.maximum(
+            np.asarray(explained_variance, dtype=np.float64), eps))
+        comps = comps * scale[:, None]
     mu = _lit_arr([float(x) for x in mean])
     centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu,
                           lambda x, m: x - m)
     outs = []
-    for ci in components:
+    for ci in comps:
         c = _lit_arr([float(x) for x in ci])
         outs.append(F.aggregate(F.zip_with(centered, c,
                                            lambda x, w: x * w),

@@ -2069,3 +2069,20 @@ def test_bigram_nll_separates_repetition(spark):
     release_tfidf_cache(out)
     assert set(got) == {1, 2}          # doc 3 has no bigrams
     assert got[2] < got[1]             # repetition = low bigram NLL
+
+
+def test_linalg_whitened_projection_unit_variance(spark):
+    import numpy as np
+    from cascalog_spark.functions import pca_fit, pca_project
+    rng = np.random.RandomState(7)
+    x = rng.randn(300, 10) * np.linspace(1, 5, 10)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, vec array<double>")
+    mean, comps, ev = pca_fit(df, k=4, vec_col="vec")
+    proj = pca_project(df, mean, comps, vec_col="vec",
+                       explained_variance=ev)
+    p = np.asarray([r["pca"] for r in
+                    proj.orderBy("id").select("pca").collect()])
+    # whitened components have ~unit sample variance
+    assert np.abs(p.var(axis=0, ddof=1) - 1.0).max() < 1e-9
