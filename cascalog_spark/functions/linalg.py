@@ -84,15 +84,40 @@ def moments(df: DataFrame, vec_col: str = "embedding"):
 
     parts = gram_partials(df, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n = parts.agg(F.sum("n")).first()[0]
-        if not n:
-            raise ValueError("moments over an empty/all-null vector column")
-        s_rows = (parts.select(F.posexplode("s").alias("pos", "v"))
-                  .groupBy("pos").agg(F.sum("v").alias("v")).collect())
-        g_rows = (parts.select(F.posexplode("g").alias("pos", "v"))
-                  .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+        return _reduce_partials(parts)
     finally:
         parts.unpersist()
+
+
+def write_moment_partials(df: DataFrame, path: str,
+                          vec_col: str = "embedding",
+                          mode: str = "append") -> None:
+    """Continuous-ingest side of ``moments``: persist a batch's
+    ``(n, s, g)`` partials as parquet.  Partials are the MERGEABLE state
+    of the moment computation (plain sums), so appending each ingest
+    batch's partials and reducing later gives exactly the single-pass
+    answer — the same batch-vs-standing-index contract as
+    ``minhash_index`` / ``exact_substring_index``."""
+    gram_partials(df, vec_col).write.mode(mode).parquet(path)
+
+
+def moments_from_partials(spark, path: str):
+    """Reduce a standing partials table (written by
+    ``write_moment_partials`` across any number of ingest batches) to
+    ``(n, mean, cov)`` — bit-identical to ``moments`` over the union of
+    the batches up to summation order."""
+    parts = spark.read.parquet(path)
+    return _reduce_partials(parts)
+
+
+def _reduce_partials(parts: DataFrame):
+    n = parts.agg(F.sum("n")).first()[0]
+    if not n:
+        raise ValueError("moments over an empty/all-null vector column")
+    s_rows = (parts.select(F.posexplode("s").alias("pos", "v"))
+              .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+    g_rows = (parts.select(F.posexplode("g").alias("pos", "v"))
+              .groupBy("pos").agg(F.sum("v").alias("v")).collect())
     d = max(r["pos"] for r in s_rows) + 1
     s = np.zeros(d)
     for r in s_rows:

@@ -2086,3 +2086,28 @@ def test_linalg_whitened_projection_unit_variance(spark):
                     proj.orderBy("id").select("pca").collect()])
     # whitened components have ~unit sample variance
     assert np.abs(p.var(axis=0, ddof=1) - 1.0).max() < 1e-9
+
+
+def test_linalg_incremental_partials_match_single_pass(spark, tmp_path):
+    """Continuous ingest: per-batch moment partials appended to a
+    standing parquet table reduce to EXACTLY the single-pass moments of
+    the concatenated corpus (partials are plain sums — mergeable)."""
+    import numpy as np
+    from cascalog_spark.functions.linalg import (moments,
+                                                 moments_from_partials,
+                                                 write_moment_partials)
+    rng = np.random.RandomState(3)
+    a = rng.randn(120, 5)
+    b = rng.randn(80, 5) + 2.0
+    mk = lambda x, off: spark.createDataFrame(
+        [(off + i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, vec array<double>")
+    path = str(tmp_path / "partials")
+    write_moment_partials(mk(a, 0), path, vec_col="vec")
+    write_moment_partials(mk(b, 1000), path, vec_col="vec")
+    n_i, mu_i, cov_i = moments_from_partials(spark, path)
+    both = mk(np.vstack([a, b]), 0)
+    n_s, mu_s, cov_s = moments(both, vec_col="vec")
+    assert n_i == n_s == 200
+    assert np.abs(mu_i - mu_s).max() < 1e-12
+    assert np.abs(cov_i - cov_s).max() < 1e-12
