@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     # (3 lineitem branches)
     "q8_market_share",
     "q21_suppliers_kept_waiting",
+    # round-5 third-wave entries: adapted Q9 LIKE-residual star; histogram
+    # token-budget cut; distributed Gram (mapInPandas BLAS partials +
+    # position-reduce)
+    "q9_product_type_profit",
+    "doc_budget_selection",
+    "embedding_gram",
 ]
 
 

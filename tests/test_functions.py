@@ -2111,3 +2111,18 @@ def test_linalg_incremental_partials_match_single_pass(spark, tmp_path):
     assert n_i == n_s == 200
     assert np.abs(mu_i - mu_s).max() < 1e-12
     assert np.abs(cov_i - cov_s).max() < 1e-12
+
+
+def test_skew_report_flags_hot_key(spark):
+    from cascalog_spark.functions.skew import skew_report
+    rows = [(0, i) for i in range(900)] + \
+           [(k, 0) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    rep = skew_report(df, "k")
+    assert rep["rows"] == 1000 and rep["keys"] == 101
+    assert rep["top"][0] == ((0,), 900, 0.9)
+    assert rep["max"] == 900 and rep["p50"] == 1.0
+    assert rep["suggested_salt"] == 64       # ceil(900/1) capped
+    flat = skew_report(spark.createDataFrame(
+        [(i, i) for i in range(100)], ["k", "v"]), "k")
+    assert flat["suggested_salt"] == 1
