@@ -64,9 +64,11 @@ def gram_matrix_df(df: DataFrame, vec_col: str = "embedding",
     parts = gram_partials(df, vec_col)
     cells = (parts.select(F.posexplode("g").alias("pos", "v"))
              .groupBy("pos").agg(F.sum("v").alias("value")))
-    # d is not known statically here: recover it from max pos + 1 via a
-    # self-agg-free trick — carry it from the first vector instead
-    d = len(df.select(vec_col).first()[0])
+    # d is not known statically here — read it from the first vector
+    # (an empty/all-null corpus yields an empty cells frame; d=1 keeps
+    # the i/j arithmetic well-defined on zero rows)
+    head = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    d = len(head[0]) if head is not None else 1
     out = cells.select(
         (F.col("pos") / F.lit(d)).cast("long").alias("i"),
         F.pmod(F.col("pos"), F.lit(d)).cast("long").alias("j"),
