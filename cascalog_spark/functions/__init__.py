@@ -39,7 +39,7 @@ from .text import (bigram_nll, chunk_text, clean_text, doc_fingerprint,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_counts, quality_score, token_count, tokenize)
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
-from .skew import salted_join
+from .skew import salted_join, skew_report
 from .layout import write_zordered, zorder_key
 from .stats import histogram
 from .window import sessionize, time_rollup
