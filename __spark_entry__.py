@@ -1474,6 +1474,31 @@ def doc_budget_selection(spark, sf_dir):
                             method="histogram", bins=16)
 
 
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance scoring (Xie et al. 2023): per-doc
+    ln p_target/p_raw under hashed unigram+bigram bag models — one
+    feature explode per corpus, bucket-keyed aggregates, a broadcast
+    4096-row log-ratio table, md5 bucketing exact in any engine."""
+    from cascalog_spark.functions import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    return dsir_weights(docs, target, n_buckets=4096)
+
+
+def doc_dsir_sample(spark, sf_dir):
+    """DSIR selection: Gumbel-top-k (deterministic md5 uniforms) over
+    the importance weights — sampling-without-replacement toward the
+    target distribution; orderBy+limit = TakeOrderedAndProject, no
+    global sort shuffle."""
+    from cascalog_spark.functions import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    out = dsir_sample(docs, target, 100, n_buckets=4096)
+    return out.select("doc_id", "dsir_logw")
+
+
 def doc_repetition_signals(spark, sf_dir):
     """Gopher-style repetition filters: per-doc char fraction covered by
     the most frequent 2-gram and by duplicated 3-grams — explode+count on
@@ -2551,6 +2576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-5 second wave: the TPC-H planner-shape completion
         # pack (q7/q8/q13/q15/q17/q19/q21/q22) — never sampled,
         # so they lead.
+        # Round-5 eighth wave: DSIR importance resampling.
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_sample": doc_dsir_sample,
         "q7_nation_volume_shipping": q7_nation_volume_shipping,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
@@ -4168,6 +4196,70 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_dsir_weights": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(tk) AS f FROM tk
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i+1])) AS f
+              FROM tk WHERE len(tk) >= 2),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(f || '_7'), 1, 15))
+                               AS BIGINT) % 4096 AS b
+                   FROM feats),
+            docb AS (SELECT doc_id, b, count(*) AS cnt
+                     FROM fb GROUP BY 1, 2),
+            crt AS (SELECT b, sum(cnt) AS cr FROM docb GROUP BY 1),
+            ctt AS (SELECT b, count(*) AS ct FROM fb
+                    WHERE doc_id % 5 = 0 GROUP BY 1),
+            lr0 AS (SELECT coalesce(ctt.b, crt.b) AS b,
+                           coalesce(ctt.ct, 0) AS ct,
+                           coalesce(crt.cr, 0) AS cr
+                    FROM ctt FULL JOIN crt ON ctt.b = crt.b),
+            tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr
+                    FROM lr0),
+            lr AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 4096))
+                            - ln((cr + 0.5) / (nr + 0.5 * 4096)) AS lrv
+                   FROM lr0, tot)
+            SELECT doc_id, round(sum(cnt * lrv), 6) AS dsir_logw
+            FROM docb JOIN lr USING (b) GROUP BY 1""",
+        "doc_dsir_sample": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(tk) AS f FROM tk
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i+1])) AS f
+              FROM tk WHERE len(tk) >= 2),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(f || '_7'), 1, 15))
+                               AS BIGINT) % 4096 AS b
+                   FROM feats),
+            docb AS (SELECT doc_id, b, count(*) AS cnt
+                     FROM fb GROUP BY 1, 2),
+            crt AS (SELECT b, sum(cnt) AS cr FROM docb GROUP BY 1),
+            ctt AS (SELECT b, count(*) AS ct FROM fb
+                    WHERE doc_id % 5 = 0 GROUP BY 1),
+            lr0 AS (SELECT coalesce(ctt.b, crt.b) AS b,
+                           coalesce(ctt.ct, 0) AS ct,
+                           coalesce(crt.cr, 0) AS cr
+                    FROM ctt FULL JOIN crt ON ctt.b = crt.b),
+            tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr
+                    FROM lr0),
+            lr AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 4096))
+                            - ln((cr + 0.5) / (nr + 0.5 * 4096)) AS lrv
+                   FROM lr0, tot),
+            w AS (SELECT doc_id, round(sum(cnt * lrv), 6) AS dsir_logw
+                  FROM docb JOIN lr USING (b) GROUP BY 1),
+            keyed AS (SELECT doc_id, dsir_logw,
+                             dsir_logw - ln(-ln(((CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR) || '_gum7'),
+                               1, 15)) AS BIGINT) % 1000000) + 0.5)
+                               / 1000000.0)) AS k
+                      FROM w)
+            SELECT doc_id, dsir_logw FROM keyed
+            ORDER BY k DESC, doc_id LIMIT 100""",
         "doc_bigram_nll": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
             bg AS (SELECT doc_id,

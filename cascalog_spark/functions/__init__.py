@@ -8,7 +8,8 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 
 from .corpus import (bloom_contains, boilerplate_lines, contamination,
                      contamination_bloom, contamination_score, decontaminate,
-                     cap_per_stratum, mix_corpora, pack_sequences,
+                     cap_per_stratum, dsir_sample, dsir_weights,
+                     mix_corpora, pack_sequences,
                      remove_boilerplate, select_by_budget, shingle_bloom,
                      split_corpus, stratified_sample, temperature_mixture,
                      weighted_sample)

@@ -602,3 +602,123 @@ def _cheap_count(df: DataFrame) -> int:
     except Exception:
         pass
     return df.count()
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score raw docs by how target-like their hashed
+# n-gram profile is, then Gumbel-top-k resample toward the target.
+
+
+def _hashed_ngram_buckets(df: DataFrame, text_col: str, n_buckets: int,
+                          seed: int, id_col: str | None = None) -> DataFrame:
+    """One row per unigram/bigram OCCURRENCE, md5-bucketed into
+    ``n_buckets`` (DuckDB-bit-identical, same scheme as ``_unit_hash``).
+    With ``id_col`` the doc id rides along for per-doc counting."""
+    from .text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).otherwise(
+        F.array().cast("array<string>"))
+    cols = ([F.col(id_col).alias("__id")] if id_col else [])
+    ex = explode_fast(
+        df.select(*cols, F.concat(toks, bigrams).alias("__f")),
+        F.col("__f"), "__feat")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.col("__feat"), F.lit(str(seed)))),
+        1, 15), 16, 10).cast("bigint")
+    keep = (["__id"] if id_col else [])
+    return ex.select(*keep, (h % n_buckets).alias("__b"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 1 << 16,
+                 alpha: float = 0.5, seed: int = 7,
+                 materialize: bool = True) -> DataFrame:
+    """Per-doc DSIR importance log-weight ``ln p_target(doc)/p_raw(doc)``
+    under add-alpha-smoothed hashed-n-gram (unigram + bigram) bag models
+    — the scoring half of Data Selection via Importance Resampling.
+
+    ``lr_b = ln((ct_b+a)/(Nt+aB)) - ln((cr_b+a)/(Nr+aB))`` per bucket;
+    ``logw(doc) = sum_b cnt_{doc,b} * lr_b`` (rounded to 6 for
+    engine-stable comparison).  Docs with zero tokens are absent (same
+    contract as ``unigram_nll``).
+
+    Shapes for 100 TB: the feature explode is O(tokens) map-side work;
+    the wide ops are a groupBy on at most ``n_buckets`` keys per corpus
+    plus the per-doc (id, bucket) count; the bucket log-ratio table is
+    <= ``n_buckets`` rows (default 65k ~ 1 MB) and is BROADCAST back to
+    the per-doc counts — the raw corpus is never collected and the raw
+    side shuffles only its own token counts.  The raw-corpus bucket
+    totals are a ROLLUP of the per-doc aggregate (one tokenization
+    pass, same trick as ``bigram_nll``); that aggregate is persisted —
+    release with ``text.release_tfidf_cache``.  md5 bucketing keeps the
+    whole computation deterministic across engines and retries."""
+    from pyspark import StorageLevel
+
+    doc_b = (_hashed_ngram_buckets(raw, text_col, n_buckets, seed,
+                                   id_col=id_col)
+             .groupBy("__id", "__b")
+             .agg(F.count(F.lit(1)).alias("__cnt")))
+    if materialize:
+        doc_b = doc_b.persist(StorageLevel.MEMORY_AND_DISK)
+    cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+    ct = (_hashed_ngram_buckets(target, text_col, n_buckets, seed)
+          .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+    lr0 = (ct.join(cr, on="__b", how="full")
+           .select("__b",
+                   F.coalesce("__ct", F.lit(0)).alias("__ct"),
+                   F.coalesce("__cr", F.lit(0)).alias("__cr")))
+    tot = lr0.agg(F.sum("__ct").cast("double").alias("__nt"),
+                  F.sum("__cr").cast("double").alias("__nr"))
+    ab = F.lit(float(alpha) * n_buckets)
+    lr = (lr0.crossJoin(F.broadcast(tot))
+          .select("__b",
+                  (F.log((F.col("__ct") + F.lit(float(alpha)))
+                         / (F.col("__nt") + ab))
+                   - F.log((F.col("__cr") + F.lit(float(alpha)))
+                           / (F.col("__nr") + ab))).alias("__lr")))
+    out = (doc_b.join(F.broadcast(lr), on="__b")
+           .groupBy("__id")
+           .agg(F.round(F.sum(F.col("__cnt") * F.col("__lr")), 6)
+                .alias("dsir_logw"))
+           .select(F.col("__id").alias(id_col), "dsir_logw"))
+    if materialize:
+        out._tfidf_cache = doc_b
+    return out
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                temperature: float = 1.0, n_buckets: int = 1 << 16,
+                alpha: float = 0.5, seed: int = 7,
+                materialize: bool = True) -> DataFrame:
+    """Gumbel-top-k resampling WITHOUT replacement by DSIR importance
+    weight: ``key = logw/temperature + Gumbel(0,1)``, take the n largest
+    — equivalent to sampling n docs without replacement with probability
+    proportional to ``exp(logw/temperature)`` (Vieira 2014 gumbel-top-k).
+    The uniform is a deterministic md5 hash of the doc id (strictly
+    inside (0,1)), so the draw is reproducible across engines/retries.
+
+    ``orderBy(key).limit(n)`` compiles to TakeOrderedAndProject — a
+    per-partition heap + driver merge of n rows/partition, never a
+    global sort shuffle.  Returns the selected raw rows + ``dsir_logw``."""
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col,
+                     n_buckets=n_buckets, alpha=alpha, seed=seed,
+                     materialize=materialize)
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.col(id_col).cast("string"),
+                          F.lit("gum" + str(seed)))), 1, 15),
+        16, 10).cast("bigint")
+    u = (h % 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    key = (F.col("dsir_logw") / F.lit(float(temperature))
+           - F.log(-F.log(u)))
+    out = (raw.join(w, on=id_col)
+           .orderBy(key.desc(), F.col(id_col))
+           .limit(n))
+    if materialize:
+        out._tfidf_cache = getattr(w, "_tfidf_cache", None)
+    return out

@@ -2126,3 +2126,85 @@ def test_skew_report_flags_hot_key(spark):
     flat = skew_report(spark.createDataFrame(
         [(i, i) for i in range(100)], ["k", "v"]), "k")
     assert flat["suggested_salt"] == 1
+
+
+def _py_dsir(raw_rows, target_rows, n_buckets, alpha=0.5, seed=7):
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    def feats(t):
+        tk = [w for w in _re.split(r"\s+", t.lower()) if w]
+        return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(f):
+        h = int(hashlib.md5(f"{f}_{seed}".encode()).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    docb = {i: Counter(bucket(f) for f in feats(t)) for i, t in raw_rows}
+    ct = Counter(bucket(f) for _, t in target_rows for f in feats(t))
+    cr = Counter()
+    for c in docb.values():
+        cr.update(c)
+    nt, nr, B = sum(ct.values()), sum(cr.values()), n_buckets
+
+    def lr(b):
+        return (math.log((ct.get(b, 0) + alpha) / (nt + alpha * B))
+                - math.log((cr.get(b, 0) + alpha) / (nr + alpha * B)))
+
+    return {i: sum(c * lr(b) for b, c in cb.items())
+            for i, cb in docb.items() if cb}
+
+
+def test_dsir_weights_match_python_model(spark):
+    """dsir_weights must equal the straight-line hashed-ngram
+    importance model bucket-for-bucket (md5 bucketing is engine-exact;
+    only float summation order may differ)."""
+    from cascalog_spark.functions import dsir_weights
+    from cascalog_spark.functions.text import release_tfidf_cache
+    raw = [(i, f"alpha beta w{i % 7} gamma w{i % 3} delta") for i in range(20)]
+    raw += [(100, "python code review loop"), (101, "   "), (102, "")]
+    tgt = [(0, "python code"), (1, "code review python loop")]
+    rdf = spark.createDataFrame(raw, ["doc_id", "text"])
+    tdf = spark.createDataFrame(tgt, ["doc_id", "text"])
+    out = dsir_weights(rdf, tdf, n_buckets=512)
+    got = {r["doc_id"]: r["dsir_logw"] for r in out.collect()}
+    release_tfidf_cache(out)
+    want = _py_dsir(raw, tgt, 512)
+    assert set(got) == set(want)            # token-less docs absent
+    assert 101 not in got and 102 not in got
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, k
+    # target-like doc outranks generic filler
+    assert got[100] > max(got[i] for i in range(20))
+
+
+def test_dsir_sample_is_gumbel_topk(spark):
+    """dsir_sample == deterministic Gumbel-top-k over the same weights
+    (md5 uniforms), selecting without replacement toward the target."""
+    import hashlib
+    import math
+    from cascalog_spark.functions import dsir_sample, dsir_weights
+    from cascalog_spark.functions.text import release_tfidf_cache
+    raw = [(i, ("python code " if i % 4 == 0 else "misc filler ")
+            + f"w{i % 5} tail") for i in range(40)]
+    tgt = [(0, "python code python code")]
+    rdf = spark.createDataFrame(raw, ["doc_id", "text"])
+    tdf = spark.createDataFrame(tgt, ["doc_id", "text"])
+    w = dsir_weights(rdf, tdf, n_buckets=256)
+    logw = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+    release_tfidf_cache(w)
+
+    def key(i):
+        h = int(hashlib.md5(f"{i}_gum7".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 0.5) / 1000000.0
+        return logw[i] - math.log(-math.log(u))
+
+    want = sorted(sorted(logw), key=lambda i: (-key(i), i))[:10]
+    out = dsir_sample(rdf, tdf, 10, n_buckets=256)
+    got = [r["doc_id"] for r in out.collect()]
+    release_tfidf_cache(out)
+    assert sorted(got) == sorted(want)
+    # the selection leans toward target-like docs
+    assert sum(1 for i in got if i % 4 == 0) >= 7
