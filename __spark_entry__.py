@@ -1499,6 +1499,29 @@ def doc_dsir_sample(spark, sf_dir):
     return out.select("doc_id", "dsir_logw")
 
 
+def doc_url_dedup(spark, sf_dir):
+    """Web-corpus URL dedup: canonicalize (scheme/host fold, www. +
+    default-port + fragment strip, tracking-param removal, param sort,
+    trailing-slash trim) then keep min doc per canonical key.  URLs are
+    synthesized with colliding spellings (http vs https vs WWW vs utm)
+    so the canonical fold does real work."""
+    from cascalog_spark.functions import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://WWW."))
+            .otherwise(F.lit("http://")),
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("/?utm_source=t&x=1")).otherwise(F.lit("?x=1")),
+        ).alias("url"))
+    return url_dedup(urls)
+
+
 def doc_repetition_signals(spark, sf_dir):
     """Gopher-style repetition filters: per-doc char fraction covered by
     the most frequent 2-gram and by duplicated 3-grams — explode+count on
@@ -2576,9 +2599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-5 second wave: the TPC-H planner-shape completion
         # pack (q7/q8/q13/q15/q17/q19/q21/q22) — never sampled,
         # so they lead.
-        # Round-5 eighth wave: DSIR importance resampling.
+        # Round-5 eighth wave: DSIR importance resampling + URL dedup.
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_sample": doc_dsir_sample,
+        "doc_url_dedup": doc_url_dedup,
         "q7_nation_volume_shipping": q7_nation_volume_shipping,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
@@ -4196,6 +4220,45 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_url_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+                           ELSE 'http://' END)
+                     || 'site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=t&x=1'
+                              ELSE '?x=1' END) AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                                    '^([^?]*)', 1) AS base,
+                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                                    '\?(.*)$', 1) AS query
+              FROM u),
+            s AS (
+              SELECT doc_id, base, query,
+                     regexp_extract(base, '^(https?://[^/]*)', 1) AS sh
+              FROM p),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(lower(sh),
+                         '^https?://(www\.)?', ''), ':(80|443)$', '')
+                     || regexp_replace(substr(base, length(sh) + 1,
+                                              1000000), '/+$', '')
+                     || (CASE WHEN qp != '' THEN '?' || qp ELSE '' END)
+                       AS canonical_url
+              FROM (SELECT doc_id, base, sh,
+                           array_to_string(list_sort(list_filter(
+                             regexp_split_to_array(query, '&'),
+                             x -> x != '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))),
+                             '&') AS qp
+                    FROM s))
+            SELECT canonical_url, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM c GROUP BY 1""",
         "doc_dsir_weights": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
             feats AS (

@@ -624,3 +624,47 @@ def release_tfidf_cache(out_df: DataFrame) -> bool:
     cached.unpersist()
     out_df._tfidf_cache = None
     return True
+
+
+TRACKING_PARAM = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Dedup-key canonicalization of a URL (the prestep of web-corpus
+    URL dedup, cf. C4/CCNet pipelines): http==https, host case-folded,
+    ``www.`` and default ports stripped, fragment dropped, tracking
+    params (utm_*/fbclid/gclid/msclkid/mc_eid/ref) removed, surviving
+    query params SORTED, trailing slashes trimmed.  Pure regex/array
+    Column chain with an exact DuckDB twin (regexp_replace/
+    regexp_extract/list_sort are shared vocabulary)."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    sh = F.regexp_extract(base, r"^(https?://[^/]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(sh), r"^https?://(www\.)?", ""),
+        r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.substring(base, F.length(sh) + F.lit(1), F.lit(1000000)),
+        r"/+$", "")
+    parts = F.filter(F.split(query, "&"),
+                     lambda p: (p != F.lit(""))
+                     & ~p.rlike(TRACKING_PARAM))
+    params = F.array_join(F.array_sort(parts), "&")
+    return F.concat(host, path,
+                    F.when(params != F.lit(""),
+                           F.concat(F.lit("?"), params))
+                    .otherwise(F.lit("")))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Exact dedup of a web corpus BY CANONICAL URL: one owner id per
+    canonical key.  Returns (canonical_url, keep_id, n_dups) — the same
+    contract (and the same single map-side-combined shuffle) as
+    ``exact_dedup``; join ``keep_id`` back to recover full rows."""
+    from .dedup import exact_dedup
+
+    keyed = df.select(canonical_url_col(F.col(url_col))
+                      .alias("canonical_url"), F.col(id_col))
+    return exact_dedup(keyed, ["canonical_url"], id_col, keep=keep)

@@ -2208,3 +2208,37 @@ def test_dsir_sample_is_gumbel_topk(spark):
     assert sorted(got) == sorted(want)
     # the selection leans toward target-like docs
     assert sum(1 for i in got if i % 4 == 0) >= 7
+
+
+def test_canonical_url_cases(spark):
+    """Canonicalization folds scheme/host case, www., default ports,
+    fragments, tracking params, param order, and trailing slashes."""
+    from cascalog_spark.functions import canonical_url_col
+    import pyspark.sql.functions as F
+    cases = [
+        ("https://WWW.Example.com:443/path/?utm_source=x&b=2&a=1#frag",
+         "example.com/path?a=1&b=2"),
+        ("http://example.com/path?b=2&a=1",
+         "example.com/path?a=1&b=2"),
+        ("http://www.foo.org/", "foo.org"),
+        ("https://foo.org:80", "foo.org"),
+        ("https://foo.org/x?utm_campaign=z&fbclid=1&gclid=2", "foo.org/x"),
+        ("http://A.B.com/Case/Sensitive/Path", "a.b.com/Case/Sensitive/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in
+           df.select(canonical_url_col(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_dedup_collapses_spellings(spark):
+    """Different spellings of one resource share a canonical key; the
+    min doc id owns it."""
+    from cascalog_spark.functions import url_dedup
+    rows = [(1, "https://www.ex.com/a?utm_source=t&k=1"),
+            (2, "http://EX.com/a/?k=1"),
+            (3, "https://ex.com/b")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dups"])
+           for r in url_dedup(df).collect()}
+    assert got == {"ex.com/a?k=1": (1, 2), "ex.com/b": (3, 1)}
