@@ -1522,6 +1522,23 @@ def doc_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+def doc_classifier_fit(spark, sf_dir):
+    """Distributed logistic-regression FIT (full-batch GD, one persisted
+    (doc,bucket,cnt) aggregate; per-iteration join + bucket-reduced
+    gradient, driver state O(dim)).  Iterative — genuinely non-SQL-
+    expressible, so no oracle entry (rows-only driver check, like the
+    streaming state queries).  Labels are synthetic parity."""
+    from cascalog_spark.functions import fit_linear_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.col("doc_id") % 2 == 0).cast("double").alias("y"))
+    fit = fit_linear_classifier(docs, "y", dim=16, iters=5, lr=0.5)
+    rows = ([(-1, round(fit["bias"], 6))]
+            + [(i, round(w, 6)) for i, w in enumerate(fit["weights"])])
+    return spark.createDataFrame(rows, ["bucket", "weight"])
+
+
 def doc_repetition_signals(spark, sf_dir):
     """Gopher-style repetition filters: per-doc char fraction covered by
     the most frequent 2-gram and by duplicated 3-grams — explode+count on
@@ -2603,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_sample": doc_dsir_sample,
         "doc_url_dedup": doc_url_dedup,
+        "doc_classifier_fit": doc_classifier_fit,
         "q7_nation_volume_shipping": q7_nation_volume_shipping,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,

@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "q9_product_type_profit",
     "doc_budget_selection",
     "embedding_gram",
+    # round-5 eighth-wave entry: DSIR importance scoring (two feature
+    # explodes, bucket-capped aggregates, broadcast log-ratio join)
+    "doc_dsir_weights",
 ]
 
 

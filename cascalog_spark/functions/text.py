@@ -668,3 +668,73 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     keyed = df.select(canonical_url_col(F.col(url_col))
                       .alias("canonical_url"), F.col(id_col))
     return exact_dedup(keyed, ["canonical_url"], id_col, keep=keep)
+
+
+def fit_linear_classifier(df: DataFrame, label_col: str,
+                          dim: int = 1 << 10, id_col: str = "doc_id",
+                          text_col: str = "text", iters: int = 25,
+                          lr: float = 0.5, l2: float = 0.0) -> dict:
+    """Distributed logistic-regression FIT for the
+    ``linear_text_classifier`` featurization (md5-hashed bag-of-words
+    counts) — the offline-training half of the quality-classifier
+    story; the returned weights plug straight into the inference op.
+
+    Full-batch gradient descent: the (doc, bucket, count) aggregate is
+    built ONCE and persisted; each iteration is one join + two
+    aggregates over it — per-doc margin via a broadcast d-wide literal
+    weight array, residual ``sigmoid(z) - y``, then the d-dim gradient
+    reduces BY BUCKET and only d+2 scalars reach the driver.  Iteration
+    count bounds the pass count; the corpus is never collected, driver
+    state is O(dim).  Returns ``{"weights", "bias", "n_iter", "n_docs"}``.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    from .util import explode_fast
+
+    if dim <= 0 or iters <= 0:
+        raise ValueError("fit_linear_classifier: dim and iters must be > 0")
+    toks = tokens_col(F.col(text_col))
+    ex = explode_fast(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(label_col).cast("double").alias("__y"),
+                  toks.alias("__t")),
+        F.col("__t"), "__tok")
+    bucket = (F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
+              .cast("bigint") % F.lit(dim))
+    feats = (ex.select("__id", "__y", bucket.alias("__b"))
+             .groupBy("__id", "__y", "__b")
+             .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_docs = feats.select("__id").distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        raise ValueError("fit_linear_classifier: no docs with tokens")
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        w_arr = F.lit(w)
+        z = (F.lit(b)
+             + F.sum(F.col("__cnt")
+                     * F.element_at(w_arr, (F.col("__b") + 1).cast("int"))))
+        docz = (feats.groupBy("__id", "__y").agg(z.alias("__z"))
+                .select("__id",
+                        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))
+                         - F.col("__y")).alias("__r")))
+        grad_rows = (feats.join(docz, on="__id")
+                     .groupBy("__b")
+                     .agg(F.sum(F.col("__r") * F.col("__cnt"))
+                          .alias("__g")).collect())
+        gb = docz.agg(F.sum("__r")).first()[0]
+        grad = [0.0] * dim
+        for r in grad_rows:
+            grad[int(r["__b"])] = r["__g"]
+        w = [wi - lr / n_docs * (gi + l2 * wi)
+             for wi, gi in zip(w, grad)]
+        b -= lr / n_docs * gb
+        if not all(math.isfinite(x) for x in w) or not math.isfinite(b):
+            feats.unpersist()
+            raise ValueError("fit_linear_classifier: diverged — lower lr")
+    feats.unpersist()
+    return {"weights": w, "bias": b, "n_iter": iters, "n_docs": n_docs}

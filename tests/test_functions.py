@@ -2242,3 +2242,42 @@ def test_url_dedup_collapses_spellings(spark):
     got = {r["canonical_url"]: (r["keep_id"], r["n_dups"])
            for r in url_dedup(df).collect()}
     assert got == {"ex.com/a?k=1": (1, 2), "ex.com/b": (3, 1)}
+
+
+def test_fit_linear_classifier_matches_numpy_gd(spark):
+    """The distributed full-batch GD must track a straight-line numpy
+    implementation over identical hashed features, update for update."""
+    import hashlib
+    import math
+    import numpy as np
+    from collections import Counter
+    from cascalog_spark.functions import fit_linear_classifier
+    dim, iters, lr = 32, 15, 0.5
+    rows = [(i, 1.0 if i % 2 == 0 else 0.0,
+             ("spam offer spam now w%d" % (i % 3)) if i % 2 == 0
+             else ("ham note w%d calm" % (i % 3))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "y", "text"])
+    got = fit_linear_classifier(df, "y", dim=dim, iters=iters, lr=lr)
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+
+    X = np.zeros((len(rows), dim))
+    y = np.array([r[1] for r in rows])
+    for k, (_, _, txt) in enumerate(rows):
+        for bkt, c in Counter(bucket(t) for t in txt.split()).items():
+            X[k, bkt] = c
+    w, b = np.zeros(dim), 0.0
+    for _ in range(iters):
+        r = 1.0 / (1.0 + np.exp(-(X @ w + b))) - y
+        w -= lr / len(rows) * (X.T @ r)
+        b -= lr / len(rows) * r.sum()
+    assert got["n_docs"] == 60
+    assert abs(got["bias"] - b) < 1e-9
+    assert np.abs(np.array(got["weights"]) - w).max() < 1e-9
+    # fit -> inference round trip separates the classes
+    from cascalog_spark.functions import linear_text_classifier
+    scores = {r["doc_id"]: r["score"] for r in linear_text_classifier(
+        df, got["weights"], bias=got["bias"]).collect()}
+    assert all(scores[i] > 0.5 for i in range(0, 60, 2))
+    assert all(scores[i] < 0.5 for i in range(1, 60, 2))

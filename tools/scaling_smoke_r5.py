@@ -191,6 +191,38 @@ print(f"select_by_budget(histogram): 1x={sb1}s 8x={sb8}s ratio={ratio_sb}")
 if ratio_sb > 6:
     failures.append(f"select_by_budget 8x ratio {ratio_sb} > 6")
 
+# -- 1e. dsir_weights at 8x ---------------------------------------------------
+# the scale claim: the only wide ops are bucket-capped aggregates + the
+# per-doc count; the log-ratio table broadcasts.  8x corpus -> ~linear
+# token work, well under the 6x gate.
+from cascalog_spark.functions import dsir_weights  # noqa: E402
+from cascalog_spark.functions.text import release_tfidf_cache  # noqa: E402
+
+
+def dsir_run(d):
+    out = dsir_weights(d, d.where(F.col("doc_id") % 5 == 0),
+                       n_buckets=1 << 16)
+    return out
+
+
+def timeit_dsir(d, n=2):
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = dsir_run(d)
+        out.write.format("noop").mode("overwrite").save()
+        release_tfidf_cache(out)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+ds1 = timeit_dsir(docs1)
+ds8 = timeit_dsir(docs8)
+ratio_ds = round(ds8 / ds1, 2)
+print(f"dsir_weights: 1x={ds1}s 8x={ds8}s ratio={ratio_ds}")
+if ratio_ds > 6:
+    failures.append(f"dsir_weights 8x ratio {ratio_ds} > 6")
+
 # -- 2. star CC round growth on chain graphs ---------------------------------
 from cascalog_spark.functions import dedup_clusters  # noqa: E402
 
