@@ -484,3 +484,31 @@ def test_q20_semi_join_chain_no_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_broadcast_lr_no_python(spark, sf_dir):
+    """DSIR scoring: the log-ratio table must come back as a broadcast
+    hash join (never a shuffled join against the corpus-sized per-doc
+    counts) and the whole pipeline stays JVM-native; the only
+    nested-loop is the 1-row totals broadcast."""
+    df = entry_mod.doc_dsir_weights(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_single_shuffle_no_python(spark, sf_dir):
+    """URL dedup is exact_dedup on a computed key: exactly one
+    Exchange (the canonical-key groupBy, map-side combined), no joins,
+    no Python."""
+    df = entry_mod.doc_url_dedup(spark, sf_dir)
+    plan = _plan(df)
+    # exactly one hash shuffle (the canonical-key groupBy); the input
+    # loader's round-robin repartition is not the operator's doing
+    assert plan.count("Exchange hashpartitioning") == 1
+    for j in ("HashJoin", "SortMergeJoin", "NestedLoopJoin",
+              "CartesianProduct"):
+        assert j not in plan
+    assert "Python" not in plan
