@@ -1522,6 +1522,29 @@ def doc_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+def embedding_semantic_contamination(spark, sf_dir):
+    """Embedding-space contamination scoring: per-vector MAX cosine vs
+    a broadcast benchmark set (vec_id % 97 == 0) — nested-loop native
+    fold dot products, map-side per-id max, one exchange."""
+    from cascalog_spark.functions import semantic_contamination_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_contamination_score(emb, bench, id_col="vec_id")
+
+
+def embedding_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination: drop vectors cosine >= 0.9 to
+    any benchmark vector (benchmark members self-match at 1.0, so the
+    filter provably fires); kept ids anti-join back as a broadcast."""
+    from cascalog_spark.functions import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(emb, bench, threshold=0.9,
+                                  id_col="vec_id").select("vec_id")
+
+
 def doc_classifier_fit(spark, sf_dir):
     """Distributed logistic-regression FIT (full-batch GD, one persisted
     (doc,bucket,cnt) aggregate; per-iteration join + bucket-reduced
@@ -2621,6 +2644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": doc_dsir_sample,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
+        "embedding_semantic_contamination": embedding_semantic_contamination,
+        "embedding_semantic_decontamination":
+            embedding_semantic_decontamination,
         "q7_nation_volume_shipping": q7_nation_volume_shipping,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
@@ -4238,6 +4264,29 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "embedding_semantic_contamination": """
+            SELECT c.vec_id,
+                   round(max(list_dot_product(c.e, b.e)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(b.e, b.e)))), 6)
+                     AS max_sim
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings) c
+            CROSS JOIN (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                        WHERE vec_id % 97 = 0) b
+            GROUP BY 1""",
+        "embedding_semantic_decontamination": """
+            WITH s AS (
+              SELECT c.vec_id,
+                     max(list_dot_product(c.e, b.e)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(b.e, b.e)))) AS ms
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings) c
+              CROSS JOIN (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                          WHERE vec_id % 97 = 0) b
+              GROUP BY 1)
+            SELECT vec_id FROM s WHERE round(ms, 6) < 0.9""",
         "doc_url_dedup": r"""
             WITH u AS (
               SELECT doc_id,

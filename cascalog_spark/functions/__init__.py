@@ -10,7 +10,9 @@ from .corpus import (bloom_contains, boilerplate_lines, contamination,
                      contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, dsir_sample, dsir_weights,
                      mix_corpora, pack_sequences,
-                     remove_boilerplate, select_by_budget, shingle_bloom,
+                     remove_boilerplate, select_by_budget,
+                     semantic_contamination_score, semantic_decontaminate,
+                     shingle_bloom,
                      split_corpus, stratified_sample, temperature_mixture,
                      weighted_sample)
 from .dedup import (cross_doc_line_dedup, dedup_clusters,

@@ -722,3 +722,56 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
     if materialize:
         out._tfidf_cache = getattr(w, "_tfidf_cache", None)
     return out
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) decontamination — the paraphrase-robust
+# complement to the n-gram `decontaminate`/`contamination_score` family.
+
+
+def semantic_contamination_score(corpus: DataFrame, benchmark: DataFrame,
+                                 id_col: str = "doc_id",
+                                 vec_col: str = "embedding",
+                                 bench_vec_col: str | None = None
+                                 ) -> DataFrame:
+    """Per-corpus-row MAX cosine against ANY benchmark vector — the
+    embedding-space analog of ``contamination_score``, for tuning a
+    semantic-decontamination threshold (paraphrased eval leakage that
+    n-gram overlap misses).
+
+    Benchmarks are eval sets (KBs-MBs) and are BROADCAST; scoring is a
+    nested-loop over each corpus partition with the native fold dot
+    product (the ``knn_join`` pattern — zero corpus shuffle), and the
+    per-id max reduces MAP-SIDE to one row per corpus id before the
+    only exchange.  Returns ``(id_col, max_sim)``."""
+    from .similarity import dot_col, norm_col
+
+    bvc = bench_vec_col or vec_col
+    bench = (benchmark.select(F.col(bvc).cast("array<double>")
+                              .alias("__bv"))
+             .withColumn("__bn", norm_col(F.col("__bv"))))
+    c = (corpus.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("__cv"))
+         .withColumn("__cn", norm_col(F.col("__cv"))))
+    sim = (dot_col(F.col("__cv"), F.col("__bv"))
+           / (F.col("__cn") * F.col("__bn")))
+    return (c.crossJoin(F.broadcast(bench))
+            .groupBy(id_col)
+            .agg(F.round(F.max(sim), 6).alias("max_sim")))
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "doc_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None) -> DataFrame:
+    """Drop corpus rows embedding-similar (cosine >= ``threshold``) to
+    ANY benchmark vector.  The contaminated-id set is tiny by
+    construction (it is bounded by what resembles the eval set), so it
+    anti-joins back as a broadcast — corpus rows never reshuffle."""
+    scores = semantic_contamination_score(corpus, benchmark,
+                                          id_col=id_col, vec_col=vec_col,
+                                          bench_vec_col=bench_vec_col)
+    bad = scores.where(F.col("max_sim") >= F.lit(float(threshold))) \
+                .select(id_col)
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")

@@ -2281,3 +2281,22 @@ def test_fit_linear_classifier_matches_numpy_gd(spark):
         df, got["weights"], bias=got["bias"]).collect()}
     assert all(scores[i] > 0.5 for i in range(0, 60, 2))
     assert all(scores[i] < 0.5 for i in range(1, 60, 2))
+
+
+def test_semantic_decontamination(spark):
+    """Identical and near-parallel vectors to a benchmark are dropped;
+    orthogonal ones survive with their full rows intact."""
+    from cascalog_spark.functions import (semantic_contamination_score,
+                                          semantic_decontaminate)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "dup"), (2, [0.999, 0.04], "near"),
+         (3, [0.0, 1.0], "orth"), (4, [0.7, 0.7], "diag")],
+        ["doc_id", "embedding", "tag"])
+    bench = spark.createDataFrame([([2.0, 0.0],)], ["embedding"])
+    scores = {r["doc_id"]: r["max_sim"] for r in
+              semantic_contamination_score(corpus, bench).collect()}
+    assert scores[1] == 1.0 and scores[3] == 0.0
+    assert scores[2] > 0.99 and 0.70 < scores[4] < 0.71
+    kept = semantic_decontaminate(corpus, bench, threshold=0.95)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    assert set(kept.columns) == {"doc_id", "embedding", "tag"}
