@@ -68,3 +68,32 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
        .sortWithinPartitions("__zkey")
        .drop("__zkey")
        .write.mode(mode).parquet(path))
+
+
+def shuffle_key(col, seed: int = 42):
+    """Deterministic pseudo-random sort key for ``col`` — md5 of the id
+    + seed, the same engine-portable scheme as the sampling family.
+    Reproducible across runs/retries (a ``rand()`` sort key is
+    neither)."""
+    return F.md5(F.concat_ws("_", col.cast("string"),
+                             F.lit("shuf" + str(seed))))
+
+
+def write_shuffled(df: DataFrame, path: str, id_col: str,
+                   n_files: int = 32, seed: int = 42,
+                   mode: str = "overwrite") -> None:
+    """Materialize ``df`` in a deterministic GLOBAL random order — the
+    training-export requirement (readers stream shards sequentially, so
+    the order on disk IS the training order).
+
+    repartitionByRange on the md5 shuffle key gives disjoint key spans
+    per file (a range-sampling pass + one shuffle — never a
+    single-partition global sort) and sortWithinPartitions finishes the
+    total order; re-running with the same seed reproduces the byte
+    order exactly, and a different seed is a fresh permutation."""
+    key = shuffle_key(F.col(id_col), seed)
+    (df.withColumn("__skey", key)
+       .repartitionByRange(n_files, F.col("__skey"))
+       .sortWithinPartitions("__skey")
+       .drop("__skey")
+       .write.mode(mode).parquet(path))

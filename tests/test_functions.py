@@ -2300,3 +2300,45 @@ def test_semantic_decontamination(spark):
     kept = semantic_decontaminate(corpus, bench, threshold=0.95)
     assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
     assert set(kept.columns) == {"doc_id", "embedding", "tag"}
+
+
+def test_write_shuffled_total_order_and_determinism(spark, tmp_path):
+    """Files hold disjoint, internally-sorted shuffle-key spans (the
+    on-disk order IS a global permutation), the permutation is
+    reproducible for a seed and different across seeds."""
+    import hashlib
+    import pyspark.sql.functions as F
+    from cascalog_spark.functions import write_shuffled
+    df = spark.range(500).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 3).alias("v"))
+    p1, p2, p3 = (str(tmp_path / d) for d in ("a", "b", "c"))
+    write_shuffled(df, p1, "doc_id", n_files=8, seed=42)
+    write_shuffled(df, p2, "doc_id", n_files=8, seed=42)
+    write_shuffled(df, p3, "doc_id", n_files=8, seed=7)
+
+    def key(i, seed):
+        return hashlib.md5(f"{i}_shuf{seed}".encode()).hexdigest()
+
+    def order(path, seed):
+        rows = (spark.read.parquet(path)
+                .select("doc_id", F.input_file_name().alias("f"))
+                .collect())
+        per_file = {}
+        for r in rows:
+            per_file.setdefault(r["f"], []).append(r["doc_id"])
+        # within-file arrival order must equal the md5-key order
+        spans = []
+        for f, ids in per_file.items():
+            ks = [key(i, seed) for i in ids]
+            assert ks == sorted(ks), "file not key-sorted"
+            spans.append((min(ks), max(ks), f))
+        spans.sort()
+        for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2, "file key spans overlap"
+        return [i for _, _, f in spans for i in per_file[f]]
+
+    o1, o2, o3 = order(p1, 42), order(p2, 42), order(p3, 7)
+    assert o1 == o2                       # same seed -> same permutation
+    assert o1 != o3                       # new seed -> new permutation
+    assert sorted(o1) == list(range(500)) # it IS a permutation
+    assert o1 != list(range(500))         # and not the identity
