@@ -4306,7 +4306,8 @@ def oracle_sql() -> dict[str, str]:
               FROM u),
             s AS (
               SELECT doc_id, base, query,
-                     regexp_extract(base, '^(https?://[^/]*)', 1) AS sh
+                     regexp_extract(base, '^((?i:https?)://[^/]*)', 1)
+                       AS sh
               FROM p),
             c AS (
               SELECT doc_id,

@@ -640,7 +640,9 @@ def canonical_url_col(url: Column) -> Column:
     nofrag = F.regexp_replace(url, r"#.*$", "")
     base = F.regexp_extract(nofrag, r"^([^?]*)", 1)
     query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
-    sh = F.regexp_extract(base, r"^(https?://[^/]*)", 1)
+    # scheme is case-insensitive per RFC 3986 — (?i:) or HTTPS:// URLs
+    # would fall through uncanonicalized (caught by the variant fuzz)
+    sh = F.regexp_extract(base, r"^((?i:https?)://[^/]*)", 1)
     host = F.regexp_replace(
         F.regexp_replace(F.lower(sh), r"^https?://(www\.)?", ""),
         r":(80|443)$", "")

@@ -506,3 +506,49 @@ def test_select_by_budget_matches_python_model(spark, data, budget, bins):
                  select_by_budget(df, budget, "w", "score", id_col="id",
                                   method="histogram", bins=bins).collect())
     assert got == sorted(expected)
+
+
+_host = st.from_regex(r"[a-z][a-z0-9]{0,6}(\.[a-z]{2,4}){1,2}",
+                      fullmatch=True)
+_path = st.lists(st.from_regex(r"[A-Za-z0-9]{1,5}", fullmatch=True),
+                 min_size=0, max_size=3)
+_params = st.lists(st.tuples(st.from_regex(r"[a-z]{1,4}", fullmatch=True),
+                             st.from_regex(r"[A-Za-z0-9]{1,4}",
+                                           fullmatch=True)),
+                   min_size=0, max_size=3, unique_by=lambda kv: kv[0])
+
+
+@given(host=_host, path=_path, params=_params,
+       scheme_up=st.booleans(), www=st.booleans(),
+       port=st.sampled_from(["", ":80", ":443"]),
+       shuffle_seed=st.integers(0, 5), utm=st.booleans(),
+       slash=st.booleans(), frag=st.booleans())
+@SET
+def test_canonical_url_variant_invariance(spark, host, path, params,
+                                          scheme_up, www, port,
+                                          shuffle_seed, utm, slash, frag):
+    """Every cosmetic spelling of one resource — scheme, WWW, host
+    case, default port, param order, tracking params, trailing slash,
+    fragment — must collapse to the SAME canonical key, and that key
+    must differ from a genuinely different resource's."""
+    import random
+    import pyspark.sql.functions as F
+    from cascalog_spark.functions import canonical_url_col
+
+    p = "/" + "/".join(path) if path else ""
+    qs = list(params)
+    random.Random(shuffle_seed).shuffle(qs)
+    if utm:
+        qs.insert(len(qs) // 2, ("utm_medium", "x"))
+    q = ("?" + "&".join(f"{k}={v}" for k, v in qs)) if qs else ""
+    base = f"http://{host}{p}" + q
+    variant = (("HTTPS://" if scheme_up else "https://")
+               + ("www." if www else "") + host.upper() + port
+               + p + ("/" if slash and p else "") + q
+               + ("#frag" if frag else ""))
+    other = f"http://{host}{p}/zz" + q     # a genuinely different path
+    df = spark.createDataFrame([(base,), (variant,), (other,)], ["url"])
+    got = [r[0] for r in df.select(
+        canonical_url_col(F.col("url"))).collect()]
+    assert got[0] == got[1]
+    assert got[0] != got[2]
