@@ -2647,6 +2647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_contamination": embedding_semantic_contamination,
         "embedding_semantic_decontamination":
             embedding_semantic_decontamination,
+        # moved into the 50-row sample head: the last two entries with
+        # no driver row in any round (all 49 unchecked now fit in one
+        # head sample)
+        "doc_split_assign": doc_split_assign,
+        "doc_temperature_mixture": doc_temperature_mixture,
         "q7_nation_volume_shipping": q7_nation_volume_shipping,
         "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
@@ -2693,8 +2698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_overlap": events_session_overlap,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "media_phash_pairs": media_phash_pairs,
-        "doc_split_assign": doc_split_assign,
-        "doc_temperature_mixture": doc_temperature_mixture,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
