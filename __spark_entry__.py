@@ -2688,9 +2688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_incremental": doc_minhash_incremental,
         "doc_weighted_sample": doc_weighted_sample,
         "orders_zorder_keys": orders_zorder_keys,
-        "orders_bigticket_hybrid": orders_bigticket_hybrid,
-        "orders_running_total_cents": orders_running_total_cents,
-        "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
         "events_stream_late_data": events_stream_late_data,
         "doc_decontamination_bloom": doc_decontamination_bloom,
@@ -2698,6 +2695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_overlap": events_session_overlap,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "media_phash_pairs": media_phash_pairs,
+        # checked in r4 (hash-green after the oracle dtype fixes landed
+        # early in r5) — below the never-sampled tier on purpose
+        "orders_bigticket_hybrid": orders_bigticket_hybrid,
+        "orders_running_total_cents": orders_running_total_cents,
+        "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "embedding_quantized_codes": embedding_quantized_codes,
         "doc_exact_substring_spans": doc_exact_substring_spans,
         "doc_exact_substring_dedup": doc_exact_substring_dedup,
