@@ -299,8 +299,16 @@ def num_out_fields(gen) -> int:
     return len(get_out_fields(gen))
 
 
-def _sink_df(df: DataFrame, sink) -> None:
-    if hasattr(sink, "save_df"):
+def _sink_df(df: DataFrame, sink, fields=None) -> None:
+    if isinstance(sink, list):
+        # atom-sink analog (in-memory platform, in_memory_api_test.clj
+        # test-atom-sink): collect into the caller's mutable list as
+        # var-name-keyed dicts.  Only an EMPTY list is a sink — a
+        # non-empty list is a literal-rows generator, so this is the
+        # same disambiguation the reference gets from the atom type.
+        keys = list(fields) if fields else list(df.columns)
+        sink.extend(dict(zip(keys, row)) for row in df.collect())
+    elif hasattr(sink, "save_df"):
         sink.save_df(df)
     elif callable(sink):
         sink(df)
@@ -326,6 +334,8 @@ def execute(spark: SparkSession, *args) -> None:
     every sink without recomputation.
     """
     def _is_sink(s):
+        if isinstance(s, list):
+            return len(s) == 0      # empty list = atom-sink collector
         return hasattr(s, "save_df") or (callable(s) and not is_generator(s))
 
     def _is_pair(p):
@@ -382,7 +392,7 @@ def execute(spark: SparkSession, *args) -> None:
                 df = Compiler(spark)._source_df(qy)
             else:
                 raise TypeError(f"not a query/generator: {qy!r}")
-            _sink_df(df, sink)
+            _sink_df(df, sink, getattr(qy, "outfields", None))
             if hasattr(qy, "flush_traps"):
                 qy.flush_traps()
     finally:

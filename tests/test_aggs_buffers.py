@@ -740,3 +740,34 @@ def test_nullable_agg_and_multi_parallel_agg(spark):
            (slow_count, "?c", ":>", "?count2"))
     got = qr.run(spark)
     assert [(int(d), int(e), n) for d, e, n in got] == [(12, 935, 3)]
+
+
+def test_variance_numerically_stable_on_shifted_data(spark):
+    """Port of cascalog-math stats_test.clj:33-58: the reference's naive
+    E[x2]-E[x]2 `variance` catastrophically cancels on uniform samples
+    in [1e9, 1e9+1] (it documents 256.0 against a true ~0.0996!) and
+    ships `sample-variance-parallel` as the stable alternative.  Spark's
+    var_pop/var_samp are single-pass STABLE (Welford-style merge), so
+    the engine's one variance surface must nail the adversarial case the
+    reference's default gets wrong."""
+    import random
+    import statistics
+    rng = random.Random(1234)
+    vals = [(1_000_000_000 + rng.random(),) for _ in range(100)]
+    query = q(["?var", "?svar"],
+              (vals, "?n"),
+              (c.var_pop, "?n", ":>", "?var"),
+              (c.var_samp, "?n", ":>", "?svar"))
+    rows = [tuple(r) for r in query.run(spark)]
+    got_pop, got_samp = rows[0]
+    data = [v[0] for v in vals]
+    want_samp = statistics.variance(data)
+    want_pop = statistics.pvariance(data)
+    assert abs(got_samp - want_samp) / want_samp < 1e-6
+    assert abs(got_pop - want_pop) / want_pop < 1e-6
+    # the single-element edge cases from the reference battery
+    one = q(["?v"], ([(0.0,)], "?n"), (c.var_pop, "?n", ":>", "?v"))
+    assert [tuple(r) for r in one.run(spark)] == [(0.0,)]
+    two = q(["?v"], ([(0.0,), (1.0,)], "?n"),
+            (c.var_samp, "?n", ":>", "?v"))
+    assert [tuple(r) for r in two.run(spark)] == [(0.5,)]

@@ -781,3 +781,14 @@ def test_trap_joins_and_multi_trap(spark):
     assert len(inner_trap) == 1 and 21 in inner_trap[0]  # B's odd age
     assert len(outer_trap) == 1  # A's odd weight, post-join tuple
     assert 191 in outer_trap[0] and "A" in outer_trap[0]
+
+
+def test_atom_sink_collects_var_named_dicts(spark):
+    """in_memory_api_test.clj test-atom-sink: executing into a mutable
+    collector yields var-name-keyed dicts in order; an EMPTY list is the
+    atom analog (a non-empty list stays a literal-rows generator)."""
+    results = []
+    query = q(["?n"], ([[1], [2], [3]], "?n"))
+    execute(spark, query, results)
+    assert sorted(results, key=lambda d: d["?n"]) == [
+        {"?n": 1}, {"?n": 2}, {"?n": 3}]
