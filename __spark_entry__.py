@@ -1545,6 +1545,19 @@ def embedding_semantic_decontamination(spark, sf_dir):
                                   id_col="vec_id").select("vec_id")
 
 
+def doc_balanced_shards(spark, sf_dir):
+    """Equal-token-mass training shards: md5-permuted order, EXACT
+    global running total via range-bin + driver bin-offsets + per-bucket
+    windows (no global sort), shard = start-offset // ceil(total/8)."""
+    from cascalog_spark.functions import balanced_shards
+    from cascalog_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = token_count(docs).select("doc_id", "n_tokens")
+    return (balanced_shards(t, 8, "n_tokens", bins=32)
+            .select("doc_id", "shard"))
+
+
 def doc_classifier_fit(spark, sf_dir):
     """Distributed logistic-regression FIT (full-batch GD, one persisted
     (doc,bucket,cnt) aggregate; per-iteration join + bucket-reduced
@@ -2644,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": doc_dsir_sample,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
+        "doc_balanced_shards": doc_balanced_shards,
         "embedding_semantic_contamination": embedding_semantic_contamination,
         "embedding_semantic_decontamination":
             embedding_semantic_decontamination,
@@ -4269,6 +4283,22 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_balanced_shards": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS}) AS w FROM documents),
+            k AS (SELECT doc_id, w,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || '_shard7'), 1, 15)) AS BIGINT) AS sk
+                  FROM t),
+            tot AS (SELECT CAST(ceil(sum(w) / 8.0) AS BIGINT) AS target
+                    FROM t),
+            c AS (SELECT doc_id, w,
+                         sum(w) OVER (ORDER BY sk, doc_id) AS cum
+                  FROM k)
+            SELECT doc_id,
+                   CAST(least(7, greatest(0, floor(
+                     (cum - w) / CAST(target AS DOUBLE)))) AS INT)
+                     AS shard
+            FROM c, tot""",
         "embedding_semantic_contamination": """
             SELECT c.vec_id,
                    round(max(list_dot_product(c.e, b.e)

@@ -6,7 +6,8 @@ semantics allow, Arrow-vectorized pandas UDFs only for genuinely bit-twiddly
 ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
-from .corpus import (bloom_contains, boilerplate_lines, contamination,
+from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
+                     contamination,
                      contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, dsir_sample, dsir_weights,
                      mix_corpora, pack_sequences,
@@ -46,5 +47,5 @@ from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .skew import salted_join, skew_report
 from .layout import shuffle_key, write_shuffled, write_zordered, zorder_key
 from .stats import histogram
-from .window import sessionize, time_rollup
+from .window import global_running_total, sessionize, time_rollup
 from .util import ensure_parallelism

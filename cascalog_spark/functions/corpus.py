@@ -775,3 +775,39 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     bad = scores.where(F.col("max_sim") >= F.lit(float(threshold))) \
                 .select(id_col)
     return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+def balanced_shards(df: DataFrame, n_shards: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 7,
+                    bins: int = 1024) -> DataFrame:
+    """Assign rows to ``n_shards`` training shards of NEAR-EQUAL TOTAL
+    WEIGHT (token mass, not row count) in a deterministic shuffled
+    order — the export step where equal-sized shards keep every data
+    loader busy for the same wall time.
+
+    Rows are ordered by the md5(id, seed) permutation key, the exact
+    global running total comes from ``global_running_total`` (range-bin
+    + driver bin-offsets + per-bucket windows — no global sort; the md5
+    key is uniform so the buckets are balanced by construction), and
+    ``shard = (cum - w) // ceil(total/n_shards)`` — each shard's total
+    overshoots the target by at most one row's weight.  Deterministic
+    across engines/retries.  Returns the input + ``shard``."""
+    from .window import global_running_total
+
+    if n_shards <= 0:
+        raise ValueError("balanced_shards: n_shards must be > 0")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.col(id_col).cast("string"),
+                          F.lit("shard" + str(seed)))), 1, 15),
+        16, 10).cast("bigint")
+    keyed = df.withColumn("__sk", h)
+    cum = global_running_total(keyed, weight_col, "__sk", id_col,
+                               bins=bins, out_col="__cum")
+    total = df.agg(F.sum(weight_col)).first()[0] or 0
+    target = max(1, -(-int(total) // int(n_shards)))  # ceil
+    shard = F.floor((F.col("__cum") - F.col(weight_col))
+                    / F.lit(float(target))).cast("int")
+    return (cum.withColumn("shard",
+                           F.least(F.lit(n_shards - 1),
+                                   F.greatest(F.lit(0), shard)))
+            .drop("__sk", "__cum"))

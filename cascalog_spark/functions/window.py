@@ -139,3 +139,50 @@ def time_rollup(df: DataFrame, ts_col: str, keys: list[str], aggs: list,
     return filled.select(
         *keys, bucket_col,
         *[looked[a].alias(a) for a in agg_cols])
+
+
+def global_running_total(df: DataFrame, weight_col: str, order_col: str,
+                         id_col: str, bins: int = 1024,
+                         ascending: bool = True,
+                         out_col: str = "running_total") -> DataFrame:
+    """EXACT global running total of ``weight_col`` in (``order_col``,
+    ``id_col``) order — WITHOUT the single-partition sort that
+    ``sum() OVER (ORDER BY ...)`` costs at scale.
+
+    The select_by_budget/prefix_assoc trick generalized to every row:
+    range-bin ``order_col`` (bucket number is monotone with the global
+    order, and equal values share a bucket, so cross-bucket order is
+    exact); ONE O(bins) aggregate gives per-bucket totals; the driver
+    prefix-sums them into per-bucket OFFSETS (a <=bins literal array);
+    each bucket then runs its own ordered window + offset.  Parallelism
+    = #buckets; only ~1/bins of the data is in any one sort.
+
+    Degenerate case: a single distinct ``order_col`` value collapses to
+    one bucket = the plain global window (documented worst case).
+    ``order_col`` must be numeric (bin arithmetic)."""
+    stats = df.agg(F.min(order_col).alias("lo"),
+                   F.max(order_col).alias("hi")).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    ocol = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    if lo is None or lo == hi:
+        w = Window.orderBy(ocol, F.col(id_col).asc())
+        return df.withColumn(out_col, F.sum(weight_col).over(w))
+    span = (F.col(order_col).cast("double") - F.lit(float(lo))) \
+        / F.lit(float(hi) - float(lo))
+    frac = span if ascending else (F.lit(1.0) - span)
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+        frac * F.lit(float(bins))).cast("int")))
+    binned = df.withColumn("__grt_b", b)
+    totals = {r["__grt_b"]: r["t"] for r in
+              binned.groupBy("__grt_b")
+              .agg(F.sum(weight_col).alias("t")).collect()}
+    offsets, acc = [], 0
+    for i in range(bins):
+        offsets.append(acc)
+        acc += totals.get(i, 0) or 0
+    off = F.element_at(F.lit(offsets), F.col("__grt_b") + 1)
+    wb = (Window.partitionBy("__grt_b")
+          .orderBy(ocol, F.col(id_col).asc()))
+    return (binned
+            .withColumn(out_col, F.sum(weight_col).over(wb) + off)
+            .drop("__grt_b"))

@@ -2342,3 +2342,52 @@ def test_write_shuffled_total_order_and_determinism(spark, tmp_path):
     assert o1 != o3                       # new seed -> new permutation
     assert sorted(o1) == list(range(500)) # it IS a permutation
     assert o1 != list(range(500))         # and not the identity
+
+
+def test_global_running_total_equals_window_spelling(spark):
+    """Histogram-binned running total must be BIT-IDENTICAL to the
+    global window spelling, across duplicates, negative orders, and
+    bucket boundaries."""
+    import random
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from cascalog_spark.functions import global_running_total
+    rng = random.Random(5)
+    rows = [(i, rng.randint(-50, 50), rng.randint(1, 9))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "k", "w"])
+    got = {r["doc_id"]: r["rt"] for r in global_running_total(
+        df, "w", "k", "doc_id", bins=16, out_col="rt").collect()}
+    w = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    want = {r["doc_id"]: r["rt"] for r in
+            df.withColumn("rt", F.sum("w").over(w)).collect()}
+    assert got == want
+    # descending + one-giant-tie degenerate path
+    tie = spark.createDataFrame([(i, 3, 2) for i in range(20)],
+                                ["doc_id", "k", "w"])
+    got2 = {r["doc_id"]: r["rt"] for r in global_running_total(
+        tie, "w", "k", "doc_id", bins=8, ascending=False,
+        out_col="rt").collect()}
+    assert got2 == {i: 2 * (i + 1) for i in range(20)}
+
+
+def test_balanced_shards_equal_token_mass(spark):
+    """Every shard's token mass stays within one max-row-weight of the
+    target; assignment is deterministic and keeps all rows."""
+    import pyspark.sql.functions as F
+    from cascalog_spark.functions import balanced_shards
+    rows = [(i, 1 + (i * 7) % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = balanced_shards(df, 8, "w", bins=32)
+    got = out.groupBy("shard").agg(F.sum("w").alias("t"),
+                                   F.count("*").alias("n")).collect()
+    total = sum(w for _, w in rows)
+    target = -(-total // 8)
+    assert sorted(r["shard"] for r in got) == list(range(8))
+    assert sum(r["n"] for r in got) == 400
+    for r in got:
+        assert r["t"] <= target + 13
+    # deterministic
+    again = {(r["doc_id"], r["shard"]) for r in
+             balanced_shards(df, 8, "w", bins=32).collect()}
+    assert again == {(r["doc_id"], r["shard"]) for r in out.collect()}
