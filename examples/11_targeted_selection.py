@@ -81,4 +81,16 @@ packed = pack_sequences(sel, max_tokens=512)
 packed.groupBy("seq_id").count().orderBy("seq_id").show(5)
 print("packed sequences:",
       packed.select("seq_id").distinct().count())
+
+# 7. export: equal-token-mass shards, written in a deterministic
+# global-random order (the on-disk order IS the training order)
+from cascalog_spark.functions import balanced_shards, write_shuffled
+
+shards = balanced_shards(sel.select("doc_id", "n_tokens"),
+                         4, "n_tokens", bins=32)
+shards.groupBy("shard").agg(F.sum("n_tokens").alias("mass")) \
+      .orderBy("shard").show()
+write_shuffled(sel, "/tmp/example11_export", "doc_id", n_files=4, seed=3)
+print("export rows:",
+      spark.read.parquet("/tmp/example11_export").count())
 spark.stop()

@@ -223,6 +223,25 @@ print(f"dsir_weights: 1x={ds1}s 8x={ds8}s ratio={ratio_ds}")
 if ratio_ds > 6:
     failures.append(f"dsir_weights 8x ratio {ratio_ds} > 6")
 
+# -- 1f. global_running_total at 8x ------------------------------------------
+# the scale claim: the exact global cumsum is per-bucket windows, so 8x
+# rows spread over the same bucket count ~ linear work, no global sort.
+from cascalog_spark.functions import global_running_total  # noqa: E402
+
+
+def grt_run(d):
+    t = token_count(d).select("doc_id", "n_tokens")
+    return global_running_total(t, "n_tokens", "doc_id", "doc_id",
+                                bins=256, out_col="rt")
+
+
+gr1 = timeit(lambda: grt_run(docs1))
+gr8 = timeit(lambda: grt_run(docs8))
+ratio_gr = round(gr8 / gr1, 2)
+print(f"global_running_total: 1x={gr1}s 8x={gr8}s ratio={ratio_gr}")
+if ratio_gr > 6:
+    failures.append(f"global_running_total 8x ratio {ratio_gr} > 6")
+
 # -- 2. star CC round growth on chain graphs ---------------------------------
 from cascalog_spark.functions import dedup_clusters  # noqa: E402
 
