@@ -552,3 +552,31 @@ def test_canonical_url_variant_invariance(spark, host, path, params,
         canonical_url_col(F.col("url"))).collect()]
     assert got[0] == got[1]
     assert got[0] != got[2]
+
+
+_grt_rows = st.lists(
+    st.tuples(st.integers(min_value=-20, max_value=20),   # order key (dup-heavy)
+              st.integers(min_value=-5, max_value=9)),    # weight (negatives ok)
+    min_size=0, max_size=40)
+
+
+@given(data=_grt_rows, bins=st.sampled_from([1, 2, 7, 32]),
+       ascending=st.booleans())
+@SET
+def test_global_running_total_matches_window(spark, data, bins, ascending):
+    """Range-binned exact cumsum == the global window spelling for any
+    duplicate structure, sign mix, bin count, and direction."""
+    from cascalog_spark.functions import global_running_total
+    rows = [(i, k, w) for i, (k, w) in enumerate(data)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "k", "w"])
+    got = {r["doc_id"]: r["rt"] for r in global_running_total(
+        df, "w", "k", "doc_id", bins=bins, ascending=ascending,
+        out_col="rt").collect()}
+    order = sorted(rows, key=lambda r: (r[1] if ascending else -r[1], r[0]))
+    cum, want = 0, {}
+    for i, _, w in order:
+        cum += w
+        want[i] = cum
+    assert got == want
