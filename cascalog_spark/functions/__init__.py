@@ -33,7 +33,7 @@ from .multimodal import (extract_media_metadata, media_dedup_keys,
 from .embed import embed_text, register_embedder
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
-                         dequantize_col, ivf_ann_topk,
+                         dequantize_col, ivf_ann_topk, ivf_append_index,
                          ivf_centroids_kmeans, ivf_knn_join, knn_join,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)

@@ -257,6 +257,24 @@ def ivf_write_index(df: DataFrame, path: str,
     return cents
 
 
+def ivf_append_index(df: DataFrame, path: str,
+                     centroids: list[tuple[int, list[float]]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Continuous-ingest ANN: assign a NEW batch to the EXISTING
+    centroid table and append partition-wise into an
+    ``ivf_write_index`` layout.  Existing cells' files are never read
+    or rewritten — the index contract is the (O(k·dim)) centroid
+    table, so ingest cost is one map over the batch + a partitioned
+    append, independent of corpus size.  Centroids must be the table
+    the index was built with (re-fitting them would silently strand
+    old rows in stale cells)."""
+    cents = sorted((int(c), list(map(float, v))) for c, v in centroids)
+    vec = F.col(vec_col).cast("array<double>")
+    (df.withColumn("__cell", ivf_assign_col(vec, cents))
+       .write.partitionBy("__cell").mode("append").parquet(path))
+
+
 def ivf_query_index(spark, path: str,
                     centroids: list[tuple[int, list[float]]],
                     query_vec: list[float], k: int = 10,

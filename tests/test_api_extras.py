@@ -544,3 +544,42 @@ def test_jcascalog_reference_cases(spark):
             (c.sum_agg, "?a", "?b", "?c", ":>", "?x", "?y", "?z"),
             ).run(spark)
     assert res == [(5, 7, 9)]
+
+
+def test_ivf_append_index_incremental_ingest(spark, sf_dir, tmp_path):
+    """Appending a new batch against the SAME centroid table: old files
+    are untouched (no rewrite), the appended vectors are queryable, and
+    the combined index equals a from-scratch build over old+new."""
+    import os
+    from cascalog_spark.functions.similarity import (ivf_append_index,
+                                                     ivf_query_index,
+                                                     ivf_write_index)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    cents = ivf_write_index(old, path, n_centroids=8)
+
+    def files():
+        out = set()
+        for root, _, names in os.walk(path):
+            out.update(os.path.join(root, n) for n in names
+                       if n.endswith(".parquet"))
+        return out
+
+    before = files()
+    ivf_append_index(new, path, cents)
+    after = files()
+    assert before <= after and len(after) > len(before)  # pure append
+
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 1).select("embedding").first()[0]]
+    res = ivf_query_index(spark, path, cents, qvec, k=5, n_probe=2)
+    rows = [tuple(r) for r in res.collect()]
+    assert rows[0][0] == 1 and rows[0][1] == 1.0   # new vector found
+    # combined layout == one-shot build over the full corpus (same cents)
+    path2 = str(tmp_path / "ivf_full")
+    ivf_write_index(emb, path2, n_centroids=8, centroids=cents)
+    res2 = ivf_query_index(spark, path2, cents, qvec, k=5, n_probe=2)
+    assert rows == [tuple(r) for r in res2.collect()]
