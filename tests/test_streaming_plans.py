@@ -521,3 +521,32 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         & (purch.pts <= F.col("cts"))).collect()}
     assert batch == {(1, 10), (3, 11)}
     assert got == batch
+
+
+def test_streaming_pipeline_ops_batch_equivalence(spark, tmp_path):
+    """The text pipeline ops are pure Column chains, so they compose
+    with readStream unchanged: quality_score + lang_id over a stream
+    must emit exactly the batch result."""
+    from cascalog_spark.functions import lang_id, quality_score
+    from cascalog_spark.streaming import stream_tap, stream_to_memory
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog."),
+         (2, "der schnelle braune fuchs und so weiter und weiter"),
+         (3, "!!!! ???? ....")], ["doc_id", "text"])
+    docs.write.parquet(src)
+
+    sdf = stream_tap(spark, "parquet", src, schema=docs.schema)
+    scored = lang_id(quality_score(sdf))
+    qy = stream_to_memory(scored.select("doc_id", "quality", "lang_pred"),
+                          "doc_quality_stream", output_mode="append")
+    try:
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM doc_quality_stream").collect())
+    finally:
+        qy.stop()
+    want = sorted(tuple(r) for r in
+                  lang_id(quality_score(docs))
+                  .select("doc_id", "quality", "lang_pred").collect())
+    assert got == want and len(got) == 3
