@@ -38,11 +38,13 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)
 from .text import (bigram_nll, canonical_url_col, chunk_text, clean_text,
-                   doc_fingerprint, fit_linear_classifier, gopher_rules,
+                   doc_fingerprint, filter_by_domain, fit_linear_classifier,
+                   gopher_rules,
                    lang_id, url_dedup,
                    line_dup_ratio, linear_text_classifier, redact_pii,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
-                   url_domain_counts, quality_score, token_count, tokenize)
+                   url_domain_col, url_domain_counts, quality_score,
+                   token_count, tokenize)
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .skew import salted_join, skew_report
 from .layout import shuffle_key, write_shuffled, write_zordered, zorder_key

@@ -740,3 +740,27 @@ def fit_linear_classifier(df: DataFrame, label_col: str,
             raise ValueError("fit_linear_classifier: diverged — lower lr")
     feats.unpersist()
     return {"weights": w, "bias": b, "n_iter": iters, "n_docs": n_docs}
+
+
+def url_domain_col(url: Column) -> Column:
+    """Registrable host of a URL, case-folded, ``www.`` and default
+    ports stripped — the key both ``url_dedup`` and blocklist filtering
+    group on."""
+    sh = F.regexp_extract(url, r"^((?i:https?)://[^/?#]*)", 1)
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(sh), r"^https?://(www\.)?", ""),
+        r":(80|443)$", "")
+
+
+def filter_by_domain(df: DataFrame, domains: list[str],
+                     url_col: str = "url", keep: bool = False) -> DataFrame:
+    """Domain blocklist/allowlist filtering: drop (default) or keep rows
+    whose URL's host — or any parent domain — is listed.  Matching is
+    suffix-aware (``example.com`` blocks ``sub.example.com``) and the
+    domain set rides along as a literal array (blocklists are KBs-MBs;
+    for corpus-sized lists join on ``url_domain_col`` instead)."""
+    dl = F.lit(sorted({d.lower().lstrip(".") for d in domains}))
+    host = url_domain_col(F.col(url_col))
+    hit = F.exists(dl, lambda d: (host == d)
+                   | host.endswith(F.concat(F.lit("."), d)))
+    return df.where(hit if keep else ~hit)

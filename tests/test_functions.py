@@ -2391,3 +2391,21 @@ def test_balanced_shards_equal_token_mass(spark):
     again = {(r["doc_id"], r["shard"]) for r in
              balanced_shards(df, 8, "w", bins=32).collect()}
     assert again == {(r["doc_id"], r["shard"]) for r in out.collect()}
+
+
+def test_filter_by_domain_suffix_aware(spark):
+    """Blocklist drops the listed domain AND its subdomains; allowlist
+    mode inverts; unrelated lookalike domains survive."""
+    from cascalog_spark.functions import filter_by_domain
+    rows = [(1, "https://ads.example.com/x"),
+            (2, "http://EXAMPLE.com/y"),
+            (3, "https://www.notexample.com/z"),
+            (4, "http://ok.org/")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r["doc_id"] for r in
+                  filter_by_domain(df, ["example.com"]).collect())
+    assert kept == [3, 4]
+    allow = sorted(r["doc_id"] for r in
+                   filter_by_domain(df, ["example.com"], keep=True)
+                   .collect())
+    assert allow == [1, 2]
