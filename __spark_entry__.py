@@ -1545,6 +1545,15 @@ def embedding_semantic_decontamination(spark, sf_dir):
                                   id_col="vec_id").select("vec_id")
 
 
+def doc_corpus_report(spark, sf_dir):
+    """One-row know-your-data profile: counts, exact token quantiles,
+    mean quality, dominant language + share, exact dup rate — one map
+    pass + O(1)-output aggregates, fully deterministic."""
+    from cascalog_spark.functions import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def doc_balanced_shards(spark, sf_dir):
     """Equal-token-mass training shards: md5-permuted order, EXACT
     global running total via range-bin + driver bin-offsets + per-bucket
@@ -2658,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
         "doc_balanced_shards": doc_balanced_shards,
+        "doc_corpus_report": doc_corpus_report,
         "embedding_semantic_contamination": embedding_semantic_contamination,
         "embedding_semantic_decontamination":
             embedding_semantic_decontamination,
@@ -4283,6 +4293,46 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 16) + 1 AS INT)])), 0.0)))),
               6) AS score
             FROM documents, w""",
+        "doc_corpus_report": f"""
+            WITH t AS (SELECT doc_id, text, {lang_scores}
+                       FROM documents),
+            base AS (
+              SELECT doc_id,
+                     len({_TOKS}) AS n_tokens,
+                     round(
+                       (CASE WHEN length(text) BETWEEN 100 AND 5000
+                             THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]',
+                                  '', 'g'))::DOUBLE
+                              / (CASE WHEN length(text) > 0
+                                      THEN length(text) ELSE 1 END)
+                              >= 0.6 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN (length(regexp_replace(text, '\\s', '',
+                                   'g'))::DOUBLE
+                              / (CASE WHEN len({_TOKS}) > 0
+                                      THEN len({_TOKS}) ELSE 1 END))
+                              BETWEEN 3 AND 12
+                             THEN 0.3 ELSE 0.0 END), 1)::DOUBLE AS quality,
+                     {pick} AS lang_pred,
+                     md5(text) AS th
+              FROM t),
+            s AS (SELECT count(*) AS n_docs,
+                         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                         round(quantile_cont(n_tokens, 0.5), 4)
+                           AS p50_tokens,
+                         round(quantile_cont(n_tokens, 0.9), 4)
+                           AS p90_tokens,
+                         round(avg(quality), 6) AS mean_quality,
+                         count(DISTINCT th) AS nd
+                  FROM base),
+            top AS (SELECT lang_pred AS top_lang, count(*) AS tn
+                    FROM base GROUP BY 1
+                    ORDER BY tn DESC, top_lang ASC LIMIT 1)
+            SELECT n_docs, total_tokens, p50_tokens, p90_tokens,
+                   mean_quality, top_lang,
+                   round(tn / n_docs::DOUBLE, 6) AS top_lang_frac,
+                   round(1.0 - nd / n_docs::DOUBLE, 6) AS dup_rate
+            FROM s, top""",
         "doc_balanced_shards": f"""
             WITH t AS (SELECT doc_id, len({_TOKS}) AS w FROM documents),
             k AS (SELECT doc_id, w,

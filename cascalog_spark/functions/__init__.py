@@ -7,7 +7,7 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 """
 
 from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
-                     contamination,
+                     contamination, corpus_report,
                      contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, dsir_sample, dsir_weights,
                      mix_corpora, pack_sequences,

@@ -811,3 +811,42 @@ def balanced_shards(df: DataFrame, n_shards: int, weight_col: str,
                            F.least(F.lit(n_shards - 1),
                                    F.greatest(F.lit(0), shard)))
             .drop("__sk", "__cum"))
+
+
+def corpus_report(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """ONE-ROW corpus profile — the know-your-data stage before any
+    curation decision: doc/token counts, exact token-length quantiles,
+    mean quality score, the dominant language and its share, and the
+    exact duplicate-text rate.
+
+    Cost model: one map pass computes per-doc tokens/quality/lang (all
+    native Column chains), then a handful of O(1)-output aggregates; the
+    language top-1 is a groupBy on <= #langs keys; the dup rate is one
+    count-distinct over md5(text).  Every statistic is deterministic
+    (exact interpolated percentiles, md5 keys), so any engine reproduces
+    the row bit-for-bit."""
+    from .text import lang_id, quality_score, token_count
+
+    base = lang_id(quality_score(token_count(df, text_col=text_col),
+                                 text_col=text_col), text_col=text_col)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4)
+         .alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4)
+         .alias("p90_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_texts"))
+    top = (base.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("lang_pred")).limit(1)
+           .select(F.col("lang_pred").alias("top_lang"),
+                   F.col("n").alias("top_lang_n")))
+    return (stats.crossJoin(F.broadcast(top))
+            .select("n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+                    "mean_quality", "top_lang",
+                    F.round(F.col("top_lang_n")
+                            / F.col("n_docs"), 6).alias("top_lang_frac"),
+                    F.round(F.lit(1.0) - F.col("n_distinct_texts")
+                            / F.col("n_docs"), 6).alias("dup_rate")))

@@ -2409,3 +2409,19 @@ def test_filter_by_domain_suffix_aware(spark):
                    filter_by_domain(df, ["example.com"], keep=True)
                    .collect())
     assert allow == [1, 2]
+
+
+def test_corpus_report_one_row_profile(spark):
+    """Counts, dup rate, and dominant language come out exactly on a
+    corpus with known composition."""
+    from cascalog_spark.functions import corpus_report
+    rows = [(1, "the cat and the dog that it was"),
+            (2, "the cat and the dog that it was"),      # exact dup
+            (3, "der hund und die katze ist nicht da"),
+            (4, "completely different filler words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = corpus_report(df).collect()[0]
+    assert r["n_docs"] == 4 and r["total_tokens"] == 29
+    assert r["dup_rate"] == 0.25
+    assert r["top_lang"] == "en" and r["top_lang_frac"] == 0.5
+    assert r["p50_tokens"] == 8.0   # sorted [5,8,8,8]
