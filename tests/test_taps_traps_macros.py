@@ -792,3 +792,28 @@ def test_atom_sink_collects_var_named_dicts(spark):
     execute(spark, query, results)
     assert sorted(results, key=lambda d: d["?n"]) == [
         {"?n": 1}, {"?n": 2}, {"?n": 3}]
+
+
+def test_trap_isolation_outer_trap_does_not_catch_inner(spark):
+    """cascading_api_test.clj:112-128 test-trap-isolation: an OUTER
+    :trap must not swallow errors from an un-trapped inner subquery
+    (they propagate); giving the SUBQUERY its own trap diverts them."""
+    import pytest as _pytest
+
+    @deffilterfn
+    def _odd_fail(n):
+        if n % 2 == 1:
+            raise RuntimeError("odd!")
+        return True
+
+    sq = q(["?n"], ([[1], [2]], "?n"), (_odd_fail, "?n"))
+    outer = q(["?n"], (sq, "?n"), trap=lambda df: df.collect())
+    with _pytest.raises(Exception):
+        outer.run(spark)
+
+    inner_trapped = []
+    sq2 = q(["?n"], ([[1], [2]], "?n"), (_odd_fail, "?n"),
+            trap=lambda df: inner_trapped.extend(
+                tuple(r) for r in df.collect()))
+    assert q(["?n"], (sq2, "?n")).run(spark) == [(2,)]
+    assert len(inner_trapped) == 1 and 1 in inner_trapped[0]
