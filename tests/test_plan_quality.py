@@ -512,3 +512,15 @@ def test_url_dedup_single_shuffle_no_python(spark, sf_dir):
               "CartesianProduct"):
         assert j not in plan
     assert "Python" not in plan
+
+
+def test_balanced_shards_no_global_sort(spark, sf_dir):
+    """The exact running total must run as per-bucket windows behind a
+    HASH exchange on the bucket — never a rangepartitioning /
+    single-partition global sort."""
+    df = entry_mod.doc_balanced_shards(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning(__grt_b" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
