@@ -47,7 +47,8 @@ from .text import (bigram_nll, canonical_url_col, chunk_text, clean_text,
                    token_count, tokenize)
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .skew import salted_join, skew_report
-from .layout import shuffle_key, write_shuffled, write_zordered, zorder_key
+from .layout import (compact_parquet, shuffle_key, write_shuffled,
+                     write_zordered, zorder_key)
 from .stats import histogram
 from .window import global_running_total, sessionize, time_rollup
 from .util import ensure_parallelism

@@ -97,3 +97,33 @@ def write_shuffled(df: DataFrame, path: str, id_col: str,
        .sortWithinPartitions("__skey")
        .drop("__skey")
        .write.mode(mode).parquet(path))
+
+
+def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
+                    tmp_suffix: str = "__compact_tmp") -> int:
+    """Small-files maintenance: rewrite a parquet directory so each file
+    is ~``target_bytes`` — the operational fix for ingest paths that
+    accumulate thousands of tiny files (every one costs a task + an
+    open at 100 TB scan time).
+
+    File count = ceil(current_bytes / target) from the reader's own
+    file listing (``df.inputFiles()``); the rewrite is
+    write-new-then-swap (never in-place), preserving the schema and
+    rows.  Partitioned layouts should compact per partition directory
+    — point this at the leaf.  Returns the new file count."""
+    import math
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    files = [urlparse(f).path for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + tmp_suffix
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + "__compact_bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return n

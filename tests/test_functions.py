@@ -2425,3 +2425,21 @@ def test_corpus_report_one_row_profile(spark):
     assert r["dup_rate"] == 0.25
     assert r["top_lang"] == "en" and r["top_lang_frac"] == 0.5
     assert r["p50_tokens"] == 8.0   # sorted [5,8,8,8]
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """200 one-row files compact to the computed count with identical
+    rows; the swap leaves no temp directories behind."""
+    import os
+    from cascalog_spark.functions import compact_parquet
+    p = str(tmp_path / "tiny")
+    spark.range(200).repartition(200).write.parquet(p)
+    before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert before >= 50          # AQE may coalesce some of the 200
+    n = compact_parquet(spark, p, target_bytes=1 << 30)
+    after = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert n == 1 and len(after) == 1
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(p).collect()) == list(range(200))
+    assert not os.path.exists(p + "__compact_tmp")
+    assert not os.path.exists(p + "__compact_bak")
