@@ -17,6 +17,8 @@ from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      split_corpus, stratified_sample, temperature_mixture,
                      weighted_sample)
 from .dedup import (cross_doc_line_dedup, dedup_clusters,
+                    minhash_index, minhash_lsh_candidates_incremental,
+                    simhash_near_dups, word_shingles,
                     deletion_variants_col, exact_dedup,
                     exact_dedup_incremental,
                     exact_substring_dedup,
@@ -35,9 +37,12 @@ from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
                          dequantize_col, ivf_ann_topk, ivf_append_index,
                          ivf_centroids_kmeans, ivf_knn_join, knn_join,
+                         ivf_centroids, ivf_query_index, ivf_write_index,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)
-from .text import (bigram_nll, canonical_url_col, chunk_text, clean_text,
+from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
+                   chunk_text, clean_text, release_tfidf_cache,
+                   shingle_fingerprint,
                    doc_fingerprint, filter_by_domain, fit_linear_classifier,
                    gopher_rules,
                    lang_id, url_dedup,

@@ -32,6 +32,11 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+# 0. know your data: one-row corpus profile before any decision
+from cascalog_spark.functions import corpus_report
+
+corpus_report(docs).show(truncate=False)
+
 # 1. Gopher A1.1 rule bundle: keep flag + reasons, one native pass.
 # The synthetic testdata has no English stopwords, so tolerate that one
 # failure and enforce the rest (length, symbol/ellipsis ratios, ...).
