@@ -1482,8 +1482,10 @@ def doc_dsir_weights(spark, sf_dir):
     from cascalog_spark.functions import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("doc_id") % 5 == 0)
-    return dsir_weights(docs, target, n_buckets=4096)
+    # Column-predicate target: bucket totals roll up from the ONE
+    # per-doc aggregate (no second tokenization; bit-equal to the
+    # DataFrame-target form — equivalence-tested)
+    return dsir_weights(docs, F.col("doc_id") % 5 == 0, n_buckets=4096)
 
 
 def doc_dsir_sample(spark, sf_dir):
@@ -1494,8 +1496,7 @@ def doc_dsir_sample(spark, sf_dir):
     from cascalog_spark.functions import dsir_sample
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("doc_id") % 5 == 0)
-    out = dsir_sample(docs, target, 100, n_buckets=4096)
+    out = dsir_sample(docs, F.col("doc_id") % 5 == 0, 100, n_buckets=4096)
     return out.select("doc_id", "dsir_logw")
 
 

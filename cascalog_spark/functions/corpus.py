@@ -634,7 +634,7 @@ def _hashed_ngram_buckets(df: DataFrame, text_col: str, n_buckets: int,
     return ex.select(*keep, (h % n_buckets).alias("__b"))
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
+def dsir_weights(raw: DataFrame, target, id_col: str = "doc_id",
                  text_col: str = "text", n_buckets: int = 1 << 16,
                  alpha: float = 0.5, seed: int = 7,
                  materialize: bool = True) -> DataFrame:
@@ -656,18 +656,41 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
     totals are a ROLLUP of the per-doc aggregate (one tokenization
     pass, same trick as ``bigram_nll``); that aggregate is persisted —
     release with ``text.release_tfidf_cache``.  md5 bucketing keeps the
-    whole computation deterministic across engines and retries."""
-    from pyspark import StorageLevel
+    whole computation deterministic across engines and retries.
 
-    doc_b = (_hashed_ngram_buckets(raw, text_col, n_buckets, seed,
-                                   id_col=id_col)
-             .groupBy("__id", "__b")
-             .agg(F.count(F.lit(1)).alias("__cnt")))
-    if materialize:
-        doc_b = doc_b.persist(StorageLevel.MEMORY_AND_DISK)
-    cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
-    ct = (_hashed_ngram_buckets(target, text_col, n_buckets, seed)
-          .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+    ``target`` may also be a boolean **Column** over ``raw`` (e.g.
+    ``F.col("source") == "wiki"``): the target bucket totals then roll
+    up from the SAME per-doc aggregate — the target side costs no
+    second tokenization/explode, bit-identical to passing
+    ``raw.where(col)``."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Column
+
+    target_pred = target if isinstance(target, Column) else None
+    if target_pred is not None:
+        keyed = raw.select(F.col(id_col), F.col(text_col),
+                           target_pred.alias("__tgt"))
+        ids = keyed.select(F.col(id_col).alias("__id"), "__tgt")
+        doc_b = (_hashed_ngram_buckets(keyed, text_col, n_buckets, seed,
+                                       id_col=id_col)
+                 .groupBy("__id", "__b")
+                 .agg(F.count(F.lit(1)).alias("__cnt")))
+        if materialize:
+            doc_b = doc_b.persist(StorageLevel.MEMORY_AND_DISK)
+        cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+        ct = (doc_b.join(ids.where(F.col("__tgt")).select("__id"),
+                         on="__id", how="left_semi")
+              .groupBy("__b").agg(F.sum("__cnt").alias("__ct")))
+    else:
+        doc_b = (_hashed_ngram_buckets(raw, text_col, n_buckets, seed,
+                                       id_col=id_col)
+                 .groupBy("__id", "__b")
+                 .agg(F.count(F.lit(1)).alias("__cnt")))
+        if materialize:
+            doc_b = doc_b.persist(StorageLevel.MEMORY_AND_DISK)
+        cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+        ct = (_hashed_ngram_buckets(target, text_col, n_buckets, seed)
+              .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
     lr0 = (ct.join(cr, on="__b", how="full")
            .select("__b",
                    F.coalesce("__ct", F.lit(0)).alias("__ct"),
@@ -691,7 +714,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
     return out
 
 
-def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+def dsir_sample(raw: DataFrame, target, n: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 temperature: float = 1.0, n_buckets: int = 1 << 16,
                 alpha: float = 0.5, seed: int = 7,

@@ -2443,3 +2443,22 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
                   spark.read.parquet(p).collect()) == list(range(200))
     assert not os.path.exists(p + "__compact_tmp")
     assert not os.path.exists(p + "__compact_bak")
+
+
+def test_dsir_weights_column_target_equals_dataframe_target(spark):
+    """Passing the target as a boolean Column over raw must be
+    bit-identical to passing raw.where(col) — the rollup path shares
+    the per-doc aggregate instead of re-exploding."""
+    import pyspark.sql.functions as F
+    from cascalog_spark.functions import dsir_weights
+    from cascalog_spark.functions.text import release_tfidf_cache
+    rows = [(i, f"alpha w{i % 5} beta w{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = F.col("doc_id") % 4 == 0
+    a = dsir_weights(df, df.where(pred), n_buckets=256)
+    b = dsir_weights(df, pred, n_buckets=256)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    release_tfidf_cache(a)
+    release_tfidf_cache(b)
+    assert ra == rb
