@@ -7,6 +7,9 @@ shuffle); the optional min/max probe is a single cheap global aggregate.
 
 from __future__ import annotations
 
+import math
+from typing import Iterator
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -46,3 +49,92 @@ def histogram(df: DataFrame, col: str, bins: int = 20,
                         F.round(F.lit(lo)
                                 + (F.col("bucket") + 1) * F.lit(width), 6))
             .select("bucket", "lo_edge", "hi_edge", "n"))
+
+
+def frequent_items(df: DataFrame, col: str, phi: float,
+                   out_item: str = "item",
+                   out_count: str = "n") -> DataFrame:
+    """EXACT heavy hitters at unbounded scale: every value of ``col``
+    whose global occurrence count is ``>= ceil(phi * N)`` (N = non-null
+    rows) → ``(item, n)``.  Exact set AND exact counts — no sketch error
+    reaches the output.
+
+    The naive exact plan (``groupBy(col).count()`` then filter) shuffles
+    one row per DISTINCT value — at 100 TB of tokens that shuffle is
+    itself data-sized.  This runs the classic two-pass heavy-hitters
+    scheme instead:
+
+    1. **Candidate pass** (``mapInPandas``, Arrow-batched): each batch
+       emits only the values whose LOCAL count ``>= phi * batch_len``
+       (at most ``floor(1/phi)`` rows per batch).  Pigeonhole guarantee:
+       a value with global count ``>= phi*N`` must reach that local
+       density in at least one batch — ``sum(count_b) >= phi*sum(len_b)``
+       forces ``count_b >= phi*len_b`` somewhere — so the candidate set
+       is a SUPERSET of the true heavy hitters.  Shuffle: ``<= batches /
+       phi`` rows, independent of the number of distinct values.
+    2. **Recount pass**: broadcast-semi-join the deduped candidates back
+       onto the data and count exactly; filter ``>= ceil(phi*N)`` drops
+       the false positives.  (N itself is one column-pruned aggregate.)
+
+    Two full scans of ``df`` — persist upstream if the input is an
+    expensive derived plan.  Nulls are ignored.  Reference analog: none
+    (extension tier — corpus vocabulary / boilerplate auditing at scale).
+    """
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"frequent_items: phi must be in (0, 1], "
+                         f"got {phi}")
+    spark = df.sparkSession
+    src = df.select(F.col(col).alias("__fi_v")).where(
+        F.col("__fi_v").isNotNull())
+    in_schema = src.schema
+    out_field = in_schema["__fi_v"].dataType.simpleString()
+    cand_schema = f"__fi_v {out_field}"
+
+    def _candidates(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            n_local = len(pdf)
+            if n_local == 0:
+                continue
+            vc = pdf["__fi_v"].value_counts()
+            keep = vc[vc >= phi * n_local]
+            if len(keep):
+                yield keep.index.to_frame(index=False,
+                                          name="__fi_v")
+
+    cands = (src.mapInPandas(_candidates, schema=cand_schema)
+             .distinct())
+    n_total = src.count()
+    if n_total == 0:
+        return spark.createDataFrame([], f"{out_item} {out_field}, "
+                                         f"{out_count} long")
+    cutoff = math.ceil(phi * n_total)
+    return (src.join(F.broadcast(cands), on="__fi_v", how="inner")
+            .groupBy("__fi_v").agg(F.count(F.lit(1)).alias(out_count))
+            .where(F.col(out_count) >= F.lit(cutoff))
+            .select(F.col("__fi_v").alias(out_item), out_count))
+
+
+def frequent_tokens(df: DataFrame, phi: float, text_col: str = "text",
+                    ) -> DataFrame:
+    """Corpus-level exact frequent TERMS: tokens making up ``>= phi`` of
+    all token occurrences → ``(term, n_occurrences)``.  Tokenization is
+    the repo-wide convention (``text.tokens_col``: lowercase, whitespace
+    split, empties dropped); the token stream is exploded once and fed
+    through :func:`frequent_items` (persisted across its two passes so
+    the explode is not recomputed)."""
+    from pyspark import StorageLevel
+
+    from .text import tokens_col
+    from .util import ensure_parallelism, explode_fast
+
+    toks = explode_fast(ensure_parallelism(df.select(text_col)),
+                        tokens_col(F.col(text_col)), "term")
+    toks = toks.select("term").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = frequent_items(toks, "term", phi, out_item="term",
+                             out_count="n_occurrences")
+        # materialize before releasing the token stream both passes read
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out
