@@ -554,6 +554,24 @@ def lineitem_multiout_agg(spark, sf_dir):
              ).to_df(spark)
 
 
+def orders_priority_salted(spark, sf_dir):
+    """Explicit-salt skewed-key join (functions/skew.py:17 salted_join —
+    the fallback for broadcast-ineligible hot keys when AQE skew-split
+    can't apply): lineitem as the hot side, orders replicated n_salt
+    times via a literal-array explode; salting provably preserves inner-
+    join semantics, so the oracle runs the PLAIN join."""
+    from cascalog_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    j = salted_join(li, od, on=["orderkey"], n_salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 4).alias("total_qty")))
+
+
 def embedding_ivf_knn_join(spark, sf_dir):
     """Corpus-scale batch ANN: 5 query vectors joined to their IVF probe
     cells (equi-join on cell id — neither side broadcast-dependent), exact
@@ -2675,8 +2693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack (q7/q8/q13/q15/q17/q19/q21/q22) — never sampled,
         # so they lead.
         # Round-5 eighth wave: DSIR importance resampling + URL dedup.
-        # Round-5 ninth wave: exact two-pass heavy hitters.
+        # Round-5 ninth wave: exact two-pass heavy hitters + explicit
+        # salted-join driver evidence.
         "doc_frequent_terms": doc_frequent_terms,
+        "orders_priority_salted": orders_priority_salted,
         # The 4 rows red in CORRECTNESS_r04 (judge-verified value-equal;
         # oracle HUGEINT casts + scalar check surface fixed this round)
         # MUST land in the sample head so r05 records them green — the
@@ -2711,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": q20_part_promotion,
         "doc_budget_selection": doc_budget_selection,
         "embedding_gram": embedding_gram,
-        "doc_bigram_nll": doc_bigram_nll,
+        "events_session_overlap": events_session_overlap,
         "doc_near_dedup_best": doc_near_dedup_best,
         "doc_gopher_filter": doc_gopher_filter,
         "events_stream_interval_join": events_stream_interval_join,
@@ -2733,10 +2753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_late_data": events_stream_late_data,
         "doc_decontamination_bloom": doc_decontamination_bloom,
         "orders_flag_cube": orders_flag_cube,
-        "events_session_overlap": events_session_overlap,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "media_phash_pairs": media_phash_pairs,
         # never-checked entries demoted past the head-50 to make room
+        # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
+        # for the nll machinery)
+        "doc_bigram_nll": doc_bigram_nll,
         # for the four r4-red fixes above — each exercises a code path
         # whose sibling IS in the head (dsir_weights, semantic_
         # contamination, exact_substring_spans/dedup green r4,
@@ -4433,6 +4455,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, min(doc_id) AS keep_id,
                    count(*) AS n_dups
             FROM c GROUP BY 1""",
+        "orders_priority_salted": """
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
         "doc_frequent_terms": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
             tot AS (SELECT count(*) AS n FROM toks)

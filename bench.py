@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     # round-5 eighth-wave entry: DSIR importance scoring (two feature
     # explodes, bucket-capped aggregates, broadcast log-ratio join)
     "doc_dsir_weights",
+    # round-5 ninth-wave entry: exact two-pass heavy hitters (candidate
+    # pass shuffles <= batches/phi rows, broadcast recount)
+    "doc_frequent_terms",
 ]
 
 
@@ -100,11 +103,19 @@ def main() -> None:
     def run_once(name):
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        # prefix_assoc queries persist their scan intermediate; release
-        # it between passes so repeated runs don't stack cached frames
-        cache = getattr(df, "_prefix_scan_cache", None)
-        if cache is not None:
-            cache.unpersist()
+        # release every advertised cache handle, then clear whatever a
+        # query persisted without a handle: entries are independent, so
+        # any frame still cached after the action is a cross-query
+        # storage leak — with 33 suite entries x 3 passes the stacked
+        # leaks evict each other and the persist-heavy entries (dsir,
+        # semantic_dedup, exact_substring) read 1.5-2x slower than
+        # isolated (measured; see BASELINE.md round-5 bench-hygiene note)
+        for handle in ("_prefix_scan_cache", "_cosine_sig_cache",
+                       "_tfidf_cache"):
+            cache = getattr(df, handle, None)
+            if cache is not None:
+                cache.unpersist()
+        spark.catalog.clearCache()
 
     for name in BENCH_QUERIES:
         run_once(name)

@@ -76,9 +76,11 @@ def frequent_items(df: DataFrame, col: str, phi: float,
        onto the data and count exactly; filter ``>= ceil(phi*N)`` drops
        the false positives.  (N itself is one column-pruned aggregate.)
 
-    Two full scans of ``df`` — persist upstream if the input is an
-    expensive derived plan.  Nulls are ignored.  Reference analog: none
-    (extension tier — corpus vocabulary / boilerplate auditing at scale).
+    Three actions over ``df`` (candidate scan, the N count, the
+    recount) — persist upstream if the input is an expensive derived
+    plan (``frequent_tokens`` does exactly that for the exploded token
+    stream).  Nulls are ignored.  Reference analog: none (extension
+    tier — corpus vocabulary / boilerplate auditing at scale).
     """
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"frequent_items: phi must be in (0, 1], "

@@ -514,6 +514,24 @@ def test_url_dedup_single_shuffle_no_python(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_frequent_items_recount_broadcasts_candidates(spark, sf_dir):
+    """The heavy-hitter recount pass must broadcast the (<= 1/phi-row)
+    candidate set — never sort-merge the data side — and its exact
+    groupBy must partially aggregate map-side (HashAggregate below the
+    Exchange, so the shuffle carries <= partitions/phi rows, not one row
+    per heavy-token occurrence)."""
+    from cascalog_spark.functions import frequent_items
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = frequent_items(li, "l_returnflag", 0.2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial_count below the final exchange = map-side combine
+    assert "partial_count" in plan or "partial count" in plan
+
+
 def test_balanced_shards_no_global_sort(spark, sf_dir):
     """The exact running total must run as per-bucket windows behind a
     HASH exchange on the bucket — never a rangepartitioning /
