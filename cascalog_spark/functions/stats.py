@@ -117,20 +117,26 @@ def frequent_items(df: DataFrame, col: str, phi: float,
 
 
 def frequent_tokens(df: DataFrame, phi: float, text_col: str = "text",
-                    ) -> DataFrame:
-    """Corpus-level exact frequent TERMS: tokens making up ``>= phi`` of
-    all token occurrences → ``(term, n_occurrences)``.  Tokenization is
-    the repo-wide convention (``text.tokens_col``: lowercase, whitespace
-    split, empties dropped); the token stream is exploded once and fed
-    through :func:`frequent_items` (persisted across its two passes so
-    the explode is not recomputed)."""
+                    n: int = 1) -> DataFrame:
+    """Corpus-level exact frequent TERMS: token n-grams making up
+    ``>= phi`` of all n-gram occurrences → ``(term, n_occurrences)``.
+    Tokenization is the repo-wide convention (``text.tokens_col``:
+    lowercase, whitespace split, empties dropped); ``n > 1`` counts
+    n-grams (``text.char_ngrams_col``, the ``top_ngrams`` transform) —
+    the boilerplate-audit case where the exact-groupBy shuffle of
+    ``top_ngrams`` is most data-sized and the bounded candidate pass
+    matters most.  The gram stream is exploded once and persisted
+    across :func:`frequent_items`'s three actions."""
     from pyspark import StorageLevel
 
-    from .text import tokens_col
+    from .text import char_ngrams_col, tokens_col
     from .util import ensure_parallelism, explode_fast
 
+    arr = tokens_col(F.col(text_col))
+    if n > 1:
+        arr = char_ngrams_col(arr, n)
     toks = explode_fast(ensure_parallelism(df.select(text_col)),
-                        tokens_col(F.col(text_col)), "term")
+                        arr, "term")
     toks = toks.select("term").persist(StorageLevel.MEMORY_AND_DISK)
     try:
         out = frequent_items(toks, "term", phi, out_item="term",

@@ -88,6 +88,24 @@ def test_phi_validation(spark):
             frequent_items(df, "w", bad)
 
 
+def test_frequent_bigrams_matches_top_ngrams_counts(spark, sf_dir):
+    """n=2 heavy hitters must agree with the exact top_ngrams counts for
+    every gram above the phi cutoff."""
+    from cascalog_spark.functions import frequent_tokens
+    from cascalog_spark.functions.text import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phi = 0.0012
+    got = {(r["term"], r["n_occurrences"])
+           for r in frequent_tokens(docs, phi, n=2).collect()}
+    exact = top_ngrams(docs, n=2, k=1_000_000).collect()
+    total = sum(r["n_occurrences"] for r in exact)
+    cutoff = math.ceil(phi * total)
+    want = {(r["ngram"], r["n_occurrences"]) for r in exact
+            if r["n_occurrences"] >= cutoff}
+    assert got == want and len(got) > 0
+
+
 def test_frequent_tokens_matches_exact_token_counts(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     phi = 0.002
