@@ -1293,6 +1293,54 @@ def events_stream_late_data(spark, sf_dir):
             .agg(F.max("n").alias("n")))
 
 
+def doc_stream_frequent_terms(spark, sf_dir):
+    """Streaming heavy hitters (streaming/stateful.py
+    stream_frequent_items): document tokens streamed through the
+    bucketed mergeable Misra-Gries state (all occurrences of a term
+    hash to ONE bucket; k = ceil(1/phi)+1 counters per bucket make the
+    sketch a guaranteed SUPERSET of the >= phi*N terms), then the
+    candidates are exactified with the batch recount — so the exact
+    batch SQL is the oracle for the whole stream+state+recount path."""
+    import math
+
+    from cascalog_spark.functions.text import tokens_col
+    from cascalog_spark.streaming.stateful import stream_frequent_items
+
+    phi = 0.005
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    toks = raw.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    summ = stream_frequent_items(toks, "term", phi, n_buckets=16)
+    name = "doc_stream_frequent_terms"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = (summ.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(availableNow=True).start())
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("doc_stream_frequent_terms: bounded stream "
+                           "did not drain within 300s")
+    from pyspark.sql import Window
+
+    out = spark.table(name)
+    # final summary per bucket = its max-n_seen emission (n_seen monotone)
+    cands = (out.withColumn("__mx", F.max("n_seen").over(
+        Window.partitionBy("__hh_bucket")))
+        .where(F.col("n_seen") == F.col("__mx"))
+        .select("item").distinct())
+    batch_toks = (_t(spark, sf_dir, "documents")
+                  .select(F.explode(tokens_col(F.col("text")))
+                          .alias("term")))
+    n_total = batch_toks.count()
+    cutoff = math.ceil(phi * n_total)
+    return (batch_toks.join(
+        F.broadcast(cands.withColumnRenamed("item", "term")), on="term")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= F.lit(cutoff)))
+
+
 def events_stream_user_counts(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState — SURVEY §2.9):
     cumulative per-user event counts driven as a bounded stream
@@ -2696,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-5 ninth wave: exact two-pass heavy hitters + explicit
         # salted-join driver evidence.
         "doc_frequent_terms": doc_frequent_terms,
+        "doc_stream_frequent_terms": doc_stream_frequent_terms,
         "orders_priority_salted": orders_priority_salted,
         # The 4 rows red in CORRECTNESS_r04 (judge-verified value-equal;
         # oracle HUGEINT casts + scalar check surface fixed this round)
@@ -4468,6 +4517,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY term, tot.n
             HAVING count(*) >= ceil(0.002 * tot.n)""",
+        "doc_stream_frequent_terms": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT term, count(*) AS n_occurrences
+            FROM toks, tot
+            GROUP BY term, tot.n
+            HAVING count(*) >= ceil(0.005 * tot.n)""",
         "doc_dsir_weights": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
             feats AS (

@@ -136,6 +136,69 @@ def test_stateful_running_counts(spark, tmp_path):
         qy.stop()
 
 
+def test_stream_frequent_items_superset_and_exactify(spark, tmp_path):
+    """Bucketed Misra-Gries stream sketch: (a) the final summary is a
+    SUPERSET of the true >= phi*N heavy hitters across multiple
+    micro-batches, (b) the batch recount over the candidates reproduces
+    the exact batch frequent_items result, (c) mg_count underestimates
+    by at most n_seen/k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import frequent_items
+    from cascalog_spark.streaming.stateful import stream_frequent_items
+
+    src = str(tmp_path / "hh_src")
+    # zipf-ish corpus split across 3 files = 3 micro-batches, with the
+    # heavy values spread across all batches (the merge-reduction path)
+    for part in range(3):
+        vals = []
+        for v in range(1, 40):
+            vals += [f"w{v}"] * (600 // v)
+        df = spark.createDataFrame([(x,) for x in vals], "w string")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    phi = 0.02
+    sdf = (spark.readStream.schema("w string")
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    summ = stream_frequent_items(sdf, "w", phi, n_buckets=8)
+    qy = (summ.writeStream.format("memory").queryName("hh_stream")
+          .outputMode("update").trigger(availableNow=True).start())
+    try:
+        qy.awaitTermination(180)
+        from pyspark.sql import Window
+
+        out = spark.table("hh_stream")
+        # final summary per bucket = its max-n_seen emission
+        final = (out.withColumn("__mx", F.max("n_seen").over(
+            Window.partitionBy("__hh_bucket")))
+            .where(F.col("n_seen") == F.col("__mx")))
+        cand = final.select("item", "mg_count", "n_seen").collect()
+    finally:
+        qy.stop()
+
+    batch = spark.read.parquet(src)
+    truth = {(r["item"], r["n"])
+             for r in frequent_items(batch, "w", phi).collect()}
+    cand_items = {r["item"] for r in cand}
+    assert {t[0] for t in truth} <= cand_items          # (a) superset
+    exact = {(r[0], r[1]) for r in
+             batch.join(F.broadcast(
+                 spark.createDataFrame([(i,) for i in cand_items],
+                                       "w string")), on="w")
+             .groupBy("w").count()
+             .where(F.col("count") >= math.ceil(
+                 phi * batch.count())).collect()}
+    assert exact == truth                               # (b) exactify
+    k = math.ceil(1 / phi) + 1
+    true_counts = {r["w"]: r["count"] for r in
+                   batch.groupBy("w").count().collect()}
+    for r in cand:                                      # (c) error bound
+        assert r["mg_count"] <= true_counts[r["item"]]
+        assert true_counts[r["item"]] - r["mg_count"] <= r["n_seen"] / k
+
+
 def test_multigroup_n_three_way(spark):
     from cascalog_spark.operators import multigroup_n
 
