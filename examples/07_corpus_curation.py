@@ -12,8 +12,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cascalog_spark.functions import (cap_per_stratum, knn_join,
-                                      near_dedup, repetition_signals,
+from cascalog_spark.functions import (cap_per_stratum, frequent_tokens,
+                                      knn_join, near_dedup,
+                                      repetition_signals,
                                       stratified_sample, top_ngrams)
 from cascalog_spark.operators import asof_join
 
@@ -34,6 +35,11 @@ print("after repetition filter:", clean.count(), "/", docs.count())
 
 # 2. corpus audit: the dominant bigrams (boilerplate candidates)
 top_ngrams(clean, n=2, k=5).show(truncate=False)
+
+# 2a. vocabulary heavy hitters, EXACT at any corpus size: the two-pass
+# candidate+recount plan never shuffles one row per distinct token
+hh = frequent_tokens(clean, phi=0.005)
+print("tokens above 0.5% of all occurrences:", hh.count())
 
 # 2b. near-duplicate removal: keep one representative per LSH cluster
 deduped = near_dedup(clean, num_perm=8, bands=4)
