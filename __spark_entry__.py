@@ -1341,6 +1341,46 @@ def doc_stream_frequent_terms(spark, sf_dir):
         .where(F.col("n_occurrences") >= F.lit(cutoff)))
 
 
+def doc_stream_dedup_ingest(spark, sf_dir):
+    """Continuous-ingest near-dedup as a STREAMING job
+    (streaming/ingest.py stream_near_dedup_ingest): documents replayed
+    as two deterministic micro-batches (even ids, then odd ids); each
+    batch near-dedups against itself (LSH candidates → CC → keep
+    cluster minima) and against the standing index of previously KEPT
+    docs, survivors and their band rows append per-batch (idempotent
+    batch=<id> overwrites).  The oracle replays both steps in SQL —
+    two recursive-CTE CC passes + the banded cross-drop."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_ingest_corpus,
+                                          stream_near_dedup_ingest)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "source")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_ingest_")
+    name = "doc_stream_dedup_ingest"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_near_dedup_ingest(
+        raw, f"{base}/out", f"{base}/idx", id_col="doc_id",
+        num_perm=8, bands=4, checkpoint_dir=f"{base}/ckpt",
+        query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("doc_stream_dedup_ingest: bounded stream did "
+                           "not drain within 300s")
+    return read_ingest_corpus(spark, f"{base}/out").select("doc_id",
+                                                           "source")
+
+
 def events_stream_user_counts(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState — SURVEY §2.9):
     cumulative per-user event counts driven as a bounded stream
@@ -2745,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted-join driver evidence.
         "doc_frequent_terms": doc_frequent_terms,
         "doc_stream_frequent_terms": doc_stream_frequent_terms,
+        "doc_stream_dedup_ingest": doc_stream_dedup_ingest,
         "orders_priority_salted": orders_priority_salted,
         # The 4 rows red in CORRECTNESS_r04 (judge-verified value-equal;
         # oracle HUGEINT casts + scalar check surface fixed this round)
@@ -4517,6 +4558,56 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY term, tot.n
             HAVING count(*) >= ceil(0.002 * tot.n)""",
+        "doc_stream_dedup_ingest": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_shingle_sql(3)} AS shingles FROM documents),
+            sigs AS (
+              SELECT doc_id, [{_minhash_sql(num_perm)}] AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, {band_exprs} FROM sigs),
+            buckets AS ({band_union}),
+            ev AS (SELECT * FROM buckets WHERE doc_id % 2 = 0),
+            od AS (SELECT * FROM buckets WHERE doc_id % 2 = 1),
+            p0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM ev a JOIN ev b
+                     ON a.band = b.band AND a.bh = b.bh
+                   WHERE a.doc_id < b.doc_id),
+            e0 AS (SELECT id_a AS src, id_b AS dst FROM p0
+                   UNION SELECT id_b, id_a FROM p0),
+            r0 AS (SELECT src AS node, dst AS m FROM e0
+                   UNION
+                   SELECT r.node, e.dst FROM r0 r
+                   JOIN e0 e ON r.m = e.src),
+            l0 AS (SELECT node FROM (
+                     SELECT node, least(node, min(m)) AS c
+                     FROM r0 GROUP BY node) WHERE node != c),
+            kept0 AS (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id % 2 = 0
+                        AND doc_id NOT IN (SELECT node FROM l0)),
+            idx AS (SELECT e.* FROM ev e
+                    JOIN kept0 k ON e.doc_id = k.doc_id),
+            cross1 AS (SELECT DISTINCT b.doc_id FROM idx a JOIN od b
+                       ON a.band = b.band AND a.bh = b.bh),
+            p1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM od a JOIN od b
+                     ON a.band = b.band AND a.bh = b.bh
+                   WHERE a.doc_id < b.doc_id),
+            e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+                   UNION SELECT id_b, id_a FROM p1),
+            r1 AS (SELECT src AS node, dst AS m FROM e1
+                   UNION
+                   SELECT r.node, e.dst FROM r1 r
+                   JOIN e1 e ON r.m = e.src),
+            l1 AS (SELECT node FROM (
+                     SELECT node, least(node, min(m)) AS c
+                     FROM r1 GROUP BY node) WHERE node != c),
+            kept1 AS (SELECT doc_id FROM documents
+                      WHERE doc_id % 2 = 1
+                        AND doc_id NOT IN (SELECT node FROM l1)
+                        AND doc_id NOT IN (SELECT doc_id FROM cross1))
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM kept0)
+               OR d.doc_id IN (SELECT doc_id FROM kept1)""",
         "doc_stream_frequent_terms": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
             tot AS (SELECT count(*) AS n FROM toks)

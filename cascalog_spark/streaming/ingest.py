@@ -1,0 +1,143 @@
+"""Continuous-ingest near-dedup as a streaming job — the composition a
+100 TB corpus pipeline runs for ALWAYS-ON ingestion: each micro-batch is
+near-deduplicated against itself (MinHash-LSH candidates → connected
+components → keep cluster minima) and against the STANDING index of
+previously kept documents, survivors append to the corpus, and their
+band rows append to the index.
+
+Scale shape: per micro-batch the work is the incremental batch contract
+(``minhash_lsh_candidates_incremental``) — one signature pass over the
+batch, a (band, bh) equi-join that touches only the index buckets the
+batch lands in, and a CC pass over the batch's own candidate pairs
+(micro-batch-sized, not corpus-sized).  The index is only ever APPENDED.
+Writes are exactly-once: each batch overwrites its own ``batch=<id>``
+partition directory, so Structured Streaming retries are idempotent.
+
+Index membership = KEPT representatives only (dropped docs never enter
+the index) — identical to replaying ``minhash_lsh_candidates_incremental``
+batch-by-batch in batch-land (equivalence-tested), and the same
+first-seen-wins contract as ``exact_dedup_incremental``.  A transitive
+chain A~B~C where B arrived (and was dropped) between A and C therefore
+keeps C unless C also matches A — the documented cost of a
+representatives-only index.
+
+No reference analog (the reference has no streaming); extension tier.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
+                            id_col: str, text_col: str = "text",
+                            num_perm: int = 16, bands: int = 4,
+                            shingle_k: int = 3, max_iter: int = 20,
+                            cc_method: str = "label",
+                            ) -> tuple[DataFrame, DataFrame]:
+    """One ingest step, batch-land: returns ``(survivors, new_index_rows)``.
+
+    Within-batch: candidate pairs → CC → keep each cluster's min id
+    (exactly ``near_dedup``'s keep='min' contract).  Vs the standing
+    index: any batch doc sharing a (band, bh) bucket with an indexed doc
+    is dropped (the banded near-dup rule, first-seen wins).
+    ``new_index_rows`` are the SURVIVORS' (id, band, bh) rows — append
+    them to the index after writing the survivors."""
+    from ..functions.dedup import (dedup_clusters,
+                                   minhash_lsh_candidates_incremental)
+
+    pairs, bidx = minhash_lsh_candidates_incremental(
+        batch, index, id_col, text_col, num_perm, bands, shingle_k)
+    # split: self pairs have both ids in the batch; cross pairs carry an
+    # index id on the id_a side.  Membership test via the batch id set —
+    # an equi-join on id (batch-sized, no collect).
+    batch_ids = batch.select(F.col(id_col).alias("__bid")).distinct()
+    self_pairs = (pairs
+                  .join(batch_ids.withColumnRenamed("__bid", "id_a"),
+                        on="id_a", how="left_semi")
+                  .join(batch_ids.withColumnRenamed("__bid", "id_b"),
+                        on="id_b", how="left_semi"))
+    cross_hit = (pairs
+                 .join(batch_ids.withColumnRenamed("__bid", "id_a"),
+                       on="id_a", how="left_anti")
+                 .select(F.col("id_b").alias(id_col)).distinct())
+    clusters = dedup_clusters(self_pairs, max_iter=max_iter,
+                              method=cc_method)
+    self_losers = (clusters.where(F.col("node") != F.col("cluster"))
+                   .select(F.col("node").alias(id_col)))
+    survivors = (batch
+                 .join(self_losers, on=id_col, how="left_anti")
+                 .join(cross_hit, on=id_col, how="left_anti"))
+    new_index_rows = bidx.join(
+        survivors.select(id_col), on=id_col, how="left_semi")
+    return survivors, new_index_rows
+
+
+def stream_near_dedup_ingest(stream_df: DataFrame, out_dir: str,
+                             index_dir: str, id_col: str,
+                             text_col: str = "text",
+                             num_perm: int = 16, bands: int = 4,
+                             shingle_k: int = 3, max_iter: int = 20,
+                             cc_method: str = "label",
+                             checkpoint_dir: Optional[str] = None,
+                             query_name: str = "near_dedup_ingest"):
+    """Run :func:`ingest_batch_near_dedup` as a ``foreachBatch`` streaming
+    sink: survivors land under ``out_dir/batch=<id>/``, their index rows
+    under ``index_dir/batch=<id>/`` (per-batch overwrite = idempotent
+    under retries).  Returns the started ``StreamingQuery`` — drive with
+    ``trigger(availableNow=True)`` upstream or ``awaitTermination``.
+
+    The standing index is read fresh at each batch from ``index_dir``
+    (parquet partition discovery over the ``batch=`` subdirs), so a
+    restarted query resumes against everything already kept."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # exclude this batch's own partition: a RETRIED batch must not
+        # read its failed attempt's index rows and cross-drop itself
+        index = read_ingest_index(spark, index_dir,
+                                  exclude_batch=batch_id)
+        survivors, new_rows = ingest_batch_near_dedup(
+            batch, index, id_col, text_col, num_perm, bands, shingle_k,
+            max_iter, cc_method)
+        (survivors.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+        (new_rows.write.mode("overwrite")
+         .parquet(f"{index_dir}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_ingest_index(spark: SparkSession, index_dir: str,
+                      exclude_batch: Optional[int] = None,
+                      ) -> Optional[DataFrame]:
+    """The standing (id, band, bh) index across all ingested batches —
+    ``None`` before the first batch lands.  ``exclude_batch`` drops one
+    ``batch=`` partition (partition-pruned, never scanned) — the retry
+    guard used inside the streaming step."""
+    if not os.path.isdir(index_dir):
+        return None
+    parts = [e for e in os.listdir(index_dir) if e.startswith("batch=")]
+    if exclude_batch is not None:
+        parts = [e for e in parts if e != f"batch={exclude_batch}"]
+    if not parts:
+        return None
+    df = spark.read.parquet(index_dir)
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df.drop("batch")
+
+
+def read_ingest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All kept documents across ingested batches (the deduplicated
+    corpus)."""
+    return spark.read.parquet(out_dir).drop("batch")

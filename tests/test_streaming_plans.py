@@ -199,6 +199,66 @@ def test_stream_frequent_items_superset_and_exactify(spark, tmp_path):
         assert true_counts[r["item"]] - r["mg_count"] <= r["n_seen"] / k
 
 
+def test_stream_near_dedup_ingest_end_to_end(spark, tmp_path):
+    """Continuous-ingest near-dedup: 3 micro-batches with within-batch
+    and cross-batch duplicates — the streaming foreachBatch pipeline
+    must (a) keep first-seen representatives only, (b) drop cross-batch
+    copies via the standing index, (c) index exactly the survivors,
+    (d) equal a batch-land replay of ingest_batch_near_dedup."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.streaming import (ingest_batch_near_dedup,
+                                          read_ingest_corpus,
+                                          read_ingest_index,
+                                          stream_near_dedup_ingest)
+
+    t = {
+        "a": "the quick brown fox jumps over the lazy dog today",
+        "b": "pack my box with five dozen liquor jugs right now",
+        "c": "how vexingly quick daft zebras jump around the park",
+        "d": "sphinx of black quartz judge my vow said the king",
+    }
+    batches = [
+        [(0, t["a"]), (1, t["b"]), (2, t["a"])],   # 2 dups 0 in-batch
+        [(3, t["a"]), (4, t["c"])],                # 3 dups indexed 0
+        [(5, t["b"]), (6, t["d"]), (7, t["c"])],   # 5,7 dup indexed
+    ]
+    src = str(tmp_path / "ingest_src")
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    out_dir = str(tmp_path / "ingest_out")
+    idx_dir = str(tmp_path / "ingest_idx")
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_near_dedup_ingest(
+        sdf, out_dir, idx_dir, id_col="doc_id",
+        checkpoint_dir=str(tmp_path / "ingest_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+
+    kept = {r["doc_id"]
+            for r in read_ingest_corpus(spark, out_dir).collect()}
+    assert kept == {0, 1, 4, 6}
+    idx_ids = {r["doc_id"]
+               for r in read_ingest_index(spark, idx_dir).collect()}
+    assert idx_ids == kept                         # (c) survivors only
+
+    # (d) batch-land replay equivalence — same per-batch contract
+    index = None
+    replay_kept = set()
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        surv, new_rows = ingest_batch_near_dedup(b, index, "doc_id")
+        replay_kept |= {r["doc_id"] for r in surv.collect()}
+        index = (new_rows if index is None
+                 else index.unionByName(new_rows))
+    assert replay_kept == kept
+
+
 def test_multigroup_n_three_way(spark):
     from cascalog_spark.operators import multigroup_n
 
