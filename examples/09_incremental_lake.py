@@ -116,6 +116,30 @@ print(f"incremental dedup: {n_pairs} near-dup candidate pairs; "
       f"{kept_vecs.count()}/{newv.count()} new vectors kept — "
       f"indexes grow by the batch, corpus never recomputed")
 
+# -- 3b. the same contract as an ALWAYS-ON streaming job: micro-batches
+# near-dedup against themselves + the standing representatives index,
+# survivors append per-batch (idempotent batch=<id> overwrites)
+from cascalog_spark.streaming import (read_ingest_corpus,  # noqa: E402
+                                      stream_near_dedup_ingest)
+
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    .select("doc_id", "text", "source")
+ing_src = stage_file_batches(
+    [docs.where(F.col("doc_id") % 2 == 0),
+     docs.where(F.col("doc_id") % 2 == 1)],
+    path=os.path.join(work, "ing_src"))
+raw = (spark.readStream.schema(docs.schema)
+       .option("maxFilesPerTrigger", "1")
+       .option("pathGlobFilter", "batch*.parquet").parquet(ing_src))
+sq = stream_near_dedup_ingest(
+    raw, os.path.join(work, "ing_out"), os.path.join(work, "ing_idx"),
+    id_col="doc_id", num_perm=8, bands=4,
+    checkpoint_dir=os.path.join(work, "ing_ckpt"))
+sq.awaitTermination(240)
+kept = read_ingest_corpus(spark, os.path.join(work, "ing_out"))
+print(f"streaming ingest: kept {kept.count()}/{docs.count()} docs "
+      f"across 2 micro-batches (first-seen representatives)")
+
 # -- 4. observe(): ingest metrics ride the write action itself
 gated, obs = observed_stats(
     lake_df, name="ingest",
