@@ -1618,6 +1618,32 @@ def doc_frequent_terms(spark, sf_dir):
     return frequent_tokens(docs, phi=0.002)
 
 
+def doc_frequent_terms_by_source(spark, sf_dir):
+    """Per-group exact heavy hitters (stats.py frequent_items_by_group):
+    per SOURCE, tokens at >= 1% of the source's token mass — the
+    per-language/per-domain boilerplate audit.  Candidate shuffle
+    bounded by batches*groups/phi; recount joins on (source, term)."""
+    from pyspark import StorageLevel
+
+    from cascalog_spark.functions import frequent_items_by_group
+    from cascalog_spark.functions.text import tokens_col
+    from cascalog_spark.functions.util import explode_fast
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (explode_fast(docs.select("source", "text"),
+                         tokens_col(F.col("text")), "term")
+            .select("source", "term")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        out = frequent_items_by_group(
+            toks, "source", "term", 0.01,
+            out_item="term", out_count="n_occurrences")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out
+
+
 def doc_url_dedup(spark, sf_dir):
     """Web-corpus URL dedup: canonicalize (scheme/host fold, www. +
     default-port + fragment strip, tracking-param removal, param sort,
@@ -2786,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequent_terms": doc_frequent_terms,
         "doc_stream_frequent_terms": doc_stream_frequent_terms,
         "doc_stream_dedup_ingest": doc_stream_dedup_ingest,
+        "doc_frequent_terms_by_source": doc_frequent_terms_by_source,
         "orders_priority_salted": orders_priority_salted,
         # The 4 rows red in CORRECTNESS_r04 (judge-verified value-equal;
         # oracle HUGEINT casts + scalar check surface fixed this round)
@@ -4615,6 +4642,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY term, tot.n
             HAVING count(*) >= ceil(0.005 * tot.n)""",
+        "doc_frequent_terms_by_source": f"""
+            WITH toks AS (SELECT source, unnest({_TOKS}) AS term
+                          FROM documents),
+            tot AS (SELECT source, count(*) AS n FROM toks
+                    GROUP BY source)
+            SELECT t.source, t.term, count(*) AS n_occurrences
+            FROM toks t JOIN tot ON t.source = tot.source
+            GROUP BY t.source, t.term, tot.n
+            HAVING count(*) >= ceil(0.01 * tot.n)""",
         "doc_dsir_weights": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
             feats AS (

@@ -54,6 +54,7 @@ from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .skew import salted_join, skew_report
 from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)
-from .stats import frequent_items, frequent_tokens, histogram
+from .stats import (frequent_items, frequent_items_by_group,
+                    frequent_tokens, histogram)
 from .window import global_running_total, sessionize, time_rollup
 from .util import ensure_parallelism

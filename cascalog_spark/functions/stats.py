@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -114,6 +115,61 @@ def frequent_items(df: DataFrame, col: str, phi: float,
             .groupBy("__fi_v").agg(F.count(F.lit(1)).alias(out_count))
             .where(F.col(out_count) >= F.lit(cutoff))
             .select(F.col("__fi_v").alias(out_item), out_count))
+
+
+def frequent_items_by_group(df: DataFrame, group_col: str, col: str,
+                            phi: float, out_item: str = "item",
+                            out_count: str = "n") -> DataFrame:
+    """Per-group exact heavy hitters: for every group g, the values of
+    ``col`` with count ``>= ceil(phi * N_g)`` (N_g = the group's non-null
+    rows) → ``(group_col, item, n)`` — the per-language / per-source
+    vocabulary-audit form of :func:`frequent_items`.
+
+    Same two-pass scheme, applied per group: the candidate pass emits,
+    per Arrow batch AND group, the values at local density ``>= phi``
+    (the pigeonhole argument holds within each group's row slice), so
+    the candidate shuffle is ``<= batches * groups_per_batch / phi``
+    rows; the recount joins candidates back on (group, value) and
+    filters against the per-group totals (both map-side combined).
+    Rows with a NULL group or NULL value are ignored.  Three actions —
+    persist upstream if ``df`` is an expensive derived plan."""
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"frequent_items_by_group: phi must be in "
+                         f"(0, 1], got {phi}")
+    src = (df.select(F.col(group_col).alias("__fg_g"),
+                     F.col(col).alias("__fg_v"))
+           .where(F.col("__fg_g").isNotNull()
+                  & F.col("__fg_v").isNotNull()))
+    g_field = src.schema["__fg_g"].dataType.simpleString()
+    v_field = src.schema["__fg_v"].dataType.simpleString()
+
+    def _candidates(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for g, sub in pdf.groupby("__fg_g", sort=False):
+                vc = sub["__fg_v"].value_counts()
+                keep = vc[vc >= phi * len(sub)]
+                if len(keep):
+                    outs.append(keep.index.to_frame(
+                        index=False, name="__fg_v").assign(__fg_g=g))
+            if outs:
+                yield pd.concat(outs)[["__fg_g", "__fg_v"]]
+
+    cands = (src.mapInPandas(_candidates,
+                             schema=f"__fg_g {g_field}, __fg_v {v_field}")
+             .distinct())
+    totals = src.groupBy("__fg_g").agg(F.count(F.lit(1)).alias("__fg_n"))
+    return (src.join(F.broadcast(cands), on=["__fg_g", "__fg_v"],
+                     how="inner")
+            .groupBy("__fg_g", "__fg_v")
+            .agg(F.count(F.lit(1)).alias(out_count))
+            .join(F.broadcast(totals), on="__fg_g")
+            .where(F.col(out_count)
+                   >= F.ceil(F.lit(phi) * F.col("__fg_n")))
+            .select(F.col("__fg_g").alias(group_col),
+                    F.col("__fg_v").alias(out_item), out_count))
 
 
 def frequent_tokens(df: DataFrame, phi: float, text_col: str = "text",

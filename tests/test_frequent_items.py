@@ -88,6 +88,37 @@ def test_phi_validation(spark):
             frequent_items(df, "w", bad)
 
 
+def test_frequent_items_by_group_matches_naive(spark):
+    from cascalog_spark.functions import frequent_items_by_group
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("en", "fr", "de"):
+        for v in range(1, 30):
+            rows += [(g, f"{g}_tok{v}")] * (400 // v)
+    # shared hot token across groups, plus null group/value noise
+    rows += [("en", "common")] * 120 + [("fr", "common")] * 80
+    rows += [(None, "x")] * 20 + [("en", None)] * 20
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, w string").repartition(8)
+
+    phi = 0.04
+    got = {(r["g"], r["item"], r["n"])
+           for r in frequent_items_by_group(df, "g", "w", phi).collect()}
+    want = set()
+    base = df.where(F.col("g").isNotNull() & F.col("w").isNotNull())
+    for g_row in base.select("g").distinct().collect():
+        g = g_row["g"]
+        sub = base.where(F.col("g") == g)
+        n_g = sub.count()
+        cutoff = math.ceil(phi * n_g)
+        want |= {(g, r["w"], r["count"]) for r in
+                 sub.groupBy("w").count()
+                 .where(F.col("count") >= cutoff).collect()}
+    assert got == want and len(got) > 0
+    assert ("en", "common", 120) in got
+
+
 def test_frequent_bigrams_matches_top_ngrams_counts(spark, sf_dir):
     """n=2 heavy hitters must agree with the exact top_ngrams counts for
     every gram above the phi cutoff."""
