@@ -580,3 +580,34 @@ def test_global_running_total_matches_window(spark, data, bins, ascending):
         cum += w
         want[i] = cum
     assert got == want
+
+
+_hh_vals = st.lists(st.integers(min_value=0, max_value=8),
+                    min_size=0, max_size=40)
+_phi = st.sampled_from([0.05, 0.2, 0.5, 1.0])
+
+
+@given(data=_hh_vals, phi=_phi, parts=st.sampled_from([1, 3, 7]))
+@SET
+def test_frequent_items_matches_naive_filter(spark, data, phi, parts):
+    """Two-pass heavy hitters == groupBy-count + >= ceil(phi*N) filter
+    for any multiset, threshold, and partitioning — the candidate pass
+    is never visible in the result."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import frequent_items
+
+    df = spark.createDataFrame([(v,) for v in data], "w int") \
+        .repartition(parts)
+    got = {(r["item"], r["n"])
+           for r in frequent_items(df, "w", phi).collect()}
+    n = len(data)
+    if n == 0:
+        assert got == set()
+        return
+    cutoff = math.ceil(phi * n)
+    cnt = Counter(data)
+    want = {(v, c) for v, c in cnt.items() if c >= cutoff}
+    assert got == want
