@@ -1322,14 +1322,11 @@ def doc_stream_frequent_terms(spark, sf_dir):
         sq.stop()
         raise TimeoutError("doc_stream_frequent_terms: bounded stream "
                            "did not drain within 300s")
-    from pyspark.sql import Window
+    from cascalog_spark.streaming import latest_bucket_summary
 
-    out = spark.table(name)
     # final summary per bucket = its max-n_seen emission (n_seen monotone)
-    cands = (out.withColumn("__mx", F.max("n_seen").over(
-        Window.partitionBy("__hh_bucket")))
-        .where(F.col("n_seen") == F.col("__mx"))
-        .select("item").distinct())
+    cands = (latest_bucket_summary(spark.table(name))
+             .select("item").distinct())
     batch_toks = (_t(spark, sf_dir, "documents")
                   .select(F.explode(tokens_col(F.col("text")))
                           .alias("term")))

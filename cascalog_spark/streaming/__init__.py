@@ -1,6 +1,7 @@
 from .ingest import (ingest_batch_near_dedup, read_ingest_corpus,
                      read_ingest_index, stream_near_dedup_ingest)
-from .stateful import running_counts, stateful_op, stream_frequent_items
+from .stateful import (latest_bucket_summary, running_counts, stateful_op,
+                       stream_frequent_items)
 from .stream import (session_windows, sliding_counts, stage_file_batches,
                      stream_dedup, stream_interval_join, stream_tap,
                      stream_to_memory, trapped_stream_map, tumbling_agg,

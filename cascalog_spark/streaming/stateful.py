@@ -13,6 +13,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -81,8 +82,6 @@ def stream_frequent_items(stream_df: DataFrame, col: str, phi: float,
                          f"got {phi}")
     import math
 
-    from pyspark.sql import functions as F
-
     k = math.ceil(1.0 / phi) + 1
     item_t = stream_df.schema[col].dataType.simpleString()
 
@@ -122,3 +121,17 @@ def stream_frequent_items(stream_df: DataFrame, col: str, phi: float,
         f"__hh_bucket int, item {item_t}, mg_count bigint, n_seen bigint",
         f"items array<{item_t}>, cnts array<bigint>, n bigint",
         "update", GroupStateTimeout.NoTimeout))
+
+
+def latest_bucket_summary(df: DataFrame, bucket_col: str = "__hh_bucket",
+                          n_col: str = "n_seen") -> DataFrame:
+    """Final per-bucket summary from an update-mode emission log (memory
+    sink of :func:`stream_frequent_items`): ``n_seen`` is monotone per
+    bucket, so the rows carrying each bucket's max are its last — and
+    therefore current — summary."""
+    from pyspark.sql import Window
+
+    return (df.withColumn("__lbs_mx", F.max(n_col).over(
+        Window.partitionBy(bucket_col)))
+        .where(F.col(n_col) == F.col("__lbs_mx"))
+        .drop("__lbs_mx"))

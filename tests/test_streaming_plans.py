@@ -167,13 +167,9 @@ def test_stream_frequent_items_superset_and_exactify(spark, tmp_path):
           .outputMode("update").trigger(availableNow=True).start())
     try:
         qy.awaitTermination(180)
-        from pyspark.sql import Window
+        from cascalog_spark.streaming import latest_bucket_summary
 
-        out = spark.table("hh_stream")
-        # final summary per bucket = its max-n_seen emission
-        final = (out.withColumn("__mx", F.max("n_seen").over(
-            Window.partitionBy("__hh_bucket")))
-            .where(F.col("n_seen") == F.col("__mx")))
+        final = latest_bucket_summary(spark.table("hh_stream"))
         cand = final.select("item", "mg_count", "n_seen").collect()
     finally:
         qy.stop()
