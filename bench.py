@@ -116,6 +116,11 @@ def main() -> None:
             if cache is not None:
                 cache.unpersist()
         spark.catalog.clearCache()
+        # ContextCleaner only deletes dead shuffle files/broadcasts when
+        # the DRIVER JVM garbage-collects; a long single-JVM suite ages
+        # (tail entries read 1.5-2x slower as tmp shuffle state piles
+        # up).  One explicit GC per entry keeps the JVM young.
+        spark.sparkContext._jvm.System.gc()
 
     for name in BENCH_QUERIES:
         run_once(name)
