@@ -2783,6 +2783,50 @@ def q20_part_promotion(spark, sf_dir):
              ).to_df(spark)
 
 
+def orders_quality_checks(spark, sf_dir):
+    """Data-quality expectation gate (functions/expectations.py
+    check_expectations): named boolean constraints over orders evaluated
+    in ONE column-pruned aggregate pass — per-partition partials are a
+    single row, the shuffle is O(partitions), and the per-rule unpivot
+    happens on the 1-row aggregate.  NULL predicate results count as
+    failures (a gate must not skip unscorable rows).  Extension tier:
+    the reference stops at :trap error diversion (SURVEY.md §2.11)."""
+    from cascalog_spark.functions import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_expectations(orders, {
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "priority_prefixed": "o_orderpriority rlike '^[1-5]-'",
+    })
+
+
+def lineitem_referential_gate(spark, sf_dir):
+    """Referential-integrity gate (functions/expectations.py
+    referential_report): fact rows whose foreign key misses the parent
+    key set, counted via ONE broadcast left-anti join (the parent side
+    is pruned to its deduped key column before broadcast); the child and
+    orphan counts are two column-pruned scalar aggregates joined on
+    1-row sides.  NULL child keys count as orphans."""
+    from cascalog_spark.functions import referential_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return referential_report(li, orders, {"l_orderkey": "o_orderkey"})
+
+
+def lineitem_unique_gate(spark, sf_dir):
+    """Key-uniqueness gate (functions/expectations.py unique_report):
+    one groupBy on the composite key (map-side combine bounds the
+    shuffle at one row per distinct key) + a 1-row rollup; NULL key
+    components group together so repeated NULL keys read as dupes."""
+    from cascalog_spark.functions import unique_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return unique_report(li, ["l_orderkey", "l_linenumber"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2978,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fixed_sample_det": orders_fixed_sample_det,
         "media_image_meta": media_image_meta,
         "events_stream_daily_counts": events_stream_daily_counts,
+        "orders_quality_checks": orders_quality_checks,
+        "lineitem_referential_gate": lineitem_referential_gate,
+        "lineitem_unique_gate": lineitem_unique_gate,
     }
 
 
@@ -3924,6 +3971,52 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2""",
+        "orders_quality_checks": """
+            WITH n AS (SELECT count(*) AS n_rows FROM orders),
+            r AS (
+              SELECT 'custkey_not_null' AS rule,
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS n_fail
+              FROM orders
+              UNION ALL
+              SELECT 'price_positive',
+                     sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+              FROM orders
+              UNION ALL
+              SELECT 'priority_prefixed',
+                     sum(CASE WHEN regexp_matches(o_orderpriority,
+                                                  '^[1-5]-')
+                         THEN 0 ELSE 1 END)
+              FROM orders
+              UNION ALL
+              SELECT 'status_domain',
+                     sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                         THEN 0 ELSE 1 END)
+              FROM orders)
+            SELECT r.rule, n.n_rows, CAST(r.n_fail AS BIGINT) AS n_fail,
+                   round(r.n_fail * 1.0 / n.n_rows, 6) AS fail_frac,
+                   r.n_fail = 0 AS passed
+            FROM n, r""",
+        "lineitem_referential_gate": """
+            WITH c AS (SELECT count(*) AS n_child FROM lineitem),
+            o AS (SELECT count(*) AS n_orphans FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders p
+                                    WHERE p.o_orderkey = l.l_orderkey))
+            SELECT c.n_child, o.n_orphans,
+                   round(o.n_orphans * 1.0 / c.n_child, 6) AS orphan_frac,
+                   o.n_orphans = 0 AS passed
+            FROM c, o""",
+        "lineitem_unique_gate": """
+            WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_keys,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                     AS n_dup_rows,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS passed
+            FROM k""",
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",

@@ -33,6 +33,8 @@ from .multimodal import (extract_media_metadata, media_dedup_keys,
                          media_phash, media_phash_near_dups,
                          register_codec, sample_frames)
 from .embed import embed_text, register_embedder
+from .expectations import (check_expectations, referential_orphans,
+                           referential_report, unique_report)
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
                          dequantize_col, ivf_ann_topk, ivf_append_index,

@@ -1,0 +1,161 @@
+"""Data-quality expectation checks (functions/expectations.py),
+differentially tested against DuckDB on the driver tables, plus the
+NULL / empty-input edge cases a production gate must get right."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cascalog_spark.functions import (check_expectations,
+                                      referential_orphans,
+                                      referential_report, unique_report)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_check_expectations_vs_duck(orders, duck):
+    out = check_expectations(orders, {
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "price_under_1m": F.col("o_totalprice") < 1_000_000,
+    }).orderBy("rule")
+    oracle = duck.sql("""
+        WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        SELECT r.rule, n.n_rows, r.n_fail,
+               round(r.n_fail * 1.0 / n.n_rows, 6) AS fail_frac,
+               r.n_fail = 0 AS passed
+        FROM n, (
+          SELECT 'custkey_not_null' AS rule,
+                 sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_fail
+          FROM orders
+          UNION ALL
+          SELECT 'price_positive',
+                 sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+          FROM orders
+          UNION ALL
+          SELECT 'price_under_1m',
+                 sum(CASE WHEN o_totalprice < 1000000 THEN 0 ELSE 1 END)
+          FROM orders
+          UNION ALL
+          SELECT 'status_domain',
+                 sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                     THEN 0 ELSE 1 END)
+          FROM orders) r
+        ORDER BY r.rule""")
+    a = [tuple(r) for r in out.collect()]
+    b = [tuple(r) for r in oracle.fetchall()]
+    assert [(x[0], int(x[1]), int(x[2]), float(x[3]), bool(x[4]))
+            for x in a] == \
+           [(y[0], int(y[1]), int(y[2]), float(y[3]), bool(y[4]))
+            for y in b]
+
+
+def test_null_predicate_counts_as_failure(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double")
+    out = {r["rule"]: r for r in
+           check_expectations(df, {"v_pos": F.col("v") > 0}).collect()}
+    # row 2: (NULL > 0) is NULL in SQL — the gate must count it failed
+    assert out["v_pos"]["n_fail"] == 2
+    assert out["v_pos"]["n_rows"] == 3
+    assert not out["v_pos"]["passed"]
+
+
+def test_empty_input_passes(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    rows = check_expectations(
+        df, {"v_pos": F.col("v") > 0, "id_nn": "id IS NOT NULL"}).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_rows"] == 0 and r["n_fail"] == 0 and r["passed"]
+        assert r["fail_frac"] == 0.0
+
+
+def test_check_expectations_rejects_empty_rules(orders):
+    with pytest.raises(ValueError):
+        check_expectations(orders, {})
+
+
+def test_unique_report_vs_duck(lineitem, duck):
+    row = unique_report(lineitem, ["l_orderkey", "l_linenumber"]).first()
+    o = duck.sql("""
+        WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT sum(c) AS n_rows, count(*) AS n_keys,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_rows
+        FROM k""").fetchone()
+    assert (row["n_rows"], row["n_keys"],
+            row["n_dup_keys"], row["n_dup_rows"]) == \
+           (int(o[0]), int(o[1]), int(o[2]), int(o[3]))
+    assert row["passed"] == (row["n_dup_keys"] == 0)
+
+
+def test_unique_report_null_keys_group(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (5, 3)], "k int, v int")
+    row = unique_report(df, ["k"]).first()
+    # two NULL keys ARE a duplicate for gating purposes
+    assert row["n_dup_keys"] == 1 and row["n_dup_rows"] == 2
+    assert not row["passed"]
+
+
+def test_referential_orphans_and_report(spark, lineitem, orders, duck):
+    # the driver data is referentially clean — verify zero orphans...
+    rep = referential_report(lineitem, orders,
+                             {"l_orderkey": "o_orderkey"}).first()
+    n_child = duck.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    n_orph = duck.sql("""
+        SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)""").fetchone()[0]
+    assert (rep["n_child"], rep["n_orphans"]) == (int(n_child), int(n_orph))
+    # ...then inject orphans (NULL key + unknown key) and see them surface
+    extra = spark.createDataFrame(
+        [(None,), (-999,)], "l_orderkey long").withColumns(
+        {c: F.lit(None).cast(t) for c, t in lineitem.dtypes
+         if c != "l_orderkey"})
+    child = lineitem.unionByName(extra.select(*lineitem.columns))
+    orphans = referential_orphans(child, orders,
+                                  {"l_orderkey": "o_orderkey"})
+    got = sorted([r["l_orderkey"] for r in orphans.collect()],
+                 key=lambda x: (x is not None, x))
+    assert got == [None, -999] if n_orph == 0 else len(got) == n_orph + 2
+
+
+def test_referential_broadcast_plan(lineitem, orders):
+    plan = referential_orphans(
+        lineitem, orders, {"l_orderkey": "o_orderkey"})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_expectations_single_scan_plan(orders):
+    out = check_expectations(orders, {
+        "p": F.col("o_totalprice") > 0,
+        "s": "o_orderstatus IN ('O', 'F', 'P')",
+    })
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all rules fold into ONE aggregate over ONE scan: no join, no
+    # per-rule union branches, exactly one parquet scan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Union" not in plan
+    # the only exchange is the 1-row-per-partition SinglePartition one
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
