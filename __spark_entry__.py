@@ -2827,6 +2827,35 @@ def lineitem_unique_gate(spark, sf_dir):
     return unique_report(li, ["l_orderkey", "l_linenumber"])
 
 
+def doc_bpe_pair_counts(spark, sf_dir):
+    """Round-1 BPE statistic (functions/bpe.py bpe_pair_counts): top-40
+    adjacent character-pair counts weighted by word frequency.  ONE
+    corpus pass builds the distinct-word table (map-side combined);
+    the pair aggregate is vocab-sized, never corpus-sized.  Total order
+    (n DESC, a, b) makes the top-40 cutoff deterministic on both
+    engines."""
+    from cascalog_spark.functions import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_pair_counts(docs)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(40))
+
+
+def doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (functions/bpe.py train_bpe):
+    the first 10 merge rules learned from the corpus, (rank, a, b, n).
+    Iterative (argmax per round) — not SQL-expressible, so the driver
+    records a rows-only check; merge-for-merge equivalence against a
+    pure-Python reference trainer is pinned in tests/test_bpe.py, and
+    bpe_encode is tested to reproduce the training segmentation
+    bit-identically.  After the single corpus pass, every round costs
+    one vocab-sized aggregate + one top-1 action."""
+    from cascalog_spark.functions import merges_df, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return merges_df(spark, train_bpe(docs, 10, min_freq=2))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -3025,6 +3054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quality_checks": orders_quality_checks,
         "lineitem_referential_gate": lineitem_referential_gate,
         "lineitem_unique_gate": lineitem_unique_gate,
+        "doc_bpe_pair_counts": doc_bpe_pair_counts,
+        "doc_bpe_merges": doc_bpe_merges,
     }
 
 
@@ -4006,6 +4037,21 @@ def oracle_sql() -> dict[str, str]:
                    round(o.n_orphans * 1.0 / c.n_child, 6) AS orphan_frac,
                    o.n_orphans = 0 AS passed
             FROM c, o""",
+        "doc_bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                x -> x != '')) AS w
+              FROM documents),
+            wf AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+            p AS (SELECT unnest(list_transform(range(1, length(w)),
+                    i -> {'a': substring(w, i, 1),
+                          'b': substring(w, i+1, 1), 'f': f})) AS s
+                  FROM wf)
+            SELECT s['a'] AS a, s['b'] AS b,
+                   CAST(sum(s['f']) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, a, b LIMIT 40""",
         "lineitem_unique_gate": """
             WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
                        FROM lineitem GROUP BY 1, 2)

@@ -32,6 +32,8 @@ from .dedup import (cross_doc_line_dedup, dedup_clusters,
 from .multimodal import (extract_media_metadata, media_dedup_keys,
                          media_phash, media_phash_near_dups,
                          register_codec, sample_frames)
+from .bpe import (bpe_encode, bpe_pair_counts, merges_df, train_bpe,
+                  word_freqs)
 from .embed import embed_text, register_embedder
 from .expectations import (check_expectations, referential_orphans,
                            referential_report, unique_report)
