@@ -2936,8 +2936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_incremental": doc_minhash_incremental,
         "doc_weighted_sample": doc_weighted_sample,
         "orders_zorder_keys": orders_zorder_keys,
-        "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
+        # late-data watermark semantics: the r4 verdict's #7 done-criterion
+        # is a green CORRECTNESS row, so it takes the last head-50 slot;
+        # lineitem_flag_running_qty_par's criterion is its bench entry
+        # (recorded), so it is the one demoted just past the head.
         "events_stream_late_data": events_stream_late_data,
+        "lineitem_flag_running_qty_par": lineitem_flag_running_qty_par,
         "doc_decontamination_bloom": doc_decontamination_bloom,
         "orders_flag_cube": orders_flag_cube,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
