@@ -2198,6 +2198,31 @@ def events_hourly_rollup(spark, sf_dir):
                       F.coalesce("n", F.lit(0)).alias("n"))
 
 
+def events_rollup_incremental(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: the standing
+    per-type/per-day aggregate built from history (ts < Jan 25) folds
+    in the late-January delta batch WITHOUT rescanning history —
+    functions/rollup.py merge algebra (count/sum/min/max; the persisted
+    cross-job form of the reference's combiner contract,
+    logic/def.clj:137-164).  Oracle = one-shot GROUP BY over the full
+    table, so the check proves fold-in == recompute exactly."""
+    from cascalog_spark.functions import (aggregate_rollup,
+                                          incremental_rollup)
+
+    spec = {"n": ("count",), "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"), "max_value": ("max", "value")}
+    keys = ["event_type", "day"]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    cut = "2024-01-25"
+    old = aggregate_rollup(ev.where(F.col("ts") < cut), keys, spec)
+    out = incremental_rollup(old, ev.where(F.col("ts") >= cut),
+                             keys, spec)
+    return out.select("event_type", "day", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      "min_value", "max_value")
+
+
 def customer_snapshot_diff(spark, sf_dir):
     """Table reconciliation: diff the customer table against a derived
     snapshot (keys dropped, balances perturbed, keys added) — one
@@ -2946,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_flag_cube": orders_flag_cube,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
         "media_phash_pairs": media_phash_pairs,
+        # round-5 tenth wave (added after the head-50 froze; lead r6)
+        "events_rollup_incremental": events_rollup_incremental,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4070,6 +4097,14 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "events_rollup_incremental": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2""",
         "events_stream_late_data": """
             WITH b0 AS (SELECT ts FROM events WHERE event_id % 4 < 2),
             b1 AS (SELECT ts FROM events WHERE event_id % 4 = 2

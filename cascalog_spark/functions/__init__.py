@@ -59,6 +59,9 @@ from .skew import salted_join, skew_report
 from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)
 from .stats import (frequent_items, frequent_items_by_group,
-                    frequent_tokens, histogram)
+                    frequent_tokens, histogram, tdigest_agg_col,
+                    tdigest_merge_col, tdigest_quantile_col,
+                    tdigest_sketch)
+from .rollup import aggregate_rollup, incremental_rollup, merge_rollups
 from .window import global_running_total, sessionize, time_rollup
 from .util import ensure_parallelism

@@ -202,3 +202,190 @@ def frequent_tokens(df: DataFrame, phi: float, text_col: str = "text",
     finally:
         toks.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: t-digest (k0 linear scale)
+#
+# The quantile counterpart of the HLL distinct sketch (builtin.hll_*):
+# a bounded summary (<= compression+1 weighted centroids) that merges
+# associatively, so per-day/per-shard sketches union into the exact same
+# kind of sketch — the piece functions/rollup.py needs to maintain
+# quantiles incrementally without rescanning history.  Reference analog:
+# none (the reference's combiner algebra, logic/def.clj:137-164, has no
+# persisted cross-job state); design follows Dunning & Ertl's t-digest
+# with the k0 (uniform-capacity) scale function: after any compress,
+# every centroid carries <= total_weight/compression mass, so a quantile
+# read is off by at most ~1/compression in RANK.
+#
+# Sketch wire format: array<array<double>> = [means, weights], parallel
+# arrays sorted by mean.  Chosen over array<struct<..>> because grouped
+# -agg pandas UDFs accept nested plain arrays for both input and return.
+# ---------------------------------------------------------------------------
+
+def _td_compress(ms, ws, compression: int):
+    """Compress centroids to <= compression+1 clusters (numpy, fully
+    vectorized): sort by mean, bucket by cumulative-weight-before /
+    capacity, weighted-average each bucket.  Deterministic for a given
+    multiset of centroids (stable mean sort; equal means are
+    interchangeable under weighted averaging)."""
+    import numpy as np
+
+    ms = np.asarray(ms, dtype=np.float64)
+    ws = np.asarray(ws, dtype=np.float64)
+    if ms.size == 0:
+        return [], []
+    order = np.argsort(ms, kind="stable")
+    ms, ws = ms[order], ws[order]
+    total = float(ws.sum())
+    cap = total / compression
+    if cap <= 0:
+        return list(ms), list(ws)
+    cum_before = np.cumsum(ws) - ws
+    bucket = np.minimum(np.floor(cum_before / cap).astype(np.int64),
+                        compression)
+    out_w = np.bincount(bucket, weights=ws)
+    out_mw = np.bincount(bucket, weights=ws * ms)
+    keep = out_w > 0
+    out_w = out_w[keep]
+    out_m = out_mw[keep] / out_w
+    return [float(x) for x in out_m], [float(x) for x in out_w]
+
+
+def _td_quantiles(ms, ws, qs):
+    """Interpolated quantile estimates from one sketch (midpoint rule:
+    centroid i sits at cumulative rank cum_i - w_i/2)."""
+    import numpy as np
+
+    ms = np.asarray(ms, dtype=np.float64)
+    ws = np.asarray(ws, dtype=np.float64)
+    if ms.size == 0:
+        return [None for _ in qs]
+    total = ws.sum()
+    pos = np.cumsum(ws) - ws / 2.0
+    targets = np.asarray(qs, dtype=np.float64) * total
+    return [float(x) for x in np.interp(targets, pos, ms)]
+
+
+def tdigest_agg_col(col, compression: int = 100):
+    """Grouped-agg Column building a t-digest sketch from raw numeric
+    values — use inside ``groupBy(...).agg(...)``.
+
+    Scale caveat (same as every grouped-agg pandas UDF / the reference's
+    defaggregatefn path): each GROUP's values materialize as one pandas
+    Series on an executor, so this is for grouped rollups with bounded
+    groups.  For global sketches or mega-groups use
+    :func:`tdigest_sketch`, whose per-batch partial pass bounds memory
+    by the Arrow batch size.  Cannot share an ``agg()`` with native
+    aggregate functions (Spark INVALID_PANDAS_UDF_PLACEMENT) —
+    functions/rollup.py splits its spec and joins for exactly this
+    reason."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _agg(v: pd.Series) -> list:
+        vals = v.dropna().to_numpy(dtype="float64")
+        import numpy as np
+        m, w = _td_compress(vals, np.ones_like(vals), compression)
+        return [m, w]
+
+    return _agg(col)
+
+
+def tdigest_merge_col(col, compression: int = 100):
+    """Grouped-agg Column merging sketch values (the ``[means,
+    weights]`` wire format) into one sketch: concatenate all centroids,
+    re-compress.  Associative and order-insensitive up to centroid-mean
+    ties, which are interchangeable under weighted averaging.  Input
+    rows are sketches (<= compression+1 centroids each), never raw
+    data, so a year of daily sketches per key is ~36k doubles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _merge(s: pd.Series) -> list:
+        import numpy as np
+        ms, ws = [], []
+        for sk in s:
+            if sk is None or len(sk) != 2 or len(sk[0]) == 0:
+                continue
+            ms.append(np.asarray(sk[0], dtype="float64"))
+            ws.append(np.asarray(sk[1], dtype="float64"))
+        if not ms:
+            return [[], []]
+        m, w = _td_compress(np.concatenate(ms), np.concatenate(ws),
+                            compression)
+        return [m, w]
+
+    return _merge(col)
+
+
+def tdigest_quantile_col(sketch, q: float):
+    """Scalar Column: estimated ``q``-quantile from a sketch column.
+    Arrow-batched; sketch rows are per-key summaries, never data-sized.
+    Rank error <= ~1/compression of the sketched mass."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _q(s: pd.Series) -> pd.Series:
+        out = []
+        for sk in s:
+            if sk is None or len(sk) != 2 or len(sk[0]) == 0:
+                out.append(None)
+            else:
+                out.append(_td_quantiles(sk[0], sk[1], [q])[0])
+        return pd.Series(out, dtype="float64")
+
+    return _q(sketch)
+
+
+def tdigest_sketch(df: DataFrame, col: str, keys: list[str] | None = None,
+                   compression: int = 100,
+                   out_col: str = "sketch") -> DataFrame:
+    """Scale-path sketch build: per-Arrow-batch partial digests
+    (mapInPandas — memory bounded by the batch, O(compression) rows out
+    per batch per key) merged by ONE groupBy.  The shuffle carries
+    sketches, not values: #batches x #keys-per-batch rows regardless of
+    table size.  Works for the global case (``keys=None``) where
+    :func:`tdigest_agg_col` would materialize the whole column in one
+    task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    keys = list(keys or [])
+    fields = [df.schema[k] for k in keys]
+    schema = StructType(
+        fields + [StructField(out_col,
+                              ArrayType(ArrayType(DoubleType())))])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            if keys:
+                for kv, g in pdf.groupby(keys, dropna=False, sort=False):
+                    vals = g[col].dropna().to_numpy(dtype="float64")
+                    if vals.size == 0:
+                        continue
+                    m, w = _td_compress(vals, np.ones_like(vals),
+                                        compression)
+                    kv = kv if isinstance(kv, tuple) else (kv,)
+                    rows.append([*kv, [m, w]])
+            else:
+                vals = pdf[col].dropna().to_numpy(dtype="float64")
+                if vals.size:
+                    m, w = _td_compress(vals, np.ones_like(vals),
+                                        compression)
+                    rows.append([[m, w]])
+            if rows:
+                yield pd.DataFrame(rows, columns=keys + [out_col])
+
+    partials = df.select(*keys, col).mapInPandas(gen, schema)
+    grouped = partials.groupBy(*keys) if keys else partials.groupBy()
+    return grouped.agg(
+        tdigest_merge_col(F.col(out_col), compression).alias(out_col))

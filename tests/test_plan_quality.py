@@ -542,3 +542,31 @@ def test_balanced_shards_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
     assert "Python" not in plan
+
+
+def test_incremental_rollup_delta_only_one_exchange(spark, sf_dir):
+    """incremental_rollup must (a) never rescan history — only the
+    checkpointed old aggregate and the delta appear in the plan — and
+    (b) shuffle exactly once on the keys with map-side partial
+    aggregation on both the delta and old-agg sides."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import (aggregate_rollup,
+                                          incremental_rollup)
+
+    spec = {"n": ("count",), "sv": ("sum", "value")}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keys = ["event_type"]
+    old = aggregate_rollup(ev.where(F.col("ts") < "2024-01-25"),
+                           keys, spec).localCheckpoint()
+    out = incremental_rollup(old, ev.where(F.col("ts") >= "2024-01-25"),
+                             keys, spec)
+    plan = _plan(out)
+    # one parquet scan (the delta); history rides in via the checkpoint
+    assert plan.count("FileScan parquet") == 1
+    # both Exchanges (delta agg + merge) carry AGGREGATE rows — bounded
+    # by key cardinality x partitions, never data-sized — and each has
+    # a map-side partial below it
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("partial_") >= 2
+    assert "EvalPython" not in plan
