@@ -2223,6 +2223,33 @@ def events_rollup_incremental(spark, sf_dir):
                       "min_value", "max_value")
 
 
+def doc_length_buckets(spark, sf_dir):
+    """Padded-batch geometry: documents bucketed into power-of-two
+    padding ceilings by token count; per bucket the doc count, real
+    token mass, padded mass, and compute-waste fraction
+    (functions/corpus.py length_buckets — the sizing pass behind
+    length-grouped batching).  One map-side-combined groupBy."""
+    from cascalog_spark.functions import length_buckets
+    from cascalog_spark.functions.text import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents"))
+    return length_buckets(docs)
+
+
+def lineitem_fingerprint(spark, sf_dir):
+    """Order/partitioning-invariant dataset checksum over lineitem's
+    key+flag columns (functions/expectations.py dataset_fingerprint):
+    the reproducibility gate a training export reruns after every
+    rewrite.  One aggregate pass; xor/min/max of 60-bit md5 row
+    hashes + the row count."""
+    from cascalog_spark.functions import dataset_fingerprint
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+        "l_linestatus")
+    return dataset_fingerprint(li)
+
+
 def customer_snapshot_diff(spark, sf_dir):
     """Table reconciliation: diff the customer table against a derived
     snapshot (keys dropped, balances perturbed, keys added) — one
@@ -2973,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": media_phash_pairs,
         # round-5 tenth wave (added after the head-50 froze; lead r6)
         "events_rollup_incremental": events_rollup_incremental,
+        "doc_length_buckets": doc_length_buckets,
+        "lineitem_fingerprint": lineitem_fingerprint,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4097,6 +4126,28 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "doc_length_buckets": f"""
+            WITH t AS (SELECT len({_TOKS}) AS n_tokens FROM documents),
+            b AS (SELECT greatest(CAST(power(2,
+                          ceil(log2(greatest(n_tokens, 1)))) AS BIGINT),
+                          16) AS bucket,
+                         n_tokens FROM t)
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   bucket * count(*) AS padded_tokens,
+                   round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                         / (bucket * count(*)), 6) AS waste_frac
+            FROM b GROUP BY bucket""",
+        "lineitem_fingerprint": """
+            WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+                         CAST(l_orderkey AS VARCHAR),
+                         CAST(l_linenumber AS VARCHAR),
+                         CAST(l_suppkey AS VARCHAR),
+                         l_returnflag, l_linestatus)),
+                       1, 15)) AS BIGINT) AS hv
+                       FROM lineitem)
+            SELECT count(*) AS n_rows, bit_xor(hv) AS xor_hash,
+                   min(hv) AS min_hash, max(hv) AS max_hash FROM h""",
         "events_rollup_incremental": """
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

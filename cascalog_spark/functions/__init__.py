@@ -10,7 +10,7 @@ from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      contamination, corpus_report,
                      contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, dsir_sample, dsir_weights,
-                     mix_corpora, pack_sequences,
+                     length_buckets, mix_corpora, pack_sequences,
                      remove_boilerplate, select_by_budget,
                      semantic_contamination_score, semantic_decontaminate,
                      shingle_bloom,
@@ -35,8 +35,9 @@ from .multimodal import (extract_media_metadata, media_dedup_keys,
 from .bpe import (bpe_encode, bpe_pair_counts, merges_df, train_bpe,
                   word_freqs)
 from .embed import embed_text, register_embedder
-from .expectations import (check_expectations, referential_orphans,
-                           referential_report, unique_report)
+from .expectations import (check_expectations, dataset_fingerprint,
+                           referential_orphans, referential_report,
+                           unique_report)
 from .similarity import (brute_force_topk, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
                          dequantize_col, ivf_ann_topk, ivf_append_index,

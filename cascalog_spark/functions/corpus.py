@@ -873,3 +873,46 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
                             / F.col("n_docs"), 6).alias("top_lang_frac"),
                     F.round(F.lit(1.0) - F.col("n_distinct_texts")
                             / F.col("n_docs"), 6).alias("dup_rate")))
+
+
+def length_buckets(df: DataFrame, len_col: str = "n_tokens",
+                   ceilings: list[int] | None = None,
+                   min_ceiling: int = 16) -> DataFrame:
+    """Padded-batch geometry report: bucket documents by sequence
+    length into padding ceilings → one row per bucket
+    ``(bucket, n_docs, total_tokens, padded_tokens, waste_frac)``.
+
+    A training loader that pads every sequence in a batch to the batch
+    max wastes ``padded - total`` tokens of compute; this report (the
+    know-your-data pass behind length-grouped batching) prices that
+    waste per bucket.  Default ceilings are powers of two (clamped at
+    ``min_ceiling``); pass an explicit sorted ``ceilings`` list for a
+    trainer's real bucket boundaries — lengths above the top ceiling
+    land in a NULL bucket (overflow: sequences the loader would
+    truncate or reject; their padded_tokens is NULL).
+
+    One groupBy on the derived bucket — map-side combine collapses each
+    partition to <= #buckets rows, nothing else shuffles.
+    """
+    n = F.greatest(F.col(len_col).cast("long"), F.lit(1))
+    if ceilings is None:
+        bucket = F.greatest(
+            F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double"))))
+            .cast("long"),
+            F.lit(int(min_ceiling)))
+    else:
+        if sorted(ceilings) != list(ceilings) or not ceilings:
+            raise ValueError("length_buckets: ceilings must be a "
+                             "non-empty ascending list")
+        bucket = F.lit(None).cast("long")
+        for b in sorted(ceilings, reverse=True):
+            bucket = F.when(n <= int(b), F.lit(int(b))).otherwise(bucket)
+    out = (df.groupBy(bucket.alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(len_col).cast("long")).alias("total_tokens")))
+    padded = F.col("bucket") * F.col("n_docs")
+    return (out.withColumn("padded_tokens", padded)
+            .withColumn("waste_frac",
+                        F.round(1.0 - F.col("total_tokens") / padded, 6))
+            .select("bucket", "n_docs", "total_tokens", "padded_tokens",
+                    "waste_frac"))

@@ -137,3 +137,38 @@ def referential_report(child: DataFrame, parent: DataFrame,
     return (n_child.crossJoin(n_orph)  # two 1-row sides
             .withColumn("orphan_frac", F.round(frac, 6))
             .withColumn("passed", F.col("n_orphans") == 0))
+
+
+def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None,
+                        ) -> DataFrame:
+    """Order- and partitioning-invariant content fingerprint → ONE row
+    ``(n_rows, xor_hash, min_hash, max_hash)``.
+
+    The reproducibility gate for training exports: two datasets with
+    the same multiset of rows fingerprint identically however they are
+    partitioned, ordered, or re-written; any single changed/missing/
+    duplicated row flips ``xor_hash`` (and usually the min/max probes).
+    Duplicate-PAIR blindness is the one xor caveat (two identical added
+    rows cancel) — ``n_rows`` catches additions, and exact-dup auditing
+    is ``unique_report``'s job.
+
+    Row hash = first 60 bits of md5 over '|'-joined string casts (NULL
+    → a sentinel no real cast produces), deliberately replicable in any
+    engine with md5 — the cross-engine check an int-only xxhash64 would
+    not allow.  One aggregate pass; partials are one row per partition.
+    Cast-stability caveat: float→string formatting differs across
+    engines, so fingerprint integer/string/date columns (or pre-round
+    floats to fixed decimals) when comparing across engines.
+    """
+    cols = list(cols or df.columns)
+    if not cols:
+        raise ValueError("dataset_fingerprint: no columns")
+    s = F.concat_ws("|", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+        for c in cols])
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return (df.select(h.alias("__h"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(__h)").alias("xor_hash"),
+                 F.min("__h").alias("min_hash"),
+                 F.max("__h").alias("max_hash")))

@@ -159,3 +159,51 @@ def test_expectations_single_scan_plan(orders):
     assert "Join" not in plan and "Union" not in plan
     # the only exchange is the 1-row-per-partition SinglePartition one
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+# --- dataset_fingerprint ---------------------------------------------------
+
+def test_fingerprint_order_and_partitioning_invariant(orders):
+    from cascalog_spark.functions import dataset_fingerprint
+
+    base = orders.select("o_orderkey", "o_orderstatus")
+    a = dataset_fingerprint(base).first()
+    b = dataset_fingerprint(
+        base.repartition(17).orderBy(F.desc("o_orderkey"))).first()
+    assert a.asDict() == b.asDict()
+    assert a["n_rows"] > 0 and a["min_hash"] <= a["max_hash"]
+
+
+def test_fingerprint_detects_changes(spark):
+    from cascalog_spark.functions import dataset_fingerprint
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                               "k int, v string")
+    base = dataset_fingerprint(df).first()
+    mutated = df.withColumn(
+        "v", F.when(F.col("k") == 42, F.lit("vX")).otherwise(F.col("v")))
+    dropped = df.where("k <> 42")
+    assert dataset_fingerprint(mutated).first()["xor_hash"] \
+        != base["xor_hash"]
+    d = dataset_fingerprint(dropped).first()
+    assert (d["n_rows"], d["xor_hash"]) != (base["n_rows"],
+                                            base["xor_hash"])
+
+
+def test_fingerprint_null_vs_empty_string_distinct(spark):
+    from cascalog_spark.functions import dataset_fingerprint
+
+    a = spark.createDataFrame([(1, None)], "k int, v string")
+    b = spark.createDataFrame([(1, "")], "k int, v string")
+    assert dataset_fingerprint(a).first()["xor_hash"] \
+        != dataset_fingerprint(b).first()["xor_hash"]
+
+
+def test_fingerprint_one_aggregate_pass(orders):
+    from cascalog_spark.functions import dataset_fingerprint
+
+    plan = dataset_fingerprint(orders.select("o_orderkey"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan

@@ -2462,3 +2462,35 @@ def test_dsir_weights_column_target_equals_dataframe_target(spark):
     release_tfidf_cache(a)
     release_tfidf_cache(b)
     assert ra == rb
+
+
+def test_length_buckets_power_of_two_default(spark):
+    from cascalog_spark.functions import length_buckets
+
+    df = spark.createDataFrame(
+        [(1,), (16,), (17,), (100,), (1024,), (1025,)], "n_tokens int")
+    rows = {r["bucket"]: r for r in length_buckets(df).collect()}
+    # 1 and 16 clamp to the 16 ceiling; 17 and 100 → 32/128; 1025 → 2048
+    assert rows[16]["n_docs"] == 2
+    assert rows[32]["n_docs"] == 1 and rows[128]["n_docs"] == 1
+    assert rows[1024]["n_docs"] == 1 and rows[2048]["n_docs"] == 1
+    # mass conservation + waste arithmetic
+    assert sum(r["total_tokens"] for r in rows.values()) \
+        == 1 + 16 + 17 + 100 + 1024 + 1025
+    r = rows[128]
+    assert r["padded_tokens"] == 128
+    assert r["waste_frac"] == pytest.approx(1 - 100 / 128, abs=1e-6)
+
+
+def test_length_buckets_explicit_ceilings_and_overflow(spark):
+    from cascalog_spark.functions import length_buckets
+
+    df = spark.createDataFrame([(10,), (512,), (600,)], "n_tokens int")
+    rows = {r["bucket"]: r
+            for r in length_buckets(df, ceilings=[128, 512]).collect()}
+    assert rows[128]["n_docs"] == 1 and rows[512]["n_docs"] == 1
+    # 600 exceeds the top ceiling → NULL overflow bucket, NULL padding
+    assert rows[None]["n_docs"] == 1
+    assert rows[None]["padded_tokens"] is None
+    with pytest.raises(ValueError, match="ascending"):
+        length_buckets(df, ceilings=[512, 128])
