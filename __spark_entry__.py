@@ -2223,6 +2223,50 @@ def events_rollup_incremental(spark, sf_dir):
                       "min_value", "max_value")
 
 
+def events_stream_rollup(spark, sf_dir):
+    """Continuous rollup maintenance as a STREAMING job
+    (streaming/ingest.py stream_rollup_maintenance): events replayed as
+    two deterministic micro-batches; each batch writes its own rollup
+    partial (idempotent batch=<id> overwrite), the partials are
+    compacted to one base partition, and the merged standing aggregate
+    is read back.  Oracle = one GROUP BY over the full table — the
+    whole stream+merge+compact path must reproduce it exactly."""
+    import tempfile
+
+    from cascalog_spark.streaming import (compact_rollup, read_rollup,
+                                          stream_rollup_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    spec = {"n": ("count",), "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"), "max_value": ("max", "value")}
+    keys = ["event_type"]
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_rollup_")
+    name = "events_stream_rollup"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_rollup_maintenance(raw, f"{base}/agg", keys, spec,
+                                   checkpoint_dir=f"{base}/ckpt",
+                                   query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_rollup: bounded stream did "
+                           "not drain within 300s")
+    compact_rollup(spark, f"{base}/agg", keys, spec)
+    out = read_rollup(spark, f"{base}/agg", keys, spec)
+    return out.select("event_type", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      "min_value", "max_value")
+
+
 def doc_length_buckets(spark, sf_dir):
     """Padded-batch geometry: documents bucketed into power-of-two
     padding ceilings by token count; per bucket the doc count, real
@@ -3002,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_incremental": events_rollup_incremental,
         "doc_length_buckets": doc_length_buckets,
         "lineitem_fingerprint": lineitem_fingerprint,
+        "events_stream_rollup": events_stream_rollup,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4126,6 +4171,11 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "events_stream_rollup": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1""",
         "doc_length_buckets": f"""
             WITH t AS (SELECT len({_TOKS}) AS n_tokens FROM documents),
             b AS (SELECT greatest(CAST(power(2,

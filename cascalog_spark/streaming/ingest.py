@@ -141,3 +141,78 @@ def read_ingest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """All kept documents across ingested batches (the deduplicated
     corpus)."""
     return spark.read.parquet(out_dir).drop("batch")
+
+
+# ---------------------------------------------------------------------------
+# Continuous rollup maintenance: the streaming face of functions/rollup.py
+# ---------------------------------------------------------------------------
+
+def stream_rollup_maintenance(stream_df: DataFrame, agg_dir: str,
+                              keys: list[str], spec: dict[str, tuple],
+                              checkpoint_dir: Optional[str] = None,
+                              query_name: str = "rollup_maintenance"):
+    """Maintain a standing materialized aggregate from a stream: each
+    micro-batch writes ITS OWN rollup partial to
+    ``agg_dir/batch=<id>/`` (per-batch overwrite = idempotent under
+    Structured Streaming retries; no read-modify-write race against the
+    standing state).  The merged aggregate is assembled at read time by
+    :func:`read_rollup` — a groupBy over #batches x #keys partial rows,
+    never over history — and :func:`compact_rollup` folds accumulated
+    partials back to one when the partition list grows long.
+
+    This is deliberately NOT update-mode stateful aggregation: sketch
+    kinds (hll/tdigest) and the cross-job merge algebra live in plain
+    parquet, so the standing aggregate outlives the streaming query,
+    merges with batch-built rollups, and replays deterministically.
+    Returns the started ``StreamingQuery``."""
+    from ..functions.rollup import aggregate_rollup
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        (aggregate_rollup(batch, keys, spec)
+         .write.mode("overwrite").parquet(f"{agg_dir}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
+                spec: dict[str, tuple]) -> Optional[DataFrame]:
+    """The standing merged aggregate across every batch partial under
+    ``agg_dir`` — ``None`` before the first batch lands.  Cost: one
+    groupBy over partial rows (#batches x #keys), independent of the
+    event volume that produced them."""
+    from ..functions.rollup import merge_rollups
+
+    if not os.path.isdir(agg_dir) or not any(
+            e.startswith("batch=") for e in os.listdir(agg_dir)):
+        return None
+    parts = spark.read.parquet(agg_dir).drop("batch")
+    return merge_rollups([parts], keys, spec)
+
+
+def compact_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
+                   spec: dict[str, tuple]) -> None:
+    """Fold all batch partials into a single ``batch=0`` base partition
+    (run while the maintenance stream is paused — like
+    ``compact_parquet`` this is a maintenance pass, not a concurrent
+    one).  Crash-safe ordering: the merged base is written to a sibling
+    tmp dir first, the old dir is moved aside, the tmp renamed in, and
+    the old dir removed — any crash leaves a recoverable directory,
+    never a double-counting mix of merged and unmerged partials."""
+    import shutil
+
+    merged = read_rollup(spark, agg_dir, keys, spec)
+    if merged is None:
+        return
+    tmp = agg_dir.rstrip("/") + ".compact.tmp"
+    old = agg_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(f"{tmp}/batch=0")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(agg_dir, old)
+    os.rename(tmp, agg_dir)
+    shutil.rmtree(old)

@@ -669,3 +669,58 @@ def test_streaming_pipeline_ops_batch_equivalence(spark, tmp_path):
                   lang_id(quality_score(docs))
                   .select("doc_id", "quality", "lang_pred").collect())
     assert got == want and len(got) == 3
+
+
+def test_stream_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches of rollup partials, merged at read and after
+    compaction, must equal the one-shot batch GROUP BY exactly —
+    including the HLL sketch estimates."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.streaming import (compact_rollup, read_rollup,
+                                          stream_rollup_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    spec = {"n": ("count",), "sv": ("sum", "value"),
+            "users": ("hll", "user_id")}
+    keys = ["event_type"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value")
+    src = stage_file_batches([ev.where(F.col("event_id") % 2 == 0),
+                              ev.where(F.col("event_id") % 2 == 1)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    agg_dir = str(tmp_path / "agg")
+    sq = stream_rollup_maintenance(
+        raw, agg_dir, keys, spec,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="test_stream_rollup")
+    assert sq.awaitTermination(300)
+
+    def canon(df):
+        return {r["event_type"]: (r["n"], round(r["sv"], 6), r["du"])
+                for r in df.select(
+                    "event_type", "n", "sv",
+                    F.hll_sketch_estimate("users").alias("du")).collect()}
+
+    expected = canon(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
+            F.hll_sketch_agg("user_id").alias("users")))
+    merged = read_rollup(spark, agg_dir, keys, spec)
+    assert canon(merged) == expected
+    # two batch partials on disk before compaction, one after; the
+    # merged result is unchanged
+    import os
+    n_parts = len([e for e in os.listdir(agg_dir)
+                   if e.startswith("batch=")])
+    assert n_parts == 2
+    compact_rollup(spark, agg_dir, keys, spec)
+    n_parts = len([e for e in os.listdir(agg_dir)
+                   if e.startswith("batch=")])
+    assert n_parts == 1
+    assert canon(read_rollup(spark, agg_dir, keys, spec)) == expected
+    # empty dir contract
+    assert read_rollup(spark, str(tmp_path / "missing"), keys, spec) \
+        is None
