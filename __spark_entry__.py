@@ -2267,6 +2267,33 @@ def events_stream_rollup(spark, sf_dir):
                       "min_value", "max_value")
 
 
+def orders_price_drift(spark, sf_dir):
+    """Distribution-drift gate (functions/stats.py psi_report):
+    Population Stability Index per shared fixed-width bin between two
+    deterministic snapshots of o_totalprice (even vs odd order keys —
+    a null-drift fixture, so the PSI terms should sum near 0).  Each
+    side is one map-side-combined bucket groupBy; the join is
+    bins x bins."""
+    from cascalog_spark.functions import psi_report
+
+    o = _t(spark, sf_dir, "orders")
+    return psi_report(o.where(F.col("o_orderkey") % 2 == 0),
+                      o.where(F.col("o_orderkey") % 2 == 1),
+                      "o_totalprice", bins=20)
+
+
+def embedding_cluster_profile(spark, sf_dir):
+    """First-class corpus clustering profile (functions/similarity.py
+    cluster_embeddings/cluster_profile): nearest-centroid assignment
+    (deterministic first-16-ids centroids — oracle mode) as ONE native
+    expression pass, then a ≤k-row groupBy of per-cluster counts and
+    cosine spread."""
+    from cascalog_spark.functions import cluster_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, n_clusters=16)
+
+
 def doc_length_buckets(spark, sf_dir):
     """Padded-batch geometry: documents bucketed into power-of-two
     padding ceilings by token count; per bucket the doc count, real
@@ -3047,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_buckets": doc_length_buckets,
         "lineitem_fingerprint": lineitem_fingerprint,
         "events_stream_rollup": events_stream_rollup,
+        "orders_price_drift": orders_price_drift,
+        "embedding_cluster_profile": embedding_cluster_profile,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4171,6 +4200,57 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "orders_price_drift": """
+            WITH bounds AS (
+              SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+              FROM orders),
+            w AS (SELECT lo, hi, (hi - lo) / 20 AS width FROM bounds),
+            be AS (SELECT least(19, greatest(0, CAST(floor(
+                       (o_totalprice - w.lo) / w.width) AS INT)))
+                       AS bucket, count(*) AS n_expected
+                   FROM orders, w WHERE o_orderkey % 2 = 0 GROUP BY 1),
+            ba AS (SELECT least(19, greatest(0, CAST(floor(
+                       (o_totalprice - w.lo) / w.width) AS INT)))
+                       AS bucket, count(*) AS n_actual
+                   FROM orders, w WHERE o_orderkey % 2 = 1 GROUP BY 1),
+            j AS (SELECT coalesce(be.bucket, ba.bucket) AS bucket,
+                         coalesce(n_expected, 0) AS n_expected,
+                         coalesce(n_actual, 0) AS n_actual
+                  FROM be FULL JOIN ba USING (bucket)),
+            t AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta
+                  FROM j)
+            SELECT j.bucket,
+                   round(w.lo + j.bucket * w.width, 6) AS lo_edge,
+                   round(w.lo + (j.bucket + 1) * w.width, 6) AS hi_edge,
+                   j.n_expected, j.n_actual,
+                   round(j.n_expected / greatest(t.te, 1), 6)
+                     AS p_expected,
+                   round(j.n_actual / greatest(t.ta, 1), 6) AS p_actual,
+                   round((j.n_expected / greatest(t.te, 1)
+                          - j.n_actual / greatest(t.ta, 1))
+                         * ln(greatest(j.n_expected / greatest(t.te, 1),
+                                       0.000001)
+                              / greatest(j.n_actual / greatest(t.ta, 1),
+                                         0.000001)), 6) AS psi_term
+            FROM j, w, t""",
+        "embedding_cluster_profile": f"""
+            WITH c AS (SELECT vec_id AS cid,
+                              CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+            ed AS (SELECT vec_id,
+                          CAST(embedding AS DOUBLE[]) AS ev
+                   FROM embeddings),
+            s AS (SELECT e.vec_id, c.cid,
+                         {_COS.format(a='e.ev', b='c.cv')} AS sim,
+                         row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {_COS.format(a='e.ev',
+                                                   b='c.cv')} DESC,
+                                      c.cid ASC) AS rn
+                  FROM ed e CROSS JOIN c)
+            SELECT cid AS cluster, count(*) AS n,
+                   round(avg(sim), 6) AS avg_sim,
+                   round(min(sim), 6) AS min_sim
+            FROM s WHERE rn = 1 GROUP BY cid""",
         "events_stream_rollup": """
             SELECT event_type, count(*) AS n,
                    round(sum(value), 6) AS sum_value,

@@ -38,7 +38,8 @@ from .embed import embed_text, register_embedder
 from .expectations import (check_expectations, dataset_fingerprint,
                            referential_orphans, referential_report,
                            unique_report)
-from .similarity import (brute_force_topk, cosine_pairs,
+from .similarity import (brute_force_topk, cluster_embeddings,
+                         cluster_profile, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,
                          dequantize_col, ivf_ann_topk, ivf_append_index,
                          ivf_centroids_kmeans, ivf_knn_join, knn_join,
@@ -60,7 +61,8 @@ from .skew import salted_join, skew_report
 from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)
 from .stats import (frequent_items, frequent_items_by_group,
-                    frequent_tokens, histogram, tdigest_agg_col,
+                    frequent_tokens, histogram, psi_report,
+                    tdigest_agg_col,
                     tdigest_merge_col, tdigest_quantile_col,
                     tdigest_sketch)
 from .rollup import aggregate_rollup, incremental_rollup, merge_rollups

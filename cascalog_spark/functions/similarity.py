@@ -179,6 +179,23 @@ def _resolve_centroids(centroids, df, id_col, vec_col, n_centroids):
     return centroids
 
 
+def _assign_struct(vec: Column,
+                   centroids: list[tuple[int, list[float]]]) -> Column:
+    """Best-centroid struct ``(sim, ncid)`` by cosine (ties → smallest
+    centroid id): array_max over (dot-with-unit-centroid, -cid) structs —
+    pure Column expression, JVM-side.  ``sim`` is the dot against the
+    UNIT centroid (cosine x row norm); divide by the row norm for true
+    cosine."""
+    def _unit(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    entries = [F.struct(dot_col(vec, _lit_arr(_unit(cv))).alias("sim"),
+                        F.lit(-cid).alias("ncid"))
+               for cid, cv in centroids]
+    return F.array_max(F.array(*entries))
+
+
 def ivf_assign_col(vec: Column,
                    centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id by cosine (ties → smallest centroid id).
@@ -189,14 +206,65 @@ def ivf_assign_col(vec: Column,
     is dropped, so argmax-cosine reduces to one dot product per centroid
     instead of three aggregate passes.
     """
-    def _unit(v):
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        return [x / n for x in v]
+    return -_assign_struct(vec, centroids)["ncid"]
 
-    entries = [F.struct(dot_col(vec, _lit_arr(_unit(cv))).alias("sim"),
-                        F.lit(-cid).alias("ncid"))
-               for cid, cv in centroids]
-    return -F.array_max(F.array(*entries))["ncid"]
+
+def cluster_embeddings(df: DataFrame, n_clusters: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       centroids=None, out_col: str = "cluster",
+                       sim_col: str | None = None) -> DataFrame:
+    """First-class corpus clustering: append each row's nearest-centroid
+    id (and optionally its true cosine to that centroid) — the public
+    face of the IVF cell assignment, for curation-by-cluster workflows
+    (SemDeDup-style pruning, per-cluster sampling quotas, topic-ish
+    corpus maps).  ``centroids``: None = deterministic first-k-ids seed
+    (oracle mode), ``'kmeans'`` = sampled-KMeans fit (the scale
+    default), or an explicit ``[(cid, vector), ...]`` table.
+
+    One native expression pass over the rows (no UDF, no shuffle);
+    centroid table is O(k·dim) driver-side, same contract as IVF."""
+    cents = _resolve_centroids(centroids, df, id_col, vec_col,
+                               n_clusters)
+    best = _assign_struct(F.col(vec_col), cents)
+    out = df.withColumn(out_col, -best["ncid"])
+    if sim_col is not None:
+        # true cosine against the RAW assigned centroid (element_at over
+        # a literal cid→vector map), not best["sim"]/norm: the latter
+        # bakes the driver-side unit normalization into each component
+        # and lands a different last double ulp than dot/(|a||b|) — the
+        # arithmetic any external checker (or the DuckDB oracle) uses
+        cv = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(cid)) for cid, _ in cents]),
+                F.array(*[_lit_arr(v) for _, v in cents])),
+            F.col(out_col))
+        # double-cast the row vector so every product and the fold run
+        # in float64 — float32 inputs would make Spark's x*x products
+        # float32 and land a different last ulp than a pure-double
+        # evaluation of the same cosine
+        out = out.withColumn(
+            sim_col,
+            cosine_similarity_col(F.col(vec_col).cast("array<double>"),
+                                  cv))
+    return out
+
+
+def cluster_profile(df: DataFrame, n_clusters: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids=None) -> DataFrame:
+    """Per-cluster corpus profile → ``(cluster, n, avg_sim, min_sim)``
+    (cosine to the assigned centroid): the know-your-data pass behind
+    cluster-balanced sampling and drift checks on embedding corpora.
+    One assignment pass + one map-side-combined groupBy (≤ k rows
+    shuffle)."""
+    assigned = cluster_embeddings(df, n_clusters, id_col, vec_col,
+                                  centroids, out_col="cluster",
+                                  sim_col="__sim")
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("__sim"), 6).alias("avg_sim"),
+                 F.round(F.min("__sim"), 6).alias("min_sim")))
 
 
 def _probe_cells(centroids, query_vec, n_probe: int) -> list:

@@ -389,3 +389,73 @@ def tdigest_sketch(df: DataFrame, col: str, keys: list[str] | None = None,
     grouped = partials.groupBy(*keys) if keys else partials.groupBy()
     return grouped.agg(
         tdigest_merge_col(F.col(out_col), compression).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between two snapshots
+# ---------------------------------------------------------------------------
+
+def psi_report(expected: DataFrame, actual: DataFrame, col: str,
+               bins: int = 20, lo: float | None = None,
+               hi: float | None = None, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column (the corpus-drift gate between crawls / training exports) →
+    one row per shared fixed-width bin:
+    ``(bucket, lo_edge, hi_edge, n_expected, n_actual, p_expected,
+    p_actual, psi_term)``; ``sum(psi_term)`` is the PSI
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Bin edges are shared: ``lo``/``hi`` default to the min/max over
+    BOTH snapshots (one cheap union aggregate — pass them explicitly on
+    repeated monitoring).  Empty bins are clamped at ``eps`` inside the
+    log, the standard PSI smoothing.  Each side is one
+    map-side-combined groupBy on its bucket (≤ bins rows shuffle); the
+    join is bins x bins — never data-sized.
+    """
+    if bins <= 0:
+        raise ValueError("psi_report: bins must be > 0")
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        both = (expected.select(c.alias("__v"))
+                .unionByName(actual.select(c.alias("__v"))))
+        row = both.agg(F.min("__v").alias("lo"),
+                       F.max("__v").alias("hi")).first()
+        if row["lo"] is None:
+            return expected.sparkSession.createDataFrame(
+                [], "bucket int, lo_edge double, hi_edge double, "
+                    "n_expected long, n_actual long, p_expected double, "
+                    "p_actual double, psi_term double")
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+
+    def side(df, name):
+        h = histogram(df, col, bins=bins, lo=lo, hi=hi)
+        return h.select("bucket", F.col("n").alias(name))
+
+    e = side(expected, "n_expected")
+    a = side(actual, "n_actual")
+    j = (e.join(a, on="bucket", how="full")
+         .withColumn("n_expected", F.coalesce("n_expected", F.lit(0)))
+         .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
+    # totals via window-free broadcast: two 1-row aggregates
+    tot = j.agg(F.sum("n_expected").alias("te"),
+                F.sum("n_actual").alias("ta"))
+    j = j.crossJoin(F.broadcast(tot))
+    pe = F.col("n_expected") / F.greatest(F.col("te"), F.lit(1))
+    pa = F.col("n_actual") / F.greatest(F.col("ta"), F.lit(1))
+    term = (pe - pa) * F.log(F.greatest(pe, F.lit(eps))
+                             / F.greatest(pa, F.lit(eps)))
+    width = (hi - lo) / bins
+    return (j.withColumn("lo_edge",
+                         F.round(F.lit(lo) + F.col("bucket")
+                                 * F.lit(width), 6))
+            .withColumn("hi_edge",
+                        F.round(F.lit(lo) + (F.col("bucket") + 1)
+                                * F.lit(width), 6))
+            .withColumn("p_expected", F.round(pe, 6))
+            .withColumn("p_actual", F.round(pa, 6))
+            .withColumn("psi_term", F.round(term, 6))
+            .select("bucket", "lo_edge", "hi_edge", "n_expected",
+                    "n_actual", "p_expected", "p_actual", "psi_term"))

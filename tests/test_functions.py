@@ -2494,3 +2494,53 @@ def test_length_buckets_explicit_ceilings_and_overflow(spark):
     assert rows[None]["padded_tokens"] is None
     with pytest.raises(ValueError, match="ascending"):
         length_buckets(df, ceilings=[512, 128])
+
+
+def test_psi_report_null_drift_and_shift(spark, sf_dir):
+    from pyspark.sql import Row
+
+    from cascalog_spark.functions import psi_report
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # identical distribution halves → PSI ~ 0
+    stable = psi_report(o.where("o_orderkey % 2 = 0"),
+                        o.where("o_orderkey % 2 = 1"), "o_totalprice")
+    psi = stable.agg(F.sum("psi_term")).first()[0]
+    assert abs(psi) < 0.1, psi
+    # counts conserved per side
+    tot = stable.agg(F.sum("n_expected").alias("e"),
+                     F.sum("n_actual").alias("a")).first()
+    assert tot["e"] == o.where("o_orderkey % 2 = 0").count()
+    assert tot["a"] == o.where("o_orderkey % 2 = 1").count()
+    # a genuinely shifted distribution must cross the 0.25 bar
+    a = spark.createDataFrame([Row(v=float(i % 100)) for i in range(2000)])
+    b = spark.createDataFrame([Row(v=float(i % 100) + 80.0)
+                               for i in range(2000)])
+    psi = (psi_report(a, b, "v", bins=20)
+           .agg(F.sum("psi_term")).first()[0])
+    assert psi > 0.25, psi
+    # empty input contract
+    empty = a.where("v > 1e9")
+    assert psi_report(empty, empty, "v").count() == 0
+
+
+def test_cluster_embeddings_assignment(spark, sf_dir):
+    from cascalog_spark.functions import cluster_embeddings, cluster_profile
+    from cascalog_spark.functions.similarity import ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    prof = cluster_profile(emb, n_clusters=8)
+    rows = prof.collect()
+    assert sum(r["n"] for r in rows) == n  # every row assigned
+    assert all(-1.0 <= r["min_sim"] <= r["avg_sim"] <= 1.0 for r in rows)
+    # a centroid row must be assigned to itself with cosine ~ 1
+    cents = ivf_centroids(emb, n_centroids=8)
+    assigned = cluster_embeddings(emb, 8, sim_col="sim")
+    own = {r["vec_id"]: r for r in assigned
+           .where(F.col("vec_id").isin([c for c, _ in cents]))
+           .collect()}
+    for i, (cid, _) in enumerate(cents):
+        assert own[cid]["cluster"] == i or own[cid]["sim"] > 0.999999
+        if own[cid]["cluster"] == i:
+            assert own[cid]["sim"] == pytest.approx(1.0, abs=1e-9)
