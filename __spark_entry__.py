@@ -2267,6 +2267,19 @@ def events_stream_rollup(spark, sf_dir):
                       "min_value", "max_value")
 
 
+def orders_profile(spark, sf_dir):
+    """Whole-table column profile (functions/stats.py table_profile):
+    per-column row/null/distinct counts and min/max rendering in ONE
+    aggregate pass (exact distincts here so the oracle can replicate;
+    the scale default is HLL-approximate)."""
+    from cascalog_spark.functions import table_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return table_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"], exact_distinct=True)
+
+
 def orders_price_drift(spark, sf_dir):
     """Distribution-drift gate (functions/stats.py psi_report):
     Population Stability Index per shared fixed-width bin between two
@@ -3076,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_rollup": events_stream_rollup,
         "orders_price_drift": orders_price_drift,
         "embedding_cluster_profile": embedding_cluster_profile,
+        "orders_profile": orders_profile,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4200,6 +4214,52 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "orders_profile": """
+            WITH p AS (
+              SELECT 'o_orderkey' AS col,
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS n_null,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+                     CAST(max(o_orderkey) AS VARCHAR) AS max_repr
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_custkey),
+                     CAST(min(o_custkey) AS VARCHAR),
+                     CAST(max(o_custkey) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     sum(CASE WHEN o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice',
+                     sum(CASE WHEN o_totalprice IS NULL
+                         THEN 1 ELSE 0 END),
+                     count(DISTINCT o_totalprice),
+                     CAST(min(o_totalprice) AS VARCHAR),
+                     CAST(max(o_totalprice) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority',
+                     sum(CASE WHEN o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderpriority),
+                     min(o_orderpriority), max(o_orderpriority)
+              FROM orders)
+            SELECT col AS "column",
+                   (SELECT count(*) FROM orders) AS n_rows,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   round(CAST(n_null AS DOUBLE)
+                         / greatest((SELECT count(*) FROM orders), 1), 6)
+                     AS null_frac,
+                   n_distinct, min_repr, max_repr
+            FROM p""",
         "orders_price_drift": """
             WITH bounds AS (
               SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi

@@ -459,3 +459,64 @@ def psi_report(expected: DataFrame, actual: DataFrame, col: str,
             .withColumn("psi_term", F.round(term, 6))
             .select("bucket", "lo_edge", "hi_edge", "n_expected",
                     "n_actual", "p_expected", "p_actual", "psi_term"))
+
+
+# ---------------------------------------------------------------------------
+# Whole-table column profile
+# ---------------------------------------------------------------------------
+
+def table_profile(df: DataFrame, cols: list[str] | None = None,
+                  exact_distinct: bool = False) -> DataFrame:
+    """Generic know-your-data profile → one row per column:
+    ``(column, n_rows, n_null, null_frac, n_distinct, min_repr,
+    max_repr)``.
+
+    The whole profile is ONE aggregate pass over the table (every
+    metric folds into the same global agg; partials are one row per
+    partition).  ``n_distinct`` is HLL-approximate by default — with
+    ``exact_distinct=True`` Spark plans the multi-column distinct via
+    Expand (one logical pass, #cols-fold row expansion before the
+    partial agg; exact, but pay it knowingly on wide tables).
+    ``min_repr``/``max_repr`` are the column's own min/max rendered as
+    strings (numeric columns compare numerically BEFORE the cast).
+    Complex-typed columns (arrays/maps/structs) profile nulls only.
+    """
+    cols = list(df.columns if cols is None else cols)
+    if not cols:
+        raise ValueError("table_profile: no columns")
+    simple = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0))
+                    .alias(f"__null{i}"))
+        kind = simple.get(c, "")
+        complex_t = kind in ("array", "map", "struct", "binary")
+        if complex_t:
+            aggs.append(F.lit(None).cast("long").alias(f"__nd{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__mn{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__mx{i}"))
+        else:
+            nd = (F.count_distinct(col) if exact_distinct
+                  else F.approx_count_distinct(col))
+            aggs.append(nd.alias(f"__nd{i}"))
+            aggs.append(F.min(col).cast("string").alias(f"__mn{i}"))
+            aggs.append(F.max(col).cast("string").alias(f"__mx{i}"))
+    row = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__null{i}").alias("n_null"),
+                 F.col(f"__nd{i}").alias("n_distinct"),
+                 F.col(f"__mn{i}").alias("min_repr"),
+                 F.col(f"__mx{i}").alias("max_repr"))
+        for i, c in enumerate(cols)])
+    out = (row.select(F.col("__n").alias("n_rows"),
+                      F.explode(entries).alias("p"))
+           .select("p.column", "n_rows",
+                   F.coalesce("p.n_null", F.lit(0)).alias("n_null"),
+                   "p.n_distinct", "p.min_repr", "p.max_repr"))
+    frac = F.when(F.col("n_rows") == 0, F.lit(0.0)).otherwise(
+        F.col("n_null") / F.col("n_rows"))
+    return (out.withColumn("null_frac", F.round(frac, 6))
+            .select("column", "n_rows", "n_null", "null_frac",
+                    "n_distinct", "min_repr", "max_repr"))

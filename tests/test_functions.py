@@ -2544,3 +2544,39 @@ def test_cluster_embeddings_assignment(spark, sf_dir):
         assert own[cid]["cluster"] == i or own[cid]["sim"] > 0.999999
         if own[cid]["cluster"] == i:
             assert own[cid]["sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_table_profile(spark):
+    from pyspark.sql import Row
+
+    from cascalog_spark.functions import table_profile
+
+    df = spark.createDataFrame(
+        [Row(k=1, s="a", v=[1.0]), Row(k=2, s=None, v=[2.0]),
+         Row(k=2, s="b", v=None)])
+    prof = {r["column"]: r
+            for r in table_profile(df, exact_distinct=True).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_null"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_repr"] == "1" and prof["k"]["max_repr"] == "2"
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["null_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # complex-typed column profiles nulls only
+    assert prof["v"]["n_null"] == 1 and prof["v"]["n_distinct"] is None
+    assert prof["v"]["min_repr"] is None
+    # approx default also runs (values approximate, counts exact)
+    approx = {r["column"]: r for r in table_profile(df).collect()}
+    assert approx["k"]["n_null"] == 0 and approx["k"]["n_rows"] == 3
+    with pytest.raises(ValueError, match="no columns"):
+        table_profile(df, [])
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    from cascalog_spark.functions import table_profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = table_profile(o)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # approximate mode: ONE scan, one global agg, no Expand/joins
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Expand" not in plan
