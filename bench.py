@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     # round-5 ninth-wave entry: exact two-pass heavy hitters (candidate
     # pass shuffles <= batches/phi rows, broadcast recount)
     "doc_frequent_terms",
+    # round-5 tenth/eleventh-wave entries: incremental rollup fold
+    # (delta + standing agg only), native clustering profile, one-pass
+    # exact table profile (Expand over 5 columns)
+    "events_rollup_incremental",
+    "embedding_cluster_profile",
+    "orders_profile",
 ]
 
 
