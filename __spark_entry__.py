@@ -2267,6 +2267,31 @@ def events_stream_rollup(spark, sf_dir):
                       "min_value", "max_value")
 
 
+def doc_dedup_quality(spark, sf_dir):
+    """Measure-don't-guess for the LSH blocking
+    (functions/dedup.py dedup_quality_report): MinHash-LSH candidate
+    pairs scored against exact 3-gram-Jaccard ground truth at 0.8 →
+    one row of tp/fp/fn + precision/recall.  Same (num_perm=8,
+    bands=4) family the minhash queries use, so the oracle replicates
+    BOTH sides in SQL and the counts must agree exactly."""
+    from cascalog_spark.functions.dedup import dedup_quality_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_quality_report(docs, threshold=0.8, num_perm=8,
+                                bands=4, prefilter=False)
+
+
+def doc_curriculum_stages(spark, sf_dir):
+    """Curriculum staging (functions/corpus.py curriculum_stages):
+    equal-size training stages by EXACT global rank of n_chars — rank
+    via global_running_total's range-bin + per-bucket windows, never a
+    single-partition sort.  Oracle = the plain row_number spelling."""
+    from cascalog_spark.functions import curriculum_stages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_stages(docs, "n_chars", n_stages=4)
+
+
 def orders_profile(spark, sf_dir):
     """Whole-table column profile (functions/stats.py table_profile):
     per-column row/null/distinct counts and min/max rendering in ONE
@@ -3090,6 +3115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_drift": orders_price_drift,
         "embedding_cluster_profile": embedding_cluster_profile,
         "orders_profile": orders_profile,
+        "doc_dedup_quality": doc_dedup_quality,
+        "doc_curriculum_stages": doc_curriculum_stages,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4214,6 +4241,51 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_user_counts": """
             SELECT user_id, count(*) AS n_total
             FROM events GROUP BY user_id""",
+        "doc_dedup_quality": f"""
+            WITH cand AS ({minhash_pairs}),
+            sh AS (
+              SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS shingle
+              FROM documents),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id),
+            truth AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)
+                    >= 0.8),
+            j AS (SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 END AS c_,
+                         CASE WHEN t.id_a IS NOT NULL THEN 1 END AS t_
+                  FROM cand c FULL JOIN truth t
+                    ON c.id_a = t.id_a AND c.id_b = t.id_b),
+            agg AS (SELECT CAST(coalesce(sum(c_), 0) AS BIGINT)
+                             AS n_candidates,
+                           CAST(coalesce(sum(t_), 0) AS BIGINT)
+                             AS n_truth,
+                           CAST(coalesce(sum(CASE WHEN c_ IS NOT NULL
+                                AND t_ IS NOT NULL THEN 1 END), 0)
+                             AS BIGINT) AS tp
+                    FROM j)
+            SELECT n_candidates, n_truth, tp,
+                   n_candidates - tp AS fp, n_truth - tp AS fn,
+                   round(CASE WHEN n_candidates = 0 THEN 1.0
+                         ELSE CAST(tp AS DOUBLE) / n_candidates END, 6)
+                     AS precision,
+                   round(CASE WHEN n_truth = 0 THEN 1.0
+                         ELSE CAST(tp AS DOUBLE) / n_truth END, 6)
+                     AS recall
+            FROM agg""",
+        "doc_curriculum_stages": """
+            WITH r AS (SELECT doc_id, n_chars,
+                              row_number() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rn,
+                              count(*) OVER () AS n FROM documents)
+            SELECT doc_id, n_chars,
+                   CAST(least(3, (rn - 1) * 4 // n) AS INT) AS stage
+            FROM r""",
         "orders_profile": """
             WITH p AS (
               SELECT 'o_orderkey' AS col,

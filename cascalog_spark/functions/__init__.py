@@ -9,7 +9,7 @@ ops (simhash), and LSH-style bucketing so nothing is O(n²) across the corpus.
 from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      contamination, corpus_report,
                      contamination_bloom, contamination_score, decontaminate,
-                     cap_per_stratum, dsir_sample, dsir_weights,
+                     cap_per_stratum, curriculum_stages, dsir_sample, dsir_weights,
                      length_buckets, mix_corpora, pack_sequences,
                      remove_boilerplate, select_by_budget,
                      semantic_contamination_score, semantic_decontaminate,
@@ -17,6 +17,7 @@ from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      split_corpus, stratified_sample, temperature_mixture,
                      weighted_sample)
 from .dedup import (cross_doc_line_dedup, dedup_clusters,
+                    dedup_quality_report,
                     minhash_index, minhash_lsh_candidates_incremental,
                     simhash_near_dups, word_shingles,
                     deletion_variants_col, exact_dedup,

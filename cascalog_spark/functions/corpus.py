@@ -916,3 +916,34 @@ def length_buckets(df: DataFrame, len_col: str = "n_tokens",
                         F.round(1.0 - F.col("total_tokens") / padded, 6))
             .select("bucket", "n_docs", "total_tokens", "padded_tokens",
                     "waste_frac"))
+
+
+def curriculum_stages(df: DataFrame, score_col: str,
+                      n_stages: int = 4, id_col: str = "doc_id",
+                      ascending: bool = True,
+                      out_col: str = "stage") -> DataFrame:
+    """Curriculum staging: assign each document an equal-size training
+    stage by exact global rank of ``score_col`` (ties broken by
+    ``id_col``), stage 0 = the ``ascending`` end — easy-to-hard
+    ordering for curriculum schedules, or hard-first with
+    ``ascending=False``.
+
+    Stages are EXACT rank quantiles (every stage holds floor/ceil(N/k)
+    docs) computed WITHOUT a single-partition sort: the global rank is
+    ``window.global_running_total`` of weight 1 (range-bin + driver
+    offsets + per-bucket windows — parallelism #bins).  Export each
+    stage with ``layout.write_shuffled`` for within-stage order
+    randomization.
+    """
+    from .window import global_running_total  # noqa: F401  (sibling pkg)
+
+    if n_stages <= 0:
+        raise ValueError("curriculum_stages: n_stages must be > 0")
+    ranked = global_running_total(df.withColumn("__one", F.lit(1)),
+                                  "__one", score_col, id_col,
+                                  ascending=ascending, out_col="__rank")
+    n = df.count()
+    stage = F.least(F.lit(n_stages - 1),
+                    F.floor((F.col("__rank") - 1) * n_stages
+                            / F.lit(max(n, 1))).cast("int"))
+    return ranked.withColumn(out_col, stage).drop("__one", "__rank")

@@ -1043,3 +1043,50 @@ def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
     else:
         sel = [F.col(c) for c in df.columns] + [clean.alias(out_col)]
     return joined.select(*sel)
+
+
+def dedup_quality_report(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.8,
+                         num_perm: int = 16, bands: int = 4,
+                         shingle_k: int = 3,
+                         prefilter: bool = True) -> DataFrame:
+    """Measure, don't guess: candidate quality of the MinHash-LSH
+    blocking against exact n-gram-Jaccard ground truth at ``threshold``
+    → ONE row ``(n_candidates, n_truth, tp, fp, fn, precision,
+    recall)``.
+
+    ``fp`` here means "candidate whose true Jaccard is below the
+    threshold" — the wasted-verification rate, NOT wrong output (a
+    full pipeline always verifies candidates); ``fn`` is the genuinely
+    dangerous number — true near-dup pairs the banding never surfaces.
+    Tuning loop: more bands (same num_perm) → recall up, precision
+    down.  Run on a corpus SAMPLE at scale: ground truth is the
+    shingle self-join, which is the expensive exact path the LSH
+    blocking exists to avoid.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm,
+                                  bands, shingle_k)
+    truth = (ngram_jaccard_pairs(df, id_col, text_col, n=shingle_k,
+                                 threshold=threshold,
+                                 prefilter=prefilter)
+             .select("id_a", "id_b"))
+    j = (cand.withColumn("__c", F.lit(1))
+         .join(truth.withColumn("__t", F.lit(1)),
+               on=["id_a", "id_b"], how="full"))
+    agg = j.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.when(F.col("__c").isNotNull()
+                                & F.col("__t").isNotNull(), 1)),
+                   F.lit(0)).alias("tp"))
+    return (agg.withColumn("fp", F.col("n_candidates") - F.col("tp"))
+            .withColumn("fn", F.col("n_truth") - F.col("tp"))
+            .withColumn("precision",
+                        F.round(F.when(F.col("n_candidates") == 0,
+                                       F.lit(1.0))
+                                .otherwise(F.col("tp")
+                                           / F.col("n_candidates")), 6))
+            .withColumn("recall",
+                        F.round(F.when(F.col("n_truth") == 0, F.lit(1.0))
+                                .otherwise(F.col("tp")
+                                           / F.col("n_truth")), 6)))

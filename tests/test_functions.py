@@ -2580,3 +2580,48 @@ def test_table_profile_single_scan(spark, sf_dir):
     # approximate mode: ONE scan, one global agg, no Expand/joins
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Expand" not in plan
+
+
+def test_dedup_quality_report(spark, sf_dir):
+    from cascalog_spark.functions import dedup_quality_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = dedup_quality_report(docs, threshold=0.8, num_perm=8,
+                             bands=4, prefilter=False).first()
+    # arithmetic identities
+    assert r["tp"] + r["fp"] == r["n_candidates"]
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    # testdata plants real near-dups: truth is non-empty and banding
+    # at r=2 rows/band must surface a decent share of it
+    assert r["n_truth"] > 0
+    assert r["recall"] >= 0.5, r
+
+
+def test_curriculum_stages_exact_quantiles(spark):
+    from pyspark.sql import Row
+
+    from cascalog_spark.functions import curriculum_stages
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float((i * 37) % 101)) for i in range(103)])
+    out = curriculum_stages(df, "score", n_stages=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    # equal-size stages up to rounding
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # stage boundaries respect the score order
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r["score"])
+    for s in range(3):
+        assert max(by_stage[s]) <= min(by_stage[s + 1])
+    # hard-first ordering flips the ends
+    desc = curriculum_stages(df, "score", n_stages=4,
+                             ascending=False).collect()
+    hard0 = [r["score"] for r in desc if r["stage"] == 0]
+    assert min(hard0) >= max(by_stage[0])
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "score", n_stages=0)
