@@ -63,9 +63,10 @@ from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)
 from .stats import (frequent_items, frequent_items_by_group,
                     frequent_tokens, histogram, psi_report,
-                    table_profile, tdigest_agg_col,
+                    table_profile, tdigest_agg_col, tdigest_merge2_col,
                     tdigest_merge_col, tdigest_quantile_col,
                     tdigest_sketch)
-from .rollup import aggregate_rollup, incremental_rollup, merge_rollups
+from .rollup import (aggregate_rollup, incremental_rollup,
+                     merge_rollup_joined, merge_rollups)
 from .window import global_running_total, sessionize, time_rollup
 from .util import ensure_parallelism

@@ -14,9 +14,11 @@ Scale shape: ``incremental_rollup`` touches ONLY the delta rows and the
 old aggregate — history row count is irrelevant.  The merge itself is a
 single groupBy over (old_agg ∪ delta_agg); map-side combine collapses
 each side to one row per key before the shuffle, so the shuffle is
-bounded by distinct keys, never by data size.  Writing the standing
-aggregate bucketed on the keys (sources.taps.BucketedTap) makes the old
-side's Exchange disappear entirely.
+bounded by distinct keys, never by data size.  A standing aggregate
+stored bucketed on the keys (sources.taps.BucketedTap) folds with ZERO
+Exchange on its side via :func:`merge_rollup_joined` /
+``incremental_rollup(via='join')`` — the union+groupBy spelling cannot
+exploit bucketing (Union erases output partitioning).
 
 Spec grammar — ``spec`` maps output column → agg kind:
 
@@ -143,11 +145,83 @@ def merge_rollups(parts: list[DataFrame], keys: list[str],
 
 
 def incremental_rollup(old_agg: DataFrame, delta: DataFrame,
-                       keys: list[str],
-                       spec: dict[str, tuple]) -> DataFrame:
+                       keys: list[str], spec: dict[str, tuple],
+                       via: str = "union") -> DataFrame:
     """Fold a raw delta batch into a standing materialized aggregate.
     Cost is O(|delta| + |old_agg|) — history rows are never read.  The
     returned frame replaces the standing aggregate (overwrite, or
-    partition-overwrite when ``keys`` include the partition column)."""
-    return merge_rollups([old_agg, aggregate_rollup(delta, keys, spec)],
-                         keys, spec)
+    partition-overwrite when ``keys`` include the partition column).
+
+    ``via='join'`` merges with :func:`merge_rollup_joined` instead of
+    union+groupBy — use it when the standing aggregate is stored
+    bucketed on the keys, where it folds with zero Exchange on the
+    old side (one Exchange total)."""
+    dagg = aggregate_rollup(delta, keys, spec)
+    if via == "join":
+        return merge_rollup_joined(old_agg, dagg, keys, spec)
+    if via != "union":
+        raise ValueError(f"incremental_rollup: via must be union|join, "
+                         f"got {via!r}")
+    return merge_rollups([old_agg, dagg], keys, spec)
+
+
+def merge_rollup_joined(old: DataFrame, delta_agg: DataFrame,
+                        keys: list[str], spec: dict[str, tuple],
+                        tdigest_compression: int = 100) -> DataFrame:
+    """Two-frame merge as a FULL OUTER JOIN on the keys with per-kind
+    scalar combines (sum-with-identity, least/greatest, two-arg
+    ``hll_union``, two-sketch t-digest merge).
+
+    Why it exists: the union+groupBy merge ERASES the standing
+    aggregate's physical layout (Union has no output partitioning), so
+    a standing aggregate stored bucketed on the keys still pays an
+    Exchange.  The join path preserves it — the bucketed old side joins
+    with ZERO Exchange, and the delta aggregate's own groupBy output
+    partitioning is reused for the join, so the whole fold costs
+    exactly ONE Exchange (the delta's partial→final agg).  Plan-gated
+    in tests/test_plan_quality.py.
+
+    Semantics vs :func:`merge_rollups`: identical for non-NULL key
+    values, including the all-NULL-group measure edge (a NULL stored
+    sum combines to the other side's value; NULL+NULL stays NULL, as
+    an aggregate over no non-null values would be).  One deliberate
+    narrowing: a NULL KEY VALUE does not merge across the two frames
+    (it emits one row per side) — the join must stay a plain equality
+    join, because Spark lowers ``eqNullSafe`` keys to
+    ``(coalesce(k,''), isnull(k))`` expressions that disable bucketed
+    reads and partitioning reuse, i.e. the entire point of this path.
+    Standing-rollup keys are dimension values; keep them non-NULL
+    (coalesce to a sentinel at aggregate time if the domain has
+    NULLs)."""
+    from .stats import tdigest_merge2_col
+
+    _check_spec(spec)
+    if not keys:
+        raise ValueError("merge_rollup_joined: needs grouping keys "
+                         "(global rollups: use merge_rollups)")
+    cols = keys + list(spec)
+    o = old.select(*cols).alias("__ro")
+    d = delta_agg.select(*cols).alias("__rd")
+    # USING-form join: plain equality on the raw key columns (bucketing
+    # and the delta agg's output partitioning stay usable) with
+    # auto-coalesced output keys
+    j = o.join(d, on=keys, how="full")
+    outs = [F.col(k) for k in keys]
+    for out, kind in spec.items():
+        a, b = o[out], d[out]
+        k0 = kind[0]
+        if k0 in ("count", "sum"):
+            e = (F.when(a.isNull() & b.isNull(), F.lit(None))
+                 .otherwise(F.coalesce(a, F.lit(0))
+                            + F.coalesce(b, F.lit(0))))
+        elif k0 == "min":
+            e = F.least(a, b)  # least/greatest skip NULLs
+        elif k0 == "max":
+            e = F.greatest(a, b)
+        elif k0 == "hll":
+            e = (F.when(a.isNull(), b).when(b.isNull(), a)
+                 .otherwise(F.hll_union(a, b)))
+        else:  # tdigest
+            e = tdigest_merge2_col(a, b, tdigest_compression)
+        outs.append(e.alias(out))
+    return j.select(*outs)

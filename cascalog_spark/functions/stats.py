@@ -520,3 +520,35 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
     return (out.withColumn("null_frac", F.round(frac, 6))
             .select("column", "n_rows", "n_null", "null_frac",
                     "n_distinct", "min_repr", "max_repr"))
+
+
+def tdigest_merge2_col(a, b, compression: int = 100):
+    """Scalar two-sketch merge (Arrow-batched): the join-based rollup
+    merge path needs a per-row combine of exactly two sketches (one
+    from the standing aggregate, one from the delta) rather than a
+    grouped aggregate.  NULL on either side passes the other through."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _merge2(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for sa, sb in zip(x, y):
+            parts = [s for s in (sa, sb)
+                     if s is not None and len(s) == 2 and len(s[0])]
+            if not parts:
+                out.append(None)
+            elif len(parts) == 1:
+                out.append([list(parts[0][0]), list(parts[0][1])])
+            else:
+                m, w = _td_compress(
+                    np.concatenate([np.asarray(p[0], dtype="float64")
+                                    for p in parts]),
+                    np.concatenate([np.asarray(p[1], dtype="float64")
+                                    for p in parts]),
+                    compression)
+                out.append([m, w])
+        return pd.Series(out, dtype="object")
+
+    return _merge2(a, b)

@@ -570,3 +570,42 @@ def test_incremental_rollup_delta_only_one_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("partial_") >= 2
     assert "EvalPython" not in plan
+
+
+def test_rollup_join_merge_bucketed_zero_old_exchange(spark, sf_dir,
+                                                      tmp_path):
+    """incremental_rollup(via='join') against a BucketedTap-stored
+    standing aggregate: the bucketed old side joins with ZERO Exchange
+    and the delta aggregate's own groupBy partitioning is reused, so
+    the whole fold plans exactly ONE Exchange (the delta's
+    partial→final agg).  The union+groupBy spelling cannot do this —
+    Union erases output partitioning — which is why via='join'
+    exists."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import (aggregate_rollup,
+                                          incremental_rollup)
+    from cascalog_spark.sources import BucketedTap
+
+    spec = {"n": ("count",), "sv": ("sum", "value")}
+    keys = ["event_type"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = aggregate_rollup(ev.where(F.col("ts") < "2024-01-25"),
+                           keys, spec)
+    tap = BucketedTap(table="rollup_bkt_gate",
+                      path=str(tmp_path / "agg"),
+                      bucket_by=keys, n_buckets=8, sinkmode="replace")
+    tap.save_df(old)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_rollup(
+            tap.load_df(spark), ev.where(F.col("ts") >= "2024-01-25"),
+            keys, spec, via="join")
+        n = out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Bucketed: true" in plan  # old side read bucket-aware
+        assert n == ev.select("event_type").distinct().count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS rollup_bkt_gate")

@@ -167,3 +167,35 @@ def test_global_rollup_no_keys(spark):
     r = incremental_rollup(old, delta, [], spec).collect()
     assert len(r) == 1 and r[0]["n"] == 10 and r[0]["sv"] == 45.0
     assert _q(r[0]["td"], 0.5) == pytest.approx(4.5, abs=1.0)
+
+
+def test_join_merge_equals_union_merge(spark):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    rows = [(rng.randrange(5), rng.randrange(30), rng.uniform(-3, 50))
+            for _ in range(500)]
+    spec = dict(SPEC, users=("hll", "u"), td=("tdigest", "v"))
+    hist, delta = _mk(spark, rows[:350]), _mk(spark, rows[350:])
+    old = aggregate_rollup(hist, ["k"], spec).localCheckpoint()
+    via_union = incremental_rollup(old, delta, ["k"], spec)
+    via_join = incremental_rollup(old, delta, ["k"], spec, via="join")
+
+    def canon(df):
+        return {r["k"]: (r["n"], round(r["sv"], 9), r["mn"], r["mx"],
+                         r["du"], round(_q(r["td"], 0.5), 6))
+                for r in df.select(
+                    "k", "n", "sv", "mn", "mx", "td",
+                    F.hll_sketch_estimate("users").alias("du")).collect()}
+
+    assert canon(via_union) == canon(via_join)
+    # key present only in the delta (and vice versa) survives the full join
+    extra = _mk(spark, [(99, 1, 1.0)])
+    j = incremental_rollup(old, extra, ["k"], spec, via="join")
+    got = {r["k"] for r in j.select("k").collect()}
+    assert 99 in got and got >= {r[0] for r in rows}
+    with pytest.raises(ValueError, match="union|join"):
+        incremental_rollup(old, delta, ["k"], spec, via="bogus")
+    from cascalog_spark.functions.rollup import merge_rollup_joined
+    with pytest.raises(ValueError, match="keys"):
+        merge_rollup_joined(old, old, [], spec)
