@@ -2281,6 +2281,19 @@ def doc_dedup_quality(spark, sf_dir):
                                 bands=4, prefilter=False)
 
 
+def doc_contrastive_pairs(spark, sf_dir):
+    """Contrastive triplet mining (functions/corpus.py
+    mine_contrastive_pairs): anchors+positives from the deterministic
+    MinHash-LSH near-dup pairs, negatives from an exact md5-rank
+    alignment, rejected when they collide with the pair or share an
+    LSH bucket with the anchor.  Fully deterministic, so the oracle
+    replays every step in SQL."""
+    from cascalog_spark.functions.corpus import mine_contrastive_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return mine_contrastive_pairs(docs, num_perm=8, bands=4)
+
+
 def doc_curriculum_stages(spark, sf_dir):
     """Curriculum staging (functions/corpus.py curriculum_stages):
     equal-size training stages by EXACT global rank of n_chars — rank
@@ -3117,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": orders_profile,
         "doc_dedup_quality": doc_dedup_quality,
         "doc_curriculum_stages": doc_curriculum_stages,
+        "doc_contrastive_pairs": doc_contrastive_pairs,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4278,6 +4292,36 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(tp AS DOUBLE) / n_truth END, 6)
                      AS recall
             FROM agg""",
+        "doc_contrastive_pairs": f"""
+            WITH cand AS ({minhash_pairs}),
+            pr AS (SELECT id_a, id_b,
+                          row_number() OVER (ORDER BY
+                            CAST(concat('0x', substr(md5(concat_ws('|',
+                              '42', CAST(id_a AS VARCHAR),
+                              CAST(id_b AS VARCHAR))), 1, 15))
+                              AS BIGINT), id_a) AS pr
+                   FROM cand),
+            dr AS (SELECT doc_id AS nid,
+                          row_number() OVER (ORDER BY
+                            CAST(concat('0x', substr(md5(concat_ws('|',
+                              '42', CAST(doc_id AS VARCHAR))), 1, 15))
+                              AS BIGINT), doc_id) AS dr
+                   FROM documents),
+            n AS (SELECT count(*) AS nd FROM documents),
+            aligned AS (
+              SELECT p.id_a AS anchor_id, p.id_b AS positive_id,
+                     d.nid AS negative_id
+              FROM pr p, n
+              JOIN dr d ON (p.pr - 1) % n.nd + 1 = d.dr),
+            ok AS (SELECT * FROM aligned
+                   WHERE negative_id != anchor_id
+                     AND negative_id != positive_id),
+            sym AS (SELECT id_a AS a, id_b AS b FROM cand
+                    UNION ALL SELECT id_b, id_a FROM cand)
+            SELECT anchor_id, positive_id, negative_id FROM ok
+            WHERE NOT EXISTS (SELECT 1 FROM sym
+                              WHERE sym.a = ok.anchor_id
+                                AND sym.b = ok.negative_id)""",
         "doc_curriculum_stages": """
             WITH r AS (SELECT doc_id, n_chars,
                               row_number() OVER (ORDER BY n_chars,

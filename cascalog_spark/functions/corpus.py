@@ -947,3 +947,66 @@ def curriculum_stages(df: DataFrame, score_col: str,
                     F.floor((F.col("__rank") - 1) * n_stages
                             / F.lit(max(n, 1))).cast("int"))
     return ranked.withColumn(out_col, stage).drop("__one", "__rank")
+
+
+def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 16,
+                           bands: int = 4, shingle_k: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Contrastive training triplets from a raw corpus →
+    ``(anchor_id, positive_id, negative_id)``: positives are MinHash-
+    LSH near-dup pairs (the classic weak-supervision signal for
+    embedding-model training), negatives are deterministic
+    pseudo-random partners that are provably NOT LSH-neighbors of the
+    anchor.
+
+    Everything is deterministic under ``seed`` and partitioning:
+    pairs and documents each get an exact global md5-hash rank
+    (``window.global_running_total`` — no single-partition sort), the
+    i-th pair takes the ``(i-1) mod n_docs + 1``-th ranked doc as its
+    negative candidate, and candidates that collide with the anchor /
+    positive or share an LSH bucket with the anchor are DROPPED (a
+    bounded fraction; rejection keeps the op one pass instead of a
+    retry loop).  Shuffle cost: the LSH candidate join + two
+    rank-binned windows + one rank equi-join + one anti-join.
+    """
+    from .dedup import minhash_lsh_candidates
+    from .window import global_running_total
+
+    def hrank(frame, cols, out):
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)),
+                              *[F.col(c).cast("string") for c in cols])),
+            1, 15), 16, 10).cast("long")
+        ranked = global_running_total(
+            frame.withColumn("__h", h).withColumn("__one", F.lit(1)),
+            "__one", "__h", cols[0], out_col=out)
+        return ranked.drop("__h", "__one")
+
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm,
+                                   bands, shingle_k)
+    pr = hrank(pairs, ["id_a", "id_b"], "__pr")
+    docs = df.select(F.col(id_col).alias("__nid"))
+    dr = hrank(docs, ["__nid"], "__dr")
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pairs.select(F.col("id_a").alias("anchor_id"),
+                            F.col("id_b").alias("positive_id"),
+                            F.col("id_b").alias("negative_id")).limit(0)
+    aligned = (pr.withColumn("__want", (F.col("__pr") - 1) % n_docs + 1)
+               .join(dr, F.col("__want") == F.col("__dr"), "inner"))
+    cand = (aligned
+            .where((F.col("__nid") != F.col("id_a"))
+                   & (F.col("__nid") != F.col("id_b")))
+            .select(F.col("id_a").alias("anchor_id"),
+                    F.col("id_b").alias("positive_id"),
+                    F.col("__nid").alias("negative_id")))
+    # reject negatives that are LSH-neighbors of the anchor (either
+    # orientation of the candidate pair set)
+    sym = (pairs.select(F.col("id_a").alias("anchor_id"),
+                        F.col("id_b").alias("negative_id"))
+           .unionByName(pairs.select(
+               F.col("id_b").alias("anchor_id"),
+               F.col("id_a").alias("negative_id"))))
+    return (cand.join(sym, ["anchor_id", "negative_id"], "left_anti")
+            .select("anchor_id", "positive_id", "negative_id"))

@@ -2625,3 +2625,26 @@ def test_curriculum_stages_exact_quantiles(spark):
     assert min(hard0) >= max(by_stage[0])
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "score", n_stages=0)
+
+
+def test_mine_contrastive_pairs(spark, sf_dir):
+    from cascalog_spark.functions.corpus import mine_contrastive_pairs
+    from cascalog_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mine_contrastive_pairs(docs, num_perm=8, bands=4).collect()
+    assert len(out) > 0
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(docs, "doc_id", num_perm=8,
+                                    bands=4).collect()}
+    sym = pairs | {(b, a) for a, b in pairs}
+    for r in out:
+        # every (anchor, positive) is a real LSH pair
+        assert (r["anchor_id"], r["positive_id"]) in pairs
+        # negatives never collide with the pair nor LSH-neighbor the anchor
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+        assert (r["anchor_id"], r["negative_id"]) not in sym
+    # deterministic under repartitioning
+    again = mine_contrastive_pairs(docs.repartition(7), num_perm=8,
+                                   bands=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -22,5 +22,7 @@ if [[ "${1:-}" != "--quick" ]]; then
   echo "== 4/4 scaling smokes =="
   python tools/scaling_smoke_r4.py
   python tools/scaling_smoke_r5.py
+  python tools/scaling_smoke_freq.py
+  python tools/scaling_smoke_rollup.py
 fi
 echo "CI sweep: all green"
