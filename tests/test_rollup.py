@@ -199,3 +199,67 @@ def test_join_merge_equals_union_merge(spark):
     from cascalog_spark.functions.rollup import merge_rollup_joined
     with pytest.raises(ValueError, match="keys"):
         merge_rollup_joined(old, old, [], spec)
+
+
+def test_fuzz_merge_equals_oneshot(spark):
+    """Property: for ANY multiset of rows and ANY partition into parts,
+    merging per-part rollups (union path AND join path for the 2-part
+    case) equals the one-shot aggregate — the model is plain Python
+    over the same rows."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cascalog_spark.functions.rollup import merge_rollup_joined
+
+    rows_st = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.one_of(st.integers(min_value=-9, max_value=9),
+                            st.none())),
+        min_size=1, max_size=16)
+    cut_st = st.integers(min_value=0, max_value=16)
+
+    spec = {"n": ("count",), "sv": ("sum", "v"), "mn": ("min", "v"),
+            "mx": ("max", "v")}
+
+    def model(rows):
+        out = {}
+        for k, v in rows:
+            e = out.setdefault(k, [0, None, None, None])
+            e[0] += 1
+            if v is not None:
+                e[1] = v if e[1] is None else e[1] + v
+                e[2] = v if e[2] is None else min(e[2], v)
+                e[3] = v if e[3] is None else max(e[3], v)
+        return {k: tuple(e) for k, e in out.items()}
+
+    def got(df):
+        return {r["k"]: (r["n"], r["sv"], r["mn"], r["mx"])
+                for r in df.collect()}
+
+    @given(rows=rows_st, cut=cut_st)
+    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "8")),
+              deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture,
+                  HealthCheck.too_slow])
+    def prop(rows, cut):
+        cut = min(cut, len(rows))
+        df = spark.createDataFrame(rows, "k int, v int")
+        expected = model(rows)
+        oneshot = aggregate_rollup(df, ["k"], spec)
+        assert got(oneshot) == expected
+        a = spark.createDataFrame(rows[:cut] or [(99, None)],
+                                  "k int, v int").where("k < 99" if not
+                                                        rows[:cut]
+                                                        else "1=1")
+        b = spark.createDataFrame(rows[cut:] or [(99, None)],
+                                  "k int, v int").where("k < 99" if not
+                                                        rows[cut:]
+                                                        else "1=1")
+        pa, pb = (aggregate_rollup(x, ["k"], spec) for x in (a, b))
+        assert got(merge_rollups([pa, pb], ["k"], spec)) == expected
+        assert got(merge_rollup_joined(pa, pb, ["k"], spec)) == expected
+
+    prop()
