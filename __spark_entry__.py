@@ -2345,6 +2345,51 @@ def embedding_cluster_profile(spark, sf_dir):
     return cluster_profile(emb, n_clusters=16)
 
 
+def events_stream_drift(spark, sf_dir):
+    """Continuous drift monitoring (streaming/ingest.py
+    stream_drift_monitor): the late-January event stream replayed as
+    two micro-batches, each scored per-bin against the FIXED reference
+    histogram of history (ts < Jan 25) — one PSI-term row per bin per
+    batch, idempotent batch=<id> overwrites.  The oracle recomputes
+    every bin's expected/actual proportions and psi term per batch."""
+    import tempfile
+
+    from cascalog_spark.functions import histogram
+    from cascalog_spark.streaming import stream_drift_monitor
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    cut, lo, hi, bins = "2024-01-25", 0.0, 400.0, 20
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ref = {r["bucket"]: r["n"]
+           for r in histogram(ev.where(F.col("ts") < cut), "value",
+                              bins=bins, lo=lo, hi=hi).collect()}
+    ref_counts = [int(ref.get(i, 0)) for i in range(bins)]
+    delta = ev.where(F.col("ts") >= cut).select("event_id", "value")
+    b0 = delta.where(F.col("event_id") % 2 == 0)
+    b1 = delta.where(F.col("event_id") % 2 == 1)
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_drift_")
+    name = "events_stream_drift"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_drift_monitor(raw, "value", ref_counts, lo, hi,
+                              f"{base}/drift",
+                              checkpoint_dir=f"{base}/ckpt",
+                              query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_drift: bounded stream did "
+                           "not drain within 300s")
+    return (spark.read.parquet(f"{base}/drift")
+            .select(F.col("batch").cast("int").alias("batch"), "bucket",
+                    "n_expected", "n_actual", "p_expected", "p_actual",
+                    "psi_term"))
+
+
 def doc_length_buckets(spark, sf_dir):
     """Padded-batch geometry: documents bucketed into power-of-two
     padding ceilings by token count; per bucket the doc count, real
@@ -3131,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_quality": doc_dedup_quality,
         "doc_curriculum_stages": doc_curriculum_stages,
         "doc_contrastive_pairs": doc_contrastive_pairs,
+        "events_stream_drift": events_stream_drift,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4427,6 +4473,44 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sim), 6) AS avg_sim,
                    round(min(sim), 6) AS min_sim
             FROM s WHERE rn = 1 GROUP BY cid""",
+        "events_stream_drift": """
+            WITH hist AS (SELECT value FROM events
+                          WHERE ts < TIMESTAMP '2024-01-25'),
+            ref AS (SELECT least(19, greatest(0,
+                      CAST(floor(value / 20.0) AS INT))) AS bucket,
+                           count(*) AS n_expected
+                    FROM hist GROUP BY 1),
+            te AS (SELECT CAST(coalesce(sum(n_expected), 0) AS DOUBLE)
+                     AS t FROM ref),
+            spine AS (SELECT unnest(range(20))::INT AS bucket),
+            batches AS (SELECT 0 AS batch UNION ALL SELECT 1),
+            act AS (SELECT CAST(event_id % 2 AS INT) AS batch,
+                           least(19, greatest(0,
+                             CAST(floor(value / 20.0) AS INT)))
+                             AS bucket,
+                           count(*) AS n_actual
+                    FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+                    GROUP BY 1, 2),
+            ta AS (SELECT batch, sum(n_actual) AS t FROM act
+                   GROUP BY batch),
+            j AS (SELECT b.batch, s.bucket,
+                         coalesce(r.n_expected, 0) AS n_expected,
+                         coalesce(a.n_actual, 0) AS n_actual
+                  FROM batches b CROSS JOIN spine s
+                  LEFT JOIN ref r ON r.bucket = s.bucket
+                  LEFT JOIN act a ON a.bucket = s.bucket
+                                 AND a.batch = b.batch)
+            SELECT j.batch, j.bucket, j.n_expected, j.n_actual,
+                   round(j.n_expected / te.t, 6) AS p_expected,
+                   round(j.n_actual
+                         / greatest(ta.t, 1), 6) AS p_actual,
+                   round((j.n_expected / te.t
+                          - j.n_actual / greatest(ta.t, 1))
+                         * ln(greatest(j.n_expected / te.t, 0.000001)
+                              / greatest(j.n_actual
+                                         / greatest(ta.t, 1),
+                                         0.000001)), 6) AS psi_term
+            FROM j CROSS JOIN te JOIN ta ON ta.batch = j.batch""",
         "events_stream_rollup": """
             SELECT event_type, count(*) AS n,
                    round(sum(value), 6) AS sum_value,

@@ -216,3 +216,67 @@ def compact_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     os.rename(agg_dir, old)
     os.rename(tmp, agg_dir)
     shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# Continuous drift monitoring: per-micro-batch PSI vs a reference histogram
+# ---------------------------------------------------------------------------
+
+def stream_drift_monitor(stream_df: DataFrame, col: str,
+                         ref_counts: list, lo: float, hi: float,
+                         out_dir: str, eps: float = 1e-6,
+                         checkpoint_dir: Optional[str] = None,
+                         query_name: str = "drift_monitor"):
+    """Monitor a stream's value distribution against a FIXED reference
+    histogram (``ref_counts`` = per-bin counts over ``[lo, hi)`` with
+    ``len(ref_counts)`` fixed-width bins — e.g. from
+    ``stats.histogram`` over last month's data): every micro-batch
+    writes one row PER BIN to ``out_dir/batch=<id>/`` —
+    ``(bucket, n_expected, n_actual, p_expected, p_actual, psi_term)``
+    — so ``sum(psi_term)`` per batch is that batch's PSI against the
+    reference.  Idempotent per-batch overwrite, same contract as the
+    rollup/ingest sinks.
+
+    Per batch the work is ONE bucket aggregate of the batch (≤ bins
+    rows shuffle) joined onto a bins-row literal spine; empty bins
+    still emit (they carry PSI mass when the reference is non-empty
+    there).  The reference rides as a driver literal — bins-sized,
+    never data-sized."""
+    bins = len(ref_counts)
+    if bins <= 0 or hi <= lo:
+        raise ValueError("stream_drift_monitor: need >=1 ref bin and "
+                         "hi > lo")
+    te = float(sum(ref_counts)) or 1.0
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        from ..functions.stats import histogram
+
+        spark = batch.sparkSession
+        h = (histogram(batch, col, bins=bins, lo=lo, hi=hi)
+             .select("bucket", F.col("n").alias("n_actual")))
+        spine = (spark.range(bins)
+                 .select(F.col("id").cast("int").alias("bucket")))
+        j = (spine.join(h, on="bucket", how="left")
+             .withColumn("n_actual", F.coalesce("n_actual", F.lit(0)))
+             .withColumn("n_expected",
+                         F.element_at(F.lit([int(c) for c in ref_counts]),
+                                      F.col("bucket") + 1)))
+        tot = j.agg(F.sum("n_actual").alias("ta"))
+        j = j.crossJoin(F.broadcast(tot))
+        pe = F.col("n_expected") / F.lit(te)
+        pa = F.col("n_actual") / F.greatest(F.col("ta"), F.lit(1))
+        term = (pe - pa) * F.log(F.greatest(pe, F.lit(eps))
+                                 / F.greatest(pa, F.lit(eps)))
+        out = (j.withColumn("p_expected", F.round(pe, 6))
+               .withColumn("p_actual", F.round(pa, 6))
+               .withColumn("psi_term", F.round(term, 6))
+               .select("bucket", "n_expected", "n_actual",
+                       "p_expected", "p_actual", "psi_term"))
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -724,3 +724,44 @@ def test_stream_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     # empty dir contract
     assert read_rollup(spark, str(tmp_path / "missing"), keys, spec) \
         is None
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
+    """Per-batch PSI rows from the streaming monitor must equal
+    psi_report computed batch-side with the same fixed bins."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import histogram, psi_report
+    from cascalog_spark.streaming import stream_drift_monitor
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "value")
+    hist = ev.where(F.col("ts") < "2024-01-25")
+    lo, hi, bins = 0.0, 400.0, 20
+    ref = {r["bucket"]: r["n"]
+           for r in histogram(hist, "value", bins, lo, hi).collect()}
+    ref_counts = [int(ref.get(i, 0)) for i in range(bins)]
+    delta = ev.where(F.col("ts") >= "2024-01-25").select("event_id",
+                                                         "value")
+    b0 = delta.where("event_id % 2 = 0")
+    b1 = delta.where("event_id % 2 = 1")
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    sq = stream_drift_monitor(raw, "value", ref_counts, lo, hi,
+                              str(tmp_path / "drift"),
+                              checkpoint_dir=str(tmp_path / "ckpt"),
+                              query_name="test_drift_monitor")
+    assert sq.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "drift"))
+    for bid, batch in ((0, b0), (1, b1)):
+        stream_psi = (got.where(F.col("batch") == bid)
+                      .agg(F.sum("psi_term")).first()[0])
+        batch_psi = (psi_report(hist, batch, "value", bins, lo, hi)
+                     .agg(F.sum("psi_term")).first()[0])
+        assert stream_psi == pytest.approx(batch_psi, abs=2e-5), bid
+        assert got.where(F.col("batch") == bid).count() == bins
+    with pytest.raises(ValueError, match="ref bin"):
+        stream_drift_monitor(raw, "value", [], lo, hi, str(tmp_path))
