@@ -36,7 +36,7 @@ under merging.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .stats import tdigest_agg_col, tdigest_merge_col
 
