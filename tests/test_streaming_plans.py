@@ -682,7 +682,7 @@ def test_stream_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     from cascalog_spark.streaming.stream import stage_file_batches
 
     spec = {"n": ("count",), "sv": ("sum", "value"),
-            "users": ("hll", "user_id")}
+            "users": ("hll", "user_id"), "vtd": ("tdigest", "value")}
     keys = ["event_type"]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "user_id", "value")
@@ -698,7 +698,9 @@ def test_stream_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
         query_name="test_stream_rollup")
     assert sq.awaitTermination(300)
 
-    def canon(df):
+    from cascalog_spark.functions.stats import tdigest_quantile_col
+
+    def canon(df, p50_tol=None):
         return {r["event_type"]: (r["n"], round(r["sv"], 6), r["du"])
                 for r in df.select(
                     "event_type", "n", "sv",
@@ -708,8 +710,17 @@ def test_stream_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
         ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
             F.hll_sketch_agg("user_id").alias("users")))
+    exact_p50 = dict(ev.groupBy("event_type")
+                     .agg(F.expr("percentile(value, 0.5)")).collect())
     merged = read_rollup(spark, agg_dir, keys, spec)
     assert canon(merged) == expected
+    # the t-digest sketch survives the parquet round-trip and the merge:
+    # per-key median estimates stay within sketch tolerance of exact
+    for r in merged.select("event_type",
+                           tdigest_quantile_col(F.col("vtd"), 0.5)
+                           .alias("p50")).collect():
+        assert r["p50"] == pytest.approx(
+            exact_p50[r["event_type"]], rel=0.05), r
     # two batch partials on disk before compaction, one after; the
     # merged result is unchanged
     import os
