@@ -19,10 +19,12 @@ echo "== 3/4 bench (sf0.1) =="
 python bench.py
 
 if [[ "${1:-}" != "--quick" ]]; then
-  echo "== 4/4 scaling smokes =="
+  echo "== 4/5 scaling smokes =="
   python tools/scaling_smoke_r4.py
   python tools/scaling_smoke_r5.py
   python tools/scaling_smoke_freq.py
   python tools/scaling_smoke_rollup.py
+  echo "== 5/5 examples =="
+  python tools/run_examples.py
 fi
 echo "CI sweep: all green"
