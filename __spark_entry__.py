@@ -2345,6 +2345,31 @@ def embedding_cluster_profile(spark, sf_dir):
     return cluster_profile(emb, n_clusters=16)
 
 
+def events_rollup_incremental_join(spark, sf_dir):
+    """The zero-Exchange rollup fold (functions/rollup.py
+    merge_rollup_joined / incremental_rollup(via='join')): same
+    standing-aggregate + delta split as events_rollup_incremental, but
+    merged through the FULL OUTER USING-join with per-kind scalar
+    combines — the spelling that preserves a bucketed standing
+    aggregate's layout.  Oracle = the same one-shot GROUP BY, so the
+    driver proves join-fold == recompute exactly."""
+    from cascalog_spark.functions import (aggregate_rollup,
+                                          incremental_rollup)
+
+    spec = {"n": ("count",), "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"), "max_value": ("max", "value")}
+    keys = ["event_type", "day"]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    cut = "2024-01-25"
+    old = aggregate_rollup(ev.where(F.col("ts") < cut), keys, spec)
+    out = incremental_rollup(old, ev.where(F.col("ts") >= cut),
+                             keys, spec, via="join")
+    return out.select("event_type", "day", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      "min_value", "max_value")
+
+
 def events_stream_drift(spark, sf_dir):
     """Continuous drift monitoring (streaming/ingest.py
     stream_drift_monitor): the late-January event stream replayed as
@@ -2388,6 +2413,22 @@ def events_stream_drift(spark, sf_dir):
             .select(F.col("batch").cast("int").alias("batch"), "bucket",
                     "n_expected", "n_actual", "p_expected", "p_actual",
                     "psi_term"))
+
+
+def doc_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions/text.py normalize_unicode):
+    a combining acute accent is injected after every 'a' (making the
+    text decomposed), NFC recomposes it — per-doc md5 + codepoint
+    length of the normalized text must match DuckDB's nfc_normalize
+    exactly, proving byte-identical normalization across engines."""
+    from cascalog_spark.functions.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    decomposed = docs.withColumn(
+        "text", F.regexp_replace("text", "a", "a\u0301"))
+    out = normalize_unicode(decomposed, "text", "norm_text", "NFC")
+    return out.select("doc_id", F.md5("norm_text").alias("h"),
+                      F.length("norm_text").alias("n_chars_norm"))
 
 
 def doc_length_buckets(spark, sf_dir):
@@ -3177,6 +3218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum_stages": doc_curriculum_stages,
         "doc_contrastive_pairs": doc_contrastive_pairs,
         "events_stream_drift": events_stream_drift,
+        "events_rollup_incremental_join": events_rollup_incremental_join,
+        "doc_unicode_normalize": doc_unicode_normalize,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4538,6 +4581,24 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
             SELECT count(*) AS n_rows, bit_xor(hv) AS xor_hash,
                    min(hv) AS min_hash, max(hv) AS max_hash FROM h""",
+        "doc_unicode_normalize": """
+            SELECT doc_id,
+                   md5(nfc_normalize(replace(text, 'a',
+                                             'a' || chr(769)))) AS h,
+                   length(nfc_normalize(replace(text, 'a',
+                                                'a' || chr(769))))
+                     AS n_chars_norm
+            FROM documents""",
+        # the join-path fold must reproduce the identical one-shot
+        # GROUP BY — same oracle text as the union-path query
+        "events_rollup_incremental_join": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2""",
         "events_rollup_incremental": """
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -49,6 +49,7 @@ from .similarity import (brute_force_topk, cluster_embeddings,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)
 from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
+                   normalize_unicode,
                    chunk_text, clean_text, release_tfidf_cache,
                    shingle_fingerprint,
                    doc_fingerprint, filter_by_domain, fit_linear_classifier,

@@ -9,6 +9,7 @@ fingerprinting.  Each has an exact ANSI-SQL twin used as the DuckDB oracle
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -764,3 +765,24 @@ def filter_by_domain(df: DataFrame, domains: list[str],
     hit = F.exists(dl, lambda d: (host == d)
                    | host.endswith(F.concat(F.lit("."), d)))
     return df.where(hit if keep else ~hit)
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      out_col: str = "norm_text",
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical first
+    step of any multilingual pretraining pipeline (é as one codepoint
+    vs e+combining-accent must dedup/fingerprint/tokenize identically).
+    Spark SQL has no normalization builtin, so this is an Arrow-batched
+    pandas UDF (str.normalize is vectorized C under the hood); NULLs
+    pass through.  Pure map — no shuffle, batch-bounded memory."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: bad form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -2648,3 +2648,25 @@ def test_mine_contrastive_pairs(spark, sf_dir):
     again = mine_contrastive_pairs(docs.repartition(7), num_perm=8,
                                    bands=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_normalize_unicode(spark):
+    import unicodedata
+
+    from pyspark.sql import Row
+
+    from cascalog_spark.functions.text import normalize_unicode
+
+    decomposed = "á ë fiﬁ"  # á, ë, + the fi ligature
+    df = spark.createDataFrame([Row(text=decomposed), Row(text=None)])
+    nfc = normalize_unicode(df, form="NFC").collect()
+    nfkc = normalize_unicode(df, form="NFKC").collect()
+    got_nfc = [r["norm_text"] for r in nfc]
+    assert got_nfc[0] == unicodedata.normalize("NFC", decomposed)
+    assert "́" not in got_nfc[0]          # composed
+    assert "ﬁ" in got_nfc[0]              # NFC keeps the ligature
+    assert "ﬁ" not in [r["norm_text"] for r in nfkc][0]  # NFKC folds
+    assert got_nfc[1] is None                  # NULL passes through
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bad form"):
+        normalize_unicode(df, form="NFX")

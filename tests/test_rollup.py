@@ -263,3 +263,45 @@ def test_fuzz_merge_equals_oneshot(spark):
         assert got(merge_rollup_joined(pa, pb, ["k"], spec)) == expected
 
     prop()
+
+
+def test_fuzz_tdigest_rank_error(spark):
+    """Property: for any value multiset and any 2-way split, the merged
+    sketch's quantile estimates stay within the k0 rank bound."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cascalog_spark.functions.stats import tdigest_sketch
+
+    vals_st = st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=5, max_size=300)
+
+    @given(vals=vals_st)
+    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "6")),
+              deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture,
+                  HealthCheck.too_slow])
+    def prop(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        sk = tdigest_sketch(df.repartition(4), "v",
+                            compression=50).first()["sketch"]
+        assert len(sk[0]) <= 51
+        assert abs(sum(sk[1]) - len(vals)) < 1e-6
+        svals = sorted(vals)
+        n = len(svals)
+        for qq in (0.25, 0.5, 0.75):
+            est = _q(sk, qq)
+            # ties make point-rank ill-defined: the estimate's rank is
+            # the whole interval [#(<est), #(<=est)]/n and the bound
+            # holds if q sits within tolerance of that interval
+            lo = sum(1 for v in svals if v < est) / n
+            hi = sum(1 for v in svals if v <= est) / n
+            tol = max(0.05, 2.5 / n)
+            assert lo - tol <= qq <= hi + tol, (qq, est, lo, hi)
+
+    prop()
