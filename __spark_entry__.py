@@ -2345,6 +2345,57 @@ def embedding_cluster_profile(spark, sf_dir):
     return cluster_profile(emb, n_clusters=16)
 
 
+def events_stream_gate(spark, sf_dir):
+    """Streaming expectation gate (streaming/ingest.py
+    stream_expectation_gate): two replayed micro-batches — one passing
+    every rule, one violating the value cap — each writes its per-rule
+    report and routes to out/ or quarantine/.  The returned frame joins
+    the reports with the rows actually found under out/, so the oracle
+    checks BOTH the rule arithmetic and the routing decision."""
+    import tempfile
+
+    from cascalog_spark.streaming import stream_expectation_gate
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    b0 = ev.where(F.col("value") <= 300.0)   # passes both rules
+    b1 = ev.where(F.col("value") > 300.0)    # violates the cap
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_gate_")
+    name = "events_stream_gate"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_expectation_gate(
+        raw, {"value_capped": F.col("value") <= 300.0,
+              "value_positive": F.col("value") > 0.0},
+        out_dir=f"{base}/out", report_dir=f"{base}/report",
+        quarantine_dir=f"{base}/bad",
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_gate: bounded stream did "
+                           "not drain within 300s")
+    import os as _os
+
+    reports = spark.read.parquet(f"{base}/report")
+    if _os.path.isdir(f"{base}/out"):
+        out_counts = (spark.read.parquet(f"{base}/out")
+                      .groupBy("batch")
+                      .agg(F.count(F.lit(1)).alias("n_rows_in_out")))
+    else:  # every batch quarantined (happens at SFs with bad rows)
+        out_counts = spark.createDataFrame(
+            [], "batch int, n_rows_in_out long")
+    return (reports.join(out_counts, on="batch", how="left")
+            .select(F.col("batch").cast("int").alias("batch"), "rule",
+                    "n_rows", "n_fail", "fail_frac", "passed",
+                    F.coalesce("n_rows_in_out", F.lit(0))
+                    .alias("n_rows_in_out")))
+
+
 def events_rollup_incremental_join(spark, sf_dir):
     """The zero-Exchange rollup fold (functions/rollup.py
     merge_rollup_joined / incremental_rollup(via='join')): same
@@ -3220,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_drift": events_stream_drift,
         "events_rollup_incremental_join": events_rollup_incremental_join,
         "doc_unicode_normalize": doc_unicode_normalize,
+        "events_stream_gate": events_stream_gate,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4581,6 +4633,33 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
             SELECT count(*) AS n_rows, bit_xor(hv) AS xor_hash,
                    min(hv) AS min_hash, max(hv) AS max_hash FROM h""",
+        "events_stream_gate": """
+            WITH b AS (SELECT CASE WHEN value <= 300 THEN 0 ELSE 1 END
+                         AS batch, value FROM events),
+            rep AS (
+              SELECT batch, 'value_capped' AS rule,
+                     count(*) AS n_rows,
+                     sum(CASE WHEN NOT coalesce(value <= 300, FALSE)
+                         THEN 1 ELSE 0 END) AS n_fail
+              FROM b GROUP BY batch
+              UNION ALL
+              SELECT batch, 'value_positive', count(*),
+                     sum(CASE WHEN NOT coalesce(value > 0, FALSE)
+                         THEN 1 ELSE 0 END)
+              FROM b GROUP BY batch),
+            ok AS (SELECT batch,
+                          min(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END)
+                            AS allpass
+                   FROM rep GROUP BY batch)
+            SELECT r.batch, r.rule, r.n_rows,
+                   CAST(r.n_fail AS BIGINT) AS n_fail,
+                   round(CASE WHEN r.n_rows = 0 THEN 0.0
+                         ELSE CAST(r.n_fail AS DOUBLE) / r.n_rows END,
+                         6) AS fail_frac,
+                   r.n_fail = 0 AS passed,
+                   CASE WHEN ok.allpass = 1 THEN r.n_rows
+                        ELSE 0 END AS n_rows_in_out
+            FROM rep r JOIN ok ON ok.batch = r.batch""",
         "doc_unicode_normalize": """
             SELECT doc_id,
                    md5(nfc_normalize(replace(text, 'a',

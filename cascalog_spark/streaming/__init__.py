@@ -1,6 +1,7 @@
 from .ingest import (compact_rollup, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
-                     stream_drift_monitor, stream_near_dedup_ingest,
+                     stream_drift_monitor, stream_expectation_gate,
+                     stream_near_dedup_ingest,
                      stream_rollup_maintenance)
 from .stateful import (latest_bucket_summary, running_counts, stateful_op,
                        stream_frequent_items)

@@ -280,3 +280,51 @@ def stream_drift_monitor(stream_df: DataFrame, col: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Continuous expectation gating: per-micro-batch rule reports + quarantine
+# ---------------------------------------------------------------------------
+
+def stream_expectation_gate(stream_df: DataFrame, rules: dict,
+                            out_dir: str, report_dir: str,
+                            quarantine_dir: Optional[str] = None,
+                            checkpoint_dir: Optional[str] = None,
+                            query_name: str = "expectation_gate"):
+    """Gate a stream on data-quality expectations: every micro-batch
+    runs ``functions.expectations.check_expectations`` (ONE aggregate
+    pass however many rules), writes the per-rule report to
+    ``report_dir/batch=<id>/``, and routes the batch — rows land under
+    ``out_dir/batch=<id>/`` when every rule passes, else under
+    ``quarantine_dir/batch=<id>/`` (whole-batch quarantine: a failing
+    ingest batch is an upstream incident to inspect, not rows to
+    silently drop).  All three writes are idempotent per-batch
+    overwrites.  ``quarantine_dir`` defaults to ``out_dir + '.bad'``.
+
+    This completes the streaming data-ops triad with
+    :func:`stream_rollup_maintenance` and :func:`stream_drift_monitor`:
+    gate → fold → watch, each micro-batch-idempotent and
+    batch-replayable."""
+    from ..functions.expectations import check_expectations
+
+    if not rules:
+        raise ValueError("stream_expectation_gate: rules must be "
+                         "non-empty")
+    qdir = quarantine_dir or (out_dir.rstrip("/") + ".bad")
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        report = check_expectations(batch, rules).localCheckpoint()
+        (report.write.mode("overwrite")
+         .parquet(f"{report_dir}/batch={batch_id}"))
+        ok = report.agg(
+            F.min(F.col("passed").cast("int"))).first()[0]
+        dest = out_dir if ok == 1 else qdir
+        (batch.write.mode("overwrite")
+         .parquet(f"{dest}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -776,3 +776,51 @@ def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
         assert got.where(F.col("batch") == bid).count() == bins
     with pytest.raises(ValueError, match="ref bin"):
         stream_drift_monitor(raw, "value", [], lo, hi, str(tmp_path))
+
+
+def test_stream_expectation_gate_routes_batches(spark, sf_dir, tmp_path):
+    """Passing batches land in out/, failing batches in quarantine/
+    (whole-batch), and the per-batch reports match check_expectations
+    run batch-side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import check_expectations
+    from cascalog_spark.streaming import stream_expectation_gate
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value")
+    good = ev.where((F.col("value") > 0) & (F.col("value") <= 300))
+    bad = ev.where(F.col("value") > 300)
+    assert bad.count() > 0
+    src = stage_file_batches([good, bad])
+    raw = (spark.readStream.schema(good.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    rules = {"cap": "value <= 300", "pos": F.col("value") > 0}
+    sq = stream_expectation_gate(
+        raw, rules, out_dir=str(tmp_path / "out"),
+        report_dir=str(tmp_path / "rep"),
+        quarantine_dir=str(tmp_path / "bad"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="test_gate")
+    assert sq.awaitTermination(300)
+    # routing: batch 0 (good) in out/, batch 1 (bad) quarantined
+    assert os.path.isdir(str(tmp_path / "out" / "batch=0"))
+    assert not os.path.isdir(str(tmp_path / "out" / "batch=1"))
+    assert os.path.isdir(str(tmp_path / "bad" / "batch=1"))
+    assert (spark.read.parquet(str(tmp_path / "out")).count()
+            == good.count())
+    assert (spark.read.parquet(str(tmp_path / "bad")).count()
+            == bad.count())
+    # reports equal the batch-side spelling
+    rep = spark.read.parquet(str(tmp_path / "rep"))
+    got0 = {(r["rule"], r["n_rows"], r["n_fail"], r["passed"])
+            for r in rep.where("batch = 0").collect()}
+    want0 = {(r["rule"], r["n_rows"], r["n_fail"], r["passed"])
+             for r in check_expectations(good, rules).collect()}
+    assert got0 == want0
+    with pytest.raises(ValueError, match="non-empty"):
+        stream_expectation_gate(raw, {}, "x", "y")
