@@ -24,6 +24,7 @@ if [[ "${1:-}" != "--quick" ]]; then
   python tools/scaling_smoke_r5.py
   python tools/scaling_smoke_freq.py
   python tools/scaling_smoke_rollup.py
+  python tools/scaling_smoke_profile.py
   echo "== 5/5 examples =="
   python tools/run_examples.py
 fi
