@@ -3180,16 +3180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # NEW-FIRST ORDER: entries never hash-checked by the
         # driver lead, so a head-sampling harness reaches them;
-        # the long-green tier follows.  Head of r5 = the 12
-        # queries at r4 positions 51-62 (just past the 50-row
-        # sample head) + the 4 rows red in CORRECTNESS_r04 whose
-        # oracle/check-surface fixes land this round.
-        # Round-5 second wave: the TPC-H planner-shape completion
-        # pack (q7/q8/q13/q15/q17/q19/q21/q22) — never sampled,
-        # so they lead.
-        # Round-5 eighth wave: DSIR importance resampling + URL dedup.
-        # Round-5 ninth wave: exact two-pass heavy hitters + explicit
-        # salted-join driver evidence.
+        # the long-green tier follows.  Head-50 of r5 = 46
+        # never-driver-checked queries (each locally hash-green in
+        # tools/driver_check.py at sf0.01 AND sf0.1) + the 4 rows red
+        # in CORRECTNESS_r04 whose oracle/check-surface fixes land
+        # this round; events_stream_late_data holds the last head
+        # slot (its r4 acceptance criterion is a driver row).
+        # Never-checked entries past the head (the r5 waves 10-13
+        # additions and the four demoted ninth-wave siblings) lead r6.
         "doc_frequent_terms": doc_frequent_terms,
         "doc_stream_frequent_terms": doc_stream_frequent_terms,
         "doc_stream_dedup_ingest": doc_stream_dedup_ingest,
