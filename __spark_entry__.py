@@ -4623,10 +4623,19 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY bucket""",
         "lineitem_fingerprint": """
             WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|',
-                         CAST(l_orderkey AS VARCHAR),
-                         CAST(l_linenumber AS VARCHAR),
-                         CAST(l_suppkey AS VARCHAR),
-                         l_returnflag, l_linestatus)),
+                         'v' || CAST(length(CAST(l_orderkey AS VARCHAR))
+                                AS VARCHAR) || ':'
+                             || CAST(l_orderkey AS VARCHAR),
+                         'v' || CAST(length(CAST(l_linenumber AS VARCHAR))
+                                AS VARCHAR) || ':'
+                             || CAST(l_linenumber AS VARCHAR),
+                         'v' || CAST(length(CAST(l_suppkey AS VARCHAR))
+                                AS VARCHAR) || ':'
+                             || CAST(l_suppkey AS VARCHAR),
+                         'v' || CAST(length(l_returnflag) AS VARCHAR)
+                             || ':' || l_returnflag,
+                         'v' || CAST(length(l_linestatus) AS VARCHAR)
+                             || ':' || l_linestatus)),
                        1, 15)) AS BIGINT) AS hv
                        FROM lineitem)
             SELECT count(*) AS n_rows, bit_xor(hv) AS xor_hash,

@@ -896,10 +896,16 @@ def length_buckets(df: DataFrame, len_col: str = "n_tokens",
     """
     n = F.greatest(F.col(len_col).cast("long"), F.lit(1))
     if ceilings is None:
-        bucket = F.greatest(
-            F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double"))))
-            .cast("long"),
-            F.lit(int(min_ceiling)))
+        # Spark's log2 is ln(x)/ln(2) and rounds HIGH at exact powers
+        # of two (log2(2^29) -> 29.000000000000004, ceil -> 30), unlike
+        # libm log2 (exact there) — correct the candidate back down/up
+        # so bucket(2^k) == 2^k at every k
+        cand = (F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double"))))
+                .cast("long"))
+        cand = (F.when(cand / 2 >= n, (cand / 2).cast("long"))
+                .when(cand < n, cand * 2)
+                .otherwise(cand))
+        bucket = F.greatest(cand, F.lit(int(min_ceiling)))
     else:
         if sorted(ceilings) != list(ceilings) or not ceilings:
             raise ValueError("length_buckets: ceilings must be a "
@@ -933,7 +939,10 @@ def curriculum_stages(df: DataFrame, score_col: str,
     ``window.global_running_total`` of weight 1 (range-bin + driver
     offsets + per-bucket windows — parallelism #bins).  Export each
     stage with ``layout.write_shuffled`` for within-stage order
-    randomization.
+    randomization.  Eager-cost note: three driver actions total — the
+    range probe and bucket totals inside ``global_running_total`` plus
+    one ``df.count()`` for the quantile denominator (an export-time
+    op; acceptable by design).
     """
     from .window import global_running_total  # noqa: F401  (sibling pkg)
 
@@ -983,30 +992,46 @@ def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
             "__one", "__h", cols[0], out_col=out)
         return ranked.drop("__h", "__one")
 
-    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm,
-                                   bands, shingle_k)
-    pr = hrank(pairs, ["id_a", "id_b"], "__pr")
+    from pyspark import StorageLevel
+
     docs = df.select(F.col(id_col).alias("__nid"))
-    dr = hrank(docs, ["__nid"], "__dr")
     n_docs = docs.count()
+    empty = df.select(F.col(id_col).alias("anchor_id"),
+                      F.col(id_col).alias("positive_id"),
+                      F.col(id_col).alias("negative_id")).limit(0)
     if n_docs == 0:
-        return pairs.select(F.col("id_a").alias("anchor_id"),
-                            F.col("id_b").alias("positive_id"),
-                            F.col("id_b").alias("negative_id")).limit(0)
-    aligned = (pr.withColumn("__want", (F.col("__pr") - 1) % n_docs + 1)
-               .join(dr, F.col("__want") == F.col("__dr"), "inner"))
-    cand = (aligned
-            .where((F.col("__nid") != F.col("id_a"))
-                   & (F.col("__nid") != F.col("id_b")))
-            .select(F.col("id_a").alias("anchor_id"),
-                    F.col("id_b").alias("positive_id"),
-                    F.col("__nid").alias("negative_id")))
-    # reject negatives that are LSH-neighbors of the anchor (either
-    # orientation of the candidate pair set)
-    sym = (pairs.select(F.col("id_a").alias("anchor_id"),
-                        F.col("id_b").alias("negative_id"))
-           .unionByName(pairs.select(
-               F.col("id_b").alias("anchor_id"),
-               F.col("id_a").alias("negative_id"))))
-    return (cand.join(sym, ["anchor_id", "negative_id"], "left_anti")
-            .select("anchor_id", "positive_id", "negative_id"))
+        return empty
+    # the LSH candidate subtree (signatures + band explode + self-join)
+    # is the dominant cost and feeds FIVE consumers (pr's two rank jobs,
+    # cand, both sym orientations) — persist it for the call's duration
+    # and hand back an eagerly materialized (and small: <= pair count)
+    # result so the cache can be released here
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm,
+                                   bands, shingle_k
+                                   ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if pairs.count() == 0:
+            return empty
+        pr = hrank(pairs, ["id_a", "id_b"], "__pr")
+        dr = hrank(docs, ["__nid"], "__dr")
+        aligned = (pr.withColumn("__want",
+                                 (F.col("__pr") - 1) % n_docs + 1)
+                   .join(dr, F.col("__want") == F.col("__dr"), "inner"))
+        cand = (aligned
+                .where((F.col("__nid") != F.col("id_a"))
+                       & (F.col("__nid") != F.col("id_b")))
+                .select(F.col("id_a").alias("anchor_id"),
+                        F.col("id_b").alias("positive_id"),
+                        F.col("__nid").alias("negative_id")))
+        # reject negatives that are LSH-neighbors of the anchor (either
+        # orientation of the candidate pair set)
+        sym = (pairs.select(F.col("id_a").alias("anchor_id"),
+                            F.col("id_b").alias("negative_id"))
+               .unionByName(pairs.select(
+                   F.col("id_b").alias("anchor_id"),
+                   F.col("id_a").alias("negative_id"))))
+        out = (cand.join(sym, ["anchor_id", "negative_id"], "left_anti")
+               .select("anchor_id", "positive_id", "negative_id"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()

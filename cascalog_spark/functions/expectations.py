@@ -152,10 +152,14 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None,
     rows cancel) — ``n_rows`` catches additions, and exact-dup auditing
     is ``unique_report``'s job.
 
-    Row hash = first 60 bits of md5 over '|'-joined string casts (NULL
-    → a sentinel no real cast produces), deliberately replicable in any
-    engine with md5 — the cross-engine check an int-only xxhash64 would
-    not allow.  One aggregate pass; partials are one row per partition.
+    Row hash = first 60 bits of md5 over a length-prefixed encoding of
+    the string casts — each cell renders as ``v<len>:<value>`` (NULL →
+    the bare marker ``n``) joined by '|', so content cannot shift
+    across column boundaries unnoticed (``('a|b','c')`` and
+    ``('a','b|c')`` hash differently, and NULL never collides with any
+    literal).  Deliberately replicable in any engine with md5 — the
+    cross-engine check an int-only xxhash64 would not allow.  One
+    aggregate pass; partials are one row per partition.
     Cast-stability caveat: float→string formatting differs across
     engines, so fingerprint integer/string/date columns (or pre-round
     floats to fixed decimals) when comparing across engines.
@@ -163,9 +167,12 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None,
     cols = list(cols or df.columns)
     if not cols:
         raise ValueError("dataset_fingerprint: no columns")
-    s = F.concat_ws("|", *[
-        F.coalesce(F.col(c).cast("string"), F.lit("␀"))
-        for c in cols])
+    def cell(c):
+        sv = F.col(c).cast("string")
+        return F.when(sv.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(sv).cast("string"),
+                     F.lit(":"), sv))
+    s = F.concat_ws("|", *[cell(c) for c in cols])
     h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     return (df.select(h.alias("__h"))
             .agg(F.count(F.lit(1)).alias("n_rows"),

@@ -235,7 +235,13 @@ def _td_compress(ms, ws, compression: int):
     ws = np.asarray(ws, dtype=np.float64)
     if ms.size == 0:
         return [], []
-    order = np.argsort(ms, kind="stable")
+    # lexsort on (mean, weight): tied-mean centroids with UNEQUAL
+    # weights are not interchangeable under the cumweight bucketing
+    # (verified: swapping their order changes the merged buckets), so
+    # the tie-break must be part of the canonical order or merges
+    # become partitioning-dependent; (mean, weight) duplicates ARE
+    # interchangeable
+    order = np.lexsort((ws, ms))
     ms, ws = ms[order], ws[order]
     total = float(ws.sum())
     cap = total / compression
@@ -395,6 +401,21 @@ def tdigest_sketch(df: DataFrame, col: str, keys: list[str] | None = None,
 # Distribution drift: population stability index between two snapshots
 # ---------------------------------------------------------------------------
 
+def psi_term_cols(n_expected, n_actual, te, ta,
+                  eps: float = 1e-6):
+    """The one PSI arithmetic shared by the batch gate
+    (:func:`psi_report`) and the streaming monitor
+    (``streaming.ingest.stream_drift_monitor``): proportions with a
+    guard against empty sides, eps-clamped log term.  Returns
+    ``(p_expected, p_actual, psi_term)`` Columns — keep BOTH callers on
+    this helper so a smoothing change can never diverge them."""
+    pe = n_expected / F.greatest(te, F.lit(1))
+    pa = n_actual / F.greatest(ta, F.lit(1))
+    term = (pe - pa) * F.log(F.greatest(pe, F.lit(eps))
+                             / F.greatest(pa, F.lit(eps)))
+    return pe, pa, term
+
+
 def psi_report(expected: DataFrame, actual: DataFrame, col: str,
                bins: int = 20, lo: float | None = None,
                hi: float | None = None, eps: float = 1e-6) -> DataFrame:
@@ -443,10 +464,8 @@ def psi_report(expected: DataFrame, actual: DataFrame, col: str,
     tot = j.agg(F.sum("n_expected").alias("te"),
                 F.sum("n_actual").alias("ta"))
     j = j.crossJoin(F.broadcast(tot))
-    pe = F.col("n_expected") / F.greatest(F.col("te"), F.lit(1))
-    pa = F.col("n_actual") / F.greatest(F.col("ta"), F.lit(1))
-    term = (pe - pa) * F.log(F.greatest(pe, F.lit(eps))
-                             / F.greatest(pa, F.lit(eps)))
+    pe, pa, term = psi_term_cols(F.col("n_expected"), F.col("n_actual"),
+                                 F.col("te"), F.col("ta"), eps)
     width = (hi - lo) / bins
     return (j.withColumn("lo_edge",
                          F.round(F.lit(lo) + F.col("bucket")

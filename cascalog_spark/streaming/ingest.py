@@ -261,12 +261,13 @@ def stream_drift_monitor(stream_df: DataFrame, col: str,
              .withColumn("n_expected",
                          F.element_at(F.lit([int(c) for c in ref_counts]),
                                       F.col("bucket") + 1)))
+        from ..functions.stats import psi_term_cols
+
         tot = j.agg(F.sum("n_actual").alias("ta"))
         j = j.crossJoin(F.broadcast(tot))
-        pe = F.col("n_expected") / F.lit(te)
-        pa = F.col("n_actual") / F.greatest(F.col("ta"), F.lit(1))
-        term = (pe - pa) * F.log(F.greatest(pe, F.lit(eps))
-                                 / F.greatest(pa, F.lit(eps)))
+        pe, pa, term = psi_term_cols(F.col("n_expected"),
+                                     F.col("n_actual"), F.lit(te),
+                                     F.col("ta"), eps)
         out = (j.withColumn("p_expected", F.round(pe, 6))
                .withColumn("p_actual", F.round(pa, 6))
                .withColumn("psi_term", F.round(term, 6))

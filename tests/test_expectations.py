@@ -207,3 +207,19 @@ def test_fingerprint_one_aggregate_pass(orders):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_fingerprint_no_cross_column_shift_collision(spark):
+    from cascalog_spark.functions import dataset_fingerprint
+
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    # plain '|'-joining would make these identical; the length-prefixed
+    # encoding must not
+    assert dataset_fingerprint(a).first()["xor_hash"] \
+        != dataset_fingerprint(b).first()["xor_hash"]
+    # NULL never collides with the sentinel-ish literals either
+    c = spark.createDataFrame([("n", "v1:x")], "x string, y string")
+    d = spark.createDataFrame([(None, "v1:x")], "x string, y string")
+    assert dataset_fingerprint(c).first()["xor_hash"] \
+        != dataset_fingerprint(d).first()["xor_hash"]
