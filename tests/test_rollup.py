@@ -305,3 +305,29 @@ def test_fuzz_tdigest_rank_error(spark):
             assert lo - tol <= qq <= hi + tol, (qq, est, lo, hi)
 
     prop()
+
+
+def test_tdigest_merge_partitioning_invariant(spark):
+    """Post-fix invariant: merging a FIXED set of sketches yields the
+    identical sketch regardless of how the sketch rows are partitioned
+    (the lexsort(mean, weight) canonical order makes the compress a
+    pure function of the centroid multiset).  Includes tied-mean
+    centroids with unequal weights — the case that used to flip."""
+    from cascalog_spark.functions.stats import tdigest_merge_col
+
+    sketches = [
+        [[1.0, 5.0], [2.0, 2.0]],
+        [[5.0, 9.0], [4.0, 2.0]],   # 5.0 again, different weight
+        [[5.0], [1.0]],             # and again
+        [[3.0, 7.0], [1.0, 1.0]],
+    ]
+    df = spark.createDataFrame([(s,) for s in sketches],
+                               "sk array<array<double>>")
+    outs = []
+    for parts in (1, 2, 4):
+        r = (df.repartition(parts)
+             .agg(tdigest_merge_col(F.col("sk"), 3).alias("m")).first())
+        outs.append((tuple(r["m"][0]), tuple(r["m"][1])))
+    assert outs[0] == outs[1] == outs[2], outs
+    # mass conserved through the merge
+    assert abs(sum(outs[0][1]) - 13.0) < 1e-9
