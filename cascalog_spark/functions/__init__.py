@@ -38,6 +38,7 @@ from .bpe import (bpe_encode, bpe_pair_counts, merges_df, train_bpe,
                   word_freqs)
 from .embed import embed_text, register_embedder
 from .expectations import (check_expectations, dataset_fingerprint,
+                           export_manifest,
                            referential_orphans, referential_report,
                            unique_report)
 from .similarity import (brute_force_topk, cluster_embeddings,

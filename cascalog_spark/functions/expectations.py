@@ -139,6 +139,22 @@ def referential_report(child: DataFrame, parent: DataFrame,
             .withColumn("passed", F.col("n_orphans") == 0))
 
 
+def _row_hash_col(cols: list[str]):
+    """The ONE row-hash encoding shared by :func:`dataset_fingerprint`
+    and :func:`export_manifest` (their xors must fold into each other):
+    60-bit md5 over '|'-joined length-prefixed cells — ``v<len>:<val>``,
+    bare ``n`` for NULL — so content cannot shift across column
+    boundaries and NULL never collides with a literal."""
+    def cell(c):
+        sv = F.col(c).cast("string")
+        return F.when(sv.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(sv).cast("string"),
+                     F.lit(":"), sv))
+
+    s = F.concat_ws("|", *[cell(c) for c in cols])
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None,
                         ) -> DataFrame:
     """Order- and partitioning-invariant content fingerprint → ONE row
@@ -167,15 +183,33 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None,
     cols = list(cols or df.columns)
     if not cols:
         raise ValueError("dataset_fingerprint: no columns")
-    def cell(c):
-        sv = F.col(c).cast("string")
-        return F.when(sv.isNull(), F.lit("n")).otherwise(
-            F.concat(F.lit("v"), F.length(sv).cast("string"),
-                     F.lit(":"), sv))
-    s = F.concat_ws("|", *[cell(c) for c in cols])
-    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    h = _row_hash_col(cols)
     return (df.select(h.alias("__h"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.expr("bit_xor(__h)").alias("xor_hash"),
                  F.min("__h").alias("min_hash"),
                  F.max("__h").alias("max_hash")))
+
+
+def export_manifest(spark, path: str,
+                    cols: list[str] | None = None) -> DataFrame:
+    """Per-file manifest of a written parquet dataset → one row per
+    file ``(file, n_rows, xor_hash)`` plus :func:`dataset_fingerprint`
+    semantics within each file — the artifact a training run pins so a
+    re-export (or a single corrupted/rewritten shard) is detectable at
+    file granularity without re-reading everything downstream.
+
+    One pass over the dataset grouped by ``input_file_name()``
+    (map-side combined: one row per file per task).  ``cols`` defaults
+    to every column.  Compare manifests with ``operators.table_diff``
+    keyed on ``file``, or fold ``xor_hash`` across files for the
+    whole-dataset fingerprint (xor is associative).
+    """
+    df = spark.read.parquet(path)
+    cols = list(cols or df.columns)
+    h = _row_hash_col(cols)
+    return (df.select(F.input_file_name().alias("file"),
+                      h.alias("__h"))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(__h)").alias("xor_hash")))

@@ -223,3 +223,26 @@ def test_fingerprint_no_cross_column_shift_collision(spark):
     d = spark.createDataFrame([(None, "v1:x")], "x string, y string")
     assert dataset_fingerprint(c).first()["xor_hash"] \
         != dataset_fingerprint(d).first()["xor_hash"]
+
+
+def test_export_manifest(spark, tmp_path):
+    from cascalog_spark.functions.expectations import (dataset_fingerprint,
+                                                       export_manifest)
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(500)],
+                               "k int, v string")
+    path = str(tmp_path / "export")
+    df.repartition(4).write.parquet(path)
+    man = export_manifest(spark, path).collect()
+    assert len(man) == 4
+    assert sum(r["n_rows"] for r in man) == 500
+    # xor of per-file hashes folds to the whole-dataset fingerprint
+    folded = 0
+    for r in man:
+        folded ^= r["xor_hash"]
+    whole = dataset_fingerprint(spark.read.parquet(path)).first()
+    assert folded == whole["xor_hash"]
+    # a rewritten shard flips its row but not the others
+    man2 = {r["file"]: r["xor_hash"]
+            for r in export_manifest(spark, path).collect()}
+    assert man2 == {r["file"]: r["xor_hash"] for r in man}
