@@ -961,7 +961,8 @@ def curriculum_stages(df: DataFrame, score_col: str,
 def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 16,
                            bands: int = 4, shingle_k: int = 3,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           materialize: bool = True) -> DataFrame:
     """Contrastive training triplets from a raw corpus →
     ``(anchor_id, positive_id, negative_id)``: positives are MinHash-
     LSH near-dup pairs (the classic weak-supervision signal for
@@ -978,6 +979,15 @@ def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
     bounded fraction; rejection keeps the op one pass instead of a
     retry loop).  Shuffle cost: the LSH candidate join + two
     rank-binned windows + one rank equi-join + one anti-join.
+
+    ``materialize=True`` (default, the dsir_weights-style contract):
+    the result is EAGERLY localCheckpoint'ed so the LSH candidate
+    subtree (five consumers) and the id projection (four jobs) compute
+    once and their caches release inside the call — the returned frame
+    is then non-recomputable (executor loss after return cannot
+    rebuild it; write it out promptly).  ``materialize=False`` keeps
+    the full lazy lineage (safe under executor loss; explain() costs
+    nothing) at the price of recomputing the LSH join per consumer.
     """
     from .dedup import minhash_lsh_candidates
     from .window import global_running_total
@@ -995,22 +1005,23 @@ def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
     from pyspark import StorageLevel
 
     docs = df.select(F.col(id_col).alias("__nid"))
-    n_docs = docs.count()
     empty = df.select(F.col(id_col).alias("anchor_id"),
                       F.col(id_col).alias("positive_id"),
                       F.col(id_col).alias("negative_id")).limit(0)
-    if n_docs == 0:
-        return empty
-    # the LSH candidate subtree (signatures + band explode + self-join)
-    # is the dominant cost and feeds FIVE consumers (pr's two rank jobs,
-    # cand, both sym orientations) — persist it for the call's duration
-    # and hand back an eagerly materialized (and small: <= pair count)
-    # result so the cache can be released here
     pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm,
-                                   bands, shingle_k
-                                   ).persist(StorageLevel.MEMORY_AND_DISK)
+                                   bands, shingle_k)
+    if materialize:
+        # the LSH candidate subtree (signatures + band explode +
+        # self-join) feeds FIVE consumers (pr's two rank jobs, cand,
+        # both sym orientations) and the id projection feeds four
+        # (count + the rank pass's probe/totals/window) — persist both
+        # for the call's duration; the eager localCheckpoint below
+        # lets the caches release here
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        if pairs.count() == 0:
+        n_docs = docs.count()
+        if n_docs == 0 or (materialize and pairs.count() == 0):
             return empty
         pr = hrank(pairs, ["id_a", "id_b"], "__pr")
         dr = hrank(docs, ["__nid"], "__dr")
@@ -1032,6 +1043,8 @@ def mine_contrastive_pairs(df: DataFrame, id_col: str = "doc_id",
                    F.col("id_a").alias("negative_id"))))
         out = (cand.join(sym, ["anchor_id", "negative_id"], "left_anti")
                .select("anchor_id", "positive_id", "negative_id"))
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        pairs.unpersist()
+        if materialize:
+            pairs.unpersist()
+            docs.unpersist()

@@ -227,8 +227,10 @@ def _td_compress(ms, ws, compression: int):
     """Compress centroids to <= compression+1 clusters (numpy, fully
     vectorized): sort by mean, bucket by cumulative-weight-before /
     capacity, weighted-average each bucket.  Deterministic for a given
-    multiset of centroids (stable mean sort; equal means are
-    interchangeable under weighted averaging)."""
+    multiset of centroids: the lexsort on (mean, weight) is the
+    canonical order — tied-mean centroids with unequal weights are NOT
+    interchangeable under the cumweight bucketing, so a plain mean
+    sort would make results depend on input order."""
     import numpy as np
 
     ms = np.asarray(ms, dtype=np.float64)
@@ -302,8 +304,9 @@ def tdigest_agg_col(col, compression: int = 100):
 def tdigest_merge_col(col, compression: int = 100):
     """Grouped-agg Column merging sketch values (the ``[means,
     weights]`` wire format) into one sketch: concatenate all centroids,
-    re-compress.  Associative and order-insensitive up to centroid-mean
-    ties, which are interchangeable under weighted averaging.  Input
+    re-compress.  Order-insensitive: the compress re-sorts the
+    concatenated centroids into the canonical (mean, weight) order, so
+    the merge is a pure function of the centroid multiset.  Input
     rows are sketches (<= compression+1 centroids each), never raw
     data, so a year of daily sketches per key is ~36k doubles."""
     import pandas as pd

@@ -242,7 +242,39 @@ def test_export_manifest(spark, tmp_path):
         folded ^= r["xor_hash"]
     whole = dataset_fingerprint(spark.read.parquet(path)).first()
     assert folded == whole["xor_hash"]
-    # a rewritten shard flips its row but not the others
+    # recomputation is stable
     man2 = {r["file"]: r["xor_hash"]
             for r in export_manifest(spark, path).collect()}
     assert man2 == {r["file"]: r["xor_hash"] for r in man}
+    # per-file granularity is real: a different physical layout of the
+    # SAME rows yields a different per-file manifest whose xors still
+    # fold to the identical whole-dataset fingerprint
+    path2 = str(tmp_path / "export2")
+    df.repartition(7).write.parquet(path2)
+    man_b = export_manifest(spark, path2).collect()
+    assert len(man_b) == 7
+    folded_b = 0
+    for r in man_b:
+        folded_b ^= r["xor_hash"]
+    assert folded_b == folded
+    # and rewriting one shard flips exactly that file's row
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{path2}/part-*.parquet"))[0]
+    keep = spark.read.parquet(victim).limit(1)
+    tmp_out = str(tmp_path / "victim_rewrite")
+    keep.coalesce(1).write.parquet(tmp_out)
+    os.replace(glob.glob(f"{tmp_out}/part-*.parquet")[0], victim)
+    # the local-FS .crc sidecar still describes the OLD bytes
+    crc = os.path.join(os.path.dirname(victim),
+                       f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(path2)  # drop the stale listing cache
+    base = {r["file"]: r["xor_hash"] for r in man_b}
+    man_c = {r["file"]: r["xor_hash"]
+             for r in export_manifest(spark, path2).collect()}
+    diff = [f for f in base if man_c.get(f) != base[f]]
+    assert len(diff) == 1 and diff[0].endswith(
+        os.path.basename(victim)), diff
