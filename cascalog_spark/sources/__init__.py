@@ -1,4 +1,5 @@
 from .taps import (BinaryFileTap, BucketedTap, CascalogTap, CsvTap,
-                   DecodedTap, JdbcTap, JsonTap, MemoryTap, OrcTap,
+                   DecodedTap, FixedWidthTap, JdbcTap, JsonTap,
+                   MemoryTap, OrcTap,
                    ParquetTap, RangePartitionedTap,
                    SequenceFileTap, StdoutSink, TextLineTap, hfs_tap, lfs_tap)

@@ -404,3 +404,64 @@ class DecodedTap:
     def save_df(self, df: DataFrame) -> None:
         raise NotImplementedError("DecodedTap is a read-only source; encode "
                                   "with a map op and write the inner tap")
+
+
+@dataclass
+class FixedWidthTap(Tap):
+    """Fixed-width text records — the mainframe/COBOL-era legacy format
+    the Hadoop stacks the reference targeted ingest constantly (SURVEY
+    §2.1's delimited-tap family, minus the delimiter).  ``columns``
+    maps name → (start, length), 0-based character offsets; values are
+    trimmed and cast to ``types[name]`` (default string).  Reading is
+    one native substring/trim/cast projection over ``spark.read.text``
+    — no UDF, whole-stage codegen applies; short lines yield NULLs
+    (substring past the end is empty → NULL after trim-to-null).
+
+    Writing pads/truncates each column to its width (rpad+substr) and
+    concatenates — round-trip safe for in-width values.
+    """
+
+    fmt: str = "text"
+    columns: Optional[dict] = None   # name -> (start, length)
+    types: Optional[dict] = None     # name -> spark type string
+
+    def _spec(self):
+        if not self.columns:
+            raise ValueError("FixedWidthTap: columns must map "
+                             "name -> (start, length)")
+        return {n: (int(s), int(ln))
+                for n, (s, ln) in self.columns.items()}
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        spec = self._spec()  # validate before the eager path resolve
+        raw = (spark.read.format("text")
+               .options(**self.read_options).load(self.path))
+        cols = []
+        for name, (start, length) in spec.items():
+            c = F.trim(F.substring(F.col("value"), start + 1, length))
+            c = F.when(c == "", None).otherwise(c)
+            typ = (self.types or {}).get(name)
+            if typ:
+                c = c.cast(typ)
+            cols.append(c.alias(name))
+        df = raw.select(*cols)
+        if self.fields:
+            df = df.select(*self.fields)
+        return df
+
+    def save_df(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        spec = self._spec()
+        ordered = sorted(spec.items(), key=lambda kv: kv[1][0])
+        parts = []
+        for name, (start, length) in ordered:
+            s = F.coalesce(F.col(name).cast("string"), F.lit(""))
+            parts.append(F.substring(F.rpad(s, length, " "), 1, length))
+        line = F.concat(*parts).alias("value")
+        (df.select(line).write.format("text")
+         .options(**self.write_options)
+         .mode(SINKMODES.get(self.sinkmode, self.sinkmode))
+         .save(self.path))

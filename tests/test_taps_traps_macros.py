@@ -817,3 +817,41 @@ def test_trap_isolation_outer_trap_does_not_catch_inner(spark):
                 tuple(r) for r in df.collect()))
     assert q(["?n"], (sq2, "?n")).run(spark) == [(2,)]
     assert len(inner_trapped) == 1 and 1 in inner_trapped[0]
+
+
+def test_fixed_width_tap_roundtrip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cascalog_spark.sources import FixedWidthTap
+
+    cols = {"id": (0, 6), "name": (6, 10), "qty": (16, 4)}
+    tap = FixedWidthTap(path=str(tmp_path / "fw"), columns=cols,
+                        types={"id": "long", "qty": "int"})
+    df = spark.createDataFrame([
+        Row(id=1, name="widget", qty=12),
+        Row(id=23456, name="gadgetron", qty=7),
+        Row(id=9, name=None, qty=None),
+    ])
+    tap.save_df(df)
+    # the raw lines really are fixed-width
+    lines = [r["value"] for r in
+             spark.read.text(str(tmp_path / "fw")).collect()]
+    assert all(len(ln) == 20 for ln in lines)
+    back = {r["id"]: (r["name"], r["qty"])
+            for r in tap.load_df(spark).collect()}
+    assert back[1] == ("widget", 12)
+    assert back[23456] == ("gadgetron", 7)
+    assert back[9] == (None, None)  # blanks -> NULL
+    # short lines read as NULL tails, and the read is pure native
+    (tmp_path / "short").mkdir()
+    (tmp_path / "short" / "data.txt").write_text("42\n")
+    short = FixedWidthTap(path=str(tmp_path / "short"), columns=cols,
+                          types={"id": "long"})
+    r = short.load_df(spark).first()
+    assert r["id"] == 42 and r["name"] is None and r["qty"] is None
+    plan = tap.load_df(spark)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    import pytest as _p
+    with _p.raises(ValueError, match="columns"):
+        FixedWidthTap(path="x").load_df(spark)
