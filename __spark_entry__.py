@@ -2345,6 +2345,31 @@ def embedding_cluster_profile(spark, sf_dir):
     return cluster_profile(emb, n_clusters=16)
 
 
+def lineitem_fixed_width_roundtrip(spark, sf_dir):
+    """FixedWidthTap end-to-end (sources/taps.py): lineitem key/flag
+    columns written as fixed-width text records and read back through
+    the native substring/trim/cast projection, then aggregated — the
+    oracle aggregates the original table directly, so any width,
+    padding, trim, or cast defect breaks the hash."""
+    import tempfile
+
+    from cascalog_spark.sources import FixedWidthTap
+
+    tap = FixedWidthTap(
+        path=tempfile.mkdtemp(prefix="cascalog_fw_") + "/li",
+        columns={"l_orderkey": (0, 12), "l_linenumber": (12, 2),
+                 "l_returnflag": (14, 1), "l_linestatus": (15, 1)},
+        types={"l_orderkey": "long", "l_linenumber": "int"})
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    tap.save_df(li)
+    back = tap.load_df(spark)
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_orderkey").alias("sum_ok"),
+                 F.sum("l_linenumber").alias("sum_ln")))
+
+
 def events_stream_gate(spark, sf_dir):
     """Streaming expectation gate (streaming/ingest.py
     stream_expectation_gate): two replayed micro-batches — one passing
@@ -3270,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_incremental_join": events_rollup_incremental_join,
         "doc_unicode_normalize": doc_unicode_normalize,
         "events_stream_gate": events_stream_gate,
+        "lineitem_fixed_width_roundtrip": lineitem_fixed_width_roundtrip,
         # never-checked entries demoted past the head-50 to make room
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
@@ -4640,6 +4666,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
             SELECT count(*) AS n_rows, bit_xor(hv) AS xor_hash,
                    min(hv) AS min_hash, max(hv) AS max_hash FROM h""",
+        "lineitem_fixed_width_roundtrip": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+                   CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+            FROM lineitem GROUP BY 1, 2""",
         "events_stream_gate": """
             WITH b AS (SELECT CASE WHEN value <= 300 THEN 0 ELSE 1 END
                          AS batch, value FROM events),
