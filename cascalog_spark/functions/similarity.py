@@ -728,3 +728,128 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
             .where(F.col("__rn2") <= k)
             .select(F.col("__qid").alias(query_id_col), F.col(id_col),
                     "sim"))
+
+
+def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      query_vec_col: str = "embedding",
+                      lsh_planes: tuple = (4, 8),
+                      ivf_probes: tuple = (1, 2, 4),
+                      n_centroids: int = 16, seed: int = 42,
+                      centroids: list[tuple[int, list[float]]] | str | None
+                      = None) -> DataFrame:
+    """Recall@k tuning report for the ANN family: for each candidate
+    configuration (LSH with p planes, IVF with n_probe probed cells),
+    how much of the exact brute-force top-k does the approximate path
+    recover, and what fraction of the index did it have to score?
+
+    Returns one row per configuration:
+    ``(method, param, recall_at_k, scan_frac)`` — ``recall_at_k`` is the
+    query-set mean of |ANN top-k ∩ exact top-k| / k, ``scan_frac`` the
+    mean fraction of index rows admitted as candidates.  The tuning loop
+    the dedup family already has (``dedup_quality_report``): a too-low
+    ``n_probe``/too-many-planes setting shows up as recall collapsing
+    while scan_frac shrinks.
+
+    Fully deterministic (same planes/centroids/tie-breaks as the ANN ops
+    themselves — ids break all ties), so the report is oracle-checkable.
+    Ground truth is ONE exact ``knn_join`` pass (broadcast query batch,
+    zero corpus shuffle) materialized via localCheckpoint at q·k rows;
+    each configuration then costs one candidate equi-join over the index
+    plus O(q) aggregates.  Nothing corpus-sized is collected, shuffled
+    globally, or recomputed per configuration — at 100 TB this is the
+    same plan shape as the production ANN paths it is tuning.
+    """
+    from .util import explode_fast
+
+    vec = F.col(vec_col).cast("array<double>")
+    idx = (index.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col), vec.alias("__v"),
+                   norm_col(vec).alias("__nrm")))
+    qv = F.col(query_vec_col).cast("array<double>")
+    qside = (queries.where(F.col(query_vec_col).isNotNull())
+             .select(F.col(query_id_col).alias("__qid"), qv.alias("__qv"),
+                     norm_col(qv).alias("__qnrm")))
+    dim_row = qside.select(F.size("__qv").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("ann_recall_report: empty query set")
+    dim = dim_row["d"]
+
+    # exact ground truth, once (q·k rows — eagerly materialized so the
+    # per-config branches below never re-run the exact scan)
+    truth = (knn_join(idx.select(F.col(id_col),
+                                 F.col("__v").alias(vec_col)),
+                      qside.select(F.col("__qid").alias(query_id_col),
+                                   F.col("__qv").alias(query_vec_col)),
+                      k=k, id_col=id_col, vec_col=vec_col,
+                      query_id_col=query_id_col,
+                      query_vec_col=query_vec_col)
+             .select(F.col(query_id_col).alias("__qid"), F.col(id_col))
+             .localCheckpoint())
+    qids = qside.select("__qid")
+    n_index = idx.agg(F.count(F.lit(1)).cast("double").alias("__ni"))
+
+    def _config_row(cand: DataFrame, method: str, param: int) -> DataFrame:
+        """cand: (__qid, id_col, sim) candidates with exact rounded sims."""
+        w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(),
+                                                F.col(id_col).asc())
+        ann = (cand.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).select("__qid", id_col))
+        hits = (ann.join(truth, on=["__qid", id_col])
+                .groupBy("__qid").agg(F.count(F.lit(1)).alias("__h")))
+        ncand = cand.groupBy("__qid").agg(F.count(F.lit(1)).alias("__nc"))
+        return (qids.join(hits, on="__qid", how="left")
+                .join(ncand, on="__qid", how="left")
+                .crossJoin(F.broadcast(n_index))
+                .agg(F.round(F.avg(F.coalesce(F.col("__h"), F.lit(0))
+                                   / F.lit(float(k))), 6)
+                     .alias("recall_at_k"),
+                     F.round(F.avg(F.coalesce(F.col("__nc"), F.lit(0))
+                                   / F.col("__ni")), 6).alias("scan_frac"))
+                .select(F.lit(method).alias("method"),
+                        F.lit(param).alias("param"),
+                        "recall_at_k", "scan_frac"))
+
+    rows: list[DataFrame] = []
+    sim = F.round(dot_col(F.col("__v"), F.col("__qv"))
+                  / (F.col("__nrm") * F.col("__qnrm")), 6).alias("sim")
+    for p in lsh_planes:
+        planes = _hyperplanes(dim, int(p), seed)
+        cand = (idx.withColumn("__sig",
+                               lsh_signature_col(F.col("__v"), planes))
+                .join(qside.withColumn(
+                    "__sig", lsh_signature_col(F.col("__qv"), planes)),
+                    on="__sig")
+                .select("__qid", F.col(id_col), sim))
+        rows.append(_config_row(cand, "lsh", int(p)))
+
+    if ivf_probes:
+        cents = _resolve_centroids(centroids, index, id_col, vec_col,
+                                   n_centroids)
+
+        def _unit(v):
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            return [x / n for x in v]
+
+        entries = F.array(*[
+            F.struct((-dot_col(F.col("__qv"), _lit_arr(_unit(cv))))
+                     .alias("negsim"), F.lit(cid).alias("cid"))
+            for cid, cv in cents])
+        assigned = idx.withColumn(
+            "__cell", ivf_assign_col(F.col("__v"), cents))
+        for np_ in ivf_probes:
+            probes = F.transform(F.slice(F.array_sort(entries), 1,
+                                         int(np_)), lambda s: s["cid"])
+            qcells = explode_fast(
+                qside.withColumn("__probes", probes),
+                F.col("__probes"), "__cell").select(
+                    "__qid", "__qv", "__qnrm", "__cell")
+            cand = (assigned.join(qcells, on="__cell")
+                    .select("__qid", F.col(id_col), sim))
+            rows.append(_config_row(cand, "ivf", int(np_)))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method", "param")

@@ -2670,3 +2670,39 @@ def test_normalize_unicode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bad form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_ann_recall_report_flags_weak_configs(emb):
+    """The tuning loop: exact ground truth vs LSH/IVF configs.  A
+    too-small n_probe (or too many planes) must be VISIBLY flagged —
+    recall collapses alongside scan_frac — and adding probes can only
+    help (candidate sets are nested by construction)."""
+    from cascalog_spark.functions import ann_recall_report
+
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rep = {(r["method"], r["param"]): r
+           for r in ann_recall_report(
+               emb, qs, k=5, lsh_planes=(4, 10), ivf_probes=(1, 4, 16),
+               n_centroids=16).collect()}
+    assert len(rep) == 5
+    for r in rep.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 <= r["scan_frac"] <= 1.0
+    # probing ALL 16 cells IS brute force — recall must be exactly 1
+    assert rep[("ivf", 16)]["recall_at_k"] == 1.0
+    assert rep[("ivf", 16)]["scan_frac"] == 1.0
+    # nested candidate sets: recall and scan_frac monotone in n_probe
+    assert (rep[("ivf", 1)]["recall_at_k"]
+            <= rep[("ivf", 4)]["recall_at_k"]
+            <= rep[("ivf", 16)]["recall_at_k"])
+    assert (rep[("ivf", 1)]["scan_frac"]
+            < rep[("ivf", 4)]["scan_frac"]
+            < rep[("ivf", 16)]["scan_frac"])
+    # the weak config is visible: 10 planes shrink the probed bucket to
+    # ~1/1024 of the index and recall drops below the 4-plane setting
+    assert rep[("lsh", 10)]["scan_frac"] < rep[("lsh", 4)]["scan_frac"]
+    assert rep[("lsh", 10)]["recall_at_k"] <= rep[("lsh", 4)]["recall_at_k"]
+    # every query finds itself in its own signature bucket, so even the
+    # weak config keeps recall strictly positive (queries ⊂ index)
+    assert rep[("lsh", 10)]["recall_at_k"] > 0.0
