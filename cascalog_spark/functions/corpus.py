@@ -149,9 +149,12 @@ def bloom_contains(words: list, value_col, n_bits: int = 1 << 20,
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    w = np.asarray(words, dtype=np.uint64)
+    # words are signed bit_or outputs; negative int -> uint64 coercion is
+    # deprecated in numpy (would raise after an upgrade) — go through an
+    # int64 array and reinterpret the bits
+    w = np.asarray(words, dtype=np.int64).view(np.uint64)
 
     def _probe(*pos_cols):
         out = np.ones(len(pos_cols[0]), dtype=bool)
@@ -161,8 +164,12 @@ def bloom_contains(words: list, value_col, n_bits: int = 1 << 20,
             out &= bits.astype(bool)
         return pd.Series(out)
 
-    # explicit eval type: the inference path can't type *args kernels
-    probe = pandas_udf(_probe, T.BooleanType(), PandasUDFType.SCALAR)
+    # type-hint-style eval-type inference (the PandasUDFType form is
+    # deprecated); live objects, not strings — this module's
+    # `from __future__ import annotations` would stringify inline hints
+    # beyond what the inference can resolve for a *args kernel
+    _probe.__annotations__ = {"pos_cols": pd.Series, "return": pd.Series}
+    probe = pandas_udf(_probe, T.BooleanType())
     positions = [F.pmod(F.xxhash64(value_col, F.lit(j)), F.lit(n_bits))
                  for j in range(n_hashes)]
     return probe(*positions)

@@ -418,7 +418,13 @@ class FixedWidthTap(Tap):
     (substring past the end is empty → NULL after trim-to-null).
 
     Writing pads/truncates each column to its width (rpad+substr) and
-    concatenates — round-trip safe for in-width values.
+    concatenates in offset order — round-trip safe for in-width values.
+    Layout contract on the WRITE side: declared fields may leave gaps
+    (fillers), which are emitted as spaces so every field lands at its
+    declared offset, but may not OVERLAP (two fields claiming the same
+    character have no single serialization — ``save_df`` raises).
+    Reading tolerates any offsets, including overlapping fields (e.g. a
+    composite key read alongside its parts).
     """
 
     fmt: str = "text"
@@ -429,8 +435,14 @@ class FixedWidthTap(Tap):
         if not self.columns:
             raise ValueError("FixedWidthTap: columns must map "
                              "name -> (start, length)")
-        return {n: (int(s), int(ln))
+        spec = {n: (int(s), int(ln))
                 for n, (s, ln) in self.columns.items()}
+        for n, (s, ln) in spec.items():
+            if s < 0 or ln <= 0:
+                raise ValueError(
+                    f"FixedWidthTap: field {n!r} needs start >= 0 and "
+                    f"length > 0, got (start={s}, length={ln})")
+        return spec
 
     def load_df(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import functions as F
@@ -457,9 +469,21 @@ class FixedWidthTap(Tap):
         spec = self._spec()
         ordered = sorted(spec.items(), key=lambda kv: kv[1][0])
         parts = []
+        pos = 0  # next unwritten character offset
+        prev_name = None
         for name, (start, length) in ordered:
+            if start < pos:
+                raise ValueError(
+                    f"FixedWidthTap: field {name!r} at (start={start}, "
+                    f"length={length}) overlaps {prev_name!r} — "
+                    "overlapping fields cannot be serialized; fix the "
+                    "spec")
+            if start > pos:  # declared gap -> space filler at the
+                parts.append(F.lit(" " * (start - pos)))  # right offset
             s = F.coalesce(F.col(name).cast("string"), F.lit(""))
             parts.append(F.substring(F.rpad(s, length, " "), 1, length))
+            pos = start + length
+            prev_name = name
         line = F.concat(*parts).alias("value")
         (df.select(line).write.format("text")
          .options(**self.write_options)

@@ -187,8 +187,18 @@ def read_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     event volume that produced them."""
     from ..functions.rollup import merge_rollups
 
-    if not os.path.isdir(agg_dir) or not any(
-            e.startswith("batch=") for e in os.listdir(agg_dir)):
+    if not os.path.isdir(agg_dir):
+        # a missing agg_dir with a .compact.old sibling is NOT "no
+        # batches yet" — it's a compaction that crashed mid-swap; say so
+        # instead of silently reading the standing aggregate as empty
+        if os.path.isdir(agg_dir.rstrip("/") + ".compact.old"):
+            raise RuntimeError(
+                f"read_rollup: {agg_dir} is missing but a .compact.old "
+                "sibling exists — a compact_rollup crashed between "
+                "renames; re-run compact_rollup (it auto-recovers) "
+                "before reading")
+        return None
+    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
         return None
     parts = spark.read.parquet(agg_dir).drop("batch")
     return merge_rollups([parts], keys, spec)
@@ -202,17 +212,29 @@ def compact_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     one).  Crash-safe ordering: the merged base is written to a sibling
     tmp dir first, the old dir is moved aside, the tmp renamed in, and
     the old dir removed — any crash leaves a recoverable directory,
-    never a double-counting mix of merged and unmerged partials."""
+    never a double-counting mix of merged and unmerged partials — and
+    re-running this function auto-recovers any leftover state (a crash
+    between the two renames leaves no ``agg_dir``; the pre-compaction
+    data is restored from ``.compact.old`` before compacting again)."""
     import shutil
 
+    tmp = agg_dir.rstrip("/") + ".compact.tmp"
+    old = agg_dir.rstrip("/") + ".compact.old"
+    if os.path.isdir(old):
+        if os.path.isdir(agg_dir):
+            # crashed after the tmp->agg_dir rename: agg_dir is the
+            # compacted base; old is the superseded pre-compaction copy
+            shutil.rmtree(old)
+        else:
+            # crashed between renames: restore the pre-compaction dir
+            # (tmp holds the same merged content, but restoring the
+            # original and re-merging is the conservative replay)
+            os.rename(old, agg_dir)
     merged = read_rollup(spark, agg_dir, keys, spec)
     if merged is None:
         return
-    tmp = agg_dir.rstrip("/") + ".compact.tmp"
-    old = agg_dir.rstrip("/") + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(f"{tmp}/batch=0")
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(agg_dir, old)
     os.rename(tmp, agg_dir)
     shutil.rmtree(old)
@@ -314,12 +336,19 @@ def stream_expectation_gate(stream_df: DataFrame, rules: dict,
     qdir = quarantine_dir or (out_dir.rstrip("/") + ".bad")
 
     def _step(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         report = check_expectations(batch, rules).localCheckpoint()
         (report.write.mode("overwrite")
          .parquet(f"{report_dir}/batch={batch_id}"))
         ok = report.agg(
             F.min(F.col("passed").cast("int"))).first()[0]
-        dest = out_dir if ok == 1 else qdir
+        dest, other = (out_dir, qdir) if ok == 1 else (qdir, out_dir)
+        # ROUTING must be idempotent, not just the write: a batch
+        # replayed after a rules change would otherwise leave its old
+        # copy under the previously-chosen dest while the new copy lands
+        # in the other dir — readers unioning both would double-count it
+        shutil.rmtree(f"{other}/batch={batch_id}", ignore_errors=True)
         (batch.write.mode("overwrite")
          .parquet(f"{dest}/batch={batch_id}"))
 

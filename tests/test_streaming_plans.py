@@ -824,3 +824,97 @@ def test_stream_expectation_gate_routes_batches(spark, sf_dir, tmp_path):
     assert got0 == want0
     with pytest.raises(ValueError, match="non-empty"):
         stream_expectation_gate(raw, {}, "x", "y")
+
+def test_compact_rollup_crash_recovery(spark, sf_dir, tmp_path):
+    """A compaction crash between the two directory renames leaves no
+    agg_dir — read_rollup must refuse to read that as 'no batches yet'
+    (silent empty aggregate), and re-running compact_rollup must
+    auto-recover to the exact pre-crash merged result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions.rollup import aggregate_rollup
+    from cascalog_spark.streaming import compact_rollup, read_rollup
+
+    spec = {"n": ("count",), "sv": ("sum", "value")}
+    keys = ["event_type"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value")
+    agg_dir = str(tmp_path / "agg")
+    for bid, half in enumerate([ev.where("event_id % 2 = 0"),
+                                ev.where("event_id % 2 = 1")]):
+        (aggregate_rollup(half, keys, spec).write
+         .mode("overwrite").parquet(f"{agg_dir}/batch={bid}"))
+
+    def canon(df):
+        return {r["event_type"]: (r["n"], round(r["sv"], 6))
+                for r in df.collect()}
+
+    expected = canon(ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")))
+    assert canon(read_rollup(spark, agg_dir, keys, spec)) == expected
+
+    # simulate the crash window: merged tmp written, agg_dir moved
+    # aside, process dies before tmp -> agg_dir
+    tmp, old = agg_dir + ".compact.tmp", agg_dir + ".compact.old"
+    (read_rollup(spark, agg_dir, keys, spec).write
+     .mode("overwrite").parquet(f"{tmp}/batch=0"))
+    os.rename(agg_dir, old)
+    with pytest.raises(RuntimeError, match="compact_rollup crashed"):
+        read_rollup(spark, agg_dir, keys, spec)
+    compact_rollup(spark, agg_dir, keys, spec)  # auto-recovers
+    assert os.path.isdir(agg_dir) and not os.path.isdir(old)
+    assert not os.path.isdir(tmp)
+    assert len([e for e in os.listdir(agg_dir)
+                if e.startswith("batch=")]) == 1
+    assert canon(read_rollup(spark, agg_dir, keys, spec)) == expected
+
+    # crash AFTER the second rename (old left behind): stale old is
+    # swept, the standing aggregate is untouched
+    shutil.copytree(agg_dir, old)
+    compact_rollup(spark, agg_dir, keys, spec)
+    assert not os.path.isdir(old)
+    assert canon(read_rollup(spark, agg_dir, keys, spec)) == expected
+
+
+def test_stream_expectation_gate_reroute_idempotent(spark, sf_dir,
+                                                    tmp_path):
+    """Replaying a batch id after a rules change must MOVE the batch,
+    not fork it: the copy under the previously-chosen destination is
+    deleted, so readers unioning out/ and quarantine/ never
+    double-count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.streaming import stream_expectation_gate
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value").where(F.col("value") > 0)
+    src = stage_file_batches([ev])
+    out, qdir, rep = (str(tmp_path / "out"), str(tmp_path / "bad"),
+                      str(tmp_path / "rep"))
+
+    def run(rules, ckpt):
+        raw = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", "1")
+               .option("pathGlobFilter", "batch*.parquet").parquet(src))
+        sq = stream_expectation_gate(
+            raw, rules, out_dir=out, report_dir=rep,
+            quarantine_dir=qdir,
+            checkpoint_dir=str(tmp_path / ckpt), query_name="regate")
+        assert sq.awaitTermination(300)
+
+    # strict rules: the batch fails -> quarantine
+    run({"impossible": "value < 0"}, "ckpt1")
+    assert os.path.isdir(f"{qdir}/batch=0")
+    assert not os.path.isdir(f"{out}/batch=0")
+    # rules relaxed, fresh checkpoint replays batch 0 -> out; the stale
+    # quarantine copy must be gone
+    run({"pos": "value > 0"}, "ckpt2")
+    assert os.path.isdir(f"{out}/batch=0")
+    assert not os.path.isdir(f"{qdir}/batch=0")
+    assert (spark.read.parquet(out).count() == ev.count())

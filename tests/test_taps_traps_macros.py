@@ -855,3 +855,45 @@ def test_fixed_width_tap_roundtrip(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="columns"):
         FixedWidthTap(path="x").load_df(spark)
+
+def test_fixed_width_tap_gap_and_overlap(spark, tmp_path):
+    """Filler-field layouts (gaps between declared offsets) must write
+    every field at its DECLARED offset — the advisor repro had
+    qty=(8,4) after id=(0,4) silently landing at offset 4 and
+    round-tripping to NULL; overlapping fields must raise instead of
+    silently corrupting."""
+    import pytest as _p
+    from pyspark.sql import Row
+
+    from cascalog_spark.sources import FixedWidthTap
+
+    gap = FixedWidthTap(path=str(tmp_path / "gap"),
+                        columns={"id": (0, 4), "qty": (8, 4)},
+                        types={"id": "long", "qty": "int"})
+    gap.save_df(spark.createDataFrame([Row(id=7, qty=34)]))
+    lines = [r["value"] for r in
+             spark.read.text(str(tmp_path / "gap")).collect()]
+    assert lines == ["7       34  "]  # filler spaces at [4, 8)
+    back = gap.load_df(spark).first()
+    assert back["id"] == 7 and back["qty"] == 34
+    # leading gap (record starts with a filler) also lands on-offset
+    lead = FixedWidthTap(path=str(tmp_path / "lead"),
+                         columns={"qty": (3, 4)}, types={"qty": "int"})
+    lead.save_df(spark.createDataFrame([Row(qty=5)]))
+    raw = spark.read.text(str(tmp_path / "lead")).first()["value"]
+    assert raw == "   5   "
+    assert lead.load_df(spark).first()["qty"] == 5
+    # overlap: no single serialization exists -> loud error, names both
+    bad = FixedWidthTap(path=str(tmp_path / "bad"),
+                        columns={"a": (0, 4), "b": (2, 4)})
+    with _p.raises(ValueError, match="overlaps 'a'"):
+        bad.save_df(spark.createDataFrame([Row(a="x", b="y")]))
+    # overlapping READS stay legal (composite + parts)
+    (tmp_path / "ov").mkdir()
+    (tmp_path / "ov" / "d.txt").write_text("abcdef\n")
+    ov = FixedWidthTap(path=str(tmp_path / "ov"),
+                       columns={"all": (0, 6), "mid": (2, 2)})
+    r = ov.load_df(spark).first()
+    assert r["all"] == "abcdef" and r["mid"] == "cd"
+    with _p.raises(ValueError, match="length > 0"):
+        FixedWidthTap(path="x", columns={"z": (0, 0)}).load_df(spark)
