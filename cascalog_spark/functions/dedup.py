@@ -356,26 +356,32 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iter: int = 20,
-                   method: str = "label") -> DataFrame:
+                   method: str = "star") -> DataFrame:
     """Connected components over near-dup candidate pairs →
     ``(node, cluster)`` with cluster = min id in the component — the step
     that turns pairwise candidates into keep/drop decisions (keep one doc
     per cluster).
 
-    ``method='label'`` (default): distributed min-label propagation — each
-    node takes the min label among itself and its neighbors; iterate to
-    fixed point.  Rounds = O(graph diameter), typically 2-4 for near-dup
-    clusters; convergence detected by the strictly-decreasing label sum
-    (one cheap scalar agg per round, no row-wise diff join); each round
-    localCheckpoints to cut lineage — nothing ever collects to the driver.
+    ``method='star'`` (default): alternating large-star/small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — O(log n) rounds regardless of topology, so
+    CHAIN-shaped dup clusters (A~B~C~... transitive near-dup chains in
+    web-scale corpora) cannot blow the round count.  Default since r6:
+    label propagation's O(diameter) rounds were the last scale-risky
+    default in the dedup family; the two methods are equivalence-tested
+    on random graphs and the star path carries a log₂ round-count gate.
 
-    ``method='star'``: alternating large-star/small-star contraction
-    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
-    — O(log n) rounds regardless of diameter, the safe choice when dup
-    clusters can be CHAIN-shaped (A~B~C~... transitive near-dup chains in
-    web-scale corpora), where label propagation would need diameter
-    rounds.  Same output contract; both methods leave the round count on
-    the result as ``_cc_rounds``.
+    ``method='label'``: distributed min-label propagation — each node
+    takes the min label among itself and its neighbors; iterate to fixed
+    point.  Rounds = O(graph diameter) (typically 2-4 for blob-shaped
+    near-dup clusters — slightly cheaper per round than star when the
+    diameter is KNOWN small); convergence detected by the
+    strictly-decreasing label sum (one cheap scalar agg per round, no
+    row-wise diff join); each round localCheckpoints to cut lineage —
+    nothing ever collects to the driver.
+
+    Same output contract; both methods leave the round count on the
+    result as ``_cc_rounds``.
     """
     if method == "star":
         return _dedup_clusters_star(pairs, id_a, id_b, max_iter)
@@ -583,7 +589,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 def near_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_perm: int = 16, bands: int = 4,
                shingle_k: int = 3, max_iter: int = 20,
-               cc_method: str = "label", keep: str = "min",
+               cc_method: str = "star", keep: str = "min",
                score_col: str | None = None) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the composition a corpus
     pipeline actually runs: MinHash-LSH candidate pairs → connected
@@ -597,16 +603,16 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     high-id ones.
 
     Scale shape: inherits the bucketed candidate join (never all-pairs)
-    and the iterative min-label propagation (localCheckpoint per round,
-    nothing collected); the final keep/drop is one anti-join against the
-    (small) non-representative id set — at 100 TB that set is the
+    and the O(log n)-round star-contraction component step (default
+    since r6 — chain-shaped dup clusters can't blow the round count;
+    ``cc_method='label'`` restores min-label propagation for graphs with
+    KNOWN-small diameter); the final keep/drop is one anti-join against
+    the (small) non-representative id set — at 100 TB that set is the
     duplicate fraction only, not the corpus.  ``keep='best'`` adds one
     equi-join of the cluster map against the corpus scores plus a
     per-cluster max-struct aggregate — both keyed on cluster members, so
     the extra cost also scales with the duplicate fraction, not the
-    corpus.  ``cc_method='star'`` switches the component step to
-    O(log n)-round large/small-star contraction for corpora where dup
-    clusters can be chain-shaped."""
+    corpus."""
     if keep not in ("min", "best"):
         raise ValueError(f"near_dedup: keep must be 'min' or 'best', "
                          f"got {keep!r}")

@@ -37,7 +37,7 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
                             id_col: str, text_col: str = "text",
                             num_perm: int = 16, bands: int = 4,
                             shingle_k: int = 3, max_iter: int = 20,
-                            cc_method: str = "label",
+                            cc_method: str = "star",
                             ) -> tuple[DataFrame, DataFrame]:
     """One ingest step, batch-land: returns ``(survivors, new_index_rows)``.
 
@@ -82,7 +82,7 @@ def stream_near_dedup_ingest(stream_df: DataFrame, out_dir: str,
                              text_col: str = "text",
                              num_perm: int = 16, bands: int = 4,
                              shingle_k: int = 3, max_iter: int = 20,
-                             cc_method: str = "label",
+                             cc_method: str = "star",
                              checkpoint_dir: Optional[str] = None,
                              query_name: str = "near_dedup_ingest"):
     """Run :func:`ingest_batch_near_dedup` as a ``foreachBatch`` streaming
