@@ -5,13 +5,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full materialization via the noop sink (no driver
 collect of results; the two ANN queries do fetch their query vector via a
-driver round-trip first — that lookup is part of the operation, no disk write) so the measured time is the real plan execution.
+driver round-trip first — that lookup is part of the operation, no disk
+write) so the measured time is the real plan execution.
+
+ISOLATION (default since r6): each entry runs in its OWN driver JVM
+(a subprocess re-invoking this script with --entry), warmed and timed
+alone.  Two whole r5 verdict sections went to explaining why in-suite
+numbers drifted from isolated ones — driver-JVM aging (ContextCleaner
+frees shuffle state only on GC), cross-entry storage contention, and
+cache interleaving; per-entry JVMs remove the entire mechanism class
+instead of footnoting it.  ``--in-suite`` restores the shared-JVM
+sweep (faster; useful while iterating on one entry's plan).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -78,10 +89,13 @@ BENCH_QUERIES = [
     "events_rollup_incremental",
     "embedding_cluster_profile",
     "orders_profile",
+    # round-6 entry: ANN tuning report (exact knn_join ground truth +
+    # LSH/IVF candidate joins + per-config recall aggregates)
+    "embedding_ann_recall",
 ]
 
 
-def main() -> None:
+def _session():
     from pyspark.sql import SparkSession
 
     spark = (
@@ -93,72 +107,120 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def _run_once(spark, qs, name):
+    df = qs[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    # release every advertised cache handle, then clear whatever a
+    # query persisted without a handle: entries are independent, so
+    # any frame still cached after the action is a cross-query
+    # storage leak (see BASELINE.md round-5 bench-hygiene note)
+    for handle in ("_prefix_scan_cache", "_cosine_sig_cache",
+                   "_tfidf_cache"):
+        cache = getattr(df, handle, None)
+        if cache is not None:
+            cache.unpersist()
+    spark.catalog.clearCache()
+    # ContextCleaner only deletes dead shuffle files/broadcasts when
+    # the DRIVER JVM garbage-collects; one explicit GC per entry keeps
+    # even the in-suite JVM young.
+    spark.sparkContext._jvm.System.gc()
+
+
+def _arg(flag: str, default: int) -> int:
+    if flag in sys.argv:
+        return int(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
+def _bench_entry(name: str, n_pass: int, n_warm: int) -> float:
+    """Warm + time ONE entry in this JVM; returns min-of-n seconds."""
     import __spark_entry__ as entry_mod
 
+    spark = _session()
     qs = entry_mod.queries()
-    # untimed warmup: a FULL suite pass, not one token query — JVM JIT /
-    # whole-stage-codegen compile / Arrow spin-up are per-plan-shape costs
-    # and take 2-3 executions to reach steady state (measured: q1 1.33s
-    # cold → 0.47s by pass 3).  Suite-head queries were paying the whole
-    # ramp; every timed pass below now runs against warm plan shapes.
-    def run_once(name):
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        # release every advertised cache handle, then clear whatever a
-        # query persisted without a handle: entries are independent, so
-        # any frame still cached after the action is a cross-query
-        # storage leak — with 33 suite entries x 3 passes the stacked
-        # leaks evict each other and the persist-heavy entries (dsir,
-        # semantic_dedup, exact_substring) read 1.5-2x slower than
-        # isolated (measured; see BASELINE.md round-5 bench-hygiene note)
-        for handle in ("_prefix_scan_cache", "_cosine_sig_cache",
-                       "_tfidf_cache"):
-            cache = getattr(df, handle, None)
-            if cache is not None:
-                cache.unpersist()
-        spark.catalog.clearCache()
-        # ContextCleaner only deletes dead shuffle files/broadcasts when
-        # the DRIVER JVM garbage-collects; a long single-JVM suite ages
-        # (tail entries read 1.5-2x slower as tmp shuffle state piles
-        # up).  One explicit GC per entry keeps the JVM young.
-        spark.sparkContext._jvm.System.gc()
+    # untimed warmup passes: JVM JIT / whole-stage-codegen compile /
+    # Arrow spin-up are per-plan-shape costs and take 2-3 executions to
+    # reach steady state (measured: q1 1.33s cold -> 0.47s by pass 3)
+    for _ in range(n_warm):
+        _run_once(spark, qs, name)
+    best = None
+    for _ in range(n_pass):
+        t0 = time.perf_counter()
+        _run_once(spark, qs, name)
+        el = round(time.perf_counter() - t0, 3)
+        best = el if best is None else min(best, el)
+    spark.stop()
+    return best
 
-    for name in BENCH_QUERIES:
-        run_once(name)
 
-    # min of N warm passes per query (default 2, --repeat N for more): the
-    # host is multi-tenant and load spikes dominate single-shot wall
-    # clock; min-of-n is the standard noise-robust estimator for short
-    # benchmarks
-    n_pass = 2
-    if "--repeat" in sys.argv:
-        n_pass = int(sys.argv[sys.argv.index("--repeat") + 1])
-    timings: dict[str, float] = {}
-    for _pass in range(n_pass):
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            run_once(name)
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
-
+def _sf_value():
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
-        sf_val = float(sf)
+        return float(sf)
     except ValueError:
-        sf_val = sf
+        return sf
+
+
+def main() -> None:
+    # min of N warm passes per query (default 2, --repeat N for more):
+    # the host is multi-tenant and load spikes dominate single-shot wall
+    # clock; min-of-n is the standard noise-robust estimator for short
+    # benchmarks
+    n_pass = _arg("--repeat", 2)
+    n_warm = _arg("--warmup", 2)
+
+    if "--entry" in sys.argv:  # child mode: one entry, this JVM
+        name = sys.argv[sys.argv.index("--entry") + 1]
+        sec = _bench_entry(name, n_pass, n_warm)
+        print(json.dumps({"name": name, "sec": sec}))
+        return
+
+    timings: dict[str, float] = {}
+    if "--in-suite" in sys.argv:  # legacy shared-JVM sweep
+        import __spark_entry__ as entry_mod
+
+        spark = _session()
+        qs = entry_mod.queries()
+        for _ in range(max(n_warm, 1)):  # full-suite warmup pass(es)
+            for name in BENCH_QUERIES:
+                _run_once(spark, qs, name)
+        for _pass in range(n_pass):
+            for name in BENCH_QUERIES:
+                t0 = time.perf_counter()
+                _run_once(spark, qs, name)
+                el = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, el), el)
+        spark.stop()
+    else:  # isolated mode (default): one fresh driver JVM per entry
+        here = os.path.abspath(__file__)
+        for name in BENCH_QUERIES:
+            proc = subprocess.run(
+                [sys.executable, here, "--entry", name,
+                 "--repeat", str(n_pass), "--warmup", str(n_warm)],
+                capture_output=True, text=True)
+            line = (proc.stdout.strip().splitlines() or [""])[-1]
+            try:
+                timings[name] = float(json.loads(line)["sec"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                print(f"bench: entry {name} failed:\n{proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                raise SystemExit(1)
+
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf_val,
+        "sf": _sf_value(),
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

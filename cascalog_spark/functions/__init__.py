@@ -32,7 +32,7 @@ from .dedup import (cross_doc_line_dedup, dedup_clusters,
                     semantic_dedup, semantic_dedup_incremental,
                     semantic_dedup_losers, simhash)
 from .multimodal import (extract_media_metadata, media_dedup_keys,
-                         media_phash, media_phash_near_dups,
+                         media_phash, media_phash_near_dups, png_gray32,
                          register_codec, sample_frames)
 from .bpe import (bpe_encode, bpe_pair_counts, merges_df, train_bpe,
                   word_freqs)

@@ -240,6 +240,92 @@ def _fake_gray32(content: bytes):
     return np.tile(b, reps)[:1024].astype(np.float64).reshape(32, 32)
 
 
+def png_gray32(content: bytes):
+    """REAL pixel decode for the pHash path, stdlib-only: parse PNG
+    chunks, inflate IDAT with ``zlib``, undo the per-scanline filters
+    (None/Sub/Up/Average/Paeth), convert to luma, box-resize to 32x32.
+    Supports 8-bit non-interlaced grayscale and RGB PNGs — enough to run
+    the perceptual hash on actual pixels with zero native media deps;
+    a production deployment registers PIL/turbojpeg instead:
+    ``register_codec('image_gray', fn)``.
+
+    The filter undo walks pixels in Python for Sub/Average/Paeth rows
+    (a test-scale decoder, not a throughput path — encoders typically
+    emit filter 0/2 for synthetic images, which stay vectorized)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("png_gray32: not a PNG")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack(">I4s", content[pos:pos + 8])
+        data = content[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("png_gray32: missing IHDR")
+    w, h, depth, ctype, _comp, _filt, inter = hdr
+    if depth != 8 or inter != 0 or ctype not in (0, 2):
+        raise ValueError("png_gray32: only 8-bit non-interlaced "
+                         f"gray/RGB supported (depth={depth}, "
+                         f"color_type={ctype}, interlace={inter})")
+    ch = 1 if ctype == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png_gray32: truncated pixel data")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    o = 0
+    for y in range(h):
+        f = raw[o]
+        cur = np.frombuffer(raw[o + 1:o + 1 + stride],
+                            dtype=np.uint8).copy()
+        o += 1 + stride
+        if f == 2:                      # Up (vectorized, mod-256)
+            cur += prev
+        elif f in (1, 3, 4):            # Sub / Average / Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (int(cur[x]) + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    cur[x] = (int(cur[x]) + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png_gray32: unknown filter {f}")
+        img[y] = cur
+        prev = cur
+    px = img.reshape(h, w, ch).astype(np.float64)
+    gray = px[..., 0] if ch == 1 else (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+    # deterministic box resize to 32x32 (area mean per target cell)
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    out = np.empty((32, 32))
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
 def _dct_matrix(n: int):
     """Orthonormal DCT-II basis (the pHash transform) — plain numpy."""
     import numpy as np

@@ -730,6 +730,7 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
                     "sim"))
 
 
+
 def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       query_id_col: str = "query_id",
@@ -754,12 +755,18 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
 
     Fully deterministic (same planes/centroids/tie-breaks as the ANN ops
     themselves — ids break all ties), so the report is oracle-checkable.
-    Ground truth is ONE exact ``knn_join`` pass (broadcast query batch,
-    zero corpus shuffle) materialized via localCheckpoint at q·k rows;
-    each configuration then costs one candidate equi-join over the index
-    plus O(q) aggregates.  Nothing corpus-sized is collected, shuffled
-    globally, or recomputed per configuration — at 100 TB this is the
-    same plan shape as the production ANN paths it is tuning.
+
+    Plan shape (one pass per index-join mechanism, NOT per config):
+    ground truth is ONE exact ``knn_join`` (broadcast query batch, zero
+    corpus shuffle) materialized via localCheckpoint at q·k rows; each
+    LSH width is one signature equi-join; ALL IVF settings share ONE
+    cell equi-join — queries explode their max(n_probe) probe list with
+    the probe RANK attached, and a config's candidate set is the rows
+    with rank ≤ n_probe (nested by construction).  Config-tagged
+    candidates union into a single window + two aggregates, so the
+    whole report is one job regardless of how many configs it scores.
+    Nothing corpus-sized is collected — driver state is the centroid
+    table and one row count.
     """
     from .util import explode_fast
 
@@ -775,9 +782,10 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     if dim_row is None:
         raise ValueError("ann_recall_report: empty query set")
     dim = dim_row["d"]
+    n_index = idx.count()  # one bounded scalar (scan_frac denominator)
 
     # exact ground truth, once (q·k rows — eagerly materialized so the
-    # per-config branches below never re-run the exact scan)
+    # config branches below never re-run the exact scan)
     truth = (knn_join(idx.select(F.col(id_col),
                                  F.col("__v").alias(vec_col)),
                       qside.select(F.col("__qid").alias(query_id_col),
@@ -787,43 +795,21 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       query_vec_col=query_vec_col)
              .select(F.col(query_id_col).alias("__qid"), F.col(id_col))
              .localCheckpoint())
-    qids = qside.select("__qid")
-    n_index = idx.agg(F.count(F.lit(1)).cast("double").alias("__ni"))
 
-    def _config_row(cand: DataFrame, method: str, param: int) -> DataFrame:
-        """cand: (__qid, id_col, sim) candidates with exact rounded sims."""
-        w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(),
-                                                F.col(id_col).asc())
-        ann = (cand.withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") <= k).select("__qid", id_col))
-        hits = (ann.join(truth, on=["__qid", id_col])
-                .groupBy("__qid").agg(F.count(F.lit(1)).alias("__h")))
-        ncand = cand.groupBy("__qid").agg(F.count(F.lit(1)).alias("__nc"))
-        return (qids.join(hits, on="__qid", how="left")
-                .join(ncand, on="__qid", how="left")
-                .crossJoin(F.broadcast(n_index))
-                .agg(F.round(F.avg(F.coalesce(F.col("__h"), F.lit(0))
-                                   / F.lit(float(k))), 6)
-                     .alias("recall_at_k"),
-                     F.round(F.avg(F.coalesce(F.col("__nc"), F.lit(0))
-                                   / F.col("__ni")), 6).alias("scan_frac"))
-                .select(F.lit(method).alias("method"),
-                        F.lit(param).alias("param"),
-                        "recall_at_k", "scan_frac"))
-
-    rows: list[DataFrame] = []
     sim = F.round(dot_col(F.col("__v"), F.col("__qv"))
                   / (F.col("__nrm") * F.col("__qnrm")), 6).alias("sim")
+    tagged: list[DataFrame] = []  # (method, param, __qid, id, sim)
     for p in lsh_planes:
         planes = _hyperplanes(dim, int(p), seed)
-        cand = (idx.withColumn("__sig",
-                               lsh_signature_col(F.col("__v"), planes))
-                .join(qside.withColumn(
-                    "__sig", lsh_signature_col(F.col("__qv"), planes)),
-                    on="__sig")
-                .select("__qid", F.col(id_col), sim))
-        rows.append(_config_row(cand, "lsh", int(p)))
-
+        tagged.append(
+            idx.withColumn("__sig", lsh_signature_col(F.col("__v"),
+                                                      planes))
+            .join(qside.withColumn(
+                "__sig", lsh_signature_col(F.col("__qv"), planes)),
+                on="__sig")
+            .select(F.lit("lsh").alias("method"),
+                    F.lit(int(p)).alias("param"), "__qid",
+                    F.col(id_col), sim))
     if ivf_probes:
         cents = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
@@ -832,24 +818,59 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
             n = sum(x * x for x in v) ** 0.5 or 1.0
             return [x / n for x in v]
 
+        # ONE cell join covers every n_probe: probes carry their rank
+        # (1-based, sim desc / cid asc), and config n_probe's candidate
+        # set is exactly the joined rows with rank <= n_probe
         entries = F.array(*[
             F.struct((-dot_col(F.col("__qv"), _lit_arr(_unit(cv))))
                      .alias("negsim"), F.lit(cid).alias("cid"))
             for cid, cv in cents])
-        assigned = idx.withColumn(
-            "__cell", ivf_assign_col(F.col("__v"), cents))
-        for np_ in ivf_probes:
-            probes = F.transform(F.slice(F.array_sort(entries), 1,
-                                         int(np_)), lambda s: s["cid"])
-            qcells = explode_fast(
-                qside.withColumn("__probes", probes),
-                F.col("__probes"), "__cell").select(
-                    "__qid", "__qv", "__qnrm", "__cell")
-            cand = (assigned.join(qcells, on="__cell")
-                    .select("__qid", F.col(id_col), sim))
-            rows.append(_config_row(cand, "ivf", int(np_)))
+        max_np = max(int(x) for x in ivf_probes)
+        probes = F.slice(F.array_sort(entries), 1, max_np)
+        qcells = (explode_fast(
+            qside.withColumn("__probes", probes),
+            F.col("__probes"), "__pe", "__pos0")
+            .select("__qid", "__qv", "__qnrm",
+                    F.col("__pe")["cid"].alias("__cell"),
+                    (F.col("__pos0") + 1).alias("__rank")))
+        joined = (idx.withColumn("__cell",
+                                 ivf_assign_col(F.col("__v"), cents))
+                  .join(qcells, on="__cell")
+                  .select("__qid", F.col(id_col), sim, "__rank"))
+        params = F.array(*[F.lit(int(np_)) for np_ in ivf_probes])
+        tagged.append(
+            joined.select(
+                F.lit("ivf").alias("method"),
+                F.explode(F.filter(params,
+                                   lambda np_: np_ >= F.col("__rank")))
+                .alias("param"), "__qid", F.col(id_col), "sim"))
 
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method", "param")
+    cand = tagged[0]
+    for t in tagged[1:]:
+        cand = cand.unionByName(t)
+    w = Window.partitionBy("method", "param", "__qid").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc())
+    ann = (cand.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= k)
+           .select("method", "param", "__qid", id_col))
+    hits = (ann.join(truth, on=["__qid", id_col])
+            .groupBy("method", "param", "__qid")
+            .agg(F.count(F.lit(1)).alias("__h")))
+    ncand = (cand.groupBy("method", "param", "__qid")
+             .agg(F.count(F.lit(1)).alias("__nc")))
+    # config x query spine: a query with ZERO candidates must still
+    # average in as recall 0 (the failure the report exists to expose)
+    configs = ([("lsh", int(p)) for p in lsh_planes]
+               + [("ivf", int(np_)) for np_ in ivf_probes])
+    spine = (qside.select("__qid").crossJoin(F.broadcast(
+        qside.sparkSession.createDataFrame(configs,
+                                           "method string, param int"))))
+    per_q = (spine.join(hits, on=["method", "param", "__qid"], how="left")
+             .join(ncand, on=["method", "param", "__qid"], how="left"))
+    return (per_q.groupBy("method", "param")
+            .agg(F.round(F.avg(F.coalesce(F.col("__h"), F.lit(0))
+                               / F.lit(float(k))), 6).alias("recall_at_k"),
+                 F.round(F.avg(F.coalesce(F.col("__nc"), F.lit(0))
+                               / F.lit(float(n_index))), 6)
+                 .alias("scan_frac"))
+            .orderBy("method", "param"))

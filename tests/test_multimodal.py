@@ -153,3 +153,107 @@ def test_media_phash_null_and_registered_decoder(spark):
         assert isinstance(h, int)  # constant image → all-equal DCT tail
     finally:
         del _CODECS["image_gray"]
+
+# -- real-pixel PNGs through the stdlib decoder (png_gray32) -----------------
+
+
+def _png_real(gray):
+    """Encode a uint8 grayscale matrix as a real (filter-0) PNG."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype="uint8")
+    h, w = g.shape
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_gray32_decodes_real_pixels():
+    """The stdlib decoder must reproduce the encoded pixel values exactly
+    (filter-0 rows, no resize when the image is already 32x32), and undo
+    Up/Sub filters."""
+    import numpy as np
+
+    from cascalog_spark.functions import png_gray32
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    got = png_gray32(_png_real(img))
+    assert np.array_equal(got, img.astype(float))
+    # resize path: a 64x64 image of 2x2 constant blocks box-means back
+    # to the exact 32x32 block values
+    big = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    assert np.array_equal(png_gray32(_png_real(big)), img.astype(float))
+    # filtered rows (Up=2 on every row after the first) decode the same:
+    # re-encode with filter 2 by deltaing rows
+    rows = [b"\x00" + img[0].tobytes()]
+    for y in range(1, 32):
+        rows.append(b"\x02" + ((img[y] - img[y - 1]) % 256)
+                    .astype(np.uint8).tobytes())
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    up_png = (b"\x89PNG\r\n\x1a\n"
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 32, 32, 8, 0, 0,
+                                           0, 0))
+              + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+              + chunk(b"IEND", b""))
+    assert np.array_equal(png_gray32(up_png), img.astype(float))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_gray32(b"JUNK")
+
+
+def test_media_phash_on_real_pixels(spark):
+    """pHash over ACTUAL image pixels via the registered stdlib PNG
+    decoder: a +40-brightness re-encode hashes identically (pHash drops
+    the DC term), a downscaled re-encode stays within a small hamming
+    radius, random noise does not pair."""
+    import numpy as np
+
+    from cascalog_spark.functions import (media_phash,
+                                          media_phash_near_dups,
+                                          png_gray32, register_codec)
+    from cascalog_spark.functions.multimodal import _CODECS
+
+    rng = np.random.default_rng(42)
+    # box-blurred noise: smooth but SPECTRALLY RICH — pHash needs the
+    # low-frequency coefficients spread away from their median (a pure
+    # gradient scene leaves ~50/63 coefficients within rounding noise
+    # of the median and the hash flips on ±0.5 resize rounding)
+    raw = rng.normal(0, 1, (64, 64))
+    k = np.ones(9) / 9.0
+    bl = np.apply_along_axis(
+        lambda r: np.convolve(r, k, mode="same"), 1, raw)
+    bl = np.apply_along_axis(
+        lambda c: np.convolve(c, k, mode="same"), 0, bl)
+    scene = ((bl - bl.min()) / (bl.ptp() or 1) * 180 + 20
+             ).astype(np.uint8)
+    brighter = (scene + 40).clip(0, 255).astype(np.uint8)
+    smaller = (scene.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+               .round().astype(np.uint8))           # 32x32 box downscale
+    noise = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    rows = [(1, _png_real(scene)), (2, _png_real(brighter)),
+            (3, _png_real(smaller)), (4, _png_real(noise))]
+    df = spark.createDataFrame(rows, "mid long, content binary")
+    register_codec("image_gray", png_gray32)
+    try:
+        h = {r.mid: r.phash for r in media_phash(df).collect()}
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(h[1], h[2]) == 0      # brightness shift = DC only
+        assert ham(h[1], h[3]) <= 10     # resize keeps low frequencies
+        assert ham(h[1], h[4]) > 16      # unrelated content far away
+        pairs = {(r.id_a, r.id_b)
+                 for r in media_phash_near_dups(df, "mid",
+                                                max_hamming=10).collect()}
+        assert (1, 2) in pairs and (1, 3) in pairs
+        assert all(4 not in p for p in pairs)
+    finally:
+        del _CODECS["image_gray"]
