@@ -1718,7 +1718,8 @@ def doc_classifier_fit(spark, sf_dir):
     Σ_docs (0.5-y)·cnt(doc,b)) and therefore SQL-expressible, giving
     this row a value-level oracle; the full multi-iteration loop is
     pinned update-for-update against a numpy reference in
-    tests/test_text_classifier.py.  Labels are synthetic parity."""
+    tests/test_functions.py::test_fit_linear_classifier_matches_numpy_gd.
+    Labels are synthetic parity."""
     from cascalog_spark.functions import fit_linear_classifier
 
     docs = _t(spark, sf_dir, "documents").select(

@@ -609,3 +609,21 @@ def test_rollup_join_merge_bucketed_zero_old_exchange(spark, sf_dir,
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS rollup_bkt_gate")
+
+def test_ann_recall_report_plan_bounded(spark, sf_dir):
+    """The tuning report may nested-loop ONLY against broadcast-bounded
+    sides (the q-row query batch inside knn_join's ground truth and the
+    |configs|-row spine) — never a data x data cartesian; candidate
+    generation must be equi-joins (sig / cell), and the whole report is
+    a single plan (all IVF probe settings share one cell join, so the
+    cell-assignment expression appears once, not per config)."""
+    df = entry_mod.queries()["embedding_ann_recall"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # one BNLJ for the broadcast config spine; the knn_join query-batch
+    # broadcast join is the only other permissible nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the IVF assignment argmax is one shared subtree, not one per probe
+    # config: count the cell-assignment marker once in the final plan
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    assert "EvalPython" not in plan  # fully native end to end
