@@ -3202,19 +3202,22 @@ def doc_bpe_merges(spark, sf_dir):
 
 def embedding_ann_recall(spark, sf_dir):
     """ANN tuning report (functions/similarity.py ann_recall_report):
-    recall@10 + scanned-index fraction for LSH (4 and 8 planes) and IVF
-    (1/2/4 probed cells of 16) against ONE exact knn_join ground-truth
-    pass, queries = the 8 lowest-id embeddings.  Deterministic planes/
-    centroids/tie-breaks make the whole report oracle-checkable; the
-    test suite pins that a too-low n_probe is visibly flagged (recall
-    drops with scan_frac)."""
+    recall@10 + scanned-index fraction for LSH (4 and 8 planes), their
+    hamming-1 multi-probe repairs (lsh_mp), and IVF (1/2/4 probed cells
+    of 16) against ONE exact knn_join ground-truth pass, queries = the
+    8 lowest-id embeddings.  Deterministic planes/centroids/tie-breaks
+    make the whole report oracle-checkable; the test suite pins that a
+    too-low n_probe is visibly flagged (recall drops with scan_frac)
+    and that multi-probe strictly dominates its base config on
+    recall."""
     from cascalog_spark.functions import ann_recall_report
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     return ann_recall_report(emb, qs, k=10, lsh_planes=(4, 8),
-                             ivf_probes=(1, 2, 4), n_centroids=16)
+                             ivf_probes=(1, 2, 4), n_centroids=16,
+                             lsh_multi_probe=1)
 
 
 # ---------------------------------------------------------------------------
@@ -3528,7 +3531,8 @@ _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
 
 
 def _ann_recall_sql(k: int = 10, lsh_planes=(4, 8), ivf_probes=(1, 2, 4),
-                    n_centroids: int = 16, n_queries: int = 8) -> str:
+                    n_centroids: int = 16, n_queries: int = 8,
+                    multi_probe: int = 0) -> str:
     """DuckDB twin of functions/similarity.ann_recall_report on the
     embeddings table: exact top-k ground truth, per-config candidate
     sets (hyperplane literals / first-k-ids centroids identical to the
@@ -3577,6 +3581,14 @@ def _ann_recall_sql(k: int = 10, lsh_planes=(4, 8), ivf_probes=(1, 2, 4),
         qsigl{p} AS (SELECT qid, {_lsh_sig_sql('qv', p)} AS s FROM q),
         candl{p} AS (SELECT q.qid, i.vec_id FROM sigl{p} i
                      JOIN qsigl{p} q ON i.s = q.s)""")
+        if multi_probe:
+            _config(f"m{p}", "lsh_mp", p, f"""
+        qsigm{p} AS (SELECT qid, unnest([s] || list_transform(
+                       range(0, {p}),
+                       j -> xor(s, (1::BIGINT << j)))) AS s
+                     FROM qsigl{p}),
+        candm{p} AS (SELECT q.qid, i.vec_id FROM sigl{p} i
+                     JOIN qsigm{p} q ON i.s = q.s)""")
     if ivf_probes:
         ctes.append(f"""
         cents AS (SELECT vec_id AS cid, v AS cv FROM e
@@ -4596,7 +4608,7 @@ def oracle_sql() -> dict[str, str]:
                    round(-0.5 / (SELECT nd FROM n)
                          * coalesce(g.g, 0.0), 6) AS weight
             FROM range(0, 16) t(i) LEFT JOIN grad g ON g.b = t.i""",
-        "embedding_ann_recall": _ann_recall_sql(),
+        "embedding_ann_recall": _ann_recall_sql(multi_probe=1),
         "lineitem_unique_gate": """
             WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
                        FROM lineitem GROUP BY 1, 2)

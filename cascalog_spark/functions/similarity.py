@@ -79,12 +79,34 @@ def lsh_signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _probe_sigs(qsig: int, n_planes: int, multi_probe: int) -> list[int]:
+    """The query's signature bucket plus, with ``multi_probe=1``, every
+    bucket one bit-flip away — classic multi-probe LSH (Lv et al. 2007):
+    a near neighbor that lands just across ONE hyperplane is recovered
+    at the cost of probing n_planes+1 buckets instead of 2^p more
+    planes' worth of index.  Radius is capped at 1: higher radii grow
+    combinatorially and IVF is the better tool there."""
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe must be 0 or 1 (hamming-1 "
+                         "multi-probe; use IVF probes for wider nets)")
+    sigs = [qsig]
+    if multi_probe:
+        sigs += [qsig ^ (1 << j) for j in range(n_planes)]
+    return sigs
+
+
 def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_planes: int = 8, seed: int = 42) -> DataFrame:
+                 n_planes: int = 8, seed: int = 42,
+                 multi_probe: int = 0) -> DataFrame:
     """Approximate top-k: only rows whose LSH signature matches the query's
     signature are scored.  At scale, write the corpus partitioned/bucketed
-    by signature so this prunes to one bucket's files."""
+    by signature so this prunes to one bucket's files.
+
+    ``multi_probe=1`` additionally probes every bucket at hamming
+    distance 1 from the query's signature (n_planes+1 buckets total) —
+    the standard recall repair for narrow-bucket configurations; the
+    scan still prunes to probed buckets' files."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
@@ -94,7 +116,10 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         if sum(x * y for x, y in zip(query_vec, p)) > 0:
             qsig += 2 ** i
     sim = cosine_to_query_col(vec, query_vec)
-    return (df_sig.where(F.col("__sig") == F.lit(qsig))
+    sigs = _probe_sigs(qsig, n_planes, multi_probe)
+    cond = (F.col("__sig") == F.lit(qsig)) if len(sigs) == 1 \
+        else F.col("__sig").isin(sigs)
+    return (df_sig.where(cond)
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
@@ -738,6 +763,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       lsh_planes: tuple = (4, 8),
                       ivf_probes: tuple = (1, 2, 4),
                       n_centroids: int = 16, seed: int = 42,
+                      lsh_multi_probe: int = 0,
                       centroids: list[tuple[int, list[float]]] | str | None
                       = None) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
@@ -751,7 +777,10 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     mean fraction of index rows admitted as candidates.  The tuning loop
     the dedup family already has (``dedup_quality_report``): a too-low
     ``n_probe``/too-many-planes setting shows up as recall collapsing
-    while scan_frac shrinks.
+    while scan_frac shrinks.  ``lsh_multi_probe=1`` adds an ``lsh_mp``
+    row per plane width — the hamming-1 multi-probe repair
+    (``lsh_ann_topk(multi_probe=1)``) — so its recall/scan trade sits
+    in the same table as the configs it fixes.
 
     Fully deterministic (same planes/centroids/tie-breaks as the ANN ops
     themselves — ids break all ties), so the report is oracle-checkable.
@@ -801,15 +830,30 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     tagged: list[DataFrame] = []  # (method, param, __qid, id, sim)
     for p in lsh_planes:
         planes = _hyperplanes(dim, int(p), seed)
+        isig = idx.withColumn("__sig",
+                              lsh_signature_col(F.col("__v"), planes))
+        qsig = qside.withColumn("__sig",
+                                lsh_signature_col(F.col("__qv"), planes))
         tagged.append(
-            idx.withColumn("__sig", lsh_signature_col(F.col("__v"),
-                                                      planes))
-            .join(qside.withColumn(
-                "__sig", lsh_signature_col(F.col("__qv"), planes)),
-                on="__sig")
+            isig.join(qsig, on="__sig")
             .select(F.lit("lsh").alias("method"),
                     F.lit(int(p)).alias("param"), "__qid",
                     F.col(id_col), sim))
+        if lsh_multi_probe:
+            # the exact bucket plus every hamming-1 neighbor bucket:
+            # ONE equi-join against the exploded probe list
+            mp = F.array(F.col("__sig"), *[
+                F.col("__sig").bitwiseXOR(F.lit(1 << j))
+                for j in range(int(p))])
+            qmp = explode_fast(
+                qsig.withColumn("__mp", mp).drop("__sig"),
+                F.col("__mp"), "__sig").select("__qid", "__qv",
+                                               "__qnrm", "__sig")
+            tagged.append(
+                isig.join(qmp, on="__sig")
+                .select(F.lit("lsh_mp").alias("method"),
+                        F.lit(int(p)).alias("param"), "__qid",
+                        F.col(id_col), sim))
     if ivf_probes:
         cents = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
@@ -861,6 +905,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     # config x query spine: a query with ZERO candidates must still
     # average in as recall 0 (the failure the report exists to expose)
     configs = ([("lsh", int(p)) for p in lsh_planes]
+               + ([("lsh_mp", int(p)) for p in lsh_planes]
+                  if lsh_multi_probe else [])
                + [("ivf", int(np_)) for np_ in ivf_probes])
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,

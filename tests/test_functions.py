@@ -2684,8 +2684,8 @@ def test_ann_recall_report_flags_weak_configs(emb):
     rep = {(r["method"], r["param"]): r
            for r in ann_recall_report(
                emb, qs, k=5, lsh_planes=(4, 10), ivf_probes=(1, 4, 16),
-               n_centroids=16).collect()}
-    assert len(rep) == 5
+               n_centroids=16, lsh_multi_probe=1).collect()}
+    assert len(rep) == 7
     for r in rep.values():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert 0.0 <= r["scan_frac"] <= 1.0
@@ -2706,3 +2706,39 @@ def test_ann_recall_report_flags_weak_configs(emb):
     # every query finds itself in its own signature bucket, so even the
     # weak config keeps recall strictly positive (queries ⊂ index)
     assert rep[("lsh", 10)]["recall_at_k"] > 0.0
+    # hamming-1 multi-probe DOMINATES its base config (superset
+    # candidates); on this corpus the 4-plane repair is strict (0.25 →
+    # 0.4 recall) while at 10 planes the neighbor buckets are too
+    # sparse to add hits — the report showing exactly that trade is
+    # the point
+    for p in (4, 10):
+        assert (rep[("lsh_mp", p)]["recall_at_k"]
+                >= rep[("lsh", p)]["recall_at_k"])
+        assert (rep[("lsh_mp", p)]["scan_frac"]
+                >= rep[("lsh", p)]["scan_frac"])
+    assert (rep[("lsh_mp", 4)]["recall_at_k"]
+            > rep[("lsh", 4)]["recall_at_k"])
+
+
+def test_lsh_ann_topk_multi_probe_superset(emb):
+    """multi_probe=1 scores the union of the exact bucket and every
+    hamming-1 bucket, so its top-k is drawn from a SUPERSET of the
+    plain config's candidates: any plain hit at rank r keeps sim-rank
+    <= r, and the query still finds itself first."""
+    import pytest as _p
+
+    from cascalog_spark.functions.similarity import lsh_ann_topk
+
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    plain = lsh_ann_topk(emb, qvec, k=10, n_planes=8)
+    mp = lsh_ann_topk(emb, qvec, k=10, n_planes=8, multi_probe=1)
+    p_rows = [(r["vec_id"], r["sim"]) for r in plain.collect()]
+    m_rows = [(r["vec_id"], r["sim"]) for r in mp.collect()]
+    assert m_rows[0][0] == 0 and m_rows[0][1] == 1.0
+    assert len(m_rows) >= len(p_rows)
+    # superset candidates: the multi-probe top-k sims dominate pointwise
+    for i, (_, psim) in enumerate(p_rows):
+        assert m_rows[i][1] >= psim
+    with _p.raises(ValueError, match="multi_probe"):
+        lsh_ann_topk(emb, qvec, k=5, n_planes=8, multi_probe=2)
