@@ -1,4 +1,5 @@
-from .ingest import (compact_rollup, ingest_batch_near_dedup,
+from .ingest import (compact_ingest_index, compact_rollup,
+                     ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
                      stream_drift_monitor, stream_expectation_gate,
                      stream_near_dedup_ingest,

@@ -117,6 +117,52 @@ def stream_near_dedup_ingest(stream_df: DataFrame, out_dir: str,
     return writer.start()
 
 
+def _compact_recover(target_dir: str) -> None:
+    """Recover leftover state from a crashed ``_compact_swap`` of
+    ``target_dir`` (idempotent; see ``compact_rollup`` docstring)."""
+    import shutil
+
+    old = target_dir.rstrip("/") + ".compact.old"
+    if os.path.isdir(old):
+        if os.path.isdir(target_dir):
+            # crashed after the tmp->target rename: target is the
+            # compacted base; old is the superseded pre-compaction copy
+            shutil.rmtree(old)
+        else:
+            # crashed between renames: restore the pre-compaction dir
+            # (tmp holds the same merged content, but restoring the
+            # original and re-merging is the conservative replay)
+            os.rename(old, target_dir)
+
+
+def _raise_if_crashed(target_dir: str, compactor: str) -> None:
+    """A missing dir with a ``.compact.old`` sibling is NOT 'no batches
+    yet' — it's a compaction that crashed mid-swap; say so instead of
+    silently reading the standing state as empty."""
+    if not os.path.isdir(target_dir) and os.path.isdir(
+            target_dir.rstrip("/") + ".compact.old"):
+        raise RuntimeError(
+            f"{target_dir} is missing but a .compact.old sibling exists "
+            f"— a {compactor} crashed between renames; re-run "
+            f"{compactor} (it auto-recovers) before reading")
+
+
+def _compact_swap(target_dir: str, write_tmp) -> None:
+    """Crash-safe directory swap: ``write_tmp(tmp_dir)`` materializes
+    the compacted content, then old-aside/tmp-in/old-removed renames —
+    any crash leaves a recoverable directory, never a double-counting
+    mix of compacted and uncompacted partitions."""
+    import shutil
+
+    tmp = target_dir.rstrip("/") + ".compact.tmp"
+    old = target_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_tmp(tmp)
+    os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    shutil.rmtree(old)
+
+
 def read_ingest_index(spark: SparkSession, index_dir: str,
                       exclude_batch: Optional[int] = None,
                       ) -> Optional[DataFrame]:
@@ -125,6 +171,7 @@ def read_ingest_index(spark: SparkSession, index_dir: str,
     ``batch=`` partition (partition-pruned, never scanned) — the retry
     guard used inside the streaming step."""
     if not os.path.isdir(index_dir):
+        _raise_if_crashed(index_dir, "compact_ingest_index")
         return None
     parts = [e for e in os.listdir(index_dir) if e.startswith("batch=")]
     if exclude_batch is not None:
@@ -141,6 +188,26 @@ def read_ingest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """All kept documents across ingested batches (the deduplicated
     corpus)."""
     return spark.read.parquet(out_dir).drop("batch")
+
+
+def compact_ingest_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold the standing dedup index's ``batch=`` partitions into one
+    ``batch=0`` base — a long-running ingest stream otherwise grows one
+    partition (and one file listing entry) per micro-batch, and the
+    per-batch index read slows with partition count.  Same crash-safe
+    swap + auto-recovery as ``compact_rollup``.
+
+    Run while the ingest stream is STOPPED and only after its
+    checkpoint has committed past every written batch: the streaming
+    step excludes its own ``batch=<id>`` partition on retry, and a
+    compaction folds those rows into ``batch=0`` where a retried batch
+    would cross-drop against itself."""
+    _compact_recover(index_dir)
+    idx = read_ingest_index(spark, index_dir)
+    if idx is None:
+        return
+    _compact_swap(index_dir, lambda tmp: idx.write.mode("overwrite")
+                  .parquet(f"{tmp}/batch=0"))
 
 
 # ---------------------------------------------------------------------------
@@ -188,15 +255,7 @@ def read_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     from ..functions.rollup import merge_rollups
 
     if not os.path.isdir(agg_dir):
-        # a missing agg_dir with a .compact.old sibling is NOT "no
-        # batches yet" — it's a compaction that crashed mid-swap; say so
-        # instead of silently reading the standing aggregate as empty
-        if os.path.isdir(agg_dir.rstrip("/") + ".compact.old"):
-            raise RuntimeError(
-                f"read_rollup: {agg_dir} is missing but a .compact.old "
-                "sibling exists — a compact_rollup crashed between "
-                "renames; re-run compact_rollup (it auto-recovers) "
-                "before reading")
+        _raise_if_crashed(agg_dir, "compact_rollup")
         return None
     if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
         return None
@@ -216,28 +275,12 @@ def compact_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     re-running this function auto-recovers any leftover state (a crash
     between the two renames leaves no ``agg_dir``; the pre-compaction
     data is restored from ``.compact.old`` before compacting again)."""
-    import shutil
-
-    tmp = agg_dir.rstrip("/") + ".compact.tmp"
-    old = agg_dir.rstrip("/") + ".compact.old"
-    if os.path.isdir(old):
-        if os.path.isdir(agg_dir):
-            # crashed after the tmp->agg_dir rename: agg_dir is the
-            # compacted base; old is the superseded pre-compaction copy
-            shutil.rmtree(old)
-        else:
-            # crashed between renames: restore the pre-compaction dir
-            # (tmp holds the same merged content, but restoring the
-            # original and re-merging is the conservative replay)
-            os.rename(old, agg_dir)
+    _compact_recover(agg_dir)
     merged = read_rollup(spark, agg_dir, keys, spec)
     if merged is None:
         return
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(f"{tmp}/batch=0")
-    os.rename(agg_dir, old)
-    os.rename(tmp, agg_dir)
-    shutil.rmtree(old)
+    _compact_swap(agg_dir, lambda tmp: merged.write.mode("overwrite")
+                  .parquet(f"{tmp}/batch=0"))
 
 
 # ---------------------------------------------------------------------------

@@ -918,3 +918,54 @@ def test_stream_expectation_gate_reroute_idempotent(spark, sf_dir,
     assert os.path.isdir(f"{out}/batch=0")
     assert not os.path.isdir(f"{qdir}/batch=0")
     assert (spark.read.parquet(out).count() == ev.count())
+
+def test_compact_ingest_index_preserves_dedup(spark, sf_dir, tmp_path):
+    """Folding the standing dedup index's batch partitions into one
+    base must not change a single keep/drop decision on the next batch,
+    and the crash windows recover exactly like compact_rollup's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.streaming import (compact_ingest_index,
+                                          ingest_batch_near_dedup,
+                                          read_ingest_index)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    b0 = docs.where("doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    b2 = docs.where("doc_id % 3 = 2")
+    idx_dir = str(tmp_path / "idx")
+    index = None
+    for bid, batch in enumerate([b0, b1]):
+        _surv, new_rows = ingest_batch_near_dedup(batch, index, "doc_id")
+        new_rows.write.mode("overwrite").parquet(f"{idx_dir}/batch={bid}")
+        index = read_ingest_index(spark, idx_dir)
+
+    def canon(df):
+        return {tuple(r) for r in df.collect()}
+
+    before_rows = canon(read_ingest_index(spark, idx_dir))
+    surv_before = canon(
+        ingest_batch_near_dedup(b2, read_ingest_index(spark, idx_dir),
+                                "doc_id")[0].select("doc_id"))
+    compact_ingest_index(spark, idx_dir)
+    parts = [e for e in os.listdir(idx_dir) if e.startswith("batch=")]
+    assert parts == ["batch=0"]
+    assert canon(read_ingest_index(spark, idx_dir)) == before_rows
+    surv_after = canon(
+        ingest_batch_near_dedup(b2, read_ingest_index(spark, idx_dir),
+                                "doc_id")[0].select("doc_id"))
+    assert surv_after == surv_before
+    # crash window: merged tmp written, index_dir moved aside
+    (read_ingest_index(spark, idx_dir).write.mode("overwrite")
+     .parquet(f"{idx_dir}.compact.tmp/batch=0"))
+    os.rename(idx_dir, idx_dir + ".compact.old")
+    with pytest.raises(RuntimeError, match="compact_ingest_index"):
+        read_ingest_index(spark, idx_dir)
+    compact_ingest_index(spark, idx_dir)   # auto-recovers
+    assert canon(read_ingest_index(spark, idx_dir)) == before_rows
+    assert not os.path.isdir(idx_dir + ".compact.old")
+    # empty-dir contract unchanged
+    assert read_ingest_index(spark, str(tmp_path / "none")) is None
