@@ -3220,6 +3220,49 @@ def embedding_ann_recall(spark, sf_dir):
                              lsh_multi_probe=1)
 
 
+def embedding_stream_semantic_ingest(spark, sf_dir):
+    """Continuous-ingest SemDeDup as a STREAMING job
+    (streaming/ingest.py stream_semantic_dedup_ingest — the
+    embedding-space twin of doc_stream_dedup_ingest): embeddings
+    replayed as two deterministic micro-batches (even ids, then odd);
+    each batch dedups against the standing representative set (reps
+    win) then within itself (greedy min-id), all comparisons per-cell
+    equi-joins against FIXED centroids (the corpus' 16 lowest-id
+    vectors).  Survivors and their (id, vec) rep rows land per-batch
+    (idempotent batch=<id> overwrites; a retried batch excludes its own
+    reps partition).  The oracle replays both steps in SQL."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_ingest_corpus,
+                                          stream_semantic_dedup_ingest)
+    from cascalog_spark.streaming.stream import stage_file_batches
+    from cascalog_spark.functions.similarity import ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=16)
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_semingst_")
+    name = "embedding_stream_semantic_ingest"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_semantic_dedup_ingest(
+        raw, f"{base}/out", f"{base}/reps", id_col="vec_id",
+        threshold=0.35, centroids=cents,
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("embedding_stream_semantic_ingest: bounded "
+                           "stream did not drain within 300s")
+    return read_ingest_corpus(spark, f"{base}/out").select("vec_id",
+                                                           "label")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -3269,6 +3312,7 @@ _R6_HEAD = [
     "doc_bpe_merges",
     # new in round 6 (never seen by any driver round)
     "embedding_ann_recall",
+    "embedding_stream_semantic_ingest",
     "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
 ]
 
@@ -3479,6 +3523,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "embedding_ann_recall": embedding_ann_recall,
+        "embedding_stream_semantic_ingest":
+            embedding_stream_semantic_ingest,
     }
 
 
@@ -4609,6 +4655,42 @@ def oracle_sql() -> dict[str, str]:
                          * coalesce(g.g, 0.0), 6) AS weight
             FROM range(0, 16) t(i) LEFT JOIN grad g ON g.b = t.i""",
         "embedding_ann_recall": _ann_recall_sql(multi_probe=1),
+        # streaming SemDeDup ingest: batch0 (even ids) greedy-dedups
+        # within itself; batch1 (odd ids) drops vs batch0's SURVIVORS
+        # (reps win) then within itself — cells fixed corpus-wide
+        "embedding_stream_semantic_ingest": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      ORDER BY vec_id ASC LIMIT 16),
+            asg AS (SELECT vec_id, v, cid AS cell FROM (
+                      SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC,
+                                 c.cid ASC) AS rn
+                      FROM e CROSS JOIN cents c) WHERE rn = 1),
+            l0 AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+                     ON x.cell = y.cell AND x.vec_id < y.vec_id
+                   WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 0
+                     AND {_COS.format(a='x.v', b='y.v')} >= 0.35),
+            k0 AS (SELECT * FROM asg WHERE vec_id % 2 = 0
+                   AND vec_id NOT IN (SELECT vec_id FROM l0)),
+            l1 AS (
+              SELECT DISTINCT b.vec_id FROM asg b JOIN k0 r
+                ON b.cell = r.cell
+              WHERE b.vec_id % 2 = 1
+                AND {_COS.format(a='b.v', b='r.v')} >= 0.35
+              UNION
+              SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 1
+                AND {_COS.format(a='x.v', b='y.v')} >= 0.35),
+            kept AS (SELECT vec_id FROM k0
+                     UNION ALL
+                     SELECT vec_id FROM e WHERE vec_id % 2 = 1
+                       AND vec_id NOT IN (SELECT vec_id FROM l1))
+            SELECT e.vec_id, e.label FROM e
+            JOIN kept k ON e.vec_id = k.vec_id""",
         "lineitem_unique_gate": """
             WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS c
                        FROM lineitem GROUP BY 1, 2)

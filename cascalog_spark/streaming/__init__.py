@@ -1,6 +1,7 @@
 from .ingest import (compact_ingest_index, compact_rollup,
-                     ingest_batch_near_dedup,
+                     compact_semantic_reps, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
+                     read_semantic_reps, stream_semantic_dedup_ingest,
                      stream_drift_monitor, stream_expectation_gate,
                      stream_near_dedup_ingest,
                      stream_rollup_maintenance)

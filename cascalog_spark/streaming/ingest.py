@@ -163,6 +163,27 @@ def _compact_swap(target_dir: str, write_tmp) -> None:
     shutil.rmtree(old)
 
 
+def _read_batched(spark: SparkSession, d: str,
+                  exclude_batch: Optional[int],
+                  compactor: str) -> Optional[DataFrame]:
+    """Standing state across every ``batch=`` partition of ``d`` —
+    ``None`` before the first batch lands; ``exclude_batch`` drops one
+    partition (partition-pruned, never scanned) — the retry guard used
+    inside the streaming steps."""
+    if not os.path.isdir(d):
+        _raise_if_crashed(d, compactor)
+        return None
+    parts = [e for e in os.listdir(d) if e.startswith("batch=")]
+    if exclude_batch is not None:
+        parts = [e for e in parts if e != f"batch={exclude_batch}"]
+    if not parts:
+        return None
+    df = spark.read.parquet(d)
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df.drop("batch")
+
+
 def read_ingest_index(spark: SparkSession, index_dir: str,
                       exclude_batch: Optional[int] = None,
                       ) -> Optional[DataFrame]:
@@ -170,18 +191,8 @@ def read_ingest_index(spark: SparkSession, index_dir: str,
     ``None`` before the first batch lands.  ``exclude_batch`` drops one
     ``batch=`` partition (partition-pruned, never scanned) — the retry
     guard used inside the streaming step."""
-    if not os.path.isdir(index_dir):
-        _raise_if_crashed(index_dir, "compact_ingest_index")
-        return None
-    parts = [e for e in os.listdir(index_dir) if e.startswith("batch=")]
-    if exclude_batch is not None:
-        parts = [e for e in parts if e != f"batch={exclude_batch}"]
-    if not parts:
-        return None
-    df = spark.read.parquet(index_dir)
-    if exclude_batch is not None:
-        df = df.where(F.col("batch") != exclude_batch)
-    return df.drop("batch")
+    return _read_batched(spark, index_dir, exclude_batch,
+                         "compact_ingest_index")
 
 
 def read_ingest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -208,6 +219,77 @@ def compact_ingest_index(spark: SparkSession, index_dir: str) -> None:
         return
     _compact_swap(index_dir, lambda tmp: idx.write.mode("overwrite")
                   .parquet(f"{tmp}/batch=0"))
+
+
+def read_semantic_reps(spark: SparkSession, reps_dir: str,
+                       exclude_batch: Optional[int] = None,
+                       ) -> Optional[DataFrame]:
+    """The standing (id, embedding) representative set across all
+    semantically-ingested batches — ``None`` before the first batch
+    lands; same retry-guard contract as ``read_ingest_index``."""
+    return _read_batched(spark, reps_dir, exclude_batch,
+                         "compact_semantic_reps")
+
+
+def compact_semantic_reps(spark: SparkSession, reps_dir: str) -> None:
+    """Fold the semantic representative set's ``batch=`` partitions into
+    one ``batch=0`` base — same crash-safe swap + auto-recovery and the
+    same stopped-stream/committed-checkpoint caveat as
+    ``compact_ingest_index``."""
+    _compact_recover(reps_dir)
+    reps = read_semantic_reps(spark, reps_dir)
+    if reps is None:
+        return
+    _compact_swap(reps_dir, lambda tmp: reps.write.mode("overwrite")
+                  .parquet(f"{tmp}/batch=0"))
+
+
+def stream_semantic_dedup_ingest(stream_df: DataFrame, out_dir: str,
+                                 reps_dir: str, id_col: str,
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.95,
+                                 centroids: Optional[list] = None,
+                                 n_clusters: int = 16,
+                                 checkpoint_dir: Optional[str] = None,
+                                 query_name: str = "semantic_dedup_ingest"):
+    """Continuous-ingest SemDeDup as a ``foreachBatch`` streaming sink —
+    the embedding-space twin of :func:`stream_near_dedup_ingest`: each
+    micro-batch is deduped against the STANDING representative set
+    (reps always win — they arrived first), then within itself (greedy
+    min-id), via :func:`functions.dedup.semantic_dedup_incremental`;
+    survivors land under ``out_dir/batch=<id>/`` and their
+    (id, embedding) rows under ``reps_dir/batch=<id>/`` (per-batch
+    overwrite = idempotent under retries; a retried batch excludes its
+    own reps partition so it never cross-drops against its failed
+    attempt).
+
+    Pass FIXED ``centroids`` (e.g. ``ivf_centroids_kmeans`` over a
+    corpus sample) so cell ids are stable across batches — every
+    comparison is then a per-cell equi-join: cost per batch is
+    Σ|batch_cell|·|reps_cell| + Σ|batch_cell|², never corpus².  The
+    representative set is the only standing state and is the SURVIVOR
+    set — it grows with unique content, not with ingest volume."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        from ..functions.dedup import semantic_dedup_incremental
+
+        spark = batch.sparkSession
+        reps = read_semantic_reps(spark, reps_dir,
+                                  exclude_batch=batch_id)
+        kept, _updated = semantic_dedup_incremental(
+            batch, reps, id_col, vec_col, threshold, centroids,
+            n_clusters)
+        (kept.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+        (kept.select(id_col, vec_col).write.mode("overwrite")
+         .parquet(f"{reps_dir}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------

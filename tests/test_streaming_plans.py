@@ -969,3 +969,65 @@ def test_compact_ingest_index_preserves_dedup(spark, sf_dir, tmp_path):
     assert not os.path.isdir(idx_dir + ".compact.old")
     # empty-dir contract unchanged
     assert read_ingest_index(spark, str(tmp_path / "none")) is None
+
+def test_stream_semantic_dedup_ingest_matches_batch_replay(
+        spark, sf_dir, tmp_path):
+    """The streaming SemDeDup ingest must keep EXACTLY the ids the
+    batch-side two-step replay keeps (reps-win then greedy-min-id,
+    fixed cells), and compacting the representative set must not change
+    a single decision on a third batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import semantic_dedup_incremental
+    from cascalog_spark.functions.similarity import ivf_centroids
+    from cascalog_spark.streaming import (compact_semantic_reps,
+                                          read_ingest_corpus,
+                                          read_semantic_reps,
+                                          stream_semantic_dedup_ingest)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=16)
+    b0 = emb.where("vec_id % 2 = 0")
+    b1 = emb.where("vec_id % 2 = 1")
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    out, reps_dir = str(tmp_path / "out"), str(tmp_path / "reps")
+    sq = stream_semantic_dedup_ingest(
+        raw, out, reps_dir, id_col="vec_id", threshold=0.35,
+        centroids=cents, checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="test_sem_ingest")
+    assert sq.awaitTermination(300)
+
+    k0, r0 = semantic_dedup_incremental(b0, None, "vec_id",
+                                        threshold=0.35, centroids=cents)
+    k1, _ = semantic_dedup_incremental(b1, r0, "vec_id",
+                                       threshold=0.35, centroids=cents)
+    want = {r["vec_id"] for r in k0.select("vec_id").collect()} \
+        | {r["vec_id"] for r in k1.select("vec_id").collect()}
+    got = {r["vec_id"]
+           for r in read_ingest_corpus(spark, out).collect()}
+    assert got == want
+    # reps = survivors exactly
+    assert {r["vec_id"] for r in
+            read_semantic_reps(spark, reps_dir).collect()} == want
+
+    # compaction: one base partition, zero decision drift on batch 3
+    b2 = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    "embedding")
+    reps = read_semantic_reps(spark, reps_dir)
+    before = {r["vec_id"] for r in semantic_dedup_incremental(
+        b2, reps, "vec_id", threshold=0.35,
+        centroids=cents)[0].select("vec_id").collect()}
+    compact_semantic_reps(spark, reps_dir)
+    assert [e for e in os.listdir(reps_dir)
+            if e.startswith("batch=")] == ["batch=0"]
+    reps = read_semantic_reps(spark, reps_dir)
+    after = {r["vec_id"] for r in semantic_dedup_incremental(
+        b2, reps, "vec_id", threshold=0.35,
+        centroids=cents)[0].select("vec_id").collect()}
+    assert after == before
