@@ -41,7 +41,8 @@ from .expectations import (check_expectations, dataset_fingerprint,
                            export_manifest,
                            referential_orphans, referential_report,
                            unique_report)
-from .similarity import (ann_recall_report, brute_force_topk,
+from .similarity import (ann_recall_report, assign_cells_vectorized,
+                         brute_force_topk,
                          cluster_embeddings,
                          cluster_profile, cosine_pairs,
                          cosine_pairs_scoped, cosine_similarity_col,

@@ -2742,3 +2742,38 @@ def test_lsh_ann_topk_multi_probe_superset(emb):
         assert m_rows[i][1] >= psim
     with _p.raises(ValueError, match="multi_probe"):
         lsh_ann_topk(emb, qvec, k=5, n_planes=8, multi_probe=2)
+
+
+def test_cluster_vectorized_matches_expression_path(emb, spark):
+    """The BLAS assignment kernel must agree with the native expression
+    path row for row on real data (cells AND rounded sims), handle null
+    vectors like the expression path (null cell), and respect the
+    min-cid tie rule on an exact tie."""
+    from cascalog_spark.functions import cluster_embeddings
+    from cascalog_spark.functions.similarity import (
+        assign_cells_vectorized, ivf_centroids)
+
+    exact = {r["vec_id"]: (r["cluster"], r["s"])
+             for r in cluster_embeddings(
+                 emb, 16, sim_col="s").collect()}
+    fast = {r["vec_id"]: (r["cluster"], r["s"])
+            for r in cluster_embeddings(
+                emb, 16, sim_col="s", vectorized=True).collect()}
+    assert set(exact) == set(fast)
+    mism = [(k, exact[k], fast[k]) for k in exact
+            if exact[k][0] != fast[k][0]
+            or abs((exact[k][1] or 0) - (fast[k][1] or 0)) > 1e-6]
+    assert mism == []
+    # null vector -> null cell, like the expression path
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (5, [0.0, 1.0])]
+    got = {r["vec_id"]: r["cluster"]
+           for r in assign_cells_vectorized(df, cents).collect()}
+    assert got[1] == 0 and got[2] is None
+    # exact tie between two centroids -> the smaller cid wins
+    tie = spark.createDataFrame([(9, [1.0, 1.0])],
+                                "vec_id long, embedding array<double>")
+    r = assign_cells_vectorized(tie, cents).first()
+    assert r["cluster"] == 0
