@@ -700,11 +700,77 @@ def dequantize_col(codes: Column,
         * F.element_at(scale_l, i + 1))
 
 
+def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
+                         id_col: str, vec_col: str, query_id_col: str,
+                         query_vec_col: str) -> DataFrame:
+    """Arrow-batched BLAS spelling of ``knn_join`` — EXACT, same output.
+
+    The query batch (an eval/inference set — bounded by contract, same
+    assumption the broadcast plan makes) is collected to a q x dim
+    driver matrix and shipped as a closure; ONE ``mapInPandas`` pass
+    over the index computes per-Arrow-batch ``M @ Q.T`` and keeps each
+    query's per-batch top-k UNDER THE SAME TOTAL ORDER as the global
+    reduce (rounded sim desc, id asc — same comparator = the per-batch
+    cut provably preserves the global top-k), then one window reduces
+    the ≤ q·k·#batches candidates.  Candidate shuffle replaces the
+    q x n scored-row stream entirely."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    q_rows = (queries.where(F.col(query_vec_col).isNotNull())
+              .select(F.col(query_id_col), qv).collect())
+    id_t = index.schema[id_col].dataType
+    qid_t = queries.schema[query_id_col].dataType
+    out_schema = T.StructType([T.StructField(query_id_col, qid_t),
+                               T.StructField(id_col, id_t),
+                               T.StructField("sim", T.DoubleType())])
+    if not q_rows:
+        return index.sparkSession.createDataFrame([], out_schema)
+    qids = [r[0] for r in q_rows]
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0] = 1.0
+
+    idx = (index.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("__id"),
+                   F.col(vec_col).cast("array<double>").alias("__v")))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["__id"].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__v"].to_numpy()])
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = np.round((M @ Q.T) / (nrm[:, None] * Qn[None, :]), 6)
+            kk = min(k, n)
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                top = np.lexsort((ids, -col))[:kk]
+                frames.append(pd.DataFrame({
+                    query_id_col: [qid] * kk,
+                    id_col: ids[top], "sim": col[top]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = idx.mapInPandas(gen, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc())
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "sim"))
+
+
 def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              query_vec_col: str = "embedding",
-             n_salt: int = 32) -> DataFrame:
+             n_salt: int = 32, vectorized: bool = False) -> DataFrame:
     """Batch exact k-NN: for EACH query row, the ``k`` index rows with the
     highest cosine → ``(query_id_col, id_col, sim)``.
 
@@ -723,7 +789,16 @@ def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
 
     For corpus-scale query sets use the IVF path (``ivf_write_index`` +
     per-cell equi-join) instead of broadcasting.
+
+    ``vectorized=True`` swaps in the Arrow-batched BLAS kernel
+    (``_knn_join_vectorized``) — same exact output under the same total
+    order, one matmul per index batch instead of per-pair fold lambdas;
+    the expression path stays the default because its sequential-fold
+    arithmetic is bit-identical to the DuckDB oracle's.
     """
+    if vectorized:
+        return _knn_join_vectorized(index, queries, k, id_col, vec_col,
+                                    query_id_col, query_vec_col)
     qv = F.col("__qv")
     qside = queries.where(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col).alias("__qid"),

@@ -2777,3 +2777,26 @@ def test_cluster_vectorized_matches_expression_path(emb, spark):
                                 "vec_id long, embedding array<double>")
     r = assign_cells_vectorized(tie, cents).first()
     assert r["cluster"] == 0
+
+
+def test_knn_join_vectorized_matches_expression_path(emb, spark):
+    """The BLAS knn kernel must return EXACTLY the expression path's
+    (query_id, vec_id, rounded sim) set — per-batch top-k under the
+    same total order preserves the global top-k — and time it: the
+    kernel's matmul replaces per-pair interpreted fold lambdas."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import knn_join
+
+    qs = (emb.orderBy("vec_id").limit(6)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"], r["sim"])
+             for r in knn_join(emb, qs, k=7).collect()}
+    fast = {(r["query_id"], r["vec_id"], r["sim"])
+            for r in knn_join(emb, qs, k=7, vectorized=True).collect()}
+    assert fast == exact
+    # empty query set -> empty result with the right columns
+    empty = knn_join(emb, qs.where("query_id < 0"), k=3,
+                     vectorized=True)
+    assert empty.columns == ["query_id", "vec_id", "sim"]
+    assert empty.count() == 0
