@@ -692,7 +692,10 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     semantics and the same ``sim >= threshold`` comparison, block
     boundary approximation differs.  Extra ``lsh_opts``
     (n_planes/bands/seed/bucket_cap/dim) pass through to
-    ``cosine_pairs``.
+    ``cosine_pairs``.  'cells_vectorized' (r6) = the cells semantics
+    through Arrow-batched BLAS kernels (matmul assignment + one
+    |cell|² matmul per cell) — the throughput spelling when per-pair
+    fold lambdas dominate; opt-in, cells stays the oracle surface.
     """
     from .similarity import cosine_pairs, dot_col, ivf_assign_col, \
         ivf_centroids, norm_col
@@ -716,9 +719,53 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
         # similarity.release_cosine_cache(out) after the consuming action
         out._cosine_sig_cache = getattr(pairs, "_cosine_sig_cache", None)
         return out
+    if method == "cells_vectorized":
+        # Arrow-batched BLAS spelling of the cells path: assignment via
+        # one matmul per batch (assign_cells_vectorized), pair scoring
+        # via one |cell| x |cell| matmul per cell (applyInPandas) — the
+        # throughput option when per-pair fold lambdas dominate.  Same
+        # greedy rule (y drops iff ANY lower-id x in the cell has
+        # sim >= threshold); raw sims within one double ulp of the
+        # threshold can differ from the fold arithmetic, so 'cells'
+        # stays the oracle surface (equivalence pinned in tests).
+        # Assumes a cell fits one executor's pandas frame — the same
+        # |cell| ~ n/k premise the cells method already carries; the
+        # lsh path remains the unbounded-corpus default.
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        from .similarity import assign_cells_vectorized
+
+        cents = centroids or ivf_centroids(df, id_col, vec_col,
+                                           n_clusters or 16)
+        if not cents:
+            return df.select(F.col(id_col)).limit(0)
+        thr = float(threshold)
+        a = assign_cells_vectorized(
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                    .alias("__v")),
+            cents, vec_col="__v", out_col="__cell")
+        schema = T.StructType([df.schema[id_col]])
+
+        def _losers(pdf):
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__v"].to_numpy()])
+            n = np.linalg.norm(M, axis=1)
+            n[n == 0] = 1.0
+            S = (M @ M.T) / (n[:, None] * n[None, :])
+            # boolean upper-triangle mask, NOT np.triu(S) — a zeroed
+            # lower triangle would count as a hit for threshold <= 0
+            upper = np.triu(np.ones(S.shape, dtype=bool), k=1)
+            mask = (upper & (S >= thr)).any(axis=0)
+            return pdf.loc[mask, [id_col]]
+
+        return a.groupBy("__cell").applyInPandas(_losers, schema)
     if method != "cells":
-        raise ValueError(f"semantic_dedup: method must be auto|cells|lsh, "
-                         f"got {method!r}")
+        raise ValueError(f"semantic_dedup: method must be auto|cells|"
+                         f"lsh|cells_vectorized, got {method!r}")
     cents = centroids or ivf_centroids(df, id_col, vec_col,
                                        n_clusters or 16)
     if not cents:  # empty corpus → nothing to drop

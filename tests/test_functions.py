@@ -2800,3 +2800,34 @@ def test_knn_join_vectorized_matches_expression_path(emb, spark):
                      vectorized=True)
     assert empty.columns == ["query_id", "vec_id", "sim"]
     assert empty.count() == 0
+
+
+def test_semantic_dedup_cells_vectorized_matches_cells(emb, spark):
+    """The BLAS cells kernel must drop EXACTLY the ids the expression
+    cells path drops on real data, and survive a null vector and a
+    threshold <= 0 edge (everything pairs -> only min ids survive)."""
+    from cascalog_spark.functions import semantic_dedup
+    from cascalog_spark.functions.dedup import semantic_dedup_losers
+
+    want = {r["vec_id"] for r in semantic_dedup_losers(
+        emb, threshold=0.35, method="cells").collect()}
+    got = {r["vec_id"] for r in semantic_dedup_losers(
+        emb, threshold=0.35, method="cells_vectorized").collect()}
+    assert got == want
+    kept = semantic_dedup(emb, threshold=0.35,
+                          method="cells_vectorized")
+    assert kept.count() == emb.count() - len(want)
+    # null vectors never pair (same as the expression path's null sim)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0])]
+    got = {r["vec_id"] for r in semantic_dedup_losers(
+        df, threshold=0.9, method="cells_vectorized",
+        centroids=cents).collect()}
+    assert got == {2}
+    # threshold <= 0: every same-cell pair matches -> all but min drop
+    got = {r["vec_id"] for r in semantic_dedup_losers(
+        df.where("embedding is not null"), threshold=-1.0,
+        method="cells_vectorized", centroids=cents).collect()}
+    assert got == {2}
