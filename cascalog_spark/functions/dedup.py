@@ -754,7 +754,12 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
             M = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["__v"].to_numpy()])
             n = np.linalg.norm(M, axis=1)
-            n[n == 0] = 1.0
+            ok = n > 0.0  # zero-norm: no cosine — can't pair either way
+            if not ok.all():
+                pdf, M, n = (pdf.loc[ok].reset_index(drop=True),
+                             M[ok], n[ok])
+                if len(pdf) == 0:
+                    return pdf[[id_col]]
             S = (M @ M.T) / (n[:, None] * n[None, :])
             # boolean upper-triangle mask, NOT np.triu(S) — a zeroed
             # lower triangle would count as a hit for threshold <= 0

@@ -133,9 +133,14 @@ def ivf_centroids(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   n_centroids: int = 16) -> list[tuple[int, list[float]]]:
     """Deterministic seed centroids: the ``n_centroids`` rows with the
-    smallest ids.  Driver-side tiny (centroid table is O(k·dim) — at scale
-    this would be a KMeans fit persisted next to the corpus)."""
-    rows = (df.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    smallest ids among rows with a NON-NULL vector (the same filter
+    every consumer and every DuckDB oracle applies — a null vector
+    among the lowest ids would otherwise crash the float conversion
+    and desync the centroid set from the oracle's).  Driver-side tiny
+    (centroid table is O(k·dim) — at scale this would be a KMeans fit
+    persisted next to the corpus)."""
+    rows = (df.where(F.col(vec_col).isNotNull())
+            .orderBy(F.col(id_col).asc()).limit(n_centroids)
             .select(id_col, vec_col).collect())
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
@@ -252,7 +257,13 @@ def assign_cells_vectorized(df: DataFrame,
     sims within one double ulp of each other can assign differently —
     the expression path stays the default and the oracle surface;
     equivalence on real data is pinned in tests.  ``sim_col`` appends
-    the true cosine to the assigned centroid (float64, rounded 6)."""
+    the true cosine to the assigned centroid (float64; rounding is
+    applied by Spark's ``F.round`` after the kernel so the HALF_UP
+    rule matches the expression path exactly — numpy's half-to-even
+    would disagree on exact 6th-decimal halves).  Null vectors get a
+    null cell; zero-norm vectors assign (all dots zero → min cid, same
+    as the expression argmax) with a NULL sim (no cosine exists — the
+    expression path's sim would be an ANSI division error)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -277,9 +288,11 @@ def assign_cells_vectorized(df: DataFrame,
             best = np.argmax(sims, axis=1)  # cid-asc order: ties -> min
             cell[mask] = cids[best]
             vn = np.linalg.norm(M, axis=1)
-            vn[vn == 0] = 1.0
-            sim[mask] = np.round(
-                sims[np.arange(len(best)), best] / vn, 6)
+            zero = vn == 0
+            vn[zero] = 1.0
+            s = sims[np.arange(len(best)), best] / vn
+            s[zero] = np.nan  # zero-norm: no cosine (NULL downstream)
+            sim[mask] = s
         out = pd.DataFrame({"cell": pd.array(
             [None if np.isnan(c) else int(c) for c in cell],
             dtype="Int64"), "sim": sim})
@@ -295,7 +308,11 @@ def assign_cells_vectorized(df: DataFrame,
                         kernel(F.col(vec_col).cast("array<double>")))
     out = res.withColumn(out_col, F.col("__asg")["cell"])
     if sim_col is not None:
-        out = out.withColumn(sim_col, F.col("__asg")["sim"])
+        s = F.col("__asg")["sim"]
+        # Spark-side HALF_UP rounding (authoritative rule); NaN marks
+        # "no cosine" (zero-norm) and becomes a proper NULL here
+        out = out.withColumn(
+            sim_col, F.when(F.isnan(s), None).otherwise(F.round(s, 6)))
     return out.drop("__asg")
 
 
@@ -709,11 +726,21 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
     assumption the broadcast plan makes) is collected to a q x dim
     driver matrix and shipped as a closure; ONE ``mapInPandas`` pass
     over the index computes per-Arrow-batch ``M @ Q.T`` and keeps each
-    query's per-batch top-k UNDER THE SAME TOTAL ORDER as the global
-    reduce (rounded sim desc, id asc — same comparator = the per-batch
-    cut provably preserves the global top-k), then one window reduces
-    the ≤ q·k·#batches candidates.  Candidate shuffle replaces the
-    q x n scored-row stream entirely."""
+    query's per-batch top-k, then one window reduces the
+    ≤ q·(k+ties)·#batches candidates.  Candidate shuffle replaces the
+    q x n scored-row stream entirely.
+
+    Exactness: the authoritative rounding is Spark's ``F.round``
+    (HALF_UP via BigDecimal) applied AFTER the kernel — numpy's
+    half-to-even would disagree on exact 6th-decimal halves — so the
+    per-batch cut keeps every row whose RAW sim is within 2e-6 of the
+    k-th raw sim: any row that could round into a tie with the k-th
+    survives the cut, making the final window's answer identical to
+    the expression path's under the shared (rounded sim desc, id asc)
+    order.  Raw matmul sims can still differ from the sequential fold
+    in the last ulp (the documented kernel caveat).  Zero-norm vectors
+    have no cosine and are excluded on both sides — the expression
+    path rejects them too (ANSI division)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -721,6 +748,8 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
     qv = F.col(query_vec_col).cast("array<double>")
     q_rows = (queries.where(F.col(query_vec_col).isNotNull())
               .select(F.col(query_id_col), qv).collect())
+    q_rows = [r for r in q_rows
+              if any(x != 0.0 for x in r[1])]  # zero-norm: no cosine
     id_t = index.schema[id_col].dataType
     qid_t = queries.schema[query_id_col].dataType
     out_schema = T.StructType([T.StructField(query_id_col, qid_t),
@@ -731,7 +760,6 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Qn = np.linalg.norm(Q, axis=1)
-    Qn[Qn == 0] = 1.0
 
     idx = (index.where(F.col(vec_col).isNotNull())
            .select(F.col(id_col).alias("__id"),
@@ -739,26 +767,34 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
 
     def gen(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
             ids = pdf["__id"].to_numpy()
             M = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["__v"].to_numpy()])
             nrm = np.linalg.norm(M, axis=1)
-            nrm[nrm == 0] = 1.0
-            sims = np.round((M @ Q.T) / (nrm[:, None] * Qn[None, :]), 6)
+            ok = nrm > 0.0
+            if not ok.all():
+                ids, M, nrm = ids[ok], M[ok], nrm[ok]
+            n = len(ids)
+            if n == 0:
+                continue
+            sims = (M @ Q.T) / (nrm[:, None] * Qn[None, :])
             kk = min(k, n)
             frames = []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
-                top = np.lexsort((ids, -col))[:kk]
+                top = np.lexsort((ids, -col))
+                kth = col[top[kk - 1]]
+                # rounding-boundary margin (see docstring)
+                keep = top[col[top] >= kth - 2e-6]
                 frames.append(pd.DataFrame({
-                    query_id_col: [qid] * kk,
-                    id_col: ids[top], "sim": col[top]}))
+                    query_id_col: [qid] * len(keep),
+                    id_col: ids[keep], "sim": col[keep]}))
             yield pd.concat(frames, ignore_index=True)
 
-    cand = idx.mapInPandas(gen, out_schema)
+    cand = (idx.mapInPandas(gen, out_schema)
+            .withColumn("sim", F.round(F.col("sim"), 6)))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc())
     return (cand.withColumn("__rn", F.row_number().over(w))
@@ -804,13 +840,15 @@ def knn_join(index: DataFrame, queries: DataFrame, k: int = 10,
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
         (norm_col(F.col(query_vec_col).cast("array<double>")))
-        .alias("__qnrm"))
+        .alias("__qnrm")).where(F.col("__qnrm") > 0)
     vec = F.col(vec_col).cast("array<double>")
     # null vectors can't rank (and DuckDB orders nulls first on DESC —
-    # an oracle trap); drop them on both sides
+    # an oracle trap) and zero-norm vectors have no cosine (ANSI mode
+    # makes the 0-divisor an error, not a NaN); drop both, both sides
     scored = (index.where(F.col(vec_col).isNotNull())
               .select(F.col(id_col), vec.alias("__v"),
                       norm_col(vec).alias("__nrm"))
+              .where(F.col("__nrm") > 0)
               .join(F.broadcast(qside))
               .select(F.col("__qid"), F.col(id_col),
                       F.round(dot_col(F.col("__v"), qv)
@@ -952,6 +990,15 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
            .select(F.col(id_col), vec.alias("__v"),
                    norm_col(vec).alias("__nrm")))
     qv = F.col(query_vec_col).cast("array<double>")
+    if not lsh_planes and not ivf_probes:
+        raise ValueError("ann_recall_report: need at least one "
+                         "configuration (lsh_planes and ivf_probes are "
+                         "both empty)")
+    if lsh_multi_probe not in (0, 1):
+        # same domain as lsh_ann_topk(multi_probe=...) — silently
+        # reading 2 as hamming-1 would desync the report from the op
+        raise ValueError("ann_recall_report: lsh_multi_probe must be "
+                         "0 or 1 (hamming-1 multi-probe)")
     qside = (queries.where(F.col(query_vec_col).isNotNull())
              .select(F.col(query_id_col).alias("__qid"), qv.alias("__qv"),
                      norm_col(qv).alias("__qnrm")))

@@ -38,6 +38,7 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
                             num_perm: int = 16, bands: int = 4,
                             shingle_k: int = 3, max_iter: int = 20,
                             cc_method: str = "star",
+                            materialize: bool = False,
                             ) -> tuple[DataFrame, DataFrame]:
     """One ingest step, batch-land: returns ``(survivors, new_index_rows)``.
 
@@ -72,6 +73,11 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
     survivors = (batch
                  .join(self_losers, on=id_col, how="left_anti")
                  .join(cross_hit, on=id_col, how="left_anti"))
+    if materialize:
+        # callers consuming BOTH outputs (the streaming step writes
+        # survivors and the semi-joined index rows) would otherwise run
+        # the whole dedup twice — checkpoint once, batch-sized
+        survivors = survivors.localCheckpoint()
     new_index_rows = bidx.join(
         survivors.select(id_col), on=id_col, how="left_semi")
     return survivors, new_index_rows
@@ -103,7 +109,7 @@ def stream_near_dedup_ingest(stream_df: DataFrame, out_dir: str,
                                   exclude_batch=batch_id)
         survivors, new_rows = ingest_batch_near_dedup(
             batch, index, id_col, text_col, num_perm, bands, shingle_k,
-            max_iter, cc_method)
+            max_iter, cc_method, materialize=True)
         (survivors.write.mode("overwrite")
          .parquet(f"{out_dir}/batch={batch_id}"))
         (new_rows.write.mode("overwrite")
@@ -279,6 +285,9 @@ def stream_semantic_dedup_ingest(stream_df: DataFrame, out_dir: str,
         kept, _updated = semantic_dedup_incremental(
             batch, reps, id_col, vec_col, threshold, centroids,
             n_clusters)
+        # survivors feed TWO writes — materialize once (batch-sized)
+        # instead of re-running the reps read + cell joins per write
+        kept = kept.localCheckpoint()
         (kept.write.mode("overwrite")
          .parquet(f"{out_dir}/batch={batch_id}"))
         (kept.select(id_col, vec_col).write.mode("overwrite")

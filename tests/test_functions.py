@@ -2831,3 +2831,37 @@ def test_semantic_dedup_cells_vectorized_matches_cells(emb, spark):
         df.where("embedding is not null"), threshold=-1.0,
         method="cells_vectorized", centroids=cents).collect()}
     assert got == {2}
+
+
+def test_cosine_ops_zero_norm_contract(spark):
+    """Zero-norm vectors have no cosine: under ANSI mode the division
+    is an error, so every cosine-ranking op EXCLUDES them explicitly —
+    knn_join on both paths (no crash, no phantom 0.0-sim row), the
+    vectorized cells dedup (can't drop or be dropped), and
+    assign_cells_vectorized (assigns like the argmax — all dots zero →
+    min cid — with a NULL sim)."""
+    from cascalog_spark.functions import knn_join
+    from cascalog_spark.functions.dedup import semantic_dedup_losers
+    from cascalog_spark.functions.similarity import \
+        assign_cells_vectorized
+
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "query_id long, embedding array<double>")
+    for vec in (False, True):
+        rows = {(r["query_id"], r["vec_id"])
+                for r in knn_join(idx, qs, k=5, vectorized=vec).collect()}
+        assert rows == {(10, 1), (10, 3)}, vec
+    cents = [(0, [1.0, 0.0]), (5, [0.0, 1.0])]
+    losers = {r["vec_id"] for r in semantic_dedup_losers(
+        idx, threshold=-1.0, method="cells_vectorized",
+        centroids=cents).collect()}
+    assert 2 not in losers            # zero vector never pairs
+    asg = {r["vec_id"]: (r["cluster"], r["s"])
+           for r in assign_cells_vectorized(
+               idx, cents, sim_col="s").collect()}
+    assert asg[2] == (0, None)        # min cid, no cosine
+    assert asg[1][0] == 0 and asg[1][1] == 1.0

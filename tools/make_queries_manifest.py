@@ -23,10 +23,16 @@ def build_manifest() -> dict:
 
     names = list(e.queries())
     oracles = e.oracle_sql()
-    # which entries have a driver-side hash-check on record (any round)
+    # which entries have REAL driver-side evidence on record (any
+    # round): a hash match, or a rows-only match for oracle-less
+    # queries.  Key-presence alone is NOT evidence — an err row like
+    # r05's doc_classifier_fit (err: no_oracle, every match field
+    # null) is a failed no-op and must stay in driver_unchecked.
     checked: set[str] = set()
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        checked |= set(json.loads(f.read_text()).keys())
+        for name, rec in json.loads(f.read_text()).items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                checked.add(name)
     unchecked = [n for n in names if n not in checked]
     return {
         "count": len(names),
