@@ -780,6 +780,10 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
     # dot product instead of three array aggregates per candidate
     a = (df.select(F.col(id_col).alias("__id"), vec.alias("__v"),
                    norm_col(vec).alias("__n"))
+         # zero-norm vectors have no cosine: they can neither drop nor
+         # be dropped (and ANSI mode makes the 0 divisor an error) —
+         # same exclusion as the vectorized kernel
+         .where(F.col("__n") > 0)
          .withColumn("__cell", ivf_assign_col(F.col("__v"), cents)))
     x, y = a.alias("x"), a.alias("y")
     sim = (dot_col(F.col("x.__v"), F.col("y.__v"))
@@ -839,6 +843,8 @@ def semantic_dedup_incremental(
         return (d.select(F.col(id_col).alias(f"{prefix}id"),
                          vec.alias(f"{prefix}v"),
                          norm_col(vec).alias(f"{prefix}n"))
+                # zero-norm: no cosine — never pairs (ANSI guard)
+                .where(F.col(f"{prefix}n") > 0)
                 .withColumn(f"{prefix}cell",
                             ivf_assign_col(F.col(f"{prefix}v"), cents)))
 

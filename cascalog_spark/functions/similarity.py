@@ -30,7 +30,12 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    cosine is undefined there — ``try_divide`` matches DuckDB, which
+    returns NULL for division by zero, where plain ``/`` under ANSI
+    mode would make one all-zeros embedding an error that kills the
+    whole job)."""
+    return F.try_divide(dot_col(a, b), norm_col(a) * norm_col(b))
 
 
 def cosine_to_query_col(a: Column, query_vec: list[float]) -> Column:
@@ -44,7 +49,9 @@ def cosine_to_query_col(a: Column, query_vec: list[float]) -> Column:
 
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    return dot_col(a, qv) / (norm_col(a) * F.lit(qnorm))
+    # try_divide: a zero-norm ROW yields NULL (cosine undefined; DuckDB
+    # agrees), never an ANSI division error
+    return F.try_divide(dot_col(a, qv), norm_col(a) * F.lit(qnorm))
 
 
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -57,6 +64,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """
     sim = cosine_to_query_col(F.col(vec_col).cast("array<double>"), query_vec)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .where(F.col("sim").isNotNull())  # null/zero-norm: no rank
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -121,6 +129,7 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         else F.col("__sig").isin(sigs)
     return (df_sig.where(cond)
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .where(F.col("sim").isNotNull())  # null/zero-norm: no rank
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -417,6 +426,7 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return (df.withColumn("__cell", ivf_assign_col(vec, cents))
             .where(F.col("__cell").isin(probe))
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .where(F.col("sim").isNotNull())  # null/zero-norm: no rank
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -471,6 +481,7 @@ def ivf_query_index(spark, path: str,
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .where(F.col("sim").isNotNull())  # null/zero-norm: no rank
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -598,6 +609,7 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
         hot = sizes.where(F.col("count") > bucket_cap).drop("count")
         normed = normed.join(F.broadcast(hot), on=["__band", "__bsig"],
                              how="left_anti")
+    normed = normed.where(F.col("nrm") > 0)  # zero-norm: no cosine
     a = normed.alias("a")
     b = normed.alias("b")
     sim = dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -781,6 +793,8 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
                 continue
             sims = (M @ Q.T) / (nrm[:, None] * Qn[None, :])
             kk = min(k, n)
+            if kk <= 0:  # k=0: top[-1] would keep the WHOLE batch
+                continue
             frames = []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
@@ -899,12 +913,14 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
     centroids = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
     vec = F.col(vec_col).cast("array<double>")
-    idx = index.where(F.col(vec_col).isNotNull()).select(
+    idx = (index.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), norm_col(vec).alias("__nrm"),
         ivf_assign_col(vec, centroids).alias("__cell"))
+        .where(F.col("__nrm") > 0))  # zero-norm: no cosine
 
     queries = queries.where(F.col(query_vec_col).isNotNull())
     qv = F.col(query_vec_col).cast("array<double>")
+    queries = queries.where(norm_col(qv) > 0)  # zero-norm: no cosine
     # rank cells by dot against unit centroids (∝ cosine: the query norm is
     # constant across cells) — negsim-first struct sort = sim desc, cid asc
     entries = F.array(*[
@@ -988,7 +1004,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     vec = F.col(vec_col).cast("array<double>")
     idx = (index.where(F.col(vec_col).isNotNull())
            .select(F.col(id_col), vec.alias("__v"),
-                   norm_col(vec).alias("__nrm")))
+                   norm_col(vec).alias("__nrm"))
+           .where(F.col("__nrm") > 0))  # zero-norm: no cosine
     qv = F.col(query_vec_col).cast("array<double>")
     if not lsh_planes and not ivf_probes:
         raise ValueError("ann_recall_report: need at least one "
@@ -1001,7 +1018,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                          "0 or 1 (hamming-1 multi-probe)")
     qside = (queries.where(F.col(query_vec_col).isNotNull())
              .select(F.col(query_id_col).alias("__qid"), qv.alias("__qv"),
-                     norm_col(qv).alias("__qnrm")))
+                     norm_col(qv).alias("__qnrm"))
+             .where(F.col("__qnrm") > 0))
     dim_row = qside.select(F.size("__qv").alias("d")).first()
     if dim_row is None:
         raise ValueError("ann_recall_report: empty query set")

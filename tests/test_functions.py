@@ -2865,3 +2865,43 @@ def test_cosine_ops_zero_norm_contract(spark):
                idx, cents, sim_col="s").collect()}
     assert asg[2] == (0, None)        # min cid, no cosine
     assert asg[1][0] == 0 and asg[1][1] == 1.0
+    # the expression cells path (the oracle surface) must tolerate the
+    # same data the vectorized kernel does
+    losers = {r["vec_id"] for r in semantic_dedup_losers(
+        idx, threshold=-1.0, method="cells", centroids=cents).collect()}
+    assert 2 not in losers
+    # incremental (the streaming-ingest kernel) likewise
+    from cascalog_spark.functions import semantic_dedup_incremental
+    kept, _ = semantic_dedup_incremental(
+        idx, None, "vec_id", threshold=0.99, centroids=cents)
+    assert {r["vec_id"] for r in kept.select("vec_id").collect()}         == {1, 2, 3}
+    # single-query rankers: zero-norm corpus rows fall out, never crash
+    from cascalog_spark.functions.similarity import (brute_force_topk,
+                                                     cosine_pairs,
+                                                     ivf_knn_join,
+                                                     lsh_ann_topk)
+    got = {r["vec_id"] for r in brute_force_topk(
+        idx, [1.0, 0.0], k=5).collect()}
+    assert got == {1, 3}
+    got = {r["vec_id"] for r in lsh_ann_topk(
+        idx, [1.0, 0.0], k=5, n_planes=2).collect()}
+    assert 2 not in got and 1 in got
+    pairs = cosine_pairs(idx, threshold=-1.0, exact=True).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in pairs)
+    got = {(r["query_id"], r["vec_id"]) for r in ivf_knn_join(
+        idx, qs, cents, k=5, n_probe=2).collect()}
+    assert got == {(10, 1), (10, 3)}
+    # the recall report runs end-to-end with the zero rows present
+    from cascalog_spark.functions import ann_recall_report
+    rep = ann_recall_report(idx, qs, k=2, lsh_planes=(2,),
+                            ivf_probes=(2,), n_centroids=2,
+                            centroids=cents).collect()
+    assert len(rep) == 2
+    import pytest as _p
+    with _p.raises(ValueError, match="at least one"):
+        ann_recall_report(idx, qs, lsh_planes=(), ivf_probes=())
+    with _p.raises(ValueError, match="lsh_multi_probe"):
+        ann_recall_report(idx, qs, lsh_planes=(2,), lsh_multi_probe=2)
+    # k=0 vectorized knn: empty, cheaply (no whole-batch candidates)
+    from cascalog_spark.functions import knn_join
+    assert knn_join(idx, qs, k=0, vectorized=True).count() == 0

@@ -31,7 +31,13 @@ def build_manifest() -> dict:
     checked: set[str] = set()
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         for name, rec in json.loads(f.read_text()).items():
-            if rec.get("hash_match") or rec.get("rows_match"):
+            if rec.get("hash_match") is True or (
+                    rec.get("hash_match") is None
+                    and rec.get("rows_match") is True
+                    and not rec.get("err")):
+                # hash_match=false + rows_match=true is a FAILED hash
+                # check (a real discrepancy), not evidence; rows-only
+                # counts only for oracle-less queries (hash_match null)
                 checked.add(name)
     unchecked = [n for n in names if n not in checked]
     return {
