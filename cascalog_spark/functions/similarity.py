@@ -522,13 +522,61 @@ def band_signature_cols(planes: list[list[float]], bands: int, r_bits: int):
     return _bands
 
 
+def _cosine_pairs_vectorized(normed: DataFrame, threshold: float,
+                             id_col: str, bands: int) -> DataFrame:
+    """Arrow-batched BLAS spelling of the in-bucket pair verification —
+    one |bucket| x |bucket| matmul per (band, signature) bucket via
+    ``applyInPandas`` instead of a per-pair interpreted fold; the same
+    first-matching-band suppression (a pair is emitted only from the
+    LOWEST band whose signatures agree) runs as a numpy comparison over
+    the carried band arrays.  Thresholding compares RAW sims like the
+    expression path (matmul ulp caveat as with the other kernels);
+    Spark's F.round emits the output sims.  Assumes the cosine_pairs
+    premise that ``bucket_cap``/``n_planes`` bound |bucket| to one
+    executor's frame."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    thr = float(threshold)
+    id_t = normed.schema[id_col].dataType
+    schema = T.StructType([T.StructField("id_a", id_t),
+                           T.StructField("id_b", id_t),
+                           T.StructField("sim", T.DoubleType())])
+
+    def _pairs(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        band = int(key[0])
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["v"].to_numpy()])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        S = (M @ M.T) / (nrm[:, None] * nrm[None, :])
+        upper = np.triu(np.ones(S.shape, dtype=bool), k=1)
+        ii, jj = np.nonzero(upper & (S >= thr))
+        if band > 0 and len(ii):
+            B = np.stack([np.asarray(b_)[:band]
+                          for b_ in pdf["__bands"].to_numpy()])
+            keep = ~(B[ii] == B[jj]).any(axis=1)
+            ii, jj = ii[keep], jj[keep]
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+                             "sim": S[ii, jj]})
+
+    return (normed.groupBy("__band", "__bsig")
+            .applyInPandas(_pairs, schema)
+            .select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")))
+
+
 def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 42,
                  exact: bool = False, bands: int = 1,
                  dim: int | None = None,
                  bucket_cap: int | None = None,
-                 materialize: bool = True) -> DataFrame:
+                 materialize: bool = True,
+                 vectorized: bool = False) -> DataFrame:
     """All near-neighbor pairs with cosine ≥ threshold.
 
     Blocking is banded random-hyperplane LSH — AND of ``n_planes`` bits
@@ -610,6 +658,14 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
         normed = normed.join(F.broadcast(hot), on=["__band", "__bsig"],
                              how="left_anti")
     normed = normed.where(F.col("nrm") > 0)  # zero-norm: no cosine
+    if vectorized:
+        if exact:
+            raise ValueError("cosine_pairs: vectorized=True requires "
+                             "LSH blocking (exact=True collapses to one "
+                             "all-pairs group)")
+        out = _cosine_pairs_vectorized(normed, threshold, id_col, bands)
+        out._cosine_sig_cache = sig_cache
+        return out
     a = normed.alias("a")
     b = normed.alias("b")
     sim = dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))

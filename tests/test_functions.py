@@ -2905,3 +2905,24 @@ def test_cosine_ops_zero_norm_contract(spark):
     # k=0 vectorized knn: empty, cheaply (no whole-batch candidates)
     from cascalog_spark.functions import knn_join
     assert knn_join(idx, qs, k=0, vectorized=True).count() == 0
+
+
+def test_cosine_pairs_vectorized_matches_expression(emb):
+    """The BLAS in-bucket pair kernel must emit EXACTLY the expression
+    path's (id_a, id_b, sim) set, including the first-matching-band
+    suppression, and refuse exact=True (one all-pairs group)."""
+    import pytest as _p
+
+    from cascalog_spark.functions.similarity import (cosine_pairs,
+                                                     release_cosine_cache)
+
+    kw = dict(threshold=0.35, bands=4, n_planes=8, dim=64)
+    expr = cosine_pairs(emb, **kw)
+    want = {(r["id_a"], r["id_b"], r["sim"]) for r in expr.collect()}
+    release_cosine_cache(expr)
+    fast = cosine_pairs(emb, vectorized=True, **kw)
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in fast.collect()}
+    release_cosine_cache(fast)
+    assert got == want and len(want) > 0
+    with _p.raises(ValueError, match="vectorized"):
+        cosine_pairs(emb, exact=True, vectorized=True)
