@@ -3220,6 +3220,21 @@ def embedding_ann_recall(spark, sf_dir):
                              lsh_multi_probe=1)
 
 
+def doc_containment_pairs(spark, sf_dir):
+    """Directed containment near-dup (dedup.py containment_pairs):
+    C(A→B) = |S(A)∩S(B)|/|S(A)| >= 0.7 over 3-token shingles — the
+    asymmetric complement of Jaccard (a short doc quoted inside a long
+    one has tiny Jaccard but containment ~1).  Candidates via the
+    PPJoin-style prefix filter (rarity-ordered shingles, exact recall at
+    the threshold — no missed pairs); one array_intersect verification
+    per candidate.  Oracle replays the same rarity order, prefix bound
+    and intersect arithmetic in SQL."""
+    from cascalog_spark.functions import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", threshold=0.7)
+
+
 def embedding_stream_semantic_ingest(spark, sf_dir):
     """Continuous-ingest SemDeDup as a STREAMING job
     (streaming/ingest.py stream_semantic_dedup_ingest — the
@@ -3313,6 +3328,7 @@ _R6_HEAD = [
     # new in round 6 (never seen by any driver round)
     "embedding_ann_recall",
     "embedding_stream_semantic_ingest",
+    "doc_containment_pairs",
     "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
 ]
 
@@ -3525,6 +3541,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_recall": embedding_ann_recall,
         "embedding_stream_semantic_ingest":
             embedding_stream_semantic_ingest,
+        "doc_containment_pairs": doc_containment_pairs,
     }
 
 
@@ -4655,6 +4672,33 @@ def oracle_sql() -> dict[str, str]:
                          * coalesce(g.g, 0.0), 6) AS weight
             FROM range(0, 16) t(i) LEFT JOIN grad g ON g.b = t.i""",
         "embedding_ann_recall": _ann_recall_sql(multi_probe=1),
+        # directed containment: same rarity order (df asc, shingle asc),
+        # same prefix bound n - ceil(t*n) + 1, same intersect arithmetic
+        "doc_containment_pairs": f"""
+            WITH d AS (SELECT doc_id, {_shingle_sql(3)} AS arr
+                       FROM documents),
+            dd AS (SELECT doc_id, arr FROM d WHERE len(arr) > 0),
+            sh AS (SELECT doc_id, unnest(arr) AS s FROM dd),
+            cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+            r AS (SELECT doc_id, s,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY df, s) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n
+                  FROM sh JOIN cnt USING (s)),
+            pref AS (SELECT doc_id, s FROM r
+                     WHERE rn <= n - ceil(0.7 * n) + 1),
+            cand AS (SELECT DISTINCT p.doc_id AS a, o.doc_id AS b
+                     FROM pref p JOIN sh o
+                       ON p.s = o.s AND p.doc_id <> o.doc_id),
+            v AS (SELECT c.a, c.b,
+                         len(list_intersect(da.arr, db.arr))::DOUBLE
+                           / len(da.arr) AS containment
+                  FROM cand c
+                  JOIN dd da ON da.doc_id = c.a
+                  JOIN dd db ON db.doc_id = c.b)
+            SELECT a AS doc_id, b AS container_id,
+                   round(containment, 6) AS containment
+            FROM v WHERE containment >= 0.7""",
         # streaming SemDeDup ingest: batch0 (even ids) greedy-dedups
         # within itself; batch1 (odd ids) drops vs batch0's SURVIVORS
         # (reps win) then within itself — cells fixed corpus-wide

@@ -2926,3 +2926,61 @@ def test_cosine_pairs_vectorized_matches_expression(emb):
     assert got == want and len(want) > 0
     with _p.raises(ValueError, match="vectorized"):
         cosine_pairs(emb, exact=True, vectorized=True)
+
+
+def test_containment_pairs_directed_semantics(spark, sf_dir):
+    """Containment catches the quoted-inside case Jaccard misses, with
+    EXACT recall at the threshold: brute-force all-pairs containment on
+    a small corpus must equal the prefix-filtered result; direction
+    matters (small ⊂ big, not the reverse); the prefix filter never
+    drops a qualifying pair."""
+    import itertools
+
+    import pytest as _p
+
+    from cascalog_spark.functions import (containment_pairs,
+                                          ngram_jaccard_pairs)
+
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon")
+    small = "alpha beta gamma delta epsilon zeta"      # prefix of big
+    other = "one two three four five six seven eight nine ten"
+    rows = [(1, big), (2, small), (3, other), (4, big + " extra tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["container_id"]): r["containment"]
+           for r in containment_pairs(df, "doc_id",
+                                      threshold=0.8).collect()}
+    assert got[(2, 1)] == 1.0          # small fully inside big
+    assert (1, 2) not in got           # big is NOT inside small
+    assert (2, 4) in got and (1, 4) in got
+    assert all(3 not in pair for pair in got)
+    # Jaccard misses the small-in-big pair at the same bar
+    jac = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(df, "doc_id",
+                                        threshold=0.8).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+    # exact-recall property on real data: prefix-filtered == brute force
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(120).collect())
+    from cascalog_spark.functions.text import tokens_col  # noqa: F401
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) == 0:
+            return {""}
+        return {" ".join(toks[i:i + 3])
+                for i in range(max(len(toks) - 3, 0) + 1)}
+    sets = {r["doc_id"]: shingles(r["text"]) for r in docs}
+    t = 0.7
+    want = set()
+    for a, b in itertools.permutations(sets, 2):
+        if sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= t:
+            want.add((a, b))
+    sub = spark.createDataFrame([(r["doc_id"], r["text"]) for r in docs],
+                                "doc_id long, text string")
+    got = {(r["doc_id"], r["container_id"])
+           for r in containment_pairs(sub, "doc_id",
+                                      threshold=t).collect()}
+    assert got == want
+    with _p.raises(ValueError, match="threshold"):
+        containment_pairs(df, "doc_id", threshold=0.0)
