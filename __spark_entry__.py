@@ -3235,6 +3235,19 @@ def doc_containment_pairs(spark, sf_dir):
     return containment_pairs(docs, "doc_id", threshold=0.7)
 
 
+def doc_containment_dedup(spark, sf_dir):
+    """Containment-based removal (dedup.py containment_dedup): corpus
+    minus contained fragments — one-directional containment drops the
+    contained side, mutual (near-exact) groups keep their min id; one
+    anti-join against the loser set.  Oracle replays the pair table and
+    the winner rule in SQL."""
+    from cascalog_spark.functions import containment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (containment_dedup(docs, "doc_id", threshold=0.7)
+            .select("doc_id", "source"))
+
+
 def embedding_stream_semantic_ingest(spark, sf_dir):
     """Continuous-ingest SemDeDup as a STREAMING job
     (streaming/ingest.py stream_semantic_dedup_ingest — the
@@ -3329,6 +3342,7 @@ _R6_HEAD = [
     "embedding_ann_recall",
     "embedding_stream_semantic_ingest",
     "doc_containment_pairs",
+    "doc_containment_dedup",
     "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
 ]
 
@@ -3542,6 +3556,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stream_semantic_ingest":
             embedding_stream_semantic_ingest,
         "doc_containment_pairs": doc_containment_pairs,
+        "doc_containment_dedup": doc_containment_dedup,
     }
 
 
@@ -4699,6 +4714,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, b AS container_id,
                    round(containment, 6) AS containment
             FROM v WHERE containment >= 0.7""",
+        "doc_containment_dedup": f"""
+            WITH d AS (SELECT doc_id, {_shingle_sql(3)} AS arr
+                       FROM documents),
+            dd AS (SELECT doc_id, arr FROM d WHERE len(arr) > 0),
+            sh AS (SELECT doc_id, unnest(arr) AS s FROM dd),
+            cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+            r AS (SELECT doc_id, s,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY df, s) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n
+                  FROM sh JOIN cnt USING (s)),
+            pref AS (SELECT doc_id, s FROM r
+                     WHERE rn <= n - ceil(0.7 * n) + 1),
+            cand AS (SELECT DISTINCT p.doc_id AS a, o.doc_id AS b
+                     FROM pref p JOIN sh o
+                       ON p.s = o.s AND p.doc_id <> o.doc_id),
+            v AS (SELECT c.a, c.b FROM cand c
+                  JOIN dd da ON da.doc_id = c.a
+                  JOIN dd db ON db.doc_id = c.b
+                  WHERE len(list_intersect(da.arr, db.arr))::DOUBLE
+                          / len(da.arr) >= 0.7),
+            mut AS (SELECT v1.a, v1.b FROM v v1
+                    JOIN v v2 ON v1.a = v2.b AND v1.b = v2.a),
+            l1 AS (SELECT DISTINCT v.a FROM v LEFT JOIN mut m
+                     ON v.a = m.a AND v.b = m.b
+                   WHERE m.a IS NULL),
+            l2 AS (SELECT DISTINCT a FROM mut WHERE b < a),
+            losers AS (SELECT a FROM l1 UNION SELECT a FROM l2)
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT a FROM losers)""",
         # streaming SemDeDup ingest: batch0 (even ids) greedy-dedups
         # within itself; batch1 (odd ids) drops vs batch0's SURVIVORS
         # (reps win) then within itself — cells fixed corpus-wide

@@ -17,7 +17,8 @@ from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      shingle_bloom,
                      split_corpus, stratified_sample, temperature_mixture,
                      weighted_sample)
-from .dedup import (containment_pairs, cross_doc_line_dedup,
+from .dedup import (containment_dedup, containment_pairs,
+                    cross_doc_line_dedup,
                     dedup_clusters,
                     dedup_quality_report,
                     minhash_index, minhash_lsh_candidates_incremental,

@@ -654,6 +654,48 @@ def containment_pairs(df: DataFrame, id_col: str,
     return out
 
 
+def containment_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Corpus minus contained copies: keep containers, drop the
+    quotes/wrappers/fragments they contain.
+
+    Deterministic single-pass winner rule: drop A iff A is contained in
+    some B where the containment is NOT mutual, or it IS mutual
+    (near-exact duplicates) and B has the smaller id — mutual groups
+    keep their min id (exact_dedup's keep='min' convention),
+    one-directional containment always drops the contained side.
+    GREEDY like every single-pass dedup: in a containment CHAIN
+    (A ⊂ B ⊂ C) the middle doc drops too, its content covered by its
+    own container to ~t per hop — if transitive-closure semantics
+    matter, feed ``containment_pairs`` into ``dedup_clusters`` the way
+    ``near_dedup`` does for the symmetric relation.  One anti-join
+    against the loser id set; the loser set is the duplicate fraction
+    only."""
+    pairs = containment_pairs(df, id_col, text_col, n, threshold)
+    a = pairs.alias("a")
+    # mutual containment = the reverse pair also cleared the threshold
+    rev = (pairs.select(F.col(id_col).alias("__rb"),
+                        F.col("container_id").alias("__ra"))
+           .withColumn("__mutual", F.lit(True)).alias("r"))
+    losers = (a.join(rev, on=[F.col(f"a.{id_col}") == F.col("r.__ra"),
+                              F.col("a.container_id") == F.col("r.__rb")],
+                     how="left")
+              .where(F.coalesce(F.col("__mutual"), F.lit(False))
+                     == F.lit(False))
+              .select(F.col(f"a.{id_col}").alias("__loser"))
+              .unionByName(
+                  a.join(rev,
+                         on=[F.col(f"a.{id_col}") == F.col("r.__ra"),
+                             F.col("a.container_id") == F.col("r.__rb")],
+                         how="left_semi")
+                  .where(F.col("container_id") < F.col(id_col))
+                  .select(F.col(id_col).alias("__loser")))
+              .distinct())
+    return df.join(losers.withColumnRenamed("__loser", id_col),
+                   on=id_col, how="left_anti")
+
+
 def near_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_perm: int = 16, bands: int = 4,
                shingle_k: int = 3, max_iter: int = 20,

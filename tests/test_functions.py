@@ -2984,3 +2984,21 @@ def test_containment_pairs_directed_semantics(spark, sf_dir):
     assert got == want
     with _p.raises(ValueError, match="threshold"):
         containment_pairs(df, "doc_id", threshold=0.0)
+
+
+def test_containment_dedup_keeps_containers(spark):
+    """Containers survive, contained fragments drop, mutual
+    (near-exact) groups keep their min id, unrelated docs untouched."""
+    from cascalog_spark.functions import containment_dedup
+
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, big),
+            (2, "alpha beta gamma delta epsilon zeta"),  # ⊂ 1
+            (3, "one two three four five six seven"),
+            (7, big),                                    # mutual with 1
+            (9, "theta iota kappa lam mu nu")]           # ⊂ 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in containment_dedup(
+        df, "doc_id", threshold=0.8).collect()}
+    assert kept == {1, 3}
