@@ -10,7 +10,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from cascalog_spark.functions import (dedup_clusters, minhash_lsh_candidates,
+from cascalog_spark.functions import (containment_dedup, containment_pairs,
+                                      dedup_clusters, minhash_lsh_candidates,
                                       ngram_jaccard_pairs)
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -30,4 +31,11 @@ print(f"verified (jaccard >= 0.2) pairs: {verified.count()}")
 clusters = dedup_clusters(verified.select("id_a", "id_b"))
 clusters.groupBy("cluster").count().orderBy("count", ascending=False) \
     .show(10)
+
+# directed containment: the fragments symmetric Jaccard misses — a short
+# doc quoted inside a long one has tiny Jaccard but containment ~1
+contained = containment_pairs(docs, "doc_id", threshold=0.7)
+print(f"directed containment pairs (C >= 0.7): {contained.count()}")
+kept = containment_dedup(docs, "doc_id", threshold=0.7)
+print(f"corpus after containment dedup: {kept.count()} / {docs.count()}")
 spark.stop()
