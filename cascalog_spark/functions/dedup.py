@@ -672,7 +672,12 @@ def containment_dedup(df: DataFrame, id_col: str = "doc_id",
     ``near_dedup`` does for the symmetric relation.  One anti-join
     against the loser id set; the loser set is the duplicate fraction
     only."""
-    pairs = containment_pairs(df, id_col, text_col, n, threshold)
+    # the pair table feeds FOUR join branches below (direct + reverse x
+    # left/semi) — materialize it once (duplicate-fraction-sized, the
+    # same bound the anti-join already relies on) instead of re-running
+    # the prefix join per branch
+    pairs = containment_pairs(df, id_col, text_col, n,
+                              threshold).localCheckpoint()
     a = pairs.alias("a")
     # mutual containment = the reverse pair also cleared the threshold
     rev = (pairs.select(F.col(id_col).alias("__rb"),
