@@ -679,23 +679,19 @@ def containment_dedup(df: DataFrame, id_col: str = "doc_id",
     pairs = containment_pairs(df, id_col, text_col, n,
                               threshold).localCheckpoint()
     a = pairs.alias("a")
-    # mutual containment = the reverse pair also cleared the threshold
+    # mutual containment = the reverse pair also cleared the threshold;
+    # pair rows are unique per direction, so ONE 1:1 left join decides
+    # both branches of the winner rule
     rev = (pairs.select(F.col(id_col).alias("__rb"),
                         F.col("container_id").alias("__ra"))
            .withColumn("__mutual", F.lit(True)).alias("r"))
+    mutual = F.coalesce(F.col("__mutual"), F.lit(False))
     losers = (a.join(rev, on=[F.col(f"a.{id_col}") == F.col("r.__ra"),
                               F.col("a.container_id") == F.col("r.__rb")],
                      how="left")
-              .where(F.coalesce(F.col("__mutual"), F.lit(False))
-                     == F.lit(False))
+              .where((~mutual)
+                     | (F.col("a.container_id") < F.col(f"a.{id_col}")))
               .select(F.col(f"a.{id_col}").alias("__loser"))
-              .unionByName(
-                  a.join(rev,
-                         on=[F.col(f"a.{id_col}") == F.col("r.__ra"),
-                             F.col("a.container_id") == F.col("r.__rb")],
-                         how="left_semi")
-                  .where(F.col("container_id") < F.col(id_col))
-                  .select(F.col(id_col).alias("__loser")))
               .distinct())
     return df.join(losers.withColumnRenamed("__loser", id_col),
                    on=id_col, how="left_anti")

@@ -555,6 +555,10 @@ def _cosine_pairs_vectorized(normed: DataFrame, threshold: float,
         S = (M @ M.T) / (nrm[:, None] * nrm[None, :])
         upper = np.triu(np.ones(S.shape, dtype=bool), k=1)
         ii, jj = np.nonzero(upper & (S >= thr))
+        if len(ii):  # duplicate input ids: expression path's id<id
+            ids0 = pdf[id_col].to_numpy()  # filter never emits (x, x)
+            keep = ids0[ii] != ids0[jj]
+            ii, jj = ii[keep], jj[keep]
         if band > 0 and len(ii):
             B = np.stack([np.asarray(b_)[:band]
                           for b_ in pdf["__bands"].to_numpy()])
@@ -823,7 +827,7 @@ def _knn_join_vectorized(index: DataFrame, queries: DataFrame, k: int,
     out_schema = T.StructType([T.StructField(query_id_col, qid_t),
                                T.StructField(id_col, id_t),
                                T.StructField("sim", T.DoubleType())])
-    if not q_rows:
+    if not q_rows or k <= 0:
         return index.sparkSession.createDataFrame([], out_schema)
     qids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
