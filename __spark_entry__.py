@@ -483,6 +483,20 @@ def simhash_doc_hashes(spark, sf_dir):
 
 
 _QVEC_CACHE: dict = {}
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books(spark, sf_dir):
+    """PQ codebooks for the sf_dir's embeddings, cached — an index
+    artifact (train once, encode/search many), not part of the measured
+    query; same contract as ``_query_vec``."""
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        from cascalog_spark.functions import pq_codebooks
+
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_BOOKS_CACHE[sf_dir] = pq_codebooks(emb, m=8, n_codes=16,
+                                               dim=64)
+    return _PQ_BOOKS_CACHE[sf_dir]
 
 
 def _query_vec(spark, sf_dir):
@@ -2073,6 +2087,41 @@ def embedding_quantized_codes(spark, sf_dir):
         F.col("codes")[31].cast("int").alias("c31"))
 
 
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization (faiss-PQ shape, m=8 subspaces x 16 codes):
+    deterministic codebooks (kmeans_iters=0 -> the 16 smallest-id rows'
+    subvectors, ivf_centroids' seed rule), encode as ONE native Column
+    expression per row — left-associative distance chains so the DuckDB
+    oracle reproduces every argmin bit-for-bit.  32x index-storage cut;
+    integer codes, md5 check surface like the SQ8 row."""
+    from cascalog_spark.functions import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    codes = pq_encode(emb.where(F.col("embedding").isNotNull()), books)
+    return codes.select(
+        "vec_id",
+        F.md5(F.array_join(F.col("pq_codes").cast("array<string>"), ","))
+         .alias("codes_md5"),
+        F.col("pq_codes")[0].cast("int").alias("c0"),
+        F.col("pq_codes")[7].cast("int").alias("c7"))
+
+
+def embedding_pq_adc(spark, sf_dir):
+    """ADC top-10 over the PQ-encoded corpus: the query precomputes an
+    m x n_codes partial-dot lookup table (driver-side, O(n_codes·dim));
+    each row's approximate inner product is 8 literal-array lookups in a
+    left-associative chain — no decompression, no UDF, global top-k via
+    TakeOrderedAndProject.  Ranked on the rounded score with vec_id
+    tie-break so the oracle ordering is exact."""
+    from cascalog_spark.functions import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    return pq_adc_topk(emb.where(F.col("embedding").isNotNull()),
+                       _query_vec(spark, sf_dir), books, k=10)
+
+
 def embedding_gram(spark, sf_dir):
     """Distributed Gram matrix G = X^T X over the embedding corpus (the
     covariance/PCA building block): per-Arrow-batch BLAS partials via
@@ -3344,6 +3393,9 @@ _R6_HEAD = [
     "doc_containment_pairs",
     "doc_containment_dedup",
     "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
+    "embedding_pq_codes",  # r6 session 2: the PQ family
+    "embedding_pq_adc",
+    "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
 
@@ -3370,6 +3422,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total_cents": orders_running_total_cents,
         "lineitem_flag_running_qty": lineitem_flag_running_qty,
         "embedding_quantized_codes": embedding_quantized_codes,
+        "embedding_pq_codes": embedding_pq_codes,
+        "embedding_pq_adc": embedding_pq_adc,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -3564,6 +3618,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = (r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
          r"x -> x != '')")
+
+# PQ (m=8 subspaces of 8 dims): the SAME left-associative add chains the
+# engine expression folds — ((t1+t2)+t3)... == (((0+t1)+t2)+t3)... because
+# squared/product terms are never -0.0 — so argmins and rounded scores are
+# bit-identical cross-engine.  s is 0-based; DuckDB lists are 1-based.
+_PQ_DIST_CHAIN = " + ".join(
+    f"(v[s*8+{d}] - c[s*8+{d}]) * (v[s*8+{d}] - c[s*8+{d}])"
+    for d in range(1, 9))
+_PQ_LUT_CHAIN = " + ".join(f"q[s*8+{d}] * c[s*8+{d}]" for d in range(1, 9))
 
 
 def _shingle_sql(k: int = 3) -> str:
@@ -5610,6 +5673,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(codes[1] AS INT) AS c0,
                    CAST(codes[32] AS INT) AS c31
             FROM c""",
+        # PQ: distances/scores are the SAME left-associative add chains
+        # the engine expression emits, so argmins and rounded scores are
+        # bit-identical cross-engine (see cascalog_spark/functions/pq.py)
+        "embedding_pq_codes": f"""
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding::DOUBLE[] AS c
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL
+                    ORDER BY vec_id LIMIT 16)),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            sub AS (SELECT unnest(range(8)) AS s),
+            d AS (SELECT e.vec_id, sub.s, seeds.j,
+                    {_PQ_DIST_CHAIN} AS dist
+                  FROM e, seeds, sub),
+            best AS (SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist ASC, j ASC) AS rn
+                     FROM d),
+            codes AS (SELECT vec_id, list(j ORDER BY s) AS cl
+                      FROM best WHERE rn = 1 GROUP BY vec_id)
+            SELECT vec_id, md5(array_to_string(cl, ',')) AS codes_md5,
+                   CAST(cl[1] AS INT) AS c0, CAST(cl[8] AS INT) AS c7
+            FROM codes""",
+        "embedding_pq_adc": f"""
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding::DOUBLE[] AS c
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL
+                    ORDER BY vec_id LIMIT 16)),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            sub AS (SELECT unnest(range(8)) AS s),
+            qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+                   WHERE vec_id = 0),
+            d AS (SELECT e.vec_id, sub.s, seeds.j,
+                    {_PQ_DIST_CHAIN} AS dist
+                  FROM e, seeds, sub),
+            best AS (SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist ASC, j ASC) AS rn
+                     FROM d),
+            code AS (SELECT vec_id, s, j FROM best WHERE rn = 1),
+            lut AS (SELECT sub.s, seeds.j, {_PQ_LUT_CHAIN} AS val
+                    FROM seeds, sub, qv),
+            sc AS (SELECT code.vec_id, list(lut.val ORDER BY code.s) AS ls
+                   FROM code JOIN lut
+                     ON code.s = lut.s AND code.j = lut.j
+                   GROUP BY code.vec_id)
+            SELECT vec_id,
+                   round(ls[1]+ls[2]+ls[3]+ls[4]+ls[5]+ls[6]+ls[7]+ls[8],
+                         6) AS score
+            FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "doc_classifier_scores": f"""
             WITH w AS (SELECT [{', '.join(
                 str(((-1) ** i) * (i % 5) / 10.0) for i in range(16))

@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # round-6 entry: ANN tuning report (exact knn_join ground truth +
     # LSH/IVF candidate joins + per-config recall aggregates)
     "embedding_ann_recall",
+    # round-6 session-2 entry: product quantization — deterministic
+    # codebook fetch + HOF encode expression + ADC literal-lookup top-k
+    "embedding_pq_adc",
 ]
 
 

@@ -1,0 +1,337 @@
+"""Product quantization (PQ) for the embedding index tier.
+
+The third leg of the ANN compression family next to SQ8
+(``quantize_embeddings``) and IVF (``ivf_*``), in the faiss-PQ shape:
+split each d-dim vector into ``m`` subvectors, learn a tiny per-subspace
+codebook (``n_codes`` centroids of d/m dims), and store each vector as
+``m`` small integer codes — a 32x storage cut at m=8/k=16 over float32,
+which at 100 TB is the difference between an index that fits hot storage
+and one that doesn't.  Search never decompresses the corpus: a query
+builds one ``m x n_codes`` lookup table of partial dot products and each
+row's approximate score is ``m`` table lookups (ADC — asymmetric distance
+computation).
+
+Scale shape: codebook training is a bounded-sample driver fit (same
+contract as ``ivf_centroids_kmeans``); encode is one native Column
+expression per row (zero shuffle, whole-stage codegen) with an
+Arrow-batched BLAS kernel as the opt-in throughput path; ADC scoring is a
+pure literal-lookup expression + global top-k (TakeOrderedAndProject —
+no full sort, no UDF on the hot path).
+
+Determinism contract (the oracle surface): ``kmeans_iters=0`` codebooks
+are the subvectors of the ``n_codes`` smallest-id rows (same seed rule as
+``ivf_centroids``), every distance/score is a LEFT-ASSOCIATIVE add chain
+(bit-identical to the same chain written in ANSI SQL), and argmin ties
+break to the smallest code.  The reference engine has no vector ops —
+this module is part of the LLM-pipeline extension tier (SURVEY.md §2
+extension packs).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _lit_arr, ivf_centroids
+
+Codebooks = list  # list[m] of list[n_codes] of list[dsub] floats
+
+
+def _pq_dims(codebooks: Codebooks) -> tuple[int, int, int]:
+    m = len(codebooks)
+    if m == 0 or not codebooks[0]:
+        raise ValueError("pq: empty codebooks")
+    n_codes, dsub = len(codebooks[0]), len(codebooks[0][0])
+    for cb in codebooks:
+        if len(cb) != n_codes or any(len(c) != dsub for c in cb):
+            raise ValueError("pq: ragged codebooks (every subspace needs "
+                             f"{n_codes} centroids of {dsub} dims)")
+    return m, n_codes, dsub
+
+
+def _pq_flat(codebooks: Codebooks) -> list[float]:
+    """Flatten to one literal array indexed ``(s*n_codes + j)*dsub + d``."""
+    return [float(x) for cb in codebooks for cent in cb for x in cent]
+
+
+def pq_codebooks(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", m: int = 8,
+                 n_codes: int = 16, dim: int | None = None,
+                 kmeans_iters: int = 0, sample_rows: int = 100_000,
+                 seed: int = 42) -> Codebooks:
+    """Train per-subspace PQ codebooks.
+
+    ``kmeans_iters=0`` (the deterministic/oracle mode): the codebook of
+    subspace ``s`` is the s-th subvector of each of the ``n_codes``
+    smallest-id rows with a non-null vector — exactly
+    ``ivf_centroids``'s seed rule, so a DuckDB oracle can rebuild the
+    codebooks from the table.  ``kmeans_iters>0`` refines each subspace
+    with Lloyd iterations on a BOUNDED sample (``sample_rows`` hard cap,
+    same contract as ``ivf_centroids_kmeans``): fit cost is
+    O(sample·n_codes·dim·iters) regardless of corpus size and the model
+    is O(m·n_codes·d/m) = O(n_codes·dim) driver state.  Empty clusters
+    keep their previous centroid (the standard Lloyd degeneracy rule),
+    so the codebook shape is stable."""
+    vec = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        row = (df.where(F.col(vec_col).isNotNull())
+               .select(F.size(vec).alias("d")).first())
+        if row is None:
+            raise ValueError("pq_codebooks: no non-null vectors")
+        dim = int(row["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = ivf_centroids(df, id_col=id_col, vec_col=vec_col,
+                          n_centroids=n_codes)
+    if len(seeds) < n_codes:
+        raise ValueError(f"pq_codebooks: only {len(seeds)} non-null rows "
+                         f"for {n_codes} codes")
+    books = [[list(sv[s * dsub:(s + 1) * dsub]) for _, sv in seeds]
+             for s in range(m)]
+    if kmeans_iters <= 0:
+        return books
+
+    import numpy as np
+
+    n = df.where(F.col(vec_col).isNotNull()).count()
+    frac = min(1.0, (sample_rows * 1.25) / max(n, 1))
+    sample = df.where(F.col(vec_col).isNotNull()).select(vec.alias("__v"))
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    rows = sample.limit(sample_rows).collect()
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = np.asarray(books[s], dtype=np.float64)
+        for _ in range(kmeans_iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = [[float(x) for x in c] for c in C]
+    return books
+
+
+def pq_encode_col(vec: Column, codebooks: Codebooks) -> Column:
+    """Per-row PQ codes as a native Column expression (array<int>, one
+    code per subspace): for each subspace the squared L2 distance to
+    every centroid is a LEFT-FOLD (``F.aggregate``) over the ``dsub``
+    squared diffs — bit-identical to the same left-associative add
+    chain in SQL, because squared terms are never ``-0.0`` so the
+    ``0.0`` fold seed is exact — and the code is the FIRST index
+    attaining the minimum (ties -> smallest code).  Higher-order
+    functions keep the expression tree CONSTANT-SIZE in (m, n_codes,
+    dsub) — an unrolled spelling at 8x16x8 is ~2k add-chains and OOMs
+    the driver's optimizer; the interpreted-lambda cost per row is the
+    price of the oracle surface, and ``pq_encode(vectorized=True)`` is
+    the corpus-scale throughput path.  Null vectors encode to NULL."""
+    m, n_codes, dsub = _pq_dims(codebooks)
+    flat = _lit_arr(_pq_flat(codebooks))
+
+    def _dist(s: Column, j: Column) -> Column:
+        base = (s * n_codes + j) * dsub
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)), F.lit(0.0),
+            lambda acc, d: acc + (
+                (F.element_at(vec, s * dsub + d)
+                 - F.element_at(flat, base + d))
+                * (F.element_at(vec, s * dsub + d)
+                   - F.element_at(flat, base + d))))
+
+    def _code(s: Column) -> Column:
+        dists = F.transform(F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                            lambda j: _dist(s, j))
+        return (F.array_position(dists, F.array_min(dists)) - 1) \
+            .cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _code)
+    return F.when(vec.isNotNull(), codes)
+
+
+def _pq_encode_vectorized(df: DataFrame, codebooks: Codebooks,
+                          vec_col: str, out_col: str) -> DataFrame:
+    """Arrow-batched BLAS spelling of ``pq_encode`` — the THROUGHPUT
+    path for corpus-scale encode passes: per Arrow batch, one
+    ``(rows x dsub) @ (dsub x n_codes)`` expansion per subspace instead
+    of per-row interpreted expression trees.  Same argmin/tie rule as
+    the expression path under exact float equality (numpy argmin keeps
+    the first minimum); accumulation order differs from the sequential
+    chain, so distances within one double ulp can code differently —
+    the expression path stays the default and the oracle surface;
+    equivalence on real data is pinned in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    m, n_codes, dsub = _pq_dims(codebooks)
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    def _enc(s):
+        vals = s.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.empty(len(vals), dtype=object)
+        out[:] = None
+        if mask.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vals[mask]])
+            codes = np.empty((M.shape[0], m), dtype=np.int32)
+            for sub in range(m):
+                Xs = M[:, sub * dsub:(sub + 1) * dsub]
+                C = books[sub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; the ||x||^2 term
+                # is constant per row so the argmin drops it
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                codes[:, sub] = d2.argmin(axis=1)  # first min: ties -> j asc
+            lists = np.empty(codes.shape[0], dtype=object)
+            lists[:] = [c.tolist() for c in codes]
+            out[mask] = lists
+        return pd.Series(out)
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(_enc, T.ArrayType(T.IntegerType()))
+    return df.withColumn(out_col,
+                         kernel(F.col(vec_col).cast("array<double>")))
+
+
+def pq_encode(df: DataFrame, codebooks: Codebooks,
+              vec_col: str = "embedding", out_col: str = "pq_codes",
+              vectorized: bool = False) -> DataFrame:
+    """Append PQ codes (array<int>, ``m`` entries of ``0..n_codes-1``) —
+    the 32x-compressed index representation.  ``vectorized=True`` swaps
+    in the Arrow/BLAS kernel (see ``_pq_encode_vectorized``); the
+    expression default is the deterministic oracle surface."""
+    if vectorized:
+        return _pq_encode_vectorized(df, codebooks, vec_col, out_col)
+    vec = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out_col, pq_encode_col(vec, codebooks))
+
+
+def pq_decode_col(codes: Column, codebooks: Codebooks) -> Column:
+    """Reconstruct the approximate vector from PQ codes (concatenation
+    of each subspace's looked-up centroid) — for exact-rescoring a
+    candidate set that was ranked on quantized codes, same role as
+    ``dequantize_col`` in the SQ8 path."""
+    m, n_codes, dsub = _pq_dims(codebooks)
+    flat = _lit_arr(_pq_flat(codebooks))
+    parts = []
+    for s in range(m):
+        base = (F.lit(s * n_codes) + codes[s]) * dsub
+        parts.append(F.array(*[F.element_at(flat, base + d + 1)
+                               for d in range(dsub)]))
+    return F.when(codes.isNotNull(), F.concat(*parts))
+
+
+def _adc_lut(query_vec: list[float], codebooks: Codebooks,
+             metric: str) -> list[float]:
+    """Driver-side ``m x n_codes`` lookup table, flattened
+    ``s*n_codes + j``.  Partial sums are LEFT-ASSOCIATIVE Python-float
+    chains — bit-identical to the same chain in SQL, so an oracle can
+    rebuild the table from the seed rows."""
+    m, n_codes, dsub = _pq_dims(codebooks)
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"pq: query dim {len(query_vec)} != {m * dsub}")
+    lut = []
+    for s in range(m):
+        q = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
+        for cent in codebooks[s]:
+            if metric == "ip":
+                terms = [q[d] * float(cent[d]) for d in range(dsub)]
+            else:  # l2: negated squared distance (higher = closer)
+                terms = [-(q[d] - float(cent[d]))
+                         * (q[d] - float(cent[d])) for d in range(dsub)]
+            lut.append(reduce(lambda a, b: a + b, terms))
+    return lut
+
+
+def pq_adc_topk(df: DataFrame, query_vec: list[float],
+                codebooks: Codebooks, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes_col: str | None = None,
+                metric: str = "ip") -> DataFrame:
+    """Approximate top-k by ADC: the query precomputes one
+    ``m x n_codes`` partial-score table (driver-side, O(n_codes·dim));
+    each corpus row's score is ``m`` literal-array lookups summed in a
+    left-associative chain — no decompression, no UDF, no shuffle
+    before the global top-k (TakeOrderedAndProject).  ``metric='ip'``
+    scores inner product; ``'l2'`` negated squared distance.  Rows are
+    ranked on the ROUNDED score (6 dp) with ids breaking ties, so the
+    result is stable cross-engine.  ``codes_col`` reuses a
+    pre-encoded index (the 100 TB path: encode once, search many)."""
+    if k <= 0:
+        return (df.select(F.col(id_col),
+                          F.lit(0.0).alias("score")).limit(0))
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"pq_adc_topk: unknown metric {metric!r}")
+    m, n_codes, _ = _pq_dims(codebooks)
+    lut = _lit_arr(_adc_lut(query_vec, codebooks, metric))
+    # rows with no codes are filtered BEFORE the lookup: pyspark 4's
+    # F.element_at with a NULL column index silently returns the LAST
+    # array element (SQL element_at / try_element_at return NULL), so a
+    # null code reaching the lut would score garbage instead of dropping
+    if codes_col is None:
+        # bind codes as a NAMED column — the score below references
+        # them m times, and an inlined encode expression would be
+        # re-evaluated per term (measured 8x the encode cost)
+        vec = F.col(vec_col).cast("array<double>")
+        df = (df.where(F.col(vec_col).isNotNull())
+              .withColumn("__pq_c", pq_encode_col(vec, codebooks)))
+        codes = F.col("__pq_c")
+    else:
+        df = df.where(F.col(codes_col).isNotNull())
+        codes = F.col(codes_col)
+    terms = [F.element_at(lut, F.lit(s * n_codes + 1) + codes[s])
+             for s in range(m)]
+    score = reduce(lambda a, b: a + b, terms)
+    return (df.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def pq_reconstruction_report(df: DataFrame, codebooks: Codebooks,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Quantization-quality tuning report (the PQ twin of
+    ``ann_recall_report``'s knob loop): ONE aggregate pass over the
+    encoded corpus -> 1 row of ``(n_rows, mse, rms, code_entropy_bits)``.
+    ``mse`` is the mean per-dimension squared reconstruction error —
+    compare codebook settings (m, n_codes, kmeans_iters) before
+    committing a 100 TB encode; ``code_entropy_bits`` is the mean
+    per-subspace Shannon entropy of code usage (log2(n_codes) = every
+    code pulls its weight; near 0 = collapsed codebook, retrain)."""
+    import math
+
+    m, n_codes, dsub = _pq_dims(codebooks)
+    vec = F.col(vec_col).cast("array<double>")
+    # bind codes as a named column so the decode below references the
+    # encoded ARRAY, not 64 inlined copies of the encode expression
+    coded = (df.where(F.col(vec_col).isNotNull())
+             .select(vec.alias("__v"),
+                     pq_encode_col(vec, codebooks).alias("__c")))
+    recon = pq_decode_col(F.col("__c"), codebooks)
+    err = F.aggregate(F.zip_with(F.col("__v"), recon, lambda a, b:
+                                 (a - b) * (a - b)),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    enc = coded.select(err.alias("__e"), F.col("__c"))
+    # per-subspace code usage -> entropy: explode the m codes with their
+    # subspace tag (m·n rows, but reduced map-side to m·n_codes counts)
+    usage = (enc.select(F.posexplode("__c").alias("s", "j"))
+             .groupBy("s", "j").agg(F.count(F.lit(1)).alias("ct")))
+    p = F.col("ct") / F.sum("ct").over(Window.partitionBy("s"))
+    ent = (usage.withColumn("__p", p)
+           .groupBy("s")
+           .agg((-F.sum(F.col("__p") * F.log2("__p"))).alias("h")))
+    totals = enc.agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.avg(F.col("__e") / F.lit(float(m * dsub)))
+                     .alias("__mse"))
+    mean_ent = ent.agg(F.avg("h").alias("__ent"))
+    return (totals.crossJoin(F.broadcast(mean_ent))
+            .select("n_rows", F.round("__mse", 8).alias("mse"),
+                    F.round(F.sqrt("__mse"), 8).alias("rms"),
+                    F.round("__ent", 4).alias("code_entropy_bits"),
+                    F.lit(round(math.log2(n_codes), 4))
+                    .alias("max_entropy_bits")))

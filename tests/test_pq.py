@@ -1,0 +1,165 @@
+"""Product-quantization family: codebook training, encode (expression vs
+BLAS kernel equivalence), decode/ADC identities, quality report, edges."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascalog_spark.functions import (pq_adc_topk, pq_codebooks,
+                                      pq_decode_col, pq_encode,
+                                      pq_reconstruction_report)
+from cascalog_spark.functions.pq import _adc_lut
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_codebooks(emb, m=8, n_codes=16)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == 8
+    assert all(len(cb) == 16 for cb in books)
+    assert all(len(c) == 8 for cb in books for c in cb)
+    again = pq_codebooks(emb, m=8, n_codes=16)
+    assert books == again
+    # seed rule: subspace s of code j == seed row j's s-th subvector
+    seeds = (emb.where(F.col("embedding").isNotNull())
+             .orderBy("vec_id").limit(16).collect())
+    v0 = [float(x) for x in seeds[3]["embedding"]]
+    assert books[2][3] == v0[16:24]
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=7, n_codes=16)
+
+
+def test_encode_expression_matches_kernel(emb, books):
+    expr = {r["vec_id"]: r["pq_codes"]
+            for r in pq_encode(emb, books).select("vec_id",
+                                                  "pq_codes").collect()}
+    kern = {r["vec_id"]: r["pq_codes"]
+            for r in pq_encode(emb, books,
+                               vectorized=True).select(
+                "vec_id", "pq_codes").collect()}
+    assert expr == kern
+    codes = next(c for c in expr.values() if c is not None)
+    assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+
+
+def test_seed_rows_encode_to_their_own_code(emb, books):
+    # a seed row is distance-0 from its own subvectors -> code j in
+    # every subspace (unless another seed duplicates a subvector)
+    seeds = (emb.where(F.col("embedding").isNotNull())
+             .orderBy("vec_id").limit(16).collect())
+    sid = seeds[5]["vec_id"]
+    row = (pq_encode(emb.where(F.col("vec_id") == sid), books)
+           .first())
+    assert row["pq_codes"] == [5] * 8
+
+
+def test_null_vector_encodes_null(spark, books):
+    df = spark.createDataFrame([(1, None)],
+                               "vec_id long, embedding array<float>")
+    assert pq_encode(df, books).first()["pq_codes"] is None
+    out = pq_adc_topk(df, [0.0] * 64, books, k=5)
+    assert out.count() == 0
+
+
+def test_decode_adc_identity(emb, books):
+    """ADC('ip') score == dot(query, decode(codes)) — the identity the
+    lookup table implements; verified against a native recompute."""
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    enc = pq_encode(emb.where(F.col("vec_id") < 30), books)
+    qlit = F.array(*[F.lit(x) for x in q])
+    recon_dot = F.aggregate(
+        F.zip_with(pq_decode_col(F.col("pq_codes"), books), qlit,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rows = enc.select("vec_id", F.round(recon_dot, 6).alias("d")).collect()
+    truth = {r["vec_id"]: r["d"] for r in rows if r["d"] is not None}
+    adc = pq_adc_topk(emb.where(F.col("vec_id") < 30), q, books, k=30)
+    for r in adc.collect():
+        assert r["score"] == pytest.approx(truth[r["vec_id"]], abs=2e-6)
+
+
+def test_adc_l2_prefers_self(emb, books):
+    """Under the l2 metric a seed row's own vector has reconstruction
+    distance 0 -> it must rank first for itself as the query."""
+    seeds = (emb.where(F.col("embedding").isNotNull())
+             .orderBy("vec_id").limit(16).collect())
+    q = [float(x) for x in seeds[7]["embedding"]]
+    top = pq_adc_topk(emb, q, books, k=1, metric="l2").first()
+    assert top["score"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_adc_topk_order_and_k(emb, books):
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = pq_adc_topk(emb, q, books, k=10).collect()
+    assert len(out) == 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert pq_adc_topk(emb, q, books, k=0).count() == 0
+    with pytest.raises(ValueError, match="metric"):
+        pq_adc_topk(emb, q, books, k=5, metric="cosine")
+
+
+def test_adc_ranking_close_to_exact(emb, books):
+    """PQ is lossy — on this synthetic near-random corpus the exact-IP
+    top-10 scores are tightly clustered, so recall@10 of 4-5 is the
+    honest reading (measured: 4 at iters=0, 5 at iters=10).  The floor
+    pins that ADC ranking stays correlated with exact IP; the MSE test
+    below pins that training improves the codebook."""
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in q])
+    vec = F.col("embedding").cast("array<double>")
+    exact = (emb.where(F.col("embedding").isNotNull())
+             .select("vec_id",
+                     F.aggregate(F.zip_with(vec, qlit, lambda a, b: a * b),
+                                 F.lit(0.0), lambda acc, x: acc + x)
+                     .alias("ip"))
+             .orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+             .limit(10).collect())
+    truth = {r["vec_id"] for r in exact}
+    approx = {r["vec_id"]
+              for r in pq_adc_topk(emb, q, books, k=10).collect()}
+    assert len(truth & approx) >= 3
+
+
+def test_kmeans_refinement_reduces_mse(emb):
+    b0 = pq_codebooks(emb, m=8, n_codes=16, kmeans_iters=0)
+    b5 = pq_codebooks(emb, m=8, n_codes=16, kmeans_iters=5)
+    mse0 = pq_reconstruction_report(emb, b0).first()["mse"]
+    mse5 = pq_reconstruction_report(emb, b5).first()["mse"]
+    assert mse5 < mse0
+    again = pq_codebooks(emb, m=8, n_codes=16, kmeans_iters=5)
+    assert b5 == again  # bounded-sample Lloyd is deterministic
+
+
+def test_reconstruction_report_shape(emb, books):
+    row = pq_reconstruction_report(emb, books).first()
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    assert row["n_rows"] == n
+    assert row["mse"] > 0 and row["rms"] == pytest.approx(
+        math.sqrt(row["mse"]), rel=1e-3)
+    assert 0 < row["code_entropy_bits"] <= row["max_entropy_bits"] == 4.0
+
+
+def test_encode_plan_is_native(emb, books):
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "EvalPython" not in plan  # expression path: no Python on rows
+    adc = pq_adc_topk(emb, [0.1] * 64, books, k=5,
+                      vec_col="embedding")
+    aplan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in aplan
+    assert "TakeOrderedAndProject" in aplan  # top-k, not a full sort
