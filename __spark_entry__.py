@@ -2145,6 +2145,18 @@ def doc_bigram_nll(spark, sf_dir):
     return bigram_nll(docs)
 
 
+def doc_kn_bigram_nll(spark, sf_dir):
+    """Per-doc NLL under an interpolated KNESER-NEY bigram model — the
+    real LM-smoothing (absolute discount D=0.75 + continuation prior
+    N1+(.,t2)/N1+(.,.)), vs bigram_nll's add-alpha.  All four count
+    tables are rollups of the ONE (id,t1,t2,tf) aggregate; the oracle
+    replays the identical per-pair closed form."""
+    from cascalog_spark.functions import kn_bigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_bigram_nll(docs)
+
+
 def doc_classifier_scores(spark, sf_dir):
     """fastText-shape linear quality classifier INFERENCE: md5-hashed
     bag-of-words buckets, literal weight table, sigmoid — a pure native
@@ -3395,6 +3407,7 @@ _R6_HEAD = [
     "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
     "embedding_pq_codes",  # r6 session 2: the PQ family
     "embedding_pq_adc",
+    "doc_kn_bigram_nll",  # r6 session 2: Kneser-Ney LM quality signal
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3496,6 +3509,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (doc_bigram_nll: sibling doc_unigram_nll holds the head slot
         # for the nll machinery)
         "doc_bigram_nll": doc_bigram_nll,
+        "doc_kn_bigram_nll": doc_kn_bigram_nll,
         # for the four r4-red fixes above — each exercises a code path
         # whose sibling IS in the head (dsir_weights, semantic_
         # contamination, exact_substring_spans/dedup green r4,
@@ -6017,6 +6031,33 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(tf * ln((c12 + 0.5) / (c1 + 0.5 * vocab)))
                          / sum(tf), 6) AS bigram_nll
             FROM tf JOIN c12 USING (t1, t2) JOIN c1 USING (t1), v
+            GROUP BY 1""",
+        # Kneser-Ney: the per-pair closed form mirrors the engine's
+        # parenthesization exactly — ((D*n1f)/c1)*(n1b/np) — so each
+        # p is bit-identical; only the per-doc SUM order differs and
+        # the 6dp round absorbs it (same contract as the other *_nll)
+        "doc_kn_bigram_nll": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(tk)),
+                                 i -> struct_pack(t1 := tk[i],
+                                                  t2 := tk[i+1]))) AS s
+                   FROM toks WHERE len(tk) >= 2),
+            tf AS (SELECT doc_id, s.t1 AS t1, s.t2 AS t2, count(*) AS tf
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT t1, t2, sum(tf)::BIGINT AS c12
+                    FROM tf GROUP BY 1, 2),
+            c1 AS (SELECT t1, sum(c12)::BIGINT AS c1,
+                          count(*) AS n1f FROM c12 GROUP BY 1),
+            n1b AS (SELECT t2, count(*) AS n1b FROM c12 GROUP BY 1),
+            np AS (SELECT count(*)::DOUBLE AS np FROM c12)
+            SELECT doc_id,
+                   round(-sum(tf * ln(
+                     (c12 - 0.75) / c1
+                     + 0.75 * n1f / c1 * (n1b / np)))
+                         / sum(tf), 6) AS kn_nll
+            FROM tf JOIN c12 USING (t1, t2) JOIN c1 USING (t1)
+                 JOIN n1b USING (t2), np
             GROUP BY 1""",
         "doc_unigram_nll": f"""
             WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term

@@ -54,6 +54,7 @@ from .similarity import (ann_recall_report, assign_cells_vectorized,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)
 from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
+                   kn_bigram_nll,
                    normalize_unicode,
                    chunk_text, clean_text, release_tfidf_cache,
                    shingle_fingerprint,

@@ -582,6 +582,76 @@ def bigram_nll(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def kn_bigram_nll(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", discount: float = 0.75,
+                  materialize: bool = True) -> DataFrame:
+    """Per-doc mean NLL under an interpolated KNESER-NEY bigram model —
+    the standard n-gram LM smoothing (the one real perplexity filters
+    use), one step up from ``bigram_nll``'s add-α: instead of giving
+    every unseen continuation the same α mass, absolute discounting
+    moves ``D`` from each seen bigram to a continuation prior
+    ``P_cont(t2) = N1+(·,t2) / N1+(·,·)`` that scores how many DISTINCT
+    histories a token follows (so "francisco" — frequent but only ever
+    after "san" — stops looking like a plausible continuation
+    everywhere, the failure add-α smoothing can't see).
+
+    ``p(t2|t1) = (c(t1,t2) − D)/c(t1,·)
+                 + D·N1+(t1,·)/c(t1,·) · P_cont(t2)``, which sums to
+    exactly 1 over the vocabulary (pinned in tests).  Fit-on-self like
+    the other ``*_nll`` ops, so every scored bigram has c ≥ 1 > D and
+    the max(·−D, 0) clamp is vacuous.  All four count tables are
+    rollups of the ONE (id, t1, t2, tf) aggregate — same single
+    tokenization pass and persist contract as ``tf_idf`` (release with
+    ``release_tfidf_cache``); N1+ tables are row counts of the distinct
+    bigram table, never a second corpus scan.  Docs with fewer than 2
+    tokens are absent.  0 < discount < 1 required (D ≥ 1 could zero or
+    negate a singleton bigram's first term; D ≤ 0 stops reserving
+    continuation mass)."""
+    from pyspark import StorageLevel
+
+    from .util import explode_fast
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"kn_bigram_nll: discount must be in (0, 1), "
+                         f"got {discount}")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pairs_arr = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                           lambda a, b: F.struct(a.alias("t1"),
+                                                 b.alias("t2")))
+    pairs = explode_fast(
+        df.where(n >= 2).select(F.col(id_col).alias("__id"),
+                                pairs_arr.alias("__bg")),
+        F.col("__bg"), "bg")
+    tf = (pairs.select("__id", F.col("bg.t1").alias("t1"),
+                       F.col("bg.t2").alias("t2"))
+          .groupBy("__id", "t1", "t2")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    if materialize:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    c12 = tf.groupBy("t1", "t2").agg(F.sum("tf").alias("c12"))
+    # history totals + forward continuation counts in ONE rollup of c12
+    c1 = c12.groupBy("t1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1f"))
+    n1b = c12.groupBy("t2").agg(F.count(F.lit(1)).alias("n1b"))
+    npairs = c12.agg(F.count(F.lit(1)).cast("double").alias("__np"))
+    d = F.lit(float(discount))
+    p = ((F.col("c12") - d) / F.col("c1")
+         + d * F.col("n1f") / F.col("c1")
+         * (F.col("n1b") / F.col("__np")))
+    out = (tf.join(c12, on=["t1", "t2"]).join(c1, on="t1")
+           .join(n1b, on="t2")
+           .crossJoin(F.broadcast(npairs))
+           .groupBy("__id")
+           .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf"))
+                .alias("__nll"))
+           .select(F.col("__id").alias(id_col),
+                   F.round("__nll", 6).alias("kn_nll")))
+    if materialize:
+        out._tfidf_cache = tf
+    return out
+
+
 def linear_text_classifier(df: DataFrame, weights: list[float],
                            bias: float = 0.0, id_col: str = "doc_id",
                            text_col: str = "text",

@@ -3002,3 +3002,117 @@ def test_containment_dedup_keeps_containers(spark):
     kept = {r["doc_id"] for r in containment_dedup(
         df, "doc_id", threshold=0.8).collect()}
     assert kept == {1, 3}
+
+
+def test_kn_bigram_nll_math(spark):
+    """Hand-computed interpolated Kneser-Ney on a 2-doc corpus: every
+    count table (c12, c1, N1+ fwd/bwd, N1+(..)) and the per-doc NLL."""
+    import math
+    from cascalog_spark.functions import kn_bigram_nll
+    from cascalog_spark.functions.text import release_tfidf_cache
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")],
+        "doc_id long, text string")
+    out = kn_bigram_nll(docs, discount=0.75)
+    rows = {r.doc_id: r.kn_nll for r in out.collect()}
+    release_tfidf_cache(out)
+    # bigrams: doc1 = ab, ba, ab ; doc2 = ac
+    # c12: ab=2 ba=1 ac=1 ; c1: a=3 b=1 ; n1f: a=2 b=1
+    # n1b: b=1 a=1 c=1 ; npairs=3
+    D = 0.75
+
+    def p(c12, c1, n1f, n1b):
+        return (c12 - D) / c1 + D * n1f / c1 * (n1b / 3.0)
+
+    p_ab = p(2, 3, 2, 1)
+    p_ba = p(1, 1, 1, 1)
+    p_ac = p(1, 3, 2, 1)
+    exp1 = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round(-math.log(p_ac), 6)
+    assert abs(rows[1] - exp1) < 1e-9
+    assert abs(rows[2] - exp2) < 1e-9
+    assert 3 not in rows  # single-token doc has no bigrams
+
+
+def test_kn_bigram_probabilities_sum_to_one(spark, sf_dir):
+    """The KN distribution must sum to EXACTLY 1 per history over the
+    full vocabulary: sum over seen continuations of p(t2|t1) plus the
+    backoff mass D*N1+(t1,.)/c(t1,.) * (1 - sum of seen P_cont) — the
+    algebraic identity that distinguishes true Kneser-Ney from an
+    ad-hoc discount.  Checked on real corpus text."""
+    from collections import Counter, defaultdict
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id < 40"))
+    texts = [r["text"] for r in docs.select("text").collect()]
+    c12 = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        c12.update(zip(toks, toks[1:]))
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (t1, t2), c in c12.items():
+        c1[t1] += c
+        n1f[t1] += 1
+        n1b[t2] += 1
+    npairs = float(len(c12))
+    D = 0.75
+    seen_p = defaultdict(float)
+    seen_cont = defaultdict(float)
+    for (t1, t2), c in c12.items():
+        seen_p[t1] += (c - D) / c1[t1] + D * n1f[t1] / c1[t1] \
+            * (n1b[t2] / npairs)
+        seen_cont[t1] += n1b[t2] / npairs
+    for t1 in list(c1)[:200]:
+        backoff = D * n1f[t1] / c1[t1] * (1.0 - seen_cont[t1])
+        assert abs(seen_p[t1] + backoff - 1.0) < 1e-9
+
+
+def test_kn_bigram_nll_differential(spark, sf_dir):
+    """Distributed KN NLL == single-process numpy/python replica on
+    real corpus text (fit-on-self, same tokenization)."""
+    import math
+    from collections import Counter
+    from cascalog_spark.functions import kn_bigram_nll
+    from cascalog_spark.functions.text import release_tfidf_cache
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id < 60").select("doc_id", "text"))
+    out = kn_bigram_nll(docs, discount=0.75)
+    got = {r.doc_id: r.kn_nll for r in out.collect()}
+    release_tfidf_cache(out)
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    c12, per_doc = Counter(), {}
+    for did, t in rows:
+        toks = [w for w in t.lower().split() if w]
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            per_doc[did] = Counter(bgs)
+            c12.update(bgs)
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (t1, t2), c in c12.items():
+        c1[t1] += c
+        n1f[t1] += 1
+        n1b[t2] += 1
+    npairs = float(len(c12))
+    D = 0.75
+    assert set(got) == set(per_doc)
+    for did, bc in per_doc.items():
+        tot = sum(bc.values())
+        s = 0.0
+        for (t1, t2), tfv in bc.items():
+            p = (c12[(t1, t2)] - D) / c1[t1] \
+                + D * n1f[t1] / c1[t1] * (n1b[t2] / npairs)
+            s += tfv * math.log(p)
+        assert abs(got[did] - round(-s / tot, 6)) < 1e-6
+
+
+def test_kn_bigram_discount_validation(spark):
+    import pytest as _pytest
+    from cascalog_spark.functions import kn_bigram_nll
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with _pytest.raises(ValueError, match="discount"):
+            kn_bigram_nll(docs, discount=bad)
