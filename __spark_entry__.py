@@ -3281,6 +3281,23 @@ def embedding_ann_recall(spark, sf_dir):
                              lsh_multi_probe=1)
 
 
+def embedding_pq_recall(spark, sf_dir):
+    """PQ rows of the ANN tuning report: every index row is a candidate
+    (scan_frac exactly 1.0 — PQ is compression, not pruning) ranked by
+    the cosine of its RECONSTRUCTION, so recall@10 is precisely what
+    quantizing the index to m=8 x 16 codes costs against the same exact
+    ground truth the LSH/IVF configs chase.  Deterministic seed
+    codebooks -> the oracle rebuilds codes, reconstructions, and the
+    report arithmetic from the table itself."""
+    from cascalog_spark.functions import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_recall_report(emb, qs, k=10, lsh_planes=(),
+                             ivf_probes=(), pq_m=(8,))
+
+
 def doc_containment_pairs(spark, sf_dir):
     """Directed containment near-dup (dedup.py containment_pairs):
     C(A→B) = |S(A)∩S(B)|/|S(A)| >= 0.7 over 3-token shingles — the
@@ -3408,6 +3425,7 @@ _R6_HEAD = [
     "embedding_pq_codes",  # r6 session 2: the PQ family
     "embedding_pq_adc",
     "doc_kn_bigram_nll",  # r6 session 2: Kneser-Ney LM quality signal
+    "embedding_pq_recall",  # r6 session 2: PQ rows of the ANN report
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3437,6 +3455,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantized_codes": embedding_quantized_codes,
         "embedding_pq_codes": embedding_pq_codes,
         "embedding_pq_adc": embedding_pq_adc,
+        "embedding_pq_recall": embedding_pq_recall,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -5742,6 +5761,60 @@ def oracle_sql() -> dict[str, str]:
                    round(ls[1]+ls[2]+ls[3]+ls[4]+ls[5]+ls[6]+ls[7]+ls[8],
                          6) AS score
             FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "embedding_pq_recall": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e
+                  ORDER BY vec_id ASC LIMIT 8),
+            ni AS (SELECT count(*)::DOUBLE AS n FROM e),
+            seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                     embedding::DOUBLE[] AS c
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL
+                    ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT unnest(range(8)) AS s),
+            d AS (SELECT e.vec_id, sub.s, seeds.j,
+                    {_PQ_DIST_CHAIN} AS dist
+                  FROM e, seeds, sub),
+            best AS (SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist ASC, j ASC) AS rn
+                     FROM d),
+            code AS (SELECT vec_id, s, j FROM best WHERE rn = 1),
+            rp AS (SELECT code.vec_id, code.s,
+                          list_slice(seeds.c, code.s*8+1, code.s*8+8)
+                            AS part
+                   FROM code JOIN seeds ON code.j = seeds.j),
+            recon AS (SELECT vec_id, flatten(list(part ORDER BY s)) AS r
+                      FROM rp GROUP BY vec_id),
+            sc AS (SELECT q.qid, e.vec_id,
+                          round({_COS.format(a='e.v', b='q.qv')}, 6)
+                            AS sim
+                   FROM e CROSS JOIN q),
+            truth AS (SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id, row_number() OVER (
+                          PARTITION BY qid
+                          ORDER BY sim DESC, vec_id ASC) AS rn
+                        FROM sc) WHERE rn <= 10),
+            psc AS (SELECT q.qid, recon.vec_id,
+                           round({_COS.format(a='recon.r', b='q.qv')}, 6)
+                             AS sim
+                    FROM recon CROSS JOIN q),
+            ann AS (SELECT qid, vec_id FROM (
+                      SELECT qid, vec_id, row_number() OVER (
+                        PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS rn
+                      FROM psc) WHERE rn <= 10),
+            hit AS (SELECT a.qid, count(*) AS h FROM ann a
+                    JOIN truth t ON t.qid = a.qid
+                      AND t.vec_id = a.vec_id GROUP BY a.qid),
+            nc AS (SELECT qid, count(*) AS nc FROM psc GROUP BY qid)
+            SELECT 'pq' AS method, CAST(8 AS INT) AS param,
+                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
+                   round(avg(coalesce(nc, 0) / (SELECT n FROM ni)), 6)
+                     AS scan_frac
+            FROM q LEFT JOIN hit USING (qid) LEFT JOIN nc USING (qid)""",
         "doc_classifier_scores": f"""
             WITH w AS (SELECT [{', '.join(
                 str(((-1) ** i) * (i % 5) / 10.0) for i in range(16))

@@ -67,7 +67,7 @@ from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    token_count, tokenize)
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .pq import (pq_adc_topk, pq_codebooks, pq_decode_col, pq_encode,
-                 pq_encode_col, pq_reconstruction_report)
+                 pq_encode_col, pq_knn_join, pq_reconstruction_report)
 from .skew import salted_join, skew_report
 from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)

@@ -135,13 +135,19 @@ def pq_encode_col(vec: Column, codebooks: Codebooks) -> Column:
 
     def _dist(s: Column, j: Column) -> Column:
         base = (s * n_codes + j) * dsub
+        # cast the EXTRACTED element, never the array: an interpreted
+        # element_at(cast(arr), i) re-casts all dim floats per fold step
+        # (jstack showed Cast.castArray dominating — ~dim x m x n_codes x
+        # dsub casts per row once projections collapse), where the
+        # scalar cast is O(1) and float->double is exact either way
+        def _v(d):
+            return F.element_at(vec, s * dsub + d).cast("double")
+
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(dsub)), F.lit(0.0),
-            lambda acc, d: acc + (
-                (F.element_at(vec, s * dsub + d)
-                 - F.element_at(flat, base + d))
-                * (F.element_at(vec, s * dsub + d)
-                   - F.element_at(flat, base + d))))
+            lambda acc, d: acc + ((_v(d) - F.element_at(flat, base + d))
+                                  * (_v(d)
+                                     - F.element_at(flat, base + d))))
 
     def _code(s: Column) -> Column:
         dists = F.transform(F.sequence(F.lit(0), F.lit(n_codes - 1)),
@@ -208,8 +214,11 @@ def pq_encode(df: DataFrame, codebooks: Codebooks,
     expression default is the deterministic oracle surface."""
     if vectorized:
         return _pq_encode_vectorized(df, codebooks, vec_col, out_col)
-    vec = F.col(vec_col).cast("array<double>")
-    return df.withColumn(out_col, pq_encode_col(vec, codebooks))
+    # raw column, NOT .cast("array<double>"): the encode expression casts
+    # per extracted element — a whole-array cast here would be re-run by
+    # every interpreted element_at once projections collapse
+    return df.withColumn(out_col,
+                         pq_encode_col(F.col(vec_col), codebooks))
 
 
 def pq_decode_col(codes: Column, codebooks: Codebooks) -> Column:
@@ -240,13 +249,24 @@ def _adc_lut(query_vec: list[float], codebooks: Codebooks,
     for s in range(m):
         q = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
         for cent in codebooks[s]:
-            if metric == "ip":
+            if metric in ("ip", "cosine"):
                 terms = [q[d] * float(cent[d]) for d in range(dsub)]
             else:  # l2: negated squared distance (higher = closer)
                 terms = [-(q[d] - float(cent[d]))
                          * (q[d] - float(cent[d])) for d in range(dsub)]
             lut.append(reduce(lambda a, b: a + b, terms))
     return lut
+
+
+def _norm2_lut(codebooks: Codebooks) -> list[float]:
+    """``||c_{s,j}||²`` per codebook entry, flattened ``s*n_codes + j``:
+    a PQ reconstruction is the concat of its subspace centroids, so its
+    squared norm is the SUM of these m lookups — no decompression needed
+    to normalize an ADC score into a cosine."""
+    _, _, dsub = _pq_dims(codebooks)
+    return [reduce(lambda a, b: a + b,
+                   [float(c[d]) * float(c[d]) for d in range(dsub)])
+            for cb in codebooks for c in cb]
 
 
 def pq_adc_topk(df: DataFrame, query_vec: list[float],
@@ -259,14 +279,20 @@ def pq_adc_topk(df: DataFrame, query_vec: list[float],
     each corpus row's score is ``m`` literal-array lookups summed in a
     left-associative chain — no decompression, no UDF, no shuffle
     before the global top-k (TakeOrderedAndProject).  ``metric='ip'``
-    scores inner product; ``'l2'`` negated squared distance.  Rows are
+    scores inner product; ``'l2'`` negated squared distance;
+    ``'cosine'`` divides the ADC inner product by the RECONSTRUCTION
+    norm (a second m-lookup table of per-centroid ``||c||²``, see
+    ``_norm2_lut``) and the query norm, so the ranking is comparable to
+    the exact-cosine ops without decompressing anything.  Rows are
     ranked on the ROUNDED score (6 dp) with ids breaking ties, so the
     result is stable cross-engine.  ``codes_col`` reuses a
     pre-encoded index (the 100 TB path: encode once, search many)."""
+    import math
+
     if k <= 0:
         return (df.select(F.col(id_col),
                           F.lit(0.0).alias("score")).limit(0))
-    if metric not in ("ip", "l2"):
+    if metric not in ("ip", "l2", "cosine"):
         raise ValueError(f"pq_adc_topk: unknown metric {metric!r}")
     m, n_codes, _ = _pq_dims(codebooks)
     lut = _lit_arr(_adc_lut(query_vec, codebooks, metric))
@@ -278,9 +304,9 @@ def pq_adc_topk(df: DataFrame, query_vec: list[float],
         # bind codes as a NAMED column — the score below references
         # them m times, and an inlined encode expression would be
         # re-evaluated per term (measured 8x the encode cost)
-        vec = F.col(vec_col).cast("array<double>")
         df = (df.where(F.col(vec_col).isNotNull())
-              .withColumn("__pq_c", pq_encode_col(vec, codebooks)))
+              .withColumn("__pq_c",
+                          pq_encode_col(F.col(vec_col), codebooks)))
         codes = F.col("__pq_c")
     else:
         df = df.where(F.col(codes_col).isNotNull())
@@ -288,9 +314,111 @@ def pq_adc_topk(df: DataFrame, query_vec: list[float],
     terms = [F.element_at(lut, F.lit(s * n_codes + 1) + codes[s])
              for s in range(m)]
     score = reduce(lambda a, b: a + b, terms)
+    if metric == "cosine":
+        n2 = _lit_arr(_norm2_lut(codebooks))
+        nterms = [F.element_at(n2, F.lit(s * n_codes + 1) + codes[s])
+                  for s in range(m)]
+        qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+        # try_divide: an all-zero-centroid reconstruction has no cosine
+        # (NULL, dropped below) — same zero-norm contract as the exact ops
+        score = F.try_divide(
+            score, F.sqrt(reduce(lambda a, b: a + b, nterms))
+            * F.lit(qnorm))
     return (df.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .where(F.col("score").isNotNull())
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def pq_knn_join(index: DataFrame, queries: DataFrame,
+                codebooks: Codebooks, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "embedding",
+                codes_col: str | None = None,
+                n_salt: int = 32) -> DataFrame:
+    """Batch approximate k-NN over a PQ-encoded index — the compressed
+    twin of ``knn_join``: for each query row, the ``k`` index rows with
+    the highest ADC-cosine → ``(query_id_col, id_col, sim)``.
+
+    The query batch (an inference/eval set — the same bounded contract
+    ``knn_join`` makes) is collected driver-side into ONE flattened
+    ``q x m x n_codes`` lookup-table literal, each table pre-divided by
+    its query norm; a tiny ``(qid, table offset)`` frame is broadcast
+    and every (row, query) score is ``m`` lookups + a reconstruction
+    norm from the shared ``||c||²`` table — 8 adds/row/query instead of
+    a dim-length dot product, and the corpus is NEVER decompressed or
+    shuffled before the salted two-stage per-query top-k (same exact
+    reduction shape as ``knn_join``).  ``codes_col`` reuses a stored
+    encode (the 100 TB path); otherwise rows are encoded on the fly.
+    Zero-norm queries and zero-norm reconstructions have no cosine and
+    drop, per the family-wide zero-norm contract."""
+    import math
+
+    m, n_codes, _ = _pq_dims(codebooks)
+    if k <= 0:
+        return (index.select(
+            F.col(id_col).alias(query_id_col), F.col(id_col),
+            F.lit(0.0).alias("sim")).limit(0))
+    qrows = (queries.where(F.col(query_vec_col).isNotNull())
+             .select(query_id_col, query_vec_col).collect())
+    luts: list[float] = []
+    qnorms: list[float] = []
+    qids = []
+    for r in qrows:
+        qv = [float(x) for x in r[1]]
+        qn = math.sqrt(sum(x * x for x in qv))
+        if qn == 0:
+            continue  # zero-norm query: no cosine
+        luts.extend(_adc_lut(qv, codebooks, "ip"))
+        qnorms.append(qn)
+        qids.append(r[0])
+    if not qids:
+        return (index.select(
+            F.col(id_col).alias(query_id_col), F.col(id_col),
+            F.lit(0.0).alias("sim")).limit(0))
+    spark = index.sparkSession
+    qframe = spark.createDataFrame(
+        [(qid, i) for i, qid in enumerate(qids)],
+        schema=queries.select(query_id_col).schema.add("__qi", "long"))
+    lut_lit = _lit_arr(luts)
+    n2 = _lit_arr(_norm2_lut(codebooks))
+    if codes_col is None:
+        idx = (index.where(F.col(vec_col).isNotNull())
+               .withColumn("__pq_c",
+                           pq_encode_col(F.col(vec_col), codebooks)))
+        codes = F.col("__pq_c")
+    else:
+        idx = index.where(F.col(codes_col).isNotNull())
+        codes = F.col(codes_col)
+    block = m * n_codes
+    ip = reduce(lambda a, b: a + b,
+                [F.element_at(lut_lit, (F.col("__qi") * block
+                                        + F.lit(s * n_codes + 1)
+                                        + codes[s]).cast("int"))
+                 for s in range(m)])
+    rn = F.sqrt(reduce(lambda a, b: a + b,
+                       [F.element_at(n2,
+                                     F.lit(s * n_codes + 1) + codes[s])
+                        for s in range(m)]))
+    # ip/(rn*qn) in exactly pq_adc_topk(metric='cosine')'s op order, so
+    # the batch path and the single-query path agree bit-for-bit
+    qn = F.element_at(_lit_arr(qnorms), (F.col("__qi") + 1).cast("int"))
+    scored = (idx.join(F.broadcast(qframe))
+              .select(query_id_col, F.col(id_col),
+                      F.round(F.try_divide(ip, rn * qn), 6).alias("sim"))
+              .where(F.col("sim").isNotNull()))
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    w1 = (Window.partitionBy(query_id_col, salt)
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    w2 = (Window.partitionBy(query_id_col)
+          .orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+    return (scored
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= k)
+            .withColumn("__rn2", F.row_number().over(w2))
+            .where(F.col("__rn2") <= k)
+            .drop("__rn1", "__rn2"))
 
 
 def pq_reconstruction_report(df: DataFrame, codebooks: Codebooks,
@@ -311,7 +439,8 @@ def pq_reconstruction_report(df: DataFrame, codebooks: Codebooks,
     # encoded ARRAY, not 64 inlined copies of the encode expression
     coded = (df.where(F.col(vec_col).isNotNull())
              .select(vec.alias("__v"),
-                     pq_encode_col(vec, codebooks).alias("__c")))
+                     pq_encode_col(F.col(vec_col),
+                                   codebooks).alias("__c")))
     recon = pq_decode_col(F.col("__c"), codebooks)
     err = F.aggregate(F.zip_with(F.col("__v"), recon, lambda a, b:
                                  (a - b) * (a - b)),

@@ -1027,7 +1027,9 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       n_centroids: int = 16, seed: int = 42,
                       lsh_multi_probe: int = 0,
                       centroids: list[tuple[int, list[float]]] | str | None
-                      = None) -> DataFrame:
+                      = None,
+                      pq_m: tuple = (), pq_codes: int = 16,
+                      pq_kmeans_iters: int = 0) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
     configuration (LSH with p planes, IVF with n_probe probed cells),
     how much of the exact brute-force top-k does the approximate path
@@ -1067,10 +1069,10 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                    norm_col(vec).alias("__nrm"))
            .where(F.col("__nrm") > 0))  # zero-norm: no cosine
     qv = F.col(query_vec_col).cast("array<double>")
-    if not lsh_planes and not ivf_probes:
+    if not lsh_planes and not ivf_probes and not pq_m:
         raise ValueError("ann_recall_report: need at least one "
-                         "configuration (lsh_planes and ivf_probes are "
-                         "both empty)")
+                         "configuration (lsh_planes, ivf_probes and "
+                         "pq_m are all empty)")
     if lsh_multi_probe not in (0, 1):
         # same domain as lsh_ann_topk(multi_probe=...) — silently
         # reading 2 as hamming-1 would desync the report from the op
@@ -1161,6 +1163,38 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                 F.explode(F.filter(params,
                                    lambda np_: np_ >= F.col("__rank")))
                 .alias("param"), "__qid", F.col(id_col), "sim"))
+    for m_ in pq_m:
+        # PQ rows measure COMPRESSION loss, not pruning: every index row
+        # is a candidate (scan_frac 1.0 — but each is read at 32x less
+        # storage) ranked by the cosine of its RECONSTRUCTION, so the
+        # recall drop is exactly what quantizing the index costs against
+        # the same exact-cosine ground truth the other configs chase.
+        from .pq import pq_codebooks, pq_decode_col, pq_encode_col
+
+        books = pq_codebooks(index, id_col=id_col, vec_col=vec_col,
+                             m=int(m_), n_codes=pq_codes,
+                             kmeans_iters=pq_kmeans_iters)
+        # codes are eagerly materialized (n x m small ints — the
+        # compressed index itself, same localCheckpoint contract as the
+        # ground truth above): the candidate subtree is consumed by the
+        # window + two aggregates below, and letting the interpreted
+        # encode expression inline into each consumer multiplied its
+        # cost ~100x (observed: minutes instead of seconds at sf0.1)
+        coded = (index.where(F.col(vec_col).isNotNull())
+                 .select(F.col(id_col),
+                         pq_encode_col(F.col(vec_col), books)
+                         .alias("__c"))
+                 .localCheckpoint())
+        recon = (coded
+                 .withColumn("__r", pq_decode_col(F.col("__c"), books))
+                 .select(F.col(id_col), F.col("__r").alias("__v"),
+                         norm_col(F.col("__r")).alias("__nrm"))
+                 .where(F.col("__nrm") > 0))
+        tagged.append(
+            recon.join(F.broadcast(qside))
+            .select(F.lit("pq").alias("method"),
+                    F.lit(int(m_)).alias("param"), "__qid",
+                    F.col(id_col), sim))
 
     cand = tagged[0]
     for t in tagged[1:]:
@@ -1180,7 +1214,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     configs = ([("lsh", int(p)) for p in lsh_planes]
                + ([("lsh_mp", int(p)) for p in lsh_planes]
                   if lsh_multi_probe else [])
-               + [("ivf", int(np_)) for np_ in ivf_probes])
+               + [("ivf", int(np_)) for np_ in ivf_probes]
+               + [("pq", int(m_)) for m_ in pq_m])
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,
                                            "method string, param int"))))

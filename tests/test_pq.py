@@ -109,7 +109,7 @@ def test_adc_topk_order_and_k(emb, books):
     assert scores == sorted(scores, reverse=True)
     assert pq_adc_topk(emb, q, books, k=0).count() == 0
     with pytest.raises(ValueError, match="metric"):
-        pq_adc_topk(emb, q, books, k=5, metric="cosine")
+        pq_adc_topk(emb, q, books, k=5, metric="euclid")
 
 
 def test_adc_ranking_close_to_exact(emb, books):
@@ -163,3 +163,78 @@ def test_encode_plan_is_native(emb, books):
     aplan = adc._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in aplan
     assert "TakeOrderedAndProject" in aplan  # top-k, not a full sort
+
+
+def test_adc_cosine_equals_decoded_cosine(emb, books):
+    """metric='cosine' (ip-lut / norm²-lut) == true cosine of the
+    reconstruction — the identity the two lookup tables implement."""
+    from cascalog_spark.functions.similarity import cosine_similarity_col
+
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in q])
+    enc = pq_encode(emb.where(F.col("vec_id") < 40), books)
+    truth = {r["vec_id"]: r["cs"] for r in enc.select(
+        "vec_id",
+        F.round(cosine_similarity_col(
+            pq_decode_col(F.col("pq_codes"), books), qlit), 6).alias("cs"))
+        .collect() if r["cs"] is not None}
+    out = pq_adc_topk(emb.where(F.col("vec_id") < 40), q, books, k=40,
+                      metric="cosine")
+    got = {r["vec_id"]: r["score"] for r in out.collect()}
+    assert set(got) == set(truth)
+    for vid, s in got.items():
+        assert s == pytest.approx(truth[vid], abs=2e-6)
+
+
+def test_pq_knn_join_matches_adc_topk(emb, books):
+    """The batch path must return the same per-query top-k as the
+    single-query cosine ADC (same lut values, same op order, same
+    tie rule)."""
+    from cascalog_spark.functions import pq_knn_join
+
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = pq_knn_join(emb, queries, books, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], r["score"]) for r in
+                  pq_adc_topk(emb, q, books, k=5,
+                              metric="cosine").collect()]
+        assert sorted(rows, key=lambda t: (-t[1], t[0])) == single
+
+
+def test_pq_knn_join_edges(spark, emb, books):
+    from cascalog_spark.functions import pq_knn_join
+
+    queries = (emb.where(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    assert pq_knn_join(emb, queries, books, k=0).count() == 0
+    zq = spark.createDataFrame([(9, [0.0] * 64)],
+                               "query_id long, embedding array<float>")
+    assert pq_knn_join(emb, zq, books, k=5).count() == 0
+
+
+def test_recall_report_pq_rows(emb, books):
+    """PQ rows in the ANN tuning report: scan_frac is exactly 1.0
+    (compression, not pruning) and recall is the quantization cost;
+    a pq-only config list is accepted."""
+    from cascalog_spark.functions import ann_recall_report
+
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rep = ann_recall_report(emb, queries, k=10, lsh_planes=(4,),
+                            ivf_probes=(), pq_m=(8,)).collect()
+    methods = {(r["method"], r["param"]) for r in rep}
+    assert methods == {("lsh", 4), ("pq", 8)}
+    pq_row = next(r for r in rep if r["method"] == "pq")
+    assert pq_row["scan_frac"] == 1.0
+    assert 0.0 < pq_row["recall_at_k"] <= 1.0
+    only = ann_recall_report(emb, queries, k=10, lsh_planes=(),
+                             ivf_probes=(), pq_m=(8,)).collect()
+    assert len(only) == 1 and only[0]["method"] == "pq"
