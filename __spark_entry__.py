@@ -3281,6 +3281,26 @@ def embedding_ann_recall(spark, sf_dir):
                              lsh_multi_probe=1)
 
 
+def doc_pagerank(spark, sf_dir):
+    """Centrality over the minhash near-dup graph (functions/graph.py
+    pagerank): damped random-walk mass, dangling mass redistributed so
+    total rank is exactly 1 each round — the canonical-document signal
+    for dedup clusters (keep the most central copy, not min-id).  Two
+    iterations (closed form) over the full doc universe so the oracle
+    unrolls the recurrence exactly; isolated docs keep baseline rank."""
+    from cascalog_spark.functions import minhash_lsh_candidates, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    # num_perm=8/bands=4: the same banding the minhash oracle block
+    # replays (oracle_sql()'s shared `minhash_pairs` SQL)
+    pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+    pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                  nodes=docs.select("doc_id"), iters=2, undirected=True,
+                  materialize=False)
+    return pr.select(F.col("node").alias("doc_id"),
+                     F.round("rank", 6).alias("rank"))
+
+
 def embedding_pq_recall(spark, sf_dir):
     """PQ rows of the ANN tuning report: every index row is a candidate
     (scan_frac exactly 1.0 — PQ is compression, not pruning) ranked by
@@ -3426,6 +3446,7 @@ _R6_HEAD = [
     "embedding_pq_adc",
     "doc_kn_bigram_nll",  # r6 session 2: Kneser-Ney LM quality signal
     "embedding_pq_recall",  # r6 session 2: PQ rows of the ANN report
+    "doc_pagerank",  # r6 session 2: near-dup-graph centrality
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3456,6 +3477,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_codes": embedding_pq_codes,
         "embedding_pq_adc": embedding_pq_adc,
         "embedding_pq_recall": embedding_pq_recall,
+        "doc_pagerank": doc_pagerank,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -4169,6 +4191,42 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
         "minhash_near_dup_candidates": minhash_pairs,
+        # PageRank over the same near-dup graph: the 2-iteration
+        # recurrence unrolled exactly — r_{k+1}(v) = (1-d)/n +
+        # d*(sum contribs + dangling/n); base/damping arithmetic mirrors
+        # the engine's literal order ((1.0-0.85)/n, 0.85*(...))
+        "doc_pagerank": f"""
+            WITH cand AS ({minhash_pairs}),
+            und AS (SELECT id_a AS s, id_b AS t FROM cand
+                    UNION ALL SELECT id_b, id_a FROM cand),
+            nd AS (SELECT DISTINCT doc_id AS node FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM nd),
+            deg AS (SELECT s AS node, count(*)::DOUBLE AS deg
+                    FROM und GROUP BY s),
+            r0 AS (SELECT node, 1.0 / n.n AS rank FROM nd, n),
+            c1 AS (SELECT und.t AS node, sum(r0.rank / deg.deg) AS cin
+                   FROM und JOIN r0 ON und.s = r0.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d1 AS (SELECT coalesce(sum(r0.rank), 0.0) AS dm
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r1 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c1.cin, 0.0) + d1.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c1 ON nd.node = c1.node, n, d1),
+            c2 AS (SELECT und.t AS node, sum(r1.rank / deg.deg) AS cin
+                   FROM und JOIN r1 ON und.s = r1.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d2 AS (SELECT coalesce(sum(r1.rank), 0.0) AS dm
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r2 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c2.cin, 0.0) + d2.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c2 ON nd.node = c2.node, n, d2)
+            SELECT node AS doc_id, round(rank, 6) AS rank FROM r2""",
         "doc_dup_clusters": f"""
             WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

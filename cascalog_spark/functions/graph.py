@@ -1,0 +1,122 @@
+"""Link-graph centrality for corpus curation.
+
+A training-data pipeline meets graphs in two places: the NEAR-DUP graph
+(which copy of a duplicate cluster is the canonical one? — the most
+central, not an arbitrary min-id) and SOURCE authority (pages/domains
+linked from many well-linked places are better keep candidates than
+orphans; the CommonCrawl-curation literature weights by exactly this).
+``pagerank`` is the shared primitive: damped random-walk mass over an
+edge list.
+
+Scale shape: one shuffle per iteration (contributions grouped by
+destination) plus a 1-row dangling-mass aggregate folded in-plan via a
+broadcast cross join — rank state is node-sized, never edge-sized, and
+no driver-side collection happens at any size.  The edge list and
+degree table are persisted for the loop and released via
+``release_pagerank_cache`` (same handle contract as ``tf_idf``).
+Iteration lineage is cut with a ``localCheckpoint`` every
+``checkpoint_every`` rounds — without it the plan tree (and Catalyst
+analysis time) grows linearly with ``iters``.
+
+The reference engine has no graph ops — extension tier (SURVEY.md §2
+extension packs), sibling of the dedup family's connected components
+(dedup.py star contraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str = "src",
+             dst_col: str = "dst", nodes: DataFrame | None = None,
+             node_col: str | None = None, damping: float = 0.85,
+             iters: int = 10, undirected: bool = False,
+             checkpoint_every: int = 4,
+             materialize: bool = True) -> DataFrame:
+    """Damped PageRank over an edge list → ``(node, rank)``.
+
+    ``r_{k+1}(v) = (1−d)/n + d·(Σ_{u→v} r_k(u)/deg(u) + D_k/n)`` where
+    ``D_k`` is the total rank held by dangling nodes (no out-edges) —
+    redistributed uniformly, so total rank mass is EXACTLY 1 every
+    iteration (pinned in tests; a formulation that leaks dangling mass
+    ranks sinks absurdly high).
+
+    ``nodes`` (default: the distinct edge endpoints) fixes the node
+    universe — pass the full corpus id table to give isolated documents
+    their baseline rank instead of silently dropping them.
+    ``undirected=True`` adds the reversed copy of every edge (the
+    near-dup-graph case).  Edge multiplicity is respected (parallel
+    edges contribute twice) — ``.distinct()`` upstream for simple-graph
+    semantics.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0, 1), "
+                         f"got {damping}")
+    if iters < 0:
+        raise ValueError("pagerank: iters must be >= 0")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("__s"),
+                     F.col(dst_col).alias("__t"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("__t").alias("__s"),
+                                   F.col("__s").alias("__t")))
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        nd = nodes.select(F.col(nc).alias("node")).distinct()
+    else:
+        nd = (e.select(F.col("__s").alias("node"))
+              .unionByName(e.select(F.col("__t").alias("node")))
+              .distinct())
+    caches = []
+    if materialize:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        nd = nd.persist(StorageLevel.MEMORY_AND_DISK)
+        caches += [e, nd]
+    n = nd.count()
+    if n == 0:
+        out = nd.withColumn("rank", F.lit(0.0))
+        out._pagerank_cache = caches
+        return out
+    deg = e.groupBy(F.col("__s").alias("node")) \
+           .agg(F.count(F.lit(1)).alias("__deg"))
+    if materialize:
+        deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(deg)
+    base = (1.0 - damping) / n
+    ranks = nd.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        withdeg = ranks.join(deg, on="node", how="left")
+        contrib = (e.join(withdeg.where(F.col("__deg").isNotNull()),
+                          on=[e["__s"] == withdeg["node"]])
+                   .groupBy(F.col("__t").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("__deg"))
+                        .alias("__in")))
+        dangling = (withdeg.where(F.col("__deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dm")))
+        ranks = (nd.join(contrib, on="node", how="left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.col("__dm") / F.lit(float(n))))
+                         .alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    ranks._pagerank_cache = caches
+    return ranks
+
+
+def release_pagerank_cache(df: DataFrame) -> bool:
+    """Unpersist the edge/node/degree frames a ``pagerank`` call pinned
+    (same release contract as ``release_tfidf_cache``)."""
+    caches = getattr(df, "_pagerank_cache", None)
+    if not caches:
+        return False
+    for c in caches:
+        c.unpersist()
+    return True

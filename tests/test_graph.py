@@ -1,0 +1,119 @@
+"""PageRank: mass conservation, hand-computed values, dangling
+redistribution, pure-Python differential, checkpoint invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascalog_spark.functions import pagerank, release_pagerank_cache
+
+
+def _py_pagerank(edges, nodes, d=0.85, iters=10):
+    """Single-process replica of the exact formulation."""
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: (1 - d) / n + d * dm / n for v in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        r = nxt
+    return r
+
+
+def test_mass_conservation_and_hand_values(spark):
+    # A -> B, A -> C, B -> C, C dangling
+    edges = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")],
+                                  "src string, dst string")
+    pr = pagerank(edges, iters=2, damping=0.85)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    release_pagerank_cache(pr)
+    exp = _py_pagerank([("a", "b"), ("a", "c"), ("b", "c")],
+                       ["a", "b", "c"], iters=2)
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mass_is_one_every_iteration_with_dangling(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2)], "src long, dst long")  # 2 dangles
+    for it in (1, 3, 7):
+        pr = pagerank(edges, iters=it)
+        total = pr.agg(F.sum("rank")).first()[0]
+        release_pagerank_cache(pr)
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_star_center_dominates_undirected(spark):
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long")
+    pr = pagerank(edges, iters=10, undirected=True)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    release_pagerank_cache(pr)
+    assert got[0] > max(v for k, v in got.items() if k != 0) * 3
+
+
+def test_isolated_nodes_via_node_universe(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pr = pagerank(edges, nodes=nodes, iters=4)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    release_pagerank_cache(pr)
+    assert set(got) == {0, 1, 2, 3, 4}
+    exp = _py_pagerank([(1, 2)], list(range(5)), iters=4)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # isolated nodes share the same baseline; the linked-to node wins
+    assert got[0] == pytest.approx(got[3], abs=1e-12)
+    assert got[2] > got[1] >= got[0]
+
+
+def test_differential_on_real_neardup_graph(spark, sf_dir):
+    from cascalog_spark.functions import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, "doc_id").collect()
+    edges = [(r["id_a"], r["id_b"]) for r in pairs]
+    nodes = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    pr = pagerank(
+        spark.createDataFrame(pairs, "id_a long, id_b long"),
+        src_col="id_a", dst_col="id_b",
+        nodes=docs.select("doc_id"), iters=3, undirected=True)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    release_pagerank_cache(pr)
+    und = edges + [(b, a) for a, b in edges]
+    exp = _py_pagerank(und, nodes, iters=3)
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9, abs=1e-12)
+
+
+def test_checkpoint_cadence_does_not_change_results(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 10) for i in range(10)],
+        "src long, dst long")
+    a = pagerank(edges, iters=6, checkpoint_every=2)
+    b = pagerank(edges, iters=6, checkpoint_every=0)
+    ga = sorted((r["node"], round(r["rank"], 12)) for r in a.collect())
+    gb = sorted((r["node"], round(r["rank"], 12)) for r in b.collect())
+    release_pagerank_cache(a)
+    release_pagerank_cache(b)
+    assert ga == gb
+
+
+def test_validation_and_empty(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=-1)
+    empty = spark.createDataFrame([], "src long, dst long")
+    pr = pagerank(empty, iters=2)
+    assert pr.count() == 0
+    release_pagerank_cache(pr)
