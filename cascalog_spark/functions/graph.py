@@ -14,9 +14,12 @@ broadcast cross join — rank state is node-sized, never edge-sized, and
 no driver-side collection happens at any size.  The edge list and
 degree table are persisted for the loop and released via
 ``release_pagerank_cache`` (same handle contract as ``tf_idf``).
-Iteration lineage is cut with a ``localCheckpoint`` every
-``checkpoint_every`` rounds — without it the plan tree (and Catalyst
-analysis time) grows linearly with ``iters``.
+Iteration lineage is cut with a ``localCheckpoint`` every round by
+default — each round reads the previous ranks TWICE (contributions +
+the dangling aggregate), so an uncut loop re-derives round k's frame
+2^(rounds since the last cut) times: an exponential wall blowup the
+scaling smoke caught at 5 iterations, not a linear plan-growth
+nuisance.
 
 The reference engine has no graph ops — extension tier (SURVEY.md §2
 extension packs), sibling of the dedup family's connected components
@@ -33,7 +36,7 @@ def pagerank(edges: DataFrame, src_col: str = "src",
              dst_col: str = "dst", nodes: DataFrame | None = None,
              node_col: str | None = None, damping: float = 0.85,
              iters: int = 10, undirected: bool = False,
-             checkpoint_every: int = 4,
+             checkpoint_every: int = 1,
              materialize: bool = True) -> DataFrame:
     """Damped PageRank over an edge list → ``(node, rank)``.
 
@@ -104,6 +107,13 @@ def pagerank(edges: DataFrame, src_col: str = "src",
                           * (F.coalesce(F.col("__in"), F.lit(0.0))
                              + F.col("__dm") / F.lit(float(n))))
                          .alias("rank")))
+        # each round consumes the previous ranks TWICE (contributions +
+        # the dangling aggregate), so an unmaterialized loop re-derives
+        # iteration k's frame 2^(rounds since last cut) times — measured
+        # as an exponential wall blowup, not a constant factor.  The
+        # node-sized localCheckpoint every round is the standard Pregel
+        # superstep materialization; raise checkpoint_every only for
+        # tiny graphs where per-job latency dominates.
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
