@@ -3295,10 +3295,11 @@ def doc_pagerank(spark, sf_dir):
     # replays (oracle_sql()'s shared `minhash_pairs` SQL)
     pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
     pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
-                  nodes=docs.select("doc_id"), iters=2, undirected=True,
-                  materialize=False)
-    return pr.select(F.col("node").alias("doc_id"),
-                     F.round("rank", 6).alias("rank"))
+                  nodes=docs.select("doc_id"), iters=2, undirected=True)
+    out = pr.select(F.col("node").alias("doc_id"),
+                    F.round("rank", 6).alias("rank"))
+    out._pagerank_cache = pr._pagerank_cache  # release handle survives
+    return out
 
 
 def embedding_pq_recall(spark, sf_dir):

@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     # round-6 session-2 entry: product quantization — deterministic
     # codebook fetch + HOF encode expression + ADC literal-lookup top-k
     "embedding_pq_adc",
+    # round-6 session-2 entries: Kneser-Ney bigram NLL (four count
+    # rollups of one persisted (id,t1,t2,tf) aggregate); PageRank over
+    # the minhash near-dup graph (2 superstep-materialized iterations)
+    "doc_kn_bigram_nll",
+    "doc_pagerank",
 ]
 
 
@@ -126,10 +131,12 @@ def _run_once(spark, qs, name):
     # any frame still cached after the action is a cross-query
     # storage leak (see BASELINE.md round-5 bench-hygiene note)
     for handle in ("_prefix_scan_cache", "_cosine_sig_cache",
-                   "_tfidf_cache"):
+                   "_tfidf_cache", "_pagerank_cache"):
         cache = getattr(df, handle, None)
-        if cache is not None:
-            cache.unpersist()
+        if cache is None:
+            continue
+        for c in (cache if isinstance(cache, list) else [cache]):
+            c.unpersist()
     spark.catalog.clearCache()
     # ContextCleaner only deletes dead shuffle files/broadcasts when
     # the DRIVER JVM garbage-collects; one explicit GC per entry keeps
