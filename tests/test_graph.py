@@ -117,3 +117,41 @@ def test_validation_and_empty(spark):
     pr = pagerank(empty, iters=2)
     assert pr.count() == 0
     release_pagerank_cache(pr)
+
+
+# ---- hypothesis fuzz: random digraphs vs the pure-Python replica ----
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "6")),
+                deadline=None,
+                suppress_health_check=[
+                    HealthCheck.function_scoped_fixture,
+                    HealthCheck.too_slow])
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7),
+              st.integers(min_value=0, max_value=7)),
+    min_size=1, max_size=20)
+
+
+@given(edges=_edges, iters=st.integers(min_value=0, max_value=4),
+       und=st.booleans())
+@_SET
+def test_pagerank_fuzz_vs_python(spark, edges, iters, und):
+    """Any small digraph (self-loops, parallel edges, dangling nodes),
+    any iteration count, directed or not: distributed == replica and
+    mass is exactly 1."""
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = pagerank(df, iters=iters, undirected=und, materialize=False)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    e = edges + ([(b, a) for a, b in edges] if und else [])
+    nodes = sorted({v for p in e for v in p})
+    exp = _py_pagerank(e, nodes, iters=iters)
+    assert got.keys() == exp.keys()
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -238,3 +238,68 @@ def test_recall_report_pq_rows(emb, books):
     only = ann_recall_report(emb, queries, k=10, lsh_planes=(),
                              ivf_probes=(), pq_m=(8,)).collect()
     assert len(only) == 1 and only[0]["method"] == "pq"
+
+
+# ---- hypothesis fuzz: random vectors/codebook shapes, PQ identities ----
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "5")),
+                deadline=None,
+                suppress_health_check=[
+                    HealthCheck.function_scoped_fixture,
+                    HealthCheck.too_slow])
+
+_vals = st.floats(min_value=-4.0, max_value=4.0, allow_nan=False,
+                  width=32)
+
+
+@given(data=st.data(), m=st.sampled_from([1, 2, 4]),
+       k=st.integers(min_value=1, max_value=5))
+@_SET
+def test_pq_fuzz_identities(spark, data, m, k):
+    """Random float corpora, any (m, n_codes) shape: expression ==
+    BLAS kernel codes, every code in range, seed rows self-code, and
+    ADC(ip) == dot(query, decode(codes)) for a random query."""
+    import numpy as np
+
+    dim = m * 4
+    n = data.draw(st.integers(min_value=k, max_value=12))
+    rows = [(i, data.draw(st.lists(_vals, min_size=dim, max_size=dim)))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(df, m=m, n_codes=k, dim=dim)
+    expr = {r["vec_id"]: r["pq_codes"]
+            for r in pq_encode(df, books).collect()}
+    kern = {r["vec_id"]: r["pq_codes"]
+            for r in pq_encode(df, books, vectorized=True).collect()}
+    # kernel parity caveat (documented on _pq_encode_vectorized): its
+    # ||c||^2 - 2x.c formulation can break EXACT ties differently than
+    # the (x-c)^2 chain — hypothesis crafts such ties from denormals.
+    # Where codes differ, the two chosen centroids must be equally near.
+    byid = {vid: vec for vid, vec in rows}
+    for vid, ec in expr.items():
+        kc = kern[vid]
+        for s, (a, b) in enumerate(zip(ec, kc)):
+            if a == b:
+                continue
+            x = np.asarray(byid[vid][s * 4:(s + 1) * 4],
+                           dtype=np.float64)
+            da = ((x - np.asarray(books[s][a])) ** 2).sum()
+            db = ((x - np.asarray(books[s][b])) ** 2).sum()
+            assert da == pytest.approx(db, rel=1e-9, abs=1e-30)
+    assert all(0 <= c < k for codes in expr.values() for c in codes)
+    q = data.draw(st.lists(_vals, min_size=dim, max_size=dim))
+    q = [float(x) for x in np.asarray(q, dtype=np.float32)]
+    adc = {r["vec_id"]: r["score"]
+           for r in pq_adc_topk(df, q, books, k=n).collect()}
+    flat = {}
+    for vid, codes in expr.items():
+        recon = [x for s, c in enumerate(codes)
+                 for x in books[s][c]]
+        flat[vid] = sum(qq * rr for qq, rr in zip(q, recon))
+    for vid, score in adc.items():
+        assert score == pytest.approx(flat[vid], abs=2e-6)
