@@ -3281,6 +3281,30 @@ def embedding_ann_recall(spark, sf_dir):
                              lsh_multi_probe=1)
 
 
+def doc_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (corpus.py rank_fusion): two incomparable
+    quality signals (token count desc, char length asc) fused in rank
+    space — exact global ranks via window.global_running_total (range
+    bins + driver offsets, no single-partition sort), rrf = sum of
+    1/(60+rank).  Integer ranks are engine-exact, so the fused float is
+    bit-identical too."""
+    from cascalog_spark.functions import rank_fusion
+    from cascalog_spark.functions.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = (docs
+           .withColumn("n_toks",
+                       F.size(tokens_col(F.col("text"))).cast("double"))
+           .withColumn("n_chars", F.length("text").cast("double")))
+    out = rank_fusion(sig, {"n_toks": "desc", "n_chars": "asc"},
+                      id_col="doc_id", keep_ranks=True)
+    return out.select(
+        "doc_id",
+        F.col("n_toks_rank").cast("int").alias("rank_tokens"),
+        F.col("n_chars_rank").cast("int").alias("rank_chars"),
+        F.round("rrf_score", 9).alias("rrf_score"))
+
+
 def doc_pagerank(spark, sf_dir):
     """Centrality over the minhash near-dup graph (functions/graph.py
     pagerank): damped random-walk mass, dangling mass redistributed so
@@ -3448,6 +3472,7 @@ _R6_HEAD = [
     "doc_kn_bigram_nll",  # r6 session 2: Kneser-Ney LM quality signal
     "embedding_pq_recall",  # r6 session 2: PQ rows of the ANN report
     "doc_pagerank",  # r6 session 2: near-dup-graph centrality
+    "doc_rank_fusion",  # r6 session 2: multi-signal RRF selection
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3479,6 +3504,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_adc": embedding_pq_adc,
         "embedding_pq_recall": embedding_pq_recall,
         "doc_pagerank": doc_pagerank,
+        "doc_rank_fusion": doc_rank_fusion,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -4192,6 +4218,20 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
         "minhash_near_dup_candidates": minhash_pairs,
+        "doc_rank_fusion": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS})::DOUBLE AS n_toks,
+                              length(text)::DOUBLE AS n_chars
+                       FROM documents),
+            r AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY n_toks DESC,
+                                       doc_id ASC) AS rt,
+                    row_number() OVER (ORDER BY n_chars ASC,
+                                       doc_id ASC) AS rc
+                  FROM t)
+            SELECT doc_id, CAST(rt AS INT) AS rank_tokens,
+                   CAST(rc AS INT) AS rank_chars,
+                   round(1.0/(60+rt) + 1.0/(60+rc), 9) AS rrf_score
+            FROM r""",
         # PageRank over the same near-dup graph: the 2-iteration
         # recurrence unrolled exactly — r_{k+1}(v) = (1-d)/n +
         # d*(sum contribs + dangling/n); base/damping arithmetic mirrors

@@ -10,7 +10,7 @@ from .corpus import (balanced_shards, bloom_contains, boilerplate_lines,
                      contamination, corpus_report,
                      contamination_bloom, contamination_score, decontaminate,
                      cap_per_stratum, curriculum_stages, dsir_sample, dsir_weights,
-                     mine_contrastive_pairs,
+                     mine_contrastive_pairs, rank_fusion,
                      length_buckets, mix_corpora, pack_sequences,
                      remove_boilerplate, select_by_budget,
                      semantic_contamination_score, semantic_decontaminate,

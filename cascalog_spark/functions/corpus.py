@@ -931,6 +931,60 @@ def length_buckets(df: DataFrame, len_col: str = "n_tokens",
                     "waste_frac"))
 
 
+def rank_fusion(df: DataFrame, signals: dict, id_col: str = "doc_id",
+                k: int = 60, out_col: str = "rrf_score",
+                keep_ranks: bool = False) -> DataFrame:
+    """Reciprocal-rank fusion of multiple quality signals:
+    ``rrf = Σ_s w_s / (k + rank_s)`` — the standard way to combine
+    incomparable scores (a classifier probability, an n-gram NLL, a
+    centrality, a length prior) into ONE selection ordering without
+    calibrating any of them; rank-space fusion is immune to each
+    signal's scale and outliers, and ``k`` (Cormack's 60) damps the top
+    ranks so no single signal dominates.
+
+    ``signals`` maps column → ``"desc"`` (higher is better) or
+    ``"asc"``, or ``(direction, weight)``.  Ranks are EXACT global
+    ranks (ties broken by ``id_col``) via
+    ``window.global_running_total`` — range-bin + driver offsets +
+    per-bucket windows, parallelism #bins, never a single-partition
+    sort; one pass per signal.  Rows with a NULL in any fused signal
+    are dropped (a signal you cannot compute cannot rank — and a null
+    rank would poison the fused sum).  ``keep_ranks=True`` appends
+    ``<col>_rank`` columns for inspection."""
+    from functools import reduce as _reduce
+
+    from .window import global_running_total
+
+    if not signals:
+        raise ValueError("rank_fusion: signals must be non-empty")
+    if k <= 0:
+        raise ValueError("rank_fusion: k must be > 0")
+    parsed = []
+    for col, spec in signals.items():
+        direction, weight = (spec if isinstance(spec, tuple)
+                             else (spec, 1.0))
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"rank_fusion: direction for {col!r} must "
+                             f"be 'asc' or 'desc', got {direction!r}")
+        parsed.append((col, direction, float(weight)))
+    out = df
+    for col, _, _ in parsed:
+        out = out.where(F.col(col).isNotNull())
+    out = out.withColumn("__rf_one", F.lit(1))
+    for col, direction, _ in parsed:
+        out = global_running_total(out, "__rf_one", col, id_col,
+                                   ascending=(direction == "asc"),
+                                   out_col=f"__rf_{col}")
+    terms = [F.lit(w) / (F.lit(k) + F.col(f"__rf_{c}"))
+             for c, _, w in parsed]
+    out = out.withColumn(out_col,
+                         _reduce(lambda a, b: a + b, terms))
+    if keep_ranks:
+        for col, _, _ in parsed:
+            out = out.withColumn(f"{col}_rank", F.col(f"__rf_{col}"))
+    return out.drop("__rf_one", *[f"__rf_{c}" for c, _, _ in parsed])
+
+
 def curriculum_stages(df: DataFrame, score_col: str,
                       n_stages: int = 4, id_col: str = "doc_id",
                       ascending: bool = True,

@@ -3116,3 +3116,64 @@ def test_kn_bigram_discount_validation(spark):
     for bad in (0.0, 1.0, -0.5, 1.5):
         with _pytest.raises(ValueError, match="discount"):
             kn_bigram_nll(docs, discount=bad)
+
+
+def test_rank_fusion_math_and_edges(spark):
+    """RRF on a 4-doc frame: hand-computed ranks and fused scores,
+    weights, null-signal drop, validation."""
+    import pytest as _pytest
+    from cascalog_spark.functions import rank_fusion
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.9), (2, 30.0, 0.1), (3, 20.0, None),
+         (4, 40.0, 0.5)],
+        "doc_id long, quality double, nll double")
+    out = rank_fusion(df, {"quality": "desc", "nll": "asc"},
+                      k=60, keep_ranks=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 4}          # doc 3: null nll dropped
+    # quality desc ranks: 4->1, 2->2, 1->3 ; nll asc: 2->1, 4->2, 1->3
+    assert got[4]["quality_rank"] == 1 and got[4]["nll_rank"] == 2
+    assert got[2]["quality_rank"] == 2 and got[2]["nll_rank"] == 1
+    for d in (1, 2, 4):
+        exp = 1.0 / (60 + got[d]["quality_rank"]) \
+            + 1.0 / (60 + got[d]["nll_rank"])
+        assert got[d]["rrf_score"] == _pytest.approx(exp, abs=1e-12)
+    # weights scale their signal's term
+    w = rank_fusion(df, {"quality": ("desc", 2.0), "nll": ("asc", 0.5)},
+                    keep_ranks=True)
+    gw = {r["doc_id"]: r for r in w.collect()}
+    exp4 = 2.0 / (60 + gw[4]["quality_rank"]) \
+        + 0.5 / (60 + gw[4]["nll_rank"])
+    assert gw[4]["rrf_score"] == _pytest.approx(exp4, abs=1e-12)
+    with _pytest.raises(ValueError, match="direction"):
+        rank_fusion(df, {"quality": "down"})
+    with _pytest.raises(ValueError, match="k must"):
+        rank_fusion(df, {"quality": "desc"}, k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        rank_fusion(df, {})
+
+
+def test_rank_fusion_matches_single_partition_ranks(spark, sf_dir):
+    """Fused ordering on real docs == a plain row_number reference
+    (the scale-safe rank path must be EXACT, not approximate)."""
+    from pyspark.sql import Window
+    from cascalog_spark.functions import rank_fusion
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("n_toks", F.size(F.split(F.lower("text"),
+                                                 r"\s+")).cast("double"))
+            .withColumn("n_chars", F.length("text").cast("double")))
+    out = rank_fusion(docs, {"n_toks": "desc", "n_chars": "asc"},
+                      keep_ranks=True)
+    got = {r["doc_id"]: (r["n_toks_rank"], r["n_chars_rank"],
+                         r["rrf_score"]) for r in out.collect()}
+    wt = Window.orderBy(F.col("n_toks").desc(), F.col("doc_id").asc())
+    wc = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ref = {r["doc_id"]: (r["rt"], r["rc"]) for r in
+           docs.select("doc_id", F.row_number().over(wt).alias("rt"),
+                       F.row_number().over(wc).alias("rc")).collect()}
+    assert got.keys() == ref.keys()
+    for d, (rt, rc, score) in got.items():
+        assert (rt, rc) == ref[d]
+        assert score == 1.0 / (60 + rt) + 1.0 / (60 + rc)
