@@ -1066,6 +1066,21 @@ def doc_near_dedup_best(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def doc_near_dedup_central(spark, sf_dir):
+    """near_dedup(keep='central'): per duplicate cluster keep the most
+    CENTRAL member by PageRank over the candidate-pair graph (the copy
+    similar to the most other copies — the template's median variant,
+    not an outlier edit).  Oracle = the recursive-CTE closure + the
+    2-iteration pagerank recurrence over the same pair graph + a
+    row_number over (cluster, rank DESC, id)."""
+    from cascalog_spark.functions import near_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (near_dedup(docs, num_perm=8, bands=4, keep="central",
+                       pr_iters=2)
+            .select("doc_id", "source"))
+
+
 def doc_exact_substring_incremental(spark, sf_dir):
     """Continuous-ingest exact-substring dedup: odd-id docs (the batch)
     lose token spans whose every 8-gram exists in the standing even-id
@@ -3473,6 +3488,7 @@ _R6_HEAD = [
     "embedding_pq_recall",  # r6 session 2: PQ rows of the ANN report
     "doc_pagerank",  # r6 session 2: near-dup-graph centrality
     "doc_rank_fusion",  # r6 session 2: multi-signal RRF selection
+    "doc_near_dedup_central",  # r6 session 2: centrality-kept dedup
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3505,6 +3521,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_recall": embedding_pq_recall,
         "doc_pagerank": doc_pagerank,
         "doc_rank_fusion": doc_rank_fusion,
+        "doc_near_dedup_central": doc_near_dedup_central,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -4295,6 +4312,56 @@ def oracle_sql() -> dict[str, str]:
             clusters AS (SELECT node, least(node, min(m)) AS cluster
                          FROM reach GROUP BY node),
             losers AS (SELECT node FROM clusters WHERE node != cluster)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l
+                              WHERE l.node = d.doc_id)""",
+        "doc_near_dedup_central": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT src AS node, dst AS m FROM edges
+                      UNION
+                      SELECT r.node, e.dst
+                      FROM reach r JOIN edges e ON r.m = e.src),
+            clusters AS (SELECT node, least(node, min(m)) AS cluster
+                         FROM reach GROUP BY node),
+            und AS (SELECT id_a AS s, id_b AS t FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            nd AS (SELECT DISTINCT s AS node FROM und),
+            n AS (SELECT count(*)::DOUBLE AS n FROM nd),
+            deg AS (SELECT s AS node, count(*)::DOUBLE AS deg
+                    FROM und GROUP BY s),
+            r0 AS (SELECT node, 1.0 / n.n AS rank FROM nd, n),
+            c1 AS (SELECT und.t AS node, sum(r0.rank / deg.deg) AS cin
+                   FROM und JOIN r0 ON und.s = r0.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d1 AS (SELECT coalesce(sum(r0.rank), 0.0) AS dm
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r1 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c1.cin, 0.0) + d1.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c1 ON nd.node = c1.node, n, d1),
+            c2 AS (SELECT und.t AS node, sum(r1.rank / deg.deg) AS cin
+                   FROM und JOIN r1 ON und.s = r1.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d2 AS (SELECT coalesce(sum(r1.rank), 0.0) AS dm
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r2 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c2.cin, 0.0) + d2.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c2 ON nd.node = c2.node, n, d2),
+            ranked AS (SELECT c.node, c.cluster,
+                              round(r2.rank, 12) AS rnk
+                       FROM clusters c JOIN r2 ON c.node = r2.node),
+            losers AS (SELECT node FROM (
+                         SELECT node, row_number() OVER (
+                           PARTITION BY cluster
+                           ORDER BY rnk DESC, node ASC) AS rn
+                         FROM ranked) WHERE rn > 1)
             SELECT d.doc_id, d.source FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l
                               WHERE l.node = d.doc_id)""",

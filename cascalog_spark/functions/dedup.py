@@ -701,7 +701,8 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_perm: int = 16, bands: int = 4,
                shingle_k: int = 3, max_iter: int = 20,
                cc_method: str = "star", keep: str = "min",
-               score_col: str | None = None) -> DataFrame:
+               score_col: str | None = None,
+               pr_iters: int = 5) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the composition a corpus
     pipeline actually runs: MinHash-LSH candidate pairs → connected
     components → keep one representative per cluster, drop the rest.
@@ -711,7 +712,12 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     ``keep='best'`` keeps the row maximising ``score_col`` (min id as the
     deterministic tiebreak) — what a training pipeline actually wants when
     a quality score exists: drop the low-quality copies, not the
-    high-id ones.
+    high-id ones.  ``keep='central'`` keeps each cluster's most CENTRAL
+    member by PageRank over the candidate-pair graph (``pr_iters``
+    damped rounds; graph.pagerank) — the copy similar to the most other
+    copies, i.e. the template's median variant rather than an outlier
+    edit; ranks are compared at 12 dp (symmetric members tie EXACTLY and
+    fall to the id tiebreak; float sum-order noise is ~1e-17).
 
     Scale shape: inherits the bucketed candidate join (never all-pairs)
     and the O(log n)-round star-contraction component step (default
@@ -724,9 +730,9 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     per-cluster max-struct aggregate — both keyed on cluster members, so
     the extra cost also scales with the duplicate fraction, not the
     corpus."""
-    if keep not in ("min", "best"):
-        raise ValueError(f"near_dedup: keep must be 'min' or 'best', "
-                         f"got {keep!r}")
+    if keep not in ("min", "best", "central"):
+        raise ValueError(f"near_dedup: keep must be 'min', 'best' or "
+                         f"'central', got {keep!r}")
     if keep == "best" and not score_col:
         raise ValueError("near_dedup: keep='best' requires score_col")
     pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
@@ -735,6 +741,26 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
     if keep == "min":
         losers = (clusters.where(F.col("node") != F.col("cluster"))
                   .select(F.col("node").alias(id_col)))
+    elif keep == "central":
+        # centrality over the pair graph itself (node universe = edge
+        # endpoints = exactly the non-trivial cluster members); both the
+        # graph and the rank state are duplicate-fraction-sized
+        from pyspark.sql import Window
+
+        from .graph import pagerank
+
+        pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                      undirected=True, iters=pr_iters,
+                      materialize=False)
+        member = clusters.select(F.col("node").alias(id_col), "cluster")
+        ranked = member.join(
+            pr.select(F.col("node").alias(id_col),
+                      F.round("rank", 12).alias("_nd_pr")),
+            on=id_col, how="inner")
+        w = (Window.partitionBy("cluster")
+             .orderBy(F.col("_nd_pr").desc(), F.col(id_col).asc()))
+        losers = (ranked.withColumn("_nd_rn", F.row_number().over(w))
+                  .where(F.col("_nd_rn") > 1).select(id_col))
     else:
         # rank cluster members by score DESC (id ASC tiebreak, any id
         # type); everyone past rank 1 is a loser.  clusters has one row

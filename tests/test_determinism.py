@@ -30,6 +30,12 @@ QUERIES = [
     "doc_balanced_shards",
     "orders_fixed_sample_det",
     "doc_length_buckets",
+    # r6 session 2: exact-rank fusion (integer ranks must be partition
+    # -independent); PQ codes (argmin over literal chains — pure map);
+    # pagerank at 6dp (sum-order jitter is ~1e-15, far under the round)
+    "doc_rank_fusion",
+    "embedding_pq_codes",
+    "doc_pagerank",
 ]
 
 

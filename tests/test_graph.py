@@ -155,3 +155,57 @@ def test_pagerank_fuzz_vs_python(spark, edges, iters, und):
     for v in exp:
         assert got[v] == pytest.approx(exp[v], rel=1e-9, abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_near_dedup_keep_central(spark, sf_dir):
+    """keep='central' keeps exactly one member per duplicate cluster —
+    the argmax-PageRank member (12dp, id tiebreak) — verified against a
+    union-find + replica-pagerank reference on real near-dup docs."""
+    from cascalog_spark.functions import (minhash_lsh_candidates,
+                                          near_dedup)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = {r["doc_id"] for r in
+            near_dedup(docs, keep="central", pr_iters=5)
+            .select("doc_id").collect()}
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(docs, "doc_id").collect()]
+    assert pairs, "fixture needs near-dup docs"
+    # union-find clusters
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for v in list(parent):
+        clusters.setdefault(find(v), set()).add(v)
+    # replica pagerank over the undirected pair graph
+    und = pairs + [(b, a) for a, b in pairs]
+    nodes = sorted({v for p in und for v in p})
+    pr = _py_pagerank(und, nodes, iters=5)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expected_losers = set()
+    for members in clusters.values():
+        win = min(members, key=lambda v: (-round(pr[v], 12), v))
+        expected_losers |= members - {win}
+    assert kept == all_ids - expected_losers
+    # one representative per cluster survived
+    for members in clusters.values():
+        assert len(members & kept) == 1
+
+
+def test_near_dedup_keep_validation(spark, sf_dir):
+    from cascalog_spark.functions import near_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="keep"):
+        near_dedup(docs, keep="middle")
