@@ -12,7 +12,7 @@ from pyspark.sql import SparkSession
 
 from cascalog_spark.functions import (containment_dedup, containment_pairs,
                                       dedup_clusters, minhash_lsh_candidates,
-                                      ngram_jaccard_pairs)
+                                      near_dedup, ngram_jaccard_pairs)
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 spark = (SparkSession.builder.master("local[*]")
@@ -38,4 +38,11 @@ contained = containment_pairs(docs, "doc_id", threshold=0.7)
 print(f"directed containment pairs (C >= 0.7): {contained.count()}")
 kept = containment_dedup(docs, "doc_id", threshold=0.7)
 print(f"corpus after containment dedup: {kept.count()} / {docs.count()}")
+
+# which copy to keep?  min-id is arbitrary; keep='central' keeps the
+# cluster member most similar to the other copies (argmax PageRank over
+# the candidate-pair graph) — the template's median variant
+central = near_dedup(docs, num_perm=8, bands=4, keep="central")
+print(f"corpus after centrality-kept near-dedup: "
+      f"{central.count()} / {docs.count()}")
 spark.stop()
