@@ -3341,6 +3341,26 @@ def doc_pagerank(spark, sf_dir):
     return out
 
 
+def doc_seed_expansion(spark, sf_dir):
+    """Personalized PageRank seed expansion (graph.pagerank(reset=...)):
+    teleport to a known-good seed set (doc_id < 25) instead of
+    uniformly, so mass concentrates on the seeds' near-dup-graph
+    neighborhood — the find-more-like-these move in corpus curation.
+    Two iterations; oracle unrolls the recurrence with the p0 vector."""
+    from cascalog_spark.functions import minhash_lsh_candidates, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+    seeds = docs.where(F.col("doc_id") < 25).select("doc_id")
+    pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                  nodes=docs.select("doc_id"), iters=2, undirected=True,
+                  reset=seeds)
+    out = pr.select(F.col("node").alias("doc_id"),
+                    F.round("rank", 9).alias("rank"))
+    out._pagerank_cache = pr._pagerank_cache
+    return out
+
+
 def embedding_pq_recall(spark, sf_dir):
     """PQ rows of the ANN tuning report: every index row is a candidate
     (scan_frac exactly 1.0 — PQ is compression, not pruning) ranked by
@@ -3489,6 +3509,7 @@ _R6_HEAD = [
     "doc_pagerank",  # r6 session 2: near-dup-graph centrality
     "doc_rank_fusion",  # r6 session 2: multi-signal RRF selection
     "doc_near_dedup_central",  # r6 session 2: centrality-kept dedup
+    "doc_seed_expansion",  # r6 session 2: personalized-PR curation
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3522,6 +3543,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": doc_pagerank,
         "doc_rank_fusion": doc_rank_fusion,
         "doc_near_dedup_central": doc_near_dedup_central,
+        "doc_seed_expansion": doc_seed_expansion,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -4249,6 +4271,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rc AS INT) AS rank_chars,
                    round(1.0/(60+rt) + 1.0/(60+rc), 9) AS rrf_score
             FROM r""",
+        # Personalized PR: same unroll with the p0 seed vector replacing
+        # the uniform base — r_{k+1}(v) = (1-d)*p0 + d*(cin + dm*p0)
+        "doc_seed_expansion": f"""
+            WITH cand AS ({minhash_pairs}),
+            und AS (SELECT id_a AS s, id_b AS t FROM cand
+                    UNION ALL SELECT id_b, id_a FROM cand),
+            nd AS (SELECT DISTINCT doc_id AS node FROM documents),
+            w AS (SELECT count(*)::DOUBLE AS wt FROM nd
+                  WHERE node < 25),
+            p0 AS (SELECT node,
+                          (CASE WHEN node < 25 THEN 1.0 ELSE 0.0 END)
+                            / w.wt AS p
+                   FROM nd, w),
+            deg AS (SELECT s AS node, count(*)::DOUBLE AS deg
+                    FROM und GROUP BY s),
+            r0 AS (SELECT node, p AS rank FROM p0),
+            c1 AS (SELECT und.t AS node, sum(r0.rank / deg.deg) AS cin
+                   FROM und JOIN r0 ON und.s = r0.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d1 AS (SELECT coalesce(sum(r0.rank), 0.0) AS dm
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r1 AS (SELECT p0.node,
+                          (1.0 - 0.85) * p0.p + 0.85 *
+                            (coalesce(c1.cin, 0.0) + d1.dm * p0.p)
+                            AS rank
+                   FROM p0 LEFT JOIN c1 ON p0.node = c1.node, d1),
+            c2 AS (SELECT und.t AS node, sum(r1.rank / deg.deg) AS cin
+                   FROM und JOIN r1 ON und.s = r1.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d2 AS (SELECT coalesce(sum(r1.rank), 0.0) AS dm
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r2 AS (SELECT p0.node,
+                          (1.0 - 0.85) * p0.p + 0.85 *
+                            (coalesce(c2.cin, 0.0) + d2.dm * p0.p)
+                            AS rank
+                   FROM p0 LEFT JOIN c2 ON p0.node = c2.node, d2)
+            SELECT node AS doc_id, round(rank, 9) AS rank FROM r2""",
         # PageRank over the same near-dup graph: the 2-iteration
         # recurrence unrolled exactly — r_{k+1}(v) = (1-d)/n +
         # d*(sum contribs + dangling/n); base/damping arithmetic mirrors

@@ -37,7 +37,9 @@ def pagerank(edges: DataFrame, src_col: str = "src",
              node_col: str | None = None, damping: float = 0.85,
              iters: int = 10, undirected: bool = False,
              checkpoint_every: int = 1,
-             materialize: bool = True) -> DataFrame:
+             materialize: bool = True,
+             reset: DataFrame | None = None,
+             reset_col: str | None = None) -> DataFrame:
     """Damped PageRank over an edge list → ``(node, rank)``.
 
     ``r_{k+1}(v) = (1−d)/n + d·(Σ_{u→v} r_k(u)/deg(u) + D_k/n)`` where
@@ -53,6 +55,16 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     near-dup-graph case).  Edge multiplicity is respected (parallel
     edges contribute twice) — ``.distinct()`` upstream for simple-graph
     semantics.
+
+    ``reset`` turns this into PERSONALIZED PageRank — the
+    seed-expansion move in data curation: pass a frame of known-good
+    nodes (first column = node id, optional ``reset_col`` weight,
+    default 1), and the walk teleports back to the seeds instead of
+    uniformly, so mass concentrates on the seeds' graph neighborhood:
+    ``r_{k+1}(v) = (1−d)·p₀(v) + d·(Σ contribs + D_k·p₀(v))`` with
+    ``p₀`` the normalized seed distribution (init state too).  A
+    uniform reset over all nodes equals the plain formulation (pinned
+    in tests to 1e-12; the two group float terms differently).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0, 1), "
@@ -88,8 +100,25 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     if materialize:
         deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(deg)
+    if reset is not None:
+        rc = reset_col
+        rcols = reset.columns
+        seed = reset.select(
+            F.col(rcols[0]).alias("node"),
+            (F.col(rc).cast("double") if rc else F.lit(1.0))
+            .alias("__w"))
+        wtot = seed.agg(F.sum("__w").alias("t")).first()["t"]
+        if not wtot or wtot <= 0:
+            raise ValueError("pagerank: reset weights must sum > 0")
+        p0 = (nd.join(seed, on="node", how="left")
+              .select("node", (F.coalesce(F.col("__w"), F.lit(0.0))
+                               / F.lit(float(wtot))).alias("__p0"))
+              .localCheckpoint())
+        ranks = p0.select("node", F.col("__p0").alias("rank"))
+    else:
+        p0 = None
+        ranks = nd.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    ranks = nd.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
         withdeg = ranks.join(deg, on="node", how="left")
         contrib = (e.join(withdeg.where(F.col("__deg").isNotNull()),
@@ -100,13 +129,19 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         dangling = (withdeg.where(F.col("__deg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("__dm")))
-        ranks = (nd.join(contrib, on="node", how="left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("node",
-                         (F.lit(base) + F.lit(damping)
-                          * (F.coalesce(F.col("__in"), F.lit(0.0))
-                             + F.col("__dm") / F.lit(float(n))))
-                         .alias("rank")))
+        merged = (nd.join(contrib, on="node", how="left")
+                  .crossJoin(F.broadcast(dangling)))
+        if p0 is not None:
+            merged = merged.join(p0, on="node")
+            newrank = (F.lit(1.0 - damping) * F.col("__p0")
+                       + F.lit(damping)
+                       * (F.coalesce(F.col("__in"), F.lit(0.0))
+                          + F.col("__dm") * F.col("__p0")))
+        else:
+            newrank = (F.lit(base) + F.lit(damping)
+                       * (F.coalesce(F.col("__in"), F.lit(0.0))
+                          + F.col("__dm") / F.lit(float(n))))
+        ranks = merged.select("node", newrank.alias("rank"))
         # each round consumes the previous ranks TWICE (contributions +
         # the dangling aggregate), so an unmaterialized loop re-derives
         # iteration k's frame 2^(rounds since last cut) times — measured

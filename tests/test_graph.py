@@ -209,3 +209,62 @@ def test_near_dedup_keep_validation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="keep"):
         near_dedup(docs, keep="middle")
+
+
+def _py_ppr(edges, nodes, p0, d=0.85, iters=10):
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = dict(p0)
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: (1 - d) * p0[v] + d * dm * p0[v] for v in nodes}
+        for s, ts in out.items():
+            share = r[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+    # note: d*share added AFTER the base — matches engine term grouping
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_seed_expansion(spark):
+    """PPR with a single seed: mass conserved, the seed and its graph
+    neighborhood dominate far nodes, replica agrees."""
+    # two chains from 0 and from 5; seed only node 0
+    edges = [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    pr = pagerank(df, nodes=nodes, iters=6, reset=seeds,
+                  materialize=False)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # seed-side chain outranks the unseeded chain
+    assert got[0] > got[5] and got[1] > got[6] and got[2] > got[7]
+    assert got[5] == pytest.approx(0.0, abs=1e-12)  # unreachable, no p0
+    p0 = {v: (1.0 if v == 0 else 0.0) for v in range(8)}
+    exp = _py_ppr(edges, list(range(8)), p0, iters=6)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9, abs=1e-12)
+
+
+def test_uniform_reset_equals_plain(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 9) for i in range(9)], "src long, dst long")
+    seeds = spark.createDataFrame([(i, 2.5) for i in range(9)],
+                                  "node long, w double")
+    a = pagerank(edges, iters=4, materialize=False)
+    b = pagerank(edges, iters=4, reset=seeds, reset_col="w",
+                 materialize=False)
+    ga = {r["node"]: r["rank"] for r in a.collect()}
+    gb = {r["node"]: r["rank"] for r in b.collect()}
+    for v in ga:
+        assert gb[v] == pytest.approx(ga[v], abs=1e-12)
+
+
+def test_reset_weight_validation(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    zero = spark.createDataFrame([(1, 0.0)], "node long, w double")
+    with pytest.raises(ValueError, match="reset weights"):
+        pagerank(edges, reset=zero, reset_col="w")
