@@ -75,6 +75,26 @@ target = kept.join(scored.where("score > 0.5"), "doc_id", "left_semi")
 picked = dsir_sample(kept, target, n=200, n_buckets=4096)
 print("dsir picked:", picked.count())
 
+# 5b. fuse the classifier score with a length prior in RANK space
+# (no calibration needed) and expand from the known-good seed set via
+# personalized PageRank over the near-dup graph (find-more-like-these)
+from cascalog_spark.functions import (minhash_lsh_candidates, pagerank,
+                                      rank_fusion)
+
+sig = (scored.join(kept.select("doc_id", "text"), "doc_id")
+       .withColumn("n_chars", F.length("text").cast("double")))
+fused = rank_fusion(sig, {"score": "desc", "n_chars": "desc"},
+                    keep_ranks=True)
+fused.orderBy(F.col("rrf_score").desc()).select(
+    "doc_id", "score_rank", "n_chars_rank", "rrf_score").show(5)
+seeds = scored.where("score > 0.7").select("doc_id")
+ppr = pagerank(minhash_lsh_candidates(kept, "doc_id", num_perm=8),
+               src_col="id_a", dst_col="id_b", undirected=True,
+               nodes=kept.select("doc_id"), iters=3, reset=seeds,
+               materialize=False)
+print("seed-expanded (rank > 0):",
+      ppr.where("rank > 0").count(), "of", kept.count())
+
 # 6. token-budget cut, then pack into 512-token training sequences
 t = token_count(picked).select("doc_id", "n_tokens")
 budget = t.agg(F.sum("n_tokens")).first()[0] * 3 // 4
