@@ -3341,6 +3341,20 @@ def doc_pagerank(spark, sf_dir):
     return out
 
 
+def doc_dup_graph_report(spark, sf_dir):
+    """Graph pre-flight (graph.graph_report): the one-row stats pass you
+    run BEFORE committing a CC/PageRank job at scale — node/edge counts,
+    isolated fraction, hub degree, self-loops, parallel edges.  Exact
+    integer aggregates, fully SQL-expressible."""
+    from cascalog_spark.functions import (graph_report,
+                                          minhash_lsh_candidates)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+    return graph_report(pairs, src_col="id_a", dst_col="id_b",
+                        nodes=docs.select("doc_id"), undirected=True)
+
+
 def doc_seed_expansion(spark, sf_dir):
     """Personalized PageRank seed expansion (graph.pagerank(reset=...)):
     teleport to a known-good seed set (doc_id < 25) instead of
@@ -3510,6 +3524,7 @@ _R6_HEAD = [
     "doc_rank_fusion",  # r6 session 2: multi-signal RRF selection
     "doc_near_dedup_central",  # r6 session 2: centrality-kept dedup
     "doc_seed_expansion",  # r6 session 2: personalized-PR curation
+    "doc_dup_graph_report",  # r6 session 2: graph pre-flight stats
     "orders_fixed_sample",  # rows-only by design; give it driver evidence
 ]
 
@@ -3544,6 +3559,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rank_fusion": doc_rank_fusion,
         "doc_near_dedup_central": doc_near_dedup_central,
         "doc_seed_expansion": doc_seed_expansion,
+        "doc_dup_graph_report": doc_dup_graph_report,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_url_dedup": doc_url_dedup,
         "doc_classifier_fit": doc_classifier_fit,
@@ -4271,6 +4287,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rc AS INT) AS rank_chars,
                    round(1.0/(60+rt) + 1.0/(60+rc), 9) AS rrf_score
             FROM r""",
+        "doc_dup_graph_report": f"""
+            WITH cand AS ({minhash_pairs}),
+            und AS (SELECT id_a AS s, id_b AS t FROM cand
+                    UNION ALL SELECT id_b, id_a FROM cand),
+            nd AS (SELECT DISTINCT doc_id AS node FROM documents),
+            deg AS (SELECT s, count(*) AS d FROM und GROUP BY s)
+            SELECT (SELECT count(*) FROM nd) AS n_nodes,
+                   (SELECT count(*) FROM und) AS n_edges,
+                   (SELECT count(*) FROM nd
+                    WHERE node NOT IN (SELECT s FROM und))
+                     AS n_isolated,
+                   (SELECT max(d) FROM deg) AS max_out_degree,
+                   round((SELECT sum(d) FROM deg)::DOUBLE
+                         / (SELECT count(*) FROM nd), 6)
+                     AS avg_out_degree,
+                   (SELECT coalesce(sum(CASE WHEN s = t THEN 1
+                                        ELSE 0 END), 0)::BIGINT
+                    FROM und) AS n_self_loops,
+                   (SELECT count(*) - count(DISTINCT (s, t)) FROM und)
+                     AS n_parallel_edges""",
         # Personalized PR: same unroll with the p0 seed vector replacing
         # the uniform base — r_{k+1}(v) = (1-d)*p0 + d*(cin + dm*p0)
         "doc_seed_expansion": f"""

@@ -65,7 +65,7 @@ from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    repetition_signals, tf_idf, top_ngrams, unigram_nll,
                    url_domain_col, url_domain_counts, quality_score,
                    token_count, tokenize)
-from .graph import pagerank, release_pagerank_cache
+from .graph import graph_report, pagerank, release_pagerank_cache
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
 from .pq import (pq_adc_topk, pq_codebooks, pq_decode_col, pq_encode,
                  pq_encode_col, pq_knn_join, pq_reconstruction_report)

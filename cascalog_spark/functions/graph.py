@@ -156,6 +156,56 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     return ranks
 
 
+def graph_report(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst", nodes: DataFrame | None = None,
+                 node_col: str | None = None,
+                 undirected: bool = False) -> DataFrame:
+    """One-row graph pre-flight before running CC / PageRank at scale:
+    ``(n_nodes, n_edges, n_isolated, max_out_degree, avg_out_degree,
+    n_self_loops, n_parallel_edges)`` — the numbers that predict
+    trouble (a max-degree hub = a skewed contribution shuffle; parallel
+    edges = double-counted walk mass; a large isolated fraction =
+    wasted rank state unless that's intended).
+
+    One edge aggregate + one degree aggregate; ``nodes`` widens the
+    universe like ``pagerank`` does (isolated = nodes with no edge in
+    EITHER direction of the, possibly undirected, edge set)."""
+    e = edges.select(F.col(src_col).alias("__s"),
+                     F.col(dst_col).alias("__t"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("__t").alias("__s"),
+                                   F.col("__s").alias("__t")))
+    endpoints = (e.select(F.col("__s").alias("node"))
+                 .unionByName(e.select(F.col("__t").alias("node")))
+                 .distinct())
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        nd = nodes.select(F.col(nc).alias("node")).distinct()
+    else:
+        nd = endpoints
+    deg = (e.groupBy("__s").agg(F.count(F.lit(1)).alias("d")))
+    degstats = deg.agg(F.max("d").alias("max_out_degree"),
+                       F.sum("d").alias("__degsum"))
+    estats = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("__s") == F.col("__t")).cast("long"))
+        .alias("n_self_loops"),
+        (F.count(F.lit(1)) - F.countDistinct("__s", "__t"))
+        .alias("n_parallel_edges"))
+    nstats = (nd.join(endpoints.withColumn("__e", F.lit(1)),
+                      on="node", how="left")
+              .agg(F.count(F.lit(1)).alias("n_nodes"),
+                   F.sum(F.when(F.col("__e").isNull(), 1).otherwise(0))
+                   .alias("n_isolated")))
+    return (nstats.crossJoin(F.broadcast(estats))
+            .crossJoin(F.broadcast(degstats))
+            .select("n_nodes", "n_edges", "n_isolated",
+                    "max_out_degree",
+                    F.round(F.col("__degsum")
+                            / F.col("n_nodes"), 6).alias("avg_out_degree"),
+                    "n_self_loops", "n_parallel_edges"))
+
+
 def release_pagerank_cache(df: DataFrame) -> bool:
     """Unpersist the edge/node/degree frames a ``pagerank`` call pinned
     (same release contract as ``release_tfidf_cache``)."""

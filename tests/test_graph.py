@@ -268,3 +268,24 @@ def test_reset_weight_validation(spark):
     zero = spark.createDataFrame([(1, 0.0)], "node long, w double")
     with pytest.raises(ValueError, match="reset weights"):
         pagerank(edges, reset=zero, reset_col="w")
+
+
+def test_graph_report(spark):
+    """Hand-built graph: 5 nodes (one isolated via explicit universe),
+    a self-loop, a parallel edge, a degree-2 hub."""
+    from cascalog_spark.functions import graph_report
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 2), (3, 1), (3, 1)],
+        "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    r = graph_report(edges, nodes=nodes).first()
+    assert r["n_nodes"] == 5 and r["n_edges"] == 5
+    assert r["n_isolated"] == 2          # 0 and 4 touch no edge
+    assert r["n_self_loops"] == 1        # (2,2)
+    assert r["n_parallel_edges"] == 1    # (3,1) twice
+    assert r["max_out_degree"] == 2
+    assert r["avg_out_degree"] == 1.0    # 5 out-edges / 5 nodes
+    # undirected doubles edges and symmetrizes degrees
+    ru = graph_report(edges, undirected=True).first()
+    assert ru["n_edges"] == 10 and ru["n_nodes"] == 3
