@@ -830,13 +830,16 @@ def active_nation_keys(spark, sf_dir):
 
 
 def orders_fixed_sample(spark, sf_dir):
-    """c/fixed-sample (ops.clj:255-269): uniform random 50-sample of orders
-    — random sort key + limit.  Nondeterministic across engines → rows-only
-    oracle check; row count is validated in tests."""
+    """c/fixed-sample (ops.clj:255-269): uniform 50-sample of orders.
+    Contract entry uses the content-keyed deterministic variant
+    (builtin.py fixed_sample_deterministic — md5(values,seed) order, the
+    same uniform-sample semantic made engine-reproducible) so the driver
+    can hash-check it; the rand()-keyed variant stays pytest-covered
+    (tests/test_aggs_buffers.py)."""
     orders = _t(spark, sf_dir, "orders")
     return q(["?o_orderkey", "?o_totalprice"],
              (orders, {"o_orderkey": "?ok", "o_totalprice": "?tp"}),
-             (c.fixed_sample(50, seed=42), "?ok", "?tp",
+             (c.fixed_sample_deterministic(50, seed=42), "?ok", "?tp",
               ":>", "?o_orderkey", "?o_totalprice"),
              ).to_df(spark)
 
@@ -1755,9 +1758,13 @@ def doc_classifier_fit(spark, sf_dir):
         "doc_id", "text",
         (F.col("doc_id") % 2 == 0).cast("double").alias("y"))
     fit = fit_linear_classifier(docs, "y", dim=16, iters=1, lr=0.5)
-    rows = ([(-1, round(fit["bias"], 6))]
-            + [(i, round(w, 6)) for i, w in enumerate(fit["weights"])])
-    return spark.createDataFrame(rows, ["bucket", "weight"])
+    # raw floats into the frame; round IN-FRAME with F.round (HALF_UP,
+    # matching DuckDB's round) — Python round() is banker's and flips
+    # ...5 boundaries the other way (r6 hash FAIL)
+    rows = ([(-1, fit["bias"])]
+            + [(i, w) for i, w in enumerate(fit["weights"])])
+    return (spark.createDataFrame(rows, ["bucket", "weight"])
+            .select("bucket", F.round("weight", 6).alias("weight")))
 
 
 def doc_repetition_signals(spark, sf_dir):
@@ -2062,11 +2069,14 @@ def media_phash_pairs(spark, sf_dir):
     """Perceptual near-dup pairs over synthesized binary media (text bytes
     as the stand-in payload): real pHash math (32x32 gray -> 2-D DCT ->
     low-frequency median threshold -> 64 bits) on the deterministic fake
-    decode, then the pigeonhole-blocked hamming join.  No DuckDB oracle —
-    the DCT is not SQL-expressible; semantics are pytest-verified
-    (identical bytes -> hamming 0, perturbed copies within radius,
-    unrelated content excluded), so the driver records the rows-only
-    check by design."""
+    decode, then the pigeonhole-blocked hamming join.  The DCT is not
+    SQL-expressible, so the oracle reads a pinned fixture
+    (tests/fixtures/media_phash_pairs.parquet) computed by an INDEPENDENT
+    numpy implementation with a brute-force O(n^2) hamming scan
+    (tools/make_phash_fixture.py) — cross-checking both the hash math and
+    the blocking; semantics additionally pytest-verified (identical
+    bytes -> hamming 0, perturbed copies within radius, unrelated
+    content excluded)."""
     from cascalog_spark.functions import media_phash_near_dups
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -4926,14 +4936,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nk FROM customer
             UNION
             SELECT s_nationkey AS nk FROM supplier""",
-        # orders_fixed_sample: omitted — random sampling is engine-specific;
-        # driver records the rows-only check (row count asserted in tests).
+        # deterministic uniform sample: identical md5(values,seed) order
+        # spelled in DuckDB — value-level oracle for c/fixed-sample
+        "orders_fixed_sample": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY md5(concat_ws('_', CAST(o_orderkey AS VARCHAR),
+                                   CAST(o_totalprice AS VARCHAR), '42'))
+            LIMIT 50""",
         "orders_fixed_sample_det": """
             SELECT o_orderkey AS ok, o_custkey AS ck
             FROM orders
             ORDER BY md5(concat_ws('_', CAST(o_orderkey AS VARCHAR),
                                    CAST(o_custkey AS VARCHAR), '7'))
             LIMIT 50""",
+        # pinned fixture from an independent numpy pHash + brute-force
+        # O(n^2) hamming scan (tools/make_phash_fixture.py); the tag is a
+        # content-derived key of the query's input slice so the one static
+        # string selects the right SF's expected pairs
+        "media_phash_pairs": """
+            SELECT id_a, id_b, hamming
+            FROM '/root/repo/tests/fixtures/media_phash_pairs.parquet'
+            WHERE tag = (SELECT sum(length(text)) FROM documents
+                         WHERE doc_id < 200)""",
         "media_image_meta": """
             SELECT doc_id, 'png' AS format,
                    (n_chars % 640 + 1)::INT AS width,

@@ -211,6 +211,16 @@ def main() -> None:
         spark.stop()
     else:  # isolated mode (default): one fresh driver JVM per entry
         here = os.path.abspath(__file__)
+        # untimed PRIMING subprocess before the first timed entry: the
+        # per-JVM warmups cover JIT/codegen, but the suite's first child
+        # additionally pays one-time host costs (parquet pages entering
+        # the OS cache, .pyc compilation, JVM artifact reads) — r6 graded
+        # q1 "weak" at 2.10x purely because it ran first; its own
+        # isolated re-run read 0.8s.  Result intentionally discarded.
+        subprocess.run(
+            [sys.executable, here, "--entry", BENCH_QUERIES[0],
+             "--repeat", "1", "--warmup", "1"],
+            capture_output=True, text=True)
         for name in BENCH_QUERIES:
             proc = subprocess.run(
                 [sys.executable, here, "--entry", name,
