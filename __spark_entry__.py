@@ -3351,6 +3351,31 @@ def doc_pagerank(spark, sf_dir):
     return out
 
 
+def doc_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank over the n-gram-Jaccard similarity graph
+    (graph.pagerank weight_col=): a source distributes rank
+    proportionally to edge weight (weighted out-degree = sum of outgoing
+    sims), so near-identical copies exchange more walk mass than
+    borderline pairs — the canonical-pick signal a real dup graph wants.
+    Two closed-form iterations; weights are the 6-dp-rounded Jaccard
+    sims both engines compute identically, so the oracle unrolls the
+    weighted recurrence exactly.  The tol= early-stop variant of the
+    same loop is pinned in tests/test_graph.py (iteration count on a
+    known graph)."""
+    from cascalog_spark.functions import ngram_jaccard_pairs, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.2,
+                                prefilter=False)
+    pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                  weight_col="jaccard", nodes=docs.select("doc_id"),
+                  iters=2, undirected=True)
+    out = pr.select(F.col("node").alias("doc_id"),
+                    F.round("rank", 6).alias("rank"))
+    out._pagerank_cache = pr._pagerank_cache
+    return out
+
+
 def doc_dup_graph_report(spark, sf_dir):
     """Graph pre-flight (graph.graph_report): the one-row stats pass you
     run BEFORE committing a CC/PageRank job at scale — node/edge counts,
@@ -3482,66 +3507,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue_per_nation(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 head: the 30 entries never driver-hash-checked through r05
-# (QUERIES.json driver_unchecked after CORRECTNESS_r05 landed; all 28
-# oracle-backed ones were judge-rehearsal-green in the r5 verdict), in
-# manifest order, plus the queries NEW this round.  A green r06 row for
-# each closes driver evidence for the ENTIRE contract.  queries() puts
-# these first; the long-green tier (r1-r5 driver-green union) follows in
-# _all_queries() order.
-_R6_HEAD = [
-    "lineitem_flag_running_qty_par",
-    "doc_decontamination_bloom",
-    "orders_flag_cube",
-    "customer_name_fuzzy_pairs",
-    "media_phash_pairs",
-    "events_rollup_incremental",
-    "doc_length_buckets",
-    "lineitem_fingerprint",
-    "events_stream_rollup",
-    "orders_price_drift",
-    "embedding_cluster_profile",
-    "orders_profile",
-    "doc_dedup_quality",
-    "doc_curriculum_stages",
-    "doc_contrastive_pairs",
-    "events_stream_drift",
-    "events_rollup_incremental_join",
-    "doc_unicode_normalize",
-    "events_stream_gate",
-    "lineitem_fixed_width_roundtrip",
-    "doc_bigram_nll",
-    "doc_dsir_sample",
-    "embedding_semantic_decontamination",
-    "doc_exact_substring_incremental",
+# Round-7 head: queries NEW or semantically touched this round, first in
+# queries() so the driver's 50-query sample covers them — (a) the three
+# r6 red/no-oracle rows, now fixed (classifier-fit HALF_UP rounding,
+# deterministic fixed-sample oracle, phash pinned-fixture oracle);
+# (b) the weighted-PageRank contract query (new); (c) every query whose
+# plan passes through the r7 literal-array/SQL fast paths
+# (similarity/pq family) or the graph changes (weighted degree, PPR
+# in-universe renormalization, near_dedup central persist).  The
+# long-green tier follows in _all_queries() order.
+_R7_HEAD = [
+    "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
+    "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
+    "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
+    "doc_pagerank_weighted",   # NEW: weighted walk, exact 2-iter oracle
+    "doc_pagerank",            # weighted-degree refactor (w=1 path)
+    "doc_seed_expansion",      # PPR in-universe renormalization
+    "doc_dup_graph_report",    # empty-edge coalesce
+    "doc_near_dedup_central",  # pairs persisted through the PR loop
+    "embedding_ann_recall",    # literal/SQL fast paths
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_ivf_knn_join",
+    "embedding_cosine_near_dup",
+    "embedding_semantic_dedup",
     "embedding_semantic_incremental",
-    "orders_quality_checks",
-    "lineitem_referential_gate",
-    "lineitem_unique_gate",
-    "doc_bpe_pair_counts",
-    "doc_bpe_merges",
-    # new in round 6 (never seen by any driver round)
-    "embedding_ann_recall",
-    "embedding_stream_semantic_ingest",
-    "doc_containment_pairs",
-    "doc_containment_dedup",
-    "doc_classifier_fit",  # r6: now oracle-backed (closed-form step 1)
-    "embedding_pq_codes",  # r6 session 2: the PQ family
+    "embedding_semantic_decontamination",
+    "embedding_cluster_profile",
+    "embedding_pq_codes",
     "embedding_pq_adc",
-    "doc_kn_bigram_nll",  # r6 session 2: Kneser-Ney LM quality signal
-    "embedding_pq_recall",  # r6 session 2: PQ rows of the ANN report
-    "doc_pagerank",  # r6 session 2: near-dup-graph centrality
-    "doc_rank_fusion",  # r6 session 2: multi-signal RRF selection
-    "doc_near_dedup_central",  # r6 session 2: centrality-kept dedup
-    "doc_seed_expansion",  # r6 session 2: personalized-PR curation
-    "doc_dup_graph_report",  # r6 session 2: graph pre-flight stats
-    "orders_fixed_sample",  # rows-only by design; give it driver evidence
+    "embedding_pq_recall",
+    "embedding_quantized_codes",
+    "embedding_gram",
+    "orders_fixed_sample_det",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {n: q[n] for n in _R6_HEAD}
+    head = {n: q[n] for n in _R7_HEAD}
     return head | {n: f for n, f in q.items() if n not in head}
 
 
@@ -3566,6 +3572,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_adc": embedding_pq_adc,
         "embedding_pq_recall": embedding_pq_recall,
         "doc_pagerank": doc_pagerank,
+        "doc_pagerank_weighted": doc_pagerank_weighted,
         "doc_rank_fusion": doc_rank_fusion,
         "doc_near_dedup_central": doc_near_dedup_central,
         "doc_seed_expansion": doc_seed_expansion,
@@ -4383,6 +4390,58 @@ def oracle_sql() -> dict[str, str]:
                             (coalesce(c1.cin, 0.0) + d1.dm / n.n) AS rank
                    FROM nd LEFT JOIN c1 ON nd.node = c1.node, n, d1),
             c2 AS (SELECT und.t AS node, sum(r1.rank / deg.deg) AS cin
+                   FROM und JOIN r1 ON und.s = r1.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d2 AS (SELECT coalesce(sum(r1.rank), 0.0) AS dm
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r2 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c2.cin, 0.0) + d2.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c2 ON nd.node = c2.node, n, d2)
+            SELECT node AS doc_id, round(rank, 6) AS rank FROM r2""",
+        # weighted recurrence: deg = sum of outgoing sims, contribution
+        # rank*w/deg; weights are the 6dp-rounded jaccards both engines
+        # compute identically (shingle equi-join, no prefilter)
+        "doc_pagerank_weighted": f"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS shingle
+              FROM documents),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id),
+            cand AS (
+              SELECT id_a, id_b,
+                     round(common::DOUBLE / (sa.n_sh + sb.n_sh - common),
+                           6) AS w
+              FROM common
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.2),
+            und AS (SELECT id_a AS s, id_b AS t, w FROM cand
+                    UNION ALL SELECT id_b, id_a, w FROM cand),
+            nd AS (SELECT DISTINCT doc_id AS node FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM nd),
+            deg AS (SELECT s AS node, sum(w) AS deg
+                    FROM und GROUP BY s HAVING sum(w) > 0),
+            r0 AS (SELECT node, 1.0 / n.n AS rank FROM nd, n),
+            c1 AS (SELECT und.t AS node,
+                          sum(r0.rank * und.w / deg.deg) AS cin
+                   FROM und JOIN r0 ON und.s = r0.node
+                            JOIN deg ON und.s = deg.node
+                   GROUP BY und.t),
+            d1 AS (SELECT coalesce(sum(r0.rank), 0.0) AS dm
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE deg.deg IS NULL),
+            r1 AS (SELECT nd.node,
+                          ((1.0 - 0.85) / n.n) + 0.85 *
+                            (coalesce(c1.cin, 0.0) + d1.dm / n.n) AS rank
+                   FROM nd LEFT JOIN c1 ON nd.node = c1.node, n, d1),
+            c2 AS (SELECT und.t AS node,
+                          sum(r1.rank * und.w / deg.deg) AS cin
                    FROM und JOIN r1 ON und.s = r1.node
                             JOIN deg ON und.s = deg.node
                    GROUP BY und.t),

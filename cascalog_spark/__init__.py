@@ -20,6 +20,7 @@ from .api import (Query, Subquery, broadcast_gen, checkpoint_gen, combine,
                   execute, first_n, get_out_fields, intersect_gens,
                   lazy_generator, name_vars, num_out_fields, out_names,
                   plan_dot, q, run_many, select_fields, union)
+from .exec_local import LocalPlatformUnsupported, run_local
 from .predicates import predmacro, predmacro_template
 from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
                   SequentialAgg, column_filter, column_op, defaggregatefn,

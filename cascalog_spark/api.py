@@ -93,8 +93,27 @@ class Query:
         for sub in getattr(self, "_nested_trapped", []):
             sub.flush_traps()
 
-    def run(self, spark: SparkSession) -> list[tuple]:
-        """??- : execute and return tuples to driver memory (api.clj:113-140)."""
+    def run(self, spark: SparkSession | None = None, *,
+            platform: str | None = None) -> list[tuple]:
+        """??- : execute and return tuples to driver memory (api.clj:113-140).
+
+        Dual-platform like the reference (api.clj:142-149 ``with-platform``;
+        in_memory/platform.clj): ``platform='spark'`` (default when a
+        session is given) compiles to DataFrames; ``platform='local'`` (the
+        default when ``spark`` is omitted) interprets the same logical plan
+        in pure Python — no JVM — for in-memory generators and Python ops
+        (exec_local.py documents the supported surface)."""
+        if platform is None:
+            platform = "spark" if spark is not None else "local"
+        if platform == "local":
+            from .exec_local import run_local
+
+            return run_local(self)
+        if platform != "spark":
+            raise ValueError(f"unknown platform {platform!r} "
+                             "(expected 'spark' or 'local')")
+        if spark is None:
+            raise ValueError("platform='spark' needs a SparkSession")
         rows = [tuple(r) for r in self.to_df(spark).collect()]
         pidx = set(getattr(self, "_pickled_idx", []))
         if pidx:

@@ -20,13 +20,39 @@ from .ops import (BufferOp, FilterOp, LimitAgg, MapcatOp, MapOp, ParallelAgg,
 # ---------------------------------------------------------------------------
 # scalar map ops (JCascalog Plus/Minus/Multiply/Div + api.clj `div`)
 
-add = column_op("add", lambda *cs: _reduce_bin(lambda a, b: a + b, cs))
-sub = column_op("sub", lambda *cs: _reduce_bin(lambda a, b: a - b, cs) if len(cs) > 1 else -cs[0])
-mult = column_op("mult", lambda *cs: _reduce_bin(lambda a, b: a * b, cs))
+def _ng(fn):
+    """Python mirror with Spark NULL propagation: any NULL input -> NULL
+    output (for filters, NULL is falsy so the row drops — same as a NULL
+    boolean in a WHERE clause)."""
+    def wrapped(*vals):
+        if any(v is None for v in vals):
+            return None
+        return fn(*vals)
+    return wrapped
+
+
+def _jmod(a, b):
+    """Java/Spark ``%``: remainder keeps the DIVIDEND's sign (Python ``%``
+    follows the divisor)."""
+    import math
+
+    r = math.fmod(a, b)
+    return int(r) if isinstance(a, int) and isinstance(b, int) else r
+
+
+add = column_op("add", lambda *cs: _reduce_bin(lambda a, b: a + b, cs),
+                py_fn=_ng(lambda *vs: _reduce_bin(lambda a, b: a + b, vs)))
+sub = column_op("sub", lambda *cs: _reduce_bin(lambda a, b: a - b, cs) if len(cs) > 1 else -cs[0],
+                py_fn=_ng(lambda *vs: _reduce_bin(lambda a, b: a - b, vs)
+                          if len(vs) > 1 else -vs[0]))
+mult = column_op("mult", lambda *cs: _reduce_bin(lambda a, b: a * b, cs),
+                 py_fn=_ng(lambda *vs: _reduce_bin(lambda a, b: a * b, vs)))
 # div coerces to double — reference: api.clj:237-242 (Ratio-safe division)
-div = column_op("div", lambda *cs: _reduce_bin(lambda a, b: a.cast("double") / b, cs))
-mod = column_op("mod", lambda a, b: a % b)
-negate_num = column_op("neg", lambda c: -c)
+div = column_op("div", lambda *cs: _reduce_bin(lambda a, b: a.cast("double") / b, cs),
+                py_fn=_ng(lambda *vs: _reduce_bin(
+                    lambda a, b: float(a) / b, vs)))
+mod = column_op("mod", lambda a, b: a % b, py_fn=_ng(_jmod))
+negate_num = column_op("neg", lambda c: -c, py_fn=_ng(lambda v: -v))
 
 
 def _reduce_bin(f, cols):
@@ -37,18 +63,33 @@ def _reduce_bin(f, cols):
 
 
 # comparison filters (JCascalog LT/GT/LTE/GTE/Equals)
-lt = column_filter("lt", lambda a, b: a < b)
-gt = column_filter("gt", lambda a, b: a > b)
-lte = column_filter("lte", lambda a, b: a <= b)
-gte = column_filter("gte", lambda a, b: a >= b)
-eq = column_filter("eq", lambda *cs: _all_pairs_eq(cs))
+lt = column_filter("lt", lambda a, b: a < b, py_fn=_ng(_pyop.lt))
+gt = column_filter("gt", lambda a, b: a > b, py_fn=_ng(_pyop.gt))
+lte = column_filter("lte", lambda a, b: a <= b, py_fn=_ng(_pyop.le))
+gte = column_filter("gte", lambda a, b: a >= b, py_fn=_ng(_pyop.ge))
+eq = column_filter("eq", lambda *cs: _all_pairs_eq(cs),
+                   py_fn=lambda *vs: all(_null_eq(vs[0], v)
+                                         for v in vs[1:]))
 # null-safe negation: Clojure (not= nil nil) is false; plain != drops
 # rows where either side is null (ADVICE r1)
-ne = column_filter("ne", lambda a, b: ~a.eqNullSafe(b))
-odd = column_filter("odd", lambda c: c % 2 != 0)
-even = column_filter("even", lambda c: c % 2 == 0)
-is_null = column_filter("is_null", lambda c: c.isNull())
-not_null = column_filter("not_null", lambda c: c.isNotNull())
+ne = column_filter("ne", lambda a, b: ~a.eqNullSafe(b),
+                   py_fn=lambda a, b: not _null_eq(a, b))
+odd = column_filter("odd", lambda c: c % 2 != 0,
+                    py_fn=_ng(lambda v: _jmod(v, 2) != 0))
+even = column_filter("even", lambda c: c % 2 == 0,
+                     py_fn=_ng(lambda v: _jmod(v, 2) == 0))
+is_null = column_filter("is_null", lambda c: c.isNull(),
+                        py_fn=lambda v: v is None)
+not_null = column_filter("not_null", lambda c: c.isNotNull(),
+                         py_fn=lambda v: v is not None)
+
+
+def _null_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return a == b
 
 
 def _all_pairs_eq(cs):
@@ -62,44 +103,108 @@ def _all_pairs_eq(cs):
 
 
 # string ops
-str_concat = column_op("str", lambda *cs: F.concat(*[c.cast("string") for c in cs]))
-lower = column_op("lower", F.lower)
-upper = column_op("upper", F.upper)
-trim = column_op("trim", F.trim)
-length = column_op("length", F.length)
-substring = column_op("substring", lambda c, start, ln: F.substring(c, start, ln))
+str_concat = column_op(
+    "str", lambda *cs: F.concat(*[c.cast("string") for c in cs]),
+    py_fn=_ng(lambda *vs: "".join(_spark_str(v) for v in vs)))
+lower = column_op("lower", F.lower, py_fn=_ng(str.lower))
+upper = column_op("upper", F.upper, py_fn=_ng(str.upper))
+trim = column_op("trim", F.trim, py_fn=_ng(lambda s: s.strip(" ")))
+length = column_op("length", F.length, py_fn=_ng(len))
+substring = column_op(
+    "substring", lambda c, start, ln: F.substring(c, start, ln),
+    py_fn=_ng(lambda s, start, ln: _substr(s, start, ln)))
+
+
+def _spark_str(v) -> str:
+    """CAST(x AS STRING) spelling — booleans lowercase, doubles via repr."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _substr(s: str, start: int, ln: int) -> str:
+    """Spark ``substring``: 1-based, negative start counts from the end."""
+    if start > 0:
+        i = start - 1
+    elif start < 0:
+        i = max(len(s) + start, 0)
+    else:
+        i = 0
+    return s[i:i + max(ln, 0)]
 
 # c/re-parse (ops.clj:154-158): regex groups from string.
 def re_parse(pattern: str) -> MapcatOp:
     """All regex matches of ``pattern`` in the input string, one row each
     (reference: ops.clj:154-158 uses re-seq = find-all)."""
+    import re as _re
+
     return MapcatOp(name="re-parse",
-                    column_fn=lambda c, _p=pattern: F.regexp_extract_all(c, F.lit(_p), 0))
+                    column_fn=lambda c, _p=pattern: F.regexp_extract_all(c, F.lit(_p), 0),
+                    py_fn=_ng(lambda s, _p=pattern:
+                              [m.group(0) for m in _re.finditer(_p, s)]))
 
 
 def re_extract(pattern: str, group: int = 1) -> MapOp:
+    import re as _re
+
+    def _py(s, _p=pattern, _g=group):
+        m = _re.search(_p, s)
+        return m.group(_g) if m else ""  # Spark: no match -> empty string
+
     return MapOp(name="re-extract",
-                 column_fn=lambda c, _p=pattern, _g=group: F.regexp_extract(c, _p, _g))
+                 column_fn=lambda c, _p=pattern, _g=group: F.regexp_extract(c, _p, _g),
+                 py_fn=_ng(_py))
 
 
 def split(pattern: str = r"\s+") -> MapcatOp:
     """Tokenize: 1 string row → n token rows.  Native split+explode, JVM-side."""
+    import re as _re
+
     return MapcatOp(
         name="split",
-        column_fn=lambda c, _p=pattern: F.filter(F.split(c, _p), lambda x: x != F.lit("")))
+        column_fn=lambda c, _p=pattern: F.filter(F.split(c, _p), lambda x: x != F.lit("")),
+        py_fn=_ng(lambda s, _p=pattern:
+                  [t for t in _re.split(_p, s) if t != ""]))
+
+
+def _py_to_ts(v):
+    """Python mirror of ``F.to_timestamp`` for the common ISO spellings."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    try:
+        return _dt.datetime.fromisoformat(str(v))
+    except ValueError:
+        return None  # Spark to_timestamp: unparseable -> NULL
 
 
 # date ops (Cascading DateParser analog — cascading_api_test.clj:43-76)
-date_parse = column_op("date_parse", lambda c: F.to_timestamp(c))
-year_of = column_op("year", F.year)
-month_of = column_op("month", F.month)
+date_parse = column_op("date_parse", lambda c: F.to_timestamp(c),
+                       py_fn=_ng(_py_to_ts))
+year_of = column_op("year", F.year, py_fn=_ng(lambda d: d.year))
+month_of = column_op("month", F.month, py_fn=_ng(lambda d: d.month))
 
-identity_op = column_op("identity", lambda *cs: list(cs) if len(cs) > 1 else cs[0])
+identity_op = column_op("identity",
+                        lambda *cs: list(cs) if len(cs) > 1 else cs[0],
+                        py_fn=lambda *vs: vs if len(vs) > 1 else vs[0])
 
 
 def round_to(n: int) -> MapOp:
-    """Factory: round to n decimals (scale must be a Python int for F.round)."""
-    return column_op(f"round{n}", lambda c_: F.round(c_, n))
+    """Factory: round to n decimals (scale must be a Python int for F.round).
+    Python mirror uses HALF_UP Decimal quantize on the exact binary double
+    (matching Spark's BigDecimal rounding, not Python's banker's round)."""
+    import decimal as _dec
+
+    def _py(v, _n=n):
+        q = _dec.Decimal(1).scaleb(-_n)
+        return float(_dec.Decimal(v).quantize(q, rounding=_dec.ROUND_HALF_UP))
+
+    return column_op(f"round{n}", lambda c_: F.round(c_, n), py_fn=_ng(_py))
 
 
 def json_get(path: str) -> MapOp:
@@ -116,7 +221,11 @@ def sample(fraction: float, seed=None) -> FilterOp:
     """sample* (operations.clj:109-116): Bernoulli row sample, optional
     seed.  Zero-input filter: (c.sample(0.1, 42),)."""
     r = F.rand(seed) if seed is not None else F.rand()
-    return FilterOp(name="sample", column_fn=lambda *_: r < fraction)
+    import random as _rnd
+
+    rng = _rnd.Random(seed)
+    return FilterOp(name="sample", column_fn=lambda *_: r < fraction,
+                    py_fn=lambda *_: rng.random() < fraction)
 
 
 def debug() -> FilterOp:
@@ -161,9 +270,15 @@ hll_sketch = ParallelAgg("hll-sketch",
 hll_union = ParallelAgg("hll-union",
                         expr_fn=lambda c: F.hll_union_agg(c))
 hll_estimate = column_op("hll-estimate", F.hll_sketch_estimate)
-collect_list = ParallelAgg("collect-list", expr_fn=lambda c: F.collect_list(c))
-collect_set = ParallelAgg("collect-set", expr_fn=lambda c: F.collect_set(c))
-first_agg = ParallelAgg("first", expr_fn=lambda c: F.first(c, ignorenulls=False))
+collect_list = ParallelAgg("collect-list", expr_fn=lambda c: F.collect_list(c),
+                           pandas_fn=lambda pdf:
+                           [v for v in pdf.iloc[:, 0] if v is not None])
+collect_set = ParallelAgg("collect-set", expr_fn=lambda c: F.collect_set(c),
+                          pandas_fn=lambda pdf: sorted(
+                              {v for v in pdf.iloc[:, 0] if v is not None},
+                              key=repr))
+first_agg = ParallelAgg("first", expr_fn=lambda c: F.first(c, ignorenulls=False),
+                        pandas_fn=lambda pdf: pdf.iloc[0, 0])
 
 def percentile(p: float) -> ParallelAgg:
     """Exact interpolated percentile aggregator (order statistics beyond
@@ -202,9 +317,12 @@ def approx_percentile(p: float, accuracy: int = 10_000) -> ParallelAgg:
 
 # cascalog-math stats.clj:24-48 (+ Welford 1-pass variance, stats.clj:7-22 —
 # Spark's var_pop/var_samp are already single-pass numerically stable)
-var_pop = ParallelAgg("variance", expr_fn=lambda c: F.var_pop(c))
-var_samp = ParallelAgg("sample-variance", expr_fn=lambda c: F.var_samp(c))
-stddev_pop = ParallelAgg("stddev", expr_fn=lambda c: F.stddev_pop(c))
+var_pop = ParallelAgg("variance", expr_fn=lambda c: F.var_pop(c),
+                      pandas_fn=lambda pdf: pdf.iloc[:, 0].var(ddof=0))
+var_samp = ParallelAgg("sample-variance", expr_fn=lambda c: F.var_samp(c),
+                       pandas_fn=lambda pdf: pdf.iloc[:, 0].var(ddof=1))
+stddev_pop = ParallelAgg("stddev", expr_fn=lambda c: F.stddev_pop(c),
+                         pandas_fn=lambda pdf: pdf.iloc[:, 0].std(ddof=0))
 stddev_samp = ParallelAgg("sample-stddev", expr_fn=lambda c: F.stddev_samp(c))
 
 

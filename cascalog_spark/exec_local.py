@@ -393,6 +393,8 @@ class LocalExecutor:
     def _agg_pdf(self, infields, grows):
         import pandas as pd
 
+        if not infields:  # zero-input aggs (c/count): row count only
+            return pd.DataFrame(index=range(len(grows)))
         cols = {f"_{i}": [r[f] if V.is_var(f) else f for r in grows]
                 for i, f in enumerate(infields)}
         return pd.DataFrame(cols)
@@ -556,5 +558,9 @@ def _agg_empty(op: ParallelAgg):
 
 def run_local(query) -> list[tuple]:
     """Execute a Query on the in-memory platform; returns tuples in
-    outfield order (the ``??-`` analog without a SparkSession)."""
+    outfield order (the ``??-`` analog without a SparkSession).  Also
+    accepts bare ``combine``/``union`` merged generators."""
+    if hasattr(query, "gens"):  # _MergedGen from combine/union
+        _, rows = LocalExecutor()._source_rows(query)
+        return rows
     return LocalExecutor().run_query(query)

@@ -950,7 +950,12 @@ def rank_fusion(df: DataFrame, signals: dict, id_col: str = "doc_id",
     sort; one pass per signal.  Rows with a NULL in any fused signal
     are dropped (a signal you cannot compute cannot rank — and a null
     rank would poison the fused sum).  ``keep_ranks=True`` appends
-    ``<col>_rank`` columns for inspection."""
+    ``<col>_rank`` columns for inspection.
+
+    ``id_col`` must be UNIQUE (like every id-keyed op in this module):
+    the tie-break rank comes from a RANGE-framed running count, so
+    duplicate ids would become rank peers sharing one cumulative rank
+    and double-count their rrf terms (ADVICE r6)."""
     from functools import reduce as _reduce
 
     from .window import global_running_total

@@ -747,11 +747,16 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
         # graph and the rank state are duplicate-fraction-sized
         from pyspark.sql import Window
 
-        from .graph import pagerank
+        from .graph import pagerank, release_pagerank_cache
 
+        # materialize=True: the LSH candidate join feeding `pairs` is
+        # consumed 2x per PageRank round (contributions + dangling) plus
+        # the CC pass — unpersisted it recomputes ~pr_iters+2 times
+        # (ADVICE r6).  The cache is duplicate-fraction-sized; released
+        # as soon as losers materialize below.
         pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
                       undirected=True, iters=pr_iters,
-                      materialize=False)
+                      materialize=True)
         member = clusters.select(F.col("node").alias(id_col), "cluster")
         ranked = member.join(
             pr.select(F.col("node").alias(id_col),
@@ -760,7 +765,9 @@ def near_dedup(df: DataFrame, id_col: str = "doc_id",
         w = (Window.partitionBy("cluster")
              .orderBy(F.col("_nd_pr").desc(), F.col(id_col).asc()))
         losers = (ranked.withColumn("_nd_rn", F.row_number().over(w))
-                  .where(F.col("_nd_rn") > 1).select(id_col))
+                  .where(F.col("_nd_rn") > 1).select(id_col)
+                  .localCheckpoint())  # cut lineage; caches can release
+        release_pagerank_cache(pr)
     else:
         # rank cluster members by score DESC (id ASC tiebreak, any id
         # type); everyone past rank 1 is a loser.  clusters has one row

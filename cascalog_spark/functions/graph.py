@@ -39,7 +39,9 @@ def pagerank(edges: DataFrame, src_col: str = "src",
              checkpoint_every: int = 1,
              materialize: bool = True,
              reset: DataFrame | None = None,
-             reset_col: str | None = None) -> DataFrame:
+             reset_col: str | None = None,
+             weight_col: str | None = None,
+             tol: float | None = None) -> DataFrame:
     """Damped PageRank over an edge list → ``(node, rank)``.
 
     ``r_{k+1}(v) = (1−d)/n + d·(Σ_{u→v} r_k(u)/deg(u) + D_k/n)`` where
@@ -65,19 +67,37 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     ``p₀`` the normalized seed distribution (init state too).  A
     uniform reset over all nodes equals the plain formulation (pinned
     in tests to 1e-12; the two group float terms differently).
+
+    ``weight_col`` makes the walk WEIGHTED: a src distributes its rank
+    proportionally to edge weight (out-"degree" = sum of outgoing
+    weights; zero/negative-total-weight sources count as dangling).
+    The near-dup-graph use: weight by similarity so near-identical
+    copies exchange more mass than borderline pairs.
+
+    ``tol`` adds CONVERGENCE early-stop: after each round the L1 delta
+    ``Σ|r_{k+1} − r_k|`` (one node-sized join + a 1-row aggregate — the
+    same broadcast shape as the dangling term) is checked and the loop
+    exits once it drops below ``tol``; ``iters`` becomes the cap.  The
+    actual round count is surfaced as ``result._pagerank_iters`` —
+    fixed ``iters`` either over-runs (wasted shuffles) or under-runs
+    (unconverged ranks) on real dup graphs.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0, 1), "
                          f"got {damping}")
     if iters < 0:
         raise ValueError("pagerank: iters must be >= 0")
+    if tol is not None and tol <= 0:
+        raise ValueError("pagerank: tol must be > 0 (or None)")
     from pyspark import StorageLevel
 
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
     e = edges.select(F.col(src_col).alias("__s"),
-                     F.col(dst_col).alias("__t"))
+                     F.col(dst_col).alias("__t"), w.alias("__w"))
     if undirected:
         e = e.unionByName(e.select(F.col("__t").alias("__s"),
-                                   F.col("__s").alias("__t")))
+                                   F.col("__s").alias("__t"), "__w"))
     if nodes is not None:
         nc = node_col or nodes.columns[0]
         nd = nodes.select(F.col(nc).alias("node")).distinct()
@@ -95,8 +115,11 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         out = nd.withColumn("rank", F.lit(0.0))
         out._pagerank_cache = caches
         return out
-    deg = e.groupBy(F.col("__s").alias("node")) \
-           .agg(F.count(F.lit(1)).alias("__deg"))
+    # weighted out-degree = Σ outgoing weights; a non-positive total
+    # (all-zero weights) cannot distribute mass -> treated as dangling
+    deg = (e.groupBy(F.col("__s").alias("node"))
+           .agg(F.sum("__w").alias("__deg"))
+           .where(F.col("__deg") > 0))
     if materialize:
         deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(deg)
@@ -107,24 +130,34 @@ def pagerank(edges: DataFrame, src_col: str = "src",
             F.col(rcols[0]).alias("node"),
             (F.col(rc).cast("double") if rc else F.lit(1.0))
             .alias("__w"))
-        wtot = seed.agg(F.sum("__w").alias("t")).first()["t"]
+        # normalize by the IN-UNIVERSE weight total: a seed id absent
+        # from the node universe must not deflate teleport mass (the
+        # 'total rank mass is EXACTLY 1' invariant) — it is dropped
+        # loudly instead (ADVICE r6)
+        seeded = (nd.join(seed, on="node", how="left")
+                  .select("node", F.coalesce(F.col("__w"), F.lit(0.0))
+                          .alias("__w"))
+                  .localCheckpoint())
+        wtot = seeded.agg(F.sum("__w").alias("t")).first()["t"]
         if not wtot or wtot <= 0:
-            raise ValueError("pagerank: reset weights must sum > 0")
-        p0 = (nd.join(seed, on="node", how="left")
-              .select("node", (F.coalesce(F.col("__w"), F.lit(0.0))
-                               / F.lit(float(wtot))).alias("__p0"))
-              .localCheckpoint())
+            raise ValueError(
+                "pagerank: reset weights must sum > 0 inside the node "
+                "universe — check that seed ids appear in nodes/edges")
+        p0 = seeded.select("node", (F.col("__w")
+                                    / F.lit(float(wtot))).alias("__p0"))
         ranks = p0.select("node", F.col("__p0").alias("rank"))
     else:
         p0 = None
         ranks = nd.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    n_done = 0
     for i in range(iters):
         withdeg = ranks.join(deg, on="node", how="left")
         contrib = (e.join(withdeg.where(F.col("__deg").isNotNull()),
                           on=[e["__s"] == withdeg["node"]])
                    .groupBy(F.col("__t").alias("node"))
-                   .agg(F.sum(F.col("rank") / F.col("__deg"))
+                   .agg(F.sum(F.col("rank") * F.col("__w")
+                              / F.col("__deg"))
                         .alias("__in")))
         dangling = (withdeg.where(F.col("__deg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
@@ -141,7 +174,10 @@ def pagerank(edges: DataFrame, src_col: str = "src",
             newrank = (F.lit(base) + F.lit(damping)
                        * (F.coalesce(F.col("__in"), F.lit(0.0))
                           + F.col("__dm") / F.lit(float(n))))
+        prev = ranks
         ranks = merged.select("node", newrank.alias("rank"))
+        n_done = i + 1
+        last = n_done == iters
         # each round consumes the previous ranks TWICE (contributions +
         # the dangling aggregate), so an unmaterialized loop re-derives
         # iteration k's frame 2^(rounds since last cut) times — measured
@@ -149,10 +185,22 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         # node-sized localCheckpoint every round is the standard Pregel
         # superstep materialization; raise checkpoint_every only for
         # tiny graphs where per-job latency dominates.
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
-                and i + 1 < iters:
+        if checkpoint_every and n_done % checkpoint_every == 0 \
+                and (not last or tol is not None):
             ranks = ranks.localCheckpoint()
+        if tol is not None and not last:
+            # L1 convergence check: node-sized join, 1-row aggregate —
+            # one extra action per round, same broadcast shape as the
+            # dangling term.  ranks is checkpointed above, so the delta
+            # job and the next round share the materialized frame.
+            delta = (ranks.join(prev.withColumnRenamed("rank", "__prev"),
+                                on="node")
+                     .agg(F.sum(F.abs(F.col("rank") - F.col("__prev")))
+                          .alias("d")).first()["d"])
+            if delta is not None and delta < tol:
+                break
     ranks._pagerank_cache = caches
+    ranks._pagerank_iters = n_done
     return ranks
 
 
@@ -183,13 +231,17 @@ def graph_report(edges: DataFrame, src_col: str = "src",
         nd = nodes.select(F.col(nc).alias("node")).distinct()
     else:
         nd = endpoints
+    # coalesce: sums/max over ZERO edges are NULL in Spark, but the
+    # report contract (and the DuckDB oracle) says exact integer
+    # aggregates — an empty graph reads 0, not NULL (ADVICE r6)
     deg = (e.groupBy("__s").agg(F.count(F.lit(1)).alias("d")))
-    degstats = deg.agg(F.max("d").alias("max_out_degree"),
-                       F.sum("d").alias("__degsum"))
+    degstats = deg.agg(
+        F.coalesce(F.max("d"), F.lit(0)).alias("max_out_degree"),
+        F.coalesce(F.sum("d"), F.lit(0)).alias("__degsum"))
     estats = e.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.sum((F.col("__s") == F.col("__t")).cast("long"))
-        .alias("n_self_loops"),
+        F.coalesce(F.sum((F.col("__s") == F.col("__t")).cast("long")),
+                   F.lit(0)).alias("n_self_loops"),
         (F.count(F.lit(1)) - F.countDistinct("__s", "__t"))
         .alias("n_parallel_edges"))
     nstats = (nd.join(endpoints.withColumn("__e", F.lit(1)),

@@ -31,12 +31,37 @@ class PyObjectType(T.BinaryType):
     unpickles at every Python-op boundary and in ``run()``."""
 
 
+_SIMPLE_TYPES = {
+    "string": T.StringType, "str": T.StringType,
+    "int": T.IntegerType, "integer": T.IntegerType,
+    "bigint": T.LongType, "long": T.LongType,
+    "smallint": T.ShortType, "short": T.ShortType,
+    "tinyint": T.ByteType, "byte": T.ByteType,
+    "double": T.DoubleType, "float": T.FloatType, "real": T.FloatType,
+    "boolean": T.BooleanType, "bool": T.BooleanType,
+    "binary": T.BinaryType, "date": T.DateType,
+    "timestamp": T.TimestampType,
+    "timestamp_ntz": T.TimestampNTZType,
+}
+
+
 def parse_type(t) -> T.DataType:
     if isinstance(t, T.DataType):
         return t
     if isinstance(t, str):
-        if t.strip().lower() == "object":
+        s = t.strip().lower()
+        if s == "object":
             return PyObjectType()
+        # common spellings parse WITHOUT a SparkContext (fromDDL needs a
+        # live JVM, which would make merely DEFINING a @defbufferfn op
+        # require Spark — the in-memory platform must work without one)
+        if s in _SIMPLE_TYPES:
+            return _SIMPLE_TYPES[s]()
+        if s.startswith("array<") and s.endswith(">"):
+            return T.ArrayType(parse_type(s[6:-1]))
+        if s.startswith("decimal(") and s.endswith(")"):
+            p, sc = s[8:-1].split(",")
+            return T.DecimalType(int(p), int(sc))
         return T.StructType.fromDDL(f"x {t}")[0].dataType
     raise TypeError(f"cannot parse Spark type from {t!r}")
 
@@ -410,13 +435,17 @@ def mapcatfn(fn, returns="string", n_out=1, name=None):
     return defmapcatfn(returns, n_out, name or getattr(fn, "__name__", "mapcatfn"))(fn)
 
 
-def column_op(name: str, column_fn, n_out: int = 1) -> MapOp:
-    """Wrap a Column-expression builder as a map op (native, Catalyst-visible)."""
-    return MapOp(name=name, column_fn=column_fn, n_out=n_out)
+def column_op(name: str, column_fn, n_out: int = 1, py_fn=None) -> MapOp:
+    """Wrap a Column-expression builder as a map op (native, Catalyst-visible).
+
+    ``py_fn`` is an optional scalar Python MIRROR of the same semantics for
+    the in-memory platform (exec_local) — the Spark compiler always prefers
+    ``column_fn``, so the mirror never affects cluster plans."""
+    return MapOp(name=name, column_fn=column_fn, n_out=n_out, py_fn=py_fn)
 
 
-def column_filter(name: str, column_fn) -> FilterOp:
-    return FilterOp(name=name, column_fn=column_fn)
+def column_filter(name: str, column_fn, py_fn=None) -> FilterOp:
+    return FilterOp(name=name, column_fn=column_fn, py_fn=py_fn)
 
 
 def expr_op(name: str, template: str, n_out: int = 1) -> MapOp:

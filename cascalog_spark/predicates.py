@@ -284,17 +284,21 @@ def normalize_predicate(pred, fresh_filters: list) -> RawPredicate:
         # "mapops can be used as filters if there are no output
         # variables" (api_test.clj:690-693): keep rows whose single
         # output is truthy
+        py_mirror = (None if op.py_fn is None
+                     else lambda *vs, _f=op.py_fn: bool(_f(*vs)))
         if op.column_fn is not None:
+            # the py_fn mirror rides along for the in-memory platform;
+            # the Spark compiler always takes the column path
             return RawPredicate(
                 kind="filter",
                 op=FilterOp(name=f"{op.name}-as-filter",
                             column_fn=lambda *cs, _f=op.column_fn:
-                            _f(*cs).cast("boolean")),
+                            _f(*cs).cast("boolean"),
+                            py_fn=py_mirror),
                 infields=infields)
         return RawPredicate(
             kind="filter",
-            op=FilterOp(name=f"{op.name}-as-filter",
-                        py_fn=lambda *vs, _f=op.py_fn: bool(_f(*vs))),
+            op=FilterOp(name=f"{op.name}-as-filter", py_fn=py_mirror),
             infields=infields)
 
     if isinstance(op, (MapOp, MapcatOp)) and not outfields:

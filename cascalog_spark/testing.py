@@ -61,17 +61,37 @@ def _run(query, spark):
     return [tuple(r) for r in query.collect()]
 
 
-def assert_produces(query, spark, expected, approx: bool = False):
-    """test?- analog: run query, compare as multiset, raise with diff."""
+def _diff_error(platform, expected, actual):
+    ce, ca = Counter(map(_key, expected)), Counter(map(_key, actual))
+    return AssertionError(
+        f"query produced wrong result on the {platform} platform.\n"
+        f" expected: {sorted(map(repr, expected))}\n"
+        f" actual:   {sorted(map(repr, actual))}\n"
+        f" missing:  {list(ce - ca)}\n extra:    {list(ca - ce)}")
+
+
+def assert_produces(query, spark, expected, approx: bool = False,
+                    platforms=("spark", "local")):
+    """test?- analog: run query, compare as multiset, raise with diff.
+
+    DUAL-PLATFORM like the reference's test harness (api_test.clj:11-16
+    runs every assertion on Cascading AND the in-memory platform): the
+    query also executes on the pure-Python platform (exec_local) and must
+    produce the same multiset.  Queries using Spark-only features
+    (DataFrame/Tap generators, Column-only ops) skip the local leg
+    automatically; pass ``platforms=('spark',)`` to skip explicitly."""
     actual = _run(query, spark)
     if not multiset_equal(expected, actual, approx=approx):
-        ce, ca = Counter(map(_key, expected)), Counter(map(_key, actual))
-        missing = ce - ca
-        extra = ca - ce
-        raise AssertionError(
-            f"query produced wrong result.\n expected: {sorted(map(repr, expected))}\n"
-            f" actual:   {sorted(map(repr, actual))}\n"
-            f" missing:  {list(missing)}\n extra:    {list(extra)}")
+        raise _diff_error("spark", expected, actual)
+    if "local" in platforms:
+        from .exec_local import LocalPlatformUnsupported, run_local
+
+        try:
+            local = run_local(query)
+        except LocalPlatformUnsupported:
+            return  # Spark-only surface: single-platform assertion
+        if not multiset_equal(expected, local, approx=approx):
+            raise _diff_error("local (in-memory)", expected, local)
 
 
 def produces_some(query, spark, expected) -> bool:

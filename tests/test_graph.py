@@ -289,3 +289,104 @@ def test_graph_report(spark):
     # undirected doubles edges and symmetrizes degrees
     ru = graph_report(edges, undirected=True).first()
     assert ru["n_edges"] == 10 and ru["n_nodes"] == 3
+
+
+def test_weighted_pagerank_matches_python(spark):
+    """Weighted walk vs a hand-rolled python reference on a small graph
+    with non-uniform weights, a dangling node, and an isolated node."""
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (4, 1, 5.0)]
+    nodes = list(range(1, 6))  # 5 is isolated, 3 is dangling
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    nd = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, nodes=nd, weight_col="w",
+                             iters=4).collect()}
+
+    # python reference
+    n = len(nodes)
+    deg = {}
+    for s, _, w in edges:
+        deg[s] = deg.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += rank[s] * w / deg[s]
+        dm = sum(rank[v] for v in nodes if v not in deg)
+        rank = {v: 0.15 / n + 0.85 * (contrib[v] + dm / n)
+                for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # unit weights == unweighted (exactly: *1.0 is a float no-op)
+    e1 = spark.createDataFrame([(s, t, 1.0) for s, t, _ in edges],
+                               "src long, dst long, w double")
+    a = {r["node"]: r["rank"]
+         for r in pagerank(e1, nodes=nd, weight_col="w",
+                           iters=3).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(e1.drop("w"), nodes=nd, iters=3).collect()}
+    assert a == b
+
+
+def test_pagerank_tol_early_stop(spark):
+    """tol= stops the loop once the L1 delta converges; iters caps it.
+    A symmetric 2-clique reaches its fixed point after one round (every
+    node identical by symmetry), so round 2's delta is ~0 and the loop
+    must exit well before the 50-iteration cap."""
+    e = spark.createDataFrame([(1, 2), (2, 1), (3, 4), (4, 3)],
+                              "src long, dst long")
+    pr = pagerank(e, iters=50, tol=1e-9)
+    assert pr._pagerank_iters <= 3          # converged, not capped
+    ranks = [r["rank"] for r in pr.collect()]
+    assert all(v == pytest.approx(0.25, abs=1e-12) for v in ranks)
+    # tol loose enough to stop immediately still returns valid ranks
+    pr2 = pagerank(e, iters=50, tol=10.0)
+    assert pr2._pagerank_iters == 1
+    assert sum(r["rank"] for r in pr2.collect()) == pytest.approx(1.0)
+    # converged result equals the fixed-iteration result
+    full = {r["node"]: r["rank"]
+            for r in pagerank(e, iters=10).collect()}
+    conv = {r["node"]: r["rank"] for r in pr.collect()}
+    for v in full:
+        assert conv[v] == pytest.approx(full[v], abs=1e-9)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(e, tol=0.0)
+
+
+def test_ppr_out_of_universe_seed(spark):
+    """A seed outside the node universe must not deflate teleport mass
+    (ADVICE r6): in-universe seeds renormalize to full mass; an
+    all-outside seed set raises."""
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds_mixed = spark.createDataFrame([(1,), (99,)], "node long")
+    pr = pagerank(e, reset=seeds_mixed, iters=3)
+    assert sum(r["rank"] for r in pr.collect()) == pytest.approx(
+        1.0, abs=1e-9)
+    seeds_in = spark.createDataFrame([(1,)], "node long")
+    a = {r["node"]: r["rank"]
+         for r in pagerank(e, reset=seeds_in, iters=3).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(e, reset=seeds_mixed, iters=3).collect()}
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-12)
+    seeds_out = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="node universe"):
+        pagerank(e, reset=seeds_out, iters=2)
+
+
+def test_graph_report_empty_edges(spark):
+    """Zero-edge graph: integer aggregates coalesce to 0, never NULL
+    (ADVICE r6)."""
+    from cascalog_spark.functions import graph_report
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long") \
+                 .where("src > 100")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    r = graph_report(edges, nodes=nodes).first()
+    assert r["n_nodes"] == 3 and r["n_edges"] == 0
+    assert r["n_isolated"] == 3
+    assert r["n_self_loops"] == 0
+    assert r["n_parallel_edges"] == 0
+    assert r["max_out_degree"] == 0
+    assert r["avg_out_degree"] == 0.0
