@@ -499,6 +499,25 @@ def _pq_books(spark, sf_dir):
     return _PQ_BOOKS_CACHE[sf_dir]
 
 
+_IVFPQ_MODEL_CACHE: dict = {}
+
+
+def _ivfpq_model(spark, sf_dir):
+    """IVF-PQ model (coarse centroids + residual codebooks) for the
+    sf_dir's embeddings, cached — index artifacts (train once,
+    encode/search many; ivfpq_write_index returns exactly this pair to
+    persist beside the index), not part of the measured query; same
+    contract as ``_pq_books``/``_query_vec``."""
+    if sf_dir not in _IVFPQ_MODEL_CACHE:
+        from cascalog_spark.functions import ivfpq_index
+
+        emb = _t(spark, sf_dir, "embeddings")
+        cents, books, _ = ivfpq_index(emb, n_centroids=16, m=8,
+                                      n_codes=16)
+        _IVFPQ_MODEL_CACHE[sf_dir] = (cents, books)
+    return _IVFPQ_MODEL_CACHE[sf_dir]
+
+
 def _query_vec(spark, sf_dir):
     """vec_id=0's embedding, cached per sf_dir — the query vector is an
     input constant, not part of the measured query; without the cache every
@@ -3427,6 +3446,43 @@ def embedding_pq_recall(spark, sf_dir):
                              ivf_probes=(), pq_m=(8,))
 
 
+def embedding_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (functions/pq.py ivfpq_*): coarse centroids
+    prune the scan to 4 of 16 probed cells, a residual product quantizer
+    (m=8 x 16 codes on v − centroid; codebooks seeded from NON-ZERO
+    residuals — the smallest-id rows are the centroids themselves, whose
+    residuals are identically 0) compresses what remains ~32x, and the
+    score is the ADC reconstruction cosine cos(q, centroid + residual
+    codes) — 2m lookups per row, no decompression.  The standard
+    billion-scale ANN layout; deterministic seeds end-to-end make every
+    stage (cells, residuals, codebooks, codes, score chains)
+    oracle-reconstructable."""
+    from cascalog_spark.functions import ivfpq_index, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = _ivfpq_model(spark, sf_dir)
+    _, _, codes = ivfpq_index(emb, n_centroids=16, m=8, n_codes=16,
+                              centroids=cents, codebooks=books)
+    return ivfpq_topk(codes, _query_vec(spark, sf_dir), cents, books,
+                      k=10, n_probe=4)
+
+
+def embedding_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ rows of the ANN tuning report: candidates = probed cells'
+    rows (IVF pruning — scan_frac tracks the ivf configs exactly),
+    ranked by ADC reconstruction cosine (PQ compression) — so one table
+    shows how pruning loss and compression loss stack against the same
+    exact ground truth.  Same one-cell-join-covers-every-n_probe design
+    as the ivf branch."""
+    from cascalog_spark.functions import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_recall_report(emb, qs, k=10, lsh_planes=(),
+                             ivf_probes=(), ivfpq_probes=(1, 2, 4))
+
+
 def doc_containment_pairs(spark, sf_dir):
     """Directed containment near-dup (dedup.py containment_pairs):
     C(A→B) = |S(A)∩S(B)|/|S(A)| >= 0.7 over 3-token shingles — the
@@ -3521,6 +3577,8 @@ _R7_HEAD = [
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
     "doc_pagerank_weighted",   # NEW: weighted walk, exact 2-iter oracle
+    "embedding_ivfpq_topk",    # NEW: IVF-PQ composite index (r7 capstone)
+    "embedding_ivfpq_recall",  # NEW: ivfpq rows of the tuning report
     "doc_pagerank",            # weighted-degree refactor (w=1 path)
     "doc_seed_expansion",      # PPR in-universe renormalization
     "doc_dup_graph_report",    # empty-edge coalesce
@@ -3749,6 +3807,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_parse": customer_name_parse,
         "embedding_cosine_near_dup": embedding_cosine_near_dup,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "embedding_ivfpq_topk": embedding_ivfpq_topk,
+        "embedding_ivfpq_recall": embedding_ivfpq_recall,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -3781,6 +3841,68 @@ _PQ_DIST_CHAIN = " + ".join(
     f"(v[s*8+{d}] - c[s*8+{d}]) * (v[s*8+{d}] - c[s*8+{d}])"
     for d in range(1, 9))
 _PQ_LUT_CHAIN = " + ".join(f"q[s*8+{d}] * c[s*8+{d}]" for d in range(1, 9))
+
+# IVF-PQ chains (same left-associativity argument): residual distance /
+# residual-ip over r instead of v; 64-term dot/norm chains for the coarse
+# assignment and the ADC numerator/denominator
+_IVFPQ_RDIST = " + ".join(
+    f"(r[s*8+{d}] - c[s*8+{d}]) * (r[s*8+{d}] - c[s*8+{d}])"
+    for d in range(1, 9))
+_IVFPQ_RLUT = " + ".join(f"q[s*8+{d}] * c[s*8+{d}]" for d in range(1, 9))
+_IVFPQ_N2 = " + ".join(
+    f"(cv[s*8+{d}] + c[s*8+{d}]) * (cv[s*8+{d}] + c[s*8+{d}])"
+    for d in range(1, 9))
+
+
+def _chain64(tmpl: str) -> str:
+    """64-term left-associative chain, e.g. _chain64('v[{i}] * u[{i}]')."""
+    return " + ".join(tmpl.format(i=i) for i in range(1, 65))
+
+
+def _ivfpq_sql_ctes() -> str:
+    """Shared CTE block rebuilding the ENTIRE deterministic IVF-PQ index
+    in DuckDB (mirrors functions/pq.py ivfpq_index step for step):
+    coarse cells by argmax dot-with-unit-centroid (ties -> min cid),
+    residuals v − centroid, residual codebooks seeded from the 16
+    smallest-id rows with NON-ZERO residuals, per-subspace argmin
+    encode.  Every partial sum is the same left-associative chain the
+    engine folds, so codes are bit-identical."""
+    v_dot_u = _chain64("e.v[{i}] * uc.u[{i}]")
+    cv2 = _chain64("cv[{i}] * cv[{i}]")
+    r2 = _chain64("r[{i}] * r[{i}]")
+    return f"""
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                             AS crank, vec_id AS cid, v AS cv
+                      FROM (SELECT vec_id, v FROM e
+                            ORDER BY vec_id LIMIT 16)),
+            uc AS (SELECT crank, cid, cv,
+                          list_transform(cv, x -> x / sqrt({cv2})) AS u
+                   FROM cents),
+            asg AS (SELECT e.vec_id, e.v, uc.cid, uc.crank, uc.cv,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY ({v_dot_u}) DESC, uc.cid ASC) AS rn
+                    FROM e CROSS JOIN uc),
+            assigned AS (SELECT vec_id, v, cid AS cell, crank,
+                                list_transform(range(1, 65),
+                                               i -> v[i] - cv[i]) AS r
+                         FROM asg WHERE rn = 1),
+            rseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                              AS j, r AS c
+                       FROM (SELECT vec_id, r FROM assigned
+                             WHERE ({r2}) > 0
+                             ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT unnest(range(8)) AS s),
+            dd AS (SELECT assigned.vec_id, sub.s, rseeds.j,
+                          {_IVFPQ_RDIST} AS dist
+                   FROM (SELECT vec_id, r FROM assigned) assigned,
+                        rseeds, sub),
+            bestc AS (SELECT vec_id, s, j, row_number() OVER (
+                        PARTITION BY vec_id, s
+                        ORDER BY dist ASC, j ASC) AS rn
+                      FROM dd),
+            code AS (SELECT vec_id, s, j FROM bestc WHERE rn = 1)"""
 
 
 def _shingle_sql(k: int = 3) -> str:
@@ -6110,6 +6232,122 @@ def oracle_sql() -> dict[str, str]:
                    round(ls[1]+ls[2]+ls[3]+ls[4]+ls[5]+ls[6]+ls[7]+ls[8],
                          6) AS score
             FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        # IVF-PQ: the shared CTE block (_ivfpq_sql_ctes) rebuilds the
+        # whole deterministic index — cells, residuals, nonzero-seeded
+        # residual codebooks, argmin codes — with the engine's exact
+        # left-associative chains; ADC scores then reduce to lookups
+        "embedding_ivfpq_topk": f"""
+            WITH {_ivfpq_sql_ctes()},
+            qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            qnv AS (SELECT sqrt({_chain64('q[{i}] * q[{i}]')}) AS qn
+                    FROM qv),
+            probe AS (SELECT uc.crank, uc.cid, uc.cv,
+                             ({_chain64('q[{i}] * cv[{i}]')}) AS qcip
+                      FROM uc, qv
+                      ORDER BY ({_chain64('q[{i}] * u[{i}]')}) DESC,
+                               uc.cid ASC
+                      LIMIT 4),
+            lutq AS (SELECT sub.s, rseeds.j, {_IVFPQ_RLUT} AS val
+                     FROM rseeds, sub, qv),
+            n2t AS (SELECT probe.crank, sub.s, rseeds.j AS j,
+                           {_IVFPQ_N2} AS val
+                    FROM probe, rseeds, sub),
+            cand AS (SELECT a.vec_id, a.crank, probe.qcip
+                     FROM assigned a JOIN probe ON probe.cid = a.cell),
+            sc AS (SELECT cand.vec_id, max(cand.qcip) AS qcip,
+                          list(lutq.val ORDER BY code.s) AS lsv,
+                          list(n2t.val ORDER BY code.s) AS nsv
+                   FROM cand
+                   JOIN code ON code.vec_id = cand.vec_id
+                   JOIN lutq ON lutq.s = code.s AND lutq.j = code.j
+                   JOIN n2t ON n2t.crank = cand.crank
+                           AND n2t.s = code.s AND n2t.j = code.j
+                   GROUP BY cand.vec_id)
+            SELECT vec_id,
+                   round((qcip + lsv[1] + lsv[2] + lsv[3] + lsv[4]
+                          + lsv[5] + lsv[6] + lsv[7] + lsv[8])
+                         / (sqrt(nsv[1] + nsv[2] + nsv[3] + nsv[4]
+                                 + nsv[5] + nsv[6] + nsv[7] + nsv[8])
+                            * (SELECT qn FROM qnv)), 6) AS score
+            FROM sc
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "embedding_ivfpq_recall": f"""
+            WITH {_ivfpq_sql_ctes()},
+            q8 AS (SELECT vec_id AS qid, v AS q FROM e
+                   ORDER BY vec_id ASC LIMIT 8),
+            ni AS (SELECT count(*)::DOUBLE AS n FROM e),
+            qn8 AS (SELECT qid, sqrt({_chain64('q[{i}] * q[{i}]')}) AS qn
+                    FROM q8),
+            prk AS (SELECT q8.qid, uc.cid, uc.crank,
+                           ({_chain64('q[{i}] * cv[{i}]')}) AS qcip,
+                           row_number() OVER (PARTITION BY q8.qid
+                             ORDER BY ({_chain64('q[{i}] * u[{i}]')})
+                                      DESC, uc.cid ASC) AS prank
+                    FROM q8 CROSS JOIN uc),
+            probes AS (SELECT * FROM prk WHERE prank <= 4),
+            lutq AS (SELECT q8.qid, sub.s, rseeds.j, {_IVFPQ_RLUT} AS val
+                     FROM q8, rseeds, sub),
+            n2t AS (SELECT cents.crank, sub.s, rseeds.j AS j,
+                           {_IVFPQ_N2} AS val
+                    FROM cents, rseeds, sub),
+            cand AS (SELECT probes.qid, a.vec_id, probes.prank,
+                            probes.qcip, a.crank
+                     FROM assigned a
+                     JOIN probes ON probes.cid = a.cell),
+            sc AS (SELECT cand.qid, cand.vec_id, cand.prank,
+                          max(cand.qcip) AS qcip,
+                          list(lutq.val ORDER BY code.s) AS lsv,
+                          list(n2t.val ORDER BY code.s) AS nsv
+                   FROM cand
+                   JOIN code ON code.vec_id = cand.vec_id
+                   JOIN lutq ON lutq.qid = cand.qid
+                            AND lutq.s = code.s AND lutq.j = code.j
+                   JOIN n2t ON n2t.crank = cand.crank
+                           AND n2t.s = code.s AND n2t.j = code.j
+                   GROUP BY cand.qid, cand.vec_id, cand.prank),
+            sims AS (SELECT sc.qid, sc.vec_id, sc.prank,
+                            round((qcip + lsv[1] + lsv[2] + lsv[3]
+                                   + lsv[4] + lsv[5] + lsv[6] + lsv[7]
+                                   + lsv[8])
+                                  / (sqrt(nsv[1] + nsv[2] + nsv[3]
+                                          + nsv[4] + nsv[5] + nsv[6]
+                                          + nsv[7] + nsv[8])
+                                     * qn8.qn), 6) AS sim
+                     FROM sc JOIN qn8 ON qn8.qid = sc.qid),
+            cfg AS (SELECT unnest([1, 2, 4]) AS param),
+            candp AS (SELECT cfg.param, sims.qid, sims.vec_id, sims.sim
+                      FROM sims, cfg WHERE sims.prank <= cfg.param),
+            ann AS (SELECT param, qid, vec_id FROM (
+                      SELECT param, qid, vec_id, row_number() OVER (
+                        PARTITION BY param, qid
+                        ORDER BY sim DESC, vec_id ASC) AS rn
+                      FROM candp) WHERE rn <= 10),
+            exact AS (SELECT q8.qid, e.vec_id,
+                             round({_COS.format(a='e.v', b='q8.q')}, 6)
+                               AS sim
+                      FROM e CROSS JOIN q8),
+            truth AS (SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id, row_number() OVER (
+                          PARTITION BY qid
+                          ORDER BY sim DESC, vec_id ASC) AS rn
+                        FROM exact) WHERE rn <= 10),
+            hits AS (SELECT a.param, a.qid, count(*) AS h
+                     FROM ann a JOIN truth t
+                       ON t.qid = a.qid AND t.vec_id = a.vec_id
+                     GROUP BY a.param, a.qid),
+            ncs AS (SELECT param, qid, count(*) AS nc
+                    FROM candp GROUP BY param, qid),
+            spine AS (SELECT cfg.param, q8.qid FROM cfg, q8)
+            SELECT 'ivfpq' AS method, CAST(spine.param AS INT) AS param,
+                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
+                   round(avg(coalesce(nc, 0) / (SELECT n FROM ni)), 6)
+                     AS scan_frac
+            FROM spine
+            LEFT JOIN hits ON hits.param = spine.param
+                          AND hits.qid = spine.qid
+            LEFT JOIN ncs ON ncs.param = spine.param
+                         AND ncs.qid = spine.qid
+            GROUP BY spine.param ORDER BY param""",
         "embedding_pq_recall": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE embedding IS NOT NULL),

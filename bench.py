@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     # the minhash near-dup graph (2 superstep-materialized iterations)
     "doc_kn_bigram_nll",
     "doc_pagerank",
+    # round-7 entries: weighted PageRank over the jaccard-sim graph;
+    # IVF-PQ composite ANN (deterministic fit + residual encode + ADC
+    # probe — the billion-scale index layout, measured end-to-end)
+    "doc_pagerank_weighted",
+    "embedding_ivfpq_topk",
 ]
 
 

@@ -464,3 +464,233 @@ def pq_reconstruction_report(df: DataFrame, codebooks: Codebooks,
                     F.round("__ent", 4).alias("code_entropy_bits"),
                     F.lit(round(math.log2(n_codes), 4))
                     .alias("max_entropy_bits")))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index — the standard billion-scale ANN layout (coarse
+# quantizer prunes the scan to probed cells; a residual product quantizer
+# compresses what remains ~32x; ADC scans the probed cells' codes only).
+
+
+
+def ivfpq_index(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_centroids: int = 16,
+                m: int = 8, n_codes: int = 16,
+                centroids: list[tuple[int, list[float]]] | str | None
+                = None, kmeans_iters: int = 0,
+                codebooks: Codebooks | None = None
+                ) -> tuple[list, list, DataFrame]:
+    """Build the IVF-PQ index: returns ``(centroids, codebooks,
+    codes_df)`` where ``codes_df`` is ``(id, __cell, codes)`` — the
+    compressed index (one small int array per row, ~32x smaller than
+    the vectors).
+
+    Layout: each row is assigned its nearest coarse centroid (cosine,
+    ``ivf_assign_col``), the RESIDUAL ``v − centroid`` is product-
+    quantized (per-subspace codebooks trained on residuals — residuals
+    concentrate near zero, so the same code budget buys much finer
+    resolution than PQ on raw vectors), and codes are stored per cell
+    so an ADC scan touches only probed cells.  ``kmeans_iters=0`` keeps
+    the deterministic smallest-id seed rule end-to-end (centroids AND
+    residual codebooks), making the whole index oracle-reconstructable;
+    ``centroids='kmeans'``/``kmeans_iters>0`` are the balanced-cell
+    scale path.
+
+    100 TB shape: one pass assigns+encodes (no shuffle — the partitioned
+    WRITE in ``ivfpq_write_index`` is the only movement); driver state
+    is O(n_centroids·dim + m·n_codes·dim/m) — centroid table plus
+    codebooks — independent of corpus size."""
+    from .similarity import _lit_arr_sql, _resolve_centroids, \
+        ivf_assign_col
+
+    cents = _resolve_centroids(centroids, df, id_col, vec_col,
+                               n_centroids)
+    ordered = sorted(cents, key=lambda cv: cv[0])
+    dim = len(ordered[0][1])
+    rank_sql = ("CASE __cell " + " ".join(
+        f"WHEN {int(cid)} THEN {r}"
+        for r, (cid, _) in enumerate(ordered)) + " END")
+    # the row's centroid is selected ONCE (element_at on a top-level
+    # nested literal — constant-folded), then the residual is a plain
+    # zip_with.  Embedding the flat centroid literal inside a transform
+    # lambda instead re-builds the k·dim array PER ELEMENT PER ROW
+    # (ConstantFolding does not descend into lambda bodies — the same
+    # interpreted-HOF trap pq_encode_col documents; measured 48s -> 0.5s
+    # on the sf0.01 seed collect)
+    cent_arrs = "array(" + ",".join(
+        _lit_arr_sql([float(x) for x in cv]) for _, cv in ordered) + ")"
+    assigned = (df.where(F.col(vec_col).isNotNull())
+                .select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+                .withColumn("__cell", ivf_assign_col("__v", cents))
+                .withColumn("__cent", F.expr(
+                    f"element_at({cent_arrs}, ({rank_sql}) + 1)"))
+                .withColumn("__r", F.zip_with(F.col("__v"),
+                                              F.col("__cent"),
+                                              lambda x, y: x - y))
+                .drop("__cent"))
+    # codebooks train on NON-ZERO residuals only: the deterministic seed
+    # rule takes the smallest-id rows, and the smallest ids ARE the
+    # centroid seeds (plus their exact duplicates), whose residuals are
+    # identically zero — seeding from them collapses every codebook to
+    # near-zero codes and the index loses all resolution (measured:
+    # recall 0.25 -> 0.55 at full probe on the test embeddings).  The
+    # filter is the left-fold residual norm², oracle-replicable.
+    if codebooks is not None:
+        # pre-trained model (the train-once / encode-search-many path:
+        # a prior ivfpq_index/ivfpq_write_index call, persisted beside
+        # the index) — skip the fit entirely
+        books = codebooks
+    else:
+        nonzero = F.aggregate(F.zip_with(F.col("__r"), F.col("__r"),
+                                         lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x) > 0
+        books = pq_codebooks(assigned.where(nonzero), id_col=id_col,
+                             vec_col="__r", m=m, n_codes=n_codes,
+                             dim=dim, kmeans_iters=kmeans_iters)
+    codes = assigned.select(
+        F.col(id_col), F.col("__cell"),
+        pq_encode_col(F.col("__r"), books).alias("codes"))
+    return cents, books, codes
+
+
+def ivfpq_write_index(df: DataFrame, path: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_centroids: int = 16,
+                      m: int = 8, n_codes: int = 16,
+                      mode: str = "overwrite",
+                      centroids=None, kmeans_iters: int = 0
+                      ) -> tuple[list, list]:
+    """Materialize the IVF-PQ index: ``(id, codes)`` parquet partitioned
+    by ``__cell`` — a probe reads n_probe/n_centroids of the FILES and
+    each file holds codes, not vectors (~32x less IO than the raw IVF
+    layout).  Returns ``(centroids, codebooks)`` — persist both beside
+    the index; together they are the O(k·dim + n_codes·dim) model."""
+    cents, books, codes = ivfpq_index(df, id_col, vec_col, n_centroids,
+                                      m, n_codes, centroids, kmeans_iters)
+    codes.write.partitionBy("__cell").mode(mode).parquet(path)
+    return cents, books
+
+
+def ivfpq_topk(index: DataFrame, query_vec: list[float],
+               centroids: list[tuple[int, list[float]]],
+               codebooks: Codebooks, k: int = 10,
+               id_col: str = "vec_id", codes_col: str = "codes",
+               cell_col: str = "__cell", n_probe: int = 4) -> DataFrame:
+    """ADC top-k over an IVF-PQ index frame (``ivfpq_index`` output or
+    an ``ivfpq_write_index`` read): probe the ``n_probe`` cells nearest
+    the query, score only their rows by reconstruction cosine —
+    ``cos(q, centroid_cell + residual_codes)`` — using lookups only:
+
+    - ``ip(q, centroid)``: one scalar per probed cell (driver-side),
+    - ``ip(q, residual_code)``: one GLOBAL m x n_codes table (residual
+      codebooks are cell-independent),
+    - ``||centroid_sub + residual_code||²``: one (probed-cell, s, code)
+      table — O(n_probe·n_codes·dim) driver floats.
+
+    Per row: 2m lookups + adds, no decompression, no shuffle before the
+    global top-k (TakeOrderedAndProject).  All partial sums are
+    left-associative chains, so a DuckDB oracle reproduces scores
+    bit-for-bit.  Zero-norm reconstructions (and a zero query) have no
+    cosine and drop, per the family-wide contract."""
+    import math
+
+    from .similarity import _lit_arr, _probe_cells
+
+    m, n_codes, dsub = _pq_dims(codebooks)
+    if k <= 0:
+        return (index.select(F.col(id_col),
+                             F.lit(0.0).alias("score")).limit(0))
+    q = [float(x) for x in query_vec]
+    if len(q) != m * dsub:
+        raise ValueError(f"ivfpq_topk: query dim {len(q)} != {m * dsub}")
+    qnorm = math.sqrt(reduce(lambda a, b: a + b, [x * x for x in q]))
+    probe = _probe_cells(centroids, q, n_probe)
+    cmap = dict(centroids)
+    # per-probed-cell driver scalars/tables, flattened by probe rank
+    qc_ip, n2 = [], []
+    for cell in probe:
+        cv = [float(x) for x in cmap[cell]]
+        qc_ip.append(reduce(lambda a, b: a + b,
+                            [q[d] * cv[d] for d in range(len(q))]))
+        for s in range(m):
+            for code in codebooks[s]:
+                rec = [cv[s * dsub + d] + float(code[d])
+                       for d in range(dsub)]
+                n2.append(reduce(lambda a, b: a + b,
+                                 [x * x for x in rec]))
+    ip_lut = _lit_arr(_adc_lut(q, codebooks, "ip"))
+    n2_lut = _lit_arr(n2)
+    spark = index.sparkSession
+    pframe = spark.createDataFrame(
+        [(cell, rank, qc_ip[rank]) for rank, cell in enumerate(probe)],
+        schema=index.select(cell_col).schema
+        .add("__prank", "long").add("__qcip", "double"))
+    codes = F.col(codes_col)
+    block = m * n_codes
+    ip_terms = [F.element_at(ip_lut, F.lit(s * n_codes + 1) + codes[s])
+                for s in range(m)]
+    num = reduce(lambda a, b: a + b, [F.col("__qcip")] + ip_terms)
+    n2_terms = [F.element_at(n2_lut, (F.col("__prank") * block
+                                      + F.lit(s * n_codes + 1)
+                                      + codes[s]).cast("int"))
+                for s in range(m)]
+    den = F.sqrt(reduce(lambda a, b: a + b, n2_terms)) * F.lit(qnorm)
+    return (index.where(F.col(cell_col).isin(probe))
+            .where(codes.isNotNull())
+            .join(F.broadcast(pframe), on=cell_col)
+            .select(F.col(id_col),
+                    F.round(F.try_divide(num, den), 6).alias("score"))
+            .where(F.col("score").isNotNull())
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def ivfpq_query_index(spark, path: str,
+                      centroids: list[tuple[int, list[float]]],
+                      codebooks: Codebooks, query_vec: list[float],
+                      k: int = 10, id_col: str = "vec_id",
+                      n_probe: int = 4) -> DataFrame:
+    """ADC top-k against an ``ivfpq_write_index`` layout: ``__cell IN
+    probe`` is a PARTITION filter (only probed cells' code files are
+    read — check PartitionFilters in the scan), and those files hold
+    ~32x-compressed codes, so the IO per query is
+    ``n_probe/n_centroids x 1/32`` of a full-corpus exact scan."""
+    idx = spark.read.parquet(path)
+    return ivfpq_topk(idx, query_vec, centroids, codebooks, k=k,
+                      id_col=id_col, n_probe=n_probe)
+
+
+def _norm2_lut_ivfpq(centroids: list[tuple[int, list[float]]],
+                     codebooks: Codebooks) -> list[float]:
+    """``||centroid_sub + residual_code||²`` per (dense cell rank, s,
+    code), flattened ``rank*m*n_codes + s*n_codes + j`` — the
+    reconstruction-norm table an IVF-PQ cosine needs (O(k·n_codes·dim)
+    driver floats).  Left-associative chains, oracle-replicable."""
+    m, n_codes, dsub = _pq_dims(codebooks)
+    out = []
+    for _, cv in sorted(centroids, key=lambda c: c[0]):
+        cv = [float(x) for x in cv]
+        for s in range(m):
+            for code in codebooks[s]:
+                rec = [cv[s * dsub + d] + float(code[d])
+                       for d in range(dsub)]
+                out.append(reduce(lambda a, b: a + b,
+                                  [x * x for x in rec]))
+    return out
+
+
+def _resid_ip_lut_expr(qvec_name: str, codebooks: Codebooks) -> Column:
+    """``ip(q_sub, residual_code)`` lookup table as an EXPRESSION over a
+    query-vector column (for batch paths where the query is a column,
+    not a driver value): an array of m·n_codes left-fold dot products —
+    evaluated once per QUERY row, then candidates read it with
+    ``element_at``.  Flattened ``s*n_codes + j`` like ``_adc_lut``."""
+    m, n_codes, dsub = _pq_dims(codebooks)
+    terms = []
+    for s in range(m):
+        for code in codebooks[s]:
+            chain = " + ".join(
+                f"element_at({qvec_name}, {s * dsub + d + 1}) * "
+                f"({repr(float(code[d]))}D)" for d in range(dsub))
+            terms.append(f"({chain})")
+    return F.expr("array(" + ",".join(terms) + ")")

@@ -1087,7 +1087,9 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       centroids: list[tuple[int, list[float]]] | str | None
                       = None,
                       pq_m: tuple = (), pq_codes: int = 16,
-                      pq_kmeans_iters: int = 0) -> DataFrame:
+                      pq_kmeans_iters: int = 0,
+                      ivfpq_probes: tuple = (), ivfpq_m: int = 8,
+                      ivfpq_codes: int = 16) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
     configuration (LSH with p planes, IVF with n_probe probed cells),
     how much of the exact brute-force top-k does the approximate path
@@ -1127,10 +1129,11 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                    norm_col(vec).alias("__nrm"))
            .where(F.col("__nrm") > 0))  # zero-norm: no cosine
     qv = F.col(query_vec_col).cast("array<double>")
-    if not lsh_planes and not ivf_probes and not pq_m:
+    if not lsh_planes and not ivf_probes and not pq_m \
+            and not ivfpq_probes:
         raise ValueError("ann_recall_report: need at least one "
-                         "configuration (lsh_planes, ivf_probes and "
-                         "pq_m are all empty)")
+                         "configuration (lsh_planes, ivf_probes, pq_m "
+                         "and ivfpq_probes are all empty)")
     if lsh_multi_probe not in (0, 1):
         # same domain as lsh_ann_topk(multi_probe=...) — silently
         # reading 2 as hamming-1 would desync the report from the op
@@ -1160,6 +1163,17 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
 
     sim = F.round(dot_col(F.col("__v"), F.col("__qv"))
                   / (F.col("__nrm") * F.col("__qnrm")), 6).alias("sim")
+
+    def _unit(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    def reduce_add(cols):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc + c
+        return acc
+
     tagged: list[DataFrame] = []  # (method, param, __qid, id, sim)
     for p in lsh_planes:
         planes = _hyperplanes(dim, int(p), seed)
@@ -1190,11 +1204,6 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     if ivf_probes:
         cents = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
-
-        def _unit(v):
-            n = sum(x * x for x in v) ** 0.5 or 1.0
-            return [x / n for x in v]
-
         # ONE cell join covers every n_probe: probes carry their rank
         # (1-based, sim desc / cid asc), and config n_probe's candidate
         # set is exactly the joined rows with rank <= n_probe
@@ -1254,6 +1263,70 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
             .select(F.lit("pq").alias("method"),
                     F.lit(int(m_)).alias("param"), "__qid",
                     F.col(id_col), sim))
+    if ivfpq_probes:
+        # IVF-PQ composite rows: candidates = probed cells' rows (the
+        # IVF pruning), ranked by ADC reconstruction cosine
+        # cos(q, centroid_cell + residual_codes) — pruning AND
+        # compression loss against the same exact ground truth.  Same
+        # one-join-covers-every-n_probe trick as the ivf branch: probes
+        # carry their rank plus the per-(query,cell) dot ip(q, centroid);
+        # the per-query residual-ip table is precomputed ON THE QUERY
+        # ROW (m·n_codes folds over 8 rows, not per candidate), and the
+        # ||centroid_sub + code||² table is one global literal indexed
+        # by dense cell rank.
+        from .pq import _norm2_lut_ivfpq, _resid_ip_lut_expr, ivfpq_index
+
+        cents_pq, books_pq, codes_pq = ivfpq_index(
+            index, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, m=ivfpq_m, n_codes=ivfpq_codes,
+            centroids=centroids)
+        coded = codes_pq.localCheckpoint()  # the compressed index
+        ordered_c = sorted(cents_pq, key=lambda cv: cv[0])
+        crank = {cid: r for r, (cid, _) in enumerate(ordered_c)}
+        entries_pq = F.expr("array(" + ",".join(
+            f"named_struct('negsim', -({_dot_sql('__qv', _unit(cv))}), "
+            f"'cid', {int(cid)}, "
+            f"'qcip', ({_dot_sql('__qv', [float(x) for x in cv])}))"
+            for cid, cv in cents_pq) + ")")
+        max_np2 = max(int(x) for x in ivfpq_probes)
+        probes2 = F.slice(F.array_sort(entries_pq), 1, max_np2)
+        qp = (explode_fast(
+            qside.withColumn("__ipl",
+                             _resid_ip_lut_expr("__qv", books_pq))
+            .withColumn("__probes", probes2),
+            F.col("__probes"), "__pe", "__pos0")
+            .select("__qid", "__qnrm", "__ipl",
+                    F.col("__pe")["cid"].alias("__cell"),
+                    F.col("__pe")["qcip"].alias("__qcip"),
+                    (F.col("__pos0") + 1).alias("__rank")))
+        n2_lut = _lit_arr(_norm2_lut_ivfpq(cents_pq, books_pq))
+        block = ivfpq_m * ivfpq_codes
+        codes_c = F.col("codes")
+        rank_case = "CASE __cell " + " ".join(
+            f"WHEN {int(cid)} THEN {r}" for cid, r in crank.items()) \
+            + " END"
+        ip_terms = [F.element_at(F.col("__ipl"),
+                                 F.lit(s * ivfpq_codes + 1) + codes_c[s])
+                    for s in range(ivfpq_m)]
+        num = reduce_add([F.col("__qcip")] + ip_terms)
+        n2_terms = [F.element_at(n2_lut,
+                                 (F.expr(rank_case) * block
+                                  + F.lit(s * ivfpq_codes + 1)
+                                  + codes_c[s]).cast("int"))
+                    for s in range(ivfpq_m)]
+        sim_pq = F.round(F.try_divide(
+            num, F.sqrt(reduce_add(n2_terms)) * F.col("__qnrm")), 6)
+        joined_pq = (coded.join(qp, on="__cell")
+                     .select("__qid", F.col(id_col),
+                             sim_pq.alias("sim"), "__rank")
+                     .where(F.col("sim").isNotNull()))
+        params2 = F.array(*[F.lit(int(np_)) for np_ in ivfpq_probes])
+        tagged.append(
+            joined_pq.select(
+                F.lit("ivfpq").alias("method"),
+                F.explode(F.filter(params2,
+                                   lambda np_: np_ >= F.col("__rank")))
+                .alias("param"), "__qid", F.col(id_col), "sim"))
 
     cand = tagged[0]
     for t in tagged[1:]:
@@ -1274,7 +1347,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                + ([("lsh_mp", int(p)) for p in lsh_planes]
                   if lsh_multi_probe else [])
                + [("ivf", int(np_)) for np_ in ivf_probes]
-               + [("pq", int(m_)) for m_ in pq_m])
+               + [("pq", int(m_)) for m_ in pq_m]
+               + [("ivfpq", int(np_)) for np_ in ivfpq_probes])
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,
                                            "method string, param int"))))

@@ -303,3 +303,107 @@ def test_pq_fuzz_identities(spark, data, m, k):
         flat[vid] = sum(qq * rr for qq, rr in zip(q, recon))
     for vid, score in adc.items():
         assert score == pytest.approx(flat[vid], abs=2e-6)
+
+
+# -- IVF-PQ composite index ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    from cascalog_spark.functions import ivfpq_index
+
+    cents, books_, codes = ivfpq_index(emb, n_centroids=8, m=8, n_codes=8)
+    codes = codes.localCheckpoint()
+    return cents, books_, codes
+
+
+def test_ivfpq_codes_shape_and_cells(emb, ivfpq):
+    cents, books_, codes = ivfpq
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    assert codes.count() == n
+    cells = {r["__cell"] for r in codes.select("__cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in cents}
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 8 for c in row["codes"])
+
+
+def test_ivfpq_residual_codebooks_not_degenerate(ivfpq):
+    """The seed rows ARE the centroids (residual identically zero) — the
+    nonzero-residual seed rule must produce codebooks with real spread,
+    not 8 near-zero codes."""
+    _, books_, _ = ivfpq
+    for sub in books_:
+        norms = [sum(x * x for x in code) for code in sub]
+        assert max(norms) > 1e-6
+
+
+def test_ivfpq_topk_self_and_determinism(emb, ivfpq):
+    from cascalog_spark.functions import ivfpq_topk
+
+    cents, books_, codes = ivfpq
+    qv = [float(x)
+          for x in emb.where("vec_id = 0").first()["embedding"]]
+    a = ivfpq_topk(codes, qv, cents, books_, k=10, n_probe=3).collect()
+    b = ivfpq_topk(codes, qv, cents, books_, k=10, n_probe=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
+    # the query row itself lands in its own (probed-first) cell and its
+    # ADC score must rank it; scores are descending
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r["vec_id"] == 0 for r in a)
+
+
+def test_ivfpq_scan_bounded_by_probe(emb, ivfpq):
+    """Candidates scanned = rows of probed cells only (the IVF contract)."""
+    from cascalog_spark.functions.similarity import _probe_cells
+
+    cents, books_, codes = ivfpq
+    qv = [float(x)
+          for x in emb.where("vec_id = 0").first()["embedding"]]
+    probe = _probe_cells(cents, qv, 2)
+    in_probe = codes.where(F.col("__cell").isin(probe)).count()
+    assert in_probe < codes.count()  # pruning is real on this data
+
+
+def test_ivfpq_write_query_roundtrip(emb, tmp_path, ivfpq):
+    from cascalog_spark.functions import (ivfpq_query_index, ivfpq_topk,
+                                          ivfpq_write_index)
+
+    cents, books_, codes = ivfpq
+    path = str(tmp_path / "ivfpq_idx")
+    c2, b2 = ivfpq_write_index(emb, path, n_centroids=8, m=8, n_codes=8)
+    assert c2 == cents and b2 == books_
+    qv = [float(x)
+          for x in emb.where("vec_id = 7").first()["embedding"]]
+    direct = ivfpq_topk(codes, qv, cents, books_, k=5, n_probe=3)
+    via_disk = ivfpq_query_index(emb.sparkSession, path, c2, b2, qv,
+                                 k=5, n_probe=3)
+    assert [tuple(r) for r in direct.collect()] \
+        == [tuple(r) for r in via_disk.collect()]
+    # the __cell IN probe predicate must prune partitions at the scan
+    plan = via_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_ivfpq_recall_report_rows(emb):
+    from cascalog_spark.functions import ann_recall_report
+
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rep = ann_recall_report(emb, qs, k=5, lsh_planes=(), ivf_probes=(2,),
+                            n_centroids=8, ivfpq_probes=(2, 8)).collect()
+    rows = {(r["method"], r["param"]): r for r in rep}
+    assert ("ivfpq", 2) in rows and ("ivfpq", 8) in rows
+    # ivfpq candidates = ivf candidates at equal n_probe -> same scan_frac
+    assert rows[("ivfpq", 2)]["scan_frac"] \
+        == pytest.approx(rows[("ivf", 2)]["scan_frac"], abs=1e-9)
+    # more probes never reduce recall or scan
+    assert rows[("ivfpq", 8)]["recall_at_k"] \
+        >= rows[("ivfpq", 2)]["recall_at_k"]
+    assert rows[("ivfpq", 8)]["scan_frac"] \
+        > rows[("ivfpq", 2)]["scan_frac"]
+    for r in rep:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 < r["scan_frac"] <= 1.0

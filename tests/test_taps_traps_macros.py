@@ -10,7 +10,7 @@ from cascalog_spark import c, execute, gen_var, q
 from cascalog_spark.sources import (CascalogTap, CsvTap, MemoryTap,
                                     ParquetTap, TextLineTap, hfs_tap)
 from cascalog_spark.testing import assert_produces
-from cascalog_spark.ops import deffilterfn, defmapfn
+from cascalog_spark.ops import column_filter, deffilterfn, defmapfn
 
 AGE = [("alice", 28), ("bob", 33), ("chris", 40), ("david", 25)]
 
@@ -312,7 +312,7 @@ def test_combinators_compose_python_ops(spark):
     """c/negate, c/all, c/partial, c/juxt over PYTHON-fn ops — the reference
     composes arbitrary ops (ops.clj:14-150), not just expression ops."""
     from cascalog_spark.builtin import partial as c_partial
-    from cascalog_spark.ops import deffilterfn, defmapfn
+    from cascalog_spark.ops import column_filter, deffilterfn, defmapfn
 
     @deffilterfn
     def is_small(v):
@@ -334,9 +334,15 @@ def test_combinators_compose_python_ops(spark):
     assert sorted(q(["?d"], ([(3,), (4,)], "?x"),
                     (c_partial(dbl, 10), "?x", ":>", "?d")
                     ).run(spark)) == [(30,), (40,)]
-    # mixing JVM-expression and Python ops is rejected with a clear error
+    # builtins now carry Python mirrors, so c.odd composes with a Python
+    # op on the py path (falls out of the dual-platform work)
+    assert sorted(q(["?x"], ([(1,), (2,), (5,)], "?x"),
+                    (c.all_filters(is_small, c.odd), "?x")
+                    ).run(spark)) == [(1,)]
+    # a genuinely Column-ONLY op still cannot compose with a Python op
+    col_only = column_filter("col_only", lambda a: a > 0)
     with pytest.raises(ValueError, match="cannot combine"):
-        c.all_filters(is_small, c.odd)
+        c.all_filters(is_small, col_only)
 
 
 def test_expr_op_sql_template(spark):
