@@ -67,7 +67,8 @@ from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    token_count, tokenize)
 from .graph import graph_report, pagerank, release_pagerank_cache
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
-from .pq import (ivfpq_index, ivfpq_query_index, ivfpq_topk,
+from .pq import (ivfpq_append_index, ivfpq_index,
+                 ivfpq_query_index, ivfpq_topk,
                  ivfpq_write_index, pq_adc_topk, pq_codebooks,
                  pq_decode_col, pq_encode, pq_encode_col, pq_knn_join,
                  pq_reconstruction_report)

@@ -558,7 +558,8 @@ def ivfpq_write_index(df: DataFrame, path: str, id_col: str = "vec_id",
                       vec_col: str = "embedding", n_centroids: int = 16,
                       m: int = 8, n_codes: int = 16,
                       mode: str = "overwrite",
-                      centroids=None, kmeans_iters: int = 0
+                      centroids=None, kmeans_iters: int = 0,
+                      codebooks: Codebooks | None = None
                       ) -> tuple[list, list]:
     """Materialize the IVF-PQ index: ``(id, codes)`` parquet partitioned
     by ``__cell`` — a probe reads n_probe/n_centroids of the FILES and
@@ -566,9 +567,30 @@ def ivfpq_write_index(df: DataFrame, path: str, id_col: str = "vec_id",
     layout).  Returns ``(centroids, codebooks)`` — persist both beside
     the index; together they are the O(k·dim + n_codes·dim) model."""
     cents, books, codes = ivfpq_index(df, id_col, vec_col, n_centroids,
-                                      m, n_codes, centroids, kmeans_iters)
+                                      m, n_codes, centroids, kmeans_iters,
+                                      codebooks=codebooks)
     codes.write.partitionBy("__cell").mode(mode).parquet(path)
     return cents, books
+
+
+def ivfpq_append_index(df: DataFrame, path: str,
+                       centroids: list[tuple[int, list[float]]],
+                       codebooks: Codebooks, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Continuous-ingest IVF-PQ: assign + residual-encode a NEW batch
+    against the EXISTING model (centroids + codebooks — the pair
+    ``ivfpq_write_index`` returned) and append partition-wise into the
+    index layout.  Existing cells' files are never read or rewritten;
+    ingest cost is one map over the batch + a partitioned append,
+    independent of corpus size.  The model MUST be the one the index
+    was built with (re-fitting would silently strand old rows in stale
+    cells / stale code space) — same contract as ``ivf_append_index``."""
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    _, _, codes = ivfpq_index(df, id_col=id_col, vec_col=vec_col,
+                              n_centroids=len(cents), centroids=cents,
+                              codebooks=codebooks,
+                              m=len(codebooks), n_codes=len(codebooks[0]))
+    codes.write.partitionBy("__cell").mode("append").parquet(path)
 
 
 def ivfpq_topk(index: DataFrame, query_vec: list[float],

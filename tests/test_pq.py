@@ -407,3 +407,31 @@ def test_ivfpq_recall_report_rows(emb):
     for r in rep:
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert 0.0 < r["scan_frac"] <= 1.0
+
+
+def test_ivfpq_append_index(emb, tmp_path, ivfpq):
+    """Appending a batch with the ORIGINAL model: old cells' rows are
+    untouched, new rows land in their cells, queries see both."""
+    from cascalog_spark.functions import (ivfpq_append_index,
+                                          ivfpq_query_index,
+                                          ivfpq_write_index)
+
+    cents, books_, _ = ivfpq
+    path = str(tmp_path / "ivfpq_grow")
+    base = emb.where(F.col("vec_id") < 400)
+    batch = emb.where(F.col("vec_id") >= 400)
+    ivfpq_write_index(base, path, n_centroids=8, m=8, n_codes=8,
+                      centroids=cents, codebooks=books_)
+    ivfpq_append_index(batch, path, cents, books_)
+    spark = emb.sparkSession
+    total = spark.read.parquet(path).count()
+    assert total == emb.where(F.col("embedding").isNotNull()).count()
+    # a query over the grown index equals one over a from-scratch index
+    full_path = str(tmp_path / "ivfpq_full")
+    ivfpq_write_index(emb, full_path, n_centroids=8, m=8, n_codes=8,
+                      centroids=cents, codebooks=books_)
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    a = ivfpq_query_index(spark, path, cents, books_, qv, k=7, n_probe=3)
+    b = ivfpq_query_index(spark, full_path, cents, books_, qv, k=7,
+                          n_probe=3)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
