@@ -167,9 +167,19 @@ class LocalExecutor:
                     "can't use an empty collection as a generator")
             return None, [tuple(r) if isinstance(r, (tuple, list)) else (r,)
                           for r in source]
-        if hasattr(source, "rows") and hasattr(source, "fields"):
+        if hasattr(source, "rows") and hasattr(source, "fields") \
+                and source.rows is not None:
             # MemoryTap
             return list(source.fields), [tuple(r) for r in source.rows]
+        if hasattr(source, "source") and hasattr(source, "sink"):
+            # CascalogTap: read side of the pair
+            return self._source_rows(source.source)
+        if hasattr(source, "load_rows"):
+            # file taps: the Spark-free reader (pyarrow/pandas)
+            try:
+                return source.load_rows()
+            except TypeError as e:
+                raise LocalPlatformUnsupported(str(e)) from e
         if hasattr(source, "__cascalog_generator__"):
             if hasattr(source, "gens"):  # _MergedGen (combine/union)
                 fields, rows = self._source_rows(source.gens[0])

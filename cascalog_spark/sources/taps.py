@@ -55,6 +55,74 @@ class Tap:
             df = df.select(*self.fields)
         return df
 
+    def load_rows(self) -> tuple[list, list]:
+        """``(field names, row tuples)`` WITHOUT Spark — the in-memory
+        platform's tap reader (exec_local): pyarrow for parquet/orc,
+        pandas for csv/json, plain file reads for text.  Globs and
+        Spark-written part-file directories both resolve.  Values come
+        back as Python natives with ``None`` for SQL NULLs."""
+        import glob as _glob
+        import os as _os
+
+        def _files(suffix: str) -> list[str]:
+            if _os.path.isdir(self.path):
+                out = sorted(
+                    _glob.glob(_os.path.join(self.path, f"*{suffix}"))
+                    or _glob.glob(_os.path.join(self.path, "part-*")))
+            else:
+                out = sorted(_glob.glob(self.path)) or [self.path]
+            if not out:
+                raise FileNotFoundError(
+                    f"{type(self).__name__}: nothing at {self.path}")
+            return out
+
+        if self.fmt in ("parquet", "orc"):
+            import pyarrow.dataset as ds
+
+            table = ds.dataset(self.path, format=self.fmt).to_table()
+            names = table.column_names
+            if self.fields:
+                names = list(self.fields)
+                table = table.select(names)
+            return names, [tuple(r[c] for c in names)
+                           for r in table.to_pylist()]
+        if self.fmt == "csv":
+            import pandas as pd
+
+            frames = [pd.read_csv(
+                f, sep=self.read_options.get("sep", ","),
+                header=0 if self.read_options.get("header") == "true"
+                else None,
+                quotechar=self.read_options.get("quote", '"'))
+                for f in _files(".csv")]
+            pdf = pd.concat(frames, ignore_index=True)
+            if self.fields:
+                pdf = pdf[list(self.fields)]
+            pdf = pdf.astype(object).where(pdf.notnull(), None)
+            return ([str(c) for c in pdf.columns],
+                    [tuple(r) for r in pdf.itertuples(index=False,
+                                                      name=None)])
+        if self.fmt == "text":
+            rows = []
+            for f in _files(".txt"):
+                with open(f, encoding="utf-8") as fh:
+                    rows.extend((line.rstrip("\n"),) for line in fh)
+            return ["value"], rows
+        if self.fmt == "json":
+            import pandas as pd
+
+            frames = [pd.read_json(f, lines=True)
+                      for f in _files(".json")]
+            pdf = pd.concat(frames, ignore_index=True)
+            if self.fields:
+                pdf = pdf[list(self.fields)]
+            pdf = pdf.astype(object).where(pdf.notnull(), None)
+            return ([str(c) for c in pdf.columns],
+                    [tuple(r) for r in pdf.itertuples(index=False,
+                                                      name=None)])
+        raise TypeError(f"{type(self).__name__} ({self.fmt}) has no "
+                        "Spark-free reader; run on the Spark platform")
+
     def save_df(self, df: DataFrame) -> None:
         if self.sinkmode == "update_partitions":
             # dynamic partition overwrite: replace ONLY the partitions

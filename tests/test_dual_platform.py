@@ -192,3 +192,41 @@ def test_mod_and_round_match_spark(spark):
     query = q(["?x", "?r"], (vals, "?x"),
               (c.round_to(6), "?x", ":>", "?r"))
     assert sorted(query.run(spark)) == sorted(query.run(platform="local"))
+
+
+def test_local_parquet_tap_no_jvm(sf_dir):
+    """File taps read through pyarrow on the local platform — no Spark."""
+    from cascalog_spark.sources import ParquetTap
+
+    tap = ParquetTap(path=f"{sf_dir}/region.parquet")
+    got = q(["?n"], (tap, {"r_name": "?n"})).run(platform="local")
+    assert sorted(got) == [("AFRICA",), ("AMERICA",), ("ASIA",),
+                           ("EUROPE",), ("MIDDLE EAST",)]
+
+
+def test_tap_query_matches_spark(spark, sf_dir):
+    from cascalog_spark.sources import ParquetTap
+
+    tap = ParquetTap(path=f"{sf_dir}/nation.parquet")
+    query = q(["?rk", "?n"],
+              (tap, {"n_regionkey": "?rk", "n_name": "?nm"}),
+              (c.count, "?n"))
+    assert sorted(query.run(spark)) == sorted(query.run(platform="local"))
+
+
+def test_local_csv_and_text_taps(tmp_path):
+    from cascalog_spark.sources import CsvTap, TextLineTap
+
+    p = tmp_path / "t.csv"
+    p.write_text("a|1\nb|2\nb|3\n")
+    tap = CsvTap(path=str(p), delimiter="|", header=False)
+    names, rows = tap.load_rows()
+    assert len(rows) == 3 and rows[0][0] == "a"
+
+    t = tmp_path / "lines.txt"
+    t.write_text("hello world\nfoo\n")
+    tap2 = TextLineTap(path=str(t))
+    got = q(["?w", "?n"], (tap2, "?line"),
+            (c.split(), "?line", ":>", "?w"),
+            (c.count, "?n")).run(platform="local")
+    assert sorted(got) == [("foo", 1), ("hello", 1), ("world", 1)]
