@@ -27,6 +27,7 @@ if [[ "${1:-}" != "--quick" ]]; then
   python tools/scaling_smoke_profile.py
   python tools/scaling_smoke_ann.py
   python tools/scaling_smoke_graph.py
+  python tools/scaling_smoke_ivfpq.py
   echo "== 5/5 examples =="
   python tools/run_examples.py
 fi
