@@ -3558,6 +3558,76 @@ def embedding_stream_semantic_ingest(spark, sf_dir):
 # contract surface
 
 
+def events_funnel(spark, sf_dir):
+    """Per-user funnel progression (functions/behavior.py
+    funnel_stages): signup → click → purchase, each stage the earliest
+    matching event STRICTLY after the previous stage's reach time, later
+    stages within a 1-day horizon of signup — the sorted-buffer idiom of
+    the reference (defbufferfn + :sort, api_test.clj) as k chained
+    window minimums over ONE user_id exchange."""
+    from cascalog_spark.functions import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, "ts", "user_id", "event_type",
+                         ["signup", "click", "purchase"],
+                         horizon=86400.0)
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (behavior.py retention_cohorts): cohort
+    = day of each user's first event, a user is retained at offset j
+    when active on cohort+j — one analytic window + one distinct-count
+    aggregate, the standard engagement matrix at any scale."""
+    from cascalog_spark.functions import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "ts", "user_id", period="day")
+
+
+def events_transition_matrix(spark, sf_dir):
+    """First-order event-type transition matrix (behavior.py
+    transition_matrix): consecutive (type → next type) counts per user
+    in (ts, event_id) order with per-source probabilities — the
+    Markov-chain view of the event stream; one lead window + one
+    |types|²-key aggregate."""
+    from cascalog_spark.functions import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "ts", "user_id", "event_type",
+                             tie_cols=["event_id"])
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (text.py ngram_novelty): the
+    fraction of a doc's distinct shingles whose first corpus appearance
+    (min doc_id) is this doc — the pre-dedup selection signal (novelty
+    0 = entirely already-seen phrasing).  Shingle-keyed groupBy + join
+    reusing the same shuffle key; no all-pairs work."""
+    from cascalog_spark.functions import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", k=3)
+
+
+def embedding_ivfpq_knn(spark, sf_dir):
+    """Corpus-scale batch retrieval over the IVF-PQ index (pq.py
+    ivfpq_knn_join): 4 query rows get their probe cells, ip(q,centroid)
+    scalars and residual-ip LUT query-side (one array build per query),
+    then the cell equi-join against the ~32x-compressed codes is scored
+    by pure ADC lookups (2m element_at per candidate) — the
+    billion-scale serve path: neither side broadcast, shuffle = codes
+    once + queries n_probe times."""
+    from cascalog_spark.functions import ivfpq_index, ivfpq_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = _ivfpq_model(spark, sf_dir)
+    _, _, codes = ivfpq_index(emb, n_centroids=16, m=8, n_codes=16,
+                              centroids=cents, codebooks=books)
+    qs = (emb.where(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivfpq_knn_join(codes, qs, cents, books, k=5, n_probe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return revenue_per_nation(spark, "/root/testdata/sf0.001")
@@ -3573,6 +3643,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-universe renormalization, near_dedup central persist).  The
 # long-green tier follows in _all_queries() order.
 _R7_HEAD = [
+    # session-2 additions: behavioral-analytics family + the IVF-PQ
+    # batch join + novelty scoring — never driver-checked, lead the head
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "doc_ngram_novelty",
+    "embedding_ivfpq_knn",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -3825,6 +3902,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embedding_stream_semantic_ingest,
         "doc_containment_pairs": doc_containment_pairs,
         "doc_containment_dedup": doc_containment_dedup,
+        "events_funnel": events_funnel,
+        "events_retention_cohorts": events_retention_cohorts,
+        "events_transition_matrix": events_transition_matrix,
+        "doc_ngram_novelty": doc_ngram_novelty,
+        "embedding_ivfpq_knn": embedding_ivfpq_knn,
     }
 
 
@@ -6271,6 +6353,57 @@ def oracle_sql() -> dict[str, str]:
                             * (SELECT qn FROM qnv)), 6) AS score
             FROM sc
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        # IVF-PQ batch join: the same index CTEs, now with a query SET —
+        # per-query probe ranks / qcip scalars / residual-ip LUT, ADC
+        # lookups on the cell join, row_number top-5 per query
+        "embedding_ivfpq_knn": f"""
+            WITH {_ivfpq_sql_ctes()},
+            qv AS (SELECT vec_id AS qid, v AS q,
+                          sqrt({_chain64('v[{i}] * v[{i}]')}) AS qn
+                   FROM e WHERE vec_id < 4),
+            probe AS (SELECT * FROM (
+                        SELECT qv.qid, uc.crank, uc.cid,
+                               ({_chain64('qv.q[{i}] * uc.cv[{i}]')})
+                               AS qcip,
+                               row_number() OVER (PARTITION BY qv.qid
+                                 ORDER BY
+                                   ({_chain64('qv.q[{i}] * uc.u[{i}]')})
+                                   DESC, uc.cid ASC) AS prn
+                        FROM qv CROSS JOIN uc)
+                      WHERE prn <= 4),
+            lutq AS (SELECT qv.qid, sub.s, rseeds.j, {_IVFPQ_RLUT} AS val
+                     FROM rseeds, sub,
+                          (SELECT qid, q FROM qv) AS qv),
+            n2t AS (SELECT cents.crank, sub.s, rseeds.j AS j,
+                           {_IVFPQ_N2} AS val
+                    FROM (SELECT crank, cv FROM cents) AS cents,
+                         rseeds, sub),
+            cand AS (SELECT probe.qid, a.vec_id, a.crank, probe.qcip
+                     FROM assigned a JOIN probe ON probe.cid = a.cell),
+            sc AS (SELECT cand.qid, cand.vec_id, max(cand.qcip) AS qcip,
+                          list(lutq.val ORDER BY code.s) AS lsv,
+                          list(n2t.val ORDER BY code.s) AS nsv
+                   FROM cand
+                   JOIN code ON code.vec_id = cand.vec_id
+                   JOIN lutq ON lutq.qid = cand.qid
+                            AND lutq.s = code.s AND lutq.j = code.j
+                   JOIN n2t ON n2t.crank = cand.crank
+                           AND n2t.s = code.s AND n2t.j = code.j
+                   GROUP BY cand.qid, cand.vec_id),
+            scored AS (SELECT sc.qid, sc.vec_id,
+                              round((qcip + lsv[1] + lsv[2] + lsv[3]
+                                     + lsv[4] + lsv[5] + lsv[6]
+                                     + lsv[7] + lsv[8])
+                                    / (sqrt(nsv[1] + nsv[2] + nsv[3]
+                                            + nsv[4] + nsv[5] + nsv[6]
+                                            + nsv[7] + nsv[8])
+                                       * qv.qn), 6) AS score
+                       FROM sc JOIN qv ON qv.qid = sc.qid)
+            SELECT qid AS query_id, vec_id, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, vec_id ASC) AS rn
+              FROM scored WHERE score IS NOT NULL)
+            WHERE rn <= 5""",
         "embedding_ivfpq_recall": f"""
             WITH {_ivfpq_sql_ctes()},
             q8 AS (SELECT vec_id AS qid, v AS q FROM e
@@ -6926,4 +7059,70 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS rq_cents
             FROM lineitem""",
+        # funnel: chained window minimums over the same user partition —
+        # stage i = earliest matching event strictly after stage i-1,
+        # later stages within 86400s of signup (identical double math:
+        # epoch_us/1e6 on both engines)
+        "events_funnel": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events
+                       WHERE event_type IN
+                             ('signup', 'click', 'purchase')),
+            w0 AS (SELECT *, min(CASE WHEN event_type = 'signup'
+                                      THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_signup
+                   FROM e),
+            w1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                  AND ts > ts_signup
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_click
+                   FROM w0),
+            w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                  AND ts > ts_click
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_purchase
+                   FROM w1)
+            SELECT DISTINCT user_id, ts_signup, ts_click, ts_purchase,
+                   (CASE WHEN ts_signup IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0
+                      END) AS stage_reached
+            FROM w2""",
+        "events_retention_cohorts": """
+            WITH f AS (SELECT user_id, ts,
+                              min(ts) OVER (PARTITION BY user_id) AS fts
+                       FROM events)
+            SELECT date_trunc('day', fts) AS cohort,
+                   CAST(date_diff('day', date_trunc('day', fts),
+                                  date_trunc('day', ts)) AS INT)
+                   AS period_offset,
+                   count(DISTINCT user_id) AS n_active
+            FROM f GROUP BY 1, 2""",
+        "events_transition_matrix": """
+            WITH p AS (SELECT event_type AS from_type,
+                              lead(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+                       FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n FROM p
+                  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   round(n / (sum(n) OVER (PARTITION BY from_type)), 6)
+                   AS p
+            FROM c""",
+        "doc_ngram_novelty": f"""
+            WITH p AS (SELECT DISTINCT doc_id,
+                              unnest({_shingle_sql(3)}) AS s
+                       FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT s, min(doc_id) AS first_id FROM p GROUP BY s)
+            SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0
+                             END) / count(*), 6) AS novelty
+            FROM p JOIN f USING (s)
+            GROUP BY doc_id""",
     }

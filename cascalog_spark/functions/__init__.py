@@ -53,9 +53,11 @@ from .similarity import (ann_recall_report, assign_cells_vectorized,
                          ivf_centroids, ivf_query_index, ivf_write_index,
                          lsh_ann_topk, quantization_stats,
                          quantize_embeddings, release_cosine_cache)
+from .behavior import (funnel_report, funnel_stages, retention_cohorts,
+                       transition_matrix)
 from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    kn_bigram_nll,
-                   normalize_unicode,
+                   ngram_novelty, normalize_unicode,
                    chunk_text, clean_text, release_tfidf_cache,
                    shingle_fingerprint,
                    doc_fingerprint, filter_by_domain, fit_linear_classifier,
@@ -67,7 +69,7 @@ from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    token_count, tokenize)
 from .graph import graph_report, pagerank, release_pagerank_cache
 from .linalg import (gram_matrix_df, moments, pca_fit, pca_project)
-from .pq import (ivfpq_append_index, ivfpq_index,
+from .pq import (ivfpq_append_index, ivfpq_index, ivfpq_knn_join,
                  ivfpq_query_index, ivfpq_topk,
                  ivfpq_write_index, pq_adc_topk, pq_codebooks,
                  pq_decode_col, pq_encode, pq_encode_col, pq_knn_join,

@@ -1,0 +1,191 @@
+"""Behavioral event-sequence analytics: funnel conversion, cohort
+retention, and event-transition statistics.
+
+The reference expresses these as sorted-buffer queries — a defbufferfn
+over per-user ``(?time ?action)`` tuples with ``:sort`` (cascalog-core
+src/clj/cascalog/logic/def.clj buffer ops; the sessionization /
+lag-style tests in api_test.clj) — which materializes every user's
+history in one reducer.  Here each is a pure Window/groupBy rewrite:
+
+- ``funnel_stages``: k chained ``min(CASE …) OVER (PARTITION BY user)``
+  passes over the SAME partitioning — Catalyst plans one Exchange and
+  k streaming Window operators, so a million-event user never
+  materializes in Python memory (vs. the collect_list fold, which
+  carries the whole history per user).
+- ``retention_cohorts`` / ``transition_matrix``: one analytic window +
+  one aggregate each.
+
+100 TB shape: everything keys by ``user_col`` (high-cardinality,
+near-uniform for event data — no salt needed); funnel pre-filters to
+stage events only, so the shuffled volume is the funnel-relevant slice,
+not the full stream.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_stages", "funnel_report", "retention_cohorts",
+           "transition_matrix"]
+
+
+def _seconds(col: Column, dtype: str) -> Column:
+    if dtype.startswith("timestamp"):
+        # NTZ cast is a no-op for plain timestamps and makes unix_micros
+        # legal for timestamp_ntz columns
+        return F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000.0)
+    return col.cast("double")
+
+
+def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
+                  stage_col: str, stages: list[str],
+                  horizon: float | None = None) -> DataFrame:
+    """Per-user funnel progression through the ordered ``stages``:
+    stage i is reached at the EARLIEST event of type ``stages[i]``
+    that is STRICTLY LATER than the time stage i-1 was reached
+    (stage 0 is the user's earliest ``stages[0]`` event); with
+    ``horizon``, stages beyond the first must also fall within
+    ``horizon`` seconds of the stage-0 time (the "converted within N
+    days" business definition).
+
+    Output: one row per user having at least one funnel-stage event —
+    ``(user_col, ts_<stage>… , stage_reached)`` where ``ts_<stage>`` is
+    the reach timestamp (NULL once the chain breaks) and
+    ``stage_reached`` counts completed stages (0..k).
+
+    The strict ``>`` chaining makes each reach time a closed-form
+    chained minimum — ``t_i = min(ts | stage=s_i ∧ ts > t_{i-1})`` —
+    so a SQL oracle reproduces it with k nested aggregates, and the
+    result is independent of any tie-break among equal timestamps.
+
+    Scale: pre-filter to stage events, ONE shuffle on ``user_col``,
+    k unordered-frame window minimums over that single partitioning
+    (no sort, no per-user buffer), then a duplicate-drop that reuses
+    the partitioning.  Reference shape: the sorted-buffer fold this
+    replaces is api_test.clj's defbufferfn-with-:sort idiom.
+    """
+    if not stages:
+        raise ValueError("funnel_stages: stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel_stages: stages must be distinct")
+    dt = dict(df.dtypes)[ts_col]
+    ev = df.where(F.col(stage_col).isin(list(stages)))
+    w = Window.partitionBy(user_col)
+    num = _seconds(F.col(ts_col), dt)
+    out = ev
+    prev: Column | None = None
+    first_num: Column | None = None
+    cols = []
+    for i, s in enumerate(stages):
+        name = f"ts_{s}"
+        cond = F.col(stage_col) == F.lit(s)
+        if i > 0:
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+            if horizon is not None:
+                cond = cond & (num - first_num <= F.lit(float(horizon)))
+        out = out.withColumn(name,
+                             F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(name)
+        if i == 0:
+            first_num = _seconds(prev, dt)
+        cols.append(name)
+    reached = reduce(lambda a, b: a + b,
+                     [F.col(c).isNotNull().cast("int") for c in cols])
+    return (out.select(user_col, *cols)
+            .withColumn("stage_reached", reached)
+            .dropDuplicates([user_col]))
+
+
+def funnel_report(df: DataFrame, ts_col: str, user_col: str,
+                  stage_col: str, stages: list[str],
+                  horizon: float | None = None) -> DataFrame:
+    """Stage-level funnel summary over ``funnel_stages``: one row per
+    stage with the distinct-user reach count, conversion from the
+    previous stage, and conversion from stage 0 (both ratios rounded
+    to 6, NULL when the denominator is 0).  The k per-stage counts
+    collapse into ONE aggregate row (k conditional counts), then
+    explode into the report — no second pass over users."""
+    per_user = funnel_stages(df, ts_col, user_col, stage_col, stages,
+                             horizon=horizon)
+    agg = per_user.agg(*[
+        F.count(F.col(f"ts_{s}")).alias(f"__n{i}")
+        for i, s in enumerate(stages)])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
+                 F.col(f"__n{i}").alias("n_users"),
+                 F.round(F.try_divide(
+                     F.col(f"__n{i}"),
+                     F.col(f"__n{max(i - 1, 0)}")), 6)
+                 .alias("conv_from_prev"),
+                 F.round(F.try_divide(F.col(f"__n{i}"), F.col("__n0")), 6)
+                 .alias("conv_from_first"))
+        for i, s in enumerate(stages)])
+    return (agg.select(F.explode(rows).alias("r"))
+            .select("r.stage_idx", "r.stage", "r.n_users",
+                    "r.conv_from_prev", "r.conv_from_first"))
+
+
+def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
+                      period: str = "week") -> DataFrame:
+    """Cohort retention: cohort = the ``period`` (``'day'``/``'week'``/
+    ``'month'``, ``date_trunc`` semantics — weeks start Monday) of each
+    user's FIRST event; a user is retained at offset j when they have
+    any event in the cohort period + j.  Output: ``(cohort,
+    period_offset, n_active)`` with distinct-user counts — the classic
+    triangle matrix, one row per non-empty (cohort, offset) cell.
+
+    Scale: one window min on ``user_col`` (analytic, no row reduction),
+    one distinct-count aggregate keyed by (cohort, offset) — two
+    shuffles total; no per-user state beyond the window frame."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"retention_cohorts: period must be day/week/"
+                         f"month, got {period!r}")
+    w = Window.partitionBy(user_col)
+    first_ts = F.min(F.col(ts_col)).over(w)
+    cohort = F.date_trunc(period, first_ts)
+    bucket = F.date_trunc(period, F.col(ts_col))
+    if period == "day":
+        off = F.datediff(bucket, cohort)
+    elif period == "week":
+        off = (F.datediff(bucket, cohort) / F.lit(7)).cast("int")
+    else:
+        off = F.months_between(bucket, cohort).cast("int")
+    return (df.select(F.col(user_col).alias("__u"),
+                      cohort.alias("cohort"),
+                      off.cast("int").alias("period_offset"))
+            .groupBy("cohort", "period_offset")
+            .agg(F.count_distinct(F.col("__u")).alias("n_active"))
+            .select("cohort", "period_offset", "n_active"))
+
+
+def transition_matrix(df: DataFrame, ts_col: str, user_col: str,
+                      type_col: str, tie_cols: list[str] | None = None,
+                      normalize: bool = True) -> DataFrame:
+    """First-order transition statistics over each user's event
+    sequence: count consecutive ``(type → next_type)`` pairs in
+    ``(ts_col, *tie_cols)`` order, optionally with the per-source
+    transition probability (rounded to 6) — the Markov-chain view of
+    user behavior (next-action prediction, anomaly baselines).
+
+    ``tie_cols`` must make the per-user order TOTAL (pass the event id;
+    without it, equal timestamps would make ``lead`` nondeterministic).
+
+    Scale: one shuffle on ``user_col`` + an ordered window ``lead``,
+    then an aggregate on the (|types|²)-sized key space; the probability
+    window runs over that tiny aggregate, not the data."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc()
+                                     for c in (tie_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (df.withColumn("__next", F.lead(F.col(type_col)).over(w))
+             .where(F.col("__next").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("__next").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    if not normalize:
+        return pairs
+    tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 6))

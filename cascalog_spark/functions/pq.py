@@ -716,3 +716,106 @@ def _resid_ip_lut_expr(qvec_name: str, codebooks: Codebooks) -> Column:
                 f"({repr(float(code[d]))}D)" for d in range(dsub))
             terms.append(f"({chain})")
     return F.expr("array(" + ",".join(terms) + ")")
+
+
+def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
+                   centroids: list[tuple[int, list[float]]],
+                   codebooks: Codebooks, k: int = 10, n_probe: int = 4,
+                   id_col: str = "vec_id", codes_col: str = "codes",
+                   cell_col: str = "__cell",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "embedding",
+                   n_salt: int = 32) -> DataFrame:
+    """Corpus-scale batch retrieval over the IVF-PQ index: top-k ADC
+    neighbors for EACH query row, both sides distributed — the
+    compressed-index counterpart of ``similarity.ivf_knn_join`` (which
+    rescores raw vectors) and the batch counterpart of ``ivfpq_topk``
+    (which takes one driver-side query).  This is the layout/path pair
+    a billion-vector corpus actually serves: codes are ~32x smaller
+    than vectors, and a query touches ``n_probe/n_centroids`` of them.
+
+    Per QUERY row (before any join): its ``n_probe`` nearest cells
+    (cosine against unit centroids, id tie-break — same rule as
+    ``_probe_cells``), the exact ``ip(q, centroid)`` scalar per probed
+    cell, and the m·n_codes residual-ip lookup table
+    (``_resid_ip_lut_expr`` — one array build per query, NOT per
+    candidate).  Per CANDIDATE pair after the cell equi-join: 2m
+    ``element_at`` lookups — numerator ``qcip + Σ lut[codes[s]]``,
+    denominator from the global ``||centroid_sub + code||²`` literal
+    (O(cells·m·n_codes) driver floats) — no decompression, no
+    per-pair dot products.  Top-k by the same salted two-stage window
+    as ``knn_join``; shuffle volume: index codes once (by cell),
+    query rows n_probe times.
+
+    Deterministic end-to-end (argmax/argmin/topk all tie-break on
+    ids; score chains left-associative) → SQL-oracle-checkable.
+    Zero-norm queries and NULL codes drop per the family contract."""
+    from .similarity import _lit_arr, dot_col, norm_col
+    from .util import explode_fast
+
+    m, n_codes, dsub = _pq_dims(codebooks)
+    if k <= 0:
+        return (queries.select(
+            F.col(query_id_col),
+            F.lit(None).cast("long").alias(id_col),
+            F.lit(0.0).alias("score")).limit(0))
+    ordered = sorted(
+        (int(c), [float(x) for x in v]) for c, v in centroids)
+    block = m * n_codes
+    n2_lut = _lit_arr(_norm2_lut_ivfpq(ordered, codebooks))
+
+    def _unit(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    qs = (queries.where(F.col(query_vec_col).isNotNull())
+          .select(F.col(query_id_col).alias("__qid"),
+                  qv.alias("__qv"), norm_col(qv).alias("__qnrm"))
+          .where(F.col("__qnrm") > 0))
+    entries = F.array(*[
+        F.struct((-dot_col(F.col("__qv"), _lit_arr(_unit(cv))))
+                 .alias("negsim"),
+                 F.lit(cid).alias("cid"),
+                 dot_col(F.col("__qv"), _lit_arr(cv)).alias("qcip"),
+                 F.lit(rank).alias("crank"))
+        for rank, (cid, cv) in enumerate(ordered)])
+    probes = F.slice(F.array_sort(entries), 1, n_probe)
+    qside = explode_fast(
+        qs.withColumn("__lut", _resid_ip_lut_expr("__qv", codebooks))
+          .select("__qid", "__qnrm", "__lut", probes.alias("__p")),
+        F.col("__p"), "__pr").select(
+            "__qid", "__qnrm", "__lut",
+            F.col("__pr.cid").alias(cell_col),
+            F.col("__pr.qcip").alias("__qcip"),
+            F.col("__pr.crank").alias("__crank"))
+
+    codes = F.col(codes_col)
+    ip_terms = [F.element_at(F.col("__lut"),
+                             F.lit(s * n_codes + 1) + codes[s])
+                for s in range(m)]
+    num = reduce(lambda a, b: a + b, [F.col("__qcip")] + ip_terms)
+    n2_terms = [F.element_at(n2_lut, (F.col("__crank") * block
+                                      + F.lit(s * n_codes + 1)
+                                      + codes[s]).cast("int"))
+                for s in range(m)]
+    den = F.sqrt(reduce(lambda a, b: a + b, n2_terms)) * F.col("__qnrm")
+    scored = (index.where(codes.isNotNull())
+              .join(qside, on=cell_col)
+              .select(F.col("__qid"), F.col(id_col),
+                      F.round(F.try_divide(num, den), 6).alias("score"))
+              .where(F.col("score").isNotNull()))
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    w1 = (Window.partitionBy("__qid", salt)
+          .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    w2 = (Window.partitionBy("__qid")
+          .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (scored
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= k)
+            .withColumn("__rn2", F.row_number().over(w2))
+            .where(F.col("__rn2") <= k)
+            .select(F.col("__qid").alias(query_id_col), F.col(id_col),
+                    "score"))

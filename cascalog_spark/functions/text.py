@@ -856,3 +856,43 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
         return s.str.normalize(form)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  out_col: str = "novelty") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT k-token shingles whose FIRST corpus appearance (minimum
+    ``id_col`` — ingestion order when ids are monotone) is this
+    document.  The streaming-data view of near-duplication: a crawl
+    snapshot's novelty distribution tells you how much of it is new
+    text vs. re-crawl of what you already hold, per document — the
+    selection signal dedup pipelines threshold on before paying for
+    full near-dedup (a doc with novelty 0 is entirely made of already-
+    seen phrasing).
+
+    Output: ``(id_col, n_shingles, n_novel, out_col)`` — ratio rounded
+    to 6; documents whose text yields no shingles (NULL text) are
+    absent.
+
+    Scale: distinct ``(shingle, id)`` pairs → one groupBy on shingle
+    for the global first-owner (min id), the pair→owner equi-join
+    reuses that shuffle key, then one groupBy on id.  No all-pairs
+    anything; skew = the most duplicated shingle's pair count, same
+    bound as the minhash band join.  Deterministic (pure min/count
+    algebra) → SQL-oracle-checkable.
+    """
+    from .dedup import with_shingles
+
+    pairs = (with_shingles(df.where(F.col(text_col).isNotNull()),
+                           text_col, k, "__sh")
+             .select(F.col(id_col), F.explode("__sh").alias("__s"))
+             .distinct())
+    firsts = pairs.groupBy("__s").agg(F.min(id_col).alias("__first"))
+    return (pairs.join(firsts, on="__s")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col(id_col) == F.col("__first"))
+                       .cast("long")).alias("n_novel"))
+            .withColumn(out_col, F.round(F.col("n_novel")
+                                         / F.col("n_shingles"), 6)))

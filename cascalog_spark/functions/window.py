@@ -83,7 +83,7 @@ def sessionize(df: DataFrame, ts_col: str, keys: list[str],
     """
     dt = dict(df.dtypes)[ts_col]
     c = F.col(ts_col)
-    num = (F.unix_micros(c) / F.lit(1_000_000.0)
+    num = (F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
            if dt.startswith("timestamp") else c.cast("double"))
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     prev = F.lag(num).over(w)
@@ -116,7 +116,7 @@ def time_rollup(df: DataFrame, ts_col: str, keys: list[str], aggs: list,
     """
     dt = dict(df.dtypes)[ts_col]
     c = F.col(ts_col)
-    num = (F.unix_micros(c) / F.lit(1_000_000.0)
+    num = (F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
            if dt.startswith("timestamp") else c.cast("double"))
     b = (F.floor(num / F.lit(float(step))) * F.lit(int(step))).cast("long")
     agged = (df.withColumn(bucket_col, b)

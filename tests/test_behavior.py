@@ -1,0 +1,182 @@
+"""Behavioral analytics (functions/behavior.py): funnel progression,
+cohort retention, transition matrix — plus ngram_novelty (text.py).
+
+Reference shape: these are the sorted-buffer queries of api_test.clj
+(defbufferfn with :sort over per-user event tuples); the tests pin the
+window rewrites to hand-computed expectations on small fixed data.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascalog_spark.functions import (funnel_report, funnel_stages,
+                                      ngram_novelty, retention_cohorts,
+                                      transition_matrix)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def funnel_df(spark):
+    rows = [
+        # u1: clean signup -> click -> purchase
+        (1, _ts("2024-01-01T00:00:00"), "signup"),
+        (1, _ts("2024-01-01T01:00:00"), "click"),
+        (1, _ts("2024-01-01T02:00:00"), "purchase"),
+        # u2: purchase BEFORE signup must not count; no click afterwards
+        (2, _ts("2024-01-01T00:00:00"), "purchase"),
+        (2, _ts("2024-01-01T01:00:00"), "signup"),
+        # u3: click at the exact signup timestamp -> strictly-later rule
+        # rejects it; the later click counts
+        (3, _ts("2024-01-02T00:00:00"), "signup"),
+        (3, _ts("2024-01-02T00:00:00"), "click"),
+        (3, _ts("2024-01-02T05:00:00"), "click"),
+        # u4: only noise events -> filtered out entirely (no row)
+        (4, _ts("2024-01-01T00:00:00"), "view"),
+        # u5: second stage outside a 1h horizon
+        (5, _ts("2024-01-03T00:00:00"), "signup"),
+        (5, _ts("2024-01-03T02:00:00"), "click"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+STAGES = ["signup", "click", "purchase"]
+
+
+def test_funnel_stages_semantics(funnel_df):
+    out = {r["user_id"]: r for r in
+           funnel_stages(funnel_df, "ts", "user_id", "event_type",
+                         STAGES).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["stage_reached"] == 3
+    assert out[1]["ts_purchase"] == _ts("2024-01-01T02:00:00")
+    # u2: purchase-before-signup does not complete the funnel
+    assert out[2]["stage_reached"] == 1
+    assert out[2]["ts_click"] is None and out[2]["ts_purchase"] is None
+    # u3: equal-timestamp click rejected, later click accepted
+    assert out[3]["ts_click"] == _ts("2024-01-02T05:00:00")
+    assert out[3]["stage_reached"] == 2
+    assert out[5]["stage_reached"] == 2
+
+
+def test_funnel_horizon(funnel_df):
+    out = {r["user_id"]: r for r in
+           funnel_stages(funnel_df, "ts", "user_id", "event_type",
+                         STAGES, horizon=3600.0).collect()}
+    # u5's click is 2h after signup -> outside the 1h horizon
+    assert out[5]["stage_reached"] == 1
+    # u1's chain is within 2h but click at +1h / purchase at +2h:
+    # purchase exceeds the horizon measured from stage 0
+    assert out[1]["stage_reached"] == 2
+
+
+def test_funnel_report(funnel_df):
+    rep = {r["stage"]: r for r in
+           funnel_report(funnel_df, "ts", "user_id", "event_type",
+                         STAGES).collect()}
+    assert rep["signup"]["n_users"] == 4
+    assert rep["click"]["n_users"] == 3
+    assert rep["purchase"]["n_users"] == 1
+    assert rep["click"]["conv_from_prev"] == 0.75
+    assert rep["purchase"]["conv_from_first"] == 0.25
+    assert rep["signup"]["conv_from_prev"] == 1.0
+
+
+def test_funnel_validation(funnel_df):
+    with pytest.raises(ValueError):
+        funnel_stages(funnel_df, "ts", "user_id", "event_type", [])
+    with pytest.raises(ValueError):
+        funnel_stages(funnel_df, "ts", "user_id", "event_type",
+                      ["a", "a"])
+
+
+def test_funnel_single_shuffle(funnel_df):
+    plan = funnel_stages(funnel_df, "ts", "user_id", "event_type",
+                         STAGES)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # chained windows + the dedup all reuse ONE user_id exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_retention_cohorts(spark):
+    rows = [
+        # cohort Mon 2024-01-01: u1 active weeks 0 and 1, u2 week 0 only
+        (1, _ts("2024-01-02T10:00:00")),
+        (1, _ts("2024-01-10T10:00:00")),
+        (2, _ts("2024-01-03T10:00:00")),
+        # cohort Mon 2024-01-08: u3 weeks 0 and 2
+        (3, _ts("2024-01-08T00:00:00")),
+        (3, _ts("2024-01-22T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["cohort"].date().isoformat(), r["period_offset"]): r["n_active"]
+           for r in retention_cohorts(df, "ts", "user_id").collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert out[("2024-01-08", 2)] == 1
+    assert ("2024-01-08", 1) not in out
+
+    daily = {(r["cohort"].date().isoformat(), r["period_offset"]): r["n_active"]
+             for r in retention_cohorts(df, "ts", "user_id",
+                                        period="day").collect()}
+    assert daily[("2024-01-02", 0)] == 1
+    assert daily[("2024-01-02", 8)] == 1
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "ts", "user_id", period="year")
+
+
+def test_transition_matrix(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_matrix(df, "ts", "user_id",
+                                      "event_type").collect()}
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out  # c is u1's last event
+    raw = transition_matrix(df, "ts", "user_id", "event_type",
+                            normalize=False)
+    assert "p" not in raw.columns
+
+
+def test_transition_matrix_tie_cols(spark):
+    # equal timestamps: tie_cols make the order (and thus the counts)
+    # deterministic
+    rows = [(1, 5, 10, "a"), (1, 5, 11, "b"), (1, 5, 12, "c")]
+    df = spark.createDataFrame(rows,
+                               ["user_id", "ts", "event_id", "event_type"])
+    out = {(r["from_type"], r["to_type"]): r["n"]
+           for r in transition_matrix(df, "ts", "user_id", "event_type",
+                                      tie_cols=["event_id"],
+                                      normalize=False).collect()}
+    assert out == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_ngram_novelty(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),       # all shingles first here
+        (1, "the quick brown fox jumps"),       # exact dup -> novelty 0
+        (2, "the quick brown cat sleeps now"),  # partial overlap
+        (3, None),                              # NULL text -> absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "text", "doc_id", k=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert out[1]["n_shingles"] == out[0]["n_shingles"] == 3
+    # doc 2: shingles {the quick brown, quick brown cat, brown cat
+    # sleeps, cat sleeps now} — only the first is previously seen
+    assert out[2]["n_shingles"] == 4
+    assert out[2]["n_novel"] == 3
+    assert out[2]["novelty"] == 0.75

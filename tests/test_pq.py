@@ -435,3 +435,55 @@ def test_ivfpq_append_index(emb, tmp_path, ivfpq):
     b = ivfpq_query_index(spark, full_path, cents, books_, qv, k=7,
                           n_probe=3)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_ivfpq_knn_join_matches_topk(emb, ivfpq):
+    """The batch join must reproduce the single-query ADC path exactly:
+    for each query id, its top-k rows/scores == ivfpq_topk's."""
+    from cascalog_spark.functions import ivfpq_knn_join, ivfpq_topk
+
+    cents, books_, codes = ivfpq
+    qs = (emb.where(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {}
+    for r in ivfpq_knn_join(codes, qs, cents, books_, k=5,
+                            n_probe=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["score"]))
+    assert set(got) == {0, 1, 2, 3}
+    for qid in range(4):
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [(r["vec_id"], r["score"])
+                for r in ivfpq_topk(codes, qv, cents, books_, k=5,
+                                    n_probe=3).collect()]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == want
+
+
+def test_ivfpq_knn_join_edges(spark, emb, ivfpq):
+    from cascalog_spark.functions import ivfpq_knn_join
+
+    cents, books_, codes = ivfpq
+    # zero-norm and NULL query vectors drop (no-cosine contract)
+    qs = spark.createDataFrame(
+        [(100, [0.0] * 64), (101, None),],
+        "query_id long, embedding array<double>")
+    assert ivfpq_knn_join(codes, qs, cents, books_, k=5).count() == 0
+    real = (emb.where(F.col("vec_id") < 2)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    assert ivfpq_knn_join(codes, real, cents, books_, k=0).count() == 0
+
+
+def test_ivfpq_knn_join_scan_shape(emb, ivfpq):
+    """Plan shape: candidates come from a cell equi-join (no broadcast
+    of the index, no cartesian), and the per-query LUT is built on the
+    query side — the executed plan joins on the cell column."""
+    from cascalog_spark.functions import ivfpq_knn_join
+
+    cents, books_, codes = ivfpq
+    qs = (emb.where(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    plan = ivfpq_knn_join(codes, qs, cents, books_, k=5, n_probe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "__cell" in plan
