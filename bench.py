@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # probe — the billion-scale index layout, measured end-to-end)
     "doc_pagerank_weighted",
     "embedding_ivfpq_topk",
+    # round-7 session-2 entries: behavioral funnel (k chained window
+    # minimums, one user exchange); first-seen shingle novelty (shingle
+    # groupBy + key-reusing join); IVF-PQ batch retrieval (query-side
+    # LUTs + cell equi-join over compressed codes)
+    "events_funnel",
+    "doc_ngram_novelty",
+    "embedding_ivfpq_knn",
 ]
 
 

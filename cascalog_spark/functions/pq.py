@@ -33,6 +33,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
 
 from .similarity import _lit_arr, ivf_centroids
 
@@ -657,14 +658,18 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
                                       + codes[s]).cast("int"))
                 for s in range(m)]
     den = F.sqrt(reduce(lambda a, b: a + b, n2_terms)) * F.lit(qnorm)
+    # NULL codes / zero-norm reconstructions score NULL and are dropped
+    # AFTER the top-k (desc puts NULLS LAST, so they never displace a
+    # real score): filtering before it would push the predicate below
+    # the select, inlining a full copy of the scoring (and, for a lazy
+    # ivfpq_index input, the whole interpreted encode) per row
     return (index.where(F.col(cell_col).isin(probe))
-            .where(codes.isNotNull())
             .join(F.broadcast(pframe), on=cell_col)
             .select(F.col(id_col),
                     F.round(F.try_divide(num, den), 6).alias("score"))
-            .where(F.col("score").isNotNull())
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
-            .limit(k))
+            .limit(k)
+            .where(F.col("score").isNotNull()))
 
 
 def ivfpq_query_index(spark, path: str,
@@ -750,7 +755,7 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
     Deterministic end-to-end (argmax/argmin/topk all tie-break on
     ids; score chains left-associative) → SQL-oracle-checkable.
     Zero-norm queries and NULL codes drop per the family contract."""
-    from .similarity import _lit_arr, dot_col, norm_col
+    from .similarity import _lit_arr, norm_col
     from .util import explode_fast
 
     m, n_codes, dsub = _pq_dims(codebooks)
@@ -762,51 +767,113 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
     ordered = sorted(
         (int(c), [float(x) for x in v]) for c, v in centroids)
     block = m * n_codes
-    n2_lut = _lit_arr(_norm2_lut_ivfpq(ordered, codebooks))
+    # reconstruction-norm table as a BROADCAST FRAME keyed by cell (one
+    # 128-double slice per cell), not a 2048-literal expression: a
+    # literal embedded in per-candidate terms is re-analyzed per
+    # reference, and the frame rides the existing cell join for free
+    n2flat = _norm2_lut_ivfpq(ordered, codebooks)
+    spark = index.sparkSession
+    n2f = spark.createDataFrame(
+        [(cid, n2flat[r * block:(r + 1) * block])
+         for r, (cid, _) in enumerate(ordered)],
+        schema=index.select(cell_col).schema
+        .add("__n2s", ArrayType(DoubleType())))
 
     def _unit(v):
         n = sum(x * x for x in v) ** 0.5 or 1.0
         return [x / n for x in v]
 
+    # Query-side constants ride as BOUND COLUMNS (one-call literal
+    # arrays materialized once per query row), and the probe entries /
+    # residual-ip LUT are HOF loops over them — NOT unrolled expression
+    # trees.  The unrolled form (16x2 dot folds + the 1024-term LUT
+    # expr) costs ~7s of Catalyst analysis PER ACTION at any data size;
+    # this form is a ~300-node tree (measured 8.5s -> well under 1s at
+    # sf0.1).  Arithmetic is unchanged: same left-associative chains
+    # over the same doubles, so scores stay bit-identical to
+    # ``ivfpq_topk`` and the SQL oracle (pinned by the equivalence
+    # test).  The interpreted-HOF trap does not apply — the lambdas
+    # reference bound attributes, never rebuild literals per element.
+    dim = m * dsub
     qv = F.col(query_vec_col).cast("array<double>")
     qs = (queries.where(F.col(query_vec_col).isNotNull())
           .select(F.col(query_id_col).alias("__qid"),
                   qv.alias("__qv"), norm_col(qv).alias("__qnrm"))
-          .where(F.col("__qnrm") > 0))
-    entries = F.array(*[
-        F.struct((-dot_col(F.col("__qv"), _lit_arr(_unit(cv))))
-                 .alias("negsim"),
-                 F.lit(cid).alias("cid"),
-                 dot_col(F.col("__qv"), _lit_arr(cv)).alias("qcip"),
-                 F.lit(rank).alias("crank"))
-        for rank, (cid, cv) in enumerate(ordered)])
+          .where(F.col("__qnrm") > 0)
+          .withColumn("__cvf", _lit_arr([x for _, cv in ordered
+                                         for x in cv]))
+          .withColumn("__uf", _lit_arr([x for _, cv in ordered
+                                        for x in _unit(cv)]))
+          .withColumn("__cbf", _lit_arr(_pq_flat(codebooks)))
+          .withColumn("__cids", F.lit([cid for cid, _ in ordered])))
+
+    def _dot_slice(flat, r):
+        return F.aggregate(
+            F.zip_with(F.slice(flat, r * dim + 1, dim), F.col("__qv"),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(len(ordered) - 1)),
+        lambda r: F.struct(
+            (-_dot_slice(F.col("__uf"), r)).alias("negsim"),
+            F.element_at(F.col("__cids"), r + 1).alias("cid"),
+            _dot_slice(F.col("__cvf"), r).alias("qcip")))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(block - 1)),
+        lambda i: reduce(
+            lambda a, b: a + b,
+            [F.element_at(F.col("__qv"),
+                          F.floor(i / F.lit(n_codes)).cast("int")
+                          * dsub + (d + 1))
+             * F.element_at(F.col("__cbf"), i * dsub + (d + 1))
+             for d in range(dsub)]))
     probes = F.slice(F.array_sort(entries), 1, n_probe)
     qside = explode_fast(
-        qs.withColumn("__lut", _resid_ip_lut_expr("__qv", codebooks))
+        qs.withColumn("__lut", lut)
           .select("__qid", "__qnrm", "__lut", probes.alias("__p")),
         F.col("__p"), "__pr").select(
             "__qid", "__qnrm", "__lut",
             F.col("__pr.cid").alias(cell_col),
-            F.col("__pr.qcip").alias("__qcip"),
-            F.col("__pr.crank").alias("__crank"))
+            F.col("__pr.qcip").alias("__qcip"))
 
+    # Score by iterating over the CODES ARRAY (zip_with + aggregate), so
+    # the codes expression is evaluated ONCE per candidate row: when the
+    # caller passes the LAZY ivfpq_index plan (encode not yet
+    # materialized), per-subspace ``codes[s]`` references would re-run
+    # the whole interpreted encode per term — measured 16x the row cost.
+    # Fold seeds (qcip for the numerator, 0.0 for the norm chain) keep
+    # the exact left-associative chains of ``ivfpq_topk``/the oracle.
     codes = F.col(codes_col)
-    ip_terms = [F.element_at(F.col("__lut"),
-                             F.lit(s * n_codes + 1) + codes[s])
-                for s in range(m)]
-    num = reduce(lambda a, b: a + b, [F.col("__qcip")] + ip_terms)
-    n2_terms = [F.element_at(n2_lut, (F.col("__crank") * block
-                                      + F.lit(s * n_codes + 1)
-                                      + codes[s]).cast("int"))
-                for s in range(m)]
-    den = F.sqrt(reduce(lambda a, b: a + b, n2_terms)) * F.col("__qnrm")
-    scored = (index.where(codes.isNotNull())
+    seq_m = F.sequence(F.lit(0), F.lit(m - 1))
+    num = F.aggregate(
+        F.zip_with(codes, seq_m,
+                   lambda cv, s: F.element_at(F.col("__lut"),
+                                              s * n_codes + cv + 1)),
+        F.col("__qcip"), lambda a, x: a + x)
+    den = F.sqrt(F.aggregate(
+        F.zip_with(codes, seq_m,
+                   lambda cv, s: F.element_at(F.col("__n2s"),
+                                              s * n_codes + cv + 1)),
+        F.lit(0.0), lambda a, x: a + x)) * F.col("__qnrm")
+    # NO explicit codes-null filter: predicate pushdown would inline a
+    # FULL COPY of the (interpreted) encode expression into the scan
+    # filter when the caller passes the lazy ivfpq_index plan — a
+    # second whole encode per row (measured: the pushed filter carried
+    # 272 aggregate() nodes).  NULL codes propagate to a NULL score
+    # through zip_with/aggregate and drop at the score filter below,
+    # which only duplicates the cheap ADC lookups when pushed.
+    scored = (index
               .join(qside, on=cell_col)
+              .join(F.broadcast(n2f), on=cell_col)
               .select(F.col("__qid"), F.col(id_col),
-                      F.round(F.try_divide(num, den), 6).alias("score"))
-              .where(F.col("score").isNotNull()))
-    from pyspark.sql import Window
-
+                      F.round(F.try_divide(num, den), 6).alias("score")))
+    # the null-score drop (undefined cosine: NULL codes / zero-norm
+    # reconstruction) happens AFTER the top-k windows: a filter directly
+    # on the select would be pushed below it, inlining the whole scoring
+    # expression a second time per row; desc ordering puts NULLs last,
+    # so they never displace a real score and the final filter removes
+    # any that trail in under-filled groups — same result set
     salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
     w1 = (Window.partitionBy("__qid", salt)
           .orderBy(F.col("score").desc(), F.col(id_col).asc()))
@@ -817,5 +884,6 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
             .where(F.col("__rn1") <= k)
             .withColumn("__rn2", F.row_number().over(w2))
             .where(F.col("__rn2") <= k)
+            .where(F.col("score").isNotNull())
             .select(F.col("__qid").alias(query_id_col), F.col(id_col),
                     "score"))
