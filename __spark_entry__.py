@@ -3628,6 +3628,23 @@ def embedding_ivfpq_knn(spark, sf_dir):
     return ivfpq_knn_join(codes, qs, cents, books, k=5, n_probe=4)
 
 
+def doc_split_leakage_free(spark, sf_dir):
+    """Leakage-free train/val/test split (dedup.py leakage_free_split):
+    near-dup clusters (minhash-LSH pairs → star-contraction CC) are the
+    unit of assignment — the split hash runs over coalesce(cluster,
+    doc_id), so a near-verbatim twin can never land across the
+    train/test boundary.  Oracle: recursive-CTE components over the
+    same md5-minhash pairs + the same md5 interval arithmetic."""
+    from cascalog_spark.functions import (leakage_free_split,
+                                          minhash_lsh_candidates)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", num_perm=8, bands=4)
+    return leakage_free_split(docs, pairs,
+                              {"train": 8, "val": 1, "test": 1}) \
+        .select("doc_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return revenue_per_nation(spark, "/root/testdata/sf0.001")
@@ -3650,6 +3667,7 @@ _R7_HEAD = [
     "events_transition_matrix",
     "doc_ngram_novelty",
     "embedding_ivfpq_knn",
+    "doc_split_leakage_free",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -3907,6 +3925,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": events_transition_matrix,
         "doc_ngram_novelty": doc_ngram_novelty,
         "embedding_ivfpq_knn": embedding_ivfpq_knn,
+        "doc_split_leakage_free": doc_split_leakage_free,
     }
 
 
@@ -7125,4 +7144,29 @@ def oracle_sql() -> dict[str, str]:
                              END) / count(*), 6) AS novelty
             FROM p JOIN f USING (s)
             GROUP BY doc_id""",
+        # leakage-free split: recursive-CTE components over the same
+        # md5-minhash pairs; the split hash runs over
+        # coalesce(cluster, doc_id) with the same md5 arithmetic as
+        # doc_split_assign
+        "doc_split_leakage_free": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({minhash_pairs})),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT src AS node, dst AS m FROM edges
+                      UNION
+                      SELECT r.node, e.dst
+                      FROM reach r JOIN edges e ON r.m = e.src),
+            clusters AS (SELECT node, least(node, min(m)) AS cluster
+                         FROM reach GROUP BY node)
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT d.doc_id,
+                         (CAST(concat('0x', substr(md5(
+                            CAST(coalesce(c.cluster, d.doc_id)
+                                 AS VARCHAR) || '_42'), 1, 15))
+                            AS BIGINT) % 1000000) / 1000000.0 AS u
+                  FROM documents d
+                  LEFT JOIN clusters c ON c.node = d.doc_id)""",
     }

@@ -29,6 +29,7 @@ from .dedup import (containment_dedup, containment_pairs,
                     exact_substring_dedup_incremental,
                     exact_substring_index, exact_substring_spans,
                     fuzzy_dup_pairs, hamming_near_dups, kgram_anchors,
+                    leakage_free_split,
                     minhash_lsh_candidates,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,
                     semantic_dedup, semantic_dedup_incremental,

@@ -287,7 +287,8 @@ def _unit_hash(col, seed: int):
 
 
 def split_corpus(df: DataFrame, weights: dict, id_col: str = "doc_id",
-                 out_col: str = "split", seed: int = 42) -> DataFrame:
+                 out_col: str = "split", seed: int = 42,
+                 group_col: str | None = None) -> DataFrame:
     """Deterministic train/val/test assignment: one ``out_col`` label per
     row, chosen by where ``hash01(id, seed)`` falls in the cumulative
     weight intervals (weights normalized; insertion order fixes the
@@ -295,12 +296,17 @@ def split_corpus(df: DataFrame, weights: dict, id_col: str = "doc_id",
     keeps its split across reruns, retries, and engines (the property
     leakage audits depend on — ``randomSplit`` re-rolls per run).
 
+    ``group_col`` switches the hash to a GROUP key: every row sharing
+    the group value lands in the same split (the unit of assignment
+    becomes the group — see ``dedup.leakage_free_split`` for the
+    near-dup-cluster instantiation).
+
     Filter on the label (``.where("split = 'train'")``) or write
     partitioned by it."""
     if not weights:
         raise ValueError("split_corpus: weights must be non-empty")
     total = float(sum(weights.values()))
-    u = _unit_hash(F.col(id_col), seed)
+    u = _unit_hash(F.col(group_col or id_col), seed)
     acc = 0.0
     expr = None
     items = list(weights.items())

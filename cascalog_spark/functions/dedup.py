@@ -1298,3 +1298,36 @@ def dedup_quality_report(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.when(F.col("n_truth") == 0, F.lit(1.0))
                                 .otherwise(F.col("tp")
                                            / F.col("n_truth")), 6)))
+
+
+def leakage_free_split(df: DataFrame, pairs: DataFrame, weights: dict,
+                       id_col: str = "doc_id", out_col: str = "split",
+                       seed: int = 42, method: str = "star",
+                       max_iter: int = 20) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle:
+    connected components over the candidate ``pairs`` give each doc its
+    dup-cluster id, and the split hash is taken over
+    ``coalesce(cluster, id)`` — so a whole near-dup cluster lands in ONE
+    split and singletons hash on their own id.  This is the split you
+    actually want before held-out evaluation: with a per-doc hash split
+    (``corpus.split_corpus``), ~dup_rate of the test set has a
+    near-verbatim twin in train and the eval leaks.
+
+    Deterministic end-to-end (min-id cluster labels + the md5 interval
+    hash), so assignments survive reruns, retries, and engines.
+
+    Scale: the CC pass is the O(log n)-round star contraction over the
+    pair table (duplicate-fraction-sized, NOT corpus-sized); the only
+    corpus-wide work is one left join against the cluster labels and a
+    map-side hash.  Weights follow ``split_corpus`` semantics."""
+    from .corpus import split_corpus
+
+    clusters = dedup_clusters(pairs, max_iter=max_iter, method=method)
+    labeled = (df.join(clusters.select(F.col("node").alias(id_col),
+                                       F.col("cluster").alias("__cl")),
+                       on=id_col, how="left")
+               .withColumn("__grp", F.coalesce(F.col("__cl"),
+                                               F.col(id_col))))
+    return (split_corpus(labeled, weights, id_col=id_col,
+                         out_col=out_col, seed=seed, group_col="__grp")
+            .drop("__cl", "__grp"))

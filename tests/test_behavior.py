@@ -180,3 +180,32 @@ def test_ngram_novelty(spark):
     assert out[2]["n_shingles"] == 4
     assert out[2]["n_novel"] == 3
     assert out[2]["novelty"] == 0.75
+
+
+def test_leakage_free_split(spark):
+    from cascalog_spark.functions import leakage_free_split
+    from cascalog_spark.functions.corpus import split_corpus
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(200)],
+                                 ["doc_id", "text"])
+    # two clusters (0-3 chained, 10-11) + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    w = {"train": 8, "val": 1, "test": 1}
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_free_split(docs, pairs, w).collect()}
+    assert len(out) == 200
+    # leakage property: every cluster member shares one split
+    assert len({out[i] for i in (0, 1, 2, 3)}) == 1
+    assert out[10] == out[11]
+    # singletons match the plain per-doc hash split (group = own id)
+    plain = {r["doc_id"]: r["split"]
+             for r in split_corpus(docs, w).collect()}
+    for i in range(12, 200):
+        assert out[i] == plain[i]
+    # cluster members take the REPRESENTATIVE's hash (min id)
+    assert out[0] == plain[0] and out[10] == plain[10]
+    # deterministic across reruns
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_free_split(docs, pairs, w).collect()}
+    assert out == again
