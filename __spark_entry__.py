@@ -3645,6 +3645,23 @@ def doc_split_leakage_free(spark, sf_dir):
         .select("doc_id", "split")
 
 
+def doc_novelty_incremental(spark, sf_dir):
+    """Continuous-ingest novelty (text.py ngram_novelty_incremental):
+    the doc_id % 4 == 0 slice scores as a NEW batch against the
+    standing shingle index built from the rest of the corpus — novel =
+    absent from the index AND first-in-batch by min id.  The crawl
+    pipeline's per-snapshot gate before full near-dedup; index side
+    never rescanned."""
+    from cascalog_spark.functions import (ngram_novelty_incremental,
+                                          novelty_index)
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = novelty_index(docs.where(F.col("doc_id") % 4 != 0))
+    scored, _ = ngram_novelty_incremental(
+        docs.where(F.col("doc_id") % 4 == 0), idx)
+    return scored
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return revenue_per_nation(spark, "/root/testdata/sf0.001")
@@ -3668,6 +3685,7 @@ _R7_HEAD = [
     "doc_ngram_novelty",
     "embedding_ivfpq_knn",
     "doc_split_leakage_free",
+    "doc_novelty_incremental",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -3926,6 +3944,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_novelty": doc_ngram_novelty,
         "embedding_ivfpq_knn": embedding_ivfpq_knn,
         "doc_split_leakage_free": doc_split_leakage_free,
+        "doc_novelty_incremental": doc_novelty_incremental,
     }
 
 
@@ -7169,4 +7188,23 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 1000000) / 1000000.0 AS u
                   FROM documents d
                   LEFT JOIN clusters c ON c.node = d.doc_id)""",
+        "doc_novelty_incremental": f"""
+            WITH idx AS (SELECT DISTINCT unnest({_shingle_sql(3)}) AS s
+                         FROM documents
+                         WHERE doc_id % 4 <> 0 AND text IS NOT NULL),
+            bp AS (SELECT DISTINCT doc_id,
+                          unnest({_shingle_sql(3)}) AS s
+                   FROM documents
+                   WHERE doc_id % 4 = 0 AND text IS NOT NULL),
+            bf AS (SELECT s, min(doc_id) AS first_id FROM bp
+                   WHERE s NOT IN (SELECT s FROM idx)
+                   GROUP BY s)
+            SELECT bp.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN bf.first_id = bp.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN bf.first_id = bp.doc_id
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                   AS novelty
+            FROM bp LEFT JOIN bf ON bf.s = bp.s
+            GROUP BY bp.doc_id""",
     }

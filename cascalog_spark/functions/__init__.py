@@ -58,7 +58,8 @@ from .behavior import (funnel_report, funnel_stages, retention_cohorts,
                        transition_matrix)
 from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    kn_bigram_nll,
-                   ngram_novelty, normalize_unicode,
+                   ngram_novelty, ngram_novelty_incremental,
+                   normalize_unicode, novelty_index,
                    chunk_text, clean_text, release_tfidf_cache,
                    shingle_fingerprint,
                    doc_fingerprint, filter_by_domain, fit_linear_classifier,

@@ -896,3 +896,64 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
                        .cast("long")).alias("n_novel"))
             .withColumn(out_col, F.round(F.col("n_novel")
                                          / F.col("n_shingles"), 6)))
+
+
+def novelty_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Standing shingle set for CONTINUOUS-INGEST novelty scoring: the
+    distinct k-token shingles ever seen (ownership is simply "the
+    index" — everything in it precedes any future batch).  Persist it
+    bucketed on ``shingle`` (BucketedTap) and the incremental join
+    below never shuffles the index side — the same zero-Exchange
+    contract as ``minhash_index``/``exact_substring_index``."""
+    from .dedup import with_shingles
+
+    return (with_shingles(df.where(F.col(text_col).isNotNull()),
+                          text_col, k, "__sh")
+            .select(F.explode("__sh").alias("shingle")).distinct())
+
+
+def ngram_novelty_incremental(batch: DataFrame,
+                              index_df: DataFrame | None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              out_col: str = "novelty"
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest novelty: score a NEW batch against the standing
+    shingle index — a shingle is novel iff it is absent from the index
+    AND its first batch appearance (min ``id_col`` within the batch) is
+    this document; the batch-internal rule matches ``ngram_novelty``
+    exactly, so folding ascending-id batches reproduces the one-shot
+    scores (pinned by test).  Returns ``(scored_batch,
+    updated_index)`` — the index grows by the batch's distinct
+    shingles; callers append only the new rows (``sinkmode="update"``),
+    the corpus is never rescanned.
+
+    This is the op a crawl pipeline runs per snapshot: novelty ~0 means
+    the batch re-crawled what the index already holds — the cheap gate
+    before full near-dedup."""
+    from .dedup import with_shingles
+
+    pairs = (with_shingles(batch.where(F.col(text_col).isNotNull()),
+                           text_col, k, "__sh")
+             .select(F.col(id_col), F.explode("__sh").alias("shingle"))
+             .distinct())
+    firsts = pairs.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    if index_df is not None:
+        firsts = firsts.join(index_df.select("shingle"),
+                             on="shingle", how="left_anti")
+    scored = (pairs.join(firsts, on="shingle", how="left")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   # left-join misses (shingle already in the index) are
+                   # NULL — they must count as 0, not poison the sum
+                   F.sum(F.when(F.col("__first") == F.col(id_col),
+                                F.lit(1)).otherwise(F.lit(0))
+                         .cast("long")).alias("n_novel"))
+              .withColumn(out_col, F.round(F.col("n_novel")
+                                           / F.col("n_shingles"), 6)))
+    new_shingles = pairs.select("shingle").distinct()
+    updated = (new_shingles if index_df is None
+               else index_df.select("shingle").unionByName(new_shingles)
+               .distinct())
+    return scored, updated

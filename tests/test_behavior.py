@@ -209,3 +209,35 @@ def test_leakage_free_split(spark):
     again = {r["doc_id"]: r["split"]
              for r in leakage_free_split(docs, pairs, w).collect()}
     assert out == again
+
+
+def test_ngram_novelty_incremental_fold_matches_oneshot(spark):
+    """Folding ascending-id batches through the incremental op must
+    reproduce the one-shot novelty scores exactly."""
+    from cascalog_spark.functions import (ngram_novelty,
+                                          ngram_novelty_incremental)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox naps"),
+        (2, "a wholly original sentence with fresh words"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "fresh words appear again in a new mix"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+            for r in ngram_novelty(docs).collect()}
+    index = None
+    got = {}
+    for lo, hi in [(0, 2), (2, 4), (4, 5)]:
+        batch = docs.where((F.col("doc_id") >= lo)
+                           & (F.col("doc_id") < hi))
+        scored, index = ngram_novelty_incremental(batch, index)
+        index = index.localCheckpoint()
+        for r in scored.collect():
+            got[r["doc_id"]] = (r["n_shingles"], r["n_novel"],
+                                r["novelty"])
+    assert got == want
+    # the updated index is the full corpus shingle set
+    from cascalog_spark.functions import novelty_index
+    assert index.count() == novelty_index(docs).count()
