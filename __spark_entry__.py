@@ -3662,6 +3662,42 @@ def doc_novelty_incremental(spark, sf_dir):
     return scored
 
 
+def doc_stream_novelty_ingest(spark, sf_dir):
+    """Continuous-ingest novelty as a STREAMING job
+    (streaming/ingest.py stream_novelty_ingest): documents replayed as
+    two deterministic micro-batches (even ids, then odd ids); each
+    batch scores against the standing shingle index (novel = absent
+    from the index AND first-in-batch by min id), scored rows and the
+    batch's new shingles append per-batch (idempotent batch=<id>
+    overwrites).  The oracle replays both steps in SQL."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_ingest_corpus,
+                                          stream_novelty_ingest)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    src = stage_file_batches([b0, b1])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_novelty_")
+    name = "doc_stream_novelty_ingest"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_novelty_ingest(
+        raw, f"{base}/out", f"{base}/idx", id_col="doc_id",
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("doc_stream_novelty_ingest: bounded stream "
+                           "did not drain within 300s")
+    return read_ingest_corpus(spark, f"{base}/out")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return revenue_per_nation(spark, "/root/testdata/sf0.001")
@@ -3686,6 +3722,7 @@ _R7_HEAD = [
     "embedding_ivfpq_knn",
     "doc_split_leakage_free",
     "doc_novelty_incremental",
+    "doc_stream_novelty_ingest",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -3945,6 +3982,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_knn": embedding_ivfpq_knn,
         "doc_split_leakage_free": doc_split_leakage_free,
         "doc_novelty_incremental": doc_novelty_incremental,
+        "doc_stream_novelty_ingest": doc_stream_novelty_ingest,
     }
 
 
@@ -7207,4 +7245,39 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # streaming novelty ingest: two-step replay — batch0 (even ids)
+        # scores with an empty index, batch1 (odd ids) scores against
+        # batch0's shingle set; same first-in-batch rule both steps
+        "doc_stream_novelty_ingest": f"""
+            WITH p0 AS (SELECT DISTINCT doc_id,
+                               unnest({_shingle_sql(3)}) AS s
+                        FROM documents
+                        WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+            f0 AS (SELECT s, min(doc_id) AS first_id FROM p0 GROUP BY s),
+            s0 AS (SELECT p0.doc_id, count(*) AS n_shingles,
+                          CAST(sum(CASE WHEN f0.first_id = p0.doc_id
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_novel,
+                          round(sum(CASE WHEN f0.first_id = p0.doc_id
+                                    THEN 1 ELSE 0 END) / count(*), 6)
+                          AS novelty
+                   FROM p0 LEFT JOIN f0 ON f0.s = p0.s
+                   GROUP BY p0.doc_id),
+            p1 AS (SELECT DISTINCT doc_id,
+                          unnest({_shingle_sql(3)}) AS s
+                   FROM documents
+                   WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+            f1 AS (SELECT s, min(doc_id) AS first_id FROM p1
+                   WHERE s NOT IN (SELECT s FROM p0)
+                   GROUP BY s),
+            s1 AS (SELECT p1.doc_id, count(*) AS n_shingles,
+                          CAST(sum(CASE WHEN f1.first_id = p1.doc_id
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_novel,
+                          round(sum(CASE WHEN f1.first_id = p1.doc_id
+                                    THEN 1 ELSE 0 END) / count(*), 6)
+                          AS novelty
+                   FROM p1 LEFT JOIN f1 ON f1.s = p1.s
+                   GROUP BY p1.doc_id)
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1""",
     }

@@ -3,7 +3,7 @@ from .ingest import (compact_ingest_index, compact_rollup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
                      read_semantic_reps, stream_semantic_dedup_ingest,
                      stream_drift_monitor, stream_expectation_gate,
-                     stream_near_dedup_ingest,
+                     stream_near_dedup_ingest, stream_novelty_ingest,
                      stream_rollup_maintenance)
 from .stateful import (latest_bucket_summary, running_counts, stateful_op,
                        stream_frequent_items)

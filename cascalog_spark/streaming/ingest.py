@@ -492,3 +492,47 @@ def stream_expectation_gate(stream_df: DataFrame, rules: dict,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_novelty_ingest(stream_df: DataFrame, out_dir: str,
+                          index_dir: str, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          checkpoint_dir: Optional[str] = None,
+                          query_name: str = "novelty_ingest"):
+    """Continuous-ingest novelty scoring as a ``foreachBatch`` streaming
+    sink (the novelty twin of :func:`stream_near_dedup_ingest`): each
+    micro-batch scores against the standing shingle index
+    (``text.ngram_novelty_incremental`` semantics — novel = absent from
+    the index AND first-in-batch by min id), scored rows land under
+    ``out_dir/batch=<id>/`` and the batch's NEW shingles under
+    ``index_dir/batch=<id>/`` (per-batch overwrite = idempotent under
+    retries; a retried batch excludes its own failed partition so it
+    cannot suppress itself).  Read results with
+    :func:`read_ingest_corpus`; fold the index partitions with
+    :func:`compact_ingest_index` while the stream is stopped.
+
+    This is the crawl pipeline's per-snapshot gate: novelty ~0 flags a
+    re-crawl batch before any near-dedup cost is paid."""
+    from ..functions.text import ngram_novelty_incremental, novelty_index
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        index = read_ingest_index(spark, index_dir,
+                                  exclude_batch=batch_id)
+        scored, _ = ngram_novelty_incremental(batch, index, text_col,
+                                              id_col, k)
+        (scored.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+        new_rows = novelty_index(batch, text_col, id_col, k)
+        if index is not None:
+            new_rows = new_rows.join(index.select("shingle"),
+                                     on="shingle", how="left_anti")
+        (new_rows.write.mode("overwrite")
+         .parquet(f"{index_dir}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

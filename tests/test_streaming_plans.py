@@ -1031,3 +1031,63 @@ def test_stream_semantic_dedup_ingest_matches_batch_replay(
         b2, reps, "vec_id", threshold=0.35,
         centroids=cents)[0].select("vec_id").collect()}
     assert after == before
+
+
+def test_stream_novelty_ingest_matches_batch_replay(spark, tmp_path):
+    """Streaming novelty ingest == folding ngram_novelty_incremental
+    over the same batches; the index holds each batch's NEW shingles
+    only (no duplicates across partitions)."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import (ngram_novelty_incremental,
+                                          novelty_index)
+    from cascalog_spark.streaming import (read_ingest_corpus,
+                                          read_ingest_index,
+                                          stream_novelty_ingest)
+
+    t = {
+        "a": "the quick brown fox jumps over the lazy dog today",
+        "b": "pack my box with five dozen liquor jugs right now",
+        "c": "how vexingly quick daft zebras jump around the park",
+    }
+    batches = [
+        [(0, t["a"]), (1, t["b"])],
+        [(2, t["a"]), (3, t["c"])],   # 2 is a pure re-crawl
+    ]
+    src = str(tmp_path / "nov_src")
+    for rows in batches:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    out_dir = str(tmp_path / "nov_out")
+    idx_dir = str(tmp_path / "nov_idx")
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_novelty_ingest(sdf, out_dir, idx_dir, id_col="doc_id",
+                               checkpoint_dir=str(tmp_path / "nov_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+           for r in read_ingest_corpus(spark, out_dir).collect()}
+    assert got[2] == (got[0][0], 0, 0.0)           # re-crawl scores 0
+
+    # batch-land replay equivalence
+    index, want = None, {}
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        scored, index = ngram_novelty_incremental(b, index)
+        index = index.localCheckpoint()
+        for r in scored.collect():
+            want[r["doc_id"]] = (r["n_shingles"], r["n_novel"],
+                                 r["novelty"])
+    assert got == want
+
+    # index partitions hold disjoint new shingles; union == full set
+    idx = read_ingest_index(spark, idx_dir)
+    full = spark.createDataFrame(
+        [x for rows in batches for x in rows], "doc_id long, text string")
+    assert idx.count() == idx.distinct().count() \
+        == novelty_index(full).count()
