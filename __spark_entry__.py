@@ -3662,6 +3662,19 @@ def doc_novelty_incremental(spark, sf_dir):
     return scored
 
 
+def events_funnel_report(spark, sf_dir):
+    """Stage-level funnel summary (behavior.py funnel_report): distinct
+    users reaching each stage + conversion from the previous stage and
+    from stage 0 — the k per-stage counts collapse into ONE aggregate
+    row and explode into the report, no second pass over users."""
+    from cascalog_spark.functions import funnel_report
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(ev, "ts", "user_id", "event_type",
+                         ["signup", "click", "purchase"],
+                         horizon=86400.0)
+
+
 def doc_stream_novelty_ingest(spark, sf_dir):
     """Continuous-ingest novelty as a STREAMING job
     (streaming/ingest.py stream_novelty_ingest): documents replayed as
@@ -3716,6 +3729,7 @@ _R7_HEAD = [
     # session-2 additions: behavioral-analytics family + the IVF-PQ
     # batch join + novelty scoring — never driver-checked, lead the head
     "events_funnel",
+    "events_funnel_report",
     "events_retention_cohorts",
     "events_transition_matrix",
     "doc_ngram_novelty",
@@ -3976,6 +3990,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_pairs": doc_containment_pairs,
         "doc_containment_dedup": doc_containment_dedup,
         "events_funnel": events_funnel,
+        "events_funnel_report": events_funnel_report,
         "events_retention_cohorts": events_retention_cohorts,
         "events_transition_matrix": events_transition_matrix,
         "doc_ngram_novelty": doc_ngram_novelty,
@@ -7167,6 +7182,43 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0
                       END) AS stage_reached
             FROM w2""",
+        # funnel report: same chained-window CTEs, one aggregate row
+        # unpivoted into the 3 stage rows
+        "events_funnel_report": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events
+                       WHERE event_type IN
+                             ('signup', 'click', 'purchase')),
+            w0 AS (SELECT *, min(CASE WHEN event_type = 'signup'
+                                      THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_signup
+                   FROM e),
+            w1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                  AND ts > ts_signup
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_click
+                   FROM w0),
+            w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                  AND ts > ts_click
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_purchase
+                   FROM w1),
+            f AS (SELECT DISTINCT user_id, ts_signup, ts_click,
+                         ts_purchase FROM w2),
+            a AS (SELECT count(ts_signup) AS n0, count(ts_click) AS n1,
+                         count(ts_purchase) AS n2 FROM f)
+            SELECT 0 AS stage_idx, 'signup' AS stage, n0 AS n_users,
+                   round(n0 / n0, 6) AS conv_from_prev,
+                   round(n0 / n0, 6) AS conv_from_first FROM a
+            UNION ALL
+            SELECT 1, 'click', n1, round(n1 / n0, 6),
+                   round(n1 / n0, 6) FROM a
+            UNION ALL
+            SELECT 2, 'purchase', n2, round(n2 / n1, 6),
+                   round(n2 / n0, 6) FROM a""",
         "events_retention_cohorts": """
             WITH f AS (SELECT user_id, ts,
                               min(ts) OVER (PARTITION BY user_id) AS fts
