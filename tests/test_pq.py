@@ -487,3 +487,27 @@ def test_ivfpq_knn_join_scan_shape(emb, ivfpq):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "__cell" in plan
+
+
+def test_ivfpq_single_encode_in_plan(emb, ivfpq):
+    """Regression gate for the r7 pushed-filter double-encode fix: with
+    a LAZY ivfpq_index input, the executed plan must contain the encode
+    expression exactly ONCE (its argmin marker `array_position`) — a
+    codes/score filter that gets pushed below the scoring would inline
+    a full second copy per row (BASELINE.md r7 session-2)."""
+    from cascalog_spark.functions import ivfpq_knn_join, ivfpq_topk
+
+    cents, books_, codes = ivfpq
+    lazy = codes  # module fixture checkpoints; rebuild the lazy plan
+    from cascalog_spark.functions import ivfpq_index
+
+    _, _, lazy = ivfpq_index(emb, n_centroids=8, m=8, n_codes=8,
+                             centroids=cents, codebooks=books_)
+    qs = (emb.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    for df in (
+        ivfpq_knn_join(lazy, qs, cents, books_, k=3, n_probe=2),
+        ivfpq_topk(lazy, [1.0] * 64, cents, books_, k=3, n_probe=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("array_position") == 1
