@@ -3662,6 +3662,20 @@ def doc_novelty_incremental(spark, sf_dir):
     return scored
 
 
+def embedding_prefix_topk(spark, sf_dir):
+    """Matryoshka two-stage retrieval (similarity.py
+    prefix_rescore_topk): a 16-dim prefix-cosine pass keeps a
+    50-candidate shortlist via per-partition heaps (4x less flops/IO
+    than the exact scan with a stored truncated index), then ONLY the
+    shortlist is rescored with the exact 64-dim cosine.  Deterministic
+    ties → the oracle replays both stages."""
+    from cascalog_spark.functions import prefix_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return prefix_rescore_topk(emb, _query_vec(spark, sf_dir), k=10,
+                               d_prefix=16, shortlist=50)
+
+
 def events_funnel_report(spark, sf_dir):
     """Stage-level funnel summary (behavior.py funnel_report): distinct
     users reaching each stage + conversion from the previous stage and
@@ -3734,6 +3748,7 @@ _R7_HEAD = [
     "events_transition_matrix",
     "doc_ngram_novelty",
     "embedding_ivfpq_knn",
+    "embedding_prefix_topk",
     "doc_split_leakage_free",
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
@@ -3991,6 +4006,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_dedup": doc_containment_dedup,
         "events_funnel": events_funnel,
         "events_funnel_report": events_funnel_report,
+        "embedding_prefix_topk": embedding_prefix_topk,
         "events_retention_cohorts": events_retention_cohorts,
         "events_transition_matrix": events_transition_matrix,
         "doc_ngram_novelty": doc_ngram_novelty,
@@ -7182,6 +7198,35 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0
                       END) AS stage_reached
             FROM w2""",
+        # Matryoshka two-stage retrieval: prefix-cosine shortlist (16
+        # dims, unrounded order, id ties, NULLS LAST) then exact
+        # full-dim rescore of the shortlist only
+        "embedding_prefix_topk": """
+            WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                        WHERE vec_id = 0),
+            short AS (
+              SELECT vec_id, embedding::DOUBLE[] AS fv,
+                     list_dot_product(
+                       list_slice(embedding::DOUBLE[], 1, 16),
+                       list_slice(qv.v, 1, 16))
+                     / (sqrt(list_dot_product(
+                          list_slice(embedding::DOUBLE[], 1, 16),
+                          list_slice(embedding::DOUBLE[], 1, 16)))
+                        * sqrt(list_dot_product(list_slice(qv.v, 1, 16),
+                                                list_slice(qv.v, 1, 16))))
+                     AS pre
+              FROM embeddings, qv
+              ORDER BY pre DESC NULLS LAST, vec_id ASC LIMIT 50)
+            SELECT vec_id, sim FROM (
+              SELECT vec_id,
+                     round(list_dot_product(fv, qv.v)
+                           / (sqrt(list_dot_product(fv, fv))
+                              * sqrt(list_dot_product(qv.v, qv.v))), 6)
+                     AS sim
+              FROM short, qv
+              WHERE pre IS NOT NULL
+              ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 10)
+            WHERE sim IS NOT NULL""",
         # funnel report: same chained-window CTEs, one aggregate row
         # unpivoted into the 3 stage rows
         "events_funnel_report": """

@@ -1361,3 +1361,67 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                                / F.lit(float(n_index))), 6)
                  .alias("scan_frac"))
             .orderBy("method", "param"))
+
+
+def truncate_embeddings(df: DataFrame, d_prefix: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        out_col: str = "prefix_vec",
+                        renormalize: bool = False) -> DataFrame:
+    """Matryoshka-style truncated index artifact: ``(id, first d_prefix
+    dims)`` — the written form is ``dim/d_prefix``x smaller than the
+    full vectors, and with MRL-trained embeddings the prefix preserves
+    most of the ranking signal.  ``renormalize=True`` rescales each
+    prefix to unit norm (zero-norm prefixes stay as-is — their cosine
+    is undefined and downstream ranking drops them).  Store it next to
+    the full index and serve with ``prefix_rescore_topk``-shaped
+    two-stage retrieval."""
+    if d_prefix <= 0:
+        raise ValueError("truncate_embeddings: d_prefix must be > 0")
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, d_prefix)
+    if renormalize:
+        n = norm_col(v)
+        v = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.select(F.col(id_col), v.alias(out_col))
+
+
+def prefix_rescore_topk(df: DataFrame, query_vec: list[float],
+                        k: int = 10, d_prefix: int = 16,
+                        shortlist: int = 100, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Two-stage Matryoshka retrieval: a CHEAP prefix-cosine pass (first
+    ``d_prefix`` dims — with a stored truncated index, ``dim/d_prefix``x
+    less IO and flops than the exact scan) keeps a ``shortlist`` of
+    candidates via TakeOrderedAndProject (per-partition heaps, no global
+    sort), then the shortlist alone is rescored with the EXACT full-dim
+    cosine and reduced to top-k.
+
+    shortlist = n reproduces ``brute_force_topk`` exactly (pinned by
+    test); smaller shortlists trade recall for scan cost like any
+    prefilter — measure with your corpus, the prefix ranking is only as
+    good as the embedding's dimension ordering (MRL-trained embeddings
+    front-load signal; PCA-projected ones do too).
+
+    Deterministic (prefix and full ties break on ids) → SQL-oracle-
+    checkable.  NULL/zero-norm prefixes rank last and drop AFTER the
+    heaps (the r7 pushed-filter lesson: a filter on the projected sim
+    would inline the interpreted fold a second time per row)."""
+    if k <= 0 or shortlist <= 0:
+        return (df.select(F.col(id_col),
+                          F.lit(0.0).alias("sim")).limit(0))
+    q = [float(x) for x in query_vec]
+    if d_prefix <= 0 or d_prefix > len(q):
+        raise ValueError(f"prefix_rescore_topk: d_prefix must be in "
+                         f"[1, {len(q)}], got {d_prefix}")
+    vec = F.col(vec_col).cast("array<double>")
+    pre = cosine_to_query_col(F.slice(vec, 1, d_prefix), q[:d_prefix])
+    short = (df.select(F.col(id_col), vec.alias("__v"),
+                       pre.alias("__pre"))
+             .orderBy(F.col("__pre").desc(), F.col(id_col).asc())
+             .limit(shortlist)
+             .where(F.col("__pre").isNotNull()))
+    sim = cosine_to_query_col(F.col("__v"), q)
+    return (short.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k)
+            .where(F.col("sim").isNotNull()))

@@ -3177,3 +3177,56 @@ def test_rank_fusion_matches_single_partition_ranks(spark, sf_dir):
     for d, (rt, rc, score) in got.items():
         assert (rt, rc) == ref[d]
         assert score == 1.0 / (60 + rt) + 1.0 / (60 + rc)
+
+
+def test_prefix_rescore_topk_matches_brute_force(spark, sf_dir):
+    """shortlist = n must reproduce the exact brute-force top-k; a
+    smaller shortlist is deterministic and its rescored sims are exact
+    (every returned sim equals the brute-force sim for that id)."""
+    from cascalog_spark.functions import (brute_force_topk,
+                                          prefix_rescore_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    n = emb.count()
+    exact = [(r["vec_id"], r["sim"])
+             for r in brute_force_topk(emb, qv, k=10).collect()]
+    full = [(r["vec_id"], r["sim"])
+            for r in prefix_rescore_topk(emb, qv, k=10, d_prefix=16,
+                                         shortlist=n).collect()]
+    assert full == exact
+    small = [(r["vec_id"], r["sim"])
+             for r in prefix_rescore_topk(emb, qv, k=10, d_prefix=16,
+                                          shortlist=50).collect()]
+    again = [(r["vec_id"], r["sim"])
+             for r in prefix_rescore_topk(emb, qv, k=10, d_prefix=16,
+                                          shortlist=50).collect()]
+    assert small == again
+    exact_sims = dict(exact + [(r["vec_id"], r["sim"])
+                               for r in brute_force_topk(emb, qv,
+                                                         k=n).collect()])
+    for vid, s in small:
+        assert s == exact_sims[vid]  # rescore is EXACT full-dim cosine
+    # the query row itself survives any prefilter (prefix sim = 1)
+    assert small[0][0] == 0
+
+
+def test_prefix_rescore_edges(spark, sf_dir):
+    from cascalog_spark.functions import (prefix_rescore_topk,
+                                          truncate_embeddings)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    assert prefix_rescore_topk(emb, qv, k=0).count() == 0
+    assert prefix_rescore_topk(emb, qv, shortlist=0).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        prefix_rescore_topk(emb, qv, d_prefix=65)
+    t = truncate_embeddings(emb, 16)
+    row = t.first()
+    assert len(row["prefix_vec"]) == 16
+    tn = truncate_embeddings(emb, 16, renormalize=True).first()
+    norm = sum(x * x for x in tn["prefix_vec"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-9
+    with _pt.raises(ValueError):
+        truncate_embeddings(emb, 0)
