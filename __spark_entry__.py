@@ -3676,6 +3676,23 @@ def embedding_prefix_topk(spark, sf_dir):
                                d_prefix=16, shortlist=50)
 
 
+def embedding_prefix_recall(spark, sf_dir):
+    """Matryoshka rows of the ANN tuning report: per prefix width d,
+    recall@10 of the top-50-by-prefix-cosine shortlist against the same
+    exact ground truth the other configs chase — how much ranking
+    signal the first d dims carry (the stored-truncated-index
+    trade).  scan_frac reads shortlist/n; the real saving is dim/d per
+    scanned row."""
+    from cascalog_spark.functions import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_recall_report(emb, qs, k=10, lsh_planes=(),
+                             ivf_probes=(), prefix_dims=(8, 16, 32),
+                             prefix_shortlist=50)
+
+
 def events_funnel_report(spark, sf_dir):
     """Stage-level funnel summary (behavior.py funnel_report): distinct
     users reaching each stage + conversion from the previous stage and
@@ -3749,6 +3766,7 @@ _R7_HEAD = [
     "doc_ngram_novelty",
     "embedding_ivfpq_knn",
     "embedding_prefix_topk",
+    "embedding_prefix_recall",
     "doc_split_leakage_free",
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
@@ -4007,6 +4025,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_funnel_report": events_funnel_report,
         "embedding_prefix_topk": embedding_prefix_topk,
+        "embedding_prefix_recall": embedding_prefix_recall,
         "events_retention_cohorts": events_retention_cohorts,
         "events_transition_matrix": events_transition_matrix,
         "doc_ngram_novelty": doc_ngram_novelty,
@@ -7198,6 +7217,61 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0
                       END) AS stage_reached
             FROM w2""",
+        # Matryoshka recall rows: per prefix width d, |top-50-by-prefix
+        # ∩ exact top-10| / 10 averaged over the 8 queries (the final
+        # engine window keeps candidates in truth-order, so hits ==
+        # the plain intersection)
+        "embedding_prefix_recall": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings
+                       WHERE embedding IS NOT NULL
+                         AND sqrt(list_dot_product(
+                               embedding::DOUBLE[],
+                               embedding::DOUBLE[])) > 0),
+            ni AS (SELECT count(*)::DOUBLE AS n FROM e),
+            q8 AS (SELECT vec_id AS qid, v AS q FROM e
+                   ORDER BY vec_id ASC LIMIT 8),
+            truth AS (
+              SELECT qid, vec_id FROM (
+                SELECT q8.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q8.qid
+                         ORDER BY round(list_dot_product(e.v, q8.q)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(q8.q,
+                                                             q8.q))), 6)
+                                  DESC, e.vec_id ASC) AS rn
+                FROM e CROSS JOIN q8)
+              WHERE rn <= 10),
+            cfg AS (SELECT unnest([8, 16, 32]) AS d),
+            cand AS (
+              SELECT d, qid, vec_id FROM (
+                SELECT cfg.d, q8.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY cfg.d, q8.qid
+                         ORDER BY (list_dot_product(
+                                     list_slice(e.v, 1, cfg.d),
+                                     list_slice(q8.q, 1, cfg.d))
+                                   / (sqrt(list_dot_product(
+                                        list_slice(e.v, 1, cfg.d),
+                                        list_slice(e.v, 1, cfg.d)))
+                                      * sqrt(list_dot_product(
+                                          list_slice(q8.q, 1, cfg.d),
+                                          list_slice(q8.q, 1, cfg.d)))))
+                                  DESC NULLS LAST, e.vec_id ASC)
+                         AS prn
+                FROM e CROSS JOIN q8 CROSS JOIN cfg)
+              WHERE prn <= 50),
+            hits AS (SELECT c.d, c.qid, count(*) AS h
+                     FROM cand c JOIN truth t
+                       ON t.qid = c.qid AND t.vec_id = c.vec_id
+                     GROUP BY c.d, c.qid),
+            nc AS (SELECT d, qid, count(*) AS ncand FROM cand
+                   GROUP BY d, qid)
+            SELECT 'prefix' AS method, CAST(d AS INT) AS param,
+                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
+                   round(avg(ncand / (SELECT n FROM ni)), 6)
+                   AS scan_frac
+            FROM nc LEFT JOIN hits USING (d, qid)
+            GROUP BY d ORDER BY param""",
         # Matryoshka two-stage retrieval: prefix-cosine shortlist (16
         # dims, unrounded order, id ties, NULLS LAST) then exact
         # full-dim rescore of the shortlist only

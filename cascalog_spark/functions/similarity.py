@@ -1089,7 +1089,9 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       pq_m: tuple = (), pq_codes: int = 16,
                       pq_kmeans_iters: int = 0,
                       ivfpq_probes: tuple = (), ivfpq_m: int = 8,
-                      ivfpq_codes: int = 16) -> DataFrame:
+                      ivfpq_codes: int = 16,
+                      prefix_dims: tuple = (),
+                      prefix_shortlist: int = 100) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
     configuration (LSH with p planes, IVF with n_probe probed cells),
     how much of the exact brute-force top-k does the approximate path
@@ -1130,10 +1132,10 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
            .where(F.col("__nrm") > 0))  # zero-norm: no cosine
     qv = F.col(query_vec_col).cast("array<double>")
     if not lsh_planes and not ivf_probes and not pq_m \
-            and not ivfpq_probes:
+            and not ivfpq_probes and not prefix_dims:
         raise ValueError("ann_recall_report: need at least one "
-                         "configuration (lsh_planes, ivf_probes, pq_m "
-                         "and ivfpq_probes are all empty)")
+                         "configuration (lsh_planes, ivf_probes, pq_m, "
+                         "ivfpq_probes and prefix_dims are all empty)")
     if lsh_multi_probe not in (0, 1):
         # same domain as lsh_ann_topk(multi_probe=...) — silently
         # reading 2 as hamming-1 would desync the report from the op
@@ -1328,6 +1330,31 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                                    lambda np_: np_ >= F.col("__rank")))
                 .alias("param"), "__qid", F.col(id_col), "sim"))
 
+    for d_ in prefix_dims:
+        # Matryoshka rows: candidates = the per-query top-`shortlist`
+        # by PREFIX cosine (first d_ dims, unrounded order, id ties) —
+        # the exact rescore of a stored truncated index
+        # (prefix_rescore_topk's stage 1).  scan_frac reads
+        # shortlist/n; the real saving is dim/d_ per scanned row.
+        d_ = int(d_)
+        presim = F.try_divide(
+            dot_col(F.slice(F.col("__v"), 1, d_),
+                    F.slice(F.col("__qv"), 1, d_)),
+            norm_col(F.slice(F.col("__v"), 1, d_))
+            * norm_col(F.slice(F.col("__qv"), 1, d_)))
+        wpre = Window.partitionBy("__qid").orderBy(
+            F.col("__pre").desc(), F.col(id_col).asc())
+        tagged.append(
+            idx.join(F.broadcast(qside))
+            .select("__qid", F.col(id_col), sim,
+                    presim.alias("__pre"))
+            .withColumn("__prn", F.row_number().over(wpre))
+            .where(F.col("__prn") <= prefix_shortlist)
+            .where(F.col("__pre").isNotNull())
+            .select(F.lit("prefix").alias("method"),
+                    F.lit(d_).alias("param"), "__qid",
+                    F.col(id_col), "sim"))
+
     cand = tagged[0]
     for t in tagged[1:]:
         cand = cand.unionByName(t)
@@ -1348,7 +1375,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                   if lsh_multi_probe else [])
                + [("ivf", int(np_)) for np_ in ivf_probes]
                + [("pq", int(m_)) for m_ in pq_m]
-               + [("ivfpq", int(np_)) for np_ in ivfpq_probes])
+               + [("ivfpq", int(np_)) for np_ in ivfpq_probes]
+               + [("prefix", int(d_)) for d_ in prefix_dims])
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,
                                            "method string, param int"))))

@@ -3230,3 +3230,24 @@ def test_prefix_rescore_edges(spark, sf_dir):
     assert abs(norm - 1.0) < 1e-9
     with _pt.raises(ValueError):
         truncate_embeddings(emb, 0)
+
+
+def test_ann_recall_report_prefix_rows(spark, sf_dir):
+    """prefix rows: full-dim prefix == exact ordering -> recall 1.0;
+    scan_frac == shortlist/n; widths are present as params."""
+    from cascalog_spark.functions import ann_recall_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = (emb.orderBy("vec_id").limit(4)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    rep = {r["param"]: r for r in
+           ann_recall_report(emb, qs, k=5, lsh_planes=(),
+                             ivf_probes=(), prefix_dims=(8, 64),
+                             prefix_shortlist=20).collect()}
+    assert set(rep) == {8, 64}
+    assert all(r["method"] == "prefix" for r in rep.values())
+    # d = dim: prefix ordering IS the exact ordering -> full recall
+    assert rep[64]["recall_at_k"] == 1.0
+    assert rep[8]["recall_at_k"] <= 1.0
+    assert rep[64]["scan_frac"] == round(20 / n, 6)
