@@ -7342,7 +7342,7 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (SELECT user_id, ts,
                               min(ts) OVER (PARTITION BY user_id) AS fts
                        FROM events)
-            SELECT date_trunc('day', fts) AS cohort,
+            SELECT CAST(date_trunc('day', fts) AS TIMESTAMP) AS cohort,
                    CAST(date_diff('day', date_trunc('day', fts),
                                   date_trunc('day', ts)) AS INT)
                    AS period_offset,
