@@ -511,3 +511,24 @@ def test_ivfpq_single_encode_in_plan(emb, ivfpq):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("array_position") == 1
+
+
+def test_ivfpq_knn_join_dpp_on_written_index(emb, tmp_path, ivfpq):
+    """Over the WRITTEN index layout, the cell equi-join triggers
+    dynamic partition pruning: the codes scan carries a dynamicpruning
+    PartitionFilter, so only the union of probed cells' files is read
+    at runtime — the batch-join twin of ivfpq_query_index's static
+    partition filter."""
+    from cascalog_spark.functions import ivfpq_knn_join, ivfpq_write_index
+
+    cents, books_, _ = ivfpq
+    path = str(tmp_path / "ivfpq_dpp")
+    ivfpq_write_index(emb, path, n_centroids=8, m=8, n_codes=8,
+                      centroids=cents, codebooks=books_)
+    idx = emb.sparkSession.read.parquet(path)
+    qs = (emb.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivfpq_knn_join(idx, qs, cents, books_, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert out.count() > 0
