@@ -3706,6 +3706,44 @@ def events_funnel_report(spark, sf_dir):
                          horizon=86400.0)
 
 
+def events_stream_funnel(spark, sf_dir):
+    """Standing funnel state maintained from a STREAM
+    (streaming/ingest.py stream_funnel_maintenance): events replayed as
+    two time-ordered micro-batches (ts < Jan 16, then the rest); each
+    batch folds into the previous per-user snapshot via
+    funnel_stages(prior=...) — reached stages frozen, chaining against
+    coalesced reach times.  The oracle is the ONE-SHOT funnel SQL, so
+    the hash check proves streaming fold == batch exactly."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_funnel_state,
+                                          stream_funnel_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                            "event_type")
+    cut = "2024-01-16"
+    src = stage_file_batches([ev.where(F.col("ts") < cut),
+                              ev.where(F.col("ts") >= cut)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_funnel_")
+    name = "events_stream_funnel"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_funnel_maintenance(
+        raw, f"{base}/state", "ts", "user_id", "event_type",
+        ["signup", "click", "purchase"], horizon=86400.0,
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_funnel: bounded stream did "
+                           "not drain within 300s")
+    return read_funnel_state(spark, f"{base}/state")
+
+
 def doc_stream_novelty_ingest(spark, sf_dir):
     """Continuous-ingest novelty as a STREAMING job
     (streaming/ingest.py stream_novelty_ingest): documents replayed as
@@ -3770,6 +3808,7 @@ _R7_HEAD = [
     "doc_split_leakage_free",
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
+    "events_stream_funnel",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -4033,6 +4072,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage_free": doc_split_leakage_free,
         "doc_novelty_incremental": doc_novelty_incremental,
         "doc_stream_novelty_ingest": doc_stream_novelty_ingest,
+        "events_stream_funnel": events_stream_funnel,
     }
 
 
@@ -7416,6 +7456,36 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # the streaming funnel's drained state must EQUAL the one-shot
+        # funnel, so it shares that query's oracle verbatim
+        "events_stream_funnel": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events
+                       WHERE event_type IN
+                             ('signup', 'click', 'purchase')),
+            w0 AS (SELECT *, min(CASE WHEN event_type = 'signup'
+                                      THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_signup
+                   FROM e),
+            w1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                  AND ts > ts_signup
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_click
+                   FROM w0),
+            w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                  AND ts > ts_click
+                                  AND epoch_us(ts) / 1000000.0
+                                      - epoch_us(ts_signup) / 1000000.0
+                                      <= 86400.0 THEN ts END)
+                            OVER (PARTITION BY user_id) AS ts_purchase
+                   FROM w1)
+            SELECT DISTINCT user_id, ts_signup, ts_click, ts_purchase,
+                   (CASE WHEN ts_signup IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0
+                      END) AS stage_reached
+            FROM w2""",
         # streaming novelty ingest: two-step replay — batch0 (even ids)
         # scores with an empty index, batch1 (odd ids) scores against
         # batch0's shingle set; same first-in-batch rule both steps

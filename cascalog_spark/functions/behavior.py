@@ -42,7 +42,8 @@ def _seconds(col: Column, dtype: str) -> Column:
 
 def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
                   stage_col: str, stages: list[str],
-                  horizon: float | None = None) -> DataFrame:
+                  horizon: float | None = None,
+                  prior: DataFrame | None = None) -> DataFrame:
     """Per-user funnel progression through the ordered ``stages``:
     stage i is reached at the EARLIEST event of type ``stages[i]``
     that is STRICTLY LATER than the time stage i-1 was reached
@@ -61,6 +62,16 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
     so a SQL oracle reproduces it with k nested aggregates, and the
     result is independent of any tie-break among equal timestamps.
 
+    ``prior`` folds a STANDING per-user state (a previous
+    ``funnel_stages`` output — same columns) into the computation:
+    already-reached stages are frozen (``coalesce(old, batch min)``)
+    and the chaining conditions compare batch events against the
+    coalesced reach times, so feeding time-ordered batches one at a
+    time reproduces the one-shot result exactly (pinned by test; the
+    append-ordered-ingestion contract — a late event older than a
+    frozen stage time can no longer improve it).  Users with no batch
+    events keep their prior row.
+
     Scale: pre-filter to stage events, ONE shuffle on ``user_col``,
     k unordered-frame window minimums over that single partitioning
     (no sort, no per-user buffer), then a duplicate-drop that reuses
@@ -73,6 +84,11 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
         raise ValueError("funnel_stages: stages must be distinct")
     dt = dict(df.dtypes)[ts_col]
     ev = df.where(F.col(stage_col).isin(list(stages)))
+    if prior is not None:
+        old = prior.select(
+            F.col(user_col),
+            *[F.col(f"ts_{s}").alias(f"__old_{s}") for s in stages])
+        ev = ev.join(old, on=user_col, how="left")
     w = Window.partitionBy(user_col)
     num = _seconds(F.col(ts_col), dt)
     out = ev
@@ -86,17 +102,24 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
             cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
             if horizon is not None:
                 cond = cond & (num - first_num <= F.lit(float(horizon)))
-        out = out.withColumn(name,
-                             F.min(F.when(cond, F.col(ts_col))).over(w))
+        wmin = F.min(F.when(cond, F.col(ts_col))).over(w)
+        reach = (F.coalesce(F.col(f"__old_{s}"), wmin)
+                 if prior is not None else wmin)
+        out = out.withColumn(name, reach)
         prev = F.col(name)
         if i == 0:
             first_num = _seconds(prev, dt)
         cols.append(name)
     reached = reduce(lambda a, b: a + b,
                      [F.col(c).isNotNull().cast("int") for c in cols])
-    return (out.select(user_col, *cols)
-            .withColumn("stage_reached", reached)
-            .dropDuplicates([user_col]))
+    res = (out.select(user_col, *cols)
+           .withColumn("stage_reached", reached)
+           .dropDuplicates([user_col]))
+    if prior is not None:
+        untouched = prior.join(res.select(user_col), on=user_col,
+                               how="left_anti")
+        res = res.unionByName(untouched)
+    return res
 
 
 def funnel_report(df: DataFrame, ts_col: str, user_col: str,

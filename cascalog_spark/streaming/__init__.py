@@ -1,7 +1,9 @@
 from .ingest import (compact_ingest_index, compact_rollup,
                      compact_semantic_reps, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
-                     read_semantic_reps, stream_semantic_dedup_ingest,
+                     read_funnel_state, read_semantic_reps,
+                     stream_funnel_maintenance,
+                     stream_semantic_dedup_ingest,
                      stream_drift_monitor, stream_expectation_gate,
                      stream_near_dedup_ingest, stream_novelty_ingest,
                      stream_rollup_maintenance)

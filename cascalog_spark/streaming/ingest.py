@@ -536,3 +536,63 @@ def stream_novelty_ingest(stream_df: DataFrame, out_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def read_funnel_state(spark: SparkSession, state_dir: str,
+                      before: Optional[int] = None
+                      ) -> Optional[DataFrame]:
+    """The LATEST standing funnel state snapshot under ``state_dir`` —
+    each maintenance batch writes the COMPLETE updated state to its own
+    ``batch=<id>`` partition, so the current state is the
+    highest-numbered partition (``before`` restricts to partitions
+    < that id — the retry guard: a retried batch folds from the state
+    it originally saw, never its own failed attempt).  ``None`` before
+    the first batch lands."""
+    if not os.path.isdir(state_dir):
+        return None
+    ids = [int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
+           if e.startswith("batch=")]
+    if before is not None:
+        ids = [i for i in ids if i < before]
+    if not ids:
+        return None
+    return spark.read.parquet(f"{state_dir}/batch={max(ids)}")
+
+
+def stream_funnel_maintenance(stream_df: DataFrame, state_dir: str,
+                              ts_col: str, user_col: str,
+                              stage_col: str, stages: list,
+                              horizon: Optional[float] = None,
+                              checkpoint_dir: Optional[str] = None,
+                              query_name: str = "funnel_maintenance"):
+    """Maintain the standing per-user funnel state from a stream: each
+    micro-batch folds into the previous snapshot via
+    ``behavior.funnel_stages(prior=...)`` (already-reached stages are
+    frozen; chaining conditions compare batch events to the coalesced
+    reach times) and writes the COMPLETE updated state to
+    ``state_dir/batch=<id>`` — snapshot-per-batch is idempotent under
+    retries (a retried batch re-folds from the snapshot before it) and
+    keeps the standing state in plain parquet, outliving the query.
+
+    Contract: append-ordered ingestion (events arrive in time order
+    across batches — the usual log case).  Under it the drained state
+    equals the one-shot ``funnel_stages`` over all events (pinned by
+    test AND by the driver oracle).  State size = one row per user who
+    ever hit a funnel stage; old snapshots are prunable (keep the
+    latest)."""
+    from ..functions.behavior import funnel_stages
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = read_funnel_state(spark, state_dir, before=batch_id)
+        new = funnel_stages(batch, ts_col, user_col, stage_col,
+                            list(stages), horizon=horizon, prior=old)
+        new.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

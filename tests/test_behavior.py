@@ -241,3 +241,67 @@ def test_ngram_novelty_incremental_fold_matches_oneshot(spark):
     # the updated index is the full corpus shingle set
     from cascalog_spark.functions import novelty_index
     assert index.count() == novelty_index(docs).count()
+
+
+def test_funnel_prior_fold_matches_oneshot(spark, funnel_df):
+    """Feeding time-ordered batches through funnel_stages(prior=...)
+    must reproduce the one-shot result exactly — including a chain
+    split across batches and users untouched by later batches."""
+    want = {r["user_id"]: tuple(r)
+            for r in funnel_stages(funnel_df, "ts", "user_id",
+                                   "event_type", STAGES).collect()}
+    cuts = [_ts("2024-01-01T01:30:00"), _ts("2024-01-02T01:00:00")]
+    batches = [
+        funnel_df.where(F.col("ts") < cuts[0]),
+        funnel_df.where((F.col("ts") >= cuts[0])
+                        & (F.col("ts") < cuts[1])),
+        funnel_df.where(F.col("ts") >= cuts[1]),
+    ]
+    state = None
+    for b in batches:
+        state = funnel_stages(b, "ts", "user_id", "event_type", STAGES,
+                              prior=state).localCheckpoint()
+    got = {r["user_id"]: tuple(r) for r in state.collect()}
+    assert got == want
+
+    # with horizon too (the cross-batch t0-anchored cutoff)
+    want_h = {r["user_id"]: tuple(r)
+              for r in funnel_stages(funnel_df, "ts", "user_id",
+                                     "event_type", STAGES,
+                                     horizon=3600.0).collect()}
+    state = None
+    for b in batches:
+        state = funnel_stages(b, "ts", "user_id", "event_type", STAGES,
+                              horizon=3600.0,
+                              prior=state).localCheckpoint()
+    got_h = {r["user_id"]: tuple(r) for r in state.collect()}
+    assert got_h == want_h
+
+
+def test_stream_funnel_maintenance(spark, tmp_path, funnel_df):
+    """Streaming funnel state after draining ts-ordered micro-batches
+    == one-shot funnel_stages."""
+    from cascalog_spark.streaming import (read_funnel_state,
+                                          stream_funnel_maintenance)
+
+    cut = _ts("2024-01-02T00:30:00")
+    src = str(tmp_path / "fun_src")
+    for b in (funnel_df.where(F.col("ts") < cut),
+              funnel_df.where(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(funnel_df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    state_dir = str(tmp_path / "fun_state")
+    qy = stream_funnel_maintenance(
+        sdf, state_dir, "ts", "user_id", "event_type", STAGES,
+        checkpoint_dir=str(tmp_path / "fun_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = {r["user_id"]: tuple(r)
+           for r in read_funnel_state(spark, state_dir).collect()}
+    want = {r["user_id"]: tuple(r)
+            for r in funnel_stages(funnel_df, "ts", "user_id",
+                                   "event_type", STAGES).collect()}
+    assert got == want
