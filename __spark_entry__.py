@@ -3744,6 +3744,44 @@ def events_stream_funnel(spark, sf_dir):
     return read_funnel_state(spark, f"{base}/state")
 
 
+def events_stream_transitions(spark, sf_dir):
+    """Standing transition matrix maintained from a STREAM
+    (streaming/ingest.py stream_transition_maintenance): two
+    time-ordered micro-batches each contribute within-batch consecutive
+    pairs + the boundary pair from each user's standing last event;
+    count partials are |types|²-sized and merge at read.  The oracle is
+    the ONE-SHOT transition SQL — the hash check proves streaming fold
+    == batch exactly."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_transition_counts,
+                                          stream_transition_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                            "event_type")
+    cut = "2024-01-16"
+    src = stage_file_batches([ev.where(F.col("ts") < cut),
+                              ev.where(F.col("ts") >= cut)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_trans_")
+    name = "events_stream_transitions"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_transition_maintenance(
+        raw, f"{base}/agg", f"{base}/state", "ts", "user_id",
+        "event_type", tie_cols=["event_id"],
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_transitions: bounded stream "
+                           "did not drain within 300s")
+    return read_transition_counts(spark, f"{base}/agg")
+
+
 def doc_stream_novelty_ingest(spark, sf_dir):
     """Continuous-ingest novelty as a STREAMING job
     (streaming/ingest.py stream_novelty_ingest): documents replayed as
@@ -3809,6 +3847,7 @@ _R7_HEAD = [
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
     "events_stream_funnel",
+    "events_stream_transitions",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -4073,6 +4112,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty_incremental": doc_novelty_incremental,
         "doc_stream_novelty_ingest": doc_stream_novelty_ingest,
         "events_stream_funnel": events_stream_funnel,
+        "events_stream_transitions": events_stream_transitions,
     }
 
 
@@ -7456,6 +7496,20 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # the drained streaming transition matrix must EQUAL the
+        # one-shot transition matrix, so it shares that oracle verbatim
+        "events_stream_transitions": """
+            WITH p AS (SELECT event_type AS from_type,
+                              lead(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+                       FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n FROM p
+                  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   round(n / (sum(n) OVER (PARTITION BY from_type)), 6)
+                   AS p
+            FROM c""",
         # the streaming funnel's drained state must EQUAL the one-shot
         # funnel, so it shares that query's oracle verbatim
         "events_stream_funnel": """

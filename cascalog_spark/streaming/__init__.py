@@ -2,6 +2,7 @@ from .ingest import (compact_ingest_index, compact_rollup,
                      compact_semantic_reps, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
                      read_funnel_state, read_semantic_reps,
+                     read_transition_counts, stream_transition_maintenance,
                      stream_funnel_maintenance,
                      stream_semantic_dedup_ingest,
                      stream_drift_monitor, stream_expectation_gate,

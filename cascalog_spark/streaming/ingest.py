@@ -596,3 +596,98 @@ def stream_funnel_maintenance(stream_df: DataFrame, state_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def read_transition_counts(spark: SparkSession, agg_dir: str,
+                           normalize: bool = True
+                           ) -> Optional[DataFrame]:
+    """The standing transition matrix across every batch partial under
+    ``agg_dir``: one groupBy over #batches x |types|² partial rows
+    (never the event volume), with the per-source probability recomputed
+    at read time.  ``None`` before the first batch lands."""
+    if not os.path.isdir(agg_dir):
+        return None
+    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
+        return None
+    parts = spark.read.parquet(agg_dir).drop("batch")
+    out = (parts.groupBy("from_type", "to_type")
+           .agg(F.sum("n").alias("n")))
+    if not normalize:
+        return out
+    from pyspark.sql import Window as _W
+
+    tot = _W.partitionBy("from_type")
+    return out.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 6))
+
+
+def stream_transition_maintenance(stream_df: DataFrame, agg_dir: str,
+                                  state_dir: str, ts_col: str,
+                                  user_col: str, type_col: str,
+                                  tie_cols: Optional[list] = None,
+                                  checkpoint_dir: Optional[str] = None,
+                                  query_name: str =
+                                  "transition_maintenance"):
+    """Maintain the event-transition matrix from a stream: each
+    micro-batch contributes (a) its WITHIN-batch consecutive
+    ``(type → next type)`` counts, (b) the BOUNDARY transitions from
+    each user's standing last event into their first batch event, and
+    (c) a complete last-event-per-user snapshot to ``state_dir`` (same
+    snapshot-per-batch retry contract as the funnel state).  Count
+    partials land under ``agg_dir/batch=<id>`` and are MERGEABLE —
+    :func:`read_transition_counts` assembles the standing matrix from
+    |types|²-sized partials, never from history.
+
+    Contract: batches split at time boundaries (append-ordered
+    ingestion).  Under it the drained matrix equals the one-shot
+    ``behavior.transition_matrix`` exactly — within-batch pairs plus
+    boundary pairs ARE the global consecutive pairs (pinned by test
+    AND the driver oracle)."""
+    from pyspark.sql import Window as _W
+
+    ties = list(tie_cols or [])
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = read_funnel_state(spark, state_dir, before=batch_id)
+        ocols = [F.col(ts_col)] + [F.col(c) for c in ties]
+        w = _W.partitionBy(user_col).orderBy(*[c.asc() for c in ocols])
+        ranked = (batch.withColumn("__next",
+                                   F.lead(F.col(type_col)).over(w))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .withColumn("__rnl", F.row_number().over(
+                      _W.partitionBy(user_col).orderBy(
+                          *[c.desc() for c in ocols]))))
+        within = (ranked.where(F.col("__next").isNotNull())
+                  .groupBy(F.col(type_col).alias("from_type"),
+                           F.col("__next").alias("to_type"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        firsts = ranked.where(F.col("__rn") == 1)
+        lasts = (ranked.where(F.col("__rnl") == 1)
+                 .select(user_col, ts_col, *ties, type_col))
+        if old is not None:
+            boundary = (firsts
+                        .join(old.select(F.col(user_col),
+                                         F.col(type_col)
+                                         .alias("__lt")),
+                              on=user_col)
+                        .groupBy(F.col("__lt").alias("from_type"),
+                                 F.col(type_col).alias("to_type"))
+                        .agg(F.count(F.lit(1)).alias("n")))
+            within = (within.unionByName(boundary)
+                      .groupBy("from_type", "to_type")
+                      .agg(F.sum("n").alias("n")))
+            keep = old.join(lasts.select(user_col), on=user_col,
+                            how="left_anti")
+            lasts = lasts.unionByName(keep)
+        within.write.mode("overwrite").parquet(
+            f"{agg_dir}/batch={batch_id}")
+        lasts.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -305,3 +305,42 @@ def test_stream_funnel_maintenance(spark, tmp_path, funnel_df):
             for r in funnel_stages(funnel_df, "ts", "user_id",
                                    "event_type", STAGES).collect()}
     assert got == want
+
+
+def test_stream_transition_maintenance(spark, tmp_path):
+    """Drained streaming transition matrix == one-shot
+    transition_matrix (within-batch + boundary pairs are exactly the
+    global consecutive pairs under time-split batches)."""
+    from cascalog_spark.streaming import (read_transition_counts,
+                                          stream_transition_maintenance)
+
+    rows = [(u, t, e, typ) for (u, t, e, typ) in [
+        (1, 1, 0, "a"), (1, 2, 1, "b"), (1, 5, 2, "a"), (1, 9, 3, "c"),
+        (2, 3, 4, "a"), (2, 8, 5, "b"),
+        (3, 2, 6, "c"),                      # lone event: no pairs
+        (3, 7, 7, "c"),                      # ...until batch 2
+    ]]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    src = str(tmp_path / "tr_src")
+    for b in (df.where("ts < 5"), df.where("ts >= 5")):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_transition_maintenance(
+        sdf, str(tmp_path / "tr_agg"), str(tmp_path / "tr_state"),
+        "ts", "user_id", "event_type", tie_cols=["event_id"],
+        checkpoint_dir=str(tmp_path / "tr_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in read_transition_counts(
+               spark, str(tmp_path / "tr_agg")).collect()}
+    want = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in transition_matrix(df, "ts", "user_id",
+                                       "event_type",
+                                       tie_cols=["event_id"]).collect()}
+    assert got == want
+    assert got[("c", "c")] == (1, 1.0)  # the cross-batch boundary pair
