@@ -3782,6 +3782,42 @@ def events_stream_transitions(spark, sf_dir):
     return read_transition_counts(spark, f"{base}/agg")
 
 
+def events_stream_retention(spark, sf_dir):
+    """Standing retention triangle maintained from a STREAM
+    (streaming/ingest.py stream_retention_maintenance): two time-ordered
+    micro-batches; each freezes new users' first-seen timestamps into
+    the state snapshot and emits its distinct (cohort, offset, user)
+    activity pairs — the triangle assembles from pairs at read.  The
+    oracle is the ONE-SHOT retention SQL, proving streaming fold ==
+    batch exactly."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_retention,
+                                          stream_retention_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    cut = "2024-01-16"
+    src = stage_file_batches([ev.where(F.col("ts") < cut),
+                              ev.where(F.col("ts") >= cut)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_ret_")
+    name = "events_stream_retention"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_retention_maintenance(
+        raw, f"{base}/pairs", f"{base}/state", "ts", "user_id",
+        period="day", checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_retention: bounded stream "
+                           "did not drain within 300s")
+    return read_retention(spark, f"{base}/pairs")
+
+
 def doc_stream_novelty_ingest(spark, sf_dir):
     """Continuous-ingest novelty as a STREAMING job
     (streaming/ingest.py stream_novelty_ingest): documents replayed as
@@ -3848,6 +3884,7 @@ _R7_HEAD = [
     "doc_stream_novelty_ingest",
     "events_stream_funnel",
     "events_stream_transitions",
+    "events_stream_retention",
     "doc_classifier_fit",      # r6 FAIL -> F.round HALF_UP fix
     "orders_fixed_sample",     # r6 no_oracle -> deterministic + oracle
     "media_phash_pairs",       # r6 no_oracle -> pinned-fixture oracle
@@ -4113,6 +4150,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stream_novelty_ingest": doc_stream_novelty_ingest,
         "events_stream_funnel": events_stream_funnel,
         "events_stream_transitions": events_stream_transitions,
+        "events_stream_retention": events_stream_retention,
     }
 
 
@@ -7496,6 +7534,18 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # the drained streaming retention triangle must EQUAL the
+        # one-shot retention, so it shares that oracle verbatim
+        "events_stream_retention": """
+            WITH f AS (SELECT user_id, ts,
+                              min(ts) OVER (PARTITION BY user_id) AS fts
+                       FROM events)
+            SELECT CAST(date_trunc('day', fts) AS TIMESTAMP) AS cohort,
+                   CAST(date_diff('day', date_trunc('day', fts),
+                                  date_trunc('day', ts)) AS INT)
+                   AS period_offset,
+                   count(DISTINCT user_id) AS n_active
+            FROM f GROUP BY 1, 2""",
         # the drained streaming transition matrix must EQUAL the
         # one-shot transition matrix, so it shares that oracle verbatim
         "events_stream_transitions": """

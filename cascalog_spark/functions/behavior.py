@@ -151,6 +151,26 @@ def funnel_report(df: DataFrame, ts_col: str, user_col: str,
                     "r.conv_from_prev", "r.conv_from_first"))
 
 
+def cohort_offset_cols(first_ts: Column, ts: Column,
+                       period: str) -> tuple[Column, Column]:
+    """(cohort, period_offset) expressions shared by the batch and
+    streaming retention paths — ``date_trunc`` semantics, int offsets
+    (day: datediff; week: datediff/7, exact because both ends are
+    Monday-truncated; month: months_between)."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"retention: period must be day/week/month, "
+                         f"got {period!r}")
+    cohort = F.date_trunc(period, first_ts)
+    bucket = F.date_trunc(period, ts)
+    if period == "day":
+        off = F.datediff(bucket, cohort)
+    elif period == "week":
+        off = (F.datediff(bucket, cohort) / F.lit(7)).cast("int")
+    else:
+        off = F.months_between(bucket, cohort).cast("int")
+    return cohort, off.cast("int")
+
+
 def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
                       period: str = "week") -> DataFrame:
     """Cohort retention: cohort = the ``period`` (``'day'``/``'week'``/
@@ -163,22 +183,12 @@ def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
     Scale: one window min on ``user_col`` (analytic, no row reduction),
     one distinct-count aggregate keyed by (cohort, offset) — two
     shuffles total; no per-user state beyond the window frame."""
-    if period not in ("day", "week", "month"):
-        raise ValueError(f"retention_cohorts: period must be day/week/"
-                         f"month, got {period!r}")
     w = Window.partitionBy(user_col)
     first_ts = F.min(F.col(ts_col)).over(w)
-    cohort = F.date_trunc(period, first_ts)
-    bucket = F.date_trunc(period, F.col(ts_col))
-    if period == "day":
-        off = F.datediff(bucket, cohort)
-    elif period == "week":
-        off = (F.datediff(bucket, cohort) / F.lit(7)).cast("int")
-    else:
-        off = F.months_between(bucket, cohort).cast("int")
+    cohort, off = cohort_offset_cols(first_ts, F.col(ts_col), period)
     return (df.select(F.col(user_col).alias("__u"),
                       cohort.alias("cohort"),
-                      off.cast("int").alias("period_offset"))
+                      off.alias("period_offset"))
             .groupBy("cohort", "period_offset")
             .agg(F.count_distinct(F.col("__u")).alias("n_active"))
             .select("cohort", "period_offset", "n_active"))

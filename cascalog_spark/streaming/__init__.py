@@ -1,7 +1,8 @@
 from .ingest import (compact_ingest_index, compact_rollup,
                      compact_semantic_reps, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
-                     read_funnel_state, read_semantic_reps,
+                     read_funnel_state, read_retention, read_semantic_reps,
+                     stream_retention_maintenance,
                      read_transition_counts, stream_transition_maintenance,
                      stream_funnel_maintenance,
                      stream_semantic_dedup_ingest,

@@ -691,3 +691,74 @@ def stream_transition_maintenance(stream_df: DataFrame, agg_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def read_retention(spark: SparkSession, pairs_dir: str
+                   ) -> Optional[DataFrame]:
+    """The standing retention triangle across every batch partial under
+    ``pairs_dir``: distinct (cohort, offset, user) across partitions →
+    one distinct-count aggregate.  Partial volume is bounded by
+    users x touched periods, never the event count.  ``None`` before
+    the first batch lands."""
+    if not os.path.isdir(pairs_dir):
+        return None
+    if not any(e.startswith("batch=") for e in os.listdir(pairs_dir)):
+        return None
+    parts = spark.read.parquet(pairs_dir).drop("batch")
+    return (parts.groupBy("cohort", "period_offset")
+            .agg(F.count_distinct(F.col("user")).alias("n_active")))
+
+
+def stream_retention_maintenance(stream_df: DataFrame, pairs_dir: str,
+                                 state_dir: str, ts_col: str,
+                                 user_col: str, period: str = "day",
+                                 checkpoint_dir: Optional[str] = None,
+                                 query_name: str =
+                                 "retention_maintenance"):
+    """Maintain the cohort-retention triangle from a stream: the
+    standing state is each user's FIRST-event timestamp (snapshot per
+    batch, same retry contract as the funnel state); each micro-batch
+    emits its distinct ``(cohort, period_offset, user)`` activity
+    pairs to ``pairs_dir/batch=<id>`` and :func:`read_retention`
+    assembles the triangle from pairs (bounded by users x periods,
+    never event volume).
+
+    Contract: append-ordered ingestion — a user's first-seen timestamp
+    is frozen once recorded, so the drained triangle equals the
+    one-shot ``behavior.retention_cohorts`` exactly (pinned by test
+    AND the driver oracle)."""
+    from ..functions.behavior import cohort_offset_cols
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = read_funnel_state(spark, state_dir, before=batch_id)
+        bf = (batch.groupBy(F.col(user_col).alias("user"))
+              .agg(F.min(F.col(ts_col)).alias("__bf")))
+        if old is not None:
+            merged = (bf.join(old, on="user", how="full")
+                      .select("user",
+                              F.coalesce(F.col("first_ts"),
+                                         F.col("__bf"))
+                              .alias("first_ts")))
+        else:
+            merged = bf.select("user", F.col("__bf").alias("first_ts"))
+        merged = merged.localCheckpoint()  # consumed by pairs AND state
+        cohort, off = cohort_offset_cols(F.col("first_ts"),
+                                         F.col(ts_col), period)
+        pairs = (batch.select(F.col(user_col).alias("user"),
+                              F.col(ts_col))
+                 .join(merged, on="user")
+                 .select("user", cohort.alias("cohort"),
+                         off.alias("period_offset"))
+                 .distinct())
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -344,3 +344,43 @@ def test_stream_transition_maintenance(spark, tmp_path):
                                        tie_cols=["event_id"]).collect()}
     assert got == want
     assert got[("c", "c")] == (1, 1.0)  # the cross-batch boundary pair
+
+
+def test_stream_retention_maintenance(spark, tmp_path):
+    """Drained streaming retention triangle == one-shot
+    retention_cohorts (first-seen timestamps frozen across batches)."""
+    from cascalog_spark.streaming import (read_retention,
+                                          stream_retention_maintenance)
+
+    rows = [
+        (1, _ts("2024-01-02T10:00:00")),
+        (2, _ts("2024-01-03T10:00:00")),
+        (1, _ts("2024-01-10T10:00:00")),   # u1 back in week 1
+        (3, _ts("2024-01-08T00:00:00")),   # new user in batch 2
+        (3, _ts("2024-01-22T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    cut = _ts("2024-01-09T00:00:00")
+    src = str(tmp_path / "ret_src")
+    for b in (df.where(F.col("ts") < cut), df.where(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_retention_maintenance(
+        sdf, str(tmp_path / "ret_pairs"), str(tmp_path / "ret_state"),
+        "ts", "user_id", period="week",
+        checkpoint_dir=str(tmp_path / "ret_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = {(r["cohort"], r["period_offset"]): r["n_active"]
+           for r in read_retention(
+               spark, str(tmp_path / "ret_pairs")).collect()}
+    want = {(r["cohort"], r["period_offset"]): r["n_active"]
+            for r in retention_cohorts(df, "ts", "user_id",
+                                       "week").collect()}
+    assert got == want
+    # u1's week-1 return crossed the batch cut: cohort anchored to the
+    # FROZEN first-seen timestamp, not the batch-local minimum
+    assert got[(_ts("2024-01-01T00:00:00"), 1)] == 1
