@@ -28,8 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_report", "retention_cohorts",
-           "transition_matrix"]
+__all__ = ["cohort_offset_cols", "funnel_report", "funnel_stages",
+           "retention_cohorts", "transition_matrix"]
 
 
 def _seconds(col: Column, dtype: str) -> Column:

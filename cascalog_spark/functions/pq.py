@@ -760,10 +760,11 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
 
     m, n_codes, dsub = _pq_dims(codebooks)
     if k <= 0:
-        return (queries.select(
-            F.col(query_id_col),
-            F.lit(None).cast("long").alias(id_col),
-            F.lit(0.0).alias("score")).limit(0))
+        # schema-faithful empty frame (same id/query-id types as the
+        # normal path, not a hardcoded long)
+        return (queries.limit(0).select(F.col(query_id_col))
+                .crossJoin(index.limit(0).select(F.col(id_col)))
+                .withColumn("score", F.lit(0.0)))
     ordered = sorted(
         (int(c), [float(x) for x in v]) for c, v in centroids)
     block = m * n_codes
