@@ -1,6 +1,7 @@
 from .ingest import (compact_ingest_index, compact_rollup,
                      compact_semantic_reps, ingest_batch_near_dedup,
                      read_ingest_corpus, read_ingest_index, read_rollup,
+                     prune_state_snapshots,
                      read_funnel_state, read_retention, read_semantic_reps,
                      stream_retention_maintenance,
                      read_transition_counts, stream_transition_maintenance,

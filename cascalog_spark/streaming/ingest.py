@@ -762,3 +762,28 @@ def stream_retention_maintenance(stream_df: DataFrame, pairs_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def prune_state_snapshots(state_dir: str, keep_latest: int = 1) -> int:
+    """Delete all but the newest ``keep_latest`` ``batch=`` snapshot
+    partitions of a snapshot-per-batch state dir (funnel / retention /
+    transition state) — each snapshot is COMPLETE, so only the latest
+    is ever read and older ones exist purely as retry fallbacks.
+    Returns the number of pruned partitions.
+
+    Run while the maintenance stream is STOPPED and only after its
+    checkpoint has committed past every written batch: a retried batch
+    reads the snapshot BEFORE its own id, which pruning could remove."""
+    import shutil
+
+    if keep_latest < 1:
+        raise ValueError("prune_state_snapshots: keep_latest must be "
+                         ">= 1 (the latest snapshot IS the state)")
+    if not os.path.isdir(state_dir):
+        return 0
+    ids = sorted(int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
+                 if e.startswith("batch="))
+    drop = ids[:-keep_latest]
+    for i in drop:
+        shutil.rmtree(os.path.join(state_dir, f"batch={i}"))
+    return len(drop)

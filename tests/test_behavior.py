@@ -384,3 +384,35 @@ def test_stream_retention_maintenance(spark, tmp_path):
     # u1's week-1 return crossed the batch cut: cohort anchored to the
     # FROZEN first-seen timestamp, not the batch-local minimum
     assert got[(_ts("2024-01-01T00:00:00"), 1)] == 1
+
+
+def test_prune_state_snapshots(spark, tmp_path, funnel_df):
+    from cascalog_spark.streaming import (prune_state_snapshots,
+                                          read_funnel_state,
+                                          stream_funnel_maintenance)
+
+    cut = _ts("2024-01-02T00:30:00")
+    src = str(tmp_path / "pr_src")
+    for b in (funnel_df.where(F.col("ts") < cut),
+              funnel_df.where(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(funnel_df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    state_dir = str(tmp_path / "pr_state")
+    qy = stream_funnel_maintenance(
+        sdf, state_dir, "ts", "user_id", "event_type", STAGES,
+        checkpoint_dir=str(tmp_path / "pr_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    before = {r["user_id"]: tuple(r)
+              for r in read_funnel_state(spark, state_dir).collect()}
+    assert prune_state_snapshots(state_dir) == 1  # two snapshots -> one
+    after = {r["user_id"]: tuple(r)
+             for r in read_funnel_state(spark, state_dir).collect()}
+    assert after == before
+    assert prune_state_snapshots(state_dir) == 0  # idempotent
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        prune_state_snapshots(state_dir, keep_latest=0)
