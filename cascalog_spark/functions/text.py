@@ -953,7 +953,12 @@ def ngram_novelty_incremental(batch: DataFrame,
               .withColumn(out_col, F.round(F.col("n_novel")
                                            / F.col("n_shingles"), 6)))
     new_shingles = pairs.select("shingle").distinct()
-    updated = (new_shingles if index_df is None
-               else index_df.select("shingle").unionByName(new_shingles)
-               .distinct())
-    return scored, updated
+    if index_df is None:
+        return scored, new_shingles
+    # grow by the batch's NEW rows only: a distinct over index ∪ batch
+    # would reshuffle the ENTIRE standing index every fold — the
+    # anti-join touches only the batch side (zero-Exchange on a
+    # bucketed index), and the union keeps distinctness by construction
+    new_only = new_shingles.join(index_df.select("shingle"),
+                                 on="shingle", how="left_anti")
+    return scored, index_df.select("shingle").unionByName(new_only)
