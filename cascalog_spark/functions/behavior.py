@@ -80,14 +80,26 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
     """
     if not stages:
         raise ValueError("funnel_stages: stages must be non-empty")
-    if len(set(stages)) != len(stages):
+    # a stage is either a value of ``stage_col`` (equality match) or a
+    # ``(name, Column)`` pair with an arbitrary per-event predicate —
+    # e.g. ("big_purchase", (col("event_type") == "purchase")
+    # & (col("value") > 100))
+    named = [(s, None) if not isinstance(s, tuple) else s
+             for s in stages]
+    names = [n for n, _ in named]
+    if len(set(names)) != len(names):
         raise ValueError("funnel_stages: stages must be distinct")
     dt = dict(df.dtypes)[ts_col]
-    ev = df.where(F.col(stage_col).isin(list(stages)))
+    plain = [n for n, c in named if c is None]
+    pre = F.col(stage_col).isin(plain) if plain else F.lit(False)
+    for _, c in named:
+        if c is not None:
+            pre = pre | c
+    ev = df.where(pre)
     if prior is not None:
         old = prior.select(
             F.col(user_col),
-            *[F.col(f"ts_{s}").alias(f"__old_{s}") for s in stages])
+            *[F.col(f"ts_{n}").alias(f"__old_{n}") for n in names])
         ev = ev.join(old, on=user_col, how="left")
     w = Window.partitionBy(user_col)
     num = _seconds(F.col(ts_col), dt)
@@ -95,9 +107,10 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
     prev: Column | None = None
     first_num: Column | None = None
     cols = []
-    for i, s in enumerate(stages):
+    for i, (s, custom) in enumerate(named):
         name = f"ts_{s}"
-        cond = F.col(stage_col) == F.lit(s)
+        cond = (custom if custom is not None
+                else F.col(stage_col) == F.lit(s))
         if i > 0:
             cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
             if horizon is not None:
@@ -133,9 +146,10 @@ def funnel_report(df: DataFrame, ts_col: str, user_col: str,
     explode into the report — no second pass over users."""
     per_user = funnel_stages(df, ts_col, user_col, stage_col, stages,
                              horizon=horizon)
+    names = [s[0] if isinstance(s, tuple) else s for s in stages]
     agg = per_user.agg(*[
         F.count(F.col(f"ts_{s}")).alias(f"__n{i}")
-        for i, s in enumerate(stages)])
+        for i, s in enumerate(names)])
     rows = F.array(*[
         F.struct(F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
                  F.col(f"__n{i}").alias("n_users"),
@@ -145,7 +159,7 @@ def funnel_report(df: DataFrame, ts_col: str, user_col: str,
                  .alias("conv_from_prev"),
                  F.round(F.try_divide(F.col(f"__n{i}"), F.col("__n0")), 6)
                  .alias("conv_from_first"))
-        for i, s in enumerate(stages)])
+        for i, s in enumerate(names)])
     return (agg.select(F.explode(rows).alias("r"))
             .select("r.stage_idx", "r.stage", "r.n_users",
                     "r.conv_from_prev", "r.conv_from_first"))

@@ -416,3 +416,26 @@ def test_prune_state_snapshots(spark, tmp_path, funnel_df):
     import pytest as _pt
     with _pt.raises(ValueError):
         prune_state_snapshots(state_dir, keep_latest=0)
+
+
+def test_funnel_predicate_stages(spark, funnel_df):
+    """Stages given as (name, Column) predicates: equality stages and
+    arbitrary per-event conditions mix in one funnel."""
+    ev = funnel_df.withColumn("value",
+                              F.col("user_id").cast("double") * 10)
+    stages = ["signup",
+              ("big_click", (F.col("event_type") == "click")
+               & (F.col("value") >= 30))]
+    out = {r["user_id"]: r for r in
+           funnel_stages(ev, "ts", "user_id", "event_type",
+                         stages).collect()}
+    # u1's click has value 10 -> fails the predicate stage
+    assert out[1]["stage_reached"] == 1
+    assert out[1]["ts_big_click"] is None
+    # u3 (value 30) passes with the strictly-later click
+    assert out[3]["stage_reached"] == 2
+    assert out[3]["ts_big_click"] == _ts("2024-01-02T05:00:00")
+    rep = {r["stage"]: r["n_users"] for r in
+           funnel_report(ev, "ts", "user_id", "event_type",
+                         stages).collect()}
+    assert rep == {"signup": 4, "big_click": 2}
