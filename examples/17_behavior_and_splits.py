@@ -97,5 +97,45 @@ straddle = (pairs
 print("near-dup pairs straddling a split boundary:", straddle)
 assert straddle == 0
 
+# ---------------------------------------------------------------------------
+# 5. The streaming twins: the same answers maintained continuously.
+#    Funnel state folds per micro-batch (reached stages frozen);
+#    transition counts merge from |types|^2-sized partials.  Drained
+#    state == the one-shot operators exactly (append-ordered batches).
+
+import tempfile
+
+from cascalog_spark.streaming import (read_funnel_state,
+                                      stream_funnel_maintenance)
+from cascalog_spark.streaming.stream import stage_file_batches
+
+ev2 = events.select("event_id", "ts", "user_id", "event_type")
+cut = "2024-01-16"
+src = stage_file_batches([ev2.where(F.col("ts") < cut),
+                          ev2.where(F.col("ts") >= cut)])
+raw = (spark.readStream.schema(ev2.schema)
+       .option("maxFilesPerTrigger", "1")
+       .option("pathGlobFilter", "batch*.parquet").parquet(src))
+base = tempfile.mkdtemp(prefix="ex17_")
+sq = stream_funnel_maintenance(raw, f"{base}/fstate", "ts", "user_id",
+                               "event_type", STAGES, horizon=86400.0,
+                               checkpoint_dir=f"{base}/fckpt")
+assert sq.awaitTermination(240)
+stream_state = read_funnel_state(spark, f"{base}/fstate")
+one_shot = funnel_stages(events, "ts", "user_id", "event_type", STAGES,
+                         horizon=86400.0)
+assert (sorted(map(tuple, stream_state.collect()))
+        == sorted(map(tuple, one_shot.collect())))
+print("streaming funnel state == one-shot:", stream_state.count(), "users")
+
+# 6. Predicate-defined stages: mix equality stages with arbitrary
+#    per-event conditions (here: only high-value purchases count).
+
+stages_pred = ["signup", "click",
+               ("big_purchase", (F.col("event_type") == "purchase")
+                & (F.col("value") > 10))]
+funnel_report(events, "ts", "user_id", "event_type", stages_pred,
+              horizon=86400.0).show()
+
 spark.stop()
 print("example 17 OK")
