@@ -3818,6 +3818,21 @@ def events_stream_retention(spark, sf_dir):
     return read_retention(spark, f"{base}/pairs")
 
 
+def doc_ref_unigram_nll(spark, sf_dir):
+    """Cross-corpus perplexity filtering (text.py unigram_nll ref=):
+    the doc_id % 4 == 0 slice scores against a unigram model trained on
+    the REST of the corpus — the CCNet-style quality signal (perplexity
+    under a clean reference LM, not self-typicality).  Reference-unseen
+    terms get the add-α mass; |V| and the total come from the
+    reference."""
+    from cascalog_spark.functions import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_nll(docs.where(F.col("doc_id") % 4 == 0),
+                       ref=docs.where(F.col("doc_id") % 4 != 0),
+                       materialize=False)
+
+
 def doc_stream_novelty_ingest(spark, sf_dir):
     """Continuous-ingest novelty as a STREAMING job
     (streaming/ingest.py stream_novelty_ingest): documents replayed as
@@ -3882,6 +3897,7 @@ _R7_HEAD = [
     "doc_split_leakage_free",
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
+    "doc_ref_unigram_nll",
     "events_stream_funnel",
     "events_stream_transitions",
     "events_stream_retention",
@@ -4151,6 +4167,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_funnel": events_stream_funnel,
         "events_stream_transitions": events_stream_transitions,
         "events_stream_retention": events_stream_retention,
+        "doc_ref_unigram_nll": doc_ref_unigram_nll,
     }
 
 
@@ -7534,6 +7551,25 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # cross-corpus NLL: unigram counts from the REFERENCE slice,
+        # target terms LEFT-join them (unseen -> 0 + alpha mass)
+        "doc_ref_unigram_nll": f"""
+            WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+                          SELECT doc_id, unnest({_TOKS}) AS term
+                          FROM documents WHERE doc_id % 4 = 0)
+                        GROUP BY 1, 2),
+            cnt AS (SELECT term, count(*) AS ct FROM (
+                      SELECT unnest({_TOKS}) AS term
+                      FROM documents WHERE doc_id % 4 <> 0)
+                    GROUP BY 1),
+            tot AS (SELECT sum(ct)::DOUBLE AS total,
+                           count(*)::DOUBLE AS vocab FROM cnt)
+            SELECT doc_id,
+                   round(-sum(tf * ln((coalesce(ct, 0) + 0.5)
+                                      / (total + 0.5 * vocab)))
+                         / sum(tf), 6) AS nll
+            FROM tf LEFT JOIN cnt USING (term), tot
+            GROUP BY 1""",
         # the drained streaming retention triangle must EQUAL the
         # one-shot retention, so it shares that oracle verbatim
         "events_stream_retention": """

@@ -486,7 +486,9 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def unigram_nll(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", alpha: float = 0.5,
-                materialize: bool = True) -> DataFrame:
+                materialize: bool = True,
+                ref: DataFrame | None = None,
+                ref_text_col: str | None = None) -> DataFrame:
     """Per-doc mean negative log-likelihood under the corpus unigram
     model — the perplexity-proxy quality signal (the cheap stand-in for
     LM-perplexity filtering à la CCNet/Gopher): gibberish and
@@ -499,6 +501,14 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
     contract as ``tf_idf`` — release with ``release_tfidf_cache``); the
     corpus-level totals are a 1-row broadcast.  Docs with zero tokens are
     absent from the output.
+
+    ``ref`` switches to CROSS-CORPUS scoring — the model trains on the
+    reference corpus (``ref_text_col`` defaults to ``text_col``) and
+    ``df`` is scored against it: the CCNet-style quality filter, where
+    perplexity under a CLEAN reference LM ranks candidate text (self-
+    perplexity only measures in-corpus typicality).  Terms the
+    reference never saw get the α smoothing mass (count 0); |V| and the
+    total come from the reference.
     """
     from pyspark import StorageLevel
 
@@ -512,13 +522,21 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
           .agg(F.count(F.lit(1)).alias("tf")))
     if materialize:
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    if ref is None:
+        counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    else:
+        rterms = explode_fast(
+            ref.select(tokens_col(F.col(ref_text_col or text_col))
+                       .alias("__toks")),
+            F.col("__toks"), "term")
+        counts = rterms.groupBy("term").agg(
+            F.count(F.lit(1)).alias("ct"))
     totals = counts.agg(
         F.sum("ct").cast("double").alias("__total"),
         F.count(F.lit(1)).cast("double").alias("__vocab"))
-    logp = F.log((F.col("ct") + F.lit(alpha))
+    logp = F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
                  / (F.col("__total") + F.lit(alpha) * F.col("__vocab")))
-    out = (tf.join(counts, on="term")
+    out = (tf.join(counts, on="term", how="left")
            .crossJoin(F.broadcast(totals))
            .groupBy("__id")
            .agg((-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__nll"))
@@ -531,7 +549,9 @@ def unigram_nll(df: DataFrame, id_col: str = "doc_id",
 
 def bigram_nll(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", alpha: float = 0.5,
-               materialize: bool = True) -> DataFrame:
+               materialize: bool = True,
+               ref: DataFrame | None = None,
+               ref_text_col: str | None = None) -> DataFrame:
     """Per-doc mean negative log-likelihood under the corpus BIGRAM
     model — one step up the n-gram ladder from ``unigram_nll``
     (repetitive templated text scores low on bigram surprise even when
@@ -545,33 +565,49 @@ def bigram_nll(df: DataFrame, id_col: str = "doc_id",
     1-row vocab broadcast are rollups of it).  ``nll(doc) =
     −Σ tf·ln p / Σ tf`` over the doc's bigram occurrences; docs with
     fewer than 2 tokens are absent.  Same persist contract as
-    ``tf_idf``/``unigram_nll`` — release with ``release_tfidf_cache``."""
+    ``tf_idf``/``unigram_nll`` — release with ``release_tfidf_cache``.
+
+    ``ref`` trains the bigram model on a REFERENCE corpus and scores
+    ``df`` against it (see ``unigram_nll``): unseen bigrams get the α
+    mass over the reference's predicted-token vocabulary; an unseen
+    history (c(t1,·)=0) degrades to the uniform 1/|V|."""
     from pyspark import StorageLevel
 
     from .util import explode_fast
 
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    pairs_arr = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                           lambda a, b: F.struct(a.alias("t1"),
-                                                 b.alias("t2")))
-    pairs = explode_fast(
-        df.where(n >= 2).select(F.col(id_col).alias("__id"),
-                                pairs_arr.alias("__bg")),
-        F.col("__bg"), "bg")
-    tf = (pairs.select("__id", F.col("bg.t1").alias("t1"),
-                       F.col("bg.t2").alias("t2"))
+    def _bigrams(frame, idcol, tcol):
+        toks = tokens_col(F.col(tcol))
+        n = F.size(toks)
+        arr = F.zip_with(F.slice(toks, 1, n - 1),
+                         F.slice(toks, 2, n - 1),
+                         lambda a, b: F.struct(a.alias("t1"),
+                                               b.alias("t2")))
+        cols = ([F.col(idcol).alias("__id")] if idcol else []) \
+            + [arr.alias("__bg")]
+        ex = explode_fast(frame.where(n >= 2).select(*cols),
+                          F.col("__bg"), "bg")
+        keep = (["__id"] if idcol else []) \
+            + [F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")]
+        return ex.select(*keep)
+
+    tf = (_bigrams(df, id_col, text_col)
           .groupBy("__id", "t1", "t2")
           .agg(F.count(F.lit(1)).alias("tf")))
     if materialize:
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    c12 = tf.groupBy("t1", "t2").agg(F.sum("tf").alias("c12"))
+    if ref is None:
+        c12 = tf.groupBy("t1", "t2").agg(F.sum("tf").alias("c12"))
+    else:
+        c12 = (_bigrams(ref, None, ref_text_col or text_col)
+               .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12")))
     c1 = c12.groupBy("t1").agg(F.sum("c12").alias("c1"))
     vocab = c12.agg(
         F.countDistinct("t2").cast("double").alias("__vocab"))
-    logp = F.log((F.col("c12") + F.lit(alpha))
-                 / (F.col("c1") + F.lit(alpha) * F.col("__vocab")))
-    out = (tf.join(c12, on=["t1", "t2"]).join(c1, on="t1")
+    logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                 / (F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(alpha) * F.col("__vocab")))
+    out = (tf.join(c12, on=["t1", "t2"], how="left")
+           .join(c1, on="t1", how="left")
            .crossJoin(F.broadcast(vocab))
            .groupBy("__id")
            .agg((-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__nll"))

@@ -439,3 +439,29 @@ def test_funnel_predicate_stages(spark, funnel_df):
            funnel_report(ev, "ts", "user_id", "event_type",
                          stages).collect()}
     assert rep == {"signup": 4, "big_click": 2}
+
+
+def test_ref_corpus_nll(spark):
+    """ref= trains the n-gram model on a CLEAN reference and scores the
+    target against it: reference-like text scores lower NLL than text
+    full of reference-unseen tokens, and self vs ref scoring differ."""
+    import math
+
+    from cascalog_spark.functions import bigram_nll, unigram_nll
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        ["doc_id", "text"])
+    tgt = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zx qv jkl")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["nll"]
+           for r in unigram_nll(tgt, ref=ref,
+                                materialize=False).collect()}
+    assert out[0] < out[1]
+    # unseen-token NLL is exactly -ln(alpha / (total + alpha*|V|)):
+    # ref total=24 tokens, |V|=5
+    want = -math.log(0.5 / (24 + 0.5 * 5))
+    assert abs(out[1] - round(want, 6)) < 1e-6
+    bg = {r["doc_id"]: r["bigram_nll"]
+          for r in bigram_nll(tgt, ref=ref, materialize=False).collect()}
+    assert bg[0] < bg[1]
