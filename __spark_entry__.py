@@ -3818,6 +3818,18 @@ def events_stream_retention(spark, sf_dir):
     return read_retention(spark, f"{base}/pairs")
 
 
+def events_decayed_value(spark, sf_dir):
+    """Recency-weighted engagement per user (behavior.py decayed_agg):
+    Σ value · 2^(−(T−t)/half_life) with T = the corpus max timestamp
+    (broadcast 1-row, never now()) and a 1-day half-life — the standard
+    decayed-count/sum feature; one map-side weight + one groupBy."""
+    from cascalog_spark.functions import decayed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_agg(ev, "ts", ["user_id"], "value",
+                       half_life=86400.0)
+
+
 def doc_ref_unigram_nll(spark, sf_dir):
     """Cross-corpus perplexity filtering (text.py unigram_nll ref=):
     the doc_id % 4 == 0 slice scores against a unigram model trained on
@@ -3898,6 +3910,7 @@ _R7_HEAD = [
     "doc_novelty_incremental",
     "doc_stream_novelty_ingest",
     "doc_ref_unigram_nll",
+    "events_decayed_value",
     "events_stream_funnel",
     "events_stream_transitions",
     "events_stream_retention",
@@ -4168,6 +4181,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_transitions": events_stream_transitions,
         "events_stream_retention": events_stream_retention,
         "doc_ref_unigram_nll": doc_ref_unigram_nll,
+        "events_decayed_value": events_decayed_value,
     }
 
 
@@ -7551,6 +7565,16 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
             FROM bp LEFT JOIN bf ON bf.s = bp.s
             GROUP BY bp.doc_id""",
+        # decayed sum: same epoch_us/1e6 double math, ln(2)/h literal
+        # weight, 6dp round after the sum
+        "events_decayed_value": f"""
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id,
+                   round(sum(value * exp(-{__import__('math').log(2.0) / 86400.0!r}
+                             * (epoch_us(mx.m) / 1000000.0
+                                - epoch_us(ts) / 1000000.0))), 6)
+                   AS decayed
+            FROM events, mx GROUP BY user_id""",
         # cross-corpus NLL: unigram counts from the REFERENCE slice,
         # target terms LEFT-join them (unseen -> 0 + alpha mass)
         "doc_ref_unigram_nll": f"""

@@ -28,8 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_offset_cols", "funnel_report", "funnel_stages",
-           "retention_cohorts", "transition_matrix"]
+__all__ = ["cohort_offset_cols", "decayed_agg", "funnel_report",
+           "funnel_stages", "retention_cohorts", "transition_matrix"]
 
 
 def _seconds(col: Column, dtype: str) -> Column:
@@ -236,3 +236,47 @@ def transition_matrix(df: DataFrame, ts_col: str, user_col: str,
     tot = Window.partitionBy("from_type")
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(tot), 6))
+
+
+def decayed_agg(df: DataFrame, ts_col: str, keys: list[str],
+                value_col: str | None = None,
+                half_life: float = 86400.0,
+                at=None, out_col: str = "decayed") -> DataFrame:
+    """Exponentially time-decayed aggregate per key:
+    ``Σ value · 2^(−(T − t)/half_life)`` — the recency-weighted
+    engagement/feature signal (a click yesterday counts half as much as
+    one today at half_life=1d).  ``value_col=None`` decays a count
+    (value 1 per event).  ``T`` is the evaluation instant: pass ``at``
+    (datetime or epoch seconds) for reproducible features, or leave
+    None for the corpus max timestamp (one 1-row broadcast — NOT now(),
+    which would make reruns disagree).
+
+    Scale: one groupBy on ``keys`` — the weight is a pure map-side
+    expression, so this composes with incremental maintenance: decayed
+    sums SCALE under time shift (``S(T') = S(T)·2^(−(T'−T)/h)``), so a
+    standing value folds with a new batch by rescaling, no history
+    rescan.  Output rounded to 6 (sum order independence at the
+    comparison precision)."""
+    if half_life <= 0:
+        raise ValueError("decayed_agg: half_life must be > 0")
+    dt = dict(df.dtypes)[ts_col]
+    num = _seconds(F.col(ts_col), dt)
+    val = (F.col(value_col).cast("double") if value_col
+           else F.lit(1.0))
+    if at is None:
+        mx = df.agg(F.max(F.col(ts_col)).alias("__mx"))
+        src = df.crossJoin(F.broadcast(mx))
+        tref = _seconds(F.col("__mx"), dt)
+    else:
+        import datetime as _dt
+
+        if isinstance(at, _dt.datetime):
+            at = at.timestamp()
+        src = df
+        tref = F.lit(float(at))
+    import math
+
+    lam = math.log(2.0) / float(half_life)
+    w = F.exp(F.lit(-lam) * (tref - num))
+    return (src.groupBy(*[F.col(k) for k in keys])
+            .agg(F.round(F.sum(val * w), 6).alias(out_col)))

@@ -465,3 +465,35 @@ def test_ref_corpus_nll(spark):
     bg = {r["doc_id"]: r["bigram_nll"]
           for r in bigram_nll(tgt, ref=ref, materialize=False).collect()}
     assert bg[0] < bg[1]
+
+
+def test_decayed_agg(spark):
+    import math
+
+    from cascalog_spark.functions import decayed_agg
+
+    rows = [(1, _ts("2024-01-01T00:00:00"), 10.0),
+            (1, _ts("2024-01-02T00:00:00"), 10.0),
+            (2, _ts("2024-01-02T00:00:00"), 4.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r["decayed"]
+           for r in decayed_agg(df, "ts", ["user_id"], "value",
+                                half_life=86400.0).collect()}
+    # T = corpus max (Jan 2): u1 = 10*2^-1 + 10*2^0 = 15; u2 = 4
+    assert out[1] == 15.0
+    assert out[2] == 4.0
+    # decayed COUNT (value_col=None)
+    cnt = {r["user_id"]: r["decayed"]
+           for r in decayed_agg(df, "ts", ["user_id"],
+                                half_life=86400.0).collect()}
+    assert cnt[1] == 1.5 and cnt[2] == 1.0
+    # time-shift identity: S(T + h) == S(T) / 2
+    at = _ts("2024-01-03T00:00:00")
+    shifted = {r["user_id"]: r["decayed"]
+               for r in decayed_agg(df, "ts", ["user_id"], "value",
+                                    half_life=86400.0,
+                                    at=at).collect()}
+    assert abs(shifted[1] - out[1] / 2) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decayed_agg(df, "ts", ["user_id"], half_life=0)
