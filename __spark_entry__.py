@@ -3830,6 +3830,43 @@ def events_decayed_value(spark, sf_dir):
                        half_life=86400.0)
 
 
+def events_stream_decayed(spark, sf_dir):
+    """Standing decayed engagement maintained from a STREAM
+    (streaming/ingest.py stream_decayed_maintenance): two time-ordered
+    micro-batches fold via the time-shift identity S(T') =
+    S(T)·2^(−(T'−T)/h) + batch partial — one rescale + add per batch,
+    partials unrounded until read.  The oracle is the ONE-SHOT decayed
+    sum, proving streaming fold == batch at the 6dp hash."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_decayed,
+                                          stream_decayed_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                            "value")
+    cut = "2024-01-16"
+    src = stage_file_batches([ev.where(F.col("ts") < cut),
+                              ev.where(F.col("ts") >= cut)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_dec_")
+    name = "events_stream_decayed"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_decayed_maintenance(
+        raw, f"{base}/state", "ts", ["user_id"], "value",
+        half_life=86400.0, checkpoint_dir=f"{base}/ckpt",
+        query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_decayed: bounded stream did "
+                           "not drain within 300s")
+    return read_decayed(spark, f"{base}/state")
+
+
 def doc_ref_unigram_nll(spark, sf_dir):
     """Cross-corpus perplexity filtering (text.py unigram_nll ref=):
     the doc_id % 4 == 0 slice scores against a unigram model trained on
@@ -3911,6 +3948,7 @@ _R7_HEAD = [
     "doc_stream_novelty_ingest",
     "doc_ref_unigram_nll",
     "events_decayed_value",
+    "events_stream_decayed",
     "events_stream_funnel",
     "events_stream_transitions",
     "events_stream_retention",
@@ -4182,6 +4220,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_retention": events_stream_retention,
         "doc_ref_unigram_nll": doc_ref_unigram_nll,
         "events_decayed_value": events_decayed_value,
+        "events_stream_decayed": events_stream_decayed,
     }
 
 
@@ -7568,6 +7607,16 @@ def oracle_sql() -> dict[str, str]:
         # decayed sum: same epoch_us/1e6 double math, ln(2)/h literal
         # weight, 6dp round after the sum
         "events_decayed_value": f"""
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id,
+                   round(sum(value * exp(-{__import__('math').log(2.0) / 86400.0!r}
+                             * (epoch_us(mx.m) / 1000000.0
+                                - epoch_us(ts) / 1000000.0))), 6)
+                   AS decayed
+            FROM events, mx GROUP BY user_id""",
+        # the drained streaming decayed state must EQUAL the one-shot
+        # decayed sum, so it shares that oracle verbatim
+        "events_stream_decayed": f"""
             WITH mx AS (SELECT max(ts) AS m FROM events)
             SELECT user_id,
                    round(sum(value * exp(-{__import__('math').log(2.0) / 86400.0!r}

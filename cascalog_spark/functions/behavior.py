@@ -241,7 +241,8 @@ def transition_matrix(df: DataFrame, ts_col: str, user_col: str,
 def decayed_agg(df: DataFrame, ts_col: str, keys: list[str],
                 value_col: str | None = None,
                 half_life: float = 86400.0,
-                at=None, out_col: str = "decayed") -> DataFrame:
+                at=None, out_col: str = "decayed",
+                round_out: bool = True) -> DataFrame:
     """Exponentially time-decayed aggregate per key:
     ``Σ value · 2^(−(T − t)/half_life)`` — the recency-weighted
     engagement/feature signal (a click yesterday counts half as much as
@@ -278,5 +279,10 @@ def decayed_agg(df: DataFrame, ts_col: str, keys: list[str],
 
     lam = math.log(2.0) / float(half_life)
     w = F.exp(F.lit(-lam) * (tref - num))
+    total = F.sum(val * w)
+    # round_out=False is the STREAMING-FOLD surface: partials must stay
+    # unrounded so rescale-and-add folding matches the one-shot sum
+    # (round once at read)
+    out = F.round(total, 6) if round_out else total
     return (src.groupBy(*[F.col(k) for k in keys])
-            .agg(F.round(F.sum(val * w), 6).alias(out_col)))
+            .agg(out.alias(out_col)))

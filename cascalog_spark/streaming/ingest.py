@@ -787,3 +787,84 @@ def prune_state_snapshots(state_dir: str, keep_latest: int = 1) -> int:
     for i in drop:
         shutil.rmtree(os.path.join(state_dir, f"batch={i}"))
     return len(drop)
+
+
+def read_decayed(spark: SparkSession, state_dir: str,
+                 out_col: str = "decayed") -> Optional[DataFrame]:
+    """The standing decayed aggregate (latest snapshot, rounded to 6 at
+    read — partials are kept unrounded so folding stays exact)."""
+    st = read_funnel_state(spark, state_dir)
+    if st is None:
+        return None
+    return (st.drop("__t")
+            .withColumn(out_col, F.round(F.col(out_col), 6)))
+
+
+def stream_decayed_maintenance(stream_df: DataFrame, state_dir: str,
+                               ts_col: str, keys: list,
+                               value_col: Optional[str] = None,
+                               half_life: float = 86400.0,
+                               checkpoint_dir: Optional[str] = None,
+                               query_name: str = "decayed_maintenance"):
+    """Maintain exponentially time-decayed sums/counts from a stream:
+    the decayed sum SCALES under time shift —
+    ``S(T') = S(T) · 2^(−(T'−T)/half_life)`` — so each micro-batch
+    folds into the standing state with ONE rescale + add, no history
+    rescan: the standing (keys, decayed, T) snapshot is rescaled to the
+    batch's evaluation instant T' = max(T, batch max ts) and the
+    batch's own unrounded partial (``decayed_agg(round_out=False)``)
+    adds in.  Snapshot-per-batch retry contract as the funnel state;
+    read with :func:`read_decayed` (rounds at read).
+
+    Drained state == the one-shot ``decayed_agg`` over all events up to
+    float association (pinned by the driver oracle's 6dp hash)."""
+    import math
+
+    from ..functions.behavior import decayed_agg
+
+    lam = math.log(2.0) / float(half_life)
+    kl = list(keys)
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = read_funnel_state(spark, state_dir, before=batch_id)
+        row = batch.agg(
+            (F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+             / F.lit(1_000_000.0)).alias("m")).first()
+        bmax = row["m"]
+        oldt = (old.select(F.max("__t").alias("t")).first()["t"]
+                if old is not None else None)
+        if bmax is None and old is None:
+            return  # nothing to record yet
+        tref = max(x for x in (bmax, oldt) if x is not None)
+        if bmax is not None:
+            part = decayed_agg(batch, ts_col, kl, value_col,
+                               half_life, at=tref, round_out=False)
+        else:
+            part = None
+        if old is not None:
+            scaled = old.select(
+                *kl, (F.col("decayed")
+                      * F.exp(F.lit(-lam)
+                              * (F.lit(tref) - F.col("__t"))))
+                .alias("__old"))
+            if part is not None:
+                new = (part.join(scaled, on=kl, how="full")
+                       .select(*kl,
+                               (F.coalesce(F.col("decayed"), F.lit(0.0))
+                                + F.coalesce(F.col("__old"), F.lit(0.0)))
+                               .alias("decayed")))
+            else:
+                new = scaled.select(*kl,
+                                    F.col("__old").alias("decayed"))
+        else:
+            new = part
+        (new.withColumn("__t", F.lit(float(tref)))
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

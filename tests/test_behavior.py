@@ -497,3 +497,41 @@ def test_decayed_agg(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         decayed_agg(df, "ts", ["user_id"], half_life=0)
+
+
+def test_stream_decayed_maintenance(spark, tmp_path):
+    """Drained streaming decayed state == one-shot decayed_agg: the
+    standing value rescales to each batch's instant and adds the batch
+    partial (time-shift identity fold)."""
+    from cascalog_spark.functions import decayed_agg
+    from cascalog_spark.streaming import (read_decayed,
+                                          stream_decayed_maintenance)
+
+    rows = [(1, _ts("2024-01-01T00:00:00"), 10.0),
+            (2, _ts("2024-01-01T12:00:00"), 6.0),
+            (1, _ts("2024-01-02T00:00:00"), 10.0),
+            (3, _ts("2024-01-03T00:00:00"), 2.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    cut = _ts("2024-01-01T18:00:00")
+    src = str(tmp_path / "dec_src")
+    for b in (df.where(F.col("ts") < cut), df.where(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_decayed_maintenance(
+        sdf, str(tmp_path / "dec_state"), "ts", ["user_id"], "value",
+        half_life=86400.0,
+        checkpoint_dir=str(tmp_path / "dec_ckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = {r["user_id"]: r["decayed"]
+           for r in read_decayed(spark,
+                                 str(tmp_path / "dec_state")).collect()}
+    want = {r["user_id"]: r["decayed"]
+            for r in decayed_agg(df, "ts", ["user_id"], "value",
+                                 half_life=86400.0).collect()}
+    assert got == want
+    # hand value: at T = Jan 3, u1 = 10*2^-2 + 10*2^-1 = 7.5
+    assert got[1] == 7.5
