@@ -3830,6 +3830,22 @@ def events_decayed_value(spark, sf_dir):
                        half_life=86400.0)
 
 
+def embedding_kcenter_assign(spark, sf_dir):
+    """Diversity sampling + coverage (similarity.py kcenter_sample /
+    kcenter_assign): greedy farthest-point traversal picks 4 maximally-
+    spread rows by cosine distance (the coreset move — random samples
+    over-represent dense regions), then every row maps to its nearest
+    center.  Selection = k corpus scans with literal-vector distance
+    chains (no shuffle, no state); fully deterministic (min-id seed,
+    unrounded max-min comparisons, id ties) → the oracle unrolls all 4
+    rounds."""
+    from cascalog_spark.functions import kcenter_assign, kcenter_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = kcenter_sample(emb, k=4)
+    return kcenter_assign(emb, centers)
+
+
 def events_stream_decayed(spark, sf_dir):
     """Standing decayed engagement maintained from a STREAM
     (streaming/ingest.py stream_decayed_maintenance): two time-ordered
@@ -3949,6 +3965,7 @@ _R7_HEAD = [
     "doc_ref_unigram_nll",
     "events_decayed_value",
     "events_stream_decayed",
+    "embedding_kcenter_assign",
     "events_stream_funnel",
     "events_stream_transitions",
     "events_stream_retention",
@@ -4221,6 +4238,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ref_unigram_nll": doc_ref_unigram_nll,
         "events_decayed_value": events_decayed_value,
         "events_stream_decayed": events_stream_decayed,
+        "embedding_kcenter_assign": embedding_kcenter_assign,
     }
 
 
@@ -4299,6 +4317,55 @@ def _ivfpq_sql_ctes() -> str:
                         ORDER BY dist ASC, j ASC) AS rn
                       FROM dd),
             code AS (SELECT vec_id, s, j FROM bestc WHERE rn = 1)"""
+
+
+def _kcenter_sql(k: int = 4) -> str:
+    """Unrolled greedy farthest-point CTE chain + nearest-center
+    assignment (mirrors kcenter_sample/kcenter_assign step for step:
+    min-id seed, max-min cosine distance with id ties, argmax-cosine
+    assignment with min-cid ties; every dot/norm is the same
+    left-associative chain the engine folds)."""
+    def dot(a, b):
+        return _chain64(a + "[{i}] * " + b + "[{i}]")
+
+    ctes = [f"""
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            en AS (SELECT vec_id, v,
+                          sqrt({_chain64('v[{i}] * v[{i}]')}) AS n
+                   FROM e),
+            ep AS (SELECT * FROM en WHERE n > 0),
+            s0 AS (SELECT vec_id AS c0, v AS v0, n AS n0 FROM ep
+                   ORDER BY vec_id ASC LIMIT 1),
+            d1 AS (SELECT ep.vec_id, ep.v, ep.n,
+                          1.0 - ({dot('ep.v', 's0.v0')})
+                                / (ep.n * s0.n0) AS d
+                   FROM ep, s0)"""]
+    for r in range(1, k):
+        ctes.append(f"""
+            s{r} AS (SELECT vec_id AS c{r}, v AS v{r}, n AS n{r}
+                     FROM d{r} ORDER BY d DESC, vec_id ASC LIMIT 1)""")
+        if r < k - 1:
+            ctes.append(f"""
+            d{r + 1} AS (SELECT d{r}.vec_id, d{r}.v, d{r}.n,
+                          least(d{r}.d,
+                                1.0 - ({dot(f'd{r}.v', f's{r}.v{r}')})
+                                      / (d{r}.n * s{r}.n{r})) AS d
+                   FROM d{r}, s{r})""")
+    union = " UNION ALL ".join(
+        f"SELECT c{r} AS cid, v{r} AS cv, n{r} AS cn FROM s{r}"
+        for r in range(k))
+    ctes.append(f"""
+            centers AS ({union}),
+            asg0 AS (SELECT ep.vec_id, c.cid,
+                            ({dot('ep.v', 'c.cv')}) / (ep.n * c.cn)
+                            AS cs
+                     FROM ep CROSS JOIN centers c),
+            asg AS (SELECT vec_id, cid, cs,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cs DESC, cid ASC) AS rn
+                    FROM asg0)""")
+    return ",".join(ctes)
 
 
 def _shingle_sql(k: int = 3) -> str:
@@ -7614,6 +7681,12 @@ def oracle_sql() -> dict[str, str]:
                                 - epoch_us(ts) / 1000000.0))), 6)
                    AS decayed
             FROM events, mx GROUP BY user_id""",
+        # k-center diversity sample + coverage: 4 unrolled greedy
+        # rounds, then argmax-cosine assignment (min-cid ties)
+        "embedding_kcenter_assign": f"""
+            WITH {_kcenter_sql(4)}
+            SELECT vec_id, cid AS center, round(cs, 6) AS sim
+            FROM asg WHERE rn = 1""",
         # the drained streaming decayed state must EQUAL the one-shot
         # decayed sum, so it shares that oracle verbatim
         "events_stream_decayed": f"""

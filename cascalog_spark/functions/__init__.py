@@ -52,6 +52,7 @@ from .similarity import (ann_recall_report, assign_cells_vectorized,
                          dequantize_col, ivf_ann_topk, ivf_append_index,
                          ivf_centroids_kmeans, ivf_knn_join, knn_join,
                          ivf_centroids, ivf_query_index, ivf_write_index,
+                         kcenter_assign, kcenter_sample,
                          lsh_ann_topk, prefix_rescore_topk,
                          quantization_stats, truncate_embeddings,
                          quantize_embeddings, release_cosine_cache)

@@ -1453,3 +1453,81 @@ def prefix_rescore_topk(df: DataFrame, query_vec: list[float],
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k)
             .where(F.col("sim").isNotNull()))
+
+
+def kcenter_sample(df: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[tuple]:
+    """Greedy farthest-point traversal (k-center / coreset seeding):
+    pick ``k`` maximally-diverse rows by cosine distance — the
+    diversity-sampling move in data curation (a random sample
+    over-represents dense regions; the k-center set covers the
+    embedding space with provably ≤2x-optimal radius).
+
+    Returns ``[(rank, id, vector, radius), ...]`` driver-side (k
+    vectors — an O(k·dim) model, same contract as ``ivf_centroids``):
+    seed = smallest id (radius None), then each round takes the row
+    maximizing the min cosine distance to everything selected (ties →
+    min id); ``radius`` is that max-min distance — the coverage radius
+    sequence, the stop signal for choosing k.
+
+    Scale: round r is ONE corpus scan computing ``least`` of r
+    literal-vector cosine distances + a TakeOrdered(1) — k scans total,
+    no shuffle, no state; deterministic end-to-end (unrounded distance
+    comparisons use the same left-associative chains both engines
+    fold).  Zero-norm/NULL rows are excluded (no cosine)."""
+    import math
+
+    if k <= 0:
+        return []
+    vec = F.col(vec_col).cast("array<double>")
+    base = (df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"), vec.alias("__v"),
+                    norm_col(vec).alias("__n"))
+            .where(F.col("__n") > 0))
+    seed = base.orderBy(F.col("__id").asc()).limit(1).first()
+    if seed is None:
+        return []
+    sel = [(0, seed["__id"], [float(x) for x in seed["__v"]], None)]
+    for r in range(1, k):
+        dists = []
+        for _, _, sv, _ in sel:
+            sn = math.sqrt(sum(x * x for x in sv))
+            dists.append(F.lit(1.0)
+                         - dot_col(F.col("__v"), _lit_arr(sv))
+                         / (F.col("__n") * F.lit(sn)))
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (base.select("__id", "__v", mind.alias("__d"))
+               .orderBy(F.col("__d").desc(), F.col("__id").asc())
+               .limit(1).first())
+        if far is None or far["__id"] in {s[1] for s in sel}:
+            break  # k exceeds distinct rows
+        sel.append((r, far["__id"], [float(x) for x in far["__v"]],
+                    float(far["__d"])))
+    return sel
+
+
+def kcenter_assign(df: DataFrame, centers: list[tuple],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   out_col: str = "center") -> DataFrame:
+    """Assign every row to its nearest k-center (max cosine, ties →
+    smallest center id) with the similarity attached — the coverage
+    view of a ``kcenter_sample`` result (``centers`` is its return
+    value, or any ``[(rank, id, vector, _), ...]``).  One map-side pass
+    (same argmax shape as ``ivf_assign_col``); zero-norm rows drop."""
+    cents = [(int(cid), [float(x) for x in cv])
+             for _, cid, cv, _ in centers]
+    if not cents:
+        raise ValueError("kcenter_assign: empty centers")
+    vec = F.col(vec_col).cast("array<double>")
+    nrm = norm_col(vec)
+    sim_to = {cid: cosine_to_query_col(vec, cv) for cid, cv in cents}
+    entries = F.array(*[
+        F.struct((-sim_to[cid]).alias("negsim"),
+                 F.lit(cid).alias("cid"))
+        for cid, _ in sorted(cents)])
+    best = F.array_sort(entries)[0]
+    return (df.where(F.col(vec_col).isNotNull())
+            .where(nrm > 0)
+            .select(F.col(id_col), best["cid"].alias(out_col),
+                    F.round(-best["negsim"], 6).alias("sim")))

@@ -3251,3 +3251,44 @@ def test_ann_recall_report_prefix_rows(spark, sf_dir):
     assert rep[64]["recall_at_k"] == 1.0
     assert rep[8]["recall_at_k"] <= 1.0
     assert rep[64]["scan_frac"] == round(20 / n, 6)
+
+
+def test_kcenter_sample_and_assign(spark):
+    from cascalog_spark.functions import kcenter_assign, kcenter_sample
+
+    # three tight clusters on distinct axes + a duplicate of the seed
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.01, 0.99, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]), (5, [1.0, 0.0, 0.0, 0.0]),
+        (6, None), (7, [0.0, 0.0, 0.0, 0.0]),  # null + zero-norm drop
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = kcenter_sample(emb, k=3)
+    assert [s[0] for s in sel] == [0, 1, 2]
+    assert sel[0][1] == 0 and sel[0][3] is None  # seed = min id
+    # farthest from axis-x is an orthogonal axis (distance 1.0)
+    assert sel[1][1] in (2, 4) and abs(sel[1][3] - 1.0) < 1e-9
+    # third pick = the remaining orthogonal axis
+    picked = {sel[1][1], sel[2][1]}
+    assert picked == {2, 4}
+    # radii are non-increasing
+    assert sel[2][3] <= sel[1][3] + 1e-12
+    # determinism
+    assert kcenter_sample(emb, k=3) == sel
+
+    asg = {r["vec_id"]: (r["center"], r["sim"])
+           for r in kcenter_assign(emb, sel).collect()}
+    assert set(asg) == {0, 1, 2, 3, 4, 5}  # null/zero-norm dropped
+    assert asg[0] == (0, 1.0) and asg[5] == (0, 1.0)
+    assert asg[1][0] == 0 and asg[3][0] in picked
+    assert asg[4][0] == 4
+
+    # k exceeding distinct rows stops early
+    tiny = spark.createDataFrame(rows[:2],
+                                 "vec_id long, embedding array<double>")
+    assert len(kcenter_sample(tiny, k=10)) <= 2
+    assert kcenter_sample(emb, k=0) == []
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kcenter_assign(emb, [])
