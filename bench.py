@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "events_funnel",
     "doc_ngram_novelty",
     "embedding_ivfpq_knn",
+    # round-7 session-2: greedy farthest-point diversity sample (k
+    # corpus scans, no shuffle) + argmax-cosine coverage assignment
+    "embedding_kcenter_assign",
 ]
 
 
