@@ -535,3 +535,58 @@ def test_stream_decayed_maintenance(spark, tmp_path):
     assert got == want
     # hand value: at T = Jan 3, u1 = 10*2^-2 + 10*2^-1 = 7.5
     assert got[1] == 7.5
+
+
+# -- hypothesis differential: funnel vs a pure-Python fold ------------------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_events = st.lists(
+    st.tuples(st.integers(0, 4),              # user
+              st.integers(0, 50),             # ts (seconds, ties likely)
+              st.sampled_from(["a", "b", "c", "x"])),
+    min_size=0, max_size=40)
+
+
+def _py_funnel(rows, stages, horizon=None):
+    """Reference model: closed-form chained minima per user."""
+    out = {}
+    users = {u for u, _, s in rows if s in stages}
+    for u in users:
+        evs = [(t, s) for uu, t, s in rows if uu == u]
+        reach = []
+        prev = None
+        for i, s in enumerate(stages):
+            cand = [t for t, ss in evs if ss == s
+                    and (i == 0 or (prev is not None and t > prev))
+                    and (i == 0 or horizon is None
+                         or (reach[0] is not None
+                             and t - reach[0] <= horizon))]
+            cur = min(cand) if cand and (i == 0 or prev is not None) \
+                else None
+            reach.append(cur)
+            prev = cur
+        out[u] = tuple(reach) + (sum(r is not None for r in reach),)
+    return out
+
+
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=_events, horizon=st.sampled_from([None, 10.0]))
+def test_funnel_differential(spark, data, horizon):
+    stages = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in data] or [(0, 0.0, "x")],
+        "user_id long, ts double, event_type string")
+    got = {r["user_id"]: (r["ts_a"], r["ts_b"], r["ts_c"],
+                          r["stage_reached"])
+           for r in funnel_stages(df, "ts", "user_id", "event_type",
+                                  stages, horizon=horizon).collect()}
+    want = _py_funnel([(u, float(t), s) for u, t, s in data]
+                      or [(0, 0.0, "x")], stages, horizon)
+    assert got == want
