@@ -590,3 +590,33 @@ def test_funnel_differential(spark, data, horizon):
     want = _py_funnel([(u, float(t), s) for u, t, s in data]
                       or [(0, 0.0, "x")], stages, horizon)
     assert got == want
+
+
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=30))
+def test_transition_differential(spark, data):
+    """transition_matrix vs a pure-Python sort-and-pair model — equal
+    timestamps resolved by the tie column (the synthetic event id)."""
+    rows = [(u, float(t), i, s) for i, (u, t, s) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows or [(0, 0.0, 0, "a")],
+        "user_id long, ts double, event_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in transition_matrix(df, "ts", "user_id", "event_type",
+                                      tie_cols=["event_id"],
+                                      normalize=False).collect()}
+    want = {}
+    byuser = {}
+    for u, t, i, s in (rows or [(0, 0.0, 0, "a")]):
+        byuser.setdefault(u, []).append((t, i, s))
+    for evs in byuser.values():
+        evs.sort()
+        for (_, _, s1), (_, _, s2) in zip(evs, evs[1:]):
+            want[(s1, s2)] = want.get((s1, s2), 0) + 1
+    assert got == want
