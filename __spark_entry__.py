@@ -5710,11 +5710,11 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY f.b)
             SELECT CAST(-1 AS BIGINT) AS bucket,
                    round(-0.5 / (SELECT nd FROM n)
-                         * (SELECT sum(r) FROM resid), 6) AS weight
+                         * (SELECT sum(r) FROM resid), 6) + 0.0 AS weight
             UNION ALL
             SELECT CAST(t.i AS BIGINT) AS bucket,
                    round(-0.5 / (SELECT nd FROM n)
-                         * coalesce(g.g, 0.0), 6) AS weight
+                         * coalesce(g.g, 0.0), 6) + 0.0 AS weight
             FROM range(0, 16) t(i) LEFT JOIN grad g ON g.b = t.i""",
         "embedding_ann_recall": _ann_recall_sql(multi_probe=1),
         # directed containment: same rarity order (df asc, shingle asc),
