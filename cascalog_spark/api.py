@@ -391,6 +391,17 @@ def execute(spark: SparkSession, *args) -> None:
     for qy, _ in pairs:
         if isinstance(qy, Query):
             census._count_subquery_sources(qy.plan(), counts, seen)
+    # cross-QUERY filter pushdown below the fan-out persist (reference
+    # README.md:63-66): collect every consumer occurrence's filter chain
+    # so the shared cache materializes only rows some sink needs
+    occs: dict[int, list] = {}
+    if any(n > 1 for n in counts.values()):
+        occ_nodes: set[str] = set()
+        occ_srcs: set[int] = set()
+        for qy, _ in pairs:
+            if isinstance(qy, Query):
+                census._collect_pushdown_occs(qy.plan(), occs, occ_nodes,
+                                              occ_srcs, [])
     shared_memo: dict[int, DataFrame] = {}
     persisted: list[DataFrame] = []
 
@@ -400,6 +411,7 @@ def execute(spark: SparkSession, *args) -> None:
                 comp = Compiler(spark, trap=qy.options.get("trap"))
                 comp._src_counts = counts
                 comp._src_memo = shared_memo
+                comp._pushdown_occs = occs
                 comp.persisted = persisted
                 df = qy._to_df_with(comp)
             elif isinstance(qy, DataFrame):

@@ -90,6 +90,13 @@ class Compiler:
         # identical *exchange* subtrees, not arbitrary recomputation)
         self._src_memo: dict[int, DataFrame] = {}
         self._src_counts: dict[int, int] | None = None
+        # cross-consumer filter pushdown below the fan-out persist
+        # (reference README.md:63-66, its own declared unfinished
+        # priority): id(source) -> [(GeneratorNode, [chained filter
+        # nodes])] per consumer occurrence.  When EVERY occurrence
+        # filters, the disjunction is applied BEFORE persist so the
+        # cache materializes only rows some consumer needs.
+        self._pushdown_occs: dict[int, list] | None = None
         self.persisted: list[DataFrame] = []
         # prefix_assoc bufferiters persist their scan intermediate; handles
         # surface on the final DataFrame as _prefix_scan_cache for release
@@ -126,12 +133,132 @@ class Compiler:
             if isinstance(child, Node):
                 self._count_subquery_sources(child, counts, seen)
 
+    def _collect_pushdown_occs(self, node: Node, occs: dict[int, list],
+                               seen_nodes: set[str], seen_srcs: set[int],
+                               chain: list) -> None:
+        """Mirror of ``_count_subquery_sources``'s traversal that ALSO
+        records, per subquery-source occurrence, the unbroken chain of
+        row-filtering nodes sitting directly on the GeneratorNode (Column-
+        expressible filters and implicit equalities).  Used to build the
+        below-persist pushdown predicate; see ``_pushdown_pred``."""
+        if node.node_id in seen_nodes:
+            return
+        seen_nodes.add(node.node_id)
+        if isinstance(node, GeneratorNode):
+            src = node.source
+            if hasattr(src, "__cascalog_generator__"):
+                occs.setdefault(id(src), []).append((node, chain))
+                if id(src) not in seen_srcs and hasattr(src, "plan"):
+                    seen_srcs.add(id(src))
+                    self._collect_pushdown_occs(src.plan(), occs,
+                                                seen_nodes, seen_srcs, [])
+            return
+        if isinstance(node, EqualityFilterNode) or (
+                isinstance(node, FilterNode)
+                and getattr(node.op, "column_fn", None) is not None):
+            self._collect_pushdown_occs(node.source, occs, seen_nodes,
+                                        seen_srcs, chain + [node])
+            return
+        for child in (getattr(node, "source", None),
+                      getattr(node, "left", None),
+                      getattr(node, "right", None),
+                      getattr(node, "sub", None),
+                      *getattr(node, "sources", [])):
+            if isinstance(child, Node):
+                self._collect_pushdown_occs(child, occs, seen_nodes,
+                                            seen_srcs, [])
+
+    @staticmethod
+    def _col_deterministic(df: DataFrame, col) -> bool:
+        """True only if the Column's RESOLVED expression tree is provably
+        deterministic — a nondeterministic predicate (rand-based sample)
+        pushed below the persist would be re-evaluated by the consumer's
+        own filter and compound the sampling.  Resolution matters: the
+        unresolved node reports rand(seed) deterministic because only the
+        literal children are visible."""
+        try:
+            jdf = df.select(col.alias("__pushdown_probe"))._jdf
+            it = jdf.queryExecution().analyzed().expressions().iterator()
+            while it.hasNext():
+                if not it.next().deterministic():
+                    return False
+            return True
+        except Exception:  # analysis failure / API drift: assume the worst
+            return False
+
+    def _pushdown_pred(self, df: DataFrame, occ_list: list):
+        """Disjunction of per-consumer filter conjunctions over a shared
+        source's output columns.  Returns None (no pushdown) unless EVERY
+        consumer occurrence contributes at least one deterministic filter
+        — pushing only some consumers' predicates would starve the
+        unfiltered ones.  Skipping an individual component only WEAKENS
+        the pushed predicate (consumers re-apply their own filters on
+        top), so partial expressibility stays correct."""
+        src_cols = df.columns
+        pickled = getattr(df, "__cs_pickled__", set())
+
+        def phys(colref):
+            if isinstance(colref, int):
+                return src_cols[colref] if colref < len(src_cols) else None
+            return colref if colref in src_cols else None
+
+        def usable(*colrefs):
+            return all(phys(c) is not None and phys(c) not in pickled
+                       for c in colrefs)
+
+        def ref(colref):
+            return F.col(phys(colref))
+
+        disj = None
+        for gen, chain in occ_list:
+            cb = gen.col_bindings
+            conj = []
+            for colref, const in gen.const_filters:
+                if usable(colref):
+                    c = ref(colref)
+                    conj.append(c.isNull() if const is None
+                                else c.eqNullSafe(F.lit(const)))
+            for kept, extra in gen.dup_filters:
+                if kept in cb and extra in cb and usable(cb[kept], cb[extra]):
+                    conj.append(ref(cb[kept]).eqNullSafe(ref(cb[extra])))
+            for v in gen.fields:
+                if V.is_non_nullable(v) and v in cb and usable(cb[v]):
+                    conj.append(ref(cb[v]).isNotNull())
+            for fnode in chain:
+                if isinstance(fnode, EqualityFilterNode):
+                    if (fnode.left in cb and fnode.right in cb
+                            and usable(cb[fnode.left], cb[fnode.right])):
+                        conj.append(ref(cb[fnode.left])
+                                    .eqNullSafe(ref(cb[fnode.right])))
+                    continue
+                infs = fnode.infields
+                if not all((not V.is_var(f)) or
+                           (f in cb and usable(cb[f])) for f in infs):
+                    continue
+                args = [ref(cb[f]) if V.is_var(f) else F.lit(f)
+                        for f in infs]
+                pred = fnode.op.column_fn(*args)
+                if self._col_deterministic(df, pred):
+                    conj.append(pred)
+            if not conj:
+                return None  # an effectively-unfiltered consumer
+            c = conj[0]
+            for x in conj[1:]:
+                c = c & x
+            disj = c if disj is None else (disj | c)
+        return disj
+
     def compile(self, node: Node) -> DataFrame:
         """Memoized walk (reference: zip.clj:47-59 visited-map keyed on node
         identifier — a subquery referenced twice compiles once)."""
         if self._src_counts is None:
             self._src_counts = {}
             self._count_subquery_sources(node, self._src_counts, set())
+            if self._pushdown_occs is None and \
+                    any(n > 1 for n in self._src_counts.values()):
+                self._pushdown_occs = {}
+                self._collect_pushdown_occs(node, self._pushdown_occs,
+                                            set(), set(), [])
         df = self._memo.get(node.node_id)
         if df is None:
             df = self._dispatch(node)
@@ -216,6 +343,7 @@ class Compiler:
                         self.spark, trap=source.options.get("trap"))
                     child._src_memo = self._src_memo
                     child._src_counts = self._src_counts
+                    child._pushdown_occs = self._pushdown_occs
                     child.persisted = self.persisted
                     child.prefix_caches = self.prefix_caches
                     df = source._to_df_with(child)
@@ -230,7 +358,17 @@ class Compiler:
                 if hasattr(source, "flush_traps") and \
                         getattr(source, "options", {}).get("trap") is not None:
                     self.nested_trapped.append(source)
-                if (self._src_counts or {}).get(id(source), 0) > 1:
+                cnt = (self._src_counts or {}).get(id(source), 0)
+                if cnt > 1:
+                    # cross-consumer filter pushdown BELOW the persist
+                    # point: only when the collected occurrences account
+                    # for every census-counted consumer (a partial view
+                    # must never narrow the cache)
+                    occ = (self._pushdown_occs or {}).get(id(source), [])
+                    if len(occ) == cnt:
+                        pred = self._pushdown_pred(df, occ)
+                        if pred is not None:
+                            df = df.filter(pred)
                     # MEMORY_AND_DISK: spills, never OOMs
                     df = df.persist(StorageLevel.MEMORY_AND_DISK)
                     self.persisted.append(df)

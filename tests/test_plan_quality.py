@@ -627,3 +627,107 @@ def test_ann_recall_report_plan_bounded(spark, sf_dir):
     # config: count the cell-assignment marker once in the final plan
     assert plan.count("FlatMapGroupsInPandas") == 0
     assert "EvalPython" not in plan  # fully native end to end
+
+
+# -- cross-query filter pushdown below the fan-out persist -------------------
+# (reference README.md:63-66 — its own declared unfinished priority: "push
+# the union of downstream constants/filters below the shared persist point")
+
+_PD_AGE = [("alice", 28), ("bob", 33), ("carol", 51), ("david", 25),
+           ("emil", 25)]
+
+
+def _pd_sub(spark):
+    from cascalog_spark import q
+    from cascalog_spark.sources.taps import MemoryTap
+    return q(["?p", "?a"], (MemoryTap(["p", "a"], _PD_AGE), "?p", "?a"))
+
+
+def _cached_relation(plan: str) -> str:
+    return plan[plan.index("InMemoryRelation"):]
+
+
+def test_multi_sink_pushdown_disjunction_below_persist(spark):
+    """When EVERY sink filters the shared subquery, the persist point
+    materializes only the union of the filtered rows: the cached relation
+    carries the OR of the consumers' predicates — at 100 TB the cache
+    holds the filtered slice, not the whole fan-out input."""
+    from cascalog_spark import c, execute, q
+    sub = _pd_sub(spark)
+    q1 = q(["?p"], (sub, "?p", "?a"), (c.lt, "?a", 30))
+    q2 = q(["?p"], (sub, "?p", "?a"), (c.gt, "?a", 40))
+    got1, got2, plans = [], [], []
+
+    def sink(acc):
+        def s(df):
+            plans.append(_optimized(df))
+            acc.extend(tuple(r) for r in df.collect())
+        return s
+
+    execute(spark, (q1, sink(got1)), (q2, sink(got2)))
+    assert sorted(got1) == [("alice",), ("david",), ("emil",)]
+    assert sorted(got2) == [("carol",)]
+    cached = _cached_relation(plans[0])
+    assert " OR " in cached.splitlines()[1]  # the pushed disjunction
+    assert "< 30" in cached and "> 40" in cached
+
+
+def test_multi_sink_no_pushdown_when_a_consumer_is_unfiltered(spark):
+    """One unfiltered sink → the cache must stay complete (pushing only
+    SOME consumers' predicates would starve the unfiltered one)."""
+    from cascalog_spark import c, execute, q
+    sub = _pd_sub(spark)
+    q1 = q(["?p"], (sub, "?p", "?a"), (c.lt, "?a", 30))
+    q3 = q(["?p", "?b"], (sub, "?p", "?a"), (c.add, "?a", 1, ":>", "?b"))
+    got1, got3, plans = [], [], []
+
+    def sink(acc):
+        def s(df):
+            plans.append(_optimized(df))
+            acc.extend(tuple(r) for r in df.collect())
+        return s
+
+    execute(spark, (q1, sink(got1)), (q3, sink(got3)))
+    assert len(got3) == len(_PD_AGE)  # every row survived to the map sink
+    assert " OR " not in _cached_relation(plans[1]).splitlines()[1]
+
+
+def test_multi_sink_pushdown_skips_nondeterministic_sample(spark):
+    """A rand()-based sample filter must NOT be pushed below the persist:
+    re-evaluating it in the consumer would compound the sampling.  The
+    deterministic sibling's predicate alone can't be pushed either (the
+    sampled consumer counts as unfiltered), so the cache stays complete."""
+    from cascalog_spark import c, execute, q
+    sub = _pd_sub(spark)
+    q1 = q(["?p"], (sub, "?p", "?a"), (c.lt, "?a", 30))
+    q2 = q(["?p"], (sub, "?p", "?a"), (c.sample(0.5, 42),))
+    got1, plans = [], []
+
+    def sink(acc):
+        def s(df):
+            plans.append(_optimized(df))
+            acc.extend(tuple(r) for r in df.collect())
+        return s
+
+    execute(spark, (q1, sink(got1)), (q2, sink([])))
+    assert sorted(got1) == [("alice",), ("david",), ("emil",)]
+    cached = _cached_relation(plans[0]).splitlines()[1]
+    assert "rand(" not in cached and " OR " not in cached
+
+
+def test_single_query_fanout_pushdown_const_filters(spark):
+    """Fan-out WITHIN one query: a self-join of two constant-filtered
+    views of the same subquery pushes the constants' disjunction below
+    the shared persist (GeneratorNode const_filters, no explicit filter
+    predicate needed)."""
+    from cascalog_spark import q
+    sub = _pd_sub(spark)
+    outer = q(["?p1", "?p2"],
+              (sub, "?p1", 25),
+              (sub, "?p2", 33))
+    df = outer.to_df(spark)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("david", "bob"), ("emil", "bob")]
+    cached = _cached_relation(_optimized(df))
+    line = cached.splitlines()[1]
+    assert " OR " in line and "25" in line and "33" in line
