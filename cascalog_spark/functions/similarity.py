@@ -1149,10 +1149,17 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     if dim_row is None:
         raise ValueError("ann_recall_report: empty query set")
     dim = dim_row["d"]
-    n_index = idx.count()  # one bounded scalar (scan_frac denominator)
+    # scan_frac denominator: a broadcast 1-row aggregate riding the final
+    # plan — not a driver-side .count() job (one fewer per-call scan +
+    # scheduling barrier; the division stays row-wise double like the
+    # literal form, so values are bit-identical)
+    n_index_df = F.broadcast(
+        idx.agg(F.count(F.lit(1)).cast("double").alias("__n_index")))
 
-    # exact ground truth, once (q·k rows — eagerly materialized so the
-    # config branches below never re-run the exact scan)
+    # exact ground truth, once (q·k rows).  Consumed by exactly ONE
+    # join (hits) in the final plan, so it needs no eager checkpoint —
+    # leaving it lazy lets the scheduler overlap the exact scan with the
+    # candidate branches instead of serializing a materialization first.
     truth = (knn_join(idx.select(F.col(id_col),
                                  F.col("__v").alias(vec_col)),
                       qside.select(F.col("__qid").alias(query_id_col),
@@ -1160,8 +1167,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       k=k, id_col=id_col, vec_col=vec_col,
                       query_id_col=query_id_col,
                       query_vec_col=query_vec_col)
-             .select(F.col(query_id_col).alias("__qid"), F.col(id_col))
-             .localCheckpoint())
+             .select(F.col(query_id_col).alias("__qid"), F.col(id_col)))
 
     sim = F.round(dot_col(F.col("__v"), F.col("__qv"))
                   / (F.col("__nrm") * F.col("__qnrm")), 6).alias("sim")
@@ -1183,8 +1189,11 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
         isig = idx.withColumn("__sig", lsh_signature_col("__v", planes))
         qsig = qside.withColumn("__sig",
                                 lsh_signature_col("__qv", planes))
+        # query side is q rows by construction — broadcast it so the
+        # corpus side never shuffles (at 100 TB a sort-merge here would
+        # shuffle the whole index for an 8-row probe batch)
         tagged.append(
-            isig.join(qsig, on="__sig")
+            isig.join(F.broadcast(qsig), on="__sig")
             .select(F.lit("lsh").alias("method"),
                     F.lit(int(p)).alias("param"), "__qid",
                     F.col(id_col), sim))
@@ -1199,7 +1208,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                 F.col("__mp"), "__sig").select("__qid", "__qv",
                                                "__qnrm", "__sig")
             tagged.append(
-                isig.join(qmp, on="__sig")
+                isig.join(F.broadcast(qmp), on="__sig")
                 .select(F.lit("lsh_mp").alias("method"),
                         F.lit(int(p)).alias("param"), "__qid",
                         F.col(id_col), sim))
@@ -1224,7 +1233,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                     (F.col("__pos0") + 1).alias("__rank")))
         joined = (idx.withColumn("__cell",
                                  ivf_assign_col("__v", cents))
-                  .join(qcells, on="__cell")
+                  .join(F.broadcast(qcells), on="__cell")
                   .select("__qid", F.col(id_col), sim, "__rank"))
         params = F.array(*[F.lit(int(np_)) for np_ in ivf_probes])
         tagged.append(
@@ -1318,7 +1327,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                     for s in range(ivfpq_m)]
         sim_pq = F.round(F.try_divide(
             num, F.sqrt(reduce_add(n2_terms)) * F.col("__qnrm")), 6)
-        joined_pq = (coded.join(qp, on="__cell")
+        joined_pq = (coded.join(F.broadcast(qp), on="__cell")
                      .select("__qid", F.col(id_col),
                              sim_pq.alias("sim"), "__rank")
                      .where(F.col("sim").isNotNull()))
@@ -1358,16 +1367,23 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     cand = tagged[0]
     for t in tagged[1:]:
         cand = cand.unionByName(t)
+    # ONE pass over the candidate union: the top-k row_number and the
+    # per-config candidate count share the same window partitioning
+    # (same exchange + sort), so the union subtree — every config
+    # branch — is computed once per action, not once for ranking and
+    # again for the scan_frac count
     w = Window.partitionBy("method", "param", "__qid").orderBy(
         F.col("sim").desc(), F.col(id_col).asc())
+    wcnt = Window.partitionBy("method", "param", "__qid")
     ann = (cand.withColumn("__rn", F.row_number().over(w))
+           .withColumn("__nc", F.count(F.lit(1)).over(wcnt))
            .where(F.col("__rn") <= k)
-           .select("method", "param", "__qid", id_col))
-    hits = (ann.join(truth, on=["__qid", id_col])
-            .groupBy("method", "param", "__qid")
-            .agg(F.count(F.lit(1)).alias("__h")))
-    ncand = (cand.groupBy("method", "param", "__qid")
-             .agg(F.count(F.lit(1)).alias("__nc")))
+           .select("method", "param", "__qid", id_col, "__nc"))
+    stats = (ann.join(truth.withColumn("__hit", F.lit(1)),
+                      on=["__qid", id_col], how="left")
+             .groupBy("method", "param", "__qid")
+             .agg(F.count("__hit").alias("__h"),
+                  F.first("__nc").alias("__nc")))
     # config x query spine: a query with ZERO candidates must still
     # average in as recall 0 (the failure the report exists to expose)
     configs = ([("lsh", int(p)) for p in lsh_planes]
@@ -1380,13 +1396,13 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,
                                            "method string, param int"))))
-    per_q = (spine.join(hits, on=["method", "param", "__qid"], how="left")
-             .join(ncand, on=["method", "param", "__qid"], how="left"))
+    per_q = (spine.join(stats, on=["method", "param", "__qid"], how="left")
+             .crossJoin(n_index_df))
     return (per_q.groupBy("method", "param")
             .agg(F.round(F.avg(F.coalesce(F.col("__h"), F.lit(0))
                                / F.lit(float(k))), 6).alias("recall_at_k"),
                  F.round(F.avg(F.coalesce(F.col("__nc"), F.lit(0))
-                               / F.lit(float(n_index))), 6)
+                               / F.col("__n_index")), 6)
                  .alias("scan_frac"))
             .orderBy("method", "param"))
 
