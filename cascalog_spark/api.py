@@ -775,4 +775,34 @@ def first_n(gen, n: int, sort=None, reverse: bool = False):
                 df = df.orderBy(*order)
             return df.limit(n)
 
+        def local_rows(self, source_rows):
+            """In-memory mirror (exec_local): Spark ORDER BY null placement
+            (nulls first asc / last desc), stable multi-key via successive
+            sorts from the minor key up."""
+            fields, rows = source_rows(gen)
+            if sort:
+                cols = sort if isinstance(sort, (list, tuple)) else [sort]
+                order = []
+                for entry in cols:
+                    if (isinstance(entry, (list, tuple))
+                            and len(entry) == 2
+                            and str(entry[1]).lower() in ("asc", "desc")):
+                        order.append((entry[0],
+                                      str(entry[1]).lower() == "desc"))
+                    else:
+                        order.append((entry, reverse))
+                rows = list(rows)
+                for name, desc in reversed(order):
+                    sname = V.sanitize_name(name)
+                    if fields is None:
+                        raise TypeError(
+                            "first_n sort on a positional generator "
+                            "needs Spark")
+                    i = fields.index(sname)
+                    nonnull = sorted((r for r in rows if r[i] is not None),
+                                     key=lambda r: r[i], reverse=desc)
+                    null = [r for r in rows if r[i] is None]
+                    rows = null + nonnull if not desc else nonnull + null
+            return fields, list(rows)[:n]
+
     return _FirstN()

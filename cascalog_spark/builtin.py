@@ -207,14 +207,82 @@ def round_to(n: int) -> MapOp:
     return column_op(f"round{n}", lambda c_: F.round(c_, n), py_fn=_ng(_py))
 
 
+def _py_json_get(s: str, path: str):
+    """Python mirror of ``F.get_json_object`` for the ``$.a.b[i]`` subset:
+    returns the value as Spark spells it (strings bare, booleans lowercase,
+    objects/arrays as compact JSON), None on invalid JSON / missing path."""
+    import json as _json
+    import re as _re
+
+    if s is None or not path.startswith("$"):
+        return None
+    try:
+        cur = _json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    for tok in _re.findall(r"\.([^.\[\]]+)|\[(\d+)\]", path[1:]):
+        key, idx = tok
+        try:
+            cur = cur[int(idx)] if idx else cur[key]
+        except (KeyError, IndexError, TypeError):
+            return None
+    if cur is None or isinstance(cur, str):
+        return cur
+    if isinstance(cur, bool):
+        return "true" if cur else "false"
+    if isinstance(cur, (dict, list)):
+        return _json.dumps(cur, separators=(",", ":"))
+    return repr(cur) if isinstance(cur, float) else str(cur)
+
+
 def json_get(path: str) -> MapOp:
     """Extract a JSON field (F.get_json_object) — the reference has no JSON
     lib; this is the 'host-language fns' extension point (SURVEY §2.8)."""
-    return column_op("json_get", lambda c_: F.get_json_object(c_, path))
+    return column_op("json_get", lambda c_: F.get_json_object(c_, path),
+                     py_fn=_ng(lambda s: _py_json_get(s, path)))
+
+
+# cast_to dtypes with faithful Python mirrors of Spark's ANSI CAST (the
+# Spark 4 session default: malformed input RAISES, matching the Column
+# behavior); anything else (timestamps, decimals, nested types) stays
+# Spark-only
+_PY_CASTS = {
+    "int": lambda v: _py_int_cast(v, 32), "integer": lambda v: _py_int_cast(v, 32),
+    "bigint": lambda v: _py_int_cast(v, 64), "long": lambda v: _py_int_cast(v, 64),
+    "double": lambda v: float(v), "float": lambda v: float(v),
+    "string": lambda v: _spark_str(v),
+    "boolean": lambda v: _py_bool_cast(v),
+}
+
+
+def _py_int_cast(v, bits: int):
+    if isinstance(v, bool):
+        return int(v)
+    # strings must be whole integers; numerics truncate toward zero
+    n = int(v.strip()) if isinstance(v, str) else int(v)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if not lo <= n <= hi:  # ANSI overflow errors like Spark's
+        raise ValueError(f"cast overflow: {n} out of {bits}-bit range")
+    return n
+
+
+def _py_bool_cast(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        t = v.strip().lower()
+        if t in ("true", "t", "yes", "y", "1"):
+            return True
+        if t in ("false", "f", "no", "n", "0"):
+            return False
+        raise ValueError(f"cannot cast {v!r} to boolean")
+    return bool(v)
 
 
 def cast_to(dtype: str) -> MapOp:
-    return column_op(f"cast_{dtype}", lambda c_: c_.cast(dtype))
+    mirror = _PY_CASTS.get(dtype.lower())
+    return column_op(f"cast_{dtype}", lambda c_: c_.cast(dtype),
+                     py_fn=_ng(mirror) if mirror else None)
 
 
 def sample(fraction: float, seed=None) -> FilterOp:
@@ -323,7 +391,8 @@ var_samp = ParallelAgg("sample-variance", expr_fn=lambda c: F.var_samp(c),
                        pandas_fn=lambda pdf: pdf.iloc[:, 0].var(ddof=1))
 stddev_pop = ParallelAgg("stddev", expr_fn=lambda c: F.stddev_pop(c),
                          pandas_fn=lambda pdf: pdf.iloc[:, 0].std(ddof=0))
-stddev_samp = ParallelAgg("sample-stddev", expr_fn=lambda c: F.stddev_samp(c))
+stddev_samp = ParallelAgg("sample-stddev", expr_fn=lambda c: F.stddev_samp(c),
+                          pandas_fn=lambda pdf: pdf.iloc[:, 0].std(ddof=1))
 
 
 def limit(n: int) -> LimitAgg:
@@ -511,11 +580,21 @@ KNOWN_CALLABLES = {
     _pyop.ge: gte,
     _pyop.eq: eq,
     _pyop.ne: ne,
-    str: MapOp(name="str", column_fn=lambda *cs: F.concat(*[c.cast("string") for c in cs])),
-    len: column_op("len", F.length),
-    abs: column_op("abs", F.abs),
-    max: column_op("greatest", lambda *cs: F.greatest(*cs)),
-    min: column_op("least", lambda *cs: F.least(*cs)),
+    str: MapOp(name="str",
+               column_fn=lambda *cs: F.concat(*[c.cast("string") for c in cs]),
+               py_fn=_ng(lambda *vs: "".join(_spark_str(v) for v in vs))),
+    len: column_op("len", F.length, py_fn=_ng(len)),
+    abs: column_op("abs", F.abs, py_fn=_ng(abs)),
+    # Spark greatest/least skip NULL args (NULL only when ALL are NULL).
+    # _pymax/_pymin bind the BUILTINS: the module later rebinds max/min to
+    # the c/max / c/min aggregator aliases, which a late global lookup
+    # inside the lambda would pick up instead
+    max: column_op("greatest", lambda *cs: F.greatest(*cs),
+                   py_fn=lambda *vs, _pymax=max: _pymax(
+                       (v for v in vs if v is not None), default=None)),
+    min: column_op("least", lambda *cs: F.least(*cs),
+                   py_fn=lambda *vs, _pymin=min: _pymin(
+                       (v for v in vs if v is not None), default=None)),
 }
 
 

@@ -180,6 +180,11 @@ class LocalExecutor:
                 return source.load_rows()
             except TypeError as e:
                 raise LocalPlatformUnsupported(str(e)) from e
+        if hasattr(source, "local_rows"):
+            # generator wrappers (first_n, ...) that can transform their
+            # inner generator's rows without Spark: they receive this
+            # method so nested subqueries still execute through the memo
+            return source.local_rows(self._source_rows)
         if hasattr(source, "__cascalog_generator__"):
             if hasattr(source, "gens"):  # _MergedGen (combine/union)
                 fields, rows = self._source_rows(source.gens[0])

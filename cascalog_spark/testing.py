@@ -79,7 +79,14 @@ def assert_produces(query, spark, expected, approx: bool = False,
     query also executes on the pure-Python platform (exec_local) and must
     produce the same multiset.  Queries using Spark-only features
     (DataFrame/Tap generators, Column-only ops) skip the local leg
-    automatically; pass ``platforms=('spark',)`` to skip explicitly."""
+    automatically; pass ``platforms=('spark',)`` to skip explicitly.
+
+    ``CASCALOG_DUAL_STRICT=1`` (set by the core test files' autouse
+    fixture) turns the automatic skip into a FAILURE: every implicit
+    dual-platform assertion must actually run on both platforms, so a
+    builtin losing its Python mirror can't silently shrink coverage."""
+    import os
+
     actual = _run(query, spark)
     if not multiset_equal(expected, actual, approx=approx):
         raise _diff_error("spark", expected, actual)
@@ -89,6 +96,8 @@ def assert_produces(query, spark, expected, approx: bool = False,
         try:
             local = run_local(query)
         except LocalPlatformUnsupported:
+            if os.environ.get("CASCALOG_DUAL_STRICT"):
+                raise
             return  # Spark-only surface: single-platform assertion
         if not multiset_equal(expected, local, approx=approx):
             raise _diff_error("local (in-memory)", expected, local)

@@ -3,6 +3,7 @@ api_test.clj:137-263,450-524,721-783 and the def-op surface
 (logic/def.clj, SURVEY.md §2.4/§2.10)."""
 
 import pandas as pd
+import pytest
 
 from cascalog_spark import (c, combine, defaggregatefn, defbufferfn,
                             deffilterfn, defmapcatfn, defmapfn, first_n, q,
@@ -14,6 +15,15 @@ PAIR = [("a", 1), ("a", 3), ("a", 2), ("b", 10), ("b", 5), ("c", 7)]
 GENDER_FUZZY = [("alice", "f", 1000), ("alice", "m", 2000),
                 ("bob", "m", 1000), ("bob", "m", 3000),
                 ("carol", "f", 500)]
+
+
+@pytest.fixture(autouse=True)
+def _dual_strict(monkeypatch):
+    """api_test.clj:11-16 fixture analog: every assert_produces in this
+    file must ACTUALLY run on both platforms — the silent local-leg skip
+    becomes a failure, so a builtin losing its Python mirror (or a new
+    Spark-only surface creeping into core coverage) fails loudly."""
+    monkeypatch.setenv("CASCALOG_DUAL_STRICT", "1")
 
 
 def test_avg_and_distinct_count(spark):
@@ -695,7 +705,9 @@ def test_defops_reference_cases(spark):
 
     # agg-test: init 5-arg → state, combine → one ?sum; natively ONE
     # fused agg expression (map-side partials for free)
-    @defparallelagg
+    @defparallelagg(pandas_fn=lambda pdf: int(
+        (pdf["_0"] + pdf["_1"] + pdf["_2"]).sum()
+        + (pdf["_3"] + pdf["_4"]).sum()))
     def multi_combine(a, b, c_, d, e):
         return F.sum(a + b + c_) + F.sum(d + e)
 

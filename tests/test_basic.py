@@ -34,6 +34,15 @@ INTEGER = [(-1,), (0,), (1,), (2,), (3,), (4,), (5,), (6,), (7,), (8,), (9,)]
 NUM_PAIR = [(1, 1), (1, 2), (2, 2), (3, 4)]
 
 
+@pytest.fixture(autouse=True)
+def _dual_strict(monkeypatch):
+    """api_test.clj:11-16 fixture analog: every assert_produces in this
+    file must ACTUALLY run on both platforms — the silent local-leg skip
+    becomes a failure, so a builtin losing its Python mirror (or a new
+    Spark-only surface creeping into core coverage) fails loudly."""
+    monkeypatch.setenv("CASCALOG_DUAL_STRICT", "1")
+
+
 def test_young_people(spark):
     # api_test.clj:42-52 "young people" — filter by comparison
     query = q(["?person", "?age"],
@@ -392,7 +401,8 @@ def test_constraint_and_capture_reference_cases(spark):
            (c.odd, "?x", ":>", lambda v: v is False))
     assert_produces(qr, spark, [(2,)])
     # a mapop with no output vars acts as a truthiness filter
-    even_map = c.column_op("even-map", lambda x: x % 2 == 0)
+    even_map = c.column_op("even-map", lambda x: x % 2 == 0,
+                           py_fn=lambda x: x % 2 == 0)
     qr = q(["?x"], (src, "?x"), (even_map, "?x"))
     assert_produces(qr, spark, [(2,)])
 

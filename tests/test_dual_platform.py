@@ -26,7 +26,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cascalog_spark import (LocalPlatformUnsupported, c, combine,
+from cascalog_spark import (LocalPlatformUnsupported, c, combine, first_n,
                             defaggregatefn, defbufferfn, defbufferiterfn,
                             defparallelbuf, q, run_local, union)
 
@@ -230,3 +230,63 @@ def test_local_csv_and_text_taps(tmp_path):
             (c.split(), "?line", ":>", "?w"),
             (c.count, "?n")).run(platform="local")
     assert sorted(got) == [("foo", 1), ("hello", 1), ("world", 1)]
+
+
+def test_local_mirrors_json_cast_greatest_stddev(spark):
+    """r8 mirror sweep: the §2.8 helpers that were Column-expression-only
+    (json_get, cast_to, the greatest/least lifting of Python max/min,
+    stddev_samp) now carry Python mirrors — Spark and local must agree
+    value-for-value, including the null/invalid edges."""
+    from cascalog_spark.testing import assert_produces
+
+    js = [('{"a": {"b": [1, 2]}, "s": "x", "f": true}',),
+          ('not json',), ('{"a": 1}',)]
+    query = q(["?j", "!b", "!s", "!f"],
+              (js, "?j"),
+              (c.json_get("$.a.b[1]"), "?j", ":>", "!b"),
+              (c.json_get("$.s"), "?j", ":>", "!s"),
+              (c.json_get("$.f"), "?j", ":>", "!f"))
+    assert_produces(query, spark,
+                    [('{"a": {"b": [1, 2]}, "s": "x", "f": true}',
+                      "2", "x", "true"),
+                     ("not json", None, None, None),
+                     ('{"a": 1}', None, None, None)])
+
+    # ANSI session default: only defined inputs (malformed input raises
+    # identically on both platforms — not a value surface to pin here)
+    vals = [("3", 2.7, "true"), ("-8", -1.5, "false"), ("12", 9.0, "y")]
+    query = q(["?s", "?i", "?d2s", "?b"],
+              (vals, "?s", "?d", "?bs"),
+              (c.cast_to("int"), "?s", ":>", "?i"),
+              (c.cast_to("string"), "?d", ":>", "?d2s"),
+              (c.cast_to("boolean"), "?bs", ":>", "?b"))
+    assert_produces(query, spark,
+                    [("3", 3, "2.7", True), ("-8", -8, "-1.5", False),
+                     ("12", 12, "9.0", True)])
+
+    nums = [(1, None, 5), (None, None, 2), (7, 3, None)]
+    query = q(["!g", "!l"],
+              (nums, "!a", "!b", "!c"),
+              (max, "!a", "!b", "!c", ":>", "!g"),
+              (min, "!a", "!b", "!c", ":>", "!l"))
+    assert_produces(query, spark, [(5, 1), (2, 2), (7, 3)])
+
+    data = [(1.0,), (2.0,), (4.0,)]
+    query = q(["?sd"], (data, "?n"),
+              (c.stddev_samp, "?n", ":>", "?sd"))
+    assert_produces(query, spark, [(1.5275252316519468,)], approx=True)
+
+
+def test_local_first_n_mirror():
+    """first_n runs locally: sort direction, per-entry directions, Spark
+    null placement (nulls last on desc), and plain limit without sort."""
+    data = [("a", 3), ("b", None), ("c", 9), ("d", 1)]
+    src = q(["?k", "!n"], (data, "?k", "!n"))
+    top = first_n(src, 2, sort="!n", reverse=True)
+    got = q(["?k", "!n"], (top, "?k", "!n")).run(platform="local")
+    assert got == [("c", 9), ("a", 3)]
+    bot = first_n(src, 2, sort=[("!n", "asc")])
+    got = q(["?k", "!n"], (bot, "?k", "!n")).run(platform="local")
+    assert got == [("b", None), ("d", 1)]
+    lim = first_n(src, 3)
+    assert len(q(["?k", "!n"], (lim, "?k", "!n")).run(platform="local")) == 3

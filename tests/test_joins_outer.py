@@ -4,6 +4,7 @@ for ungrounding vars, null padding, !count, negation)."""
 
 from cascalog_spark import c, q
 from cascalog_spark.testing import assert_produces
+import pytest
 
 PERSON1 = [("a",), ("b",), ("c",), ("d",)]
 FOLLOWS2 = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "d")]
@@ -13,6 +14,15 @@ FOLLOWS = [("alice", "david"), ("alice", "bob"),
            ("bob", "david"), ("emily", "alice")]
 AGE = [("alice", 28), ("bob", 33), ("david", 25), ("emily", 25),
        ("gary", 28)]
+
+
+@pytest.fixture(autouse=True)
+def _dual_strict(monkeypatch):
+    """api_test.clj:11-16 fixture analog: every assert_produces in this
+    file must ACTUALLY run on both platforms — the silent local-leg skip
+    becomes a failure, so a builtin losing its Python mirror (or a new
+    Spark-only surface creeping into core coverage) fails loudly."""
+    monkeypatch.setenv("CASCALOG_DUAL_STRICT", "1")
 
 
 def test_left_outer_join(spark):
@@ -188,7 +198,8 @@ def test_dynamic_vars_reference_cases(spark):
     def lala_appended(source):
         outvars = ["?a"]
         suffix = c.column_op(
-            "lala", lambda s: F.concat(s, F.lit("lalala")))
+            "lala", lambda s: F.concat(s, F.lit("lalala")),
+            py_fn=lambda s: s + "lalala")
         return q(outvars,
                  (source, "?line"),
                  (suffix, "?line", ":>>", outvars))
@@ -199,7 +210,8 @@ def test_dynamic_vars_reference_cases(spark):
                     [("nathan davidlalala",), ("chickenlalala",)])
 
     append_a = c.column_op("append-a",
-                           lambda s, a: F.concat(s, a.cast("string")))
+                           lambda s, a: F.concat(s, a.cast("string")),
+                           py_fn=lambda s, a: s + str(a))
     qr = q(["?out"],
            (sentence, ":>>", ["?line"]),
            (append_a, ":<<", ["?line", "a"], ":>>", ["?out"]))
