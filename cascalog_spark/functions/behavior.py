@@ -41,9 +41,10 @@ def _seconds(col: Column, dtype: str) -> Column:
 
 
 def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
-                  stage_col: str, stages: list[str],
+                  stage_col: str, stages: list[str | tuple],
                   horizon: float | None = None,
-                  prior: DataFrame | None = None) -> DataFrame:
+                  prior: DataFrame | None = None,
+                  skew_safe: bool = False) -> DataFrame:
     """Per-user funnel progression through the ordered ``stages``:
     stage i is reached at the EARLIEST event of type ``stages[i]``
     that is STRICTLY LATER than the time stage i-1 was reached
@@ -72,11 +73,27 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
     frozen stage time can no longer improve it).  Users with no batch
     events keep their prior row.
 
+    Each stage is either a value of ``stage_col`` (equality match) or a
+    ``(name, Column)`` pair with an arbitrary per-event predicate —
+    e.g. ``("big_purchase", (col("event_type") == "purchase")
+    & (col("value") > 100))``; the two forms mix freely and the pair
+    form is what ``funnel_report`` passes through.
+
     Scale: pre-filter to stage events, ONE shuffle on ``user_col``,
     k unordered-frame window minimums over that single partitioning
     (no sort, no per-user buffer), then a duplicate-drop that reuses
     the partitioning.  Reference shape: the sorted-buffer fold this
     replaces is api_test.clj's defbufferfn-with-:sort idiom.
+
+    ``skew_safe=True`` swaps the window formulation for k sequential
+    ``groupBy(user).min`` passes with a join back per stage — more
+    shuffles, but every one is either a partial-aggregating hash
+    aggregate (map-side combine makes a bot user with 10⁶ events
+    harmless) or an equi-join AQE's skew-join splitting can cut; the
+    window form's per-user partition is the one thing AQE cannot
+    split.  Results are identical (pinned by test + the skewed smoke
+    in tools/scaling_smoke_behavior.py).  Use it when a handful of
+    users dominate event volume.
     """
     if not stages:
         raise ValueError("funnel_stages: stages must be non-empty")
@@ -96,6 +113,9 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
         if c is not None:
             pre = pre | c
     ev = df.where(pre)
+    if skew_safe:
+        return _funnel_stages_agg(ev, ts_col, user_col, stage_col,
+                                  named, horizon, prior, dt)
     if prior is not None:
         old = prior.select(
             F.col(user_col),
@@ -128,6 +148,64 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
     res = (out.select(user_col, *cols)
            .withColumn("stage_reached", reached)
            .dropDuplicates([user_col]))
+    if prior is not None:
+        untouched = prior.join(res.select(user_col), on=user_col,
+                               how="left_anti")
+        res = res.unionByName(untouched)
+    return res
+
+
+def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
+                       stage_col: str, named: list, horizon,
+                       prior: DataFrame | None, dt: str) -> DataFrame:
+    """``funnel_stages(skew_safe=True)`` body: the chained minima as k
+    sequential hash aggregates.  Stage 0 is a plain
+    ``groupBy(user).agg(min(when(...)))``; each later stage joins the
+    per-user reach frame (1 row/user) back onto the stage events and
+    takes the next conditional min.  Partial aggregation absorbs
+    per-user row skew; the joins are equi-joins AQE can skew-split."""
+    names = [n for n, _ in named]
+    if prior is not None:
+        old = prior.select(
+            F.col(user_col),
+            *[F.col(f"ts_{n}").alias(f"__old_{n}") for n in names])
+
+    reach: DataFrame | None = None
+    for i, (s, custom) in enumerate(named):
+        cond = (custom if custom is not None
+                else F.col(stage_col) == F.lit(s))
+        if i == 0:
+            src = ev
+        else:
+            src = ev.join(
+                reach.select(user_col, F.col(f"ts_{names[i - 1]}"),
+                             *([F.col(f"ts_{names[0]}")]
+                               if horizon is not None and i > 1 else [])),
+                on=user_col)
+            prev = F.col(f"ts_{names[i - 1]}")
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+            if horizon is not None:
+                first = (prev if i == 1 else F.col(f"ts_{names[0]}"))
+                cond = cond & (_seconds(F.col(ts_col), dt)
+                               - _seconds(first, dt)
+                               <= F.lit(float(horizon)))
+        batch_min = F.min(F.when(cond, F.col(ts_col))).alias("__bm")
+        nxt = src.groupBy(user_col).agg(batch_min)
+        if prior is not None:
+            nxt = (nxt.join(old.select(user_col, f"__old_{s}"),
+                            on=user_col, how="left")
+                   .select(F.col(user_col),
+                           F.coalesce(F.col(f"__old_{s}"), F.col("__bm"))
+                           .alias(f"ts_{s}")))
+        else:
+            nxt = nxt.select(F.col(user_col),
+                             F.col("__bm").alias(f"ts_{s}"))
+        reach = nxt if reach is None else reach.join(nxt, on=user_col)
+
+    cols = [f"ts_{n}" for n in names]
+    reached = reduce(lambda a, b: a + b,
+                     [F.col(c).isNotNull().cast("int") for c in cols])
+    res = reach.withColumn("stage_reached", reached)
     if prior is not None:
         untouched = prior.join(res.select(user_col), on=user_col,
                                how="left_anti")
@@ -186,7 +264,8 @@ def cohort_offset_cols(first_ts: Column, ts: Column,
 
 
 def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
-                      period: str = "week") -> DataFrame:
+                      period: str = "week",
+                      skew_safe: bool = False) -> DataFrame:
     """Cohort retention: cohort = the ``period`` (``'day'``/``'week'``/
     ``'month'``, ``date_trunc`` semantics — weeks start Monday) of each
     user's FIRST event; a user is retained at offset j when they have
@@ -196,13 +275,25 @@ def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
 
     Scale: one window min on ``user_col`` (analytic, no row reduction),
     one distinct-count aggregate keyed by (cohort, offset) — two
-    shuffles total; no per-user state beyond the window frame."""
-    w = Window.partitionBy(user_col)
-    first_ts = F.min(F.col(ts_col)).over(w)
+    shuffles total; no per-user state beyond the window frame.
+
+    ``skew_safe=True`` replaces the window min with a partial-
+    aggregating ``groupBy(user).min`` + join back: one more shuffle,
+    but immune to a bot user dominating a window partition (the
+    aggregate combines map-side; the join AQE can skew-split).
+    Identical output."""
+    if skew_safe:
+        firsts = (df.groupBy(user_col)
+                  .agg(F.min(F.col(ts_col)).alias("__first")))
+        src = df.join(firsts, on=user_col)
+        first_ts = F.col("__first")
+    else:
+        src = df
+        first_ts = F.min(F.col(ts_col)).over(Window.partitionBy(user_col))
     cohort, off = cohort_offset_cols(first_ts, F.col(ts_col), period)
-    return (df.select(F.col(user_col).alias("__u"),
-                      cohort.alias("cohort"),
-                      off.alias("period_offset"))
+    return (src.select(F.col(user_col).alias("__u"),
+                       cohort.alias("cohort"),
+                       off.alias("period_offset"))
             .groupBy("cohort", "period_offset")
             .agg(F.count_distinct(F.col("__u")).alias("n_active"))
             .select("cohort", "period_offset", "n_active"))
@@ -222,7 +313,17 @@ def transition_matrix(df: DataFrame, ts_col: str, user_col: str,
 
     Scale: one shuffle on ``user_col`` + an ordered window ``lead``,
     then an aggregate on the (|types|²)-sized key space; the probability
-    window runs over that tiny aggregate, not the data."""
+    window runs over that tiny aggregate, not the data.
+
+    Skew bound: consecutive-pair semantics need each user's FULL
+    ordered sequence in one partition, so a bot user with 10⁶ events is
+    one sort partition — there is no salt that preserves ``lead``
+    across chunk boundaries without a handover pass.  The window sort
+    spills (UnsafeExternalSorter), so the cost is a wall-clock
+    straggler, not an OOM; the gated skewed smoke in
+    tools/scaling_smoke_behavior.py pins that a user holding ~10% of
+    an 8x corpus stays within the scaling gate.  If stragglers bite,
+    pre-filter bot users (they poison transition statistics anyway)."""
     order = [F.col(ts_col).asc()] + [F.col(c).asc()
                                      for c in (tie_cols or [])]
     w = Window.partitionBy(user_col).orderBy(*order)

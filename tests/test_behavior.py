@@ -620,3 +620,72 @@ def test_transition_differential(spark, data):
         for (_, _, s1), (_, _, s2) in zip(evs, evs[1:]):
             want[(s1, s2)] = want.get((s1, s2), 0) + 1
     assert got == want
+
+
+def test_funnel_skew_safe_matches_window(spark, funnel_df):
+    """skew_safe=True (k hash-aggregate passes, AQE-splittable joins)
+    must equal the window formulation row-for-row — plain, with
+    horizon, with predicate-tuple stages, and with a prior fold."""
+    base = {r["user_id"]: tuple(r)
+            for r in funnel_stages(funnel_df, "ts", "user_id",
+                                   "event_type", STAGES).collect()}
+    got = {r["user_id"]: tuple(r)
+           for r in funnel_stages(funnel_df, "ts", "user_id",
+                                  "event_type", STAGES,
+                                  skew_safe=True).collect()}
+    assert got == base
+
+    for hz in (3600.0, 86400.0):
+        w = {r["user_id"]: tuple(r)
+             for r in funnel_stages(funnel_df, "ts", "user_id",
+                                    "event_type", STAGES,
+                                    horizon=hz).collect()}
+        s = {r["user_id"]: tuple(r)
+             for r in funnel_stages(funnel_df, "ts", "user_id",
+                                    "event_type", STAGES, horizon=hz,
+                                    skew_safe=True).collect()}
+        assert s == w
+
+    pred_stages = [("signup", F.col("event_type") == "signup"),
+                   ("any_next", F.col("event_type").isin("click",
+                                                         "purchase"))]
+    w = {r["user_id"]: tuple(r)
+         for r in funnel_stages(funnel_df, "ts", "user_id",
+                                "event_type", pred_stages).collect()}
+    s = {r["user_id"]: tuple(r)
+         for r in funnel_stages(funnel_df, "ts", "user_id",
+                                "event_type", pred_stages,
+                                skew_safe=True).collect()}
+    assert s == w
+
+    # prior fold: each batch folded with skew_safe must equal the
+    # one-shot window result (same contract as the window prior path)
+    cut = _ts("2024-01-01T12:00:00")
+    b1 = funnel_df.where(F.col("ts") < cut)
+    b2 = funnel_df.where(F.col("ts") >= cut)
+    st = funnel_stages(b1, "ts", "user_id", "event_type", STAGES,
+                       skew_safe=True).localCheckpoint()
+    st = funnel_stages(b2, "ts", "user_id", "event_type", STAGES,
+                       prior=st, skew_safe=True)
+    got = {r["user_id"]: tuple(r) for r in st.collect()}
+    assert got == base
+
+
+def test_retention_skew_safe_matches_window(spark, funnel_df):
+    for period in ("day", "week", "month"):
+        w = sorted(map(tuple, retention_cohorts(
+            funnel_df, "ts", "user_id", period).collect()))
+        s = sorted(map(tuple, retention_cohorts(
+            funnel_df, "ts", "user_id", period,
+            skew_safe=True).collect()))
+        assert s == w
+
+
+def test_funnel_skew_safe_plan_no_window(spark, funnel_df):
+    """The skew_safe plan must contain NO Window operator (that's the
+    partition AQE can't split) — only hash aggregates and joins."""
+    df = funnel_stages(funnel_df, "ts", "user_id", "event_type",
+                       STAGES, skew_safe=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
