@@ -3483,6 +3483,25 @@ def embedding_ivfpq_recall(spark, sf_dir):
                              ivf_probes=(), ivfpq_probes=(1, 2, 4))
 
 
+def embedding_ivfpq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ retrieval rows of the tuning report
+    (similarity.py ann_recall_report(ivfpq_rerank=5) → pq.py rerank
+    machinery): plain ADC rows plus ivfpq_rr rows where the ADC
+    top-(k·5) shortlist is rescored by EXACT cosine against the raw
+    vectors — the rescore join touches only k·r rows per query, and
+    recall@k must sit at-or-above plain ADC (the report makes the
+    trade visible: rr scan_frac reads the exact-rescored fraction,
+    the matching ivfpq row the ADC scan fraction)."""
+    from cascalog_spark.functions import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_recall_report(emb, qs, k=10, lsh_planes=(),
+                             ivf_probes=(), ivfpq_probes=(1, 2, 4),
+                             ivfpq_rerank=5)
+
+
 def doc_containment_pairs(spark, sf_dir):
     """Directed containment near-dup (dedup.py containment_pairs):
     C(A→B) = |S(A)∩S(B)|/|S(A)| >= 0.7 over 3-token shingles — the
@@ -3948,6 +3967,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (similarity/pq family) or the graph changes (weighted degree, PPR
 # in-universe renormalization, near_dedup central persist).  The
 # long-green tier follows in _all_queries() order.
+_R8_HEAD = [
+    # r8: the one prior red row (negative-zero oracle fix), the new
+    # two-stage rerank query, and the queries whose plans pass through
+    # the r8 ann_recall_report restructure (broadcast query side, lazy
+    # truth, single-pass candidate stats)
+    "doc_classifier_fit",
+    "embedding_ivfpq_rerank",
+    "embedding_ann_recall",
+    "embedding_pq_recall",
+    "embedding_ivfpq_recall",
+    "embedding_prefix_recall",
+]
+
 _R7_HEAD = [
     # session-2 additions: behavioral-analytics family + the IVF-PQ
     # batch join + novelty scoring — never driver-checked, lead the head
@@ -4001,7 +4033,8 @@ _R7_HEAD = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {n: q[n] for n in _R7_HEAD}
+    head = {n: q[n] for n in _R8_HEAD + [x for x in _R7_HEAD
+                                         if x not in _R8_HEAD]}
     return head | {n: f for n, f in q.items() if n not in head}
 
 
@@ -4205,6 +4238,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_ivfpq_topk": embedding_ivfpq_topk,
         "embedding_ivfpq_recall": embedding_ivfpq_recall,
+        "embedding_ivfpq_rerank": embedding_ivfpq_rerank,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -4408,6 +4442,129 @@ def _lsh_sig_sql(vec_expr: str, n_planes: int, dim: int = 64,
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
         "* sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivfpq_recall_sql(rerank: int = 0, k: int = 10) -> str:
+    """DuckDB twin of the ann_recall_report ivfpq branch; with
+    ``rerank=r`` adds the ivfpq_rr rows — ADC top-(k*r) shortlist per
+    config joined to the exact-cosine table and re-ranked (same
+    round/tie-break chain as the Spark rescore)."""
+    sql = f"""
+            WITH {_ivfpq_sql_ctes()},
+            q8 AS (SELECT vec_id AS qid, v AS q FROM e
+                   ORDER BY vec_id ASC LIMIT 8),
+            ni AS (SELECT count(*)::DOUBLE AS n FROM e),
+            qn8 AS (SELECT qid, sqrt({_chain64('q[{i}] * q[{i}]')}) AS qn
+                    FROM q8),
+            prk AS (SELECT q8.qid, uc.cid, uc.crank,
+                           ({_chain64('q[{i}] * cv[{i}]')}) AS qcip,
+                           row_number() OVER (PARTITION BY q8.qid
+                             ORDER BY ({_chain64('q[{i}] * u[{i}]')})
+                                      DESC, uc.cid ASC) AS prank
+                    FROM q8 CROSS JOIN uc),
+            probes AS (SELECT * FROM prk WHERE prank <= 4),
+            lutq AS (SELECT q8.qid, sub.s, rseeds.j, {_IVFPQ_RLUT} AS val
+                     FROM q8, rseeds, sub),
+            n2t AS (SELECT cents.crank, sub.s, rseeds.j AS j,
+                           {_IVFPQ_N2} AS val
+                    FROM cents, rseeds, sub),
+            cand AS (SELECT probes.qid, a.vec_id, probes.prank,
+                            probes.qcip, a.crank
+                     FROM assigned a
+                     JOIN probes ON probes.cid = a.cell),
+            sc AS (SELECT cand.qid, cand.vec_id, cand.prank,
+                          max(cand.qcip) AS qcip,
+                          list(lutq.val ORDER BY code.s) AS lsv,
+                          list(n2t.val ORDER BY code.s) AS nsv
+                   FROM cand
+                   JOIN code ON code.vec_id = cand.vec_id
+                   JOIN lutq ON lutq.qid = cand.qid
+                            AND lutq.s = code.s AND lutq.j = code.j
+                   JOIN n2t ON n2t.crank = cand.crank
+                           AND n2t.s = code.s AND n2t.j = code.j
+                   GROUP BY cand.qid, cand.vec_id, cand.prank),
+            sims AS (SELECT sc.qid, sc.vec_id, sc.prank,
+                            round((qcip + lsv[1] + lsv[2] + lsv[3]
+                                   + lsv[4] + lsv[5] + lsv[6] + lsv[7]
+                                   + lsv[8])
+                                  / (sqrt(nsv[1] + nsv[2] + nsv[3]
+                                          + nsv[4] + nsv[5] + nsv[6]
+                                          + nsv[7] + nsv[8])
+                                     * qn8.qn), 6) AS sim
+                     FROM sc JOIN qn8 ON qn8.qid = sc.qid),
+            cfg AS (SELECT unnest([1, 2, 4]) AS param),
+            candp AS (SELECT cfg.param, sims.qid, sims.vec_id, sims.sim
+                      FROM sims, cfg WHERE sims.prank <= cfg.param),
+            ann AS (SELECT param, qid, vec_id FROM (
+                      SELECT param, qid, vec_id, row_number() OVER (
+                        PARTITION BY param, qid
+                        ORDER BY sim DESC, vec_id ASC) AS rn
+                      FROM candp) WHERE rn <= 10),
+            exact AS (SELECT q8.qid, e.vec_id,
+                             round({_COS.format(a='e.v', b='q8.q')}, 6)
+                               AS sim
+                      FROM e CROSS JOIN q8),
+            truth AS (SELECT qid, vec_id FROM (
+                        SELECT qid, vec_id, row_number() OVER (
+                          PARTITION BY qid
+                          ORDER BY sim DESC, vec_id ASC) AS rn
+                        FROM exact) WHERE rn <= 10),
+            hits AS (SELECT a.param, a.qid, count(*) AS h
+                     FROM ann a JOIN truth t
+                       ON t.qid = a.qid AND t.vec_id = a.vec_id
+                     GROUP BY a.param, a.qid),
+            ncs AS (SELECT param, qid, count(*) AS nc
+                    FROM candp GROUP BY param, qid),
+            spine AS (SELECT cfg.param, q8.qid FROM cfg, q8)"""
+    plain = """
+            SELECT 'ivfpq' AS method, CAST(spine.param AS INT) AS param,
+                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
+                   round(avg(coalesce(nc, 0) / (SELECT n FROM ni)), 6)
+                     AS scan_frac
+            FROM spine
+            LEFT JOIN hits ON hits.param = spine.param
+                          AND hits.qid = spine.qid
+            LEFT JOIN ncs ON ncs.param = spine.param
+                         AND ncs.qid = spine.qid
+            GROUP BY spine.param ORDER BY param"""
+    if not rerank:
+        return sql + plain
+    rr = f""",
+            shortl AS (SELECT param, qid, vec_id FROM (
+                         SELECT param, qid, vec_id, row_number() OVER (
+                           PARTITION BY param, qid
+                           ORDER BY sim DESC, vec_id ASC) AS arn
+                         FROM candp) WHERE arn <= {k * rerank}),
+            rrs AS (SELECT s.param, s.qid, s.vec_id, x.sim
+                    FROM shortl s JOIN exact x
+                      ON x.qid = s.qid AND x.vec_id = s.vec_id),
+            annrr AS (SELECT param, qid, vec_id FROM (
+                        SELECT param, qid, vec_id, row_number() OVER (
+                          PARTITION BY param, qid
+                          ORDER BY sim DESC, vec_id ASC) AS rn
+                        FROM rrs) WHERE rn <= {k}),
+            hitrr AS (SELECT a.param, a.qid, count(*) AS h
+                      FROM annrr a JOIN truth t
+                        ON t.qid = a.qid AND t.vec_id = a.vec_id
+                      GROUP BY a.param, a.qid),
+            ncrr AS (SELECT param, qid, count(*) AS nc
+                     FROM rrs GROUP BY param, qid)
+            SELECT * FROM (
+            {plain.replace("GROUP BY spine.param ORDER BY param", "GROUP BY spine.param")}
+            UNION ALL
+            SELECT 'ivfpq_rr' AS method, CAST(spine.param AS INT) AS param,
+                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
+                   round(avg(coalesce(nc, 0) / (SELECT n FROM ni)), 6)
+                     AS scan_frac
+            FROM spine
+            LEFT JOIN hitrr ON hitrr.param = spine.param
+                           AND hitrr.qid = spine.qid
+            LEFT JOIN ncrr ON ncrr.param = spine.param
+                          AND ncrr.qid = spine.qid
+            GROUP BY spine.param
+            ) ORDER BY method, param"""
+    return sql + rr
+
 
 
 def _ann_recall_sql(k: int = 10, lsh_planes=(4, 8), ivf_probes=(1, 2, 4),
@@ -6785,83 +6942,10 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY score DESC, vec_id ASC) AS rn
               FROM scored WHERE score IS NOT NULL)
             WHERE rn <= 5""",
-        "embedding_ivfpq_recall": f"""
-            WITH {_ivfpq_sql_ctes()},
-            q8 AS (SELECT vec_id AS qid, v AS q FROM e
-                   ORDER BY vec_id ASC LIMIT 8),
-            ni AS (SELECT count(*)::DOUBLE AS n FROM e),
-            qn8 AS (SELECT qid, sqrt({_chain64('q[{i}] * q[{i}]')}) AS qn
-                    FROM q8),
-            prk AS (SELECT q8.qid, uc.cid, uc.crank,
-                           ({_chain64('q[{i}] * cv[{i}]')}) AS qcip,
-                           row_number() OVER (PARTITION BY q8.qid
-                             ORDER BY ({_chain64('q[{i}] * u[{i}]')})
-                                      DESC, uc.cid ASC) AS prank
-                    FROM q8 CROSS JOIN uc),
-            probes AS (SELECT * FROM prk WHERE prank <= 4),
-            lutq AS (SELECT q8.qid, sub.s, rseeds.j, {_IVFPQ_RLUT} AS val
-                     FROM q8, rseeds, sub),
-            n2t AS (SELECT cents.crank, sub.s, rseeds.j AS j,
-                           {_IVFPQ_N2} AS val
-                    FROM cents, rseeds, sub),
-            cand AS (SELECT probes.qid, a.vec_id, probes.prank,
-                            probes.qcip, a.crank
-                     FROM assigned a
-                     JOIN probes ON probes.cid = a.cell),
-            sc AS (SELECT cand.qid, cand.vec_id, cand.prank,
-                          max(cand.qcip) AS qcip,
-                          list(lutq.val ORDER BY code.s) AS lsv,
-                          list(n2t.val ORDER BY code.s) AS nsv
-                   FROM cand
-                   JOIN code ON code.vec_id = cand.vec_id
-                   JOIN lutq ON lutq.qid = cand.qid
-                            AND lutq.s = code.s AND lutq.j = code.j
-                   JOIN n2t ON n2t.crank = cand.crank
-                           AND n2t.s = code.s AND n2t.j = code.j
-                   GROUP BY cand.qid, cand.vec_id, cand.prank),
-            sims AS (SELECT sc.qid, sc.vec_id, sc.prank,
-                            round((qcip + lsv[1] + lsv[2] + lsv[3]
-                                   + lsv[4] + lsv[5] + lsv[6] + lsv[7]
-                                   + lsv[8])
-                                  / (sqrt(nsv[1] + nsv[2] + nsv[3]
-                                          + nsv[4] + nsv[5] + nsv[6]
-                                          + nsv[7] + nsv[8])
-                                     * qn8.qn), 6) AS sim
-                     FROM sc JOIN qn8 ON qn8.qid = sc.qid),
-            cfg AS (SELECT unnest([1, 2, 4]) AS param),
-            candp AS (SELECT cfg.param, sims.qid, sims.vec_id, sims.sim
-                      FROM sims, cfg WHERE sims.prank <= cfg.param),
-            ann AS (SELECT param, qid, vec_id FROM (
-                      SELECT param, qid, vec_id, row_number() OVER (
-                        PARTITION BY param, qid
-                        ORDER BY sim DESC, vec_id ASC) AS rn
-                      FROM candp) WHERE rn <= 10),
-            exact AS (SELECT q8.qid, e.vec_id,
-                             round({_COS.format(a='e.v', b='q8.q')}, 6)
-                               AS sim
-                      FROM e CROSS JOIN q8),
-            truth AS (SELECT qid, vec_id FROM (
-                        SELECT qid, vec_id, row_number() OVER (
-                          PARTITION BY qid
-                          ORDER BY sim DESC, vec_id ASC) AS rn
-                        FROM exact) WHERE rn <= 10),
-            hits AS (SELECT a.param, a.qid, count(*) AS h
-                     FROM ann a JOIN truth t
-                       ON t.qid = a.qid AND t.vec_id = a.vec_id
-                     GROUP BY a.param, a.qid),
-            ncs AS (SELECT param, qid, count(*) AS nc
-                    FROM candp GROUP BY param, qid),
-            spine AS (SELECT cfg.param, q8.qid FROM cfg, q8)
-            SELECT 'ivfpq' AS method, CAST(spine.param AS INT) AS param,
-                   round(avg(coalesce(h, 0) / 10.0), 6) AS recall_at_k,
-                   round(avg(coalesce(nc, 0) / (SELECT n FROM ni)), 6)
-                     AS scan_frac
-            FROM spine
-            LEFT JOIN hits ON hits.param = spine.param
-                          AND hits.qid = spine.qid
-            LEFT JOIN ncs ON ncs.param = spine.param
-                         AND ncs.qid = spine.qid
-            GROUP BY spine.param ORDER BY param""",
+        "embedding_ivfpq_recall": _ivfpq_recall_sql(),
+        # rr rows: rank the same ADC candidates, keep top-(k*5), join
+        # the exact-cosine table, re-rank — recall at-or-above plain ADC
+        "embedding_ivfpq_rerank": _ivfpq_recall_sql(rerank=5),
         "embedding_pq_recall": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE embedding IS NOT NULL),

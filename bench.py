@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     # round-7 session-2: greedy farthest-point diversity sample (k
     # corpus scans, no shuffle) + argmax-cosine coverage assignment
     "embedding_kcenter_assign",
+    # round-8: two-stage IVF-PQ retrieval (ADC shortlist -> exact
+    # rescore of k*r rows per query) in the tuning report
+    "embedding_ivfpq_rerank",
 ]
 
 

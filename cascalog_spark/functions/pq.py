@@ -598,7 +598,9 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
                centroids: list[tuple[int, list[float]]],
                codebooks: Codebooks, k: int = 10,
                id_col: str = "vec_id", codes_col: str = "codes",
-               cell_col: str = "__cell", n_probe: int = 4) -> DataFrame:
+               cell_col: str = "__cell", n_probe: int = 4,
+               rerank: int = 0, vectors: DataFrame | None = None,
+               vec_col: str = "embedding") -> DataFrame:
     """ADC top-k over an IVF-PQ index frame (``ivfpq_index`` output or
     an ``ivfpq_write_index`` read): probe the ``n_probe`` cells nearest
     the query, score only their rows by reconstruction cosine —
@@ -614,7 +616,25 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
     global top-k (TakeOrderedAndProject).  All partial sums are
     left-associative chains, so a DuckDB oracle reproduces scores
     bit-for-bit.  Zero-norm reconstructions (and a zero query) have no
-    cosine and drop, per the family-wide contract."""
+    cosine and drop, per the family-wide contract.
+
+    ``rerank=r`` (with ``vectors`` = a raw-vector frame keyed by
+    ``id_col``) is the standard two-stage retrieval: take the ADC
+    top-``k·r`` shortlist, rescore EXACT cosine against the raw
+    vectors (the join touches only k·r rows — ``r/k``-th of nothing at
+    corpus scale), return the exact top-k.  Recall approaches exact
+    search at ADC scan cost; the returned ``score`` is the exact
+    cosine (deterministic, oracle-checkable)."""
+    if rerank and rerank > 0:
+        if vectors is None:
+            raise ValueError("ivfpq_topk: rerank needs a raw-vector "
+                             "frame via vectors=")
+        short = ivfpq_topk(index, query_vec, centroids, codebooks,
+                           k=k * int(rerank), id_col=id_col,
+                           codes_col=codes_col, cell_col=cell_col,
+                           n_probe=n_probe)
+        return _exact_rescore_topk(short, vectors, query_vec, k,
+                                   id_col, vec_col)
     import math
 
     from .similarity import _lit_arr, _probe_cells
@@ -667,6 +687,33 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
             .join(F.broadcast(pframe), on=cell_col)
             .select(F.col(id_col),
                     F.round(F.try_divide(num, den), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .where(F.col("score").isNotNull()))
+
+
+def _exact_rescore_topk(short: DataFrame, vectors: DataFrame,
+                        query_vec: list[float], k: int,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """Stage 2 of two-stage retrieval: exact-cosine rescore of a
+    driver-query shortlist.  The shortlist (k·r ids) broadcasts into
+    the raw-vector frame, so the corpus is touched only at those ids;
+    same cosine chain/round/tie-break as the exact family ops."""
+    import math
+
+    from .similarity import _lit_arr, dot_col, norm_col
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(reduce(lambda a, b: a + b, [x * x for x in q]))
+    v = F.col(vec_col).cast("array<double>")
+    vex = (vectors.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col), v.alias("__v"),
+                   norm_col(v).alias("__vn"))
+           .where(F.col("__vn") > 0))
+    sim = F.round(F.try_divide(dot_col(F.col("__v"), _lit_arr(q)),
+                               F.col("__vn") * F.lit(qn)), 6)
+    return (vex.join(F.broadcast(short.select(id_col)), on=id_col)
+            .select(F.col(id_col), sim.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k)
             .where(F.col("score").isNotNull()))
@@ -730,7 +777,10 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
                    cell_col: str = "__cell",
                    query_id_col: str = "query_id",
                    query_vec_col: str = "embedding",
-                   n_salt: int = 32) -> DataFrame:
+                   n_salt: int = 32,
+                   rerank: int = 0,
+                   vectors: DataFrame | None = None,
+                   vec_col: str = "embedding") -> DataFrame:
     """Corpus-scale batch retrieval over the IVF-PQ index: top-k ADC
     neighbors for EACH query row, both sides distributed — the
     compressed-index counterpart of ``similarity.ivf_knn_join`` (which
@@ -754,9 +804,52 @@ def ivfpq_knn_join(index: DataFrame, queries: DataFrame,
 
     Deterministic end-to-end (argmax/argmin/topk all tie-break on
     ids; score chains left-associative) → SQL-oracle-checkable.
-    Zero-norm queries and NULL codes drop per the family contract."""
-    from .similarity import _lit_arr, norm_col
+    Zero-norm queries and NULL codes drop per the family contract.
+
+    ``rerank=r`` (with ``vectors`` = the raw-vector frame keyed by
+    ``id_col``) takes the ADC top-``k·r`` per query, joins ONLY those
+    q·k·r pairs back to the raw vectors + query vectors, rescores
+    exact cosine, and returns the exact top-k — recall≈exact at ADC
+    scan cost (the missing rung between plain ADC and
+    ``ivf_knn_join``'s full-probed-cell exact rescoring)."""
+    from .similarity import _lit_arr, dot_col, norm_col
     from .util import explode_fast
+
+    if rerank and rerank > 0:
+        if vectors is None:
+            raise ValueError("ivfpq_knn_join: rerank needs a raw-vector "
+                             "frame via vectors=")
+        short = ivfpq_knn_join(index, queries, centroids, codebooks,
+                               k=k * int(rerank), n_probe=n_probe,
+                               id_col=id_col, codes_col=codes_col,
+                               cell_col=cell_col,
+                               query_id_col=query_id_col,
+                               query_vec_col=query_vec_col,
+                               n_salt=n_salt)
+        v = F.col(vec_col).cast("array<double>")
+        vex = (vectors.where(F.col(vec_col).isNotNull())
+               .select(F.col(id_col), v.alias("__v"),
+                       norm_col(v).alias("__vn"))
+               .where(F.col("__vn") > 0))
+        qv2 = F.col(query_vec_col).cast("array<double>")
+        qex = (queries.where(F.col(query_vec_col).isNotNull())
+               .select(F.col(query_id_col), qv2.alias("__qv2"),
+                       norm_col(qv2).alias("__qn2"))
+               .where(F.col("__qn2") > 0))
+        sim = F.round(F.try_divide(dot_col(F.col("__v"),
+                                           F.col("__qv2")),
+                                   F.col("__vn") * F.col("__qn2")), 6)
+        wex = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc())
+        return (short.select(query_id_col, id_col)
+                .join(vex, on=id_col)
+                .join(qex, on=query_id_col)
+                .select(F.col(query_id_col), F.col(id_col),
+                        sim.alias("score"))
+                .withColumn("__rn", F.row_number().over(wex))
+                .where((F.col("__rn") <= k)
+                       & F.col("score").isNotNull())
+                .drop("__rn"))
 
     m, n_codes, dsub = _pq_dims(codebooks)
     if k <= 0:

@@ -1090,6 +1090,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       pq_kmeans_iters: int = 0,
                       ivfpq_probes: tuple = (), ivfpq_m: int = 8,
                       ivfpq_codes: int = 16,
+                      ivfpq_rerank: int = 0,
                       prefix_dims: tuple = (),
                       prefix_shortlist: int = 100) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
@@ -1332,12 +1333,32 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                              sim_pq.alias("sim"), "__rank")
                      .where(F.col("sim").isNotNull()))
         params2 = F.array(*[F.lit(int(np_)) for np_ in ivfpq_probes])
+        adc_tagged = joined_pq.select(
+            F.explode(F.filter(params2,
+                               lambda np_: np_ >= F.col("__rank")))
+            .alias("param"), "__qid", F.col(id_col), "sim")
         tagged.append(
-            joined_pq.select(
-                F.lit("ivfpq").alias("method"),
-                F.explode(F.filter(params2,
-                                   lambda np_: np_ >= F.col("__rank")))
-                .alias("param"), "__qid", F.col(id_col), "sim"))
+            adc_tagged.select(F.lit("ivfpq").alias("method"),
+                              "param", "__qid", F.col(id_col), "sim"))
+        if ivfpq_rerank:
+            # ivfpq_rr rows: two-stage retrieval — ADC top-(k·r)
+            # shortlist per config, rescored by EXACT cosine against
+            # the raw index vectors (the rescore touches only k·r rows
+            # per query).  Candidate count (scan_frac numerator) =
+            # the exact-rescored rows; the matching 'ivfpq' row carries
+            # the ADC scan fraction.  The shared final window then
+            # ranks these by exact sim like every other method.
+            wadc = Window.partitionBy("param", "__qid").orderBy(
+                F.col("sim").desc(), F.col(id_col).asc())
+            shortlist = (adc_tagged
+                         .withColumn("__arn", F.row_number().over(wadc))
+                         .where(F.col("__arn") <= k * int(ivfpq_rerank))
+                         .select("param", "__qid", id_col))
+            tagged.append(
+                shortlist.join(idx, on=id_col)
+                .join(qside, on="__qid")
+                .select(F.lit("ivfpq_rr").alias("method"),
+                        "param", "__qid", F.col(id_col), sim))
 
     for d_ in prefix_dims:
         # Matryoshka rows: candidates = the per-query top-`shortlist`
@@ -1392,6 +1413,8 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                + [("ivf", int(np_)) for np_ in ivf_probes]
                + [("pq", int(m_)) for m_ in pq_m]
                + [("ivfpq", int(np_)) for np_ in ivfpq_probes]
+               + ([("ivfpq_rr", int(np_)) for np_ in ivfpq_probes]
+                  if ivfpq_rerank else [])
                + [("prefix", int(d_)) for d_ in prefix_dims])
     spine = (qside.select("__qid").crossJoin(F.broadcast(
         qside.sparkSession.createDataFrame(configs,

@@ -532,3 +532,56 @@ def test_ivfpq_knn_join_dpp_on_written_index(emb, tmp_path, ivfpq):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert out.count() > 0
+
+
+def test_ivfpq_rerank_two_stage(spark, sf_dir):
+    """rerank=r: the ADC top-(k*r) shortlist rescored by exact cosine
+    must (a) equal an independently computed exact rescore of that
+    shortlist, (b) lift report recall to at-or-above plain ADC, and
+    (c) demand a vectors frame."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import ann_recall_report, ivfpq_index
+    from cascalog_spark.functions.pq import ivfpq_topk
+    from cascalog_spark.functions.similarity import (dot_col, norm_col,
+                                                     _lit_arr)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, books, codes = ivfpq_index(emb, n_centroids=16, m=8,
+                                      n_codes=16)
+    codes = codes.localCheckpoint()
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    with _pytest.raises(ValueError, match="vectors"):
+        ivfpq_topk(codes, qvec, cents, books, k=5, rerank=3)
+
+    k, r = 5, 4
+    short_ids = [row["vec_id"] for row in
+                 ivfpq_topk(codes, qvec, cents, books, k=k * r,
+                            n_probe=4).collect()]
+    got = [(row["vec_id"], row["score"]) for row in
+           ivfpq_topk(codes, qvec, cents, books, k=k, n_probe=4,
+                      rerank=r, vectors=emb).collect()]
+    # independent exact rescore of the same shortlist
+    import math
+    from functools import reduce
+    qn = math.sqrt(reduce(lambda a, b: a + b, [x * x for x in qvec]))
+    v = F.col("embedding").cast("array<double>")
+    ref = (emb.where(F.col("vec_id").isin(short_ids))
+           .select("vec_id",
+                   F.round(F.try_divide(
+                       dot_col(v, _lit_arr(qvec)),
+                       norm_col(v) * F.lit(qn)), 6).alias("score"))
+           .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+           .limit(k).collect())
+    assert got == [(row["vec_id"], row["score"]) for row in ref]
+
+    qs = (emb.orderBy(F.col("vec_id").asc()).limit(8)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rep = {(row["method"], row["param"]): row["recall_at_k"] for row in
+           ann_recall_report(emb, qs, k=10, lsh_planes=(),
+                             ivf_probes=(), ivfpq_probes=(1, 2, 4),
+                             ivfpq_rerank=5).collect()}
+    for p in (1, 2, 4):
+        assert rep[("ivfpq_rr", p)] >= rep[("ivfpq", p)]
