@@ -117,10 +117,14 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
         return _funnel_stages_agg(ev, ts_col, user_col, stage_col,
                                   named, horizon, prior, dt)
     if prior is not None:
+        # eqNullSafe: a NULL user key is ONE group to the window
+        # partitioning below, so its standing state must fold too
         old = prior.select(
-            F.col(user_col),
+            F.col(user_col).alias("__prior_u"),
             *[F.col(f"ts_{n}").alias(f"__old_{n}") for n in names])
-        ev = ev.join(old, on=user_col, how="left")
+        ev = (ev.join(old, on=[F.col(user_col).eqNullSafe(
+                  F.col("__prior_u"))], how="left")
+              .drop("__prior_u"))
     w = Window.partitionBy(user_col)
     num = _seconds(F.col(ts_col), dt)
     out = ev
@@ -149,10 +153,17 @@ def funnel_stages(df: DataFrame, ts_col: str, user_col: str,
            .withColumn("stage_reached", reached)
            .dropDuplicates([user_col]))
     if prior is not None:
-        untouched = prior.join(res.select(user_col), on=user_col,
-                               how="left_anti")
-        res = res.unionByName(untouched)
+        res = res.unionByName(_funnel_untouched(prior, res, user_col))
     return res
+
+
+def _funnel_untouched(prior: DataFrame, res: DataFrame,
+                      user_col: str) -> DataFrame:
+    """Prior rows whose user had no batch events (null-safe: a standing
+    NULL-user row must not re-enter every batch as a duplicate)."""
+    keys = res.select(F.col(user_col).alias("__res_u"))
+    return (prior.join(keys, on=[prior[user_col].eqNullSafe(
+                F.col("__res_u"))], how="left_anti"))
 
 
 def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
@@ -167,8 +178,14 @@ def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
     names = [n for n, _ in named]
     if prior is not None:
         old = prior.select(
-            F.col(user_col),
+            F.col(user_col).alias("__prior_u"),
             *[F.col(f"ts_{n}").alias(f"__old_{n}") for n in names])
+
+    def _nsjoin(left, right, rkey, how="inner"):
+        # all per-user joins null-safe: the window formulation groups a
+        # NULL user key as ONE partition, so this path must too
+        return (left.join(right, on=[F.col(user_col).eqNullSafe(
+                    F.col(rkey))], how=how).drop(rkey))
 
     reach: DataFrame | None = None
     for i, (s, custom) in enumerate(named):
@@ -177,11 +194,12 @@ def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
         if i == 0:
             src = ev
         else:
-            src = ev.join(
-                reach.select(user_col, F.col(f"ts_{names[i - 1]}"),
-                             *([F.col(f"ts_{names[0]}")]
-                               if horizon is not None and i > 1 else [])),
-                on=user_col)
+            rsel = reach.select(
+                F.col(user_col).alias("__reach_u"),
+                F.col(f"ts_{names[i - 1]}"),
+                *([F.col(f"ts_{names[0]}")]
+                  if horizon is not None and i > 1 else []))
+            src = _nsjoin(ev, rsel, "__reach_u")
             prev = F.col(f"ts_{names[i - 1]}")
             cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
             if horizon is not None:
@@ -192,24 +210,27 @@ def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
         batch_min = F.min(F.when(cond, F.col(ts_col))).alias("__bm")
         nxt = src.groupBy(user_col).agg(batch_min)
         if prior is not None:
-            nxt = (nxt.join(old.select(user_col, f"__old_{s}"),
-                            on=user_col, how="left")
+            nxt = (_nsjoin(nxt, old.select("__prior_u", f"__old_{s}"),
+                           "__prior_u", how="left")
                    .select(F.col(user_col),
                            F.coalesce(F.col(f"__old_{s}"), F.col("__bm"))
                            .alias(f"ts_{s}")))
         else:
             nxt = nxt.select(F.col(user_col),
                              F.col("__bm").alias(f"ts_{s}"))
-        reach = nxt if reach is None else reach.join(nxt, on=user_col)
+        if reach is None:
+            reach = nxt
+        else:
+            reach = _nsjoin(
+                reach, nxt.withColumnRenamed(user_col, "__nxt_u"),
+                "__nxt_u")
 
     cols = [f"ts_{n}" for n in names]
     reached = reduce(lambda a, b: a + b,
                      [F.col(c).isNotNull().cast("int") for c in cols])
     res = reach.withColumn("stage_reached", reached)
     if prior is not None:
-        untouched = prior.join(res.select(user_col), on=user_col,
-                               how="left_anti")
-        res = res.unionByName(untouched)
+        res = res.unionByName(_funnel_untouched(prior, res, user_col))
     return res
 
 

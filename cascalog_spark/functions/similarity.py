@@ -1445,6 +1445,14 @@ def truncate_embeddings(df: DataFrame, d_prefix: int,
     two-stage retrieval."""
     if d_prefix <= 0:
         raise ValueError("truncate_embeddings: d_prefix must be > 0")
+    first = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("d")).first())
+    if first is not None and 0 <= first["d"] < d_prefix:
+        # an oversized prefix would silently return untruncated vectors;
+        # match prefix_rescore_topk's contract and refuse
+        raise ValueError(
+            f"truncate_embeddings: d_prefix {d_prefix} exceeds the "
+            f"vector length {first['d']}")
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, d_prefix)
     if renormalize:
         n = norm_col(v)

@@ -26,6 +26,7 @@ No reference analog (the reference has no streaming); extension tier.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -547,11 +548,19 @@ def read_funnel_state(spark: SparkSession, state_dir: str,
     highest-numbered partition (``before`` restricts to partitions
     < that id — the retry guard: a retried batch folds from the state
     it originally saw, never its own failed attempt).  ``None`` before
-    the first batch lands."""
+    the first batch lands.
+
+    External readers may call this while the maintenance stream is
+    running: partitions whose parquet commit has not finished (no
+    ``_SUCCESS`` marker yet) are skipped, so the newest COMPLETE
+    snapshot is returned instead of a half-written one.  (The
+    maintenance fold itself always reads strictly older, fully
+    committed partitions via ``before``.)"""
     if not os.path.isdir(state_dir):
         return None
     ids = [int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
-           if e.startswith("batch=")]
+           if e.startswith("batch=")
+           and os.path.exists(os.path.join(state_dir, e, "_SUCCESS"))]
     if before is not None:
         ids = [i for i in ids if i < before]
     if not ids:
@@ -735,20 +744,26 @@ def stream_retention_maintenance(stream_df: DataFrame, pairs_dir: str,
         bf = (batch.groupBy(F.col(user_col).alias("user"))
               .agg(F.min(F.col(ts_col)).alias("__bf")))
         if old is not None:
-            merged = (bf.join(old, on="user", how="full")
-                      .select("user",
-                              F.coalesce(F.col("first_ts"),
-                                         F.col("__bf"))
+            # eqNullSafe fold: a NULL-keyed user group must MERGE with
+            # its standing state, not accumulate a duplicate row per
+            # batch (plain equi-join keys never match NULL)
+            merged = (bf.join(old, on=[bf["user"].eqNullSafe(old["user"])],
+                              how="full")
+                      .select(F.coalesce(bf["user"], old["user"])
+                              .alias("user"),
+                              F.coalesce(old["first_ts"], bf["__bf"])
                               .alias("first_ts")))
         else:
             merged = bf.select("user", F.col("__bf").alias("first_ts"))
         merged = merged.localCheckpoint()  # consumed by pairs AND state
         cohort, off = cohort_offset_cols(F.col("first_ts"),
                                          F.col(ts_col), period)
-        pairs = (batch.select(F.col(user_col).alias("user"),
-                              F.col(ts_col))
-                 .join(merged, on="user")
-                 .select("user", cohort.alias("cohort"),
+        bsel = batch.select(F.col(user_col).alias("user"),
+                            F.col(ts_col))
+        pairs = (bsel.join(merged,
+                           on=[bsel["user"].eqNullSafe(merged["user"])])
+                 .select(bsel["user"].alias("user"),
+                         cohort.alias("cohort"),
                          off.alias("period_offset"))
                  .distinct())
         pairs.write.mode("overwrite").parquet(
@@ -849,8 +864,14 @@ def stream_decayed_maintenance(stream_df: DataFrame, state_dir: str,
                               * (F.lit(tref) - F.col("__t"))))
                 .alias("__old"))
             if part is not None:
-                new = (part.join(scaled, on=kl, how="full")
-                       .select(*kl,
+                # eqNullSafe per key column: NULL-keyed groups merge
+                # with their standing partial instead of duplicating
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [part[k_].eqNullSafe(scaled[k_]) for k_ in kl])
+                new = (part.join(scaled, on=cond, how="full")
+                       .select(*[F.coalesce(part[k_], scaled[k_])
+                                 .alias(k_) for k_ in kl],
                                (F.coalesce(F.col("decayed"), F.lit(0.0))
                                 + F.coalesce(F.col("__old"), F.lit(0.0)))
                                .alias("decayed")))

@@ -537,6 +537,79 @@ def test_stream_decayed_maintenance(spark, tmp_path):
     assert got[1] == 7.5
 
 
+
+def test_null_key_state_folds(spark, tmp_path):
+    """r8 eqNullSafe fixes: NULL-keyed groups must MERGE with their
+    standing state across batches (streaming decayed + retention) and
+    across prior folds (funnel, both formulations) — not accumulate a
+    duplicate row per batch."""
+    from cascalog_spark.functions import decayed_agg, retention_cohorts
+    from cascalog_spark.streaming import (read_decayed, read_retention,
+                                          stream_decayed_maintenance,
+                                          stream_retention_maintenance)
+
+    rows = [(1, _ts("2024-01-01T00:00:00"), 10.0),
+            (None, _ts("2024-01-01T12:00:00"), 6.0),
+            (1, _ts("2024-01-02T00:00:00"), 10.0),
+            (None, _ts("2024-01-03T00:00:00"), 2.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    cut = _ts("2024-01-01T18:00:00")
+    src = str(tmp_path / "nsrc")
+    for b in (df.where(F.col("ts") < cut), df.where(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    qy = stream_decayed_maintenance(
+        sdf, str(tmp_path / "nstate"), "ts", ["user_id"], "value",
+        half_life=86400.0, checkpoint_dir=str(tmp_path / "nckpt"))
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = sorted(((r["user_id"], r["decayed"]) for r in
+                  read_decayed(spark, str(tmp_path / "nstate")).collect()),
+                 key=repr)
+    want = sorted(((r["user_id"], r["decayed"]) for r in
+                   decayed_agg(df, "ts", ["user_id"], "value",
+                               half_life=86400.0).collect()), key=repr)
+    assert got == want  # exactly ONE NULL-key row, value merged
+
+    sdf2 = (spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src))
+    qy2 = stream_retention_maintenance(
+        sdf2, str(tmp_path / "rpairs"), str(tmp_path / "rstate"),
+        "ts", "user_id", period="day",
+        checkpoint_dir=str(tmp_path / "rckpt"))
+    try:
+        assert qy2.awaitTermination(240)
+    finally:
+        qy2.stop()
+    got_r = sorted(map(tuple, read_retention(
+        spark, str(tmp_path / "rpairs")).collect()))
+    want_r = sorted(map(tuple, retention_cohorts(
+        df, "ts", "user_id", "day").collect()))
+    assert got_r == want_r
+
+    # funnel prior fold with NULL users, both formulations
+    ev = [(1, _ts("2024-01-01T00:00:00"), "signup"),
+          (None, _ts("2024-01-01T01:00:00"), "signup"),
+          (1, _ts("2024-01-02T00:00:00"), "click"),
+          (None, _ts("2024-01-02T01:00:00"), "click")]
+    fdf = spark.createDataFrame(ev, "user_id int, ts timestamp, event_type string")
+    want_f = sorted((tuple(r) for r in funnel_stages(
+        fdf, "ts", "user_id", "event_type", STAGES).collect()), key=repr)
+    fcut = _ts("2024-01-01T18:00:00")
+    for safe in (False, True):
+        st = funnel_stages(fdf.where(F.col("ts") < fcut), "ts",
+                           "user_id", "event_type", STAGES,
+                           skew_safe=safe).localCheckpoint()
+        st = funnel_stages(fdf.where(F.col("ts") >= fcut), "ts",
+                           "user_id", "event_type", STAGES, prior=st,
+                           skew_safe=safe)
+        got_f = sorted((tuple(r) for r in st.collect()), key=repr)
+        assert got_f == want_f, f"skew_safe={safe}"
+
+
 # -- hypothesis differential: funnel vs a pure-Python fold ------------------
 
 import os as _os

@@ -3230,6 +3230,10 @@ def test_prefix_rescore_edges(spark, sf_dir):
     assert abs(norm - 1.0) < 1e-9
     with _pt.raises(ValueError):
         truncate_embeddings(emb, 0)
+    # oversized prefix: refuse (was a silent no-op), matching
+    # prefix_rescore_topk's contract
+    with _pt.raises(ValueError, match="exceeds"):
+        truncate_embeddings(emb, 65)
 
 
 def test_ann_recall_report_prefix_rows(spark, sf_dir):
