@@ -248,6 +248,35 @@ class Compiler:
             disj = c if disj is None else (disj | c)
         return disj
 
+    @staticmethod
+    def _pushdown_prune(df: DataFrame, occ_list: list):
+        """Column pruning below the fan-out persist: cache only the
+        UNION of source columns any consumer binds (col_bindings +
+        const_filters).  Unlike the filter pushdown this needs no
+        per-consumer opt-in — an unused column is unused, period.
+        Positional bindings are preserved via ``__cs_orig_cols__`` (the
+        pre-prune column list) which ``_compile_GeneratorNode`` uses to
+        resolve int colrefs by NAME after the select."""
+        src_cols = df.columns
+        used: set[str] = set()
+        for gen, _chain in occ_list:
+            for colref in list(gen.col_bindings.values()) + \
+                    [c for c, _ in gen.const_filters]:
+                if isinstance(colref, int):
+                    if colref >= len(src_cols):
+                        return None  # unknown ref: never prune
+                    used.add(src_cols[colref])
+                elif colref in src_cols:
+                    used.add(colref)
+                else:
+                    return None
+        keep = [c for c in src_cols if c in used]
+        if not keep or len(keep) == len(src_cols):
+            return None
+        out = df.select(*keep)
+        out.__cs_orig_cols__ = src_cols
+        return out
+
     def compile(self, node: Node) -> DataFrame:
         """Memoized walk (reference: zip.clj:47-59 visited-map keyed on node
         identifier — a subquery referenced twice compiles once)."""
@@ -360,15 +389,22 @@ class Compiler:
                     self.nested_trapped.append(source)
                 cnt = (self._src_counts or {}).get(id(source), 0)
                 if cnt > 1:
-                    # cross-consumer filter pushdown BELOW the persist
-                    # point: only when the collected occurrences account
-                    # for every census-counted consumer (a partial view
-                    # must never narrow the cache)
+                    # cross-consumer filter + column pushdown BELOW the
+                    # persist point: only when the collected occurrences
+                    # account for every census-counted consumer (a
+                    # partial view must never narrow the cache)
                     occ = (self._pushdown_occs or {}).get(id(source), [])
                     if len(occ) == cnt:
+                        pk = getattr(df, "__cs_pickled__", None)
                         pred = self._pushdown_pred(df, occ)
                         if pred is not None:
                             df = df.filter(pred)
+                        pruned = self._pushdown_prune(df, occ)
+                        if pruned is not None:
+                            df = pruned
+                        if pk is not None:  # re-attach across rewrites
+                            df.__cs_pickled__ = {c for c in pk
+                                                 if c in df.columns}
                     # MEMORY_AND_DISK: spills, never OOMs
                     df = df.persist(StorageLevel.MEMORY_AND_DISK)
                     self.persisted.append(df)
@@ -412,7 +448,9 @@ class Compiler:
 
     def _compile_GeneratorNode(self, node: GeneratorNode) -> DataFrame:
         df = self._source_df(node.source)
-        src_cols = df.columns
+        # a column-pruned fan-out persist records its pre-prune layout;
+        # positional bindings resolve against THAT order, by name
+        src_cols = getattr(df, "__cs_orig_cols__", None) or df.columns
         src_pickled = getattr(df, "__cs_pickled__", set())
         if src_pickled:
             for v, colref in node.col_bindings.items():

@@ -620,9 +620,11 @@ def test_ann_recall_report_plan_bounded(spark, sf_dir):
     df = entry_mod.queries()["embedding_ann_recall"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # one BNLJ for the broadcast config spine; the knn_join query-batch
-    # broadcast join is the only other permissible nested loop
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # permissible nested loops, all broadcast-bounded: the config
+    # spine, the knn_join query batch, and (r8) the 1-ROW scan_frac
+    # denominator aggregate that rides the plan instead of a driver
+    # .count() job
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
     # the IVF assignment argmax is one shared subtree, not one per probe
     # config: count the cell-assignment marker once in the final plan
     assert plan.count("FlatMapGroupsInPandas") == 0
@@ -731,3 +733,33 @@ def test_single_query_fanout_pushdown_const_filters(spark):
     cached = _cached_relation(_optimized(df))
     line = cached.splitlines()[1]
     assert " OR " in line and "25" in line and "33" in line
+
+
+def test_fanout_persist_prunes_unused_columns(spark):
+    """Column pushdown below the fan-out persist: when every consumer
+    binds only a subset of a shared subquery's output, the cache holds
+    the UNION of bound columns — at 100 TB the persist materializes the
+    2-column slice, not the wide row.  Positional bindings stay correct
+    via the recorded pre-prune layout."""
+    from cascalog_spark import c, execute, q
+    from cascalog_spark.sources.taps import MemoryTap
+    data = [("a", 1, "x", 10.0), ("b", 2, "y", 20.0), ("c", 3, "z", 30.0)]
+    sub = q(["?p", "?n", "?s", "?v"],
+            (MemoryTap(["p", "n", "s", "v"], data),
+             "?p", "?n", "?s", "?v"))
+    q1 = q(["?p"], (sub, "?p", "?n", "_", "_"), (c.lt, "?n", 3))
+    q2 = q(["?p"], (sub, "?p", "?n", "_", "_"), (c.gt, "?n", 2))
+    got1, got2, plans = [], [], []
+
+    def sink(acc):
+        def s(df):
+            plans.append(_optimized(df))
+            acc.extend(tuple(r) for r in df.collect())
+        return s
+
+    execute(spark, (q1, sink(got1)), (q2, sink(got2)))
+    assert sorted(got1) == [("a",), ("b",)]
+    assert sorted(got2) == [("c",)]
+    header = _cached_relation(plans[0]).splitlines()[0]
+    assert "p#" in header and "n#" in header
+    assert "s#" not in header and "v#" not in header
