@@ -1091,6 +1091,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       ivfpq_probes: tuple = (), ivfpq_m: int = 8,
                       ivfpq_codes: int = 16,
                       ivfpq_rerank: int = 0,
+                      ivfpq_codebooks=None,
                       prefix_dims: tuple = (),
                       prefix_shortlist: int = 100) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
@@ -1291,7 +1292,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
         cents_pq, books_pq, codes_pq = ivfpq_index(
             index, id_col=id_col, vec_col=vec_col,
             n_centroids=n_centroids, m=ivfpq_m, n_codes=ivfpq_codes,
-            centroids=centroids)
+            centroids=centroids, codebooks=ivfpq_codebooks)
         coded = codes_pq.localCheckpoint()  # the compressed index
         ordered_c = sorted(cents_pq, key=lambda cv: cv[0])
         crank = {cid: r for r, (cid, _) in enumerate(ordered_c)}
