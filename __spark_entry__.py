@@ -3483,6 +3483,19 @@ def embedding_ivfpq_recall(spark, sf_dir):
                              ivf_probes=(), ivfpq_probes=(1, 2, 4))
 
 
+def events_trigrams(spark, sf_dir):
+    """Consecutive event-type trigrams per user sequence (behavior.py
+    event_ngrams — the k-order generalization of transition_matrix):
+    one user-keyed window with two leads over ONE sort, aggregate on
+    the |types|^3 key space, min_count=2 tail prune.  The sequence
+    pattern miner behind 'which 3-step paths dominate'."""
+    from cascalog_spark.functions import event_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_ngrams(ev, "ts", "user_id", "event_type", n=3,
+                        tie_cols=["event_id"], min_count=2)
+
+
 def embedding_ivfpq_rerank(spark, sf_dir):
     """Two-stage IVF-PQ retrieval rows of the tuning report
     (similarity.py ann_recall_report(ivfpq_rerank=5) → pq.py rerank
@@ -3980,6 +3993,7 @@ _R8_HEAD = [
     # truth, single-pass candidate stats)
     "doc_classifier_fit",
     "embedding_ivfpq_rerank",
+    "events_trigrams",
     "embedding_ann_recall",
     "embedding_pq_recall",
     "embedding_ivfpq_recall",
@@ -4245,6 +4259,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_topk": embedding_ivfpq_topk,
         "embedding_ivfpq_recall": embedding_ivfpq_recall,
         "embedding_ivfpq_rerank": embedding_ivfpq_rerank,
+        "events_trigrams": events_trigrams,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -7705,6 +7720,19 @@ def oracle_sql() -> dict[str, str]:
                    round(n / (sum(n) OVER (PARTITION BY from_type)), 6)
                    AS p
             FROM c""",
+        # consecutive-type trigrams: two leads over the same total
+        # per-user order, string-joined gram key, min_count=2 prune
+        "events_trigrams": """
+            WITH s AS (SELECT event_type AS g0,
+                              lead(event_type, 1) OVER w AS g1,
+                              lead(event_type, 2) OVER w AS g2
+                       FROM events WHERE event_type IS NOT NULL
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT concat_ws('->', g0, g1, g2) AS gram,
+                   count(*) AS n_events
+            FROM s WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2""",
         "doc_ngram_novelty": f"""
             WITH p AS (SELECT DISTINCT doc_id,
                               unnest({_shingle_sql(3)}) AS s

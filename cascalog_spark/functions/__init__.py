@@ -56,8 +56,9 @@ from .similarity import (ann_recall_report, assign_cells_vectorized,
                          lsh_ann_topk, prefix_rescore_topk,
                          quantization_stats, truncate_embeddings,
                          quantize_embeddings, release_cosine_cache)
-from .behavior import (decayed_agg, funnel_report, funnel_stages,
-                       retention_cohorts, transition_matrix)
+from .behavior import (decayed_agg, event_ngrams, funnel_report,
+                       funnel_stages, retention_cohorts,
+                       transition_matrix)
 from .text import (bigram_nll, bpe_ish_token_count, canonical_url_col,
                    kn_bigram_nll,
                    ngram_novelty, ngram_novelty_incremental,

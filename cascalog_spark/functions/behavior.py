@@ -28,7 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_offset_cols", "decayed_agg", "funnel_report",
+__all__ = ["cohort_offset_cols", "decayed_agg", "event_ngrams",
+           "funnel_report",
            "funnel_stages", "retention_cohorts", "transition_matrix"]
 
 
@@ -235,8 +236,9 @@ def _funnel_stages_agg(ev: DataFrame, ts_col: str, user_col: str,
 
 
 def funnel_report(df: DataFrame, ts_col: str, user_col: str,
-                  stage_col: str, stages: list[str],
-                  horizon: float | None = None) -> DataFrame:
+                  stage_col: str, stages: list[str | tuple],
+                  horizon: float | None = None,
+                  skew_safe: bool = False) -> DataFrame:
     """Stage-level funnel summary over ``funnel_stages``: one row per
     stage with the distinct-user reach count, conversion from the
     previous stage, and conversion from stage 0 (both ratios rounded
@@ -244,7 +246,7 @@ def funnel_report(df: DataFrame, ts_col: str, user_col: str,
     collapse into ONE aggregate row (k conditional counts), then
     explode into the report — no second pass over users."""
     per_user = funnel_stages(df, ts_col, user_col, stage_col, stages,
-                             horizon=horizon)
+                             horizon=horizon, skew_safe=skew_safe)
     names = [s[0] if isinstance(s, tuple) else s for s in stages]
     agg = per_user.agg(*[
         F.count(F.col(f"ts_{s}")).alias(f"__n{i}")
@@ -358,6 +360,50 @@ def transition_matrix(df: DataFrame, ts_col: str, user_col: str,
     tot = Window.partitionBy("from_type")
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(tot), 6))
+
+
+def event_ngrams(df: DataFrame, ts_col: str, user_col: str,
+                 type_col: str, n: int = 3,
+                 tie_cols: list[str] | None = None,
+                 min_count: int = 1, sep: str = "->") -> DataFrame:
+    """Frequent n-grams of CONSECUTIVE event types per user sequence —
+    the k-order generalization of :func:`transition_matrix` (which is
+    the ``n=2`` pair view): count every run of ``n`` consecutive
+    events in ``(ts_col, *tie_cols)`` order, keyed by the joined type
+    string ``t1->t2->…->tn``.  The sequence-pattern miner for behavior
+    modeling: which 3-step paths dominate, which never happen.
+
+    ``tie_cols`` must make the per-user order TOTAL (pass the event
+    id).  Rows with a NULL type are dropped first (a NULL inside a
+    gram would be ambiguous under the string join).  ``min_count``
+    prunes the tail (HAVING count >= min_count).
+
+    Output: ``(gram, n_events)`` — the joined gram string and its
+    corpus-wide count, deterministic and SQL-oracle-checkable.
+
+    Scale: same shape as ``transition_matrix`` — one shuffle on
+    ``user_col``, n−1 ``lead``s over ONE ordered window (one sort),
+    then an aggregate on the (|types|^n)-sized key space; the same
+    per-user-sequence skew bound applies (see transition_matrix)."""
+    if n < 2:
+        raise ValueError("event_ngrams: n must be >= 2")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc()
+                                     for c in (tie_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    src = df.where(F.col(type_col).isNotNull())
+    parts = [F.col(type_col)] + [F.lead(F.col(type_col), i).over(w)
+                                 for i in range(1, n)]
+    out = src.select(*[p.alias(f"__g{i}")
+                       for i, p in enumerate(parts)])
+    for i in range(1, n):
+        out = out.where(F.col(f"__g{i}").isNotNull())
+    counted = (out.groupBy(F.concat_ws(sep, *[F.col(f"__g{i}")
+                                              for i in range(n)])
+                           .alias("gram"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    if min_count > 1:
+        counted = counted.where(F.col("n_events") >= min_count)
+    return counted
 
 
 def decayed_agg(df: DataFrame, ts_col: str, keys: list[str],

@@ -723,15 +723,21 @@ def ivfpq_query_index(spark, path: str,
                       centroids: list[tuple[int, list[float]]],
                       codebooks: Codebooks, query_vec: list[float],
                       k: int = 10, id_col: str = "vec_id",
-                      n_probe: int = 4) -> DataFrame:
+                      n_probe: int = 4, rerank: int = 0,
+                      vectors: DataFrame | None = None,
+                      vec_col: str = "embedding") -> DataFrame:
     """ADC top-k against an ``ivfpq_write_index`` layout: ``__cell IN
     probe`` is a PARTITION filter (only probed cells' code files are
     read — check PartitionFilters in the scan), and those files hold
     ~32x-compressed codes, so the IO per query is
-    ``n_probe/n_centroids x 1/32`` of a full-corpus exact scan."""
+    ``n_probe/n_centroids x 1/32`` of a full-corpus exact scan.
+    ``rerank=``/``vectors=`` forward to :func:`ivfpq_topk`'s two-stage
+    exact rescore (vectors = the raw-vector table stored beside the
+    index)."""
     idx = spark.read.parquet(path)
     return ivfpq_topk(idx, query_vec, centroids, codebooks, k=k,
-                      id_col=id_col, n_probe=n_probe)
+                      id_col=id_col, n_probe=n_probe, rerank=rerank,
+                      vectors=vectors, vec_col=vec_col)
 
 
 def _norm2_lut_ivfpq(centroids: list[tuple[int, list[float]]],

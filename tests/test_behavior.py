@@ -762,3 +762,38 @@ def test_funnel_skew_safe_plan_no_window(spark, funnel_df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_event_ngrams_semantics(spark):
+    """Hand-checked trigrams; n=2 must match transition_matrix counts
+    under the same total order; n<2 rejected; NULL types dropped."""
+    from cascalog_spark.functions import event_ngrams
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "a"),
+            (3, 1, None), (3, 2, "x")]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts int, event_type string")
+    got = {r["gram"]: r["n_events"] for r in event_ngrams(
+        df, "ts", "user_id", "event_type", n=3,
+        tie_cols=["ts"]).collect()}
+    # u1: a b a, b a b; u2: a b a  -> a->b->a x2, b->a->b x1
+    assert got == {"a->b->a": 2, "b->a->b": 1}
+    pruned = {r["gram"] for r in event_ngrams(
+        df, "ts", "user_id", "event_type", n=3, tie_cols=["ts"],
+        min_count=2).collect()}
+    assert pruned == {"a->b->a"}
+
+    bi = {r["gram"]: r["n_events"] for r in event_ngrams(
+        df, "ts", "user_id", "event_type", n=2,
+        tie_cols=["ts"]).collect()}
+    tm = {f'{r["from_type"]}->{r["to_type"]}': r["n"]
+          for r in transition_matrix(
+              df.where(F.col("event_type").isNotNull()),
+              "ts", "user_id", "event_type",
+              tie_cols=["ts"], normalize=False).collect()}
+    assert bi == tm
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must be"):
+        event_ngrams(df, "ts", "user_id", "event_type", n=1)
