@@ -3820,6 +3820,45 @@ def events_stream_transitions(spark, sf_dir):
     return read_transition_counts(spark, f"{base}/agg")
 
 
+def events_stream_trigrams(spark, sf_dir):
+    """Standing event-type trigram table maintained from a STREAM
+    (streaming/ingest.py stream_ngram_maintenance — the k-order
+    sibling of the transition maintenance): two time-ordered
+    micro-batches each contribute within-batch trigram counts + the
+    straddling windows mixing each user's standing 2-type suffix with
+    the batch's first events; partials are |types|³-sized and merge at
+    read.  The oracle is the ONE-SHOT trigram SQL — the hash check
+    proves streaming fold == batch exactly."""
+    import tempfile
+
+    from cascalog_spark.streaming import (read_ngram_counts,
+                                          stream_ngram_maintenance)
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                            "event_type")
+    cut = "2024-01-16"
+    src = stage_file_batches([ev.where(F.col("ts") < cut),
+                              ev.where(F.col("ts") >= cut)])
+    raw = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    base = tempfile.mkdtemp(prefix="cascalog_ngram_")
+    name = "events_stream_trigrams"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_ngram_maintenance(
+        raw, f"{base}/agg", f"{base}/state", "ts", "user_id",
+        "event_type", n=3, tie_cols=["event_id"],
+        checkpoint_dir=f"{base}/ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("events_stream_trigrams: bounded stream "
+                           "did not drain within 300s")
+    return read_ngram_counts(spark, f"{base}/agg", min_count=2)
+
+
 def events_stream_retention(spark, sf_dir):
     """Standing retention triangle maintained from a STREAM
     (streaming/ingest.py stream_retention_maintenance): two time-ordered
@@ -3994,6 +4033,7 @@ _R8_HEAD = [
     "doc_classifier_fit",
     "embedding_ivfpq_rerank",
     "events_trigrams",
+    "events_stream_trigrams",
     "embedding_ann_recall",
     "embedding_pq_recall",
     "embedding_ivfpq_recall",
@@ -4260,6 +4300,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_recall": embedding_ivfpq_recall,
         "embedding_ivfpq_rerank": embedding_ivfpq_rerank,
         "events_trigrams": events_trigrams,
+        "events_stream_trigrams": events_stream_trigrams,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -7723,6 +7764,18 @@ def oracle_sql() -> dict[str, str]:
         # consecutive-type trigrams: two leads over the same total
         # per-user order, string-joined gram key, min_count=2 prune
         "events_trigrams": """
+            WITH s AS (SELECT event_type AS g0,
+                              lead(event_type, 1) OVER w AS g1,
+                              lead(event_type, 2) OVER w AS g2
+                       FROM events WHERE event_type IS NOT NULL
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT concat_ws('->', g0, g1, g2) AS gram,
+                   count(*) AS n_events
+            FROM s WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2""",
+        # streaming fold == one-shot: same SQL, read applies min_count=2
+        "events_stream_trigrams": """
             WITH s AS (SELECT event_type AS g0,
                               lead(event_type, 1) OVER w AS g1,
                               lead(event_type, 2) OVER w AS g2

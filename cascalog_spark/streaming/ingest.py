@@ -702,6 +702,143 @@ def stream_transition_maintenance(stream_df: DataFrame, agg_dir: str,
     return writer.start()
 
 
+def read_ngram_counts(spark: SparkSession, agg_dir: str,
+                      min_count: int = 1) -> Optional[DataFrame]:
+    """The standing event-type n-gram table across every batch partial
+    under ``agg_dir``: one groupBy over #batches x |types|^n partial
+    rows (never the event volume).  ``min_count`` prunes at READ time
+    — partials stay unpruned so the fold is exact.  ``None`` before
+    the first batch lands."""
+    if not os.path.isdir(agg_dir):
+        return None
+    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
+        return None
+    parts = spark.read.parquet(agg_dir).drop("batch")
+    out = parts.groupBy("gram").agg(F.sum("n_events").alias("n_events"))
+    if min_count > 1:
+        out = out.where(F.col("n_events") >= min_count)
+    return out
+
+
+def stream_ngram_maintenance(stream_df: DataFrame, agg_dir: str,
+                             state_dir: str, ts_col: str,
+                             user_col: str, type_col: str,
+                             n: int = 3,
+                             tie_cols: Optional[list] = None,
+                             sep: str = "->",
+                             checkpoint_dir: Optional[str] = None,
+                             query_name: str = "ngram_maintenance"):
+    """Maintain the consecutive event-type n-gram counts from a stream
+    — the k-order sibling of :func:`stream_transition_maintenance`
+    (which is the ``n=2`` case).  Each micro-batch contributes:
+
+    (a) its WITHIN-batch n-grams (``behavior.event_ngrams`` on the
+        batch, unpruned),
+    (b) the STRADDLING n-grams mixing the user's standing suffix (the
+        last ≤ n−1 event types) with the batch's first ≤ n−1 events —
+        every length-n window of ``suffix ++ first_batch`` that starts
+        inside the suffix,
+    (c) a complete suffix-per-user snapshot to ``state_dir`` (last
+        n−1 types of ``suffix ++ batch``; same snapshot-per-batch
+        retry contract as the funnel state).
+
+    Count partials land under ``agg_dir/batch=<id>`` and are
+    MERGEABLE — :func:`read_ngram_counts` assembles the standing table
+    from |types|^n-sized partials, never from history.
+
+    Contract: batches split at time boundaries (append-ordered
+    ingestion).  Under it the drained table equals the one-shot
+    ``behavior.event_ngrams`` exactly — within-batch windows plus
+    straddling windows ARE the global consecutive windows (pinned by
+    test AND the driver oracle).  NULL-type rows are dropped like the
+    one-shot op; NULL user keys fold null-safely."""
+    from ..functions.behavior import event_ngrams
+
+    if n < 2:
+        raise ValueError("stream_ngram_maintenance: n must be >= 2")
+    ties = list(tie_cols or [])
+    from pyspark.sql import Window as _W
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = read_funnel_state(spark, state_dir, before=batch_id)
+        batch = batch.where(F.col(type_col).isNotNull())
+        within = event_ngrams(batch, ts_col, user_col, type_col, n=n,
+                              tie_cols=ties, sep=sep)
+        ocols = [F.col(ts_col)] + [F.col(c) for c in ties]
+        wasc = _W.partitionBy(user_col).orderBy(
+            *[c.asc() for c in ocols])
+        wdesc = _W.partitionBy(user_col).orderBy(
+            *[c.desc() for c in ocols])
+        ranked = (batch.withColumn("__rn", F.row_number().over(wasc))
+                  .withColumn("__rnl", F.row_number().over(wdesc)))
+        m = n - 1
+
+        def _edge(rank_col):
+            # ordered array of the user's first/last <= n-1 types
+            return F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col(rank_col) <= m,
+                           F.struct(F.col(rank_col).alias("r"),
+                                    F.col(type_col).alias("t"))))),
+                lambda x: x["t"])
+
+        per_user = (ranked.groupBy(user_col)
+                    .agg(_edge("__rn").alias("__firstb"),
+                         F.reverse(_edge("__rnl")).alias("__lastb")))
+        if old is not None:
+            osel = old.select(F.col(user_col).alias("__ou"),
+                              F.col("suffix").alias("__suffix"))
+            joined = per_user.join(
+                osel, on=[per_user[user_col].eqNullSafe(
+                    F.col("__ou"))], how="left").drop("__ou")
+        else:
+            joined = per_user.withColumn(
+                "__suffix", F.lit(None).cast("array<string>"))
+        sfx = F.coalesce(F.col("__suffix"),
+                         F.expr("array()").cast("array<string>"))
+        full = F.concat(sfx, F.col("__firstb"))
+        ls, ltot = F.size(sfx), F.size(full)
+        starts = F.when(
+            ls >= 1,
+            F.filter(F.sequence(F.greatest(F.lit(1), ls - F.lit(n - 2)),
+                                ls),
+                     lambda s: s + F.lit(n - 1) <= ltot)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        grams = F.transform(
+            starts, lambda s: F.array_join(F.slice(full, s, n), sep))
+        straddle = (joined.select(F.explode(grams).alias("gram"))
+                    .groupBy("gram")
+                    .agg(F.count(F.lit(1)).alias("n_events")))
+        counts = (within.unionByName(straddle)
+                  .groupBy("gram").agg(F.sum("n_events")
+                                       .alias("n_events")))
+        # new suffix: last n-1 of (old suffix ++ batch tail)
+        newfull = F.concat(sfx, F.col("__lastb"))
+        newsfx = F.when(
+            F.size(newfull) > m,
+            F.slice(newfull, F.size(newfull) - F.lit(m - 1), m)
+        ).otherwise(newfull)
+        state = joined.select(F.col(user_col),
+                              newsfx.alias("suffix"))
+        if old is not None:
+            keys = state.select(F.col(user_col).alias("__su"))
+            keep = old.join(keys, on=[old[user_col].eqNullSafe(
+                F.col("__su"))], how="left_anti")
+            state = state.unionByName(keep)
+        counts.write.mode("overwrite").parquet(
+            f"{agg_dir}/batch={batch_id}")
+        state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def read_retention(spark: SparkSession, pairs_dir: str
                    ) -> Optional[DataFrame]:
     """The standing retention triangle across every batch partial under

@@ -797,3 +797,41 @@ def test_event_ngrams_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n must be"):
         event_ngrams(df, "ts", "user_id", "event_type", n=1)
+
+
+def test_stream_ngram_maintenance(spark, tmp_path):
+    """Drained streaming n-gram counts == one-shot event_ngrams —
+    including a gram spanning THREE batches (middle batch holds a
+    single event for that user) and a NULL-type row dropped like the
+    one-shot op."""
+    from cascalog_spark.functions import event_ngrams
+    from cascalog_spark.streaming import (read_ngram_counts,
+                                          stream_ngram_maintenance)
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (1, 5, "c"),
+            (2, 1, "a"), (2, 4, "b"), (2, 6, "a"),  # 3-batch straddle
+            (3, 2, "x"), (3, 7, None), (3, 8, "y")]
+    df = spark.createDataFrame(rows,
+                               "user_id int, ts int, event_type string")
+    want = sorted(map(tuple, event_ngrams(
+        df, "ts", "user_id", "event_type", n=3,
+        tie_cols=["ts"]).collect()))
+    src = str(tmp_path / "ng_src")
+    for b in (df.where("ts < 3"), df.where("ts >= 3 and ts < 6"),
+              df.where("ts >= 6")):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_ngram_maintenance(
+        sdf, str(tmp_path / "ng_agg"), str(tmp_path / "ng_state"),
+        "ts", "user_id", "event_type", n=3, tie_cols=["ts"],
+        checkpoint_dir=str(tmp_path / "ng_ckpt"))
+    try:
+        assert q.awaitTermination(240)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_ngram_counts(
+        spark, str(tmp_path / "ng_agg")).collect()))
+    assert got == want
+    assert ("a->b->a", 2) in got  # u1's within + u2's 3-batch straddle
