@@ -475,6 +475,10 @@ class _BroadcastGen:
             g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
         return F.broadcast(df)
 
+    def local_rows(self, source_rows):
+        # broadcast is a physical hint — a no-op in memory
+        return source_rows(self.gen)
+
 
 def broadcast_gen(gen) -> _BroadcastGen:
     return _BroadcastGen(gen)
@@ -497,6 +501,25 @@ class _SetOpGen:
         l, r = _df(self.left), _df(self.right)
         r = r.toDF(*l.columns)
         return l.intersect(r) if self.op == "intersect" else l.exceptAll(r)
+
+    def local_rows(self, source_rows):
+        """exec_local mirror: INTERSECT is distinct (Spark semantics),
+        EXCEPT ALL is multiset difference."""
+        fields, lrows = source_rows(self.left)
+        _, rrows = source_rows(self.right)
+        if self.op == "intersect":
+            rset = set(rrows)
+            return fields, [t for t in dict.fromkeys(lrows) if t in rset]
+        from collections import Counter
+
+        take = Counter(rrows)
+        out = []
+        for t in lrows:
+            if take[t] > 0:
+                take[t] -= 1
+            else:
+                out.append(t)
+        return fields, out
 
 
 def intersect_gens(left, right) -> _SetOpGen:
@@ -575,6 +598,16 @@ class _CheckpointGen:
                 g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
             self._df = df.localCheckpoint(eager=True)
         return self._df
+
+    _local = None
+
+    def local_rows(self, source_rows):
+        """exec_local mirror: materialize once, reuse on fan-out (the
+        in-memory analog of the eager localCheckpoint)."""
+        if self._local is None:
+            fields, rows = source_rows(self.gen)
+            self._local = (fields, list(rows))
+        return self._local
 
 
 def checkpoint_gen(gen) -> _CheckpointGen:
@@ -702,6 +735,12 @@ class _CrossGen:
                 g if isinstance(g, DataFrame) else Compiler(spark)._source_df(g))
 
         return _df(self.left).crossJoin(_df(self.right))
+
+    def local_rows(self, source_rows):
+        lf, lrows = source_rows(self.left)
+        rf, rrows = source_rows(self.right)
+        fields = (lf + rf) if (lf is not None and rf is not None) else None
+        return fields, [lt + rt for lt in lrows for rt in rrows]
 
 
 def cross_join(left, right) -> _CrossGen:

@@ -11,10 +11,11 @@ Three layers:
   sample ordering, outer-join padding, buffer secondary sort)
 
 The broader equivalence net is tests/test_basic.py / test_joins_outer.py /
-test_aggs_buffers.py, whose ``assert_produces`` now executes every
-assertion on BOTH platforms (78 of 84 legs run locally; the rest use
-Spark-only surfaces and auto-skip), plus the hypothesis differential
-suite (test_property_differential.py).
+test_aggs_buffers.py, whose ``assert_produces`` executes every assertion
+on BOTH platforms — since r8 under a STRICT autouse fixture
+(CASCALOG_DUAL_STRICT: the silent local-leg skip is a failure, so all
+84/84 legs really run locally) — plus the hypothesis differential suite
+(test_property_differential.py).
 """
 
 import os
@@ -290,3 +291,32 @@ def test_local_first_n_mirror():
     assert got == [("b", None), ("d", 1)]
     lim = first_n(src, 3)
     assert len(q(["?k", "!n"], (lim, "?k", "!n")).run(platform="local")) == 3
+
+
+def test_local_generator_wrappers(spark):
+    """r8 local_rows sweep: broadcast_gen / checkpoint_gen / cross_join
+    / intersect_gens / except_gens all run on the local platform and
+    agree with Spark (intersect = DISTINCT, except = multiset ALL)."""
+    from cascalog_spark import (broadcast_gen, checkpoint_gen,
+                                cross_join, except_gens, intersect_gens)
+    from cascalog_spark.testing import assert_produces
+
+    A = [(1,), (2,), (2,), (3,)]
+    B = [(2,), (3,), (3,), (4,)]
+    qa = q(["?n"], (A, "?n"), distinct=False)
+    qb = q(["?n"], (B, "?n"), distinct=False)
+    assert_produces(q(["?n"], (intersect_gens(qa, qb), "?n")), spark,
+                    [(2,), (3,)])
+    assert_produces(q(["?n"], (except_gens(qa, qb), "?n")), spark,
+                    [(1,), (2,)])
+    assert_produces(q(["?x", "?y"],
+                      (cross_join(q(["?x"], ([(1,), (2,)], "?x")),
+                                  q(["?y"], ([(9,), (8,)], "?y"))),
+                       "?x", "?y")), spark,
+                    [(1, 9), (1, 8), (2, 9), (2, 8)])
+    assert_produces(q(["?n"], (broadcast_gen(qa), "?n")), spark,
+                    [(1,), (2,), (2,), (3,)])
+    ck = checkpoint_gen(qa)
+    got = q(["?n", "?c"], (ck, "?n"), (c.count, "?c")).run(
+        platform="local")
+    assert sorted(got) == [(1, 1), (2, 2), (3, 1)]
