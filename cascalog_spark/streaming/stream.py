@@ -76,6 +76,15 @@ def stage_file_batches(dfs: list, path: Optional[str] = None,
     import shutil
     import tempfile
 
+    if dfs:
+        # harness-side guard: Spark's default stopTimeout=0 waits
+        # FOREVER in query.stop(); when a bounded replay times out
+        # under host load, an unbounded stop deadlocks the caller
+        # inside a Python foreachBatch callback (observed r8).  Bound
+        # it so the failure is a catchable error, not a hang.
+        conf = dfs[0].sparkSession.conf
+        if conf.get("spark.sql.streaming.stopTimeout", "0") in ("0", "0ms"):
+            conf.set("spark.sql.streaming.stopTimeout", "60s")
     d = path or tempfile.mkdtemp(prefix="stream_batches_")
     os.makedirs(d, exist_ok=True)
     for i, b in enumerate(dfs):

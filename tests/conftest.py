@@ -21,6 +21,12 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # default stopTimeout=0 waits FOREVER: a streaming test whose
+        # awaitTermination expired under host contention then deadlocks
+        # the whole suite inside query.stop() (observed r8: stop joins
+        # the execution thread while it sits in a Python foreachBatch
+        # callback).  A bounded stop turns that into a catchable error.
+        .config("spark.sql.streaming.stopTimeout", "60s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
