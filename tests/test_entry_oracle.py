@@ -21,6 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
+    # default threads = n_cpus (32 here): DuckDB's per-thread buffer
+    # allocations sharing a process with the Spark JVM intermittently
+    # die with "Failed to allocate block ... (bad allocation)" on the
+    # heavy ivfpq oracles (observed r8, plenty of free RAM).  8 threads
+    # is reliable and the oracles are seconds either way.
+    con.sql("SET threads=8")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -49,6 +49,9 @@ def main(names):
              .config("spark.driver.memory", "8g")
              .appName("driver_check").getOrCreate())
     con = duckdb.connect()
+    # cap threads: 32-thread DuckDB sharing the process with the Spark
+    # JVM intermittently fails allocations on the heavy ivfpq oracles
+    con.sql("SET threads=8")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
