@@ -835,3 +835,45 @@ def test_stream_ngram_maintenance(spark, tmp_path):
         spark, str(tmp_path / "ng_agg")).collect()))
     assert got == want
     assert ("a->b->a", 2) in got  # u1's within + u2's 3-batch straddle
+
+
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=30),
+    n=st.sampled_from([2, 3, 4]))
+def test_event_ngrams_differential(spark, data, n):
+    """event_ngrams vs a pure-Python sort-and-slide model (ties by the
+    synthetic event id); also pins funnel skew_safe == window on the
+    same fuzzed data."""
+    from collections import Counter
+
+    from cascalog_spark.functions import event_ngrams
+
+    rows = [(u, float(t), i, s) for i, (u, t, s) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows or [(0, 0.0, 0, "a")],
+        "user_id long, ts double, event_id long, event_type string")
+    got = {r["gram"]: r["n_events"] for r in event_ngrams(
+        df, "ts", "user_id", "event_type", n=n,
+        tie_cols=["event_id"]).collect()}
+    want = Counter()
+    src = rows or [(0, 0.0, 0, "a")]
+    for u in {r[0] for r in src}:
+        seq = [s for _, t, i, s in sorted(
+            (r for r in src if r[0] == u), key=lambda r: (r[1], r[2]))]
+        for j in range(len(seq) - n + 1):
+            want["->".join(seq[j:j + n])] += 1
+    assert got == dict(want)
+
+    stages = ["a", "b", "c"]
+    w = sorted((tuple(r) for r in funnel_stages(
+        df, "ts", "user_id", "event_type", stages).collect()), key=repr)
+    s = sorted((tuple(r) for r in funnel_stages(
+        df, "ts", "user_id", "event_type", stages,
+        skew_safe=True).collect()), key=repr)
+    assert s == w
