@@ -2443,6 +2443,21 @@ def orders_price_drift(spark, sf_dir):
                       "o_totalprice", bins=20)
 
 
+def embedding_drift(spark, sf_dir):
+    """Embedding-snapshot drift (stats.py embedding_drift_report — the
+    vector-space sibling of psi_report): mean-vector cosine + L2 shift,
+    PSI over the norm distributions, PSI over IVF cell-assignment
+    frequencies, between the even- and odd-id halves of the embeddings
+    table (a null-drift-ish fixture: same generator, disjoint rows).
+    Mean vectors are one 1-row aggregate per side; norms/cells one
+    map-side-combined groupBy per side."""
+    from cascalog_spark.functions import embedding_drift_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift_report(emb.where(F.col("vec_id") % 2 == 0),
+                                  emb.where(F.col("vec_id") % 2 == 1))
+
+
 def embedding_cluster_profile(spark, sf_dir):
     """First-class corpus clustering profile (functions/similarity.py
     cluster_embeddings/cluster_profile): nearest-centroid assignment
@@ -4034,6 +4049,7 @@ _R8_HEAD = [
     "embedding_ivfpq_rerank",
     "events_trigrams",
     "events_stream_trigrams",
+    "embedding_drift",
     "embedding_ann_recall",
     "embedding_pq_recall",
     "embedding_ivfpq_recall",
@@ -4301,6 +4317,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivfpq_rerank": embedding_ivfpq_rerank,
         "events_trigrams": events_trigrams,
         "events_stream_trigrams": events_stream_trigrams,
+        "embedding_drift": embedding_drift,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6197,6 +6214,98 @@ def oracle_sql() -> dict[str, str]:
                               / greatest(j.n_actual / greatest(t.ta, 1),
                                          0.000001)), 6) AS psi_term
             FROM j, w, t""",
+        # embedding drift: mean-vector cosine/L2 + norm PSI + IVF-cell
+        # PSI between the even/odd vec_id halves — mirrors
+        # stats.embedding_drift_report metric for metric
+        "embedding_drift": f"""
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE embedding IS NOT NULL),
+            en AS (SELECT vec_id, v,
+                          sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+            e AS (SELECT * FROM en WHERE nrm > 0 AND vec_id % 2 = 0),
+            a AS (SELECT * FROM en WHERE nrm > 0 AND vec_id % 2 = 1),
+            me AS (SELECT [{','.join(f'avg(v[{i}])'
+                                     for i in range(1, 65))}] AS m
+                   FROM e),
+            ma AS (SELECT [{','.join(f'avg(v[{i}])'
+                                     for i in range(1, 65))}] AS m
+                   FROM a),
+            mm AS (SELECT
+                     list_dot_product(me.m, ma.m)
+                       / (sqrt(list_dot_product(me.m, me.m))
+                          * sqrt(list_dot_product(ma.m, ma.m))) AS cosv,
+                     sqrt(list_dot_product(
+                       list_transform(range(1, 65),
+                                      i -> me.m[i] - ma.m[i]),
+                       list_transform(range(1, 65),
+                                      i -> me.m[i] - ma.m[i]))) AS l2
+                   FROM me, ma),
+            nb AS (SELECT min(nrm) AS lo, max(nrm) AS hi FROM
+                     (SELECT nrm FROM e UNION ALL SELECT nrm FROM a)),
+            nw AS (SELECT lo, hi, (hi - lo) / 20 AS width FROM nb),
+            nbe AS (SELECT least(19, greatest(0, CAST(floor(
+                        (nrm - nw.lo) / nw.width) AS INT))) AS bucket,
+                        count(*) AS n_expected
+                    FROM e, nw GROUP BY 1),
+            nba AS (SELECT least(19, greatest(0, CAST(floor(
+                        (nrm - nw.lo) / nw.width) AS INT))) AS bucket,
+                        count(*) AS n_actual
+                    FROM a, nw GROUP BY 1),
+            nj AS (SELECT coalesce(nbe.bucket, nba.bucket) AS bucket,
+                          coalesce(n_expected, 0) AS n_expected,
+                          coalesce(n_actual, 0) AS n_actual
+                   FROM nbe FULL JOIN nba USING (bucket)),
+            nt AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta
+                   FROM nj),
+            npsi AS (SELECT round(sum(
+                       round((n_expected / greatest(te, 1)
+                              - n_actual / greatest(ta, 1))
+                             * ln(greatest(n_expected / greatest(te, 1),
+                                           0.000001)
+                                  / greatest(n_actual / greatest(ta, 1),
+                                             0.000001)), 6)), 6) AS v
+                     FROM nj, nt),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e0
+                      WHERE vec_id % 2 = 0
+                      ORDER BY vec_id ASC LIMIT 16),
+            asg AS (SELECT side, cell FROM (
+                      SELECT s.side, s.vec_id, c.cid AS cell,
+                             row_number() OVER (
+                               PARTITION BY s.side, s.vec_id
+                               ORDER BY {_COS.format(a='s.v',
+                                                     b='c.cv')} DESC,
+                                        c.cid ASC) AS rn
+                      FROM (SELECT 0 AS side, vec_id, v FROM e
+                            UNION ALL
+                            SELECT 1 AS side, vec_id, v FROM a) s
+                      CROSS JOIN cents c) WHERE rn = 1),
+            ce AS (SELECT cell, count(*) AS n_expected FROM asg
+                   WHERE side = 0 GROUP BY 1),
+            ca AS (SELECT cell, count(*) AS n_actual FROM asg
+                   WHERE side = 1 GROUP BY 1),
+            cj AS (SELECT coalesce(ce.cell, ca.cell) AS cell,
+                          coalesce(n_expected, 0) AS n_expected,
+                          coalesce(n_actual, 0) AS n_actual
+                   FROM ce FULL JOIN ca USING (cell)),
+            ct AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta
+                   FROM cj),
+            cpsi AS (SELECT round(sum(
+                       (n_expected / greatest(te, 1)
+                        - n_actual / greatest(ta, 1))
+                       * ln(greatest(n_expected / greatest(te, 1),
+                                     0.000001)
+                            / greatest(n_actual / greatest(ta, 1),
+                                       0.000001))), 6) AS v
+                     FROM cj, ct)
+            SELECT * FROM (
+              SELECT 'cell_psi' AS metric, v + 0.0 AS value FROM cpsi
+              UNION ALL
+              SELECT 'mean_cosine', round(cosv, 6) + 0.0 FROM mm
+              UNION ALL
+              SELECT 'mean_l2_shift', round(l2, 6) + 0.0 FROM mm
+              UNION ALL
+              SELECT 'norm_psi', v + 0.0 FROM npsi
+            ) ORDER BY metric""",
         "embedding_cluster_profile": f"""
             WITH c AS (SELECT vec_id AS cid,
                               CAST(embedding AS DOUBLE[]) AS cv

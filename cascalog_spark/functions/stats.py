@@ -574,3 +574,105 @@ def tdigest_merge2_col(a, b, compression: int = 100):
         return pd.Series(out, dtype="object")
 
     return _merge2(a, b)
+
+
+def embedding_drift_report(expected: DataFrame, actual: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           n_centroids: int = 16,
+                           centroids=None, bins: int = 20,
+                           eps: float = 1e-6) -> DataFrame:
+    """Drift between two EMBEDDING snapshots — the vector-space sibling
+    of :func:`psi_report` (which gates scalar columns).  One row per
+    metric, ``(metric, value)``:
+
+    - ``mean_cosine``: cosine between the two snapshots' mean vectors
+      (1.0 = direction unchanged; the single cheapest re-embedding /
+      upstream-model-change alarm).
+    - ``mean_l2_shift``: ``||mean_e − mean_a||₂`` (magnitude drift the
+      cosine normalizes away).
+    - ``norm_psi``: PSI over the vector L2-norm distributions (catches
+      scale/normalization regressions even when direction holds).
+    - ``cell_psi``: PSI over IVF cell-assignment frequencies —
+      distributional drift in embedding SPACE (clusters growing or
+      emptying) that per-dimension moments can't see.  Centroids come
+      from the EXPECTED snapshot (deterministic first-k-ids seed, or
+      pass ``centroids=`` / ``'kmeans'``), so the comparison frame is
+      frozen on the reference side.
+
+    Scale shape: the mean vectors are one 1-row aggregate per side
+    (d ``avg`` terms in a single expression — O(dim) driver state);
+    norms/cells are each one map-side-combined groupBy per side with a
+    ≤ bins/≤ n_centroids join.  Everything is deterministic and
+    rounded to 6 — SQL-oracle-checkable.
+    """
+    from functools import reduce as _reduce
+
+    from .similarity import (_resolve_centroids, ivf_assign_col,
+                             norm_col)
+
+    def _side(df):
+        v = F.col(vec_col).cast("array<double>")
+        return (df.where(F.col(vec_col).isNotNull())
+                .select(v.alias("__v"), norm_col(v).alias("__nrm"))
+                .where(F.col("__nrm") > 0))
+
+    e, a = _side(expected), _side(actual)
+    dim_row = e.select(F.size("__v").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("embedding_drift_report: empty expected side")
+    dim = dim_row["d"]
+
+    def _mean(df):
+        row = df.agg(F.expr(
+            "array(" + ",".join(f"avg(__v[{i}])"
+                                for i in range(dim)) + ")")
+            .alias("m")).first()
+        return [float(x) for x in row["m"]]
+
+    me, ma = _mean(e), _mean(a)
+    dot = _reduce(lambda x, y: x + y,
+                  [me[i] * ma[i] for i in range(dim)])
+    ne = math.sqrt(_reduce(lambda x, y: x + y, [x * x for x in me]))
+    na = math.sqrt(_reduce(lambda x, y: x + y, [x * x for x in ma]))
+    mean_cos = dot / (ne * na) if ne > 0 and na > 0 else None
+    l2 = math.sqrt(_reduce(lambda x, y: x + y,
+                           [(me[i] - ma[i]) ** 2 for i in range(dim)]))
+
+    norm_psi = (psi_report(e.select(F.col("__nrm").alias("norm")),
+                           a.select(F.col("__nrm").alias("norm")),
+                           "norm", bins=bins, eps=eps)
+                .agg(F.round(F.sum("psi_term"), 6).alias("v")))
+
+    cents = _resolve_centroids(
+        centroids, expected.where(F.col(vec_col).isNotNull()),
+        id_col, vec_col, n_centroids)
+
+    def _cells(df, name):
+        return (df.select(ivf_assign_col("__v", cents).alias("cell"))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias(name)))
+
+    j = (_cells(e, "n_expected")
+         .join(_cells(a, "n_actual"), on="cell", how="full")
+         .withColumn("n_expected", F.coalesce("n_expected", F.lit(0)))
+         .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
+    tot = j.agg(F.sum("n_expected").alias("te"),
+                F.sum("n_actual").alias("ta"))
+    _, _, term = psi_term_cols(F.col("n_expected"), F.col("n_actual"),
+                               F.col("te"), F.col("ta"), eps)
+    cell_psi = (j.crossJoin(F.broadcast(tot))
+                .agg(F.round(F.sum(term), 6).alias("v")))
+
+    spark = expected.sparkSession
+    # round IN-PLAN (Spark's BigDecimal HALF_UP — the family-wide
+    # oracle-matching convention), not with Python's banker's round
+    head = (spark.createDataFrame(
+        [("mean_cosine", mean_cos), ("mean_l2_shift", l2)],
+        "metric string, value double")
+        .select("metric", F.round(F.col("value"), 6).alias("value")))
+    return (head
+            .unionByName(norm_psi.select(F.lit("norm_psi").alias("metric"),
+                                         F.col("v").alias("value")))
+            .unionByName(cell_psi.select(F.lit("cell_psi").alias("metric"),
+                                         F.col("v").alias("value")))
+            .orderBy("metric"))

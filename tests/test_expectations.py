@@ -278,3 +278,35 @@ def test_export_manifest(spark, tmp_path):
     diff = [f for f in base if man_c.get(f) != base[f]]
     assert len(diff) == 1 and diff[0].endswith(
         os.path.basename(victim)), diff
+
+
+def test_embedding_drift_report(spark, sf_dir):
+    """Vector-space drift metrics: self-drift is the identity
+    (cosine 1, shift 0, both PSIs 0); disjoint halves produce finite
+    metrics; deterministic across shuffle layouts."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import embedding_drift_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.where(F.col("vec_id") % 2 == 0)
+    a = emb.where(F.col("vec_id") % 2 == 1)
+    self_ = {r["metric"]: r["value"]
+             for r in embedding_drift_report(e, e).collect()}
+    assert self_ == {"mean_cosine": 1.0, "mean_l2_shift": 0.0,
+                     "norm_psi": 0.0, "cell_psi": 0.0}
+    drift = {r["metric"]: r["value"]
+             for r in embedding_drift_report(e, a).collect()}
+    assert set(drift) == set(self_)
+    assert all(v is not None for v in drift.values())
+    assert -1.0 <= drift["mean_cosine"] <= 1.0
+    assert drift["mean_l2_shift"] >= 0.0
+    # re-run with a different partitioning: values stable
+    drift2 = {r["metric"]: r["value"] for r in embedding_drift_report(
+        e.repartition(13), a.repartition(7)).collect()}
+    assert drift2 == drift
+
+    import pytest as _pt
+    empty = emb.where(F.lit(False))
+    with _pt.raises(ValueError, match="empty expected"):
+        embedding_drift_report(empty, a)
