@@ -116,8 +116,10 @@ BENCH_QUERIES = [
     # corpus scans, no shuffle) + argmax-cosine coverage assignment
     "embedding_kcenter_assign",
     # round-8: two-stage IVF-PQ retrieval (ADC shortlist -> exact
-    # rescore of k*r rows per query) in the tuning report
+    # rescore of k*r rows per query) in the tuning report; the
+    # vector-space drift gate (mean cosine/L2 + norm/cell PSI)
     "embedding_ivfpq_rerank",
+    "embedding_drift",
 ]
 
 
