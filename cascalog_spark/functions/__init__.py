@@ -82,7 +82,8 @@ from .pq import (ivfpq_append_index, ivfpq_index, ivfpq_knn_join,
 from .skew import salted_join, skew_report
 from .layout import (compact_parquet, shuffle_key, write_shuffled,
                      write_zordered, zorder_key)
-from .stats import (embedding_drift_report, frequent_items,
+from .stats import (embedding_drift_reference, embedding_drift_report,
+                    frequent_items,
                     frequent_items_by_group,
                     frequent_tokens, histogram, psi_report,
                     table_profile, tdigest_agg_col, tdigest_merge2_col,

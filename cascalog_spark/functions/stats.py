@@ -576,12 +576,75 @@ def tdigest_merge2_col(a, b, compression: int = 100):
     return _merge2(a, b)
 
 
-def embedding_drift_report(expected: DataFrame, actual: DataFrame,
+def _drift_side(df: DataFrame, vec_col: str) -> DataFrame:
+    from .similarity import norm_col
+
+    v = F.col(vec_col).cast("array<double>")
+    return (df.where(F.col(vec_col).isNotNull())
+            .select(v.alias("__v"), norm_col(v).alias("__nrm"))
+            .where(F.col("__nrm") > 0))
+
+
+def _drift_mean(side: DataFrame, dim: int) -> list:
+    row = side.agg(F.expr(
+        "array(" + ",".join(f"avg(__v[{i}])"
+                            for i in range(dim)) + ")").alias("m")).first()
+    return [float(x) for x in row["m"]]
+
+
+def _drift_cells(side: DataFrame, cents, name: str) -> DataFrame:
+    from .similarity import ivf_assign_col
+
+    return (side.select(ivf_assign_col("__v", cents).alias("cell"))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias(name)))
+
+
+def embedding_drift_reference(df: DataFrame,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              n_centroids: int = 16,
+                              centroids=None, bins: int = 20) -> dict:
+    """FROZEN reference model for repeated / streaming drift checks:
+    the expected-side state ``embedding_drift_report`` needs, computed
+    ONCE — mean vector, norm histogram (counts + frozen ``[lo, hi)``
+    bounds), centroid table, per-cell counts.  Driver-sized
+    (O(dim + bins + n_centroids·dim)); pass it as ``ref_model=`` so
+    monitoring never rescans the reference corpus."""
+    from .similarity import _resolve_centroids
+
+    side = _drift_side(df, vec_col)
+    dim_row = side.select(F.size("__v").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("embedding_drift_reference: empty reference")
+    dim = dim_row["d"]
+    mean = _drift_mean(side, dim)
+    b = side.agg(F.min("__nrm").alias("lo"),
+                 F.max("__nrm").alias("hi")).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    if hi <= lo:
+        hi = lo + 1.0  # histogram()'s degenerate-range convention
+    counts = [0] * bins
+    for r in histogram(side.select(F.col("__nrm").alias("norm")),
+                       "norm", bins=bins, lo=lo, hi=hi).collect():
+        counts[r["bucket"]] = int(r["n"])
+    cents = _resolve_centroids(
+        centroids, df.where(F.col(vec_col).isNotNull()),
+        id_col, vec_col, n_centroids)
+    cells = {int(r["cell"]): int(r["n"])
+             for r in _drift_cells(side, cents, "n").collect()}
+    return {"dim": dim, "mean": mean, "bins": bins, "lo": lo, "hi": hi,
+            "norm_counts": counts, "cents": cents,
+            "cell_counts": cells}
+
+
+def embedding_drift_report(expected: DataFrame | None,
+                           actual: DataFrame,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            n_centroids: int = 16,
                            centroids=None, bins: int = 20,
-                           eps: float = 1e-6) -> DataFrame:
+                           eps: float = 1e-6,
+                           ref_model: dict | None = None) -> DataFrame:
     """Drift between two EMBEDDING snapshots — the vector-space sibling
     of :func:`psi_report` (which gates scalar columns).  One row per
     metric, ``(metric, value)``:
@@ -605,32 +668,41 @@ def embedding_drift_report(expected: DataFrame, actual: DataFrame,
     norms/cells are each one map-side-combined groupBy per side with a
     ≤ bins/≤ n_centroids join.  Everything is deterministic and
     rounded to 6 — SQL-oracle-checkable.
+
+    ``ref_model=`` (an :func:`embedding_drift_reference` dict) replaces
+    the ``expected`` DataFrame with FROZEN reference state — the
+    monitoring semantics: norm bounds come from the reference (an
+    actual-side outlier clamps into the edge bins instead of re-binning
+    history), and the reference corpus is never rescanned.  With the
+    actual side inside the reference's norm range, the metrics equal
+    the two-DataFrame form (pinned by test).
     """
     from functools import reduce as _reduce
 
-    from .similarity import (_resolve_centroids, ivf_assign_col,
-                             norm_col)
+    from .similarity import _resolve_centroids
 
-    def _side(df):
-        v = F.col(vec_col).cast("array<double>")
-        return (df.where(F.col(vec_col).isNotNull())
-                .select(v.alias("__v"), norm_col(v).alias("__nrm"))
-                .where(F.col("__nrm") > 0))
-
-    e, a = _side(expected), _side(actual)
-    dim_row = e.select(F.size("__v").alias("d")).first()
-    if dim_row is None:
-        raise ValueError("embedding_drift_report: empty expected side")
-    dim = dim_row["d"]
-
-    def _mean(df):
-        row = df.agg(F.expr(
-            "array(" + ",".join(f"avg(__v[{i}])"
-                                for i in range(dim)) + ")")
-            .alias("m")).first()
-        return [float(x) for x in row["m"]]
-
-    me, ma = _mean(e), _mean(a)
+    a = _drift_side(actual, vec_col)
+    spark = actual.sparkSession
+    if ref_model is None:
+        if expected is None:
+            raise ValueError("embedding_drift_report: need expected= "
+                             "or ref_model=")
+        e = _drift_side(expected, vec_col)
+        dim_row = e.select(F.size("__v").alias("d")).first()
+        if dim_row is None:
+            raise ValueError("embedding_drift_report: empty expected "
+                             "side")
+        dim = dim_row["d"]
+        me = _drift_mean(e, dim)
+        cents = _resolve_centroids(
+            centroids, expected.where(F.col(vec_col).isNotNull()),
+            id_col, vec_col, n_centroids)
+    else:
+        dim = ref_model["dim"]
+        me = ref_model["mean"]
+        cents = ref_model["cents"]
+        bins = ref_model["bins"]
+    ma = _drift_mean(a, dim)
     dot = _reduce(lambda x, y: x + y,
                   [me[i] * ma[i] for i in range(dim)])
     ne = math.sqrt(_reduce(lambda x, y: x + y, [x * x for x in me]))
@@ -639,21 +711,43 @@ def embedding_drift_report(expected: DataFrame, actual: DataFrame,
     l2 = math.sqrt(_reduce(lambda x, y: x + y,
                            [(me[i] - ma[i]) ** 2 for i in range(dim)]))
 
-    norm_psi = (psi_report(e.select(F.col("__nrm").alias("norm")),
-                           a.select(F.col("__nrm").alias("norm")),
-                           "norm", bins=bins, eps=eps)
-                .agg(F.round(F.sum("psi_term"), 6).alias("v")))
+    if ref_model is None:
+        norm_psi = (psi_report(e.select(F.col("__nrm").alias("norm")),
+                               a.select(F.col("__nrm").alias("norm")),
+                               "norm", bins=bins, eps=eps)
+                    .agg(F.round(F.sum("psi_term"), 6).alias("v")))
+        ecells = _drift_cells(e, cents, "n_expected")
+    else:
+        # frozen bounds + counts ride as bins-row literal frames; the
+        # arithmetic (psi_term_cols, per-term round, sum round) is the
+        # same as psi_report's so the two forms can never diverge
+        lo, hi = ref_model["lo"], ref_model["hi"]
+        h = (histogram(a.select(F.col("__nrm").alias("norm")), "norm",
+                       bins=bins, lo=lo, hi=hi)
+             .select("bucket", F.col("n").alias("n_actual")))
+        spine = spark.createDataFrame(
+            [(i, int(n)) for i, n in enumerate(ref_model["norm_counts"])],
+            "bucket int, n_expected long")
+        nj = (spine.join(h, on="bucket", how="full")
+              .withColumn("n_expected", F.coalesce("n_expected",
+                                                   F.lit(0)))
+              .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
+        ntot = nj.agg(F.sum("n_expected").alias("te"),
+                      F.sum("n_actual").alias("ta"))
+        _, _, nterm = psi_term_cols(F.col("n_expected"),
+                                    F.col("n_actual"),
+                                    F.col("te"), F.col("ta"), eps)
+        norm_psi = (nj.crossJoin(F.broadcast(ntot))
+                    .agg(F.round(F.sum(F.round(nterm, 6)), 6)
+                         .alias("v")))
+        ecells = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in
+             sorted(ref_model["cell_counts"].items())],
+            "cell long, n_expected long")
 
-    cents = _resolve_centroids(
-        centroids, expected.where(F.col(vec_col).isNotNull()),
-        id_col, vec_col, n_centroids)
-
-    def _cells(df, name):
-        return (df.select(ivf_assign_col("__v", cents).alias("cell"))
-                .groupBy("cell").agg(F.count(F.lit(1)).alias(name)))
-
-    j = (_cells(e, "n_expected")
-         .join(_cells(a, "n_actual"), on="cell", how="full")
+    j = (ecells
+         .join(_drift_cells(a, cents, "n_actual"), on="cell",
+               how="full")
          .withColumn("n_expected", F.coalesce("n_expected", F.lit(0)))
          .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
     tot = j.agg(F.sum("n_expected").alias("te"),
@@ -662,8 +756,6 @@ def embedding_drift_report(expected: DataFrame, actual: DataFrame,
                                F.col("te"), F.col("ta"), eps)
     cell_psi = (j.crossJoin(F.broadcast(tot))
                 .agg(F.round(F.sum(term), 6).alias("v")))
-
-    spark = expected.sparkSession
     # round IN-PLAN (Spark's BigDecimal HALF_UP — the family-wide
     # oracle-matching convention), not with Python's banker's round
     head = (spark.createDataFrame(

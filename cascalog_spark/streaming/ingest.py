@@ -440,6 +440,37 @@ def stream_drift_monitor(stream_df: DataFrame, col: str,
     return writer.start()
 
 
+def stream_embedding_drift_monitor(stream_df: DataFrame, ref_model: dict,
+                                   out_dir: str,
+                                   vec_col: str = "embedding",
+                                   eps: float = 1e-6,
+                                   checkpoint_dir: Optional[str] = None,
+                                   query_name: str =
+                                   "embedding_drift_monitor"):
+    """Monitor a stream of embeddings against a FROZEN reference model
+    (:func:`functions.stats.embedding_drift_reference` — mean vector,
+    norm histogram, centroid cells; driver-sized, the reference corpus
+    is never rescanned): every micro-batch writes its four drift rows
+    ``(metric, value)`` to ``out_dir/batch=<id>`` via
+    ``embedding_drift_report(ref_model=...)`` — the vector-space
+    sibling of :func:`stream_drift_monitor`.  Idempotent per-batch
+    overwrite; each batch's rows are exactly the one-shot report of
+    that batch against the reference (same code path, pinned)."""
+    from ..functions.stats import embedding_drift_report
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        rep = embedding_drift_report(None, batch, vec_col=vec_col,
+                                     eps=eps, ref_model=ref_model)
+        rep.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Continuous expectation gating: per-micro-batch rule reports + quarantine
 # ---------------------------------------------------------------------------

@@ -310,3 +310,51 @@ def test_embedding_drift_report(spark, sf_dir):
     empty = emb.where(F.lit(False))
     with _pt.raises(ValueError, match="empty expected"):
         embedding_drift_report(empty, a)
+
+
+def test_embedding_drift_ref_model_and_stream(spark, sf_dir, tmp_path):
+    """Frozen-reference form == two-DataFrame form when the actual side
+    sits inside the reference's norm range (reference = full table,
+    actual = subset); the streaming monitor writes per-batch rows that
+    equal the one-shot ref-model report of each batch."""
+    from pyspark.sql import functions as F
+
+    from cascalog_spark.functions import (embedding_drift_reference,
+                                          embedding_drift_report)
+    from cascalog_spark.streaming import stream_embedding_drift_monitor
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sub = emb.where(F.col("vec_id") % 3 == 1)
+    model = embedding_drift_reference(emb)
+    two = {r["metric"]: r["value"]
+           for r in embedding_drift_report(emb, sub).collect()}
+    frz = {r["metric"]: r["value"]
+           for r in embedding_drift_report(None, sub,
+                                           ref_model=model).collect()}
+    assert frz == two
+
+    # streaming: two batches, drained rows == per-batch one-shot
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    src = str(tmp_path / "edrift_src")
+    for b in (b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(emb.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_embedding_drift_monitor(
+        sdf, model, str(tmp_path / "edrift_out"),
+        checkpoint_dir=str(tmp_path / "edrift_ckpt"))
+    try:
+        assert q.awaitTermination(240)
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "edrift_out"))
+    assert got.count() == 8  # 4 metrics x 2 batches
+    per_batch = {(r["batch"], r["metric"]): r["value"]
+                 for r in got.collect()}
+    for bid_vals in ({r["metric"]: r["value"] for r in
+                      embedding_drift_report(None, b, ref_model=model)
+                      .collect()} for b in (b1, b2)):
+        assert any(
+            all(per_batch[(bid, m)] == v for m, v in bid_vals.items())
+            for bid in {b for b, _ in per_batch})
