@@ -834,7 +834,8 @@ def first_n(gen, n: int, sort=None, reverse: bool = False):
                 for name, desc in reversed(order):
                     sname = V.sanitize_name(name)
                     if fields is None:
-                        raise TypeError(
+                        from .exec_local import LocalPlatformUnsupported
+                        raise LocalPlatformUnsupported(
                             "first_n sort on a positional generator "
                             "needs Spark")
                     i = fields.index(sname)

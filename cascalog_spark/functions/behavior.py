@@ -306,9 +306,16 @@ def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
     aggregate combines map-side; the join AQE can skew-split).
     Identical output."""
     if skew_safe:
+        # eqNullSafe join back: the window form treats NULL user keys
+        # as ONE partition and still emits their (cohort, offset)
+        # cells, so a plain equi-join here would silently drop them
+        # and break the "identical output" contract.
         firsts = (df.groupBy(user_col)
-                  .agg(F.min(F.col(ts_col)).alias("__first")))
-        src = df.join(firsts, on=user_col)
+                  .agg(F.min(F.col(ts_col)).alias("__first"))
+                  .withColumnRenamed(user_col, "__first_u"))
+        src = (df.join(firsts, on=[F.col(user_col).eqNullSafe(
+                   F.col("__first_u"))])
+               .drop("__first_u"))
         first_ts = F.col("__first")
     else:
         src = df

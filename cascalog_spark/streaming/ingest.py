@@ -586,12 +586,23 @@ def read_funnel_state(spark: SparkSession, state_dir: str,
     ``_SUCCESS`` marker yet) are skipped, so the newest COMPLETE
     snapshot is returned instead of a half-written one.  (The
     maintenance fold itself always reads strictly older, fully
-    committed partitions via ``before``.)"""
+    committed partitions via ``before``.)
+
+    If NO partition carries a ``_SUCCESS`` marker the committer is
+    not writing them at all (``mapreduce.fileoutputcommitter
+    .marksuccessfuljobs=false`` — the common object-store setting),
+    so every partition is accepted instead of silently treating the
+    whole state as empty — wrong standing aggregates with no error
+    would be far worse than the marginal half-write risk."""
     if not os.path.isdir(state_dir):
         return None
-    ids = [int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
-           if e.startswith("batch=")
-           and os.path.exists(os.path.join(state_dir, e, "_SUCCESS"))]
+    all_ids = [int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
+               if e.startswith("batch=")]
+    ids = [i for i in all_ids
+           if os.path.exists(os.path.join(state_dir, f"batch={i}",
+                                          "_SUCCESS"))]
+    if not ids and all_ids:
+        ids = all_ids
     if before is not None:
         ids = [i for i in ids if i < before]
     if not ids:

@@ -59,12 +59,24 @@ def session_windows(df: DataFrame, ts_col: str, gap: str, keys: list,
 
 
 def stage_file_batches(dfs: list, path: Optional[str] = None,
-                       prefix: str = "batch") -> str:
+                       prefix: str = "batch",
+                       stop_timeout: Optional[str] = "60s") -> str:
     """Write each DataFrame as exactly ONE parquet file under ``path``,
     mtime-ordered, so a file-source stream with ``maxFilesPerTrigger=1``
     replays them as deterministic micro-batches — the fixture harness for
     watermark/late-data semantics (the file source orders by modification
     time, so distinct synthetic mtimes pin the batch order).
+
+    SESSION-CONF SIDE EFFECT (documented contract): when the session's
+    ``spark.sql.streaming.stopTimeout`` is the unbounded default (0 =
+    ``stop()`` waits forever), it is set to ``stop_timeout`` so a replay
+    that wedges under host load raises a catchable TimeoutException in
+    the harness instead of deadlocking inside a Python ``foreachBatch``
+    callback (observed r8).  This changes ``stop()`` semantics for ALL
+    streaming queries in the session; pass ``stop_timeout=None`` to
+    leave the session conf untouched, or pre-set the conf yourself
+    (tests/conftest.py does) — an explicitly configured value is never
+    overridden.
 
     Returns the directory; read it back with::
 
@@ -76,15 +88,10 @@ def stage_file_batches(dfs: list, path: Optional[str] = None,
     import shutil
     import tempfile
 
-    if dfs:
-        # harness-side guard: Spark's default stopTimeout=0 waits
-        # FOREVER in query.stop(); when a bounded replay times out
-        # under host load, an unbounded stop deadlocks the caller
-        # inside a Python foreachBatch callback (observed r8).  Bound
-        # it so the failure is a catchable error, not a hang.
+    if dfs and stop_timeout is not None:
         conf = dfs[0].sparkSession.conf
         if conf.get("spark.sql.streaming.stopTimeout", "0") in ("0", "0ms"):
-            conf.set("spark.sql.streaming.stopTimeout", "60s")
+            conf.set("spark.sql.streaming.stopTimeout", stop_timeout)
     d = path or tempfile.mkdtemp(prefix="stream_batches_")
     os.makedirs(d, exist_ok=True)
     for i, b in enumerate(dfs):

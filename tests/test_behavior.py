@@ -307,6 +307,31 @@ def test_stream_funnel_maintenance(spark, tmp_path, funnel_df):
     assert got == want
 
 
+def test_read_funnel_state_no_success_markers(spark, tmp_path):
+    """Committers with marksuccessfuljobs=false (object-store default)
+    write NO _SUCCESS files; the reader must fall back to accepting
+    every partition rather than silently treating state as empty.
+    When SOME partitions have markers, unmarked ones stay skipped."""
+    import os
+
+    from cascalog_spark.streaming import read_funnel_state
+
+    d = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "user_id int, s string")
+    df2 = spark.createDataFrame([(2, "b")], "user_id int, s string")
+    df1.write.parquet(f"{d}/batch=0")
+    df2.write.parquet(f"{d}/batch=1")
+    # no markers anywhere -> fallback reads the latest (batch=1)
+    for b in ("batch=0", "batch=1"):
+        os.remove(os.path.join(d, b, "_SUCCESS"))
+    got = read_funnel_state(spark, d).collect()
+    assert [(r["user_id"], r["s"]) for r in got] == [(2, "b")]
+    # batch=0 committed with a marker -> uncommitted batch=1 is skipped
+    open(os.path.join(d, "batch=0", "_SUCCESS"), "w").close()
+    got = read_funnel_state(spark, d).collect()
+    assert [(r["user_id"], r["s"]) for r in got] == [(1, "a")]
+
+
 def test_stream_transition_maintenance(spark, tmp_path):
     """Drained streaming transition matrix == one-shot
     transition_matrix (within-batch + boundary pairs are exactly the
@@ -745,13 +770,25 @@ def test_funnel_skew_safe_matches_window(spark, funnel_df):
 
 
 def test_retention_skew_safe_matches_window(spark, funnel_df):
+    # Include NULL-user rows: the window form treats NULL as one
+    # cohort group, so the skew_safe groupBy+join-back must keep them
+    # too (eqNullSafe join, not a plain equi-join that drops NULLs).
+    nulls = spark.createDataFrame(
+        [(None, _ts("2024-01-01T00:00:00"), "signup"),
+         (None, _ts("2024-01-15T00:00:00"), "click")],
+        funnel_df.schema)
+    df = funnel_df.unionByName(nulls)
     for period in ("day", "week", "month"):
         w = sorted(map(tuple, retention_cohorts(
-            funnel_df, "ts", "user_id", period).collect()))
+            df, "ts", "user_id", period).collect()))
         s = sorted(map(tuple, retention_cohorts(
-            funnel_df, "ts", "user_id", period,
+            df, "ts", "user_id", period,
             skew_safe=True).collect()))
         assert s == w
+    # The NULL user spans two weeks -> must produce an offset-2 cell.
+    wk = retention_cohorts(df, "ts", "user_id", "week",
+                           skew_safe=True).collect()
+    assert any(r["period_offset"] == 2 for r in wk)
 
 
 def test_funnel_skew_safe_plan_no_window(spark, funnel_df):
