@@ -2458,6 +2458,56 @@ def embedding_drift(spark, sf_dir):
                                   emb.where(F.col("vec_id") % 2 == 1))
 
 
+def orders_merge_upsert(spark, sf_dir):
+    """Keyed MERGE/upsert into a standing parquet table
+    (operators/merge.py merge_into + MergeTap — the lakehouse
+    ``MERGE INTO`` the partition-granular sinks did not cover).
+    Target = orders with o_orderkey%10 < 8; update batch = keys %10 in
+    {5..9} with doubled totalprice and status 'M' — so %10 in {5,6,7}
+    UPDATE in place, {8,9} INSERT, {0..4} pass through untouched.  The
+    FULL tap path runs: target written to parquet, merged with the
+    crash-safe write-new-then-swap, read back.  broadcast strategy:
+    the standing table is never shuffled (matched rows via broadcast
+    left join; insert detection anti-joins key columns only).  Oracle:
+    the ANSI MERGE replay (LEFT JOIN update + NOT EXISTS insert)."""
+    import tempfile
+
+    from cascalog_spark.operators import MergeTap, merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="cascalog_merge_") + "/orders"
+    merge_into(spark, d, orders.where(F.col("o_orderkey") % 10 < 8),
+               "o_orderkey")
+    upd = (orders.where(F.col("o_orderkey") % 10 >= 5)
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 2, 2))
+           .withColumn("o_orderstatus", F.lit("M")))
+    tap = MergeTap(d, on="o_orderkey")
+    tap.merge(spark, upd)
+    return tap.to_df(spark).select("o_orderkey", "o_orderstatus",
+                                   "o_totalprice")
+
+
+def orders_merge_delete(spark, sf_dir):
+    """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
+    when_matched='delete', when_not_matched='ignore'): tombstones =
+    orders with o_orderstatus='F' and o_orderkey%7=0; matched target
+    rows are removed, unmatched tombstones do nothing, the rest of the
+    table passes through.  Pure-frame leg (the tap path is pinned by
+    orders_merge_upsert); shuffle strategy so BOTH merge plans are
+    driver-checked.  Oracle: NOT EXISTS anti-join replay."""
+    from cascalog_spark.operators import merge_frames
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    tomb = (orders.where((F.col("o_orderstatus") == "F")
+                         & (F.col("o_orderkey") % 7 == 0)))
+    return merge_frames(orders, tomb, "o_orderkey",
+                        when_matched="delete",
+                        when_not_matched="ignore", strategy="shuffle")
+
+
 def embedding_cluster_profile(spark, sf_dir):
     """First-class corpus clustering profile (functions/similarity.py
     cluster_embeddings/cluster_profile): nearest-centroid assignment
@@ -4040,6 +4090,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (similarity/pq family) or the graph changes (weighted degree, PPR
 # in-universe renormalization, near_dedup central persist).  The
 # long-green tier follows in _all_queries() order.
+_R9_HEAD = [
+    # r9: the keyed MERGE/upsert contract pair (new capability — the
+    # full MergeTap swap path and the pure-frame delete leg) plus the
+    # queries whose plans pass through the r9 fixed-cost cuts
+    # (rerank codes= reuse, drift single-aggregate fold)
+    "orders_merge_upsert",
+    "orders_merge_delete",
+    "embedding_ivfpq_rerank",
+    "embedding_drift",
+]
+
 _R8_HEAD = [
     # r8: the one prior red row (negative-zero oracle fix), the new
     # two-stage rerank query, and the queries whose plans pass through
@@ -4109,8 +4170,12 @@ _R7_HEAD = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {n: q[n] for n in _R8_HEAD + [x for x in _R7_HEAD
-                                         if x not in _R8_HEAD]}
+    seen, order = set(), []
+    for n in _R9_HEAD + _R8_HEAD + _R7_HEAD:
+        if n not in seen:
+            seen.add(n)
+            order.append(n)
+    head = {n: q[n] for n in order}
     return head | {n: f for n, f in q.items() if n not in head}
 
 
@@ -4318,6 +4383,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trigrams": events_trigrams,
         "events_stream_trigrams": events_stream_trigrams,
         "embedding_drift": embedding_drift,
+        "orders_merge_upsert": orders_merge_upsert,
+        "orders_merge_delete": orders_merge_delete,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6214,6 +6281,32 @@ def oracle_sql() -> dict[str, str]:
                               / greatest(j.n_actual / greatest(t.ta, 1),
                                          0.000001)), 6) AS psi_term
             FROM j, w, t""",
+        # ANSI MERGE replay: update leg = LEFT JOIN taking source values
+        # on match; insert leg = NOT EXISTS anti-join (NULL keys never
+        # match, the SQL standard merge_frames follows)
+        "orders_merge_upsert": """
+            WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 10 < 8),
+            s AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+                         round(o_totalprice * 2, 2) AS o_totalprice
+                  FROM orders WHERE o_orderkey % 10 >= 5)
+            SELECT t.o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_orderstatus
+                        ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM t
+                              WHERE t.o_orderkey = s.o_orderkey)""",
+        # delete leg: matched target rows removed; tombstone keys are
+        # unique order keys, so matched == the tombstone predicate
+        "orders_merge_delete": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)""",
         # embedding drift: mean-vector cosine/L2 + norm PSI + IVF-cell
         # PSI between the even/odd vec_id halves — mirrors
         # stats.embedding_drift_report metric for metric

@@ -3,3 +3,4 @@ from .multigroup import multigroup, multigroup_n
 from .range_join import interval_overlap_join, range_join
 from .scd2 import scd2_history, scd2_merge
 from .diff import table_diff
+from .merge import MergeTap, merge_frames, merge_into

@@ -1,0 +1,172 @@
+"""Keyed MERGE/upsert (operators/merge.py): SQL-standard semantics,
+broadcast==shuffle strategy equivalence, plan shape, and the
+write-new-then-swap crash windows of merge_into/MergeTap."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascalog_spark.operators import MergeTap, merge_frames, merge_into
+
+
+@pytest.fixture()
+def tgt(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "n", 99)],
+        "k int, s string, v int")
+
+
+@pytest.fixture()
+def upd(spark):
+    # k=2 matched (update), k=4 new (insert), k=NULL never matches
+    return spark.createDataFrame(
+        [(2, "B", 200), (4, "D", 400), (None, "N", 500)],
+        "k int, s string, v int")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()),
+                  key=lambda r: (r[0] is None, r))
+
+
+def test_merge_upsert_semantics(spark, tgt, upd):
+    got = _rows(merge_frames(tgt, upd, "k"))
+    # NULL keys never match: target NULL row passes through, update
+    # NULL row inserts -> both survive
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30),
+                   (4, "D", 400), (None, "N", 500), (None, "n", 99)]
+
+
+def test_merge_strategies_identical(spark, tgt, upd):
+    for wm in ("update", "delete", "ignore"):
+        for wn in ("insert", "ignore"):
+            a = _rows(merge_frames(tgt, upd, "k", wm, wn,
+                                   strategy="shuffle"))
+            b = _rows(merge_frames(tgt, upd, "k", wm, wn,
+                                   strategy="broadcast"))
+            assert a == b, (wm, wn)
+
+
+def test_merge_delete_and_ignore(spark, tgt, upd):
+    got = _rows(merge_frames(tgt, upd, "k", when_matched="delete",
+                             when_not_matched="ignore"))
+    assert got == [(1, "a", 10), (3, "c", 30), (None, "n", 99)]
+    got = _rows(merge_frames(tgt, upd, "k", when_matched="ignore",
+                             when_not_matched="ignore"))
+    assert got == _rows(tgt)
+
+
+def test_merge_partial_update_cols(spark, tgt, upd):
+    # only v taken from source; s preserved from target on matches
+    got = _rows(merge_frames(tgt, upd, "k", update_cols=["v"]))
+    assert (2, "b", 200) in got and (2, "B", 200) not in got
+
+
+def test_merge_target_only_columns_null_on_insert(spark, tgt):
+    upd = spark.createDataFrame([(2, 200), (4, 400)], "k int, v int")
+    got = _rows(merge_frames(tgt, upd, "k"))
+    # matched row keeps its target-only column; insert gets NULL
+    assert (2, "b", 200) in got and (4, None, 400) in got
+
+
+def test_merge_duplicate_update_keys_rejected(spark, tgt):
+    dup = spark.createDataFrame([(2, "x", 1), (2, "y", 2)],
+                                "k int, s string, v int")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_frames(tgt, dup, "k").collect()
+    # validate=False lets an arbitrary winner through (count pinned)
+    got = merge_frames(tgt, dup, "k", validate=False)
+    assert got.where(F.col("k") == 2).count() == 2
+
+
+def test_merge_spec_errors(spark, tgt, upd):
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_frames(tgt, upd, "k", when_matched="upsert")
+    with pytest.raises(ValueError, match="key column"):
+        merge_frames(tgt, upd, "missing")
+    with pytest.raises(ValueError, match="schema evolution"):
+        merge_frames(tgt, upd.withColumn("extra", F.lit(1)), "k")
+    with pytest.raises(ValueError, match="cannot be updated"):
+        merge_frames(tgt, upd, "k", update_cols=["k"])
+
+
+def test_merge_multi_key(spark):
+    t = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")],
+                              "k1 int, k2 int, s string")
+    u = spark.createDataFrame([(1, 2, "B"), (2, 1, "C")],
+                              "k1 int, k2 int, s string")
+    got = _rows(merge_frames(t, u, ["k1", "k2"]))
+    assert got == [(1, 1, "a"), (1, 2, "B"), (2, 1, "C")]
+
+
+def test_merge_broadcast_plan_no_target_exchange(spark, sf_dir):
+    """strategy='broadcast' must not shuffle the target: the kept-rows
+    join is a BroadcastHashJoin and the only Exchange in the plan
+    belongs to the insert anti-join's key-pruned target scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    upd = orders.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    m = merge_frames(orders, upd, "o_orderkey", strategy="broadcast",
+                     validate=False)
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the full-width target scan side must reach the union without an
+    # Exchange; key-only scan for the anti join may shuffle
+    kept_half = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in kept_half
+
+
+def test_merge_into_roundtrip_and_tap(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    # first merge bootstraps the table from the batch
+    merge_into(spark, d, base, "k")
+    tap = MergeTap(d, on="k")
+    assert _rows(tap.to_df(spark)) == [(1, 10), (2, 20)]
+    tap.merge(spark, spark.createDataFrame([(2, 99), (3, 30)],
+                                           "k int, v int"))
+    assert _rows(tap.to_df(spark)) == [(1, 10), (2, 99), (3, 30)]
+    # keyed delete via tombstones
+    tap.merge(spark, spark.createDataFrame([(1,)], "k int")
+              .withColumn("v", F.lit(None).cast("int")),
+              when_matched="delete", when_not_matched="ignore")
+    assert _rows(tap.to_df(spark)) == [(2, 99), (3, 30)]
+
+
+def test_merge_into_crash_recovery(spark, tmp_path):
+    """Same crash windows as compact_rollup: (a) crash between the two
+    renames -> reader raises, re-running merge_into auto-recovers from
+    .compact.old and applies the batch; (b) stale .old beside a live
+    target is swept."""
+    d = str(tmp_path / "tbl")
+    merge_into(spark, d, spark.createDataFrame([(1, 10), (2, 20)],
+                                               "k int, v int"), "k")
+    upd = spark.createDataFrame([(2, 99)], "k int, v int")
+
+    # (a) simulate: tmp written, target moved aside, crash before
+    # tmp->target rename
+    tmp, old = d + ".compact.tmp", d + ".compact.old"
+    shutil.copytree(d, tmp)
+    os.rename(d, old)
+    with pytest.raises(RuntimeError, match="crashed between renames"):
+        MergeTap(d, on="k").to_df(spark)  # raises (crashed, not empty)
+    merge_into(spark, d, upd, "k")  # auto-recovers then merges
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert got == [(1, 10), (2, 99)]
+
+    # (b) crash AFTER the final rename left a stale .old behind
+    shutil.copytree(d, old)
+    merge_into(spark, d, spark.createDataFrame([(3, 30)],
+                                               "k int, v int"), "k")
+    assert not os.path.exists(old)
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert got == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_merge_tap_raises_on_crashed_state(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    os.makedirs(d + ".compact.old")
+    with pytest.raises(RuntimeError, match="crashed between renames"):
+        MergeTap(d, on="k").to_df(spark)
