@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     # vector-space drift gate (mean cosine/L2 + norm/cell PSI)
     "embedding_ivfpq_rerank",
     "embedding_drift",
+    # r9: the streaming-ingest hot paths priced at last — each entry is
+    # a full foreachBatch pipeline (stage 2 micro-batches -> drain ->
+    # read standing state): near-dedup ingest and rollup maintenance
+    # + compaction
+    "doc_stream_dedup_ingest",
+    "events_stream_rollup",
 ]
 
 

@@ -223,9 +223,10 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     update batch is the operational case); pass ``"shuffle"`` when the
     batch is comparable to the table.
     """
-    from ..streaming.ingest import _compact_recover, _compact_swap
+    from ..streaming.ingest import StateDir
 
-    _compact_recover(target_dir)
+    sd = StateDir(target_dir, "merge_into")
+    sd.recover()
     if not os.path.isdir(target_dir):
         if when_not_matched == "insert":
             updates.write.mode("overwrite").parquet(target_dir)
@@ -234,8 +235,7 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     merged = merge_frames(target, updates, on, when_matched,
                           when_not_matched, update_cols,
                           strategy=strategy, validate=validate)
-    _compact_swap(target_dir, lambda tmp: merged.write.mode("overwrite")
-                  .parquet(tmp))
+    sd.swap(lambda tmp: merged.write.mode("overwrite").parquet(tmp))
 
 
 class MergeTap:

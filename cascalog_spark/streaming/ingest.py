@@ -111,10 +111,8 @@ def stream_near_dedup_ingest(stream_df: DataFrame, out_dir: str,
         survivors, new_rows = ingest_batch_near_dedup(
             batch, index, id_col, text_col, num_perm, bands, shingle_k,
             max_iter, cc_method, materialize=True)
-        (survivors.write.mode("overwrite")
-         .parquet(f"{out_dir}/batch={batch_id}"))
-        (new_rows.write.mode("overwrite")
-         .parquet(f"{index_dir}/batch={batch_id}"))
+        StateDir(out_dir).write(survivors, batch_id)
+        StateDir(index_dir).write(new_rows, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -170,25 +168,120 @@ def _compact_swap(target_dir: str, write_tmp) -> None:
     shutil.rmtree(old)
 
 
-def _read_batched(spark: SparkSession, d: str,
-                  exclude_batch: Optional[int],
-                  compactor: str) -> Optional[DataFrame]:
-    """Standing state across every ``batch=`` partition of ``d`` —
-    ``None`` before the first batch lands; ``exclude_batch`` drops one
-    partition (partition-pruned, never scanned) — the retry guard used
-    inside the streaming steps."""
-    if not os.path.isdir(d):
-        _raise_if_crashed(d, compactor)
-        return None
-    parts = [e for e in os.listdir(d) if e.startswith("batch=")]
-    if exclude_batch is not None:
-        parts = [e for e in parts if e != f"batch={exclude_batch}"]
-    if not parts:
-        return None
-    df = spark.read.parquet(d)
-    if exclude_batch is not None:
-        df = df.where(F.col("batch") != exclude_batch)
-    return df.drop("batch")
+class StateDir:
+    """THE crash-safety contract of a standing ``batch=<id>`` parquet
+    state directory — shared by every streaming maintenance sink
+    (near-dedup / semantic / novelty indexes, rollup / transition /
+    n-gram partials, funnel / retention / decayed snapshots) and by
+    ``operators.merge.merge_into``:
+
+    * ``write(df, batch_id)`` — per-batch OVERWRITE into
+      ``path/batch=<id>``: a Structured Streaming RETRY of the same
+      micro-batch is idempotent, and the maintenance fold excludes the
+      in-flight id (``exclude_batch`` / ``before``) so a retried batch
+      can never read its own failed attempt.
+    * ``read_all(spark, exclude_batch=)`` — standing state across
+      every partition (partials model); ``None`` before the first
+      batch lands.  ``exclude_batch`` is partition-pruned, never
+      scanned.
+    * ``read_latest(spark, before=)`` — newest COMPLETE snapshot
+      (snapshot-per-batch model): partitions without a ``_SUCCESS``
+      marker are in-flight and skipped — unless NO partition carries
+      one (a committer configured not to write markers), in which case
+      all are accepted rather than silently reading the state as empty.
+    * ``compact(df)`` / ``swap(write_tmp)`` — write-new-then-swap: the
+      folded content is fully materialized to a ``.compact.tmp``
+      sibling FIRST (lazy plans reading the live dir keep working),
+      then dir→``.compact.old``, tmp→dir, old removed.  A crash at ANY
+      point leaves a recoverable layout: ``recover()`` (run by every
+      compactor before folding) restores it, and a reader that finds
+      the dir missing beside an ``.old`` sibling raises loudly instead
+      of treating the state as empty.  Single maintenance writer; run
+      compaction with the stream STOPPED after its checkpoint
+      committed past every written batch.
+    * ``prune(keep_latest)`` — snapshot dirs only: older snapshots are
+      retry fallbacks, the latest IS the state.
+    """
+
+    def __init__(self, path: str, compactor: Optional[str] = None):
+        self.path = path.rstrip("/")
+        self.compactor = compactor
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{self.path}/batch={batch_id}")
+
+    def _check_crashed(self) -> None:
+        if self.compactor is not None:
+            _raise_if_crashed(self.path, self.compactor)
+
+    def read_all(self, spark: SparkSession,
+                 exclude_batch: Optional[int] = None
+                 ) -> Optional[DataFrame]:
+        if not os.path.isdir(self.path):
+            self._check_crashed()
+            return None
+        parts = [e for e in os.listdir(self.path)
+                 if e.startswith("batch=")]
+        if exclude_batch is not None:
+            parts = [e for e in parts if e != f"batch={exclude_batch}"]
+        if not parts:
+            return None
+        df = spark.read.parquet(self.path)
+        if exclude_batch is not None:
+            df = df.where(F.col("batch") != exclude_batch)
+        return df.drop("batch")
+
+    def read_latest(self, spark: SparkSession,
+                    before: Optional[int] = None
+                    ) -> Optional[DataFrame]:
+        if not os.path.isdir(self.path):
+            self._check_crashed()
+            return None
+        all_ids = [int(e.split("=", 1)[1])
+                   for e in os.listdir(self.path)
+                   if e.startswith("batch=")]
+        ids = [i for i in all_ids
+               if os.path.exists(os.path.join(self.path, f"batch={i}",
+                                              "_SUCCESS"))]
+        if not ids and all_ids:
+            ids = all_ids  # committer writes no markers: accept all
+        if before is not None:
+            ids = [i for i in ids if i < before]
+        if not ids:
+            return None
+        return spark.read.parquet(f"{self.path}/batch={max(ids)}")
+
+    def recover(self) -> None:
+        _compact_recover(self.path)
+
+    def swap(self, write_tmp) -> None:
+        _compact_swap(self.path, write_tmp)
+
+    def compact(self, df: Optional[DataFrame]) -> None:
+        """Fold the standing state ``df`` (usually ``read_all``'s
+        result, already excluding nothing) back to a single
+        ``batch=0`` base partition.  No-op when ``df`` is None."""
+        if df is None:
+            return
+        self.swap(lambda tmp: df.write.mode("overwrite")
+                  .parquet(f"{tmp}/batch=0"))
+
+    def prune(self, keep_latest: int = 1) -> int:
+        import shutil
+
+        if keep_latest < 1:
+            raise ValueError("StateDir.prune: keep_latest must be "
+                             ">= 1 (the latest snapshot IS the state)")
+        if not os.path.isdir(self.path):
+            return 0
+        ids = sorted(int(e.split("=", 1)[1])
+                     for e in os.listdir(self.path)
+                     if e.startswith("batch="))
+        drop = ids[:-keep_latest]
+        for i in drop:
+            shutil.rmtree(os.path.join(self.path, f"batch={i}"))
+        return len(drop)
 
 
 def read_ingest_index(spark: SparkSession, index_dir: str,
@@ -198,8 +291,8 @@ def read_ingest_index(spark: SparkSession, index_dir: str,
     ``None`` before the first batch lands.  ``exclude_batch`` drops one
     ``batch=`` partition (partition-pruned, never scanned) — the retry
     guard used inside the streaming step."""
-    return _read_batched(spark, index_dir, exclude_batch,
-                         "compact_ingest_index")
+    return StateDir(index_dir,
+                    "compact_ingest_index").read_all(spark, exclude_batch)
 
 
 def read_ingest_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -220,12 +313,9 @@ def compact_ingest_index(spark: SparkSession, index_dir: str) -> None:
     step excludes its own ``batch=<id>`` partition on retry, and a
     compaction folds those rows into ``batch=0`` where a retried batch
     would cross-drop against itself."""
-    _compact_recover(index_dir)
-    idx = read_ingest_index(spark, index_dir)
-    if idx is None:
-        return
-    _compact_swap(index_dir, lambda tmp: idx.write.mode("overwrite")
-                  .parquet(f"{tmp}/batch=0"))
+    sd = StateDir(index_dir, "compact_ingest_index")
+    sd.recover()
+    sd.compact(read_ingest_index(spark, index_dir))
 
 
 def read_semantic_reps(spark: SparkSession, reps_dir: str,
@@ -234,8 +324,8 @@ def read_semantic_reps(spark: SparkSession, reps_dir: str,
     """The standing (id, embedding) representative set across all
     semantically-ingested batches — ``None`` before the first batch
     lands; same retry-guard contract as ``read_ingest_index``."""
-    return _read_batched(spark, reps_dir, exclude_batch,
-                         "compact_semantic_reps")
+    return StateDir(reps_dir,
+                    "compact_semantic_reps").read_all(spark, exclude_batch)
 
 
 def compact_semantic_reps(spark: SparkSession, reps_dir: str) -> None:
@@ -243,12 +333,9 @@ def compact_semantic_reps(spark: SparkSession, reps_dir: str) -> None:
     one ``batch=0`` base — same crash-safe swap + auto-recovery and the
     same stopped-stream/committed-checkpoint caveat as
     ``compact_ingest_index``."""
-    _compact_recover(reps_dir)
-    reps = read_semantic_reps(spark, reps_dir)
-    if reps is None:
-        return
-    _compact_swap(reps_dir, lambda tmp: reps.write.mode("overwrite")
-                  .parquet(f"{tmp}/batch=0"))
+    sd = StateDir(reps_dir, "compact_semantic_reps")
+    sd.recover()
+    sd.compact(read_semantic_reps(spark, reps_dir))
 
 
 def stream_semantic_dedup_ingest(stream_df: DataFrame, out_dir: str,
@@ -289,10 +376,8 @@ def stream_semantic_dedup_ingest(stream_df: DataFrame, out_dir: str,
         # survivors feed TWO writes — materialize once (batch-sized)
         # instead of re-running the reps read + cell joins per write
         kept = kept.localCheckpoint()
-        (kept.write.mode("overwrite")
-         .parquet(f"{out_dir}/batch={batch_id}"))
-        (kept.select(id_col, vec_col).write.mode("overwrite")
-         .parquet(f"{reps_dir}/batch={batch_id}"))
+        StateDir(out_dir).write(kept, batch_id)
+        StateDir(reps_dir).write(kept.select(id_col, vec_col), batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -327,8 +412,8 @@ def stream_rollup_maintenance(stream_df: DataFrame, agg_dir: str,
     from ..functions.rollup import aggregate_rollup
 
     def _step(batch: DataFrame, batch_id: int) -> None:
-        (aggregate_rollup(batch, keys, spec)
-         .write.mode("overwrite").parquet(f"{agg_dir}/batch={batch_id}"))
+        StateDir(agg_dir).write(aggregate_rollup(batch, keys, spec),
+                                batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -346,12 +431,9 @@ def read_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     event volume that produced them."""
     from ..functions.rollup import merge_rollups
 
-    if not os.path.isdir(agg_dir):
-        _raise_if_crashed(agg_dir, "compact_rollup")
+    parts = StateDir(agg_dir, "compact_rollup").read_all(spark)
+    if parts is None:
         return None
-    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
-        return None
-    parts = spark.read.parquet(agg_dir).drop("batch")
     return merge_rollups([parts], keys, spec)
 
 
@@ -367,12 +449,9 @@ def compact_rollup(spark: SparkSession, agg_dir: str, keys: list[str],
     re-running this function auto-recovers any leftover state (a crash
     between the two renames leaves no ``agg_dir``; the pre-compaction
     data is restored from ``.compact.old`` before compacting again)."""
-    _compact_recover(agg_dir)
-    merged = read_rollup(spark, agg_dir, keys, spec)
-    if merged is None:
-        return
-    _compact_swap(agg_dir, lambda tmp: merged.write.mode("overwrite")
-                  .parquet(f"{tmp}/batch=0"))
+    sd = StateDir(agg_dir, "compact_rollup")
+    sd.recover()
+    sd.compact(read_rollup(spark, agg_dir, keys, spec))
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +509,7 @@ def stream_drift_monitor(stream_df: DataFrame, col: str,
                .withColumn("psi_term", F.round(term, 6))
                .select("bucket", "n_expected", "n_actual",
                        "p_expected", "p_actual", "psi_term"))
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        StateDir(out_dir).write(out, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -461,7 +540,7 @@ def stream_embedding_drift_monitor(stream_df: DataFrame, ref_model: dict,
     def _step(batch: DataFrame, batch_id: int) -> None:
         rep = embedding_drift_report(None, batch, vec_col=vec_col,
                                      eps=eps, ref_model=ref_model)
-        rep.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        StateDir(out_dir).write(rep, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -505,8 +584,7 @@ def stream_expectation_gate(stream_df: DataFrame, rules: dict,
         import shutil
 
         report = check_expectations(batch, rules).localCheckpoint()
-        (report.write.mode("overwrite")
-         .parquet(f"{report_dir}/batch={batch_id}"))
+        StateDir(report_dir).write(report, batch_id)
         ok = report.agg(
             F.min(F.col("passed").cast("int"))).first()[0]
         dest, other = (out_dir, qdir) if ok == 1 else (qdir, out_dir)
@@ -515,8 +593,7 @@ def stream_expectation_gate(stream_df: DataFrame, rules: dict,
         # copy under the previously-chosen dest while the new copy lands
         # in the other dir — readers unioning both would double-count it
         shutil.rmtree(f"{other}/batch={batch_id}", ignore_errors=True)
-        (batch.write.mode("overwrite")
-         .parquet(f"{dest}/batch={batch_id}"))
+        StateDir(dest).write(batch, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -553,14 +630,12 @@ def stream_novelty_ingest(stream_df: DataFrame, out_dir: str,
                                   exclude_batch=batch_id)
         scored, _ = ngram_novelty_incremental(batch, index, text_col,
                                               id_col, k)
-        (scored.write.mode("overwrite")
-         .parquet(f"{out_dir}/batch={batch_id}"))
+        StateDir(out_dir).write(scored, batch_id)
         new_rows = novelty_index(batch, text_col, id_col, k)
         if index is not None:
             new_rows = new_rows.join(index.select("shingle"),
                                      on="shingle", how="left_anti")
-        (new_rows.write.mode("overwrite")
-         .parquet(f"{index_dir}/batch={batch_id}"))
+        StateDir(index_dir).write(new_rows, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -594,20 +669,7 @@ def read_funnel_state(spark: SparkSession, state_dir: str,
     so every partition is accepted instead of silently treating the
     whole state as empty — wrong standing aggregates with no error
     would be far worse than the marginal half-write risk."""
-    if not os.path.isdir(state_dir):
-        return None
-    all_ids = [int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
-               if e.startswith("batch=")]
-    ids = [i for i in all_ids
-           if os.path.exists(os.path.join(state_dir, f"batch={i}",
-                                          "_SUCCESS"))]
-    if not ids and all_ids:
-        ids = all_ids
-    if before is not None:
-        ids = [i for i in ids if i < before]
-    if not ids:
-        return None
-    return spark.read.parquet(f"{state_dir}/batch={max(ids)}")
+    return StateDir(state_dir).read_latest(spark, before=before)
 
 
 def stream_funnel_maintenance(stream_df: DataFrame, state_dir: str,
@@ -638,8 +700,7 @@ def stream_funnel_maintenance(stream_df: DataFrame, state_dir: str,
         old = read_funnel_state(spark, state_dir, before=batch_id)
         new = funnel_stages(batch, ts_col, user_col, stage_col,
                             list(stages), horizon=horizon, prior=old)
-        new.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+        StateDir(state_dir).write(new, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -656,11 +717,9 @@ def read_transition_counts(spark: SparkSession, agg_dir: str,
     ``agg_dir``: one groupBy over #batches x |types|² partial rows
     (never the event volume), with the per-source probability recomputed
     at read time.  ``None`` before the first batch lands."""
-    if not os.path.isdir(agg_dir):
+    parts = StateDir(agg_dir).read_all(spark)
+    if parts is None:
         return None
-    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
-        return None
-    parts = spark.read.parquet(agg_dir).drop("batch")
     out = (parts.groupBy("from_type", "to_type")
            .agg(F.sum("n").alias("n")))
     if not normalize:
@@ -731,10 +790,8 @@ def stream_transition_maintenance(stream_df: DataFrame, agg_dir: str,
             keep = old.join(lasts.select(user_col), on=user_col,
                             how="left_anti")
             lasts = lasts.unionByName(keep)
-        within.write.mode("overwrite").parquet(
-            f"{agg_dir}/batch={batch_id}")
-        lasts.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+        StateDir(agg_dir).write(within, batch_id)
+        StateDir(state_dir).write(lasts, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -751,11 +808,9 @@ def read_ngram_counts(spark: SparkSession, agg_dir: str,
     rows (never the event volume).  ``min_count`` prunes at READ time
     — partials stay unpruned so the fold is exact.  ``None`` before
     the first batch lands."""
-    if not os.path.isdir(agg_dir):
+    parts = StateDir(agg_dir).read_all(spark)
+    if parts is None:
         return None
-    if not any(e.startswith("batch=") for e in os.listdir(agg_dir)):
-        return None
-    parts = spark.read.parquet(agg_dir).drop("batch")
     out = parts.groupBy("gram").agg(F.sum("n_events").alias("n_events"))
     if min_count > 1:
         out = out.where(F.col("n_events") >= min_count)
@@ -868,10 +923,8 @@ def stream_ngram_maintenance(stream_df: DataFrame, agg_dir: str,
             keep = old.join(keys, on=[old[user_col].eqNullSafe(
                 F.col("__su"))], how="left_anti")
             state = state.unionByName(keep)
-        counts.write.mode("overwrite").parquet(
-            f"{agg_dir}/batch={batch_id}")
-        state.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+        StateDir(agg_dir).write(counts, batch_id)
+        StateDir(state_dir).write(state, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -888,11 +941,9 @@ def read_retention(spark: SparkSession, pairs_dir: str
     one distinct-count aggregate.  Partial volume is bounded by
     users x touched periods, never the event count.  ``None`` before
     the first batch lands."""
-    if not os.path.isdir(pairs_dir):
+    parts = StateDir(pairs_dir).read_all(spark)
+    if parts is None:
         return None
-    if not any(e.startswith("batch=") for e in os.listdir(pairs_dir)):
-        return None
-    parts = spark.read.parquet(pairs_dir).drop("batch")
     return (parts.groupBy("cohort", "period_offset")
             .agg(F.count_distinct(F.col("user")).alias("n_active")))
 
@@ -945,10 +996,8 @@ def stream_retention_maintenance(stream_df: DataFrame, pairs_dir: str,
                          cohort.alias("cohort"),
                          off.alias("period_offset"))
                  .distinct())
-        pairs.write.mode("overwrite").parquet(
-            f"{pairs_dir}/batch={batch_id}")
-        merged.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+        StateDir(pairs_dir).write(pairs, batch_id)
+        StateDir(state_dir).write(merged, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)
@@ -968,19 +1017,7 @@ def prune_state_snapshots(state_dir: str, keep_latest: int = 1) -> int:
     Run while the maintenance stream is STOPPED and only after its
     checkpoint has committed past every written batch: a retried batch
     reads the snapshot BEFORE its own id, which pruning could remove."""
-    import shutil
-
-    if keep_latest < 1:
-        raise ValueError("prune_state_snapshots: keep_latest must be "
-                         ">= 1 (the latest snapshot IS the state)")
-    if not os.path.isdir(state_dir):
-        return 0
-    ids = sorted(int(e.split("=", 1)[1]) for e in os.listdir(state_dir)
-                 if e.startswith("batch="))
-    drop = ids[:-keep_latest]
-    for i in drop:
-        shutil.rmtree(os.path.join(state_dir, f"batch={i}"))
-    return len(drop)
+    return StateDir(state_dir).prune(keep_latest)
 
 
 def read_decayed(spark: SparkSession, state_dir: str,
@@ -1059,8 +1096,8 @@ def stream_decayed_maintenance(stream_df: DataFrame, state_dir: str,
                                     F.col("__old").alias("decayed"))
         else:
             new = part
-        (new.withColumn("__t", F.lit(float(tref)))
-         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+        StateDir(state_dir).write(
+            new.withColumn("__t", F.lit(float(tref))), batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)

@@ -611,3 +611,228 @@ def test_frequent_items_matches_naive_filter(spark, data, phi, parts):
     cnt = Counter(data)
     want = {(v, c) for v, c in cnt.items() if c >= cutoff}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dedup-family winner rules (r9): full pure-Python pipeline replays —
+# every stage (tokens, shingles, md5 hashes, minhash/LSH, components,
+# PageRank) is deterministic by design, so the whole winner rule is
+# modelable, not just the final join
+# ---------------------------------------------------------------------------
+
+import hashlib as _hl
+import math as _math
+
+_MP = 2147483647  # dedup.MINHASH_P
+
+
+def _pd_md5(s):
+    return _hl.md5(s.encode()).hexdigest()
+
+
+def _pd_toks(text):
+    return [t for t in text.lower().split() if t]
+
+
+def _pd_shingles(toks, k):
+    out, seen = [], set()
+    for i in range(max(len(toks) - k, 0) + 1):
+        s = " ".join(toks[i:i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _pd_components(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for i in ids:
+        comps.setdefault(find(i), set()).add(i)
+    return [c for c in comps.values() if len(c) > 1]
+
+
+_vocab = st.sampled_from(["aa", "bb", "cc"])
+_doc = st.lists(_vocab, min_size=0, max_size=8)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+_thresh = st.sampled_from([0.5, 0.8, 1.0])
+
+
+@given(docs=_corpus, t=_thresh)
+@SET
+def test_containment_pairs_matches_model(spark, docs, t):
+    """Directed containment (one-directional AND mutual rows) ==
+    brute-force |S(A)∩S(B)|/|S(A)| over distinct 2-shingles; the
+    prefix-filtered candidate join must have exact recall at t."""
+    from cascalog_spark.functions import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = {(r["doc_id"], r["container_id"], r["containment"])
+           for r in containment_pairs(df, "doc_id", n=2,
+                                      threshold=t).collect()}
+    sh = {i: set(_pd_shingles(_pd_toks(" ".join(d)), 2))
+          for i, d in enumerate(docs)}
+    sh = {i: s for i, s in sh.items() if len(s) > 0}
+    want = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                want.add((a, b, round(c, 6)))
+    assert got == want
+
+
+@given(docs=_corpus, t=_thresh)
+@SET
+def test_containment_dedup_matches_model(spark, docs, t):
+    """Winner rule: drop A iff contained in some B where containment is
+    one-directional, or mutual with B < A (mutual groups keep min id)."""
+    from cascalog_spark.functions import containment_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id int, text string")
+    got = {r["doc_id"]
+           for r in containment_dedup(df, threshold=t, n=2).collect()}
+    sh = {i: set(_pd_shingles(_pd_toks(" ".join(d)), 2))
+          for i, d in enumerate(docs)}
+    sh = {i: s for i, s in sh.items() if len(s) > 0}
+    pairs = {(a, b) for a, sa in sh.items() for b, sb in sh.items()
+             if a != b and len(sa & sb) / len(sa) >= t}
+    losers = {a for a, b in pairs
+              if (b, a) not in pairs or b < a}
+    assert got == set(range(len(docs))) - losers
+
+
+_line_txt = st.text(alphabet="ab ", min_size=0, max_size=6)
+_line_docs = st.lists(st.lists(_line_txt, min_size=1, max_size=4),
+                      min_size=1, max_size=6)
+
+
+@given(docs=_line_docs)
+@SET
+def test_cross_doc_line_dedup_matches_model(spark, docs):
+    """First-occurrence rule: a line (trimmed+lowercased key) survives
+    only at its global (id, pos) minimum among eligible occurrences;
+    sub-min_chars lines are never deduped."""
+    from cascalog_spark.functions import cross_doc_line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["dedup_text"]
+           for r in cross_doc_line_dedup(df).collect()}
+    owners = {}
+    for i, lines in enumerate(docs):
+        for p, ln in enumerate(lines):
+            if len(ln.strip(" ")) >= 1:
+                key = ln.lower().strip(" ")
+                if key not in owners or (i, p) < owners[key]:
+                    owners[key] = (i, p)
+    want = {}
+    for i, lines in enumerate(docs):
+        kept = []
+        for p, ln in enumerate(lines):
+            if len(ln.strip(" ")) < 1 \
+                    or owners[ln.lower().strip(" ")] == (i, p):
+                kept.append(ln)
+        want[i] = "\n".join(kept)
+    assert got == want
+
+
+def _pd_near_dedup_components(texts, num_perm=8, bands=4, k=2):
+    """Pure-Python replay of minhash_lsh_candidates + components:
+    md5-based 60-bit shingle hash, LCG universal-hash minhash, md5 band
+    buckets — bit-identical arithmetic to the engine by construction."""
+    coeffs = [((1103515245 * i + 12345) % (_MP - 1) + 1,
+               (2654435761 * i) % _MP) for i in range(num_perm)]
+    r = num_perm // bands
+    sigs = {}
+    for i, text in enumerate(texts):
+        hs = [int(_pd_md5(s)[:15], 16) % _MP
+              for s in _pd_shingles(_pd_toks(text), k)]
+        sigs[i] = [min((a * h + b) % _MP for h in hs)
+                   for a, b in coeffs]
+    buckets = {}
+    for i, sig in sigs.items():
+        for b in range(bands):
+            bh = _pd_md5(",".join(str(sig[b * r + j])
+                                  for j in range(r)))
+            buckets.setdefault((b, bh), []).append(i)
+    pairs = {(a, b) for ids in buckets.values()
+             for a in ids for b in ids if a < b}
+    return _pd_components(list(sigs), pairs), pairs
+
+
+@given(docs=_corpus, scores=st.lists(st.integers(0, 5), min_size=8,
+                                     max_size=8))
+@SET
+def test_near_dedup_keep_best_matches_model(spark, docs, scores):
+    """keep='best': per cluster keep argmax(score), min-id tiebreak."""
+    from cascalog_spark.functions import near_dedup
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t, float(scores[i])) for i, t in enumerate(texts)],
+        "doc_id int, text string, score double")
+    got = {r["doc_id"] for r in near_dedup(
+        df, num_perm=8, bands=4, shingle_k=2, keep="best",
+        score_col="score").collect()}
+    comps, _ = _pd_near_dedup_components(texts)
+    losers = set()
+    for comp in comps:
+        winner = min(comp, key=lambda i: (-scores[i], i))
+        losers |= comp - {winner}
+    assert got == set(range(len(texts))) - losers
+
+
+@given(docs=_corpus)
+@SET
+def test_near_dedup_keep_central_matches_model(spark, docs):
+    """keep='central': per cluster keep argmax(PageRank over the pair
+    graph, 12 dp), min-id tiebreak — 5 damped rounds, undirected, no
+    dangling mass (every graph node has degree >= 1)."""
+    from cascalog_spark.functions import near_dedup
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id int, text string")
+    got = {r["doc_id"] for r in near_dedup(
+        df, num_perm=8, bands=4, shingle_k=2, keep="central").collect()}
+    comps, pairs = _pd_near_dedup_components(texts)
+    nodes = sorted({n for p in pairs for n in p})
+    rank = {}
+    if nodes:
+        adj = {n: [] for n in nodes}
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(5):
+            nxt = {v: (1 - 0.85) / n for v in nodes}
+            for v in nodes:
+                share = 0.85 * rank[v] / len(adj[v])
+                for u in adj[v]:
+                    nxt[u] += share
+            rank = nxt
+    losers = set()
+    for comp in comps:
+        winner = min(comp, key=lambda i: (-round(rank[i], 12), i))
+        losers |= comp - {winner}
+    assert got == set(range(len(texts))) - losers
