@@ -2523,6 +2523,37 @@ def orders_merge_upsert(spark, sf_dir):
                                    "o_totalprice")
 
 
+def orders_merge_partitioned(spark, sf_dir):
+    """PARTITION-PRUNED keyed merge (operators/merge.py merge_into
+    partition_by=) — the 100 TB lever: the table is hive-partitioned
+    (part = o_orderkey % 4), the update batch touches ONLY part=1, so
+    the merge reads and rewrites that one partition (partition-pruned
+    scan + dynamic partition overwrite); parts 0/2/3 are never opened.
+    The partition column rides in the merge key (the lakehouse
+    MERGE-with-partition-predicate contract that makes pruning
+    complete).  Oracle: the same ANSI replay on the composite key."""
+    import tempfile
+
+    from cascalog_spark.operators import merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).cast("int").alias("part"),
+        "o_totalprice")
+    d = tempfile.mkdtemp(prefix="cascalog_pmerge_") + "/orders"
+    merge_into(spark, d, orders.where(F.col("o_orderkey") % 10 < 8),
+               ["o_orderkey", "part"], partition_by="part")
+    upd = (orders.where((F.col("o_orderkey") % 10 >= 5)
+                        & (F.col("o_orderkey") % 4 == 1))
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 2, 2)))
+    merge_into(spark, d, upd, ["o_orderkey", "part"],
+               partition_by="part")
+    return (spark.read.parquet(d)
+            .select("o_orderkey", F.col("part").cast("int").alias("part"),
+                    "o_totalprice"))
+
+
 def orders_merge_delete(spark, sf_dir):
     """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
     when_matched='delete', when_not_matched='ignore'): tombstones =
@@ -4132,6 +4163,7 @@ _R9_HEAD = [
     # (rerank codes= reuse, drift single-aggregate fold)
     "orders_merge_upsert",
     "orders_merge_delete",
+    "orders_merge_partitioned",
     "embedding_ivfpq_rerank",
     "embedding_drift",
 ]
@@ -4420,6 +4452,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": embedding_drift,
         "orders_merge_upsert": orders_merge_upsert,
         "orders_merge_delete": orders_merge_delete,
+        "orders_merge_partitioned": orders_merge_partitioned,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6337,6 +6370,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice FROM s
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.o_orderkey = s.o_orderkey)""",
+        # partition-pruned merge: same ANSI replay on the composite
+        # (key, partition) merge key; updates touch only part=1
+        "orders_merge_partitioned": """
+            WITH t AS (SELECT o_orderkey,
+                              CAST(o_orderkey % 4 AS INTEGER) AS part,
+                              o_totalprice
+                       FROM orders WHERE o_orderkey % 10 < 8),
+            s AS (SELECT o_orderkey,
+                         CAST(o_orderkey % 4 AS INTEGER) AS part,
+                         round(o_totalprice * 2, 2) AS o_totalprice
+                  FROM orders
+                  WHERE o_orderkey % 10 >= 5 AND o_orderkey % 4 = 1)
+            SELECT t.o_orderkey, t.part,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+                              AND t.part = s.part
+            UNION ALL
+            SELECT s.o_orderkey, s.part, s.o_totalprice FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM t
+                              WHERE t.o_orderkey = s.o_orderkey
+                                AND t.part = s.part)""",
         # delete leg: matched target rows removed; tombstone keys are
         # unique order keys, so matched == the tombstone predicate
         "orders_merge_delete": """

@@ -202,7 +202,8 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
                when_not_matched: str = "insert",
                update_cols: Optional[list[str]] = None,
                strategy: str = "broadcast",
-               validate: bool = True) -> None:
+               validate: bool = True,
+               partition_by: Optional[str] = None) -> None:
     """Apply :func:`merge_frames` to the standing parquet table at
     ``target_dir`` IN PLACE, crash-safely.
 
@@ -222,20 +223,85 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     ``strategy`` defaults to ``"broadcast"`` here (standing table >>
     update batch is the operational case); pass ``"shuffle"`` when the
     batch is comparable to the table.
-    """
+
+    ``partition_by=`` is the 100 TB lever — PARTITION-PRUNED merge:
+    the table is hive-partitioned on that column, only the partitions
+    the batch touches are read (partition-pruned scan) and rewritten
+    (dynamic partition overwrite); everything else is never opened.
+    Requirements: the partition column MUST be part of ``on`` (a key
+    match then can only occur inside one partition, which is what
+    makes reading only the batch's partitions complete — the standard
+    lakehouse MERGE-with-partition-predicate contract) and batch
+    partition values must be non-NULL.  Crash model differs from the
+    swap path: dynamic overwrite is per-partition, not atomic across
+    partitions — but the merge is value-ABSOLUTE (update sets source
+    values, re-inserting an inserted row is a same-value update,
+    re-deleting deletes nothing), so recovery is REPLAY: re-run the
+    same batch and the table converges to the same state (pinned by
+    test).  A partition whose every row is deleted is removed."""
     from ..streaming.ingest import StateDir
 
     sd = StateDir(target_dir, "merge_into")
     sd.recover()
+    if partition_by is None:
+        if not os.path.isdir(target_dir):
+            if when_not_matched == "insert":
+                updates.write.mode("overwrite").parquet(target_dir)
+            return
+        target = spark.read.parquet(target_dir)
+        merged = merge_frames(target, updates, on, when_matched,
+                              when_not_matched, update_cols,
+                              strategy=strategy, validate=validate)
+        sd.swap(lambda tmp: merged.write.mode("overwrite").parquet(tmp))
+        return
+
+    on_l = [on] if isinstance(on, str) else list(on)
+    if partition_by not in on_l:
+        raise ValueError(
+            f"merge_into: partition_by {partition_by!r} must be part "
+            f"of the merge key `on` — otherwise a key could match a "
+            f"row in an unread partition and the pruned merge would "
+            f"duplicate it")
+    vals = [r[0] for r in
+            updates.select(partition_by).distinct().collect()]
+    if any(v is None for v in vals):
+        raise ValueError("merge_into: NULL partition values in the "
+                         "update batch (NULL keys never match — the "
+                         "row could only land in the Hive default "
+                         "partition; partition on a non-NULL column)")
+    if not vals:
+        return
     if not os.path.isdir(target_dir):
         if when_not_matched == "insert":
-            updates.write.mode("overwrite").parquet(target_dir)
+            (updates.write.mode("overwrite")
+             .partitionBy(partition_by).parquet(target_dir))
         return
     target = spark.read.parquet(target_dir)
-    merged = merge_frames(target, updates, on, when_matched,
+    sliced = target.where(F.col(partition_by).isin(vals))
+    merged = merge_frames(sliced, updates, on_l, when_matched,
                           when_not_matched, update_cols,
                           strategy=strategy, validate=validate)
-    sd.swap(lambda tmp: merged.write.mode("overwrite").parquet(tmp))
+    # rows whose partition vanished entirely (delete emptied it) leave
+    # no partition dir for dynamic overwrite to replace — detect and
+    # remove those dirs explicitly after the write
+    merged = merged.localCheckpoint()  # batch-partitions-sized
+    survived = {r[0] for r in
+                merged.select(partition_by).distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        (merged.write.mode("overwrite").partitionBy(partition_by)
+         .parquet(target_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev)
+    import shutil
+
+    for v in set(vals) - survived:
+        shutil.rmtree(os.path.join(target_dir, f"{partition_by}={v}"),
+                      ignore_errors=True)
 
 
 class MergeTap:
@@ -251,10 +317,12 @@ class MergeTap:
 
     __cascalog_generator__ = True
 
-    def __init__(self, path: str, on, strategy: str = "broadcast"):
+    def __init__(self, path: str, on, strategy: str = "broadcast",
+                 partition_by: Optional[str] = None):
         self.path = path
         self.on = [on] if isinstance(on, str) else list(on)
         self.strategy = strategy
+        self.partition_by = partition_by
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         from ..streaming.ingest import _raise_if_crashed
@@ -273,4 +341,5 @@ class MergeTap:
               validate: bool = True) -> None:
         merge_into(spark, self.path, updates, self.on, when_matched,
                    when_not_matched, update_cols,
-                   strategy=self.strategy, validate=validate)
+                   strategy=self.strategy, validate=validate,
+                   partition_by=self.partition_by)

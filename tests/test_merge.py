@@ -170,3 +170,68 @@ def test_merge_tap_raises_on_crashed_state(spark, tmp_path):
     os.makedirs(d + ".compact.old")
     with pytest.raises(RuntimeError, match="crashed between renames"):
         MergeTap(d, on="k").to_df(spark)
+
+
+def test_merge_into_partition_pruned(spark, tmp_path):
+    """partition_by merge: result equals the whole-table merge, files
+    of untouched partitions are NOT rewritten, an emptied partition
+    disappears, and replaying the same batch is a no-op (value-
+    absolute semantics -> crash recovery by replay)."""
+    import glob
+
+    d = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(12)],
+        "k int, part int, v int")
+    merge_into(spark, d, base, ["k", "part"], partition_by="part")
+    untouched_before = sorted(glob.glob(f"{d}/part=2/*.parquet"))
+
+    # upsert touching only part 0 and 1
+    upd = spark.createDataFrame(
+        [(0, 0, 999), (97, 1, 555)], "k int, part int, v int")
+    merge_into(spark, d, upd, ["k", "part"], partition_by="part")
+
+    whole = merge_frames(base, upd, ["k", "part"])
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "part", "v").collect()))
+    want = sorted(map(tuple, whole.select("k", "part", "v").collect()))
+    assert got == want
+    assert sorted(glob.glob(f"{d}/part=2/*.parquet")) == untouched_before
+
+    # replay the same batch -> identical state (idempotent recovery)
+    merge_into(spark, d, upd, ["k", "part"], partition_by="part")
+    got2 = sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect()))
+    assert got2 == got
+
+    # delete every row of part=1 -> the partition dir disappears
+    tomb = spark.read.parquet(d).where(F.col("part") == 1) \
+        .select("k", "part", "v")
+    merge_into(spark, d, tomb, ["k", "part"], when_matched="delete",
+               when_not_matched="ignore", partition_by="part")
+    assert glob.glob(f"{d}/part=1") == []
+    assert spark.read.parquet(d).where(F.col("part") == 1).count() == 0
+
+
+def test_merge_into_partitioned_spec_errors(spark, tmp_path):
+    d = str(tmp_path / "ptbl")
+    df = spark.createDataFrame([(1, 1, 1)], "k int, part int, v int")
+    with pytest.raises(ValueError, match="must be part of the merge"):
+        merge_into(spark, d, df, ["k"], partition_by="part")
+    nulls = spark.createDataFrame([(1, None, 1)],
+                                  "k int, part int, v int")
+    merge_into(spark, d, df, ["k", "part"], partition_by="part")
+    with pytest.raises(ValueError, match="NULL partition values"):
+        merge_into(spark, d, nulls, ["k", "part"], partition_by="part")
+
+
+def test_merge_tap_partitioned(spark, tmp_path):
+    d = str(tmp_path / "ptbl")
+    tap = MergeTap(d, on=["k", "part"], partition_by="part")
+    tap.merge(spark, spark.createDataFrame(
+        [(1, 0, 1), (2, 1, 2)], "k int, part int, v int"))
+    tap.merge(spark, spark.createDataFrame(
+        [(2, 1, 99)], "k int, part int, v int"))
+    got = sorted(map(tuple, tap.to_df(spark)
+                     .select("k", "part", "v").collect()))
+    assert got == [(1, 0, 1), (2, 1, 99)]

@@ -836,3 +836,50 @@ def test_near_dedup_keep_central_matches_model(spark, docs):
         winner = min(comp, key=lambda i: (-round(rank[i], 12), i))
         losers |= comp - {winner}
     assert got == set(range(len(texts))) - losers
+
+
+_mk = st.one_of(st.integers(min_value=0, max_value=6), st.none())
+_mrows = st.lists(st.tuples(_mk, vals), min_size=0, max_size=10)
+_wm = st.sampled_from(["update", "delete", "ignore"])
+_wn = st.sampled_from(["insert", "ignore"])
+
+
+@given(tgt=_mrows, upd=_mrows, wm=_wm, wn=_wn,
+       strategy=st.sampled_from(["shuffle", "broadcast"]))
+@SET
+def test_merge_frames_matches_model(spark, tgt, upd, wm, wn, strategy):
+    """SQL-standard MERGE vs a dict model: plain-equality keys (NULL
+    never matches), update takes source values, delete removes,
+    unmatched source inserts — per when_matched x when_not_matched x
+    strategy.  Duplicate source keys deduped first (ANSI constraint the
+    engine validates separately)."""
+    from cascalog_spark.operators import merge_frames
+
+    # model requires unique source keys (like ANSI MERGE); keep first
+    seen, u = set(), []
+    for k, v in upd:
+        if k is None or k not in seen:
+            u.append((k, v))
+            if k is not None:
+                seen.add(k)
+    t_df = _df(spark, tgt, ["k", "v"])
+    u_df = _df(spark, u, ["k", "v"])
+    got = _multiset(merge_frames(t_df, u_df, "k", wm, wn,
+                                 strategy=strategy,
+                                 validate=False).collect())
+    src = {k: v for k, v in u if k is not None}
+    out = []
+    for k, v in tgt:
+        if k is not None and k in src:
+            if wm == "update":
+                out.append((k, src[k]))
+            elif wm == "ignore":
+                out.append((k, v))
+            # delete: drop
+        else:
+            out.append((k, v))
+    if wn == "insert":
+        matched_keys = {k for k, _ in tgt if k is not None and k in src}
+        out += [(k, v) for k, v in u
+                if k is None or k not in matched_keys]
+    assert got == _multiset(out)
