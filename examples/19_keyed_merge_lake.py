@@ -1,0 +1,91 @@
+"""Round-9 features end-to-end: the keyed MERGE/upsert lake table —
+whole-table crash-safe merge, the broadcast no-target-shuffle plan,
+partition-pruned merge for the 100 TB case, and the StateDir crash
+contract it shares with the streaming compactors.
+
+Run: python examples/19_keyed_merge_lake.py
+"""
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from cascalog_spark.operators import MergeTap, merge_frames, merge_into
+
+work = tempfile.mkdtemp(prefix="example19_")
+orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+    "o_orderkey", "o_orderstatus", "o_totalprice")
+
+# 1. A standing keyed table: bootstrap, upsert, keyed delete ---------------
+tbl = os.path.join(work, "orders_lake")
+tap = MergeTap(tbl, on="o_orderkey")
+merge_into(spark, tbl, orders.limit(1000), "o_orderkey")
+n0 = tap.to_df(spark).count()
+
+upd = (orders.limit(1200)
+       .withColumn("o_orderstatus", F.lit("M")))  # 1000 update + 200 insert
+tap.merge(spark, upd)
+n1 = tap.to_df(spark).count()
+assert n1 == 1200, n1
+print(f"1. upsert: {n0} rows -> {n1} (1000 updated in place, 200 inserted)")
+
+tomb = tap.to_df(spark).where(F.col("o_orderkey") % 2 == 0) \
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+tap.merge(spark, tomb, when_matched="delete", when_not_matched="ignore")
+print(f"   keyed delete: -> {tap.to_df(spark).count()} rows")
+
+# 2. The broadcast strategy never shuffles the target ----------------------
+m = merge_frames(orders, upd.limit(10), "o_orderkey",
+                 strategy="broadcast", validate=False)
+plan = m._jdf.queryExecution().executedPlan().toString()
+kept_half = plan.split("BroadcastHashJoin")[0]
+assert "Exchange" not in kept_half
+print("2. broadcast merge plan: BroadcastHashJoin, zero Exchange on the "
+      "table side (insert anti-join reads key columns only)")
+
+# 3. Partition-pruned merge: only touched partitions are rewritten ---------
+ptbl = os.path.join(work, "orders_by_bucket")
+base = orders.withColumn("part",
+                         (F.col("o_orderkey") % 4).cast("int"))
+merge_into(spark, ptbl, base, ["o_orderkey", "part"],
+           partition_by="part")
+before = sorted(glob.glob(f"{ptbl}/part=2/*.parquet"))
+hot = (base.where(F.col("part") == 1)
+       .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)))
+merge_into(spark, ptbl, hot, ["o_orderkey", "part"],
+           partition_by="part")
+after = sorted(glob.glob(f"{ptbl}/part=2/*.parquet"))
+assert before == after  # untouched partition's files never rewritten
+print("3. partition-pruned merge: only part=1 read + rewritten; "
+      "part=0/2/3 files untouched")
+
+# 4. Crash contract (StateDir): a wedged swap is loud, replay recovers -----
+import shutil
+
+from cascalog_spark.streaming import StateDir
+
+shutil.copytree(tbl, tbl + ".compact.old")
+shutil.rmtree(tbl)
+try:
+    tap.to_df(spark)
+    raise AssertionError("crashed state must not read as empty")
+except RuntimeError as e:
+    print(f"4. crashed swap is loud: {str(e)[:60]}...")
+StateDir(tbl, "merge_into").recover()
+print(f"   recover() restored {tap.to_df(spark).count()} rows")
+
+spark.stop()
+print("example 19 OK")
