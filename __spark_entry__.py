@@ -2554,6 +2554,47 @@ def orders_merge_partitioned(spark, sf_dir):
                     "o_totalprice"))
 
 
+
+def orders_cdc_apply(spark, sf_dir):
+    """CDC APPLY CHANGES (operators/merge.py apply_changes_into — the
+    Delta-style change-feed fold over the MERGE machinery): target =
+    orders keys %10<8; the change feed mixes per-key HISTORIES so
+    latest-wins sequencing is exercised — %10 in {5,6} carry a losing
+    seq=1 delete AND a winning seq=2 update (price doubled), %10==7
+    a seq=2 delete, %10==8 inserts shifted keys.  Folded crash-safely
+    into a standing table, read back.  Oracle: the closed-form final
+    state (winner per key is determined by the seq rule)."""
+    import tempfile
+
+    from cascalog_spark.operators import apply_changes_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"))
+    d = tempfile.mkdtemp(prefix="cascalog_cdc_") + "/orders"
+    base = (orders.where(F.col("k") % 10 < 8)
+            .withColumn("op", F.lit("I")).withColumn("seq", F.lit(0)))
+    apply_changes_into(spark, d, base, "k", seq_col="seq")
+    feed = (
+        orders.where(F.col("k") % 10 == 5)
+        .select("k", F.lit(None).cast("double").alias("v"),
+                F.lit("D").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            orders.where((F.col("k") % 10 == 5) | (F.col("k") % 10 == 6))
+            .select("k", F.round(F.col("v") * 2, 2).alias("v"),
+                    F.lit("U").alias("op"), F.lit(2).alias("seq")))
+        .unionByName(
+            orders.where(F.col("k") % 10 == 7)
+            .select("k", F.lit(None).cast("double").alias("v"),
+                    F.lit("D").alias("op"), F.lit(2).alias("seq")))
+        .unionByName(
+            orders.where(F.col("k") % 10 == 8)
+            .select((F.col("k") + 10000000).alias("k"), "v",
+                    F.lit("I").alias("op"), F.lit(1).alias("seq"))))
+    apply_changes_into(spark, d, feed, "k", seq_col="seq")
+    return spark.read.parquet(d).select("k", "v")
+
+
 def orders_merge_delete(spark, sf_dir):
     """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
     when_matched='delete', when_not_matched='ignore'): tombstones =
@@ -4164,6 +4205,7 @@ _R9_HEAD = [
     "orders_merge_upsert",
     "orders_merge_delete",
     "orders_merge_partitioned",
+    "orders_cdc_apply",
     "embedding_ivfpq_rerank",
     "embedding_drift",
 ]
@@ -4453,6 +4495,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": orders_merge_upsert,
         "orders_merge_delete": orders_merge_delete,
         "orders_merge_partitioned": orders_merge_partitioned,
+        "orders_cdc_apply": orders_cdc_apply,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6393,6 +6436,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.o_orderkey = s.o_orderkey
                                 AND t.part = s.part)""",
+        # CDC apply: closed-form final state (per-key winner is fixed
+        # by the seq rule: {5,6} updated, 7 deleted, 8 inserted shifted)
+        "orders_cdc_apply": """
+            WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v
+                       FROM orders WHERE o_orderkey % 10 < 8)
+            SELECT k, CASE WHEN k % 10 IN (5, 6)
+                           THEN round(v * 2, 2) ELSE v END AS v
+            FROM t WHERE k % 10 <> 7
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
+            FROM orders WHERE o_orderkey % 10 = 8""",
         # delete leg: matched target rows removed; tombstone keys are
         # unique order keys, so matched == the tombstone predicate
         "orders_merge_delete": """

@@ -343,3 +343,98 @@ class MergeTap:
                    when_not_matched, update_cols,
                    strategy=self.strategy, validate=validate,
                    partition_by=self.partition_by)
+
+
+def apply_changes(target: DataFrame, changes: DataFrame, on,
+                  op_col: str = "op", seq_col: Optional[str] = None,
+                  insert_ops: tuple = ("I", "U"),
+                  delete_ops: tuple = ("D",),
+                  strategy: str = "shuffle") -> DataFrame:
+    """CDC APPLY CHANGES: fold a change feed into the target — the
+    Delta-style ``APPLY CHANGES INTO`` companion of
+    :func:`merge_frames` (two chained merge passes: upserts over the
+    payload, then a keyed delete whose join carries key columns
+    only).
+
+    ``changes`` carries ``op_col`` (values in ``insert_ops`` upsert the
+    row's payload; values in ``delete_ops`` delete by key; anything
+    else raises) and optionally ``seq_col``: with it, only each key's
+    LATEST change applies (row_number over seq DESC, ties broken by
+    ``op_col`` DESC then arbitrary-but-deterministic — pass a total
+    (key, seq) order for full determinism); without it the feed must
+    be key-unique (enforced like merge's validate).
+
+    Semantics per key: latest change U/I → target row replaced (or
+    inserted when absent); latest change D → target row removed
+    (absent: no-op); keys without changes pass through.  One
+    full-outer shuffle join (``strategy='shuffle'``) or the
+    no-target-Exchange broadcast form (``'broadcast'`` — broadcast
+    left join + key-pruned anti join), same trade as merge_frames.
+
+    Value-absolute like MERGE, so replaying the same change batch is
+    idempotent — the crash-recovery contract of the ``*_into`` face.
+    """
+    from pyspark.sql import Window
+
+    on = [on] if isinstance(on, str) else list(on)
+    if op_col not in changes.columns:
+        raise ValueError(f"apply_changes: op_col {op_col!r} missing "
+                         f"from the change feed")
+    ok = tuple(insert_ops) + tuple(delete_ops)
+    bad = (changes.where(~F.col(op_col).isin(*ok)).limit(1).collect())
+    if bad:
+        raise ValueError(f"apply_changes: unknown op "
+                         f"{bad[0][op_col]!r} (insert_ops={insert_ops}"
+                         f", delete_ops={delete_ops})")
+    drop = [op_col] + ([seq_col] if seq_col else [])
+    if seq_col is not None:
+        w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc(),
+                                            F.col(op_col).desc())
+        changes = (changes.withColumn("__cn", F.row_number().over(w))
+                   .where(F.col("__cn") == 1).drop("__cn"))
+    else:
+        _unique_update_keys(changes, on)
+    upserts = changes.where(F.col(op_col).isin(*insert_ops)).drop(*drop)
+    deletes = changes.where(F.col(op_col).isin(*delete_ops)) \
+        .select(*on)
+    # two merge passes, both over the SAME winners frame: upsert then
+    # keyed delete — the delete side joins on keys only, so the second
+    # pass shuffles key columns, not payloads
+    step1 = merge_frames(target, upserts, on, "update", "insert",
+                         strategy=strategy, validate=False)
+    dl = deletes
+    for c in [c for c in target.columns if c not in on]:
+        dl = dl.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+    return merge_frames(step1, dl, on, "delete", "ignore",
+                        strategy=strategy, validate=False)
+
+
+def apply_changes_into(spark: SparkSession, target_dir: str,
+                       changes: DataFrame, on,
+                       op_col: str = "op",
+                       seq_col: Optional[str] = None,
+                       insert_ops: tuple = ("I", "U"),
+                       delete_ops: tuple = ("D",),
+                       strategy: str = "broadcast") -> None:
+    """Apply a CDC batch to the standing parquet table at
+    ``target_dir`` with the same crash-safe write-new-then-swap
+    contract as :func:`merge_into` (replay-idempotent: value-absolute
+    changes converge on re-run).  First batch bootstraps the table
+    from the feed's upserts."""
+    from ..streaming.ingest import StateDir
+
+    sd = StateDir(target_dir, "apply_changes_into")
+    sd.recover()
+    on_l = [on] if isinstance(on, str) else list(on)
+    if not os.path.isdir(target_dir):
+        empty = changes.where(F.col(op_col).isin(*insert_ops)) \
+            .drop(op_col, *([seq_col] if seq_col else [])).limit(0)
+        applied = apply_changes(empty, changes, on_l, op_col, seq_col,
+                                insert_ops, delete_ops,
+                                strategy="shuffle")
+        applied.write.mode("overwrite").parquet(target_dir)
+        return
+    target = spark.read.parquet(target_dir)
+    applied = apply_changes(target, changes, on_l, op_col, seq_col,
+                            insert_ops, delete_ops, strategy=strategy)
+    sd.swap(lambda tmp: applied.write.mode("overwrite").parquet(tmp))

@@ -235,3 +235,54 @@ def test_merge_tap_partitioned(spark, tmp_path):
     got = sorted(map(tuple, tap.to_df(spark)
                      .select("k", "part", "v").collect()))
     assert got == [(1, 0, 1), (2, 1, 99)]
+
+
+def test_apply_changes_semantics(spark):
+    """Latest-change-per-key wins (seq desc); U/I upsert, D deletes,
+    unknown ops raise; no-seq feeds must be key-unique."""
+    from cascalog_spark.operators import apply_changes
+
+    tgt = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                "k int, v int")
+    ch = spark.createDataFrame(
+        [(1, 100, "U", 1), (1, 111, "U", 2),   # latest wins -> 111
+         (2, None, "D", 1),                    # delete
+         (4, 40, "I", 1),                      # insert
+         (5, None, "D", 1),                    # delete absent: no-op
+         (3, 999, "U", 1), (3, None, "D", 2)], # updated then deleted
+        "k int, v int, op string, seq int")
+    for strat in ("shuffle", "broadcast"):
+        got = sorted(map(tuple, apply_changes(
+            tgt, ch, "k", seq_col="seq", strategy=strat).collect()))
+        assert got == [(1, 111), (4, 40)], strat
+
+    bad = spark.createDataFrame([(1, 1, "X", 1)],
+                                "k int, v int, op string, seq int")
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_changes(tgt, bad, "k", seq_col="seq")
+    dup = spark.createDataFrame([(1, 1, "U"), (1, 2, "U")],
+                                "k int, v int, op string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        apply_changes(tgt, dup, "k")
+
+
+def test_apply_changes_into_roundtrip_and_replay(spark, tmp_path):
+    """Bootstrap from the feed's upserts; folding a second batch is
+    crash-recoverable by REPLAY (idempotent re-run)."""
+    from cascalog_spark.operators import apply_changes_into
+
+    d = str(tmp_path / "cdc_tbl")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", 1), (2, 20, "I", 1), (2, None, "D", 0)],
+        "k int, v int, op string, seq int")
+    apply_changes_into(spark, d, b1, "k", seq_col="seq")
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert got == [(1, 10), (2, 20)]  # seq=1 I beats seq=0 D
+    b2 = spark.createDataFrame(
+        [(1, None, "D", 2), (3, 30, "U", 2)],
+        "k int, v int, op string, seq int")
+    apply_changes_into(spark, d, b2, "k", seq_col="seq")
+    once = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert once == [(2, 20), (3, 30)]
+    apply_changes_into(spark, d, b2, "k", seq_col="seq")  # replay
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == once
