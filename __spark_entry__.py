@@ -2595,6 +2595,58 @@ def orders_cdc_apply(spark, sf_dir):
     return spark.read.parquet(d).select("k", "v")
 
 
+
+def orders_stream_cdc(spark, sf_dir):
+    """CDC change STREAM folded into a standing keyed table
+    (streaming/ingest.py stream_cdc_apply -> apply_changes_into per
+    micro-batch): the bootstrap inserts replay as batch 0, then the
+    seq=1 changes (delete %10==5, insert shifted %10==8) and the seq=2
+    changes (update %10 in {5,6} — the 5s RE-INSERT after their
+    batch-1 delete — delete %10==7) as time-ordered batches.  Drained
+    standing table == the one-shot apply (same closed-form oracle as
+    orders_cdc_apply)."""
+    import tempfile
+
+    from cascalog_spark.streaming import stream_cdc_apply
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"))
+    b0 = (orders.where(F.col("k") % 10 < 8)
+          .withColumn("op", F.lit("I")).withColumn("seq", F.lit(0)))
+    b1 = (orders.where(F.col("k") % 10 == 5)
+          .select("k", F.lit(None).cast("double").alias("v"),
+                  F.lit("D").alias("op"), F.lit(1).alias("seq"))
+          .unionByName(
+              orders.where(F.col("k") % 10 == 8)
+              .select((F.col("k") + 10000000).alias("k"), "v",
+                      F.lit("I").alias("op"), F.lit(1).alias("seq"))))
+    b2 = (orders.where((F.col("k") % 10 == 5) | (F.col("k") % 10 == 6))
+          .select("k", F.round(F.col("v") * 2, 2).alias("v"),
+                  F.lit("U").alias("op"), F.lit(2).alias("seq"))
+          .unionByName(
+              orders.where(F.col("k") % 10 == 7)
+              .select("k", F.lit(None).cast("double").alias("v"),
+                      F.lit("D").alias("op"), F.lit(2).alias("seq"))))
+    src = stage_file_batches([b0, b1, b2])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    d = tempfile.mkdtemp(prefix="cascalog_scdc_") + "/orders"
+    name = "orders_stream_cdc"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_cdc_apply(raw, d, "k", seq_col="seq",
+                          checkpoint_dir=d + "_ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("orders_stream_cdc: bounded stream did not "
+                           "drain within 300s")
+    return spark.read.parquet(d).select("k", "v")
+
+
 def orders_merge_delete(spark, sf_dir):
     """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
     when_matched='delete', when_not_matched='ignore'): tombstones =
@@ -4206,6 +4258,7 @@ _R9_HEAD = [
     "orders_merge_delete",
     "orders_merge_partitioned",
     "orders_cdc_apply",
+    "orders_stream_cdc",
     "embedding_ivfpq_rerank",
     "embedding_drift",
 ]
@@ -4496,6 +4549,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_delete": orders_merge_delete,
         "orders_merge_partitioned": orders_merge_partitioned,
         "orders_cdc_apply": orders_cdc_apply,
+        "orders_stream_cdc": orders_stream_cdc,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6436,6 +6490,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.o_orderkey = s.o_orderkey
                                 AND t.part = s.part)""",
+        # streaming CDC: same closed-form final state (batch-ordered
+        # seq fold drains to the one-shot result)
+        "orders_stream_cdc": """
+            WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v
+                       FROM orders WHERE o_orderkey % 10 < 8)
+            SELECT k, CASE WHEN k % 10 IN (5, 6)
+                           THEN round(v * 2, 2) ELSE v END AS v
+            FROM t WHERE k % 10 <> 7
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
+            FROM orders WHERE o_orderkey % 10 = 8""",
         # CDC apply: closed-form final state (per-key winner is fixed
         # by the seq rule: {5,6} updated, 7 deleted, 8 inserted shifted)
         "orders_cdc_apply": """

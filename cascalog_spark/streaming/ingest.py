@@ -1105,3 +1105,40 @@ def stream_decayed_maintenance(stream_df: DataFrame, state_dir: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_cdc_apply(stream_df: DataFrame, target_dir: str, on,
+                     op_col: str = "op",
+                     seq_col: Optional[str] = None,
+                     insert_ops: tuple = ("I", "U"),
+                     delete_ops: tuple = ("D",),
+                     strategy: str = "broadcast",
+                     checkpoint_dir: Optional[str] = None,
+                     query_name: str = "cdc_apply"):
+    """Maintain a standing keyed parquet table from a CDC change
+    STREAM: each micro-batch folds through
+    ``operators.merge.apply_changes_into`` (latest-change-per-key by
+    ``seq_col``, U/I upsert + D keyed delete, crash-safe swap).
+
+    Retry contract: the swap is atomic per batch and the fold is
+    value-ABSOLUTE, so a retried batch re-applies idempotently whether
+    the crash landed before or after its swap — no ``before=`` guard
+    needed (unlike the snapshot-per-batch folds, there is exactly one
+    standing table, not a partition per batch).  Cross-batch
+    correctness needs per-key sequence numbers NON-DECREASING across
+    batches (the log case): under it the drained table equals the
+    one-shot :func:`operators.merge.apply_changes` over the whole feed
+    (pinned by test and the driver oracle)."""
+    from ..operators.merge import apply_changes_into
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        apply_changes_into(batch.sparkSession, target_dir, batch, on,
+                           op_col, seq_col, insert_ops, delete_ops,
+                           strategy=strategy)
+
+    writer = (stream_df.writeStream.foreachBatch(_step)
+              .queryName(query_name)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

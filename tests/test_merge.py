@@ -286,3 +286,43 @@ def test_apply_changes_into_roundtrip_and_replay(spark, tmp_path):
     assert once == [(2, 20), (3, 30)]
     apply_changes_into(spark, d, b2, "k", seq_col="seq")  # replay
     assert sorted(map(tuple, spark.read.parquet(d).collect())) == once
+
+
+def test_stream_cdc_apply_equals_one_shot(spark, tmp_path):
+    """Drained CDC stream (per-key seq non-decreasing across batches)
+    == one-shot apply_changes over the whole feed; includes a
+    delete-then-reinsert key crossing the batch boundary."""
+    from cascalog_spark.operators import apply_changes
+    from cascalog_spark.streaming import stream_cdc_apply
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    tgt0 = spark.createDataFrame(
+        [(k, k * 10, "I", 0) for k in range(6)],
+        "k int, v int, op string, seq int")
+    b1 = spark.createDataFrame(
+        [(1, None, "D", 1), (6, 60, "I", 1)],
+        "k int, v int, op string, seq int")
+    b2 = spark.createDataFrame(
+        [(1, 111, "U", 2),   # re-insert after the batch-1 delete
+         (2, None, "D", 2), (6, 66, "U", 2)],
+        "k int, v int, op string, seq int")
+    src = stage_file_batches([tgt0, b1, b2])
+    raw = (spark.readStream.schema(tgt0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    d = str(tmp_path / "cdc_stream_tbl")
+    qy = stream_cdc_apply(raw, d, "k", seq_col="seq",
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          query_name="test_cdc_apply")
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    empty = spark.createDataFrame([], "k int, v int")
+    want = sorted(map(tuple, apply_changes(
+        empty, tgt0.unionByName(b1).unionByName(b2), "k",
+        seq_col="seq").collect()))
+    assert got == want
+    assert (1, 111) in got and (6, 66) in got
+    assert not any(r[0] == 2 for r in got)
