@@ -1228,12 +1228,18 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
             f"'cid', {int(cid)})" for cid, cv in cents) + ")")
         max_np = max(int(x) for x in ivf_probes)
         probes = F.slice(F.array_sort(entries), 1, max_np)
+        # materialized probe frame (localCheckpoint, q·max_np rows —
+        # driver-sized): the centroid-entries expression is ~n_centroids
+        # x dim nodes and re-analyzes in every downstream consumer
+        # otherwise — the same plan-compile fixed cost the ivfpq branch
+        # cuts (values are the same expressions evaluated once)
         qcells = (explode_fast(
             qside.withColumn("__probes", probes),
             F.col("__probes"), "__pe", "__pos0")
             .select("__qid", "__qv", "__qnrm",
                     F.col("__pe")["cid"].alias("__cell"),
-                    (F.col("__pos0") + 1).alias("__rank")))
+                    (F.col("__pos0") + 1).alias("__rank"))
+            .localCheckpoint())
         joined = (idx.withColumn("__cell",
                                  ivf_assign_col("__v", cents))
                   .join(F.broadcast(qcells), on="__cell")
