@@ -2647,6 +2647,31 @@ def orders_stream_cdc(spark, sf_dir):
     return spark.read.parquet(d).select("k", "v")
 
 
+
+def orders_merge_evolve(spark, sf_dir):
+    """Schema-evolving MERGE (operators/merge.py merge_frames
+    evolve=True): the update batch carries a NEW column (status) the
+    standing table lacks — the output schema extends, pre-existing
+    rows backfill NULL, matched and inserted rows take the source
+    values.  Full tap path (swap rewrite — evolution is forbidden on
+    the partition-pruned path where untouched partitions would keep
+    the old schema).  Oracle: ANSI replay with a typed NULL else."""
+    import tempfile
+
+    from cascalog_spark.operators import merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"))
+    d = tempfile.mkdtemp(prefix="cascalog_emerge_") + "/orders"
+    merge_into(spark, d, orders.where(F.col("k") % 10 < 8), "k")
+    upd = (orders.where(F.col("k") % 10 >= 5)
+           .withColumn("v", F.round(F.col("v") * 2, 2))
+           .withColumn("status", F.lit("M")))
+    merge_into(spark, d, upd, "k", evolve=True)
+    return spark.read.parquet(d).select("k", "v", "status")
+
+
 def orders_merge_delete(spark, sf_dir):
     """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
     when_matched='delete', when_not_matched='ignore'): tombstones =
@@ -4259,6 +4284,7 @@ _R9_HEAD = [
     "orders_merge_partitioned",
     "orders_cdc_apply",
     "orders_stream_cdc",
+    "orders_merge_evolve",
     "embedding_ivfpq_rerank",
     "embedding_drift",
 ]
@@ -4550,6 +4576,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_partitioned": orders_merge_partitioned,
         "orders_cdc_apply": orders_cdc_apply,
         "orders_stream_cdc": orders_stream_cdc,
+        "orders_merge_evolve": orders_merge_evolve,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6490,6 +6517,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.o_orderkey = s.o_orderkey
                                 AND t.part = s.part)""",
+        # schema-evolving merge: new `status` column, NULL backfill
+        "orders_merge_evolve": """
+            WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v
+                       FROM orders WHERE o_orderkey % 10 < 8),
+            s AS (SELECT o_orderkey AS k,
+                         round(o_totalprice * 2, 2) AS v,
+                         'M' AS status
+                  FROM orders WHERE o_orderkey % 10 >= 5)
+            SELECT t.k,
+                   CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+                   CASE WHEN s.k IS NOT NULL THEN s.status
+                        ELSE CAST(NULL AS VARCHAR) END AS status
+            FROM t LEFT JOIN s ON t.k = s.k
+            UNION ALL
+            SELECT s.k, s.v, s.status FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)""",
         # streaming CDC: same closed-form final state (batch-ordered
         # seq fold drains to the one-shot result)
         "orders_stream_cdc": """

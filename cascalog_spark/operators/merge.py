@@ -93,7 +93,8 @@ def merge_frames(target: DataFrame, updates: DataFrame, on,
                  when_not_matched: str = "insert",
                  update_cols: Optional[list[str]] = None,
                  strategy: str = "shuffle",
-                 validate: bool = True) -> DataFrame:
+                 validate: bool = True,
+                 evolve: bool = False) -> DataFrame:
     """SQL-standard ``MERGE`` as a DataFrame transform.
 
     ``on`` — key column name(s); matching is PLAIN equality (NULL keys
@@ -119,8 +120,20 @@ def merge_frames(target: DataFrame, updates: DataFrame, on,
     ``validate=True`` errors on duplicate source keys (ANSI MERGE's
     "cannot update the same row twice"); one aggregate over the update
     batch.
+
+    ``evolve=True`` is opt-in SCHEMA EVOLUTION: update columns absent
+    from the target EXTEND the output schema (appended after the
+    target's columns, source dtypes); pre-existing target rows carry
+    NULL there, matched/inserted rows the source values.  Without it,
+    extra source columns are a loud error (the ANSI default).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if evolve:
+        udt = dict(updates.dtypes)
+        for c in updates.columns:
+            if c not in target.columns:
+                target = target.withColumn(
+                    c, F.lit(None).cast(udt[c]))
     update_cols = _merge_check(target, updates, on, when_matched,
                                when_not_matched, update_cols)
     if validate:
@@ -203,7 +216,8 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
                update_cols: Optional[list[str]] = None,
                strategy: str = "broadcast",
                validate: bool = True,
-               partition_by: Optional[str] = None) -> None:
+               partition_by: Optional[str] = None,
+               evolve: bool = False) -> None:
     """Apply :func:`merge_frames` to the standing parquet table at
     ``target_dir`` IN PLACE, crash-safely.
 
@@ -251,11 +265,18 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
         target = spark.read.parquet(target_dir)
         merged = merge_frames(target, updates, on, when_matched,
                               when_not_matched, update_cols,
-                              strategy=strategy, validate=validate)
+                              strategy=strategy, validate=validate,
+                              evolve=evolve)
         sd.swap(lambda tmp: merged.write.mode("overwrite").parquet(tmp))
         return
 
     on_l = [on] if isinstance(on, str) else list(on)
+    if evolve:
+        raise ValueError(
+            "merge_into: evolve=True needs a full rewrite (untouched "
+            "partitions would keep the old schema and a plain read "
+            "does not merge parquet schemas) — run once without "
+            "partition_by to evolve, then resume pruned merges")
     if partition_by not in on_l:
         raise ValueError(
             f"merge_into: partition_by {partition_by!r} must be part "
@@ -338,11 +359,11 @@ class MergeTap:
               when_matched: str = "update",
               when_not_matched: str = "insert",
               update_cols: Optional[list[str]] = None,
-              validate: bool = True) -> None:
+              validate: bool = True, evolve: bool = False) -> None:
         merge_into(spark, self.path, updates, self.on, when_matched,
                    when_not_matched, update_cols,
                    strategy=self.strategy, validate=validate,
-                   partition_by=self.partition_by)
+                   partition_by=self.partition_by, evolve=evolve)
 
 
 def apply_changes(target: DataFrame, changes: DataFrame, on,

@@ -326,3 +326,39 @@ def test_stream_cdc_apply_equals_one_shot(spark, tmp_path):
     assert got == want
     assert (1, 111) in got and (6, 66) in got
     assert not any(r[0] == 2 for r in got)
+
+
+def test_merge_evolve_schema(spark, tgt):
+    """evolve=True: new source columns extend the schema (NULL
+    backfill on untouched rows, source values on matched + inserted);
+    forbidden with partition_by (old partitions would keep the old
+    schema)."""
+    upd = spark.createDataFrame(
+        [(2, "B", 200, "hot"), (4, "D", 400, "new")],
+        "k int, s string, v int, tag string")
+    got = sorted(map(tuple, merge_frames(tgt, upd, "k",
+                                         evolve=True).collect()),
+                 key=lambda r: (r[0] is None, r))
+    assert got == [(1, "a", 10, None), (2, "B", 200, "hot"),
+                   (3, "c", 30, None), (4, "D", 400, "new"),
+                   (None, "n", 99, None)]
+    b = sorted(map(tuple, merge_frames(tgt, upd, "k", evolve=True,
+                                       strategy="broadcast").collect()),
+               key=lambda r: (r[0] is None, r))
+    assert b == got
+    with pytest.raises(ValueError, match="full rewrite"):
+        merge_into(spark, "/tmp/nope", upd, ["k"], evolve=True,
+                   partition_by="k")
+
+
+def test_merge_into_evolve_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "etbl")
+    merge_into(spark, d, spark.createDataFrame([(1, 10)], "k int, v int"),
+               "k")
+    merge_into(spark, d,
+               spark.createDataFrame([(1, 11, "x"), (2, 22, "y")],
+                                     "k int, v int, t string"),
+               "k", evolve=True)
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "v", "t").collect()))
+    assert got == [(1, 11, "x"), (2, 22, "y")]
