@@ -2672,6 +2672,28 @@ def orders_merge_evolve(spark, sf_dir):
     return spark.read.parquet(d).select("k", "v", "status")
 
 
+
+def orders_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY for a standing table (operators/merge.py
+    optimize_table): a fragmented 40-file orders table bin-packs to a
+    handful of files Z-order-clustered on (o_custkey, o_totalprice) —
+    per-file min/max stats then prune scans on BOTH columns.  Rows
+    must be bit-identical through the rewrite: the oracle is the
+    plain table, so any row lost/duplicated/mutated by the layout
+    pass fails the hash."""
+    import tempfile
+
+    from cascalog_spark.operators import optimize_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="cascalog_opt_") + "/orders"
+    orders.repartition(40).write.parquet(d)
+    optimize_table(spark, d, target_file_mb=64,
+                   zorder_by=["o_custkey", "o_totalprice"])
+    return spark.read.parquet(d)
+
+
 def orders_merge_delete(spark, sf_dir):
     """Keyed DELETE leg of MERGE (operators/merge.py merge_frames,
     when_matched='delete', when_not_matched='ignore'): tombstones =
@@ -4285,6 +4307,7 @@ _R9_HEAD = [
     "orders_cdc_apply",
     "orders_stream_cdc",
     "orders_merge_evolve",
+    "orders_optimize_zorder",
     "embedding_ivfpq_rerank",
     "embedding_drift",
 ]
@@ -4577,6 +4600,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": orders_cdc_apply,
         "orders_stream_cdc": orders_stream_cdc,
         "orders_merge_evolve": orders_merge_evolve,
+        "orders_optimize_zorder": orders_optimize_zorder,
         "lineitem_global_stats": lineitem_global_stats,
         "active_nation_keys": active_nation_keys,
         "orders_fixed_sample": orders_fixed_sample,
@@ -6517,6 +6541,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.o_orderkey = s.o_orderkey
                                 AND t.part = s.part)""",
+        # OPTIMIZE ZORDER: layout-only rewrite, rows bit-identical
+        "orders_optimize_zorder": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders""",
         # schema-evolving merge: new `status` column, NULL backfill
         "orders_merge_evolve": """
             WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v

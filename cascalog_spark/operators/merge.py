@@ -459,3 +459,60 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
     applied = apply_changes(target, changes, on_l, op_col, seq_col,
                             insert_ops, delete_ops, strategy=strategy)
     sd.swap(lambda tmp: applied.write.mode("overwrite").parquet(tmp))
+
+
+def optimize_table(spark: SparkSession, target_dir: str,
+                   target_file_mb: int = 128,
+                   zorder_by: Optional[list[str]] = None,
+                   zorder_bits: int = 16,
+                   min_files: int = 1) -> dict:
+    """Lakehouse ``OPTIMIZE [ZORDER BY]`` for a standing parquet table:
+    bin-pack the small files that incremental merges / dynamic
+    partition overwrites accumulate into ~``target_file_mb`` files,
+    optionally Z-order-clustered on ``zorder_by`` (Morton key →
+    repartitionByRange + sortWithinPartitions — per-file min/max stats
+    then prune scans on EVERY clustered column).
+
+    Same crash contract as :func:`merge_into` (StateDir swap: the
+    optimized copy is fully written to ``.compact.tmp`` first — a
+    crash at any point is recoverable and never mixes layouts).  Rows
+    are bit-identical, only layout changes (pinned by test).  Returns
+    ``{"files_before": n, "files_after": m, "bytes": b}``.
+
+    Run with the maintenance writer idle, like every compactor here.
+    At 100 TB this is the periodic maintenance job: merge cost is
+    O(batch) every batch, optimize cost O(table) but amortized over
+    however many merges accumulated between runs."""
+    import glob
+
+    from ..streaming.ingest import StateDir
+
+    sd = StateDir(target_dir, "optimize_table")
+    sd.recover()
+    if not os.path.isdir(target_dir):
+        raise FileNotFoundError(f"optimize_table: no table at "
+                                f"{target_dir}")
+    files = [f for f in glob.glob(os.path.join(target_dir, "**", "*"),
+                                  recursive=True)
+             if os.path.isfile(f) and not os.path.basename(f)
+             .startswith(("_", "."))]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, int(total // (target_file_mb << 20)) + 1)
+    df = spark.read.parquet(target_dir)
+    if zorder_by:
+        from ..functions.layout import zorder_key
+
+        key = zorder_key(df, list(zorder_by), bits=zorder_bits)
+        packed = (df.withColumn("__zkey", key)
+                  .repartitionByRange(n_out, F.col("__zkey"))
+                  .sortWithinPartitions("__zkey")
+                  .drop("__zkey"))
+    else:
+        packed = df.coalesce(n_out) if n_out < len(files) \
+            else df.repartition(n_out)
+    sd.swap(lambda tmp: packed.write.mode("overwrite").parquet(tmp))
+    after = len([f for f in glob.glob(os.path.join(target_dir, "*"))
+                 if os.path.isfile(f) and not os.path.basename(f)
+                 .startswith(("_", "."))])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": int(total)}

@@ -362,3 +362,47 @@ def test_merge_into_evolve_roundtrip(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(d)
                      .select("k", "v", "t").collect()))
     assert got == [(1, 11, "x"), (2, 22, "y")]
+
+
+def test_optimize_table_bin_pack_and_zorder(spark, tmp_path):
+    """OPTIMIZE: many small files fold to few, rows bit-identical;
+    ZORDER variant clusters both columns (per-file min/max spans
+    narrow on the second dimension too); crash contract shared with
+    merge_into."""
+    import glob
+
+    from cascalog_spark.operators import optimize_table
+
+    d = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id").cast("int").alias("x"),
+        (F.col("id") * 37 % 2000).cast("int").alias("y"))
+    df.repartition(40).write.parquet(d)  # 40 small files
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+    n0 = len(glob.glob(f"{d}/part-*.parquet"))
+    assert n0 >= 30
+
+    rep = optimize_table(spark, d, target_file_mb=512)
+    assert rep["files_before"] >= 30 and rep["files_after"] <= 2
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
+
+    # zorder: re-fragment, then optimize clustered on (x, y)
+    spark.read.parquet(d).repartition(40).write.mode("overwrite") \
+        .parquet(d)
+    rep = optimize_table(spark, d, target_file_mb=1, zorder_by=["x", "y"],
+                         min_files=4)
+    assert rep["files_after"] >= 4
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
+    # clustering check: per-file y-span must be far below the global
+    # span (unsorted files would each cover ~the full y range)
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{d}/part-*.parquet"):
+        t = pq.read_table(f, columns=["y"])
+        ys = t.column("y").to_pylist()
+        spans.append(max(ys) - min(ys))
+    assert sum(spans) / len(spans) < 1200  # global span is 1999
+
+    with pytest.raises(FileNotFoundError):
+        optimize_table(spark, str(tmp_path / "missing"))
