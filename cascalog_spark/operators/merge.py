@@ -492,6 +492,17 @@ def optimize_table(spark: SparkSession, target_dir: str,
     if not os.path.isdir(target_dir):
         raise FileNotFoundError(f"optimize_table: no table at "
                                 f"{target_dir}")
+    parts = [e for e in os.listdir(target_dir)
+             if "=" in e and os.path.isdir(os.path.join(target_dir, e))]
+    if parts:
+        # a flat rewrite of a hive-partitioned table would silently
+        # DROP the partition layout (the partition column becomes a
+        # plain column); each partition dir is itself a plain parquet
+        # table — optimize those
+        raise ValueError(
+            f"optimize_table: {target_dir} is hive-partitioned "
+            f"({parts[0]}, ...) — optimize per partition: "
+            f"optimize_table(spark, '{target_dir}/{parts[0]}', ...)")
     files = [f for f in glob.glob(os.path.join(target_dir, "**", "*"),
                                   recursive=True)
              if os.path.isfile(f) and not os.path.basename(f)

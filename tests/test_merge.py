@@ -406,3 +406,22 @@ def test_optimize_table_bin_pack_and_zorder(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         optimize_table(spark, str(tmp_path / "missing"))
+
+
+def test_optimize_table_partitioned_guard(spark, tmp_path):
+    """A flat rewrite would drop the hive layout — must raise and
+    point at per-partition optimization, which works as-is."""
+    from cascalog_spark.operators import optimize_table
+
+    d = str(tmp_path / "ptbl")
+    df = spark.createDataFrame([(k, k % 2, k) for k in range(100)],
+                               "k int, part int, v int")
+    df.repartition(10).write.partitionBy("part").parquet(d)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        optimize_table(spark, d)
+    before = sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
+                        .collect()))
+    rep = optimize_table(spark, f"{d}/part=0", target_file_mb=512)
+    assert rep["files_after"] <= 2
+    assert sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
+                      .collect())) == before
