@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # + compaction
     "doc_stream_dedup_ingest",
     "events_stream_rollup",
+    # r9: the keyed-merge tap path (bootstrap + broadcast upsert +
+    # crash-safe swap + read-back)
+    "orders_merge_upsert",
 ]
 
 
