@@ -87,5 +87,40 @@ except RuntimeError as e:
 StateDir(tbl, "merge_into").recover()
 print(f"   recover() restored {tap.to_df(spark).count()} rows")
 
+# 5. CDC: a change feed folds with latest-per-key-wins sequencing -----------
+from cascalog_spark.operators import apply_changes_into
+
+cdc = os.path.join(work, "cdc_tbl")
+feed1 = spark.createDataFrame(
+    [(1, 10.0, "I", 1), (2, 20.0, "I", 1)],
+    "k int, v double, op string, seq int")
+apply_changes_into(spark, cdc, feed1, "k", seq_col="seq")
+feed2 = spark.createDataFrame(
+    [(1, 99.0, "U", 2), (1, None, "D", 1),   # stale delete loses to U
+     (2, None, "D", 2), (3, 30.0, "I", 2)],
+    "k int, v double, op string, seq int")
+apply_changes_into(spark, cdc, feed2, "k", seq_col="seq")
+rows = sorted(map(tuple, spark.read.parquet(cdc).collect()))
+assert rows == [(1, 99.0), (3, 30.0)], rows
+print("5. CDC apply: stale delete lost to the later update, live delete "
+      "removed, insert landed ->", rows)
+
+# replay the same batch: value-absolute fold is idempotent (the crash
+# recovery story — rerun, don't reconcile)
+apply_changes_into(spark, cdc, feed2, "k", seq_col="seq")
+assert sorted(map(tuple, spark.read.parquet(cdc).collect())) == rows
+print("   replaying the batch is a no-op (crash recovery = rerun)")
+
+# 6. OPTIMIZE: bin-pack merge-accumulated small files, Z-order cluster ----
+from cascalog_spark.operators import optimize_table
+
+frag = os.path.join(work, "frag_tbl")
+orders.limit(4000).repartition(40).write.parquet(frag)
+rep = optimize_table(spark, frag, target_file_mb=64,
+                     zorder_by=["o_orderkey", "o_totalprice"])
+print(f"6. OPTIMIZE ZORDER: {rep['files_before']} files -> "
+      f"{rep['files_after']} (rows bit-identical, min/max prunable on "
+      f"both clustered columns)")
+
 spark.stop()
 print("example 19 OK")
