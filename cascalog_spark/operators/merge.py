@@ -277,19 +277,9 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
             "partitions would keep the old schema and a plain read "
             "does not merge parquet schemas) — run once without "
             "partition_by to evolve, then resume pruned merges")
-    if partition_by not in on_l:
-        raise ValueError(
-            f"merge_into: partition_by {partition_by!r} must be part "
-            f"of the merge key `on` — otherwise a key could match a "
-            f"row in an unread partition and the pruned merge would "
-            f"duplicate it")
     vals = [r[0] for r in
             updates.select(partition_by).distinct().collect()]
-    if any(v is None for v in vals):
-        raise ValueError("merge_into: NULL partition values in the "
-                         "update batch (NULL keys never match — the "
-                         "row could only land in the Hive default "
-                         "partition; partition on a non-NULL column)")
+    _pruned_check(on_l, partition_by, vals, "merge_into")
     if not vals:
         return
     if not os.path.isdir(target_dir):
@@ -302,18 +292,45 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     merged = merge_frames(sliced, updates, on_l, when_matched,
                           when_not_matched, update_cols,
                           strategy=strategy, validate=validate)
-    # rows whose partition vanished entirely (delete emptied it) leave
-    # no partition dir for dynamic overwrite to replace — detect and
-    # remove those dirs explicitly after the write
-    merged = merged.localCheckpoint()  # batch-partitions-sized
+    _write_pruned(spark, target_dir, partition_by, vals, merged)
+
+
+def _pruned_check(on_l: list[str], partition_by: str,
+                  vals: list, who: str) -> None:
+    if partition_by not in on_l:
+        raise ValueError(
+            f"{who}: partition_by {partition_by!r} must be part of "
+            f"the merge key `on` — otherwise a key could match a row "
+            f"in an unread partition and the pruned fold would "
+            f"duplicate it")
+    if any(v is None for v in vals):
+        raise ValueError(f"{who}: NULL partition values in the batch "
+                         f"(NULL keys never match — the row could "
+                         f"only land in the Hive default partition; "
+                         f"partition on a non-NULL column)")
+
+
+def _write_pruned(spark: SparkSession, target_dir: str,
+                  partition_by: str, vals: list,
+                  frame: DataFrame) -> None:
+    """Dynamic-partition-overwrite write of the folded touched
+    partitions + removal of partitions the fold emptied (a fully-
+    deleted partition leaves no rows for dynamic overwrite to replace,
+    so its stale dir must go explicitly).
+
+    The localCheckpoint is touched-PARTITIONS-sized — the same rows
+    the write must materialize anyway (it exists so the survivors
+    probe does not run the merge plan a second time); executor-local
+    disk, bounded by the batch's partitions, never the table."""
+    frame = frame.localCheckpoint()
     survived = {r[0] for r in
-                merged.select(partition_by).distinct().collect()}
+                frame.select(partition_by).distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                    "dynamic")
     try:
-        (merged.write.mode("overwrite").partitionBy(partition_by)
+        (frame.write.mode("overwrite").partitionBy(partition_by)
          .parquet(target_dir))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
@@ -436,24 +453,49 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                        seq_col: Optional[str] = None,
                        insert_ops: tuple = ("I", "U"),
                        delete_ops: tuple = ("D",),
-                       strategy: str = "broadcast") -> None:
+                       strategy: str = "broadcast",
+                       partition_by: Optional[str] = None) -> None:
     """Apply a CDC batch to the standing parquet table at
     ``target_dir`` with the same crash-safe write-new-then-swap
     contract as :func:`merge_into` (replay-idempotent: value-absolute
     changes converge on re-run).  First batch bootstraps the table
-    from the feed's upserts."""
+    from the feed's upserts.
+
+    ``partition_by=`` is the pruned path, same contract as
+    :func:`merge_into`: the partition column must ride in ``on``,
+    only the feed's partitions are read and rewritten (dynamic
+    overwrite; emptied partitions removed), crash recovery by replay
+    instead of the atomic swap."""
     from ..streaming.ingest import StateDir
 
     sd = StateDir(target_dir, "apply_changes_into")
     sd.recover()
     on_l = [on] if isinstance(on, str) else list(on)
+    drop = [op_col] + ([seq_col] if seq_col else [])
     if not os.path.isdir(target_dir):
         empty = changes.where(F.col(op_col).isin(*insert_ops)) \
-            .drop(op_col, *([seq_col] if seq_col else [])).limit(0)
+            .drop(*drop).limit(0)
         applied = apply_changes(empty, changes, on_l, op_col, seq_col,
                                 insert_ops, delete_ops,
                                 strategy="shuffle")
-        applied.write.mode("overwrite").parquet(target_dir)
+        w = applied.write.mode("overwrite")
+        if partition_by is not None:
+            _pruned_check(on_l, partition_by, [], "apply_changes_into")
+            w = w.partitionBy(partition_by)
+        w.parquet(target_dir)
+        return
+    if partition_by is not None:
+        vals = [r[0] for r in
+                changes.select(partition_by).distinct().collect()]
+        _pruned_check(on_l, partition_by, vals, "apply_changes_into")
+        if not vals:
+            return
+        target = spark.read.parquet(target_dir)
+        sliced = target.where(F.col(partition_by).isin(vals))
+        applied = apply_changes(sliced, changes, on_l, op_col, seq_col,
+                                insert_ops, delete_ops,
+                                strategy=strategy)
+        _write_pruned(spark, target_dir, partition_by, vals, applied)
         return
     target = spark.read.parquet(target_dir)
     applied = apply_changes(target, changes, on_l, op_col, seq_col,

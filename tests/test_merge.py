@@ -425,3 +425,48 @@ def test_optimize_table_partitioned_guard(spark, tmp_path):
     assert rep["files_after"] <= 2
     assert sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
                       .collect())) == before
+
+
+def test_apply_changes_into_partition_pruned(spark, tmp_path):
+    """Pruned CDC: only the feed's partitions are read/rewritten;
+    result equals the unpruned fold; emptied partitions disappear;
+    replay idempotent."""
+    import glob
+
+    from cascalog_spark.operators import apply_changes, apply_changes_into
+
+    d = str(tmp_path / "cdc_ptbl")
+    boot = spark.createDataFrame(
+        [(k, k % 3, k * 10, "I", 0) for k in range(12)],
+        "k int, part int, v int, op string, seq int")
+    apply_changes_into(spark, d, boot, ["k", "part"], seq_col="seq",
+                       partition_by="part")
+    untouched = sorted(glob.glob(f"{d}/part=2/*.parquet"))
+
+    feed = spark.createDataFrame(
+        [(0, 0, 999, "U", 1), (97, 1, 555, "I", 1),
+         (1, 1, None, "D", 1), (4, 1, None, "D", 1),
+         (7, 1, None, "D", 1), (10, 1, None, "D", 1)],  # empties part=1? no: 97 inserted
+        "k int, part int, v int, op string, seq int")
+    apply_changes_into(spark, d, feed, ["k", "part"], seq_col="seq",
+                       partition_by="part")
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "part", "v").collect()))
+    whole = apply_changes(
+        spark.createDataFrame([(k, k % 3, k * 10) for k in range(12)],
+                              "k int, part int, v int"),
+        feed, ["k", "part"], seq_col="seq")
+    want = sorted(map(tuple, whole.select("k", "part", "v").collect()))
+    assert got == want
+    assert sorted(glob.glob(f"{d}/part=2/*.parquet")) == untouched
+    # replay
+    apply_changes_into(spark, d, feed, ["k", "part"], seq_col="seq",
+                       partition_by="part")
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == got
+    # now empty part=1 entirely (delete its remaining key 97)
+    kill = spark.createDataFrame([(97, 1, None, "D", 2)],
+                                 "k int, part int, v int, op string, seq int")
+    apply_changes_into(spark, d, kill, ["k", "part"], seq_col="seq",
+                       partition_by="part")
+    assert glob.glob(f"{d}/part=1") == []
