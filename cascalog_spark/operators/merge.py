@@ -372,6 +372,37 @@ class MergeTap:
                 f"first batch before reading")
         return spark.read.parquet(self.path)
 
+    def load_rows(self) -> tuple[list, list]:
+        """``(field names, row tuples)`` WITHOUT Spark — the in-memory
+        platform's tap reader (same contract as ParquetTap.load_rows:
+        pyarrow read, Python natives, None for NULLs), so a MergeTap
+        works as a generator on the local platform too.  Crashed swap
+        state raises the same loud error as the Spark reader."""
+        import glob as _glob
+
+        from ..streaming.ingest import _raise_if_crashed
+
+        if not os.path.isdir(self.path):
+            _raise_if_crashed(self.path, "merge_into")
+            raise FileNotFoundError(
+                f"MergeTap: no standing table at {self.path}")
+        import pyarrow.parquet as _pq
+
+        files = sorted(
+            _glob.glob(os.path.join(self.path, "**", "*.parquet"),
+                       recursive=True)
+            or _glob.glob(os.path.join(self.path, "**", "part-*"),
+                          recursive=True))
+        if not files:
+            raise FileNotFoundError(
+                f"MergeTap: no parquet files under {self.path}")
+        tbl = _pq.ParquetDataset(self.path).read()
+        pdf = tbl.to_pandas()
+        pdf = pdf.astype(object).where(pdf.notnull(), None)
+        return ([str(c) for c in pdf.columns],
+                [tuple(r) for r in pdf.itertuples(index=False,
+                                                  name=None)])
+
     def merge(self, spark: SparkSession, updates: DataFrame,
               when_matched: str = "update",
               when_not_matched: str = "insert",

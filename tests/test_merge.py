@@ -470,3 +470,24 @@ def test_apply_changes_into_partition_pruned(spark, tmp_path):
     apply_changes_into(spark, d, kill, ["k", "part"], seq_col="seq",
                        partition_by="part")
     assert glob.glob(f"{d}/part=1") == []
+
+
+def test_merge_tap_local_rows(spark, tmp_path):
+    """MergeTap works as a generator on the LOCAL platform: load_rows
+    reads the standing table Spark-free (pyarrow), and a q over it
+    runs via run_local."""
+    from cascalog_spark import q, run_local
+
+    d = str(tmp_path / "tbl")
+    tap = MergeTap(d, on="k")
+    merge_into(spark, d, spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k int, v int"), "k")
+    fields, rows = tap.load_rows()
+    assert fields == ["k", "v"]
+    assert sorted(rows) == [(1, 10), (2, None), (3, 30)]
+    got = sorted(run_local(q(["?k", "?v"], (tap, "?k", "?v"))))
+    assert got == [(1, 10), (3, 30)]  # ?v drops the NULL row
+    # crashed state is loud locally too
+    os.rename(d, d + ".compact.old")
+    with pytest.raises(RuntimeError, match="crashed between renames"):
+        tap.load_rows()
