@@ -511,7 +511,13 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                                 strategy="shuffle")
         w = applied.write.mode("overwrite")
         if partition_by is not None:
-            _pruned_check(on_l, partition_by, [], "apply_changes_into")
+            # check the BOOTSTRAP batch's values too — a NULL would
+            # silently land in the Hive default partition and then be
+            # unreachable by every later pruned merge
+            vals = [r[0] for r in
+                    changes.select(partition_by).distinct().collect()]
+            _pruned_check(on_l, partition_by, vals,
+                          "apply_changes_into")
             w = w.partitionBy(partition_by)
         w.parquet(target_dir)
         return

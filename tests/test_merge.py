@@ -491,3 +491,16 @@ def test_merge_tap_local_rows(spark, tmp_path):
     os.rename(d, d + ".compact.old")
     with pytest.raises(RuntimeError, match="crashed between renames"):
         tap.load_rows()
+
+
+def test_apply_changes_into_bootstrap_null_partition_rejected(
+        spark, tmp_path):
+    from cascalog_spark.operators import apply_changes_into
+
+    d = str(tmp_path / "cdc_ptbl")
+    feed = spark.createDataFrame(
+        [(1, None, 10, "I", 1)],
+        "k int, part int, v int, op string, seq int")
+    with pytest.raises(ValueError, match="NULL partition values"):
+        apply_changes_into(spark, d, feed, ["k", "part"],
+                           seq_col="seq", partition_by="part")
