@@ -84,8 +84,12 @@ def _unique_update_keys(updates: DataFrame, on: list[str]) -> None:
     if dup:
         key = {k: dup[0][k] for k in on}
         raise ValueError(f"merge: update batch has duplicate key {key} "
-                         f"— dedupe first (e.g. latest_by) or pass "
-                         f"validate=False to accept an arbitrary winner")
+                         f"— dedupe first (e.g. latest_by / "
+                         f"apply_changes with seq_col).  validate="
+                         f"False only SKIPS this check: duplicate "
+                         f"source keys then fan out the join and "
+                         f"MULTIPLY matched output rows, they do not "
+                         f"pick a winner")
 
 
 def merge_frames(target: DataFrame, updates: DataFrame, on,
@@ -217,7 +221,8 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
                strategy: str = "broadcast",
                validate: bool = True,
                partition_by: Optional[str] = None,
-               evolve: bool = False) -> None:
+               evolve: bool = False,
+               file_prune: bool = False) -> Optional[dict]:
     """Apply :func:`merge_frames` to the standing parquet table at
     ``target_dir`` IN PLACE, crash-safely.
 
@@ -252,31 +257,56 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     values, re-inserting an inserted row is a same-value update,
     re-deleting deletes nothing), so recovery is REPLAY: re-run the
     same batch and the table converges to the same state (pinned by
-    test).  A partition whose every row is deleted is removed."""
+    test).  A partition whose every row is deleted is removed.
+
+    ``file_prune=True`` (flat tables) is FILE-level data skipping:
+    target files whose footer min/max range on ``on[0]`` cannot
+    contain any batch key are never read and are hard-linked into the
+    swapped-in table byte-identical; only the touched files' rows are
+    merged.  Returns ``{"files_total", "files_touched",
+    "files_linked"}`` for that path (``None`` otherwise).  Best after
+    an :func:`optimize_table` ZORDER on the key — clustered files
+    have narrow key ranges, so a small batch touches few files."""
     from ..streaming.ingest import StateDir
 
     sd = StateDir(target_dir, "merge_into")
     sd.recover()
+    on_l = [on] if isinstance(on, str) else list(on)
     if partition_by is None:
         if not os.path.isdir(target_dir):
             if when_not_matched == "insert":
+                # the bootstrap batch BECOMES the table — a duplicate
+                # key here would violate the key-unique invariant every
+                # later merge (and the ANSI dup check) assumes
+                if validate:
+                    _unique_update_keys(updates, on_l)
                 updates.write.mode("overwrite").parquet(target_dir)
             return
         target = spark.read.parquet(target_dir)
-        merged = merge_frames(target, updates, on, when_matched,
+        if file_prune:
+            return _merge_file_pruned(
+                spark, sd, target_dir, target, updates, on_l,
+                when_matched, when_not_matched, update_cols, strategy,
+                validate, evolve)
+        merged = merge_frames(target, updates, on_l, when_matched,
                               when_not_matched, update_cols,
                               strategy=strategy, validate=validate,
                               evolve=evolve)
         sd.swap(lambda tmp: merged.write.mode("overwrite").parquet(tmp))
         return
 
-    on_l = [on] if isinstance(on, str) else list(on)
     if evolve:
         raise ValueError(
             "merge_into: evolve=True needs a full rewrite (untouched "
             "partitions would keep the old schema and a plain read "
             "does not merge parquet schemas) — run once without "
             "partition_by to evolve, then resume pruned merges")
+    if file_prune:
+        raise ValueError(
+            "merge_into: file_prune=True is the FLAT-table path (its "
+            "link-through swap conflicts with dynamic partition "
+            "overwrite); with partition_by= the merge is already "
+            "pruned to the batch's partitions")
     vals = [r[0] for r in
             updates.select(partition_by).distinct().collect()]
     _pruned_check(on_l, partition_by, vals, "merge_into")
@@ -284,6 +314,8 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
         return
     if not os.path.isdir(target_dir):
         if when_not_matched == "insert":
+            if validate:
+                _unique_update_keys(updates, on_l)
             (updates.write.mode("overwrite")
              .partitionBy(partition_by).parquet(target_dir))
         return
@@ -293,6 +325,117 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
                           when_not_matched, update_cols,
                           strategy=strategy, validate=validate)
     _write_pruned(spark, target_dir, partition_by, vals, merged)
+
+
+def _file_key_ranges(target_dir: str, key: str):
+    """Per-file [min, max] of ``key`` from the parquet FOOTERS (no data
+    read): ``(ranged, statless)`` where ranged is ``[(path, mn, mx)]``
+    and statless files (missing/NULL stats — e.g. an all-NULL key
+    chunk) are conservatively treated as touched by the caller.
+    Parquet writers truncate long string stats CONSERVATIVELY (min
+    rounded down, max rounded up per the spec), so a range test stays
+    a safe over-approximation for string keys too."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    ranged, statless = [], []
+    for f in sorted(_glob.glob(os.path.join(target_dir, "*"))):
+        base = os.path.basename(f)
+        if not os.path.isfile(f) or base.startswith(("_", ".")):
+            continue
+        try:
+            md = _pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(key)
+            mn = mx = None
+            ok = idx >= 0 and md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if (st is None or not st.has_min_max
+                        or st.min is None or st.max is None):
+                    ok = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if ok:
+                ranged.append((f, mn, mx))
+            else:
+                statless.append(f)
+        except Exception:
+            statless.append(f)
+    return ranged, statless
+
+
+def _merge_file_pruned(spark: SparkSession, sd, target_dir: str,
+                       target: DataFrame, updates: DataFrame,
+                       on_l: list[str], when_matched: str,
+                       when_not_matched: str,
+                       update_cols: Optional[list[str]],
+                       strategy: str, validate: bool,
+                       evolve: bool) -> dict:
+    """FILE-level pruned merge for a flat standing table (the standard
+    lakehouse data-skipping shape): the batch's keys are range-tested
+    against each target file's footer min/max on the FIRST merge key —
+    files whose key range cannot contain any batch key are never read
+    and survive the swap byte-identical (hard-linked into the new
+    table dir); only the touched files' rows flow through
+    :func:`merge_frames`.
+
+    Correct because a source key outside a file's [min, max] cannot
+    match any of its rows (equality on ``on`` includes ``on[0]``), so
+    skipped files have no matched rows — and a batch key touching NO
+    file is genuinely absent from the target, i.e. a plain insert.
+    The decision join is one broadcast range join of the batch's keys
+    against the O(files) range list; at 100 TB the win is reading the
+    few files the batch hits instead of the table."""
+    if evolve:
+        raise ValueError(
+            "merge_into: file_prune=True cannot evolve the schema — "
+            "linked-through files would keep the old schema; run once "
+            "with file_prune=False to evolve, then resume pruned "
+            "merges")
+    k0 = on_l[0]
+    ranged, statless = _file_key_ranges(target_dir, k0)
+    touched = list(statless)
+    if ranged:
+        ktype = dict(target.dtypes)[k0]
+        ranges_df = spark.createDataFrame(
+            [(i, mn, mx) for i, (_, mn, mx) in enumerate(ranged)],
+            f"__i int, __mn {ktype}, __mx {ktype}")
+        hit = (updates.select(F.col(k0).alias("__k"))
+               .join(F.broadcast(ranges_df),
+                     (F.col("__k") >= F.col("__mn"))
+                     & (F.col("__k") <= F.col("__mx")))
+               .select("__i").distinct().collect())
+        touched += [ranged[r["__i"]][0] for r in hit]
+    tset = set(touched)
+    untouched = [f for f, _, _ in ranged if f not in tset]
+    if touched:
+        touched_df = spark.read.parquet(*sorted(touched))
+    else:
+        touched_df = target.limit(0)
+    merged = merge_frames(touched_df, updates, on_l, when_matched,
+                          when_not_matched, update_cols,
+                          strategy=strategy, validate=validate)
+
+    import shutil
+
+    def _write(tmp: str) -> None:
+        merged.write.mode("overwrite").parquet(tmp)
+        for f in untouched:
+            dst = os.path.join(tmp, os.path.basename(f))
+            if os.path.exists(dst):  # UUID collision: rename, keep
+                dst = os.path.join(
+                    tmp, "linked-" + os.path.basename(f))
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+
+    sd.swap(_write)
+    return {"files_total": len(ranged) + len(statless),
+            "files_touched": len(touched),
+            "files_linked": len(untouched)}
 
 
 def _pruned_check(on_l: list[str], partition_by: str,
@@ -335,11 +478,48 @@ def _write_pruned(spark: SparkSession, target_dir: str,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        prev)
-    import shutil
+    doomed = set(vals) - survived
+    if doomed:
+        _remove_partition_dirs(spark, target_dir, partition_by,
+                               sorted(doomed, key=repr))
 
-    for v in set(vals) - survived:
-        shutil.rmtree(os.path.join(target_dir, f"{partition_by}={v}"),
-                      ignore_errors=True)
+
+def _remove_partition_dirs(spark: SparkSession, target_dir: str,
+                           partition_by: str, doomed: list) -> None:
+    """Remove the hive partition dirs holding the ``doomed`` values.
+
+    The dir NAME cannot be derived as ``f"{col}={value}"`` — Spark
+    hive-escapes it (boolean True -> ``part=true``, spaces/colons/
+    slashes %-encoded), so a str()-built path silently misses and the
+    stale partition's rows would reappear on every read.  Instead the
+    dirs are resolved from the ACTUAL file paths Spark associates with
+    the doomed values (partition-pruned, zero-payload-column scan of
+    only the stale partitions), so removal is exact by construction;
+    a doomed value with no files is a partition that never existed
+    (e.g. a delete feed for a brand-new partition value) — a no-op."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    files = (spark.read.parquet(target_dir)
+             .where(F.col(partition_by).isin(list(doomed)))
+             .select(F.input_file_name().alias("__f"))
+             .distinct().collect())
+    root = os.path.realpath(target_dir)
+    dirs = set()
+    for r in files:
+        p = os.path.realpath(unquote(urlparse(r["__f"]).path))
+        rel = os.path.relpath(p, root)
+        head = rel.split(os.sep, 1)[0]
+        if rel.startswith("..") or not head.startswith(
+                f"{partition_by}="):
+            raise RuntimeError(
+                f"_remove_partition_dirs: file {p!r} of a doomed "
+                f"partition does not sit under a "
+                f"{partition_by}=... dir of {root!r} — refusing to "
+                f"remove anything")
+        dirs.add(head)
+    for d in sorted(dirs):
+        shutil.rmtree(os.path.join(root, d))
 
 
 class MergeTap:
@@ -418,7 +598,8 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
                   op_col: str = "op", seq_col: Optional[str] = None,
                   insert_ops: tuple = ("I", "U"),
                   delete_ops: tuple = ("D",),
-                  strategy: str = "shuffle") -> DataFrame:
+                  strategy: str = "shuffle",
+                  validate: bool = True) -> DataFrame:
     """CDC APPLY CHANGES: fold a change feed into the target — the
     Delta-style ``APPLY CHANGES INTO`` companion of
     :func:`merge_frames` (two chained merge passes: upserts over the
@@ -427,7 +608,8 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
 
     ``changes`` carries ``op_col`` (values in ``insert_ops`` upsert the
     row's payload; values in ``delete_ops`` delete by key; anything
-    else raises) and optionally ``seq_col``: with it, only each key's
+    else — including NULL — raises) and optionally ``seq_col``: with
+    it, only each key's
     LATEST change applies (row_number over seq DESC, ties broken by
     ``op_col`` DESC then arbitrary-but-deterministic — pass a total
     (key, seq) order for full determinism); without it the feed must
@@ -442,6 +624,13 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
 
     Value-absolute like MERGE, so replaying the same change batch is
     idempotent — the crash-recovery contract of the ``*_into`` face.
+
+    ``validate`` — the unknown-op guard is FREE (folded into the op
+    column via ``raise_error``: zero extra driver actions, the error
+    surfaces lazily when the fold's first action evaluates a bad op).
+    Only the no-``seq_col`` key-uniqueness check costs an extra
+    aggregate probe; ``validate=False`` skips both for producers that
+    guarantee clean feeds (the streaming hot path).
     """
     from pyspark.sql import Window
 
@@ -450,18 +639,33 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
         raise ValueError(f"apply_changes: op_col {op_col!r} missing "
                          f"from the change feed")
     ok = tuple(insert_ops) + tuple(delete_ops)
-    bad = (changes.where(~F.col(op_col).isin(*ok)).limit(1).collect())
-    if bad:
-        raise ValueError(f"apply_changes: unknown op "
-                         f"{bad[0][op_col]!r} (insert_ops={insert_ops}"
-                         f", delete_ops={delete_ops})")
+    if validate:
+        # the unknown-op guard rides INSIDE the op column itself (an
+        # op outside insert_ops+delete_ops — including NULL, which
+        # isin() would silently drop — hits raise_error executor-side
+        # the moment any downstream expression reads the op), so it
+        # costs ZERO extra driver actions: streaming CDC folds pay the
+        # check for free in the winners job.  The error is LAZY — it
+        # surfaces when the fold's first action runs.
+        msg = F.concat(
+            F.lit("apply_changes: unknown op "),
+            F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            F.lit(f" (insert_ops={insert_ops}, "
+                  f"delete_ops={delete_ops})"))
+        checked = (F.when(F.col(op_col).isin(*ok), F.col(op_col))
+                   .otherwise(F.raise_error(msg)
+                              .cast(dict(changes.dtypes)[op_col])))
+        changes = changes.withColumn(op_col, checked)
     drop = [op_col] + ([seq_col] if seq_col else [])
     if seq_col is not None:
         w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc(),
                                             F.col(op_col).desc())
         changes = (changes.withColumn("__cn", F.row_number().over(w))
                    .where(F.col("__cn") == 1).drop("__cn"))
-    else:
+    elif validate:
+        # the ONE remaining validation action: without seq_col the
+        # feed must be key-unique (an aggregate probe over the batch);
+        # pass validate=False when the producer guarantees it
         _unique_update_keys(changes, on)
     upserts = changes.where(F.col(op_col).isin(*insert_ops)).drop(*drop)
     deletes = changes.where(F.col(op_col).isin(*delete_ops)) \
@@ -485,7 +689,8 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                        insert_ops: tuple = ("I", "U"),
                        delete_ops: tuple = ("D",),
                        strategy: str = "broadcast",
-                       partition_by: Optional[str] = None) -> None:
+                       partition_by: Optional[str] = None,
+                       validate: bool = True) -> None:
     """Apply a CDC batch to the standing parquet table at
     ``target_dir`` with the same crash-safe write-new-then-swap
     contract as :func:`merge_into` (replay-idempotent: value-absolute
@@ -508,7 +713,7 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
             .drop(*drop).limit(0)
         applied = apply_changes(empty, changes, on_l, op_col, seq_col,
                                 insert_ops, delete_ops,
-                                strategy="shuffle")
+                                strategy="shuffle", validate=validate)
         w = applied.write.mode("overwrite")
         if partition_by is not None:
             # check the BOOTSTRAP batch's values too — a NULL would
@@ -531,12 +736,13 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
         sliced = target.where(F.col(partition_by).isin(vals))
         applied = apply_changes(sliced, changes, on_l, op_col, seq_col,
                                 insert_ops, delete_ops,
-                                strategy=strategy)
+                                strategy=strategy, validate=validate)
         _write_pruned(spark, target_dir, partition_by, vals, applied)
         return
     target = spark.read.parquet(target_dir)
     applied = apply_changes(target, changes, on_l, op_col, seq_col,
-                            insert_ops, delete_ops, strategy=strategy)
+                            insert_ops, delete_ops, strategy=strategy,
+                            validate=validate)
     sd.swap(lambda tmp: applied.write.mode("overwrite").parquet(tmp))
 
 
@@ -544,7 +750,8 @@ def optimize_table(spark: SparkSession, target_dir: str,
                    target_file_mb: int = 128,
                    zorder_by: Optional[list[str]] = None,
                    zorder_bits: int = 16,
-                   min_files: int = 1) -> dict:
+                   min_files: int = 1,
+                   skip_below_files: int = 0) -> dict:
     """Lakehouse ``OPTIMIZE [ZORDER BY]`` for a standing parquet table:
     bin-pack the small files that incremental merges / dynamic
     partition overwrites accumulate into ~``target_file_mb`` files,
@@ -557,6 +764,12 @@ def optimize_table(spark: SparkSession, target_dir: str,
     crash at any point is recoverable and never mixes layouts).  Rows
     are bit-identical, only layout changes (pinned by test).  Returns
     ``{"files_before": n, "files_after": m, "bytes": b}``.
+
+    A hive-partitioned root is auto-iterated: every partition dir is
+    optimized under its OWN swap (crash leaves each partition fully
+    optimized or untouched), ``skip_below_files`` skips partitions
+    already holding fewer data files than that, and the returned dict
+    adds ``partitions`` / ``partitions_skipped``.
 
     Run with the maintenance writer idle, like every compactor here.
     At 100 TB this is the periodic maintenance job: merge cost is
@@ -571,17 +784,42 @@ def optimize_table(spark: SparkSession, target_dir: str,
     if not os.path.isdir(target_dir):
         raise FileNotFoundError(f"optimize_table: no table at "
                                 f"{target_dir}")
-    parts = [e for e in os.listdir(target_dir)
-             if "=" in e and os.path.isdir(os.path.join(target_dir, e))]
+    parts = sorted(e for e in os.listdir(target_dir)
+                   if "=" in e
+                   and os.path.isdir(os.path.join(target_dir, e)))
     if parts:
         # a flat rewrite of a hive-partitioned table would silently
         # DROP the partition layout (the partition column becomes a
-        # plain column); each partition dir is itself a plain parquet
-        # table — optimize those
-        raise ValueError(
-            f"optimize_table: {target_dir} is hive-partitioned "
-            f"({parts[0]}, ...) — optimize per partition: "
-            f"optimize_table(spark, '{target_dir}/{parts[0]}', ...)")
+        # plain column) — so a partitioned root auto-iterates: each
+        # partition dir is a plain parquet table, optimized under its
+        # OWN StateDir swap (a crash mid-sweep leaves every partition
+        # either fully optimized or untouched, never mixed), and
+        # `skip_below_files` skips partitions that are already
+        # compact.  The partition column itself cannot be a zorder
+        # key (it is the dir name, not a column of the per-dir files)
+        pcol = parts[0].split("=", 1)[0]
+        if zorder_by and pcol in zorder_by:
+            raise ValueError(
+                f"optimize_table: zorder_by contains the partition "
+                f"column {pcol!r} — the hive layout already clusters "
+                f"on it; zorder on the remaining columns")
+        tot = {"files_before": 0, "files_after": 0, "bytes": 0,
+               "partitions": 0, "partitions_skipped": 0}
+        for p in parts:
+            pdir = os.path.join(target_dir, p)
+            n_data = len([f for f in glob.glob(os.path.join(pdir, "*"))
+                          if os.path.isfile(f) and not
+                          os.path.basename(f).startswith(("_", "."))])
+            if n_data < skip_below_files:
+                tot["partitions_skipped"] += 1
+                continue
+            rep = optimize_table(spark, pdir, target_file_mb,
+                                 zorder_by, zorder_bits, min_files)
+            tot["files_before"] += rep["files_before"]
+            tot["files_after"] += rep["files_after"]
+            tot["bytes"] += rep["bytes"]
+            tot["partitions"] += 1
+        return tot
     files = [f for f in glob.glob(os.path.join(target_dir, "**", "*"),
                                   recursive=True)
              if os.path.isfile(f) and not os.path.basename(f)

@@ -1114,7 +1114,9 @@ def stream_cdc_apply(stream_df: DataFrame, target_dir: str, on,
                      delete_ops: tuple = ("D",),
                      strategy: str = "broadcast",
                      checkpoint_dir: Optional[str] = None,
-                     query_name: str = "cdc_apply"):
+                     query_name: str = "cdc_apply",
+                     partition_by: Optional[str] = None,
+                     validate: bool = True):
     """Maintain a standing keyed parquet table from a CDC change
     STREAM: each micro-batch folds through
     ``operators.merge.apply_changes_into`` (latest-change-per-key by
@@ -1128,13 +1130,28 @@ def stream_cdc_apply(stream_df: DataFrame, target_dir: str, on,
     correctness needs per-key sequence numbers NON-DECREASING across
     batches (the log case): under it the drained table equals the
     one-shot :func:`operators.merge.apply_changes` over the whole feed
-    (pinned by test and the driver oracle)."""
+    (pinned by test and the driver oracle).
+
+    ``partition_by=`` is the 100 TB lever, same contract as
+    ``merge_into``: the standing table is hive-partitioned on that
+    column (which must ride in ``on``) and each micro-batch reads and
+    rewrites ONLY the partitions its changes touch — per-batch cost is
+    O(touched partitions), not O(table).  Without it every batch
+    rewrites the whole table through the swap, which is fine for a
+    compact dimension table and a scale-killer for a large fact table.
+    Crash recovery is by REPLAY (value-absolute fold + per-partition
+    dynamic overwrite), matching Structured Streaming's batch retry.
+
+    ``validate=False`` skips the no-seq key-uniqueness probe (the
+    unknown-op guard is free either way — folded into the batch job,
+    zero extra driver actions per micro-batch)."""
     from ..operators.merge import apply_changes_into
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         apply_changes_into(batch.sparkSession, target_dir, batch, on,
                            op_col, seq_col, insert_ops, delete_ops,
-                           strategy=strategy)
+                           strategy=strategy, partition_by=partition_by,
+                           validate=validate)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)

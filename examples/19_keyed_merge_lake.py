@@ -32,15 +32,21 @@ orders = spark.read.parquet(f"{SF}/orders.parquet").select(
 # 1. A standing keyed table: bootstrap, upsert, keyed delete ---------------
 tbl = os.path.join(work, "orders_lake")
 tap = MergeTap(tbl, on="o_orderkey")
-merge_into(spark, tbl, orders.limit(1000), "o_orderkey")
+# deterministic key-predicate subsets (limit() without an ordering is
+# not a stable row set): base keys are a strict subset of update keys,
+# so every base row updates and the remainder inserts
+merge_into(spark, tbl, orders.where(F.col("o_orderkey") % 4 == 0),
+           "o_orderkey")
 n0 = tap.to_df(spark).count()
 
-upd = (orders.limit(1200)
-       .withColumn("o_orderstatus", F.lit("M")))  # 1000 update + 200 insert
+upd = (orders.where(F.col("o_orderkey") % 4 <= 1)
+       .withColumn("o_orderstatus", F.lit("M")))
+nu = upd.count()
 tap.merge(spark, upd)
 n1 = tap.to_df(spark).count()
-assert n1 == 1200, n1
-print(f"1. upsert: {n0} rows -> {n1} (1000 updated in place, 200 inserted)")
+assert n1 == nu, (n1, nu)
+print(f"1. upsert: {n0} rows -> {n1} ({n0} updated in place, "
+      f"{n1 - n0} inserted)")
 
 tomb = tap.to_df(spark).where(F.col("o_orderkey") % 2 == 0) \
     .select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -76,7 +76,9 @@ def test_merge_duplicate_update_keys_rejected(spark, tgt):
                                 "k int, s string, v int")
     with pytest.raises(ValueError, match="duplicate key"):
         merge_frames(tgt, dup, "k").collect()
-    # validate=False lets an arbitrary winner through (count pinned)
+    # validate=False SKIPS the check; duplicate source keys then fan
+    # out the join and multiply the matched row (documented contract —
+    # not an arbitrary winner)
     got = merge_frames(tgt, dup, "k", validate=False)
     assert got.where(F.col("k") == 2).count() == 2
 
@@ -256,10 +258,23 @@ def test_apply_changes_semantics(spark):
             tgt, ch, "k", seq_col="seq", strategy=strat).collect()))
         assert got == [(1, 111), (4, 40)], strat
 
+    # the unknown-op guard is folded into the fold's own job (zero
+    # extra driver actions) -> it raises LAZILY, at action time, from
+    # raise_error; NULL ops hit the same guard (isin would otherwise
+    # silently drop them)
     bad = spark.createDataFrame([(1, 1, "X", 1)],
                                 "k int, v int, op string, seq int")
-    with pytest.raises(ValueError, match="unknown op"):
-        apply_changes(tgt, bad, "k", seq_col="seq")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changes(tgt, bad, "k", seq_col="seq").collect()
+    nul = spark.createDataFrame([(1, 1, None, 1)],
+                                "k int, v int, op string, seq int")
+    with pytest.raises(Exception, match="unknown op NULL"):
+        apply_changes(tgt, nul, "k", seq_col="seq").collect()
+    # validate=False: the caller owns the contract; bad/NULL ops are
+    # then dropped by the isin splits instead of raising
+    got = sorted(map(tuple, apply_changes(
+        tgt, bad, "k", seq_col="seq", validate=False).collect()))
+    assert got == sorted(map(tuple, tgt.collect()))
     dup = spark.createDataFrame([(1, 1, "U"), (1, 2, "U")],
                                 "k int, v int, op string")
     with pytest.raises(ValueError, match="duplicate key"):
@@ -408,23 +423,56 @@ def test_optimize_table_bin_pack_and_zorder(spark, tmp_path):
         optimize_table(spark, str(tmp_path / "missing"))
 
 
-def test_optimize_table_partitioned_guard(spark, tmp_path):
-    """A flat rewrite would drop the hive layout — must raise and
-    point at per-partition optimization, which works as-is."""
+def test_optimize_table_partitioned_auto_iterates(spark, tmp_path):
+    """A hive-partitioned root auto-iterates its partition dirs (a
+    flat rewrite would drop the layout): each partition bin-packs
+    under its own swap, rows + layout survive bit-identical,
+    skip_below_files leaves compact partitions alone, and the
+    partition column is rejected as a zorder key."""
+    import glob
+
     from cascalog_spark.operators import optimize_table
 
     d = str(tmp_path / "ptbl")
     df = spark.createDataFrame([(k, k % 2, k) for k in range(100)],
                                "k int, part int, v int")
     df.repartition(10).write.partitionBy("part").parquet(d)
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        optimize_table(spark, d)
-    before = sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
-                        .collect()))
+    before = sorted(map(tuple, spark.read.parquet(d)
+                        .select("k", "part", "v").collect()))
+    assert len(glob.glob(f"{d}/part=0/*.parquet")) >= 5
+
+    rep = optimize_table(spark, d, target_file_mb=512)
+    assert rep["partitions"] == 2 and rep["partitions_skipped"] == 0
+    assert rep["files_after"] <= 2 * 2
+    assert len(glob.glob(f"{d}/part=0/*.parquet")) <= 2
+    assert sorted(glob.glob(f"{d}/part=*")) == \
+        [f"{d}/part=0", f"{d}/part=1"]  # layout preserved
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == before
+
+    # second sweep with skip_below_files: both partitions are already
+    # compact -> skipped, files untouched
+    files0 = sorted(glob.glob(f"{d}/part=0/*.parquet"))
+    rep = optimize_table(spark, d, target_file_mb=512,
+                         skip_below_files=3)
+    assert rep["partitions"] == 0 and rep["partitions_skipped"] == 2
+    assert sorted(glob.glob(f"{d}/part=0/*.parquet")) == files0
+
+    with pytest.raises(ValueError, match="partition column"):
+        optimize_table(spark, d, zorder_by=["part", "k"])
+    # zorder on a non-partition column works per partition
+    rep = optimize_table(spark, d, target_file_mb=512,
+                         zorder_by=["k"])
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == before
+
+    # a bare partition dir still optimizes as a flat table
+    before0 = sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
+                         .collect()))
     rep = optimize_table(spark, f"{d}/part=0", target_file_mb=512)
     assert rep["files_after"] <= 2
     assert sorted(map(tuple, spark.read.parquet(f"{d}/part=0")
-                      .collect())) == before
+                      .collect())) == before0
 
 
 def test_apply_changes_into_partition_pruned(spark, tmp_path):
@@ -504,3 +552,242 @@ def test_apply_changes_into_bootstrap_null_partition_rejected(
     with pytest.raises(ValueError, match="NULL partition values"):
         apply_changes_into(spark, d, feed, ["k", "part"],
                            seq_col="seq", partition_by="part")
+
+
+def test_write_pruned_escaped_partition_values(spark, tmp_path):
+    """Emptied-partition removal must survive hive-ESCAPED dir names:
+    Spark writes `part=true` for boolean True and %-encodes specials
+    (spaces/colons) — a str()-built path would silently miss the dir
+    and the deleted partition's stale rows would reappear on read.
+    The remover resolves dirs from actual file paths, so both cases
+    vanish for real."""
+    import glob
+
+    # string partition values with spaces and colons
+    d = str(tmp_path / "esc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a b", 10), (2, "a b", 20), (3, "x:y", 30), (4, "ok", 40)],
+        "k int, part string, v int")
+    merge_into(spark, d, base, ["k", "part"], partition_by="part")
+    # the colon IS hive-escaped: no literal 'part=x:y' dir exists
+    assert not os.path.isdir(os.path.join(d, "part=x:y"))
+    tomb = spark.createDataFrame(
+        [(1, "a b", 0), (2, "a b", 0), (3, "x:y", 0)],
+        "k int, part string, v int")
+    merge_into(spark, d, tomb, ["k", "part"], when_matched="delete",
+               when_not_matched="ignore", partition_by="part")
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "part", "v").collect()))
+    assert got == [(4, "ok", 40)]
+    # both emptied dirs are really gone, whatever their escaping
+    assert glob.glob(f"{d}/part=*") == [f"{d}/part=ok"]
+    # re-read after a fresh scan: no stale resurrection
+    assert spark.read.parquet(d).where(F.col("part") != "ok") \
+        .count() == 0
+
+    # boolean partition: dir is part=true, not part=True
+    b = str(tmp_path / "bool_tbl")
+    bbase = spark.createDataFrame(
+        [(1, True, 10), (2, True, 20), (3, False, 30)],
+        "k int, part boolean, v int")
+    merge_into(spark, b, bbase, ["k", "part"], partition_by="part")
+    btomb = spark.createDataFrame([(1, True, 0), (2, True, 0)],
+                                  "k int, part boolean, v int")
+    merge_into(spark, b, btomb, ["k", "part"], when_matched="delete",
+               when_not_matched="ignore", partition_by="part")
+    assert glob.glob(f"{b}/part=true") == []
+    got = sorted(map(tuple, spark.read.parquet(b)
+                     .select("k", "part", "v").collect()))
+    # partition-type inference reads boolean dirs back as strings
+    assert got == [(3, "false", 30)]
+
+    # deleting a partition value the target never had is a no-op
+    ghost = spark.createDataFrame([(9, "ghost", 0)],
+                                  "k int, part string, v int")
+    merge_into(spark, d, ghost, ["k", "part"], when_matched="delete",
+               when_not_matched="ignore", partition_by="part")
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == \
+        [(4, "ok", 40)]
+
+
+def test_merge_into_bootstrap_duplicate_keys_rejected(spark, tmp_path):
+    """The first batch BECOMES the table — a duplicate key there would
+    silently break the key-unique invariant every later merge assumes;
+    validate=True must catch it on both bootstrap paths."""
+    dup = spark.createDataFrame([(1, 0, 10), (1, 0, 11)],
+                                "k int, part int, v int")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_into(spark, str(tmp_path / "flat"), dup, "k")
+    assert not os.path.isdir(str(tmp_path / "flat"))
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_into(spark, str(tmp_path / "part"), dup, ["k", "part"]
+                   [:1] + ["part"], partition_by="part")
+    assert not os.path.isdir(str(tmp_path / "part"))
+    # validate=False keeps the old behavior (caller owns the contract)
+    merge_into(spark, str(tmp_path / "flat"), dup, "k", validate=False)
+    assert spark.read.parquet(str(tmp_path / "flat")).count() == 2
+
+
+def test_merge_into_file_pruned(spark, tmp_path):
+    """file_prune=True: files whose key range cannot hold any batch
+    key are never read and survive the swap BYTE-identical (hard-
+    linked); result equals the full merge; inserts land even when no
+    file is touched by their key."""
+    import glob
+    import hashlib
+
+    d = str(tmp_path / "ftbl")
+    # four files with disjoint key ranges [0..9] [10..19] [20..29] [30..39]
+    for lo in (0, 10, 20, 30):
+        spark.createDataFrame([(k, k * 10) for k in range(lo, lo + 10)],
+                              "k int, v int") \
+            .coalesce(1).write.mode("append").parquet(d)
+    files0 = sorted(glob.glob(f"{d}/part-*.parquet"))
+    assert len(files0) == 4
+    base = spark.read.parquet(d)
+
+    def _md5s(paths):
+        return {os.path.basename(p): hashlib.md5(
+            open(p, "rb").read()).hexdigest() for p in paths}
+
+    before = _md5s(files0)
+    # batch hits range [10..19] (update k=15, delete k=12) and inserts
+    # k=100 (touches NO file)
+    upd = spark.createDataFrame([(15, 999), (100, 1)], "k int, v int")
+    base_rows = sorted(map(tuple, base.collect()))
+    rep = merge_into(spark, d, upd, "k", file_prune=True)
+    assert rep == {"files_total": 4, "files_touched": 1,
+                   "files_linked": 3}
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    want = sorted(map(tuple, merge_frames(
+        spark.createDataFrame(base_rows, "k int, v int"),
+        upd, "k").collect()))
+    assert got == want and (15, 999) in got and (100, 1) in got
+    after = _md5s(glob.glob(f"{d}/part-*.parquet"))
+    # the three untouched files' bytes survive under their own names
+    surviving = set(before) & set(after)
+    assert len(surviving) == 3
+    assert all(before[n] == after[n] for n in surviving)
+
+    # keyed delete through the pruned path
+    rep = merge_into(spark, d, spark.createDataFrame(
+        [(35, 0)], "k int, v int"), "k", when_matched="delete",
+        when_not_matched="ignore", file_prune=True)
+    assert rep["files_touched"] >= 1
+    assert spark.read.parquet(d).where(F.col("k") == 35).count() == 0
+
+    # spec errors: no file_prune with partition_by or evolve
+    with pytest.raises(ValueError, match="FLAT-table"):
+        merge_into(spark, d, upd.withColumn("part", F.lit(1)),
+                   ["k", "part"], partition_by="part", file_prune=True)
+    with pytest.raises(ValueError, match="evolve"):
+        merge_into(spark, d, upd.withColumn("nc", F.lit(1)), "k",
+                   evolve=True, file_prune=True)
+
+
+def test_stream_cdc_apply_partitioned(spark, tmp_path):
+    """Streaming CDC with partition_by: drained table == one-shot
+    apply_changes over the whole feed, AND a micro-batch that touches
+    one partition never rewrites the others' files — per-batch cost is
+    O(touched partitions), not O(table)."""
+    import glob
+
+    from cascalog_spark.operators import apply_changes
+    from cascalog_spark.streaming import stream_cdc_apply
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    sch = "k int, part int, v int, op string, seq int"
+    boot = spark.createDataFrame(
+        [(k, k % 3, k * 10, "I", 0) for k in range(12)], sch)
+    b1 = spark.createDataFrame(
+        [(0, 0, 999, "U", 1), (97, 1, 555, "I", 1)], sch)
+    d = str(tmp_path / "scdc_ptbl")
+
+    src = stage_file_batches([boot])
+    raw = (spark.readStream.schema(boot.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    qy = stream_cdc_apply(raw, d, ["k", "part"], seq_col="seq",
+                          partition_by="part",
+                          checkpoint_dir=str(tmp_path / "ck1"),
+                          query_name="t_cdc_p1")
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    untouched = sorted(glob.glob(f"{d}/part=2/*.parquet"))
+    assert untouched  # hive layout in place
+
+    # second stream run feeds a batch touching parts 0 and 1 only
+    src2 = stage_file_batches([b1])
+    raw2 = (spark.readStream.schema(boot.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "batch*.parquet").parquet(src2))
+    qy = stream_cdc_apply(raw2, d, ["k", "part"], seq_col="seq",
+                          partition_by="part",
+                          checkpoint_dir=str(tmp_path / "ck2"),
+                          query_name="t_cdc_p2")
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    assert sorted(glob.glob(f"{d}/part=2/*.parquet")) == untouched
+
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "part", "v").collect()))
+    empty = spark.createDataFrame([], "k int, part int, v int")
+    want = sorted(map(tuple, apply_changes(
+        empty, boot.unionByName(b1), ["k", "part"], seq_col="seq")
+        .select("k", "part", "v").collect()))
+    assert got == want and (97, 1, 555) in got and (0, 0, 999) in got
+
+    # crash-recovery = REPLAY: re-processing the same batch from a
+    # fresh checkpoint (a retried/duplicated delivery) is idempotent
+    raw3 = (spark.readStream.schema(boot.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "batch*.parquet").parquet(src2))
+    qy = stream_cdc_apply(raw3, d, ["k", "part"], seq_col="seq",
+                          partition_by="part",
+                          checkpoint_dir=str(tmp_path / "ck3"),
+                          query_name="t_cdc_p3")
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == got
+
+
+def test_apply_changes_into_zero_extra_validation_jobs(spark, tmp_path):
+    """With seq_col, validate=True must cost ZERO extra Spark jobs
+    over validate=False (the unknown-op guard rides inside the fold's
+    own job via raise_error) — the per-micro-batch driver-action cost
+    of streaming CDC validation."""
+    from cascalog_spark.operators import apply_changes_into
+
+    sch = "k int, v int, op string, seq int"
+    boot = spark.createDataFrame(
+        [(k, k * 10, "I", 0) for k in range(8)], sch)
+    feed = spark.createDataFrame(
+        [(1, 111, "U", 1), (2, None, "D", 1)], sch)
+
+    def _jobs(tag, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("idle", "idle")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    d1 = str(tmp_path / "t1")
+    apply_changes_into(spark, d1, boot, "k", seq_col="seq")
+    n_val = _jobs("cdc_val", lambda: apply_changes_into(
+        spark, d1, feed, "k", seq_col="seq"))
+
+    d2 = str(tmp_path / "t2")
+    apply_changes_into(spark, d2, boot, "k", seq_col="seq")
+    n_noval = _jobs("cdc_noval", lambda: apply_changes_into(
+        spark, d2, feed, "k", seq_col="seq", validate=False))
+    assert n_val == n_noval, (n_val, n_noval)
