@@ -2648,6 +2648,121 @@ def orders_stream_cdc(spark, sf_dir):
 
 
 
+def orders_stream_cdc_pruned(spark, sf_dir):
+    """PARTITION-PRUNED streaming CDC (streaming/ingest.py
+    stream_cdc_apply partition_by= — round 10 closes the one scale gap
+    the r9 verdict flagged): the standing table is hive-partitioned on
+    part = k % 4, which rides in the CDC key, so each micro-batch
+    reads and rewrites ONLY the partitions its changes touch (the same
+    pruned apply_changes_into path the batch face uses) instead of
+    swapping the whole table — O(touched partitions)/batch, not
+    O(table)/batch.  Same three-batch feed as orders_stream_cdc;
+    drained table == the one-shot closed form, plus part."""
+    import tempfile
+
+    from cascalog_spark.streaming import stream_cdc_apply
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("int").alias("part"),
+        F.col("o_totalprice").alias("v"))
+    b0 = (orders.where(F.col("k") % 10 < 8)
+          .withColumn("op", F.lit("I")).withColumn("seq", F.lit(0)))
+    b1 = (orders.where(F.col("k") % 10 == 5)
+          .select("k", "part", F.lit(None).cast("double").alias("v"),
+                  F.lit("D").alias("op"), F.lit(1).alias("seq"))
+          .unionByName(
+              orders.where(F.col("k") % 10 == 8)
+              .select((F.col("k") + 10000000).alias("k"), "part", "v",
+                      F.lit("I").alias("op"), F.lit(1).alias("seq"))))
+    b2 = (orders.where((F.col("k") % 10 == 5) | (F.col("k") % 10 == 6))
+          .select("k", "part", F.round(F.col("v") * 2, 2).alias("v"),
+                  F.lit("U").alias("op"), F.lit(2).alias("seq"))
+          .unionByName(
+              orders.where(F.col("k") % 10 == 7)
+              .select("k", "part",
+                      F.lit(None).cast("double").alias("v"),
+                      F.lit("D").alias("op"), F.lit(2).alias("seq"))))
+    src = stage_file_batches([b0, b1, b2])
+    raw = (spark.readStream.schema(b0.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    d = tempfile.mkdtemp(prefix="cascalog_pscdc_") + "/orders"
+    name = "orders_stream_cdc_pruned"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    sq = stream_cdc_apply(raw, d, ["k", "part"], seq_col="seq",
+                          partition_by="part",
+                          checkpoint_dir=d + "_ckpt", query_name=name)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("orders_stream_cdc_pruned: bounded stream "
+                           "did not drain within 300s")
+    return (spark.read.parquet(d)
+            .select("k", F.col("part").cast("int").alias("part"), "v"))
+
+
+def orders_merge_file_pruned(spark, sf_dir):
+    """FILE-level pruned keyed merge (operators/merge.py merge_into
+    file_prune=True — lakehouse data skipping): the standing table is
+    OPTIMIZE-ZORDERed on o_orderkey into several files with narrow
+    key ranges, then a key-LOCAL update batch (the table's first
+    1000-key window, %10 >= 5 updated/%10 in {8,9} inserted) merges
+    touching only the files whose footer min/max can hold its keys —
+    every other file hard-links through the swap byte-identical.  The
+    in-query assertion fails loudly if nothing was pruned.  Oracle:
+    the ANSI MERGE replay with the same key-window predicate."""
+    import tempfile
+
+    from cascalog_spark.operators import merge_into, optimize_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="cascalog_fmerge_") + "/orders"
+    orders.where(F.col("o_orderkey") % 10 < 8).write.parquet(d)
+    optimize_table(spark, d, target_file_mb=1,
+                   zorder_by=["o_orderkey"], min_files=8)
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    upd = (orders.where((F.col("o_orderkey") % 10 >= 5)
+                        & (F.col("o_orderkey") <= lo + 999))
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 2, 2))
+           .withColumn("o_orderstatus", F.lit("M")))
+    rep = merge_into(spark, d, upd, "o_orderkey", file_prune=True)
+    if rep["files_linked"] < 1:
+        raise AssertionError(f"file pruning skipped nothing: {rep}")
+    return spark.read.parquet(d).select("o_orderkey", "o_orderstatus",
+                                        "o_totalprice")
+
+
+def orders_optimize_partitioned(spark, sf_dir):
+    """OPTIMIZE over a hive-partitioned root (round 10: the root
+    auto-iterates its partition dirs — each bin-packs + Z-orders on
+    o_totalprice under its OWN swap — instead of raising as in r9).
+    The hive layout survives and rows are bit-identical through the
+    rewrite (plain-table oracle hash)."""
+    import tempfile
+
+    from cascalog_spark.operators import optimize_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).cast("int").alias("part"),
+        "o_totalprice")
+    d = tempfile.mkdtemp(prefix="cascalog_popt_") + "/orders"
+    orders.repartition(10).write.partitionBy("part").parquet(d)
+    rep = optimize_table(spark, d, target_file_mb=64,
+                         zorder_by=["o_totalprice"])
+    if rep["partitions"] != 4:
+        raise AssertionError(f"expected 4 optimized partitions: {rep}")
+    return (spark.read.parquet(d)
+            .select("o_orderkey",
+                    F.col("part").cast("int").alias("part"),
+                    "o_totalprice"))
+
+
 def orders_merge_evolve(spark, sf_dir):
     """Schema-evolving MERGE (operators/merge.py merge_frames
     evolve=True): the update batch carries a NEW column (status) the
@@ -4296,6 +4411,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (similarity/pq family) or the graph changes (weighted degree, PPR
 # in-universe renormalization, near_dedup central persist).  The
 # long-green tier follows in _all_queries() order.
+_R10_HEAD = [
+    # r10: the pruned lake-maintenance tier — partition-pruned
+    # streaming CDC (the r9 scale-gap close), file-level merge
+    # skipping, and the auto-iterated partitioned OPTIMIZE
+    "orders_stream_cdc_pruned",
+    "orders_merge_file_pruned",
+    "orders_optimize_partitioned",
+]
+
 _R9_HEAD = [
     # r9: the keyed MERGE/upsert contract pair (new capability — the
     # full MergeTap swap path and the pure-frame delete leg) plus the
@@ -4382,7 +4506,7 @@ _R7_HEAD = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     seen, order = set(), []
-    for n in _R9_HEAD + _R8_HEAD + _R7_HEAD:
+    for n in _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD:
         if n not in seen:
             seen.add(n)
             order.append(n)
@@ -4599,6 +4723,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_partitioned": orders_merge_partitioned,
         "orders_cdc_apply": orders_cdc_apply,
         "orders_stream_cdc": orders_stream_cdc,
+        "orders_stream_cdc_pruned": orders_stream_cdc_pruned,
+        "orders_merge_file_pruned": orders_merge_file_pruned,
+        "orders_optimize_partitioned": orders_optimize_partitioned,
         "orders_merge_evolve": orders_merge_evolve,
         "orders_optimize_zorder": orders_optimize_zorder,
         "lineitem_global_stats": lineitem_global_stats,
@@ -6571,6 +6698,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
             FROM orders WHERE o_orderkey % 10 = 8""",
+        # pruned streaming CDC: same closed form as orders_stream_cdc
+        # with the hive partition column (part = k % 4; the shifted
+        # inserts keep their part since 10000000 % 4 == 0)
+        "orders_stream_cdc_pruned": """
+            WITH t AS (SELECT o_orderkey AS k,
+                              CAST(o_orderkey % 4 AS INTEGER) AS part,
+                              o_totalprice AS v
+                       FROM orders WHERE o_orderkey % 10 < 8)
+            SELECT k, part, CASE WHEN k % 10 IN (5, 6)
+                                 THEN round(v * 2, 2) ELSE v END AS v
+            FROM t WHERE k % 10 <> 7
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS k,
+                   CAST(o_orderkey % 4 AS INTEGER) AS part,
+                   o_totalprice AS v
+            FROM orders WHERE o_orderkey % 10 = 8""",
+        # file-pruned merge: ANSI replay with the key-window predicate
+        "orders_merge_file_pruned": """
+            WITH b AS (SELECT min(o_orderkey) + 999 AS hi FROM orders),
+            t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 10 < 8),
+            s AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+                         round(o_totalprice * 2, 2) AS o_totalprice
+                  FROM orders, b
+                  WHERE o_orderkey % 10 >= 5 AND o_orderkey <= b.hi)
+            SELECT t.o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_orderstatus
+                        ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM t
+                              WHERE t.o_orderkey = s.o_orderkey)""",
+        # partitioned OPTIMIZE: layout-only rewrite per partition dir
+        "orders_optimize_partitioned": """
+            SELECT o_orderkey, CAST(o_orderkey % 4 AS INTEGER) AS part,
+                   o_totalprice FROM orders""",
         # CDC apply: closed-form final state (per-key winner is fixed
         # by the seq rule: {5,6} updated, 7 deleted, 8 inserted shifted)
         "orders_cdc_apply": """

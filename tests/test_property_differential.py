@@ -883,3 +883,51 @@ def test_merge_frames_matches_model(spark, tgt, upd, wm, wn, strategy):
         out += [(k, v) for k, v in u
                 if k is None or k not in matched_keys]
     assert got == _multiset(out)
+
+
+_ck = st.integers(min_value=0, max_value=6)
+_cdc_feed = st.lists(
+    st.tuples(_ck, vals, st.sampled_from(["I", "U", "D"]),
+              st.integers(min_value=0, max_value=9)),
+    min_size=0, max_size=12)
+_cdc_tgt = st.lists(st.tuples(_ck, vals), min_size=0, max_size=8)
+
+
+@given(tgt=_cdc_tgt, feed=_cdc_feed,
+       strategy=st.sampled_from(["shuffle", "broadcast"]))
+@SET
+def test_apply_changes_matches_model(spark, tgt, feed, strategy):
+    """CDC APPLY CHANGES vs a pure-Python fold: the latest change per
+    key wins (seq desc), U/I replaces-or-inserts the payload, D removes
+    (absent key: no-op), untouched target keys pass through — random
+    op feeds include delete-then-reinsert and stale-delete-after-update
+    sequences.  Feeds are generated (key, seq)-unique, the total order
+    the engine documents for full determinism."""
+    from cascalog_spark.operators import apply_changes
+
+    t_seen, t = set(), []
+    for k, v in tgt:  # unique target keys (standing-table invariant)
+        if k not in t_seen:
+            t.append((k, v))
+            t_seen.add(k)
+    f_seen, ch = set(), []
+    for k, v, op, s in feed:
+        if (k, s) not in f_seen:
+            ch.append((k, v, op, s))
+            f_seen.add((k, s))
+    t_df = _df(spark, t, ["k", "v"])
+    ch_df = spark.createDataFrame(ch, "k int, v int, op string, seq int")
+    got = _multiset(apply_changes(t_df, ch_df, "k", seq_col="seq",
+                                  strategy=strategy).collect())
+
+    state = dict(t)
+    win = {}
+    for k, v, op, s in ch:
+        if k not in win or s > win[k][2]:
+            win[k] = (v, op, s)
+    for k, (v, op, _s) in win.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == _multiset(state.items())
