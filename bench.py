@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     # r9: the keyed-merge tap path (bootstrap + broadcast upsert +
     # crash-safe swap + read-back)
     "orders_merge_upsert",
+    # r10: the PRUNED merge path (hive-partitioned bootstrap + a
+    # single-partition update batch read/rewritten via dynamic
+    # partition overwrite — the O(touched partitions) lever)
+    "orders_merge_partitioned",
 ]
 
 

@@ -531,16 +531,25 @@ class MergeTap:
     >>> tap.merge(spark, tombstones, when_matched="delete",
     ...           when_not_matched="ignore")   # keyed delete
     >>> df = tap.to_df(spark)                  # standing state
-    """
+
+    ``retain=N`` keeps the last N PRE-merge generations as hard-link
+    snapshots (``<path>.gen-<k>`` siblings — parquet files are
+    immutable and every merge writes new files, so a snapshot costs
+    one link per file, no data copy): cheap time-travel on top of the
+    swap contract.  ``generations()`` lists them, ``restore(gen)``
+    swaps one back in (crash-safe, the generation survives),
+    ``vacuum(keep)`` prunes old ones.  Single maintenance writer,
+    like every compactor here."""
 
     __cascalog_generator__ = True
 
     def __init__(self, path: str, on, strategy: str = "broadcast",
-                 partition_by: Optional[str] = None):
+                 partition_by: Optional[str] = None, retain: int = 0):
         self.path = path
         self.on = [on] if isinstance(on, str) else list(on)
         self.strategy = strategy
         self.partition_by = partition_by
+        self.retain = retain
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         from ..streaming.ingest import _raise_if_crashed
@@ -587,11 +596,124 @@ class MergeTap:
               when_matched: str = "update",
               when_not_matched: str = "insert",
               update_cols: Optional[list[str]] = None,
-              validate: bool = True, evolve: bool = False) -> None:
-        merge_into(spark, self.path, updates, self.on, when_matched,
-                   when_not_matched, update_cols,
-                   strategy=self.strategy, validate=validate,
-                   partition_by=self.partition_by, evolve=evolve)
+              validate: bool = True, evolve: bool = False,
+              file_prune: bool = False) -> Optional[dict]:
+        if self.retain > 0:
+            from ..streaming.ingest import StateDir
+
+            # recover any crashed swap BEFORE snapshotting, so the
+            # generation captures a consistent table, then prune to
+            # the retention window
+            StateDir(self.path, "merge_into").recover()
+            if os.path.isdir(self.path):
+                self.snapshot()
+                self.vacuum()
+        return merge_into(spark, self.path, updates, self.on,
+                          when_matched, when_not_matched, update_cols,
+                          strategy=self.strategy, validate=validate,
+                          partition_by=self.partition_by, evolve=evolve,
+                          file_prune=file_prune)
+
+    # ---- time-travel: hard-link generations on the swap contract ----
+
+    def _gen_dir(self, n: int) -> str:
+        return f"{self.path.rstrip('/')}.gen-{n}"
+
+    def generations(self) -> list[int]:
+        """Sorted generation numbers currently on disk (oldest
+        first).  A ``.tmp`` suffix marks a crashed snapshot — swept by
+        the next :meth:`vacuum`/:meth:`snapshot`, never listed."""
+        import glob as _glob
+        import re as _re
+
+        out = []
+        for p in _glob.glob(self._gen_dir("*")):
+            m = _re.fullmatch(r".*\.gen-(\d+)", p)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def snapshot(self) -> int:
+        """Hard-link the CURRENT table into a new generation dir and
+        return its number.  Link-then-rename: a crash mid-snapshot
+        leaves only a ``.tmp`` dir (swept later), never a half
+        generation.  O(files) link syscalls, zero data copied —
+        parquet files are immutable here (merges swap in NEW files)."""
+        if not os.path.isdir(self.path):
+            raise FileNotFoundError(
+                f"MergeTap.snapshot: no table at {self.path}")
+        n = (self.generations() or [-1])[-1] + 1
+        gen = self._gen_dir(n)
+        tmp = gen + ".tmp"
+        _linktree(self.path, tmp, fresh=True)
+        os.rename(tmp, gen)
+        return n
+
+    def vacuum(self, keep: Optional[int] = None) -> list[int]:
+        """Drop the oldest generations beyond ``keep`` (default: the
+        tap's ``retain``) and sweep crashed ``.tmp`` snapshots;
+        returns the removed generation numbers."""
+        import glob as _glob
+        import shutil as _shutil
+
+        keep = self.retain if keep is None else keep
+        for p in _glob.glob(self._gen_dir("*") + ".tmp"):
+            _shutil.rmtree(p, ignore_errors=True)
+        gens = self.generations()
+        doomed = gens[:-keep] if keep > 0 else gens
+        for n in doomed:
+            _shutil.rmtree(self._gen_dir(n))
+        return doomed
+
+    def restore(self, gen: Optional[int] = None) -> int:
+        """Swap generation ``gen`` (default: newest) back in as the
+        live table, crash-safely (same StateDir contract as the
+        merges: the restored copy is fully linked into ``.compact.tmp``
+        first).  The generation itself SURVIVES — restore is a copy-
+        back, not a move — so restore/merge/restore chains work.
+        Returns the restored generation number."""
+        from ..streaming.ingest import StateDir
+
+        gens = self.generations()
+        if not gens:
+            raise FileNotFoundError(
+                f"MergeTap.restore: no generations beside {self.path}")
+        if gen is None:
+            gen = gens[-1]
+        if gen not in gens:
+            raise FileNotFoundError(
+                f"MergeTap.restore: no generation {gen} "
+                f"(have {gens})")
+        sd = StateDir(self.path, "merge_into")
+        sd.recover()
+        if not os.path.isdir(self.path):
+            # table deleted out-of-band: plain link-back, no swap
+            _linktree(self._gen_dir(gen), self.path, fresh=True)
+            return gen
+        sd.swap(lambda tmp: _linktree(self._gen_dir(gen), tmp,
+                                      fresh=True))
+        return gen
+
+
+def _linktree(src: str, dst: str, fresh: bool = False) -> None:
+    """Recreate ``src``'s tree at ``dst`` with hard links (copy
+    fallback across devices).  Used for MergeTap generations — safe
+    because the engine never mutates a written parquet file in place
+    (every write path here creates new files and swaps dirs)."""
+    import shutil
+
+    if fresh:
+        shutil.rmtree(dst, ignore_errors=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def apply_changes(target: DataFrame, changes: DataFrame, on,

@@ -128,5 +128,35 @@ print(f"6. OPTIMIZE ZORDER: {rep['files_before']} files -> "
       f"{rep['files_after']} (rows bit-identical, min/max prunable on "
       f"both clustered columns)")
 
+# 7. (r10) File-level data skipping: merge touches files, not the table
+fp = os.path.join(work, "orders_file_pruned")
+orders.where(F.col("o_orderkey") % 10 < 8).write.parquet(fp)
+optimize_table(spark, fp, target_file_mb=1, zorder_by=["o_orderkey"],
+               min_files=8)  # narrow per-file key ranges
+lo = orders.agg(F.min("o_orderkey")).first()[0]
+small = (orders.where((F.col("o_orderkey") % 10 >= 5)
+                      & (F.col("o_orderkey") <= lo + 999))
+         .withColumn("o_orderstatus", F.lit("M")))
+rep = merge_into(spark, fp, small, "o_orderkey", file_prune=True)
+assert rep["files_linked"] >= 1, rep
+print(f"7. file-pruned merge: {rep['files_touched']} of "
+      f"{rep['files_total']} files rewritten, {rep['files_linked']} "
+      f"hard-linked through byte-identical")
+
+# 8. (r10) Time-travel: retained generations + restore
+from cascalog_spark.operators import MergeTap as _MT
+
+gt = os.path.join(work, "orders_gen")
+gtap = _MT(gt, on="o_orderkey", retain=2)
+gtap.merge(spark, orders.where(F.col("o_orderkey") % 4 == 0))
+n_before = gtap.to_df(spark).count()
+gtap.merge(spark, orders.where(F.col("o_orderkey") % 4 <= 1)
+           .withColumn("o_orderstatus", F.lit("M")))
+assert gtap.generations(), "merge should have snapshotted"
+gtap.restore()  # roll back the last merge (hard-link copy, no data moved)
+assert gtap.to_df(spark).count() == n_before
+print(f"8. time-travel: generation snapshot + restore -> {n_before} "
+      f"rows again (generations = {gtap.generations()})")
+
 spark.stop()
 print("example 19 OK")

@@ -791,3 +791,61 @@ def test_apply_changes_into_zero_extra_validation_jobs(spark, tmp_path):
     n_noval = _jobs("cdc_noval", lambda: apply_changes_into(
         spark, d2, feed, "k", seq_col="seq", validate=False))
     assert n_val == n_noval, (n_val, n_noval)
+
+
+def test_merge_tap_generations_restore_vacuum(spark, tmp_path):
+    """retain=N time-travel: each merge snapshots the pre-merge table
+    as a hard-link generation (no data copy — parquet immutable under
+    the swap), restore() swaps one back crash-safely and the
+    generation survives, vacuum prunes beyond the window, crashed
+    .tmp snapshots are swept."""
+    import glob
+
+    d = str(tmp_path / "tbl")
+    tap = MergeTap(d, on="k", retain=2)
+    tap.merge(spark, spark.createDataFrame([(1, 10), (2, 20)],
+                                           "k int, v int"))
+    assert tap.generations() == []  # bootstrap has no pre-state
+    tap.merge(spark, spark.createDataFrame([(2, 99)], "k int, v int"))
+    tap.merge(spark, spark.createDataFrame([(3, 30)], "k int, v int"))
+    tap.merge(spark, spark.createDataFrame([(1, 11)], "k int, v int"))
+    # three merges snapshotted; retain=2 pruned the oldest
+    assert tap.generations() == [1, 2]
+    assert _rows(tap.to_df(spark)) == [(1, 11), (2, 99), (3, 30)]
+
+    # generation 2 = the pre-merge state of the LAST merge
+    g = tap.restore()
+    assert g == 2
+    assert _rows(tap.to_df(spark)) == [(1, 10), (2, 99), (3, 30)]
+    assert tap.generations() == [1, 2]  # restore keeps the generation
+    # roll further back
+    tap.restore(1)
+    assert _rows(tap.to_df(spark)) == [(1, 10), (2, 99)]
+    # merging after a restore keeps working (and snapshots again)
+    tap.merge(spark, spark.createDataFrame([(4, 40)], "k int, v int"))
+    assert _rows(tap.to_df(spark)) == [(1, 10), (2, 99), (4, 40)]
+    assert tap.generations() == [2, 3]
+
+    with pytest.raises(FileNotFoundError, match="no generation 99"):
+        tap.restore(99)
+
+    # crashed snapshot (.tmp) is ignored and swept
+    os.makedirs(d + ".gen-7.tmp")
+    assert tap.generations() == [2, 3]
+    tap.vacuum()
+    assert glob.glob(d + ".gen-*.tmp") == []
+
+    # crashed SWAP before a retained merge: recover happens before the
+    # snapshot, so the generation captures the recovered table
+    shutil.copytree(d, d + ".compact.old")
+    shutil.rmtree(d)
+    tap.merge(spark, spark.createDataFrame([(5, 50)], "k int, v int"))
+    assert (5, 50) in _rows(tap.to_df(spark))
+    assert tap.generations() == [3, 4]
+    tap.restore(4)  # pre-merge state of the post-recovery merge
+    assert (5, 50) not in _rows(tap.to_df(spark))
+    assert (1, 10) in _rows(tap.to_df(spark))
+
+    # vacuum(0) drops everything
+    assert tap.vacuum(0) == [3, 4]
+    assert tap.generations() == []
