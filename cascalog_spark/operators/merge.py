@@ -259,14 +259,19 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
     same batch and the table converges to the same state (pinned by
     test).  A partition whose every row is deleted is removed.
 
-    ``file_prune=True`` (flat tables) is FILE-level data skipping:
-    target files whose footer min/max range on ``on[0]`` cannot
+    ``file_prune=True`` is FILE-level data skipping: target files
+    whose footer min/max range on the first non-partition key cannot
     contain any batch key are never read and are hard-linked into the
     swapped-in table byte-identical; only the touched files' rows are
     merged.  Returns ``{"files_total", "files_touched",
-    "files_linked"}`` for that path (``None`` otherwise).  Best after
-    an :func:`optimize_table` ZORDER on the key — clustered files
-    have narrow key ranges, so a small batch touches few files."""
+    "files_linked"}`` (``None`` on the other paths).  Best after an
+    :func:`optimize_table` ZORDER on the key — clustered files have
+    narrow key ranges, so a small batch touches few files.  COMPOSES
+    with ``partition_by=``: partition pruning picks the touched
+    partitions, then each touched partition dir file-prunes under its
+    own swap — a key-local batch costs O(touched files), not
+    O(touched partitions); the report adds ``partitions_touched`` /
+    ``partitions_new``."""
     from ..streaming.ingest import StateDir
 
     sd = StateDir(target_dir, "merge_into")
@@ -301,17 +306,28 @@ def merge_into(spark: SparkSession, target_dir: str, updates: DataFrame,
             "partitions would keep the old schema and a plain read "
             "does not merge parquet schemas) — run once without "
             "partition_by to evolve, then resume pruned merges")
-    if file_prune:
-        raise ValueError(
-            "merge_into: file_prune=True is the FLAT-table path (its "
-            "link-through swap conflicts with dynamic partition "
-            "overwrite); with partition_by= the merge is already "
-            "pruned to the batch's partitions")
     vals = [r[0] for r in
             updates.select(partition_by).distinct().collect()]
     _pruned_check(on_l, partition_by, vals, "merge_into")
     if not vals:
-        return
+        return None
+    if file_prune:
+        on_p = [k for k in on_l if k != partition_by]
+        if not on_p:
+            raise ValueError(
+                "merge_into: file_prune with partition_by needs a "
+                "non-partition key column to range-prune files on")
+        if not os.path.isdir(target_dir):
+            if when_not_matched == "insert":
+                if validate:
+                    _unique_update_keys(updates, on_l)
+                (updates.write.mode("overwrite")
+                 .partitionBy(partition_by).parquet(target_dir))
+            return None
+        return _merge_partitioned_file_pruned(
+            spark, target_dir, partition_by, vals, updates, on_l,
+            on_p, when_matched, when_not_matched, update_cols,
+            strategy, validate)
     if not os.path.isdir(target_dir):
         if when_not_matched == "insert":
             if validate:
@@ -394,7 +410,26 @@ def _merge_file_pruned(spark: SparkSession, sd, target_dir: str,
             "linked-through files would keep the old schema; run once "
             "with file_prune=False to evolve, then resume pruned "
             "merges")
-    k0 = on_l[0]
+
+    def fold(touched_df: DataFrame) -> DataFrame:
+        return merge_frames(touched_df, updates, on_l, when_matched,
+                            when_not_matched, update_cols,
+                            strategy=strategy, validate=validate)
+
+    return _file_pruned_fold(spark, sd, target_dir, target, updates,
+                             on_l[0], fold)
+
+
+def _file_pruned_fold(spark: SparkSession, sd, target_dir: str,
+                      target: DataFrame, batch: DataFrame,
+                      prune_key: str, fold) -> dict:
+    """The generic file-skipping swap shared by the MERGE and CDC
+    faces: range-test the batch's ``prune_key`` values against each
+    target file's footer min/max, run ``fold(touched_rows_df)`` over
+    only the hit files' rows, and swap the result in with every unhit
+    file HARD-LINKED through byte-identical.  The decision join is one
+    broadcast range join of batch keys x the O(files) range list."""
+    k0 = prune_key
     ranged, statless = _file_key_ranges(target_dir, k0)
     touched = list(statless)
     if ranged:
@@ -402,7 +437,7 @@ def _merge_file_pruned(spark: SparkSession, sd, target_dir: str,
         ranges_df = spark.createDataFrame(
             [(i, mn, mx) for i, (_, mn, mx) in enumerate(ranged)],
             f"__i int, __mn {ktype}, __mx {ktype}")
-        hit = (updates.select(F.col(k0).alias("__k"))
+        hit = (batch.select(F.col(k0).alias("__k"))
                .join(F.broadcast(ranges_df),
                      (F.col("__k") >= F.col("__mn"))
                      & (F.col("__k") <= F.col("__mx")))
@@ -414,9 +449,7 @@ def _merge_file_pruned(spark: SparkSession, sd, target_dir: str,
         touched_df = spark.read.parquet(*sorted(touched))
     else:
         touched_df = target.limit(0)
-    merged = merge_frames(touched_df, updates, on_l, when_matched,
-                          when_not_matched, update_cols,
-                          strategy=strategy, validate=validate)
+    merged = fold(touched_df)
 
     import shutil
 
@@ -436,6 +469,125 @@ def _merge_file_pruned(spark: SparkSession, sd, target_dir: str,
     return {"files_total": len(ranged) + len(statless),
             "files_touched": len(touched),
             "files_linked": len(untouched)}
+
+
+def _merge_partitioned_file_pruned(spark: SparkSession,
+                                   target_dir: str, partition_by: str,
+                                   vals: list, updates: DataFrame,
+                                   on_l: list[str], on_p: list[str],
+                                   when_matched: str,
+                                   when_not_matched: str,
+                                   update_cols: Optional[list[str]],
+                                   strategy: str,
+                                   validate: bool) -> dict:
+    """BOTH pruning levels stacked — the full lakehouse data-skipping
+    shape: hive partition pruning picks the batch's partitions, then
+    each touched partition dir (a flat parquet table without the
+    partition column) runs the footer-range FILE prune under its own
+    swap, so a key-local batch costs O(touched files), not O(touched
+    partitions).  Batch values with no existing partition dir write
+    through one dynamic-overwrite job (Spark owns the hive escaping;
+    idempotent on replay).  Crash model is REPLAY, like the dynamic
+    path: per-dir swaps apply value-absolute merges one partition at
+    a time.  A partition the merge empties is removed (probed with a
+    partition-local limit(1)).  Best when merges are key-local; for
+    batches spraying most partitions, the plain ``partition_by=``
+    dynamic overwrite does the same work in one Spark job."""
+    extra = (set(updates.columns)
+             - set(spark.read.parquet(target_dir).columns))
+    if extra:
+        raise ValueError(f"merge: update columns {sorted(extra)} do "
+                         f"not exist on the target — schema evolution "
+                         f"is not a merge")
+    if validate:
+        _unique_update_keys(updates, on_l)
+
+    def fold_factory(with_part: bool):
+        keys = on_l if with_part else on_p
+        uc = update_cols if with_part or update_cols is None \
+            else [c for c in update_cols if c != partition_by]
+
+        def f(tgt: DataFrame, b: DataFrame) -> DataFrame:
+            return merge_frames(tgt, b, keys, when_matched,
+                                when_not_matched, uc,
+                                strategy=strategy, validate=False)
+
+        return f
+
+    return _partitioned_file_pruned_fold(
+        spark, target_dir, partition_by, vals, updates, on_p[0],
+        fold_factory)
+
+
+def _partitioned_file_pruned_fold(spark: SparkSession,
+                                  target_dir: str, partition_by: str,
+                                  vals: list, batch_df: DataFrame,
+                                  prune_key: str,
+                                  fold_factory) -> dict:
+    """Generic partition+file pruned apply shared by the MERGE and CDC
+    faces: resolve the touched partition dirs from actual file paths
+    (Spark owns the hive escaping), run the file-pruned fold per dir
+    under its own swap, remove emptied partitions, and write batch
+    values with no existing dir through one dynamic-overwrite job
+    (``fold_factory(with_part)`` supplies the fold over
+    (target_slice, batch_slice) — without the partition column for
+    per-dir folds, with it for the new-partition path)."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    from ..streaming.ingest import StateDir
+
+    # value -> partition dir, resolved from actual file paths (hive
+    # escaping owned by Spark, same trick as _remove_partition_dirs)
+    rows = (spark.read.parquet(target_dir)
+            .where(F.col(partition_by).isin(list(vals)))
+            .select(partition_by, F.input_file_name().alias("__f"))
+            .groupBy(partition_by).agg(F.first("__f").alias("__f"))
+            .collect())
+    root = os.path.realpath(target_dir)
+    dirmap = {}
+    for r in rows:
+        p = os.path.realpath(unquote(urlparse(r["__f"]).path))
+        head = os.path.relpath(p, root).split(os.sep, 1)[0]
+        if not head.startswith(f"{partition_by}="):
+            raise RuntimeError(
+                f"merge_into: file of partition value "
+                f"{r[partition_by]!r} not under a {partition_by}= dir")
+        dirmap[r[partition_by]] = os.path.join(root, head)
+    tot = {"partitions_touched": len(dirmap),
+           "partitions_new": 0, "files_total": 0,
+           "files_touched": 0, "files_linked": 0}
+    fold_nopart = fold_factory(False)
+    for v in sorted(dirmap, key=repr):
+        pdir = dirmap[v]
+        sd = StateDir(pdir, "merge_into")
+        sd.recover()
+        sub = spark.read.parquet(pdir)
+        sl = batch_df.where(F.col(partition_by) == F.lit(v)) \
+            .drop(partition_by)
+        rep = _file_pruned_fold(spark, sd, pdir, sub, sl, prune_key,
+                                lambda tdf: fold_nopart(tdf, sl))
+        for k in ("files_total", "files_touched", "files_linked"):
+            tot[k] += rep[k]
+        if spark.read.parquet(pdir).limit(1).count() == 0:
+            shutil.rmtree(pdir)  # the fold emptied this partition
+    new_vals = [v for v in vals if v not in dirmap]
+    if new_vals:
+        root_df = spark.read.parquet(target_dir)
+        ins = batch_df.where(F.col(partition_by).isin(new_vals))
+        out = fold_factory(True)(root_df.limit(0), ins)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (out.write.mode("overwrite")
+             .partitionBy(partition_by).parquet(target_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+        tot["partitions_new"] = len(new_vals)
+    return tot
 
 
 def _pruned_check(on_l: list[str], partition_by: str,
@@ -716,6 +868,27 @@ def _linktree(src: str, dst: str, fresh: bool = False) -> None:
                 shutil.copy2(s, d)
 
 
+def _guard_op_col(changes: DataFrame, op_col: str, insert_ops: tuple,
+                  delete_ops: tuple) -> DataFrame:
+    """The unknown-op guard rides INSIDE the op column itself (an op
+    outside insert_ops+delete_ops — including NULL, which isin()
+    would silently drop — hits raise_error executor-side the moment
+    any downstream expression reads the op), so it costs ZERO extra
+    driver actions: streaming CDC folds pay the check for free in the
+    winners job.  The error is LAZY — it surfaces when the fold's
+    first action runs."""
+    ok = tuple(insert_ops) + tuple(delete_ops)
+    msg = F.concat(
+        F.lit("apply_changes: unknown op "),
+        F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+        F.lit(f" (insert_ops={insert_ops}, "
+              f"delete_ops={delete_ops})"))
+    checked = (F.when(F.col(op_col).isin(*ok), F.col(op_col))
+               .otherwise(F.raise_error(msg)
+                          .cast(dict(changes.dtypes)[op_col])))
+    return changes.withColumn(op_col, checked)
+
+
 def apply_changes(target: DataFrame, changes: DataFrame, on,
                   op_col: str = "op", seq_col: Optional[str] = None,
                   insert_ops: tuple = ("I", "U"),
@@ -760,24 +933,9 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
     if op_col not in changes.columns:
         raise ValueError(f"apply_changes: op_col {op_col!r} missing "
                          f"from the change feed")
-    ok = tuple(insert_ops) + tuple(delete_ops)
     if validate:
-        # the unknown-op guard rides INSIDE the op column itself (an
-        # op outside insert_ops+delete_ops — including NULL, which
-        # isin() would silently drop — hits raise_error executor-side
-        # the moment any downstream expression reads the op), so it
-        # costs ZERO extra driver actions: streaming CDC folds pay the
-        # check for free in the winners job.  The error is LAZY — it
-        # surfaces when the fold's first action runs.
-        msg = F.concat(
-            F.lit("apply_changes: unknown op "),
-            F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
-            F.lit(f" (insert_ops={insert_ops}, "
-                  f"delete_ops={delete_ops})"))
-        checked = (F.when(F.col(op_col).isin(*ok), F.col(op_col))
-                   .otherwise(F.raise_error(msg)
-                              .cast(dict(changes.dtypes)[op_col])))
-        changes = changes.withColumn(op_col, checked)
+        changes = _guard_op_col(changes, op_col, insert_ops,
+                                delete_ops)
     drop = [op_col] + ([seq_col] if seq_col else [])
     if seq_col is not None:
         w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc(),
@@ -812,7 +970,8 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                        delete_ops: tuple = ("D",),
                        strategy: str = "broadcast",
                        partition_by: Optional[str] = None,
-                       validate: bool = True) -> None:
+                       validate: bool = True,
+                       file_prune: bool = False) -> Optional[dict]:
     """Apply a CDC batch to the standing parquet table at
     ``target_dir`` with the same crash-safe write-new-then-swap
     contract as :func:`merge_into` (replay-idempotent: value-absolute
@@ -823,7 +982,14 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
     :func:`merge_into`: the partition column must ride in ``on``,
     only the feed's partitions are read and rewritten (dynamic
     overwrite; emptied partitions removed), crash recovery by replay
-    instead of the atomic swap."""
+    instead of the atomic swap.
+
+    ``file_prune=True`` stacks FILE-level skipping on top, same
+    contract as :func:`merge_into`'s: footer key ranges on the first
+    non-partition key decide which files the feed can touch; unhit
+    files hard-link through byte-identical.  Composes with
+    ``partition_by=`` (per-touched-partition folds) or runs flat;
+    returns the file-skipping report dict on those paths."""
     from ..streaming.ingest import StateDir
 
     sd = StateDir(target_dir, "apply_changes_into")
@@ -848,24 +1014,65 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
             w = w.partitionBy(partition_by)
         w.parquet(target_dir)
         return
+    if validate:
+        # op guard is expression-level (free); apply it ONCE here so
+        # the file-pruned per-partition folds don't re-probe, and run
+        # the one no-seq uniqueness probe a single time for the batch
+        changes = _guard_op_col(changes, op_col, insert_ops,
+                                delete_ops)
+        if seq_col is None:
+            _unique_update_keys(changes, on_l)
     if partition_by is not None:
         vals = [r[0] for r in
                 changes.select(partition_by).distinct().collect()]
         _pruned_check(on_l, partition_by, vals, "apply_changes_into")
         if not vals:
-            return
+            return None
+        if file_prune:
+            on_p = [k for k in on_l if k != partition_by]
+            if not on_p:
+                raise ValueError(
+                    "apply_changes_into: file_prune with partition_by "
+                    "needs a non-partition key column to range-prune "
+                    "files on")
+
+            def fold_factory(with_part: bool):
+                keys = on_l if with_part else on_p
+
+                def f(tgt: DataFrame, b: DataFrame) -> DataFrame:
+                    return apply_changes(tgt, b, keys, op_col,
+                                         seq_col, insert_ops,
+                                         delete_ops,
+                                         strategy=strategy,
+                                         validate=False)
+
+                return f
+
+            return _partitioned_file_pruned_fold(
+                spark, target_dir, partition_by, vals, changes,
+                on_p[0], fold_factory)
         target = spark.read.parquet(target_dir)
         sliced = target.where(F.col(partition_by).isin(vals))
         applied = apply_changes(sliced, changes, on_l, op_col, seq_col,
                                 insert_ops, delete_ops,
-                                strategy=strategy, validate=validate)
+                                strategy=strategy, validate=False)
         _write_pruned(spark, target_dir, partition_by, vals, applied)
-        return
+        return None
     target = spark.read.parquet(target_dir)
+    if file_prune:
+
+        def fold(tdf: DataFrame) -> DataFrame:
+            return apply_changes(tdf, changes, on_l, op_col, seq_col,
+                                 insert_ops, delete_ops,
+                                 strategy=strategy, validate=False)
+
+        return _file_pruned_fold(spark, sd, target_dir, target,
+                                 changes, on_l[0], fold)
     applied = apply_changes(target, changes, on_l, op_col, seq_col,
                             insert_ops, delete_ops, strategy=strategy,
-                            validate=validate)
+                            validate=False)
     sd.swap(lambda tmp: applied.write.mode("overwrite").parquet(tmp))
+    return None
 
 
 def optimize_table(spark: SparkSession, target_dir: str,

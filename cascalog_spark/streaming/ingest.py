@@ -1116,7 +1116,8 @@ def stream_cdc_apply(stream_df: DataFrame, target_dir: str, on,
                      checkpoint_dir: Optional[str] = None,
                      query_name: str = "cdc_apply",
                      partition_by: Optional[str] = None,
-                     validate: bool = True):
+                     validate: bool = True,
+                     file_prune: bool = False):
     """Maintain a standing keyed parquet table from a CDC change
     STREAM: each micro-batch folds through
     ``operators.merge.apply_changes_into`` (latest-change-per-key by
@@ -1144,14 +1145,19 @@ def stream_cdc_apply(stream_df: DataFrame, target_dir: str, on,
 
     ``validate=False`` skips the no-seq key-uniqueness probe (the
     unknown-op guard is free either way — folded into the batch job,
-    zero extra driver actions per micro-batch)."""
+    zero extra driver actions per micro-batch).
+
+    ``file_prune=True`` stacks FILE-level skipping (footer key ranges
+    on the first non-partition key) on each micro-batch's fold, alone
+    or on top of ``partition_by=`` — a key-local change batch then
+    costs O(touched files)."""
     from ..operators.merge import apply_changes_into
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         apply_changes_into(batch.sparkSession, target_dir, batch, on,
                            op_col, seq_col, insert_ops, delete_ops,
                            strategy=strategy, partition_by=partition_by,
-                           validate=validate)
+                           validate=validate, file_prune=file_prune)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
               .queryName(query_name)

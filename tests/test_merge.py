@@ -677,13 +677,86 @@ def test_merge_into_file_pruned(spark, tmp_path):
     assert rep["files_touched"] >= 1
     assert spark.read.parquet(d).where(F.col("k") == 35).count() == 0
 
-    # spec errors: no file_prune with partition_by or evolve
-    with pytest.raises(ValueError, match="FLAT-table"):
-        merge_into(spark, d, upd.withColumn("part", F.lit(1)),
-                   ["k", "part"], partition_by="part", file_prune=True)
+    # spec error: no file_prune with evolve
     with pytest.raises(ValueError, match="evolve"):
         merge_into(spark, d, upd.withColumn("nc", F.lit(1)), "k",
                    evolve=True, file_prune=True)
+
+
+def test_merge_into_partitioned_file_pruned(spark, tmp_path):
+    """partition_by + file_prune COMPOSE: partition pruning picks the
+    touched partitions, footer-range file pruning inside each touched
+    partition links the unhit files through byte-identical; untouched
+    partitions are never opened; inserts to brand-new partition
+    values create their dirs; a fully-deleted partition disappears;
+    replay is idempotent."""
+    import glob
+    import hashlib
+
+    d = str(tmp_path / "pftbl")
+    # 3 partitions x 4 files each, disjoint key ranges [0..99]...[300..399]
+    for p in range(3):
+        for lo in (0, 100, 200, 300):
+            spark.createDataFrame(
+                [(k, k * 10 + p) for k in range(lo, lo + 100)],
+                "k int, v int").coalesce(1) \
+                .write.mode("append").parquet(f"{d}/part={p}")
+    base = spark.read.parquet(d).select("k", "part", "v")
+    base_rows = sorted(map(tuple, base.collect()))
+
+    def _md5s(pattern):
+        return {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in sorted(glob.glob(pattern))}
+
+    before_p1 = _md5s(f"{d}/part=1/*.parquet")
+    before_p02 = {**_md5s(f"{d}/part=0/*.parquet"),
+                  **_md5s(f"{d}/part=2/*.parquet")}
+    # batch: update k=150 in part=1 (file [100..199] only), insert
+    # k=995 into part=1 (no file range holds it), insert part=5 (new)
+    upd = spark.createDataFrame(
+        [(150, 1, 9999), (995, 1, 1), (7, 5, 70)],
+        "k int, part int, v int")
+    rep = merge_into(spark, d, upd, ["k", "part"],
+                     partition_by="part", file_prune=True)
+    assert rep["partitions_touched"] == 1 and rep["partitions_new"] == 1
+    assert rep["files_total"] == 4 and rep["files_touched"] == 1 \
+        and rep["files_linked"] == 3, rep
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "part", "v").collect()))
+    want = sorted(map(tuple, merge_frames(
+        spark.createDataFrame(base_rows, "k int, part int, v int"),
+        upd, ["k", "part"]).collect()))
+    assert got == want
+    assert (150, 1, 9999) in got and (995, 1, 1) in got \
+        and (7, 5, 70) in got
+    # untouched partitions byte-identical; 3 of part=1's files too
+    after_p02 = {**_md5s(f"{d}/part=0/*.parquet"),
+                 **_md5s(f"{d}/part=2/*.parquet")}
+    assert after_p02 == before_p02
+    after_p1 = _md5s(f"{d}/part=1/*.parquet")
+    surviving = {os.path.basename(p) for p in before_p1} \
+        & {os.path.basename(p) for p in after_p1}
+    assert len(surviving) == 3
+
+    # replay the same batch -> identical state
+    merge_into(spark, d, upd, ["k", "part"], partition_by="part",
+               file_prune=True)
+    assert sorted(map(tuple, spark.read.parquet(d)
+                      .select("k", "part", "v").collect())) == got
+
+    # delete every row of part=2 through the composed path
+    tomb = spark.read.parquet(d).where(F.col("part") == 2) \
+        .select("k", "part", "v")
+    rep = merge_into(spark, d, tomb, ["k", "part"],
+                     when_matched="delete", when_not_matched="ignore",
+                     partition_by="part", file_prune=True)
+    assert glob.glob(f"{d}/part=2") == []
+    assert spark.read.parquet(d).where(F.col("part") == 2).count() == 0
+
+    # spec error: partition column alone cannot range-prune files
+    with pytest.raises(ValueError, match="non-partition key"):
+        merge_into(spark, d, upd.select("part", "v").limit(1),
+                   ["part"], partition_by="part", file_prune=True)
 
 
 def test_stream_cdc_apply_partitioned(spark, tmp_path):
@@ -849,3 +922,131 @@ def test_merge_tap_generations_restore_vacuum(spark, tmp_path):
     # vacuum(0) drops everything
     assert tap.vacuum(0) == [3, 4]
     assert tap.generations() == []
+
+
+def test_apply_changes_into_file_pruned(spark, tmp_path):
+    """CDC over the file-skipping fold: flat tables range-prune files
+    on the key, partitioned tables stack both pruning levels; results
+    equal the unpruned fold and unhit files survive byte-identical."""
+    import glob
+    import hashlib
+
+    from cascalog_spark.operators import apply_changes, apply_changes_into
+
+    def _md5s(pattern):
+        return {os.path.basename(p): hashlib.md5(
+            open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(pattern))}
+
+    # flat: 4 files with disjoint key ranges
+    d = str(tmp_path / "cdc_f")
+    for lo in (0, 100, 200, 300):
+        spark.createDataFrame([(k, k * 10) for k in range(lo, lo + 100)],
+                              "k int, v int").coalesce(1) \
+            .write.mode("append").parquet(d)
+    base_rows = sorted(map(tuple, spark.read.parquet(d).collect()))
+    before = _md5s(f"{d}/part-*.parquet")
+    feed = spark.createDataFrame(
+        [(150, 999, "U", 1), (155, None, "D", 1), (995, 5, "I", 1)],
+        "k int, v int, op string, seq int")
+    rep = apply_changes_into(spark, d, feed, "k", seq_col="seq",
+                             file_prune=True)
+    assert rep["files_touched"] == 1 and rep["files_linked"] == 3, rep
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    want = sorted(map(tuple, apply_changes(
+        spark.createDataFrame(base_rows, "k int, v int"), feed, "k",
+        seq_col="seq").collect()))
+    assert got == want and (150, 999) in got and (995, 5) in got
+    assert not any(r[0] == 155 for r in got)
+    after = _md5s(f"{d}/part-*.parquet")
+    assert sum(1 for n in before if n in after
+               and before[n] == after[n]) == 3
+
+    # partitioned + file_prune: both levels stacked
+    p = str(tmp_path / "cdc_pf")
+    for pv in range(3):
+        for lo in (0, 100):
+            spark.createDataFrame(
+                [(k, k * 10 + pv) for k in range(lo, lo + 100)],
+                "k int, v int").coalesce(1) \
+                .write.mode("append").parquet(f"{p}/part={pv}")
+    pbase = sorted(map(tuple, spark.read.parquet(p)
+                       .select("k", "part", "v").collect()))
+    b_other = {**_md5s(f"{p}/part=0/*.parquet"),
+               **_md5s(f"{p}/part=2/*.parquet")}
+    b_p1 = _md5s(f"{p}/part=1/*.parquet")
+    pfeed = spark.createDataFrame(
+        [(150, 1, 7, "U", 1), (9, 9, 90, "I", 1)],
+        "k int, part int, v int, op string, seq int")
+    rep = apply_changes_into(spark, p, pfeed, ["k", "part"],
+                             seq_col="seq", partition_by="part",
+                             file_prune=True)
+    assert rep["partitions_touched"] == 1 and rep["partitions_new"] == 1
+    assert rep["files_touched"] == 1 and rep["files_linked"] == 1, rep
+    got = sorted(map(tuple, spark.read.parquet(p)
+                     .select("k", "part", "v").collect()))
+    want = sorted(map(tuple, apply_changes(
+        spark.createDataFrame(pbase, "k int, part int, v int"),
+        pfeed, ["k", "part"], seq_col="seq")
+        .select("k", "part", "v").collect()))
+    assert got == want and (9, 9, 90) in got and (150, 1, 7) in got
+    assert {**_md5s(f"{p}/part=0/*.parquet"),
+            **_md5s(f"{p}/part=2/*.parquet")} == b_other
+    a_p1 = _md5s(f"{p}/part=1/*.parquet")
+    assert sum(1 for n in b_p1 if n in a_p1
+               and b_p1[n] == a_p1[n]) == 1
+    # replay idempotent
+    apply_changes_into(spark, p, pfeed, ["k", "part"], seq_col="seq",
+                       partition_by="part", file_prune=True)
+    assert sorted(map(tuple, spark.read.parquet(p)
+                      .select("k", "part", "v").collect())) == got
+
+
+def test_stream_cdc_apply_file_pruned(spark, tmp_path):
+    """Streaming CDC with file_prune: drained == one-shot, and files
+    the feed's keys cannot touch keep their bytes across the whole
+    stream."""
+    import glob
+    import hashlib
+
+    from cascalog_spark.operators import apply_changes
+    from cascalog_spark.streaming import stream_cdc_apply
+    from cascalog_spark.streaming.stream import stage_file_batches
+
+    d = str(tmp_path / "scdc_f")
+    for lo in (0, 100, 200, 300):
+        spark.createDataFrame([(k, k * 10) for k in range(lo, lo + 100)],
+                              "k int, v int").coalesce(1) \
+            .write.mode("append").parquet(d)
+    base_rows = sorted(map(tuple, spark.read.parquet(d).collect()))
+    before = {os.path.basename(q): hashlib.md5(
+        open(q, "rb").read()).hexdigest()
+        for q in glob.glob(f"{d}/part-*.parquet")}
+
+    sch = "k int, v int, op string, seq int"
+    b1 = spark.createDataFrame([(150, 999, "U", 1)], sch)
+    b2 = spark.createDataFrame([(155, None, "D", 2), (151, 3, "I", 2)],
+                               sch)
+    src = stage_file_batches([b1, b2])
+    raw = (spark.readStream.schema(b1.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("pathGlobFilter", "batch*.parquet").parquet(src))
+    qy = stream_cdc_apply(raw, d, "k", seq_col="seq", file_prune=True,
+                          checkpoint_dir=str(tmp_path / "ck"),
+                          query_name="t_cdc_fp")
+    try:
+        assert qy.awaitTermination(240)
+    finally:
+        qy.stop()
+    got = sorted(map(tuple, spark.read.parquet(d).collect()))
+    want = sorted(map(tuple, apply_changes(
+        spark.createDataFrame(base_rows, "k int, v int"),
+        b1.unionByName(b2), "k", seq_col="seq").collect()))
+    assert got == want
+    after = {os.path.basename(q): hashlib.md5(
+        open(q, "rb").read()).hexdigest()
+        for q in glob.glob(f"{d}/part-*.parquet")}
+    # keys 150/151/155 live in ONE file's range; the other three
+    # files' bytes survive both micro-batches
+    assert sum(1 for n in before if n in after
+               and before[n] == after[n]) == 3
