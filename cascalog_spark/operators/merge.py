@@ -450,6 +450,15 @@ def _file_pruned_fold(spark: SparkSession, sd, target_dir: str,
     else:
         touched_df = target.limit(0)
     merged = fold(touched_df)
+    # keep the table PRUNABLE across repeated merges: the replacement
+    # files are range-clustered on the prune key (disjoint per-file
+    # footer ranges, like the files they replace after an OPTIMIZE
+    # ZORDER), so the next merge's range test stays tight instead of
+    # degrading toward whole-table rewrites.  Rows identical; the
+    # shuffle is touched-rows-sized.
+    merged = (merged.repartitionByRange(max(1, len(touched)),
+                                        F.col(k0))
+              .sortWithinPartitions(k0))
 
     import shutil
 
