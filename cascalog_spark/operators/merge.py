@@ -903,7 +903,8 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
                   insert_ops: tuple = ("I", "U"),
                   delete_ops: tuple = ("D",),
                   strategy: str = "shuffle",
-                  validate: bool = True) -> DataFrame:
+                  validate: bool = True,
+                  evolve: bool = False) -> DataFrame:
     """CDC APPLY CHANGES: fold a change feed into the target — the
     Delta-style ``APPLY CHANGES INTO`` companion of
     :func:`merge_frames` (two chained merge passes: upserts over the
@@ -935,6 +936,11 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
     Only the no-``seq_col`` key-uniqueness check costs an extra
     aggregate probe; ``validate=False`` skips both for producers that
     guarantee clean feeds (the streaming hot path).
+
+    ``evolve=True`` — opt-in schema evolution, same contract as
+    :func:`merge_frames`: payload columns the feed carries beyond the
+    target extend the output schema (NULL backfill on untouched
+    rows); without it extra feed columns are a loud error.
     """
     from pyspark.sql import Window
 
@@ -963,10 +969,13 @@ def apply_changes(target: DataFrame, changes: DataFrame, on,
     # keyed delete — the delete side joins on keys only, so the second
     # pass shuffles key columns, not payloads
     step1 = merge_frames(target, upserts, on, "update", "insert",
-                         strategy=strategy, validate=False)
+                         strategy=strategy, validate=False,
+                         evolve=evolve)
     dl = deletes
-    for c in [c for c in target.columns if c not in on]:
-        dl = dl.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+    # NULL-type the delete side from step1 (== target unless evolve
+    # extended the schema)
+    for c in [c for c in step1.columns if c not in on]:
+        dl = dl.withColumn(c, F.lit(None).cast(dict(step1.dtypes)[c]))
     return merge_frames(step1, dl, on, "delete", "ignore",
                         strategy=strategy, validate=False)
 
@@ -980,7 +989,8 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                        strategy: str = "broadcast",
                        partition_by: Optional[str] = None,
                        validate: bool = True,
-                       file_prune: bool = False) -> Optional[dict]:
+                       file_prune: bool = False,
+                       evolve: bool = False) -> Optional[dict]:
     """Apply a CDC batch to the standing parquet table at
     ``target_dir`` with the same crash-safe write-new-then-swap
     contract as :func:`merge_into` (replay-idempotent: value-absolute
@@ -1004,6 +1014,12 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
     sd = StateDir(target_dir, "apply_changes_into")
     sd.recover()
     on_l = [on] if isinstance(on, str) else list(on)
+    if evolve and (partition_by is not None or file_prune):
+        raise ValueError(
+            "apply_changes_into: evolve=True needs a full rewrite "
+            "(untouched partitions / linked-through files would keep "
+            "the old schema) — apply one evolving batch without "
+            "partition_by/file_prune, then resume pruned folds")
     drop = [op_col] + ([seq_col] if seq_col else [])
     if not os.path.isdir(target_dir):
         empty = changes.where(F.col(op_col).isin(*insert_ops)) \
@@ -1079,7 +1095,7 @@ def apply_changes_into(spark: SparkSession, target_dir: str,
                                  changes, on_l[0], fold)
     applied = apply_changes(target, changes, on_l, op_col, seq_col,
                             insert_ops, delete_ops, strategy=strategy,
-                            validate=False)
+                            validate=False, evolve=evolve)
     sd.swap(lambda tmp: applied.write.mode("overwrite").parquet(tmp))
     return None
 

@@ -1050,3 +1050,37 @@ def test_stream_cdc_apply_file_pruned(spark, tmp_path):
     # files' bytes survive both micro-batches
     assert sum(1 for n in before if n in after
                and before[n] == after[n]) == 3
+
+
+def test_apply_changes_evolve(spark, tmp_path):
+    """CDC schema evolution: evolve=True lets the feed carry NEW
+    payload columns — output schema extends, untouched rows backfill
+    NULL, deletes still land; forbidden with partition_by/file_prune
+    (untouched partitions/files would keep the old schema)."""
+    from cascalog_spark.operators import apply_changes, apply_changes_into
+
+    tgt = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                "k int, v int")
+    ch = spark.createDataFrame(
+        [(1, 111, "hot", "U", 1), (2, None, None, "D", 1),
+         (4, 40, "new", "I", 1)],
+        "k int, v int, tag string, op string, seq int")
+    with pytest.raises(ValueError, match="schema evolution"):
+        apply_changes(tgt, ch, "k", seq_col="seq").collect()
+    got = sorted(map(tuple, apply_changes(
+        tgt, ch, "k", seq_col="seq", evolve=True).collect()))
+    assert got == [(1, 111, "hot"), (3, 30, None), (4, 40, "new")]
+
+    d = str(tmp_path / "cdc_ev")
+    apply_changes_into(
+        spark, d, spark.createDataFrame([(1, 10, "I", 0),
+                                         (3, 30, "I", 0)],
+                                        "k int, v int, op string, seq int"),
+        "k", seq_col="seq")
+    apply_changes_into(spark, d, ch, "k", seq_col="seq", evolve=True)
+    got = sorted(map(tuple, spark.read.parquet(d)
+                     .select("k", "v", "tag").collect()))
+    assert got == [(1, 111, "hot"), (3, 30, None), (4, 40, "new")]
+    with pytest.raises(ValueError, match="full rewrite"):
+        apply_changes_into(spark, d, ch, "k", seq_col="seq",
+                           evolve=True, file_prune=True)
