@@ -911,25 +911,38 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     to 6; documents whose text yields no shingles (NULL text) are
     absent.
 
-    Scale: distinct ``(shingle, id)`` pairs → one groupBy on shingle
-    for the global first-owner (min id), the pair→owner equi-join
-    reuses that shuffle key, then one groupBy on id.  No all-pairs
-    anything; skew = the most duplicated shingle's pair count, same
-    bound as the minhash band join.  Deterministic (pure min/count
-    algebra) → SQL-oracle-checkable.
+    Scale: ONE shingle-sized exchange — (shingle, id) pairs (already
+    distinct per doc: ``with_shingles`` emits ``array_distinct``
+    arrays) → groupBy on shingle for the global first-owner (min id),
+    then ``n_novel(doc) = |{shingles whose owner == doc}|`` is a
+    groupBy over that DOC-SIZED owner table, and ``n_shingles`` is
+    just ``size(__sh)`` read off the un-exploded array (no exchange at
+    all).  The final join is doc×doc.  The r1–r9 shape joined the full
+    pair table back against the owner table (3 extra PAIR-sized
+    exchanges: a redundant pre-distinct, the join probe side, and the
+    pair-level re-group by id) — at 100 TB those dominate; removing
+    them changes no value (pure min/count algebra, pinned by the SQL
+    oracle).  Skew = the most duplicated shingle's pair count, same
+    bound as the minhash band join.
     """
     from .dedup import with_shingles
 
-    pairs = (with_shingles(df.where(F.col(text_col).isNotNull()),
-                           text_col, k, "__sh")
-             .select(F.col(id_col), F.explode("__sh").alias("__s"))
-             .distinct())
+    docs = with_shingles(df.where(F.col(text_col).isNotNull()),
+                         text_col, k, "__sh")
+    # per-doc distinct-shingle count without touching the pair table:
+    # __sh is array_distinct and never empty for non-null text (the
+    # k-window index sequence always has >= 1 slot), so size() equals
+    # the exploded-distinct count the old shape aggregated for
+    base = docs.select(F.col(id_col),
+                       F.size("__sh").cast("long").alias("n_shingles"))
+    pairs = docs.select(F.col(id_col), F.explode("__sh").alias("__s"))
     firsts = pairs.groupBy("__s").agg(F.min(id_col).alias("__first"))
-    return (pairs.join(firsts, on="__s")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum((F.col(id_col) == F.col("__first"))
-                       .cast("long")).alias("n_novel"))
+    novel = (firsts.groupBy("__first")
+             .agg(F.count(F.lit(1)).alias("__nn")))
+    return (base.join(novel, base[id_col] == novel["__first"], "left")
+            .select(F.col(id_col), F.col("n_shingles"),
+                    F.coalesce(F.col("__nn"), F.lit(0).cast("long"))
+                    .alias("n_novel"))
             .withColumn(out_col, F.round(F.col("n_novel")
                                          / F.col("n_shingles"), 6)))
 
