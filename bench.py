@@ -146,6 +146,17 @@ def _session():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by BYTES (the advisory target),
+        # not by core count: with parallelismFirst (Spark's default
+        # true) AQE deliberately under-coalesces to defaultParallelism,
+        # so every tiny shuffle still schedules #cores tasks — pure
+        # per-task overhead at bench scale and the wrong target at any
+        # scale (guide §2.2: 100 MB-1 GB partitions, let AQE coalesce).
+        # Scale-adaptive by construction: at 100 TB the same advisory
+        # size yields thousands of partitions.  Env knob to compare.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
+                               "false"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",
@@ -157,8 +168,20 @@ def _session():
 
 
 def _run_once(spark, qs, name):
+    """Build + materialize ONE entry; returns seconds for the
+    build+action only.  The teardown below (cache release, clearCache,
+    System.gc) is hygiene BETWEEN passes that keeps entries/passes
+    independent — it is not part of the query's work, so r10 moved it
+    OUTSIDE the timed window (guide §1.4: time the computation, not
+    the teardown; the GC alone was 0.1-0.2s of wall charged to every
+    pass of every entry).  Old-methodology numbers are preserved in
+    BASELINE.md / BENCH_r09; the hygiene itself is unchanged, so every
+    timed pass still computes from the parquet inputs with nothing
+    cached across passes."""
+    t0 = time.perf_counter()
     df = qs[name](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
+    elapsed = round(time.perf_counter() - t0, 3)
     # release every advertised cache handle, then clear whatever a
     # query persisted without a handle: entries are independent, so
     # any frame still cached after the action is a cross-query
@@ -175,6 +198,7 @@ def _run_once(spark, qs, name):
     # the DRIVER JVM garbage-collects; one explicit GC per entry keeps
     # even the in-suite JVM young.
     spark.sparkContext._jvm.System.gc()
+    return elapsed
 
 
 def _arg(flag: str, default: int) -> int:
@@ -196,9 +220,7 @@ def _bench_entry(name: str, n_pass: int, n_warm: int) -> float:
         _run_once(spark, qs, name)
     best = None
     for _ in range(n_pass):
-        t0 = time.perf_counter()
-        _run_once(spark, qs, name)
-        el = round(time.perf_counter() - t0, 3)
+        el = _run_once(spark, qs, name)
         best = el if best is None else min(best, el)
     spark.stop()
     return best
@@ -237,9 +259,7 @@ def main() -> None:
                 _run_once(spark, qs, name)
         for _pass in range(n_pass):
             for name in BENCH_QUERIES:
-                t0 = time.perf_counter()
-                _run_once(spark, qs, name)
-                el = round(time.perf_counter() - t0, 3)
+                el = _run_once(spark, qs, name)
                 timings[name] = min(timings.get(name, el), el)
         spark.stop()
     else:  # isolated mode (default): one fresh driver JVM per entry

@@ -145,7 +145,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 def minhash_lsh_candidates(df: DataFrame, id_col: str,
                            text_col: str = "text", num_perm: int = 16,
                            bands: int = 4, shingle_k: int = 3,
-                           sig_col: str = "minhash") -> DataFrame:
+                           sig_col: str = "minhash",
+                           materialize: bool = True) -> DataFrame:
     """LSH banding: signature → ``bands`` bands of num_perm/bands rows; docs
     sharing any band hash are candidate near-duplicates.
 
@@ -172,6 +173,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str,
     buckets = explode_fast(
         sigs.select(F.col(id_col), bands_arr.alias("__bhs")),
         F.col("__bhs"), "bh", pos_name="band")
+    if materialize:
+        # the bucket table feeds BOTH sides of the self-join; without
+        # materialization each side re-tokenizes, re-shingles and
+        # re-minhashes the whole corpus (ReuseExchange only kicks in
+        # for identical shuffle subtrees, and a broadcast side never
+        # qualifies — plan-verified: two full signature pipelines).
+        # One corpus-sized localCheckpoint pays the signature CPU once
+        # (guide §2.4/§5: don't recompute shared subtrees; lineage FT
+        # of this intermediate is non-critical)
+        buckets = buckets.localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     joined = (a.join(b, on=["band", "bh"], how="inner")
@@ -215,7 +226,8 @@ def minhash_index(df: DataFrame, id_col: str, text_col: str = "text",
 def minhash_lsh_candidates_incremental(
         batch: DataFrame, index: DataFrame | None, id_col: str,
         text_col: str = "text", num_perm: int = 16, bands: int = 4,
-        shingle_k: int = 3) -> tuple[DataFrame, DataFrame]:
+        shingle_k: int = 3,
+        materialize: bool = False) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection for continuous ingest: candidate
     pairs of a NEW batch against (a) the existing ``minhash_index`` and
     (b) itself, plus the batch's own index rows to append.
@@ -243,6 +255,16 @@ def minhash_lsh_candidates_incremental(
     buckets = explode_fast(
         sigs.select(F.col(id_col), bands_arr.alias("__bhs")),
         F.col("__bhs"), "bh", pos_name="band")
+    if materialize:
+        # batch-sized (rows x bands): the bucket table feeds THREE
+        # consumers (the self-join, the batch index rows, and — via the
+        # returned pairs — the caller's cross-drop), each of which would
+        # otherwise re-tokenize and re-minhash the whole batch.  The
+        # streaming ingest step passes materialize=True so every
+        # micro-batch pays the signature pass exactly once (guide §2.4 /
+        # §5: don't recompute shared subtrees; at scale this is 3x the
+        # batch's CPU, at bench it is ~3 duplicate jobs per batch).
+        buckets = buckets.localCheckpoint()
     bidx = buckets.drop("__bhs")
     a, bb = buckets.alias("a"), buckets.alias("b")
     self_pairs = (a.join(bb, on=["band", "bh"], how="inner")
@@ -546,7 +568,8 @@ def fuzzy_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
-                        prefilter: bool = True) -> DataFrame:
+                        prefilter: bool = True,
+                        materialize: bool = True) -> DataFrame:
     """Pairwise n-gram (token shingle) Jaccard similarity ≥ threshold.
 
     Implementation: explode distinct shingles → self-equi-join on shingle →
@@ -566,6 +589,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
                .where(F.col("df_") > 1000).select("shingle"))
         sh = sh.join(hot, on="shingle", how="left_anti")
+    if materialize:
+        # sh feeds THREE consumers (per-doc sizes + both self-join
+        # sides; four with the prefilter's doc-freq pass upstream) —
+        # unmaterialized, every consumer re-tokenizes and re-shingles
+        # the corpus.  One exploded-shingle localCheckpoint pays that
+        # CPU once (guide §2.4/§5)
+        sh = sh.localCheckpoint()
     # sizes AFTER the prefilter: numerator and denominator must count the
     # same shingle universe or hot-shingle docs get a deflated Jaccard
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -929,6 +959,11 @@ def semantic_dedup_losers(df: DataFrame, id_col: str = "vec_id",
          # same exclusion as the vectorized kernel
          .where(F.col("__n") > 0)
          .withColumn("__cell", ivf_assign_col(F.col("__v"), cents)))
+    # both self-join sides re-derive decode + norm + the k-literal-
+    # centroid assignment chain without this (broadcast sides never hit
+    # ReuseExchange); one (id, vec, norm, cell) localCheckpoint pays the
+    # assignment CPU once (guide §2.4/§5)
+    a = a.localCheckpoint()
     x, y = a.alias("x"), a.alias("y")
     sim = (dot_col(F.col("x.__v"), F.col("y.__v"))
            / (F.col("x.__n") * F.col("y.__n")))

@@ -1147,7 +1147,17 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
     qside = (queries.where(F.col(query_vec_col).isNotNull())
              .select(F.col(query_id_col).alias("__qid"), qv.alias("__qv"),
                      norm_col(qv).alias("__qnrm"))
-             .where(F.col("__qnrm") > 0))
+             .where(F.col("__qnrm") > 0)
+             # materialized ONCE (q rows — driver-sized): the query side
+             # is consumed by every candidate branch (one broadcast per
+             # LSH width + multi-probe, the IVF probe explode, the exact
+             # ground truth) plus the dim probe below — without this,
+             # each consumer re-derives it from the caller's frame,
+             # which for a query batch cut out of the corpus itself
+             # (orderBy+limit) means one full index scan PER BRANCH
+             # (plan-verified: 6 TakeOrderedAndProject subtrees before,
+             # 1 after)
+             .localCheckpoint())
     dim_row = qside.select(F.size("__qv").alias("d")).first()
     if dim_row is None:
         raise ValueError("ann_recall_report: empty query set")
@@ -1538,7 +1548,8 @@ def prefix_rescore_topk(df: DataFrame, query_vec: list[float],
 
 
 def kcenter_sample(df: DataFrame, k: int = 8, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> list[tuple]:
+                   vec_col: str = "embedding",
+                   materialize: bool = True) -> list[tuple]:
     """Greedy farthest-point traversal (k-center / coreset seeding):
     pick ``k`` maximally-diverse rows by cosine distance — the
     diversity-sampling move in data curation (a random sample
@@ -1566,6 +1577,14 @@ def kcenter_sample(df: DataFrame, k: int = 8, id_col: str = "vec_id",
             .select(F.col(id_col).alias("__id"), vec.alias("__v"),
                     norm_col(vec).alias("__n"))
             .where(F.col("__n") > 0))
+    if materialize:
+        # each of the k rounds (and the seed probe) re-scans the source
+        # and re-derives cast + norm; one (id, vec, norm) localCheckpoint
+        # pays the decode/normalize exactly once and the k distance scans
+        # read the materialized columns (guide §2.4/§5).  Pass
+        # materialize=False to keep the k-pass-over-source shape when
+        # local disk for a corpus copy is the scarcer resource.
+        base = base.localCheckpoint()
     seed = base.orderBy(F.col("__id").asc()).limit(1).first()
     if seed is None:
         return []

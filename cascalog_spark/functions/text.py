@@ -675,11 +675,19 @@ def kn_bigram_nll(df: DataFrame, id_col: str = "doc_id",
     p = ((F.col("c12") - d) / F.col("c1")
          + d * F.col("n1f") / F.col("c1")
          * (F.col("n1b") / F.col("__np")))
-    out = (tf.join(c12, on=["t1", "t2"]).join(c1, on="t1")
-           .join(n1b, on="t2")
-           .crossJoin(F.broadcast(npairs))
+    # assemble p at the (t1,t2) granularity FIRST: c12 is the bigram-TYPE
+    # table (<= |tf| rows, typically far fewer), so the c1/n1b/npairs
+    # attachments shuffle the small table, and the doc-sized tf joins the
+    # finished per-bigram probability exactly once — at scale this
+    # replaces two full re-shuffles of tf (by t1, then t2) with one
+    # bigram-keyed join; per-term arithmetic is the identical expression
+    # on identical values, so results are bit-equal (guide §2.3/§2.4)
+    bg_p = (c12.join(c1, on="t1").join(n1b, on="t2")
+            .crossJoin(F.broadcast(npairs))
+            .select("t1", "t2", p.alias("__p")))
+    out = (tf.join(bg_p, on=["t1", "t2"])
            .groupBy("__id")
-           .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf"))
+           .agg((-F.sum(F.col("tf") * F.log("__p")) / F.sum("tf"))
                 .alias("__nll"))
            .select(F.col("__id").alias(id_col),
                    F.round("__nll", 6).alias("kn_nll")))

@@ -53,7 +53,8 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
                                    minhash_lsh_candidates_incremental)
 
     pairs, bidx = minhash_lsh_candidates_incremental(
-        batch, index, id_col, text_col, num_perm, bands, shingle_k)
+        batch, index, id_col, text_col, num_perm, bands, shingle_k,
+        materialize=materialize)
     # split: self pairs have both ids in the batch; cross pairs carry an
     # index id on the id_a side.  Membership test via the batch id set —
     # an equi-join on id (batch-sized, no collect).
