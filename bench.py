@@ -146,17 +146,24 @@ def _session():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size post-shuffle partitions by BYTES (the advisory target),
-        # not by core count: with parallelismFirst (Spark's default
-        # true) AQE deliberately under-coalesces to defaultParallelism,
-        # so every tiny shuffle still schedules #cores tasks — pure
-        # per-task overhead at bench scale and the wrong target at any
-        # scale (guide §2.2: 100 MB-1 GB partitions, let AQE coalesce).
-        # Scale-adaptive by construction: at 100 TB the same advisory
-        # size yields thousands of partitions.  Env knob to compare.
+        # AQE partition coalescing stays at Spark's default
+        # parallelismFirst=TRUE for the bench: the flag only changes
+        # behavior when shuffle bytes < advisory x cores — exactly the
+        # local/small-shuffle regime, where byte-sizing collapses
+        # CPU-heavy post-shuffle stages onto 1-2 tasks (measured r10:
+        # embedding_ivf_topk 1.74s -> 3.28s with false, A/B'd).  At
+        # 100 TB post-shuffle partitions are byte-bound regardless of
+        # the flag, so 'false' buys nothing there either; production
+        # byte-sizing is the advisory size, already scale-adaptive.
+        # 'true' also keeps BENCH_r10 comparable with every recorded
+        # baseline (all taken under the Spark default) and keeps the
+        # driver's lower-core-count scaling runs meaningful (with
+        # 'false' a small shuffle schedules the same 1-2 tasks at any
+        # core count, flattening the scaling curve).  Env knob to
+        # compare the byte-sized arm.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
-                               "false"))
+                               "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",

@@ -624,10 +624,12 @@ def _cheap_count(df: DataFrame) -> int:
 
 
 def _hashed_ngram_buckets(df: DataFrame, text_col: str, n_buckets: int,
-                          seed: int, id_col: str | None = None) -> DataFrame:
+                          seed: int, id_col: str | None = None,
+                          carry: list[str] | None = None) -> DataFrame:
     """One row per unigram/bigram OCCURRENCE, md5-bucketed into
     ``n_buckets`` (DuckDB-bit-identical, same scheme as ``_unit_hash``).
-    With ``id_col`` the doc id rides along for per-doc counting."""
+    With ``id_col`` the doc id rides along for per-doc counting;
+    ``carry`` names extra (already-present) columns to ride along too."""
     from .text import tokens_col
 
     toks = tokens_col(F.col(text_col))
@@ -636,14 +638,16 @@ def _hashed_ngram_buckets(df: DataFrame, text_col: str, n_buckets: int,
         F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b))).otherwise(
         F.array().cast("array<string>"))
+    carry = carry or []
     cols = ([F.col(id_col).alias("__id")] if id_col else [])
+    cols += [F.col(c) for c in carry]
     ex = explode_fast(
         df.select(*cols, F.concat(toks, bigrams).alias("__f")),
         F.col("__f"), "__feat")
     h = F.conv(F.substring(
         F.md5(F.concat_ws("_", F.col("__feat"), F.lit(str(seed)))),
         1, 15), 16, 10).cast("bigint")
-    keep = (["__id"] if id_col else [])
+    keep = (["__id"] if id_col else []) + list(carry)
     return ex.select(*keep, (h % n_buckets).alias("__b"))
 
 
@@ -683,17 +687,28 @@ def dsir_weights(raw: DataFrame, target, id_col: str = "doc_id",
     if target_pred is not None:
         keyed = raw.select(F.col(id_col), F.col(text_col),
                            target_pred.alias("__tgt"))
-        ids = keyed.select(F.col(id_col).alias("__id"), "__tgt")
+        # __tgt rides the explode (one boolean per occurrence) and the
+        # per-doc groupBy — it is functionally dependent on __id, so
+        # adding it to the grouping key leaves the groups unchanged.
+        # Both bucket totals then roll up in ONE pass over the cached
+        # per-doc aggregate: cr = sum(cnt), ct = sum(cnt where tgt) —
+        # this replaces two separate aggregate passes, a doc-keyed
+        # left-semi join, AND the full-outer __b join (the target docs
+        # are a subset of raw, so ct's bucket set ⊆ cr's and the outer
+        # join was a left-outer in disguise).  Identical bigint sums →
+        # bit-equal log-ratios (guide §2.3/§2.4: aggregate before you
+        # shuffle; remove shuffles outright).
         doc_b = (_hashed_ngram_buckets(keyed, text_col, n_buckets, seed,
-                                       id_col=id_col)
-                 .groupBy("__id", "__b")
+                                       id_col=id_col, carry=["__tgt"])
+                 .groupBy("__id", "__tgt", "__b")
                  .agg(F.count(F.lit(1)).alias("__cnt")))
         if materialize:
             doc_b = doc_b.persist(StorageLevel.MEMORY_AND_DISK)
-        cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
-        ct = (doc_b.join(ids.where(F.col("__tgt")).select("__id"),
-                         on="__id", how="left_semi")
-              .groupBy("__b").agg(F.sum("__cnt").alias("__ct")))
+        lr0 = (doc_b.groupBy("__b")
+               .agg(F.sum("__cnt").alias("__cr"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__tgt"), F.col("__cnt"))),
+                        F.lit(0)).alias("__ct")))
     else:
         doc_b = (_hashed_ngram_buckets(raw, text_col, n_buckets, seed,
                                        id_col=id_col)
@@ -704,10 +719,10 @@ def dsir_weights(raw: DataFrame, target, id_col: str = "doc_id",
         cr = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
         ct = (_hashed_ngram_buckets(target, text_col, n_buckets, seed)
               .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
-    lr0 = (ct.join(cr, on="__b", how="full")
-           .select("__b",
-                   F.coalesce("__ct", F.lit(0)).alias("__ct"),
-                   F.coalesce("__cr", F.lit(0)).alias("__cr")))
+        lr0 = (ct.join(cr, on="__b", how="full")
+               .select("__b",
+                       F.coalesce("__ct", F.lit(0)).alias("__ct"),
+                       F.coalesce("__cr", F.lit(0)).alias("__cr")))
     tot = lr0.agg(F.sum("__ct").cast("double").alias("__nt"),
                   F.sum("__cr").cast("double").alias("__nr"))
     ab = F.lit(float(alpha) * n_buckets)

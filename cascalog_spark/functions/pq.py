@@ -325,8 +325,23 @@ def pq_adc_topk(df: DataFrame, query_vec: list[float],
         score = F.try_divide(
             score, F.sqrt(reduce(lambda a, b: a + b, nterms))
             * F.lit(qnorm))
-    return (df.select(F.col(id_col), F.round(score, 6).alias("score"))
-            .where(F.col("score").isNotNull())
+    scored = df.select(F.col(id_col), F.round(score, 6).alias("score"))
+    if not (codes_col is None and metric in ("ip", "l2")):
+        # the null-score guard only matters when a score CAN be null:
+        # a zero-norm reconstruction under 'cosine' (try_divide), or
+        # caller-supplied codes with out-of-range entries.  For the
+        # inline-encode ip/l2 path the codes are argmin indices in
+        # [0, n_codes) by construction, every LUT lookup hits, and the
+        # filter is a provable no-op — but Spark pushes it below the
+        # projection (and below the parallelizing Exchange), inlining
+        # the ENTIRE encode+LUT expression a second time into a Filter
+        # evaluated on the narrow scan side (plan-verified: the before
+        # plan's Filter carried the full literal-codebook chain).
+        # Skipping the no-op filter halves the expression tree and
+        # keeps the heavy projection above the Exchange (guide §4.4's
+        # duplicated-evaluation disease, native-expression edition).
+        scored = scored.where(F.col("score").isNotNull())
+    return (scored
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
 

@@ -508,6 +508,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
         raise ValueError("table_profile: no columns")
     simple = {f.name: f.dataType.typeName() for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
+    nd_aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0))
@@ -521,10 +522,26 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
         else:
             nd = (F.count_distinct(col) if exact_distinct
                   else F.approx_count_distinct(col))
-            aggs.append(nd.alias(f"__nd{i}"))
+            if exact_distinct:
+                # exact distincts go in a SEPARATE aggregate: combined
+                # with min/max(string) they force every phase of the
+                # Expand-based multi-distinct rewrite into SortAggregate
+                # (string agg buffers are not HashAggregate-compatible),
+                # i.e. a full sort of the #cols-fold expanded rows.  A
+                # distinct-only aggregate plans as pure HashAggregate
+                # (phase 1 is a grouping-key-only dedup, phase 2 counts
+                # longs), and the scalar stats pass stays a one-row
+                # global agg.  Two scans of a column-pruned table beat
+                # one sort of 6x its rows (guide §2.4; identical counts
+                # — same count_distinct over the same rows).
+                nd_aggs.append(nd.alias(f"__nd{i}"))
+            else:
+                aggs.append(nd.alias(f"__nd{i}"))
             aggs.append(F.min(col).cast("string").alias(f"__mn{i}"))
             aggs.append(F.max(col).cast("string").alias(f"__mx{i}"))
     row = df.agg(*aggs)
+    if nd_aggs:
+        row = row.crossJoin(F.broadcast(df.agg(*nd_aggs)))
     entries = F.array(*[
         F.struct(F.lit(c).alias("column"),
                  F.col(f"__null{i}").alias("n_null"),
