@@ -421,12 +421,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.node)
                  .groupBy("src").agg(F.min("label").alias("nmin")))
+        # eager=False: the label-sum action below materializes it —
+        # one driver job per round instead of two (see star loop)
         labels = (labels.join(neigh, labels.node == neigh.src, "left")
                   .select(F.col("node"),
                           F.least(F.col("label"),
                                   F.coalesce(F.col("nmin"), F.col("label")))
                           .alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         rounds += 1
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -485,10 +487,14 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         # -- small-star: smaller neighbors only (edges stay larger→smaller)
         mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
         j = edges.join(mins, "src")
+        # eager=False: the fingerprint action right below is the
+        # materializing job (its aggregate scans every partition, and
+        # LocalRDDCheckpointData caches the rest at job end) — one
+        # driver job per round instead of two, same truncated lineage
         edges = (j.where(F.col("dst") != F.col("m"))
                  .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                  .union(j.select("src", F.col("m").alias("dst")))
-                 .distinct().localCheckpoint())
+                 .distinct().localCheckpoint(eager=False))
         rounds += 1
         fp = edges.agg(
             F.count(F.lit(1)).alias("n"),

@@ -134,10 +134,12 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         # from the node universe must not deflate teleport mass (the
         # 'total rank mass is EXACTLY 1' invariant) — it is dropped
         # loudly instead (ADVICE r6)
+        # eager=False: the weight-total action right below materializes
+        # the checkpoint — one driver job instead of two
         seeded = (nd.join(seed, on="node", how="left")
                   .select("node", F.coalesce(F.col("__w"), F.lit(0.0))
                           .alias("__w"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         wtot = seeded.agg(F.sum("__w").alias("t")).first()["t"]
         if not wtot or wtot <= 0:
             raise ValueError(
@@ -185,9 +187,18 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         # node-sized localCheckpoint every round is the standard Pregel
         # superstep materialization; raise checkpoint_every only for
         # tiny graphs where per-job latency dominates.
+        #
+        # eager=False: the plan is truncated NOW (localCheckpoint wraps
+        # the physical plan's RDD immediately), but the materializing
+        # job is deferred to the first consumer — the tol delta action
+        # below, or the next round's dangling broadcast job, or the
+        # caller's action.  The first computing job caches every
+        # partition (LocalRDDCheckpointData completes at job end), so
+        # re-derivation is still impossible; this just removes one
+        # driver job per iteration.
         if checkpoint_every and n_done % checkpoint_every == 0 \
                 and (not last or tol is not None):
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
         if tol is not None and not last:
             # L1 convergence check: node-sized join, 1-row aggregate —
             # one extra action per round, same broadcast shape as the

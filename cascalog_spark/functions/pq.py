@@ -517,7 +517,7 @@ def ivfpq_index(df: DataFrame, id_col: str = "vec_id",
     is O(n_centroids·dim + m·n_codes·dim/m) — centroid table plus
     codebooks — independent of corpus size."""
     from .similarity import _lit_arr_sql, _resolve_centroids, \
-        ivf_assign_col
+        assign_cell_nonnull
 
     cents = _resolve_centroids(centroids, df, id_col, vec_col,
                                n_centroids)
@@ -535,10 +535,16 @@ def ivfpq_index(df: DataFrame, id_col: str = "vec_id",
     # on the sf0.01 seed collect)
     cent_arrs = "array(" + ",".join(
         _lit_arr_sql([float(x) for x in cv]) for _, cv in ordered) + ")"
+    # non-nullable cell (similarity.assign_cell_nonnull): __cell is the
+    # equi-join key of every consumer (ivfpq_topk's probe frame,
+    # ivfpq_knn_join's qside/n2f joins); a nullable derived key makes
+    # the optimizer push an isnotnull copy of this whole centroid chain
+    # below the scan-side Exchange (single-task at bench scale, double
+    # work at any scale)
     assigned = (df.where(F.col(vec_col).isNotNull())
                 .select(F.col(id_col),
                         F.col(vec_col).cast("array<double>").alias("__v"))
-                .withColumn("__cell", ivf_assign_col("__v", cents))
+                .withColumn("__cell", assign_cell_nonnull("__v", cents))
                 .withColumn("__cent", F.expr(
                     f"element_at({cent_arrs}, ({rank_sql}) + 1)"))
                 .withColumn("__r", F.zip_with(F.col("__v"),
@@ -567,6 +573,11 @@ def ivfpq_index(df: DataFrame, id_col: str = "vec_id",
     codes = assigned.select(
         F.col(id_col), F.col("__cell"),
         pq_encode_col(F.col("__r"), books).alias("codes"))
+    # marker for ivfpq_topk: on this LAZY frame the cell column is a
+    # derived expression, so an isin(probe) filter would be pushed (and
+    # the whole assignment inlined) below the scan Exchange — the probe
+    # broadcast join alone prunes identically there
+    codes._ivfpq_lazy_cell = True
     return cents, books, codes
 
 
@@ -698,7 +709,18 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
     # real score): filtering before it would push the predicate below
     # the select, inlining a full copy of the scoring (and, for a lazy
     # ivfpq_index input, the whole interpreted encode) per row
-    return (index.where(F.col(cell_col).isin(probe))
+    #
+    # cell pruning: on a MATERIALIZED index (ivfpq_query_index read) the
+    # isin is the PARTITION filter that skips unprobed cells' files; on
+    # the LAZY ivfpq_index frame (marker below) the same isin is pushed
+    # below the scan Exchange with the full assignment chain inlined
+    # (52 KB Filter in the before-plan, evaluated on the unparallelized
+    # side) — there the inner probe join alone prunes identically (a
+    # probed cell matches exactly one pframe row, anything else matches
+    # none, exactly like isin)
+    pruned = (index if getattr(index, "_ivfpq_lazy_cell", False)
+              else index.where(F.col(cell_col).isin(probe)))
+    return (pruned
             .join(F.broadcast(pframe), on=cell_col)
             .select(F.col(id_col),
                     F.round(F.try_divide(num, den), 6).alias("score"))

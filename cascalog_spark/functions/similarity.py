@@ -306,6 +306,31 @@ def ivf_assign_col(vec: Column | str,
     return -_assign_struct(vec, centroids)["ncid"]
 
 
+def assign_cell_nonnull(vec: Column | str,
+                        centroids: list[tuple[int, list[float]]]
+                        ) -> Column:
+    """``ivf_assign_col`` wrapped NON-NULLABLE: ``coalesce(assign,
+    sentinel)`` with the sentinel one below the smallest centroid id —
+    provably outside the cell domain.
+
+    Why (plan shape, not values): when the derived cell is an equi-join
+    key and its expression is nullable, InferFiltersFromConstraints adds
+    ``isnotnull(<whole assignment expr>)``, and predicate pushdown then
+    inlines a FULL COPY of the centroid chain into a Filter below the
+    scan-side Exchange — the assignment evaluated twice per row, once on
+    the unparallelized pre-repartition side (measured: a 26 KB Filter
+    node under the Exchange in the ivfpq_knn plan).  A non-nullable key
+    generates no isnotnull constraint, so the chain is planned exactly
+    once, above the Exchange.
+
+    Values are unchanged: the assignment is NULL only for NULL/element-
+    null vectors (callers filter NULL vectors first), and the sentinel —
+    like the NULL it replaces — matches no probe/centroid row, so every
+    downstream inner join or isin drops the row identically."""
+    sent = min(int(c) for c, _ in centroids) - 1
+    return F.coalesce(ivf_assign_col(vec, centroids), F.lit(sent))
+
+
 def assign_cells_vectorized(df: DataFrame,
                             centroids: list[tuple[int, list[float]]],
                             vec_col: str = "embedding",
@@ -481,12 +506,28 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     probe = _probe_cells(cents, query_vec, n_probe)
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
-    return (df.withColumn("__cell", ivf_assign_col(vec, cents))
-            .where(F.col("__cell").isin(probe))
+    # Cell pruning via an inner join against the tiny probe frame, not
+    # ``.where(__cell.isin(probe))``: the isin over the DERIVED cell is
+    # pushed below the scan-side Exchange, evaluating the whole centroid
+    # chain on the unparallelized side (a 28 KB Filter under the
+    # Exchange in the before-plan).  A join is never reordered below an
+    # Exchange; same rows survive (a probed cell matches exactly one
+    # probe row, NULL/sentinel cells match none — identical to isin).
+    # The materialized-index path keeps its isin as a PARTITION filter
+    # (``ivf_query_index``).
+    probe_df = df.sparkSession.createDataFrame(
+        [(int(c),) for c in probe], "`__cell` bigint")
+    # null-score drop AFTER the top-k: sim desc puts NULLs last, so they
+    # never displace a real score, and filtering first would push
+    # ``isnotnull(<sim expr>)`` below the Exchange too
+    return (df.withColumn("__cell",
+                          assign_cell_nonnull(vec, cents)
+                          .cast("bigint"))
+            .join(F.broadcast(probe_df), on="__cell")
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
-            .where(F.col("sim").isNotNull())  # null/zero-norm: no rank
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-            .limit(k))
+            .limit(k)
+            .where(F.col("sim").isNotNull()))  # null/zero-norm: no rank
 
 
 def ivf_write_index(df: DataFrame, path: str,
@@ -1031,9 +1072,12 @@ def ivf_knn_join(index: DataFrame, queries: DataFrame,
     centroids = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
     vec = F.col(vec_col).cast("array<double>")
+    # non-nullable cell (assign_cell_nonnull): __cell is this join's
+    # equi-key, and a nullable derived key makes the optimizer push an
+    # isnotnull copy of the whole assignment below the scan Exchange
     idx = (index.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vec.alias("__v"), norm_col(vec).alias("__nrm"),
-        ivf_assign_col(vec, centroids).alias("__cell"))
+        assign_cell_nonnull(vec, centroids).alias("__cell"))
         .where(F.col("__nrm") > 0))  # zero-norm: no cosine
 
     queries = queries.where(F.col(query_vec_col).isNotNull())
@@ -1250,8 +1294,10 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                     F.col("__pe")["cid"].alias("__cell"),
                     (F.col("__pos0") + 1).alias("__rank"))
             .localCheckpoint())
+        # non-nullable cell: a nullable derived join key would push an
+        # isnotnull copy of the assignment chain below the scan Exchange
         joined = (idx.withColumn("__cell",
-                                 ivf_assign_col("__v", cents))
+                                 assign_cell_nonnull("__v", cents))
                   .join(F.broadcast(qcells), on="__cell")
                   .select("__qid", F.col(id_col), sim, "__rank"))
         params = F.array(*[F.lit(int(np_)) for np_ in ivf_probes])
