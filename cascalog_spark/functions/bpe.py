@@ -137,7 +137,7 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
         raise ValueError("train_bpe: num_merges must be >= 0")
     vocab = (word_freqs(df, text_col)
              .withColumn("syms", F.split(F.col("word"), ""))
-             .localCheckpoint())  # corpus read happens HERE, exactly once
+             .localCheckpoint(eager=False))  # materialized by round 1's action
     merges: list[tuple[str, str, int]] = []
     for r in range(num_merges):
         top = (_pair_counts(vocab)
@@ -150,7 +150,7 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
         merges.append((a, b, int(n)))
         vocab = apply_merge(vocab, a, b)
         if (r + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.localCheckpoint(eager=False)
     return (merges, vocab) if return_vocab else merges
 
 

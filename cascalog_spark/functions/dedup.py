@@ -413,7 +413,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).distinct() \
-             .localCheckpoint()
+             .localCheckpoint(eager=False)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     prev_sum = None
@@ -465,12 +465,12 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
     nodes = (e.select(F.col("a").alias("node"))
              .union(e.select(F.col("b").alias("node"))).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     # orient larger→smaller; self-loops carry no connectivity
     edges = (e.where(F.col("a") != F.col("b"))
              .select(F.greatest("a", "b").alias("src"),
                      F.least("a", "b").alias("dst"))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     prev_fp = None
     rounds = 0
     for _ in range(max_iter):

@@ -1630,7 +1630,7 @@ def kcenter_sample(df: DataFrame, k: int = 8, id_col: str = "vec_id",
         # read the materialized columns (guide §2.4/§5).  Pass
         # materialize=False to keep the k-pass-over-source shape when
         # local disk for a corpus copy is the scarcer resource.
-        base = base.localCheckpoint()
+        base = base.localCheckpoint(eager=False)
     seed = base.orderBy(F.col("__id").asc()).limit(1).first()
     if seed is None:
         return []

@@ -626,7 +626,7 @@ def _write_pruned(spark: SparkSession, target_dir: str,
     the write must materialize anyway (it exists so the survivors
     probe does not run the merge plan a second time); executor-local
     disk, bounded by the batch's partitions, never the table."""
-    frame = frame.localCheckpoint()
+    frame = frame.localCheckpoint(eager=False)
     survived = {r[0] for r in
                 frame.select(partition_by).distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",

@@ -79,7 +79,7 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
         # callers consuming BOTH outputs (the streaming step writes
         # survivors and the semi-joined index rows) would otherwise run
         # the whole dedup twice — checkpoint once, batch-sized
-        survivors = survivors.localCheckpoint()
+        survivors = survivors.localCheckpoint(eager=False)
     new_index_rows = bidx.join(
         survivors.select(id_col), on=id_col, how="left_semi")
     return survivors, new_index_rows
@@ -376,7 +376,7 @@ def stream_semantic_dedup_ingest(stream_df: DataFrame, out_dir: str,
             n_clusters)
         # survivors feed TWO writes — materialize once (batch-sized)
         # instead of re-running the reps read + cell joins per write
-        kept = kept.localCheckpoint()
+        kept = kept.localCheckpoint(eager=False)
         StateDir(out_dir).write(kept, batch_id)
         StateDir(reps_dir).write(kept.select(id_col, vec_col), batch_id)
 
@@ -584,7 +584,7 @@ def stream_expectation_gate(stream_df: DataFrame, rules: dict,
     def _step(batch: DataFrame, batch_id: int) -> None:
         import shutil
 
-        report = check_expectations(batch, rules).localCheckpoint()
+        report = check_expectations(batch, rules).localCheckpoint(eager=False)
         StateDir(report_dir).write(report, batch_id)
         ok = report.agg(
             F.min(F.col("passed").cast("int"))).first()[0]
@@ -986,7 +986,7 @@ def stream_retention_maintenance(stream_df: DataFrame, pairs_dir: str,
                               .alias("first_ts")))
         else:
             merged = bf.select("user", F.col("__bf").alias("first_ts"))
-        merged = merged.localCheckpoint()  # consumed by pairs AND state
+        merged = merged.localCheckpoint(eager=False)  # consumed by pairs AND state
         cohort, off = cohort_offset_cols(F.col("first_ts"),
                                          F.col(ts_col), period)
         bsel = batch.select(F.col(user_col).alias("user"),
