@@ -506,24 +506,19 @@ def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     probe = _probe_cells(cents, query_vec, n_probe)
     vec = F.col(vec_col).cast("array<double>")
     sim = cosine_to_query_col(vec, query_vec)
-    # Cell pruning via an inner join against the tiny probe frame, not
-    # ``.where(__cell.isin(probe))``: the isin over the DERIVED cell is
-    # pushed below the scan-side Exchange, evaluating the whole centroid
-    # chain on the unparallelized side (a 28 KB Filter under the
-    # Exchange in the before-plan).  A join is never reordered below an
-    # Exchange; same rows survive (a probed cell matches exactly one
-    # probe row, NULL/sentinel cells match none — identical to isin).
-    # The materialized-index path keeps its isin as a PARTITION filter
-    # (``ivf_query_index``).
-    probe_df = df.sparkSession.createDataFrame(
-        [(int(c),) for c in probe], "`__cell` bigint")
-    # null-score drop AFTER the top-k: sim desc puts NULLs last, so they
-    # never displace a real score, and filtering first would push
-    # ``isnotnull(<sim expr>)`` below the Exchange too
-    return (df.withColumn("__cell",
-                          assign_cell_nonnull(vec, cents)
-                          .cast("bigint"))
-            .join(F.broadcast(probe_df), on="__cell")
+    # isin cell pruning stays: on a materialized index it is the
+    # partition filter, and on an in-memory frame the pushed filter
+    # computes the assignment once AT THE SCAN (the projection above
+    # does not re-evaluate it — only sim survives), which is the right
+    # scan-side-pruning shape at scale.  A broadcast probe-join variant
+    # was A/B'd (r10) and is 1.2x SLOWER at bench scale: the extra
+    # broadcast exchange costs more than the narrow filter saves.
+    # null-score drop AFTER the top-k: sim desc puts NULLs last, so
+    # they never displace a real score — filtering first pushed
+    # ``isnotnull(<sim expr>)`` into the same scan Filter, evaluating
+    # the cosine twice per surviving row (28 KB before-plan Filter).
+    return (df.withColumn("__cell", ivf_assign_col(vec, cents))
+            .where(F.col("__cell").isin(probe))
             .select(F.col(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k)
