@@ -3417,26 +3417,36 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     one).  The oracle runs the genuine EXISTS/NOT EXISTS SQL, so the
     value-hash match proves the rewrite.  Counts one row per returned
     lineitem, exactly like Q21's FROM l1."""
+    from cascalog_spark import column_op
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
-    nsupp = q(["?ok", "?ns"],
-              (li, {"l_orderkey": "?ok", "l_suppkey": "?s1"}),
-              (c.distinct_count, "?s1", ":>", "?ns"))
-    nbad = q(["?ok", "?nb"],
-             (li, {"l_orderkey": "?ok", "l_suppkey": "?s2",
-                   "l_returnflag": "?rf2"}),
-             (c.eq, "?rf2", "R"),
-             (c.distinct_count, "?s2", ":>", "?nb"))
+    # r10 optimization (guide §2.4): the two per-order distinct-supplier
+    # counts (all suppliers / returning suppliers) used to be SEPARATE
+    # subqueries — two full lineitem scans, two agg shuffles, then a join
+    # to recombine them on l_orderkey.  count(DISTINCT x) ignores NULLs,
+    # so masking the supplier key to NULL on non-'R' rows folds both into
+    # ONE grouped aggregate over ONE scan.  Equivalence: an order with no
+    # 'R' row previously had no nbad row (inner join dropped it); now it
+    # has ?nb = 0 and the ?nb == 1 filter drops it — same survivor set.
+    r_supp = column_op(
+        "r-supp", lambda s, rf: F.when(rf == "R", s),
+        py_fn=lambda s, rf: s if rf == "R" else None)
+    counts = q(["?ok", "?ns", "?nb"],
+               (li, {"l_orderkey": "?ok", "l_suppkey": "?s1",
+                     "l_returnflag": "?rf1"}),
+               (r_supp, "?s1", "?rf1", ":>", "!rs"),
+               (c.distinct_count, "?s1", ":>", "?ns"),
+               (c.distinct_count, "!rs", ":>", "?nb"))
     return q(["?s_name", "?numwait"],
              (li, {"l_orderkey": "?ok", "l_suppkey": "?sk",
                    "l_returnflag": "?rf"}),
              (c.eq, "?rf", "R"),
              (orders, {"o_orderkey": "?ok", "o_orderstatus": "?st"}),
              (c.eq, "?st", "F"),
-             (nsupp, "?ok", "?ns"),
+             (counts, "?ok", "?ns", "?nb"),
              (c.gte, "?ns", 2),
-             (nbad, "?ok", "?nb"),
              (c.eq, "?nb", 1),
              (supp, {"s_suppkey": "?sk", "s_name": "?s_name"}),
              (c.count, "?numwait"),

@@ -1106,12 +1106,13 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
     exact_dedup's keep='min' convention; same-doc internal repetition is
     not counted — see ``repetition_signals`` for that axis).
 
-    Shape: (1) groupBy gram → min owner id (one shuffle, md5-uniform
-    keys); (2) anchors ⋈ owners on gram (equi-join, same key); (3)
-    per-doc gap-and-island merge of consecutive duplicated positions
-    (window by id — one shuffle on doc id).  Runs of overlapping k-grams
-    collapse into ONE span row, so output is bounded by distinct
-    duplicated regions, not duplicated tokens.
+    Shape: (1) min(id) OVER (PARTITION BY gram) marks each anchor with
+    its gram's owner in the anchors' own pass (one shuffle, md5-uniform
+    keys — no aggregate+join, no second corpus scan); (2) per-doc
+    gap-and-island merge of consecutive duplicated positions (window by
+    id — one shuffle on doc id).  Runs of overlapping k-grams collapse
+    into ONE span row, so output is bounded by distinct duplicated
+    regions, not duplicated tokens.
 
     Fidelity bound vs the suffix-array method (Lee et al. 2022): in
     TOKEN space this is EXACT, not approximate — anchors sit at every
@@ -1125,9 +1126,17 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
     """
     from pyspark.sql import Window
 
+    # The min-owner-per-gram used to be a separate aggregate joined back
+    # onto anchors — which re-ran the tokenize+explode+md5 chain for each
+    # side (Spark re-executes branched subtrees) and paid a second
+    # gram-keyed Exchange.  min(id) OVER (PARTITION BY gram) computes the
+    # same owner in the anchors' own single pass: ONE corpus scan, ONE
+    # shuffle, no join (guide §2.4 remove shuffles outright; §3 a window
+    # keyed like the join replaces it).
     anchors = kgram_anchors(df, k, id_col, text_col)
-    owners = anchors.groupBy("gram").agg(F.min(id_col).alias("__owner"))
-    dup = (anchors.join(owners, on="gram")
+    w_gram = Window.partitionBy("gram")
+    dup = (anchors
+           .withColumn("__owner", F.min(id_col).over(w_gram))
            .where(F.col("__owner") < F.col(id_col)))
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (dup.withColumn("__rn", F.row_number().over(w))
@@ -1223,9 +1232,15 @@ def exact_substring_dedup_incremental(
     and ``minhash_lsh_candidates_incremental``."""
     from pyspark.sql import Window
 
+    # The batch-internal owner pass is a window, not an aggregate+join —
+    # min(id) OVER (PARTITION BY gram) folds owner computation into the
+    # anchors' own pass (one tokenize, one shuffle, no self-join; guide
+    # §2.4), cutting the anchor-subtree executions from 4 to 3 (the index
+    # semi-join and the index update still branch, batch-sized both).
     anchors = kgram_anchors(batch, k, id_col, text_col)
-    owners = anchors.groupBy("gram").agg(F.min(id_col).alias("__owner"))
-    batch_dup = (anchors.join(owners, on="gram")
+    w_gram = Window.partitionBy("gram")
+    batch_dup = (anchors
+                 .withColumn("__owner", F.min(id_col).over(w_gram))
                  .where(F.col("__owner") < F.col(id_col))
                  .select(id_col, "pos"))
     if index_df is not None:
@@ -1260,12 +1275,12 @@ def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
     lines are not boilerplate evidence).
 
     All native: posexplode the lines, md5 the trimmed lowercased line as
-    the dedup key, one min-struct aggregate picks the global first owner
-    per key (uniform md5 keys — no skew), one equi-join on the same key
-    marks survivors, and per-doc reassembly is array_sort over collected
-    (pos, line) structs — no Python, no window over the corpus.  Three
-    shuffles total (owner agg, owner join, doc reassembly), each keyed
-    uniformly; at 100 TB every stage has map-side partial aggregation.
+    the dedup key, one min-struct WINDOW over the key picks the global
+    first owner and marks survivors in the same pass (uniform md5 keys —
+    no skew, no aggregate+join, no second corpus scan), and per-doc
+    reassembly is array_sort over collected (pos, line) structs — no
+    Python.  Two shuffles total (owner window, doc reassembly), each
+    keyed uniformly.
 
     Returns the input columns plus ``out_col`` (lines re-joined with
     ``sep``; original ``text_col`` preserved — pass ``out_col=text_col``
@@ -1278,12 +1293,19 @@ def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
         .alias("__pos", "__line"))
         .withColumn("__key", F.md5(F.trim(F.lower(F.col("__line"))))))
     eligible = F.length(F.trim(F.col("__line"))) >= min_chars
-    owners = (lines.where(eligible)
-              .groupBy("__key")
-              .agg(F.min(F.struct(F.col(id_col).alias("__oid"),
-                                  F.col("__pos").alias("__opos")))
-                   .alias("__owner")))
-    kept = (lines.join(owners, on="__key", how="left")
+    # The first-owner-per-key used to be a separate aggregate left-joined
+    # back onto lines — re-running the split+md5 pass for each side and
+    # paying a second __key Exchange.  min(struct) OVER (PARTITION BY
+    # __key), null-masked to eligible rows (min ignores NULLs), computes
+    # the same owner in the lines' own single pass: one corpus scan, one
+    # shuffle, no join (guide §2.4).  Every eligible line's key group
+    # contains at least itself, so the owner is never NULL where tested.
+    from pyspark.sql import Window
+    w_key = Window.partitionBy("__key")
+    owner = F.min(F.when(eligible,
+                         F.struct(F.col(id_col).alias("__oid"),
+                                  F.col("__pos").alias("__opos")))).over(w_key)
+    kept = (lines.withColumn("__owner", owner)
             .where((~eligible)
                    | ((F.col("__owner.__oid") == F.col(id_col))
                       & (F.col("__owner.__opos") == F.col("__pos")))))
