@@ -452,8 +452,9 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     - SMALL-STAR (per node u over its smaller neighbors, edges oriented
       larger→smaller): connect u and all of Γ(u) to m = min(Γ(u) ∪ {u}).
 
-    Both are one groupBy-min + one equi-join — no per-node state, no
-    driver collect; localCheckpoint per round cuts lineage.  Converges in
+    Both are one windowed min over the star's own src-keyed shuffle — no
+    join, no per-node state, no driver collect; localCheckpoint per round
+    cuts lineage.  Converges in
     O(log n) rounds on ANY topology (provably O(log² n), observed ~log n)
     — on a path graph of 2^k nodes this finishes in ~k rounds where label
     propagation needs 2^k.  Convergence = edge multiset fixed point,
@@ -471,22 +472,32 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
              .select(F.greatest("a", "b").alias("src"),
                      F.least("a", "b").alias("dst"))
              .distinct().localCheckpoint(eager=False))
+    from pyspark.sql import Window
+
     prev_fp = None
     rounds = 0
+    # Each star's per-node minimum is a WINDOW over the edge table's own
+    # pass — min(dst) OVER (PARTITION BY src) — not a groupBy-min joined
+    # back (r10, guide §2.3/§2.4): the window computes the same minimum
+    # in the one src-keyed shuffle the star needs anyway, where the
+    # agg+join shape paid an extra aggregate Exchange plus a join (a
+    # broadcast-build job per star at small scale, a second full shuffle
+    # of the edge table at large scale).  The large-star's intermediate
+    # .distinct() is dropped too: duplicates cannot change a min, and
+    # the round's closing distinct restores the exact same edge SET, so
+    # the per-round state (and the convergence fingerprint sequence) is
+    # provably identical — AQE stage jobs per round drop ~2x.
+    w_src = Window.partitionBy("src")
     for _ in range(max_iter):
         # -- large-star: full neighborhood (both directions)
         und = edges.union(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-        mins = (und.groupBy("src")
-                .agg(F.min("dst").alias("__md"))
-                .select("src", F.least("__md", F.col("src")).alias("m")))
-        edges = (und.join(mins, "src")
+        edges = (und.withColumn(
+                     "m", F.least(F.min("dst").over(w_src), F.col("src")))
                  .where(F.col("dst") > F.col("src"))
-                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-                 .distinct())
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
         # -- small-star: smaller neighbors only (edges stay larger→smaller)
-        mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
-        j = edges.join(mins, "src")
+        j = edges.withColumn("m", F.min("dst").over(w_src))
         # eager=False: the fingerprint action right below is the
         # materializing job (its aggregate scans every partition, and
         # LocalRDDCheckpointData caches the rest at job end) — one
