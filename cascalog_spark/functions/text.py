@@ -974,7 +974,8 @@ def ngram_novelty_incremental(batch: DataFrame,
                               index_df: DataFrame | None,
                               text_col: str = "text",
                               id_col: str = "doc_id", k: int = 3,
-                              out_col: str = "novelty"
+                              out_col: str = "novelty",
+                              new_rows_only: bool = False
                               ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingest novelty: score a NEW batch against the standing
     shingle index — a shingle is novel iff it is absent from the index
@@ -984,38 +985,63 @@ def ngram_novelty_incremental(batch: DataFrame,
     scores (pinned by test).  Returns ``(scored_batch,
     updated_index)`` — the index grows by the batch's distinct
     shingles; callers append only the new rows (``sinkmode="update"``),
-    the corpus is never rescanned.
+    the corpus is never rescanned.  ``new_rows_only=True`` returns the
+    batch's NEW shingle rows as the second element instead of the full
+    union — the shape a per-batch ``sinkmode="update"`` writer (the
+    streaming face) actually persists, without re-deriving it.
+
+    Shape (r10, guide §2.3/§2.4): the batch-internal first owner is
+    ``min(id) OVER (PARTITION BY shingle)`` in the pair table's own
+    pass, and index membership is ONE left join carried into the same
+    per-doc aggregate — the old aggregate+join-back ran the
+    tokenize+shingle chain once per consumer (owner groupBy, join
+    probe, new-shingle distinct: 3 executions per batch); now every
+    consumer hangs off the one shingle-keyed Exchange (ReuseExchange —
+    the branches differ only above it).
 
     This is the op a crawl pipeline runs per snapshot: novelty ~0 means
     the batch re-crawled what the index already holds — the cheap gate
     before full near-dedup."""
+    from pyspark.sql import Window
+
     from .dedup import with_shingles
 
     pairs = (with_shingles(batch.where(F.col(text_col).isNotNull()),
                            text_col, k, "__sh")
              .select(F.col(id_col), F.explode("__sh").alias("shingle"))
              .distinct())
-    firsts = pairs.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    marked = pairs.withColumn(
+        "__first", F.min(id_col).over(Window.partitionBy("shingle")))
     if index_df is not None:
-        firsts = firsts.join(index_df.select("shingle"),
-                             on="shingle", how="left_anti")
-    scored = (pairs.join(firsts, on="shingle", how="left")
-              .groupBy(id_col)
+        marked = marked.join(index_df.select("shingle")
+                             .withColumn("__idx", F.lit(True)),
+                             on="shingle", how="left")
+        # novel = first-in-batch AND absent from the index (the old
+        # anti-join + left-join-miss-as-0 in one predicate)
+        novel = ((F.col("__first") == F.col(id_col))
+                 & F.col("__idx").isNull())
+    else:
+        novel = F.col("__first") == F.col(id_col)
+    scored = (marked.groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_shingles"),
-                   # left-join misses (shingle already in the index) are
-                   # NULL — they must count as 0, not poison the sum
-                   F.sum(F.when(F.col("__first") == F.col(id_col),
-                                F.lit(1)).otherwise(F.lit(0))
+                   F.sum(F.when(novel, F.lit(1)).otherwise(F.lit(0))
                          .cast("long")).alias("n_novel"))
               .withColumn(out_col, F.round(F.col("n_novel")
                                            / F.col("n_shingles"), 6)))
-    new_shingles = pairs.select("shingle").distinct()
+    # the owner row (id == __first) is exactly one row per distinct
+    # batch shingle — the old pairs.select("shingle").distinct() without
+    # a second shuffle or a second shingle pass
+    batch_shingles = (marked.where(F.col("__first") == F.col(id_col))
+                      .select("shingle"))
     if index_df is None:
-        return scored, new_shingles
-    # grow by the batch's NEW rows only: a distinct over index ∪ batch
-    # would reshuffle the ENTIRE standing index every fold — the
-    # anti-join touches only the batch side (zero-Exchange on a
-    # bucketed index), and the union keeps distinctness by construction
-    new_only = new_shingles.join(index_df.select("shingle"),
-                                 on="shingle", how="left_anti")
+        return scored, batch_shingles
+    # grow by the batch's NEW rows only (owner row + not-in-index — the
+    # __idx flag from the SAME join replaces the old anti-join): a
+    # distinct over index ∪ batch would reshuffle the ENTIRE standing
+    # index every fold; this touches only the batch side
+    new_only = (marked.where((F.col("__first") == F.col(id_col))
+                             & F.col("__idx").isNull())
+                .select("shingle"))
+    if new_rows_only:
+        return scored, new_only
     return scored, index_df.select("shingle").unionByName(new_only)

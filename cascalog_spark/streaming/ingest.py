@@ -623,19 +623,19 @@ def stream_novelty_ingest(stream_df: DataFrame, out_dir: str,
 
     This is the crawl pipeline's per-snapshot gate: novelty ~0 flags a
     re-crawl batch before any near-dedup cost is paid."""
-    from ..functions.text import ngram_novelty_incremental, novelty_index
+    from ..functions.text import ngram_novelty_incremental
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         index = read_ingest_index(spark, index_dir,
                                   exclude_batch=batch_id)
-        scored, _ = ngram_novelty_incremental(batch, index, text_col,
-                                              id_col, k)
+        # new_rows_only: the scorer already derives the batch's NEW
+        # shingles (owner row + not-in-index) on its one shingle-keyed
+        # Exchange — re-deriving them via novelty_index + anti-join
+        # used to pay a THIRD tokenize+shingle pass per micro-batch
+        scored, new_rows = ngram_novelty_incremental(
+            batch, index, text_col, id_col, k, new_rows_only=True)
         StateDir(out_dir).write(scored, batch_id)
-        new_rows = novelty_index(batch, text_col, id_col, k)
-        if index is not None:
-            new_rows = new_rows.join(index.select("shingle"),
-                                     on="shingle", how="left_anti")
         StateDir(index_dir).write(new_rows, batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(_step)
