@@ -904,7 +904,8 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
 
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  out_col: str = "novelty") -> DataFrame:
+                  out_col: str = "novelty",
+                  materialize: bool = True) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's
     DISTINCT k-token shingles whose FIRST corpus appearance (minimum
     ``id_col`` — ingestion order when ids are monotone) is this
@@ -936,7 +937,17 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     from .dedup import with_shingles
 
     docs = with_shingles(df.where(F.col(text_col).isNotNull()),
-                         text_col, k, "__sh")
+                         text_col, k, "__sh").select(id_col, "__sh")
+    if materialize:
+        # the (id, shingle-array) frame feeds TWO consumers (the
+        # n_shingles base + the exploded pair side) and Spark re-executes
+        # branched non-Exchange subtrees — without a cut the tokenize +
+        # shingle-assembly chain runs twice per document.  Same pattern
+        # as the minhash bucket / semantic cell feeds: checkpoint once,
+        # doc-count rows (the payload is the corpus' token bytes —
+        # opt out via materialize=False where local disk is scarcer
+        # than the recompute CPU).
+        docs = docs.localCheckpoint()
     # per-doc distinct-shingle count without touching the pair table:
     # __sh is array_distinct and never empty for non-null text (the
     # k-window index sequence always has >= 1 slot), so size() equals
