@@ -315,6 +315,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_value(),
+        # timed-window version stamp (r11, verdict item 8): lets the
+        # driver's prev/now comparison detect methodology drift.  v2 =
+        # the r10 window (build + noop action timed; between-pass
+        # hygiene excluded).  BENCH_r09 and older were taken under v1
+        # (hygiene inside the window, ~+0.15-0.2s/entry).
+        "methodology": "isolated-child-minofn-noop-v2",
     }))
 
 

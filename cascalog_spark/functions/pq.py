@@ -570,14 +570,23 @@ def ivfpq_index(df: DataFrame, id_col: str = "vec_id",
         books = pq_codebooks(assigned.where(nonzero), id_col=id_col,
                              vec_col="__r", m=m, n_codes=n_codes,
                              dim=dim, kmeans_iters=kmeans_iters)
-    codes = assigned.select(
-        F.col(id_col), F.col("__cell"),
-        pq_encode_col(F.col("__r"), books).alias("codes"))
     # marker for ivfpq_topk: on this LAZY frame the cell column is a
     # derived expression, so an isin(probe) filter would be pushed (and
     # the whole assignment inlined) below the scan Exchange — the probe
-    # broadcast join alone prunes identically there
-    codes._ivfpq_lazy_cell = True
+    # broadcast join alone prunes identically there.  Carried as COLUMN
+    # METADATA (r11): a plain Python attribute is silently lost on any
+    # intervening transformation (select/where/localCheckpoint), which
+    # reverted consumers to the 52 KB pushed-filter pathology with no
+    # test tripping.  Metadata rides the __cell column through
+    # pass-through transformations; the materialized-index read path
+    # (ivfpq_query_index) never sees it because __cell is reconstructed
+    # there from partition directories, so partition-pruning isin stays.
+    codes = assigned.select(
+        F.col(id_col),
+        F.col("__cell").alias("__cell",
+                              metadata={"ivfpq_lazy_cell": True}),
+        pq_encode_col(F.col("__r"), books).alias("codes"))
+    codes._ivfpq_lazy_cell = True  # legacy attribute, kept for callers
     return cents, books, codes
 
 
@@ -618,6 +627,20 @@ def ivfpq_append_index(df: DataFrame, path: str,
                               codebooks=codebooks,
                               m=len(codebooks), n_codes=len(codebooks[0]))
     codes.write.partitionBy("__cell").mode("append").parquet(path)
+
+
+def _is_lazy_cell(index: DataFrame, cell_col: str) -> bool:
+    """True when ``cell_col`` is a derived (lazy ``ivfpq_index``)
+    assignment rather than a materialized partition column: the marker
+    rides as column metadata (survives select/where/localCheckpoint),
+    with the legacy frame attribute accepted too."""
+    if getattr(index, "_ivfpq_lazy_cell", False):
+        return True
+    try:
+        field = index.schema[cell_col]
+    except KeyError:
+        return False
+    return bool((field.metadata or {}).get("ivfpq_lazy_cell", False))
 
 
 def ivfpq_topk(index: DataFrame, query_vec: list[float],
@@ -718,7 +741,7 @@ def ivfpq_topk(index: DataFrame, query_vec: list[float],
     # side) — there the inner probe join alone prunes identically (a
     # probed cell matches exactly one pframe row, anything else matches
     # none, exactly like isin)
-    pruned = (index if getattr(index, "_ivfpq_lazy_cell", False)
+    pruned = (index if _is_lazy_cell(index, cell_col)
               else index.where(F.col(cell_col).isin(probe)))
     return (pruned
             .join(F.broadcast(pframe), on=cell_col)

@@ -585,3 +585,54 @@ def test_ivfpq_rerank_two_stage(spark, sf_dir):
                              ivfpq_rerank=5).collect()}
     for p in (1, 2, 4):
         assert rep[("ivfpq_rr", p)] >= rep[("ivfpq", p)]
+
+
+def test_lazy_cell_marker_survives_transforms(emb, ivfpq):
+    """r11 gate for the lazy-cell marker: the r10 form was a Python
+    attribute on the DataFrame object, silently lost on ANY intervening
+    transformation — reverting ivfpq_topk to pushing isin(probe) (with
+    the whole assignment chain inlined, a 52 KB Filter) below the scan
+    Exchange with no test tripping.  The marker now rides as __cell
+    COLUMN METADATA, surviving select/where/localCheckpoint; this gate
+    is red if it is ever lost again."""
+    from cascalog_spark.functions import ivfpq_index
+    from cascalog_spark.functions.pq import _is_lazy_cell, ivfpq_topk
+
+    cents, books_, codes = ivfpq
+    _, _, lazy = ivfpq_index(emb, n_centroids=8, m=8, n_codes=8,
+                             centroids=cents, codebooks=books_)
+    transformed = (lazy.where(F.col("vec_id") >= 0)
+                   .select("vec_id", "__cell", "codes"))
+    # the legacy attribute IS lost here — the metadata must survive
+    assert not getattr(transformed, "_ivfpq_lazy_cell", False)
+    assert _is_lazy_cell(transformed, "__cell")
+    # the checkpointed module fixture keeps it too (the r10 attribute
+    # did not survive the checkpoint)
+    assert _is_lazy_cell(codes, "__cell")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    out = ivfpq_topk(transformed, qv, cents, books_, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # plan gate: no Filter operator may carry an inlined assignment
+    # chain (the pathology is tens of KB on one line)
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter ", "+- Filter ",
+                                     "*(1) Filter ")) or " Filter (" in line:
+            assert len(line) < 1024, f"oversized Filter: {line[:200]}..."
+    base = ivfpq_topk(codes, qv, cents, books_, k=5, n_probe=2)
+    assert [tuple(r) for r in out.collect()] \
+        == [tuple(r) for r in base.collect()]
+
+
+def test_materialized_index_read_is_not_lazy(emb, tmp_path, ivfpq):
+    """A written index read back reconstructs __cell from partition
+    directories (no metadata), so ivfpq_topk must keep the isin
+    PARTITION filter there — losing it would scan every cell's files."""
+    from cascalog_spark.functions import ivfpq_write_index
+    from cascalog_spark.functions.pq import _is_lazy_cell
+
+    cents, books_, _ = ivfpq
+    path = str(tmp_path / "ivfpq_meta_rt")
+    ivfpq_write_index(emb, path, n_centroids=8, m=8, n_codes=8,
+                      centroids=cents, codebooks=books_)
+    idx = emb.sparkSession.read.parquet(path)
+    assert not _is_lazy_cell(idx, "__cell")
