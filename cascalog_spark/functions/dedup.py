@@ -378,7 +378,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iter: int = 20,
-                   method: str = "star") -> DataFrame:
+                   method: str = "star",
+                   skew_salt: int | None = None) -> DataFrame:
     """Connected components over near-dup candidate pairs →
     ``(node, cluster)`` with cluster = min id in the component — the step
     that turns pairwise candidates into keep/drop decisions (keep one doc
@@ -404,9 +405,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
     Same output contract; both methods leave the round count on the
     result as ``_cc_rounds``.
+
+    ``skew_salt=s`` (star method only): hub-guard for graphs with very
+    high-degree nodes — each star's per-node minimum becomes a salted
+    two-stage aggregate (map-side combined, bounded tasks) joined back
+    onto the edges (a join AQE's skew handling CAN split, unlike a
+    window).  Identical labels; default ``None`` keeps the one-window
+    shape, whose per-task bound is the max node degree.
     """
     if method == "star":
-        return _dedup_clusters_star(pairs, id_a, id_b, max_iter)
+        return _dedup_clusters_star(pairs, id_a, id_b, max_iter,
+                                    skew_salt=skew_salt)
     if method != "label":
         raise ValueError(f"dedup_clusters: method must be label|star, "
                          f"got {method!r}")
@@ -441,7 +450,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         skew_salt: int | None = None) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014).
 
     Each round rewires the edge set toward stars centered at component
@@ -488,16 +498,48 @@ def _dedup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     # the per-round state (and the convergence fingerprint sequence) is
     # provably identical — AQE stage jobs per round drop ~2x.
     w_src = Window.partitionBy("src")
+    if skew_salt:
+        # hub guard: the window puts a node's FULL neighborhood in one
+        # task (no AQE help for windows).  With salting, stage 1 is a
+        # map-side-combined groupBy((src, salt)) partial min — bounded
+        # tasks regardless of degree — stage 2 reduces ≤ s partials per
+        # node, and the attach is a JOIN, which AQE skew-join splits at
+        # runtime.  Same minima, same rounds, identical labels; the
+        # edges feeding both join sides are the round's checkpointed
+        # frame, so re-derivation is a cache read, not a recompute.
+        s = int(skew_salt)
+
+        def _with_min(e_df):
+            salt = F.pmod(F.xxhash64("dst"), F.lit(s))
+            partial = (e_df.withColumn("__salt", salt)
+                       .groupBy("src", "__salt")
+                       .agg(F.min("dst").alias("__m1")))
+            mins = (partial.groupBy("src")
+                    .agg(F.min("__m1").alias("__mn")))
+            return e_df.join(mins, on="src")
+
     for _ in range(max_iter):
         # -- large-star: full neighborhood (both directions)
         und = edges.union(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-        edges = (und.withColumn(
-                     "m", F.least(F.min("dst").over(w_src), F.col("src")))
-                 .where(F.col("dst") > F.col("src"))
+        if skew_salt:
+            lg = _with_min(und).withColumn(
+                "m", F.least(F.col("__mn"), F.col("src")))
+        else:
+            lg = und.withColumn(
+                "m", F.least(F.min("dst").over(w_src), F.col("src")))
+        edges = (lg.where(F.col("dst") > F.col("src"))
                  .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
         # -- small-star: smaller neighbors only (edges stay larger→smaller)
-        j = edges.withColumn("m", F.min("dst").over(w_src))
+        if skew_salt:
+            # the large-star output feeds two DIFFERENTLY-KEYED
+            # exchanges here ((src, salt) partial agg + the src-keyed
+            # probe), so exchange reuse cannot dedup it — cut once
+            # (lazy: the fingerprint job below materializes it)
+            edges = edges.localCheckpoint(eager=False)
+            j = _with_min(edges).withColumn("m", F.col("__mn"))
+        else:
+            j = edges.withColumn("m", F.min("dst").over(w_src))
         # eager=False: the fingerprint action right below is the
         # materializing job (its aggregate scans every partition, and
         # LocalRDDCheckpointData caches the rest at job end) — one
@@ -1108,9 +1150,61 @@ def kgram_anchors(df: DataFrame, k: int = 8, id_col: str = "doc_id",
                       gram.alias("gram"))
 
 
+def _gram_dup_anchors(anchors: DataFrame, id_col: str,
+                      skew_salt: int | None) -> DataFrame:
+    """Anchor rows whose gram is owned by a LOWER-id doc (owner =
+    min(id) per gram), computed in the anchors' own pass.
+
+    Default (``skew_salt=None``): ONE window over the gram key — the
+    fewest-shuffle shape; md5 grams hash uniformly ACROSS keys, but a
+    single boilerplate gram present in a large fraction of documents
+    still lands every occurrence in one task (windows get no AQE skew
+    handling).  ``skew_salt=s`` bounds that task: a salted two-stage
+    min, still window-only —
+
+    1. ``m1 = min(id) OVER (gram, salt)`` with ``salt =
+       pmod(xxhash64(id, pos), s)`` — the hot gram splits ``s`` ways;
+    2. rows with ``m1 < id`` are PROVABLY dup (some smaller doc shares
+       the gram) and never re-shuffle; only rows attaining their salt
+       group's min (``id == m1``, at most one doc's rows per (gram,
+       salt)) go through the second, gram-keyed window, whose input per
+       gram is ≤ s docs' anchor rows — bounded regardless of how hot
+       the gram is.
+
+    Equivalence: every salt group's min id reaches stage 2 (the min is
+    attained by a row of that group), so stage-2's min = the global
+    min; a stage-1 row with ``m1 < id`` satisfies ``owner ≤ m1 < id``.
+    Same dup set, bit-identical downstream.  Both stage-1 branches hang
+    off the same (gram, salt) Exchange, so the tokenize chain below it
+    runs once (ReuseExchange; plan-gated by test)."""
+    from pyspark.sql import Window
+
+    if not skew_salt:
+        w_gram = Window.partitionBy("gram")
+        return (anchors
+                .withColumn("__owner", F.min(id_col).over(w_gram))
+                .where(F.col("__owner") < F.col(id_col))
+                .drop("__owner"))
+    s = int(skew_salt)
+    salted = anchors.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col), F.col("pos")),
+                         F.lit(s)))
+    f1 = salted.withColumn(
+        "__m1", F.min(id_col).over(Window.partitionBy("gram", "__salt")))
+    certain = f1.where(F.col("__m1") < F.col(id_col))
+    uncertain = (f1.where(F.col("__m1") == F.col(id_col))
+                 .withColumn("__owner",
+                             F.min(id_col).over(Window.partitionBy("gram")))
+                 .where(F.col("__owner") < F.col(id_col))
+                 .drop("__owner"))
+    return (certain.unionByName(uncertain)
+            .drop("__m1", "__salt"))
+
+
 def exact_substring_spans(df: DataFrame, k: int = 8,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          skew_salt: int | None = None) -> DataFrame:
     """Maximal duplicated spans per doc: (id, span_start, span_end,
     span_tokens) in TOKEN offsets, where every k-gram of the span also
     occurs in a LOWER-id document (keep-min-doc ownership, matching
@@ -1143,12 +1237,10 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
     # gram-keyed Exchange.  min(id) OVER (PARTITION BY gram) computes the
     # same owner in the anchors' own single pass: ONE corpus scan, ONE
     # shuffle, no join (guide §2.4 remove shuffles outright; §3 a window
-    # keyed like the join replaces it).
+    # keyed like the join replaces it).  ``skew_salt`` bounds the hot-key
+    # task for boilerplate-heavy corpora (see _gram_dup_anchors).
     anchors = kgram_anchors(df, k, id_col, text_col)
-    w_gram = Window.partitionBy("gram")
-    dup = (anchors
-           .withColumn("__owner", F.min(id_col).over(w_gram))
-           .where(F.col("__owner") < F.col(id_col)))
+    dup = _gram_dup_anchors(anchors, id_col, skew_salt)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (dup.withColumn("__rn", F.row_number().over(w))
             .withColumn("__grp", F.col("pos") - F.col("__rn")))
@@ -1162,7 +1254,8 @@ def exact_substring_spans(df: DataFrame, k: int = 8,
 
 def exact_substring_dedup(df: DataFrame, k: int = 8,
                           id_col: str = "doc_id", text_col: str = "text",
-                          out_col: str = "clean_text") -> DataFrame:
+                          out_col: str = "clean_text",
+                          skew_salt: int | None = None) -> DataFrame:
     """Documents with cross-doc duplicated spans REMOVED (the doc owning
     the span — smallest id — keeps it; later docs lose those tokens).
 
@@ -1180,7 +1273,8 @@ def exact_substring_dedup(df: DataFrame, k: int = 8,
     must be opt-in: pass ``out_col=text_col`` for in-place rewrite.
     (Changed in r5: the default was previously in-place.)
     """
-    spans = exact_substring_spans(df, k, id_col, text_col)
+    spans = exact_substring_spans(df, k, id_col, text_col,
+                                  skew_salt=skew_salt)
     return _strip_spans(df, spans, id_col, text_col, out_col)
 
 
@@ -1228,7 +1322,8 @@ def exact_substring_index(df: DataFrame, k: int = 8,
 def exact_substring_dedup_incremental(
         batch: DataFrame, index_df: DataFrame | None, k: int = 8,
         id_col: str = "doc_id", text_col: str = "text",
-        out_col: str = "clean_text") -> tuple[DataFrame, DataFrame]:
+        out_col: str = "clean_text",
+        skew_salt: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Incremental exact-substring (duplicated-span) dedup: NEW docs lose
     token spans whose every k-gram already exists in the standing
     ``index_df`` OR is owned by a lower-id doc within the batch (the
@@ -1249,10 +1344,7 @@ def exact_substring_dedup_incremental(
     # §2.4), cutting the anchor-subtree executions from 4 to 3 (the index
     # semi-join and the index update still branch, batch-sized both).
     anchors = kgram_anchors(batch, k, id_col, text_col)
-    w_gram = Window.partitionBy("gram")
-    batch_dup = (anchors
-                 .withColumn("__owner", F.min(id_col).over(w_gram))
-                 .where(F.col("__owner") < F.col(id_col))
+    batch_dup = (_gram_dup_anchors(anchors, id_col, skew_salt)
                  .select(id_col, "pos"))
     if index_df is not None:
         idx_dup = (anchors.join(index_df.select("gram"), on="gram",
@@ -1277,7 +1369,8 @@ def exact_substring_dedup_incremental(
 def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", sep: str = "\n",
                          min_chars: int = 1,
-                         out_col: str = "dedup_text") -> DataFrame:
+                         out_col: str = "dedup_text",
+                         skew_salt: int | None = None) -> DataFrame:
     """Cross-document LINE dedup (MassiveText / C4 repeated-boilerplate
     rule at corpus granularity): a line that already appeared in an
     earlier document — ordered by (id, position) — is dropped from every
@@ -1312,14 +1405,38 @@ def cross_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
     # shuffle, no join (guide §2.4).  Every eligible line's key group
     # contains at least itself, so the owner is never NULL where tested.
     from pyspark.sql import Window
-    w_key = Window.partitionBy("__key")
-    owner = F.min(F.when(eligible,
-                         F.struct(F.col(id_col).alias("__oid"),
-                                  F.col("__pos").alias("__opos")))).over(w_key)
-    kept = (lines.withColumn("__owner", owner)
-            .where((~eligible)
-                   | ((F.col("__owner.__oid") == F.col(id_col))
-                      & (F.col("__owner.__opos") == F.col("__pos")))))
+    me = F.struct(F.col(id_col).alias("__oid"),
+                  F.col("__pos").alias("__opos"))
+    if not skew_salt:
+        w_key = Window.partitionBy("__key")
+        owner = F.min(F.when(eligible, me)).over(w_key)
+        kept = (lines.withColumn("__owner", owner)
+                .where((~eligible)
+                       | ((F.col("__owner.__oid") == F.col(id_col))
+                          & (F.col("__owner.__opos") == F.col("__pos")))))
+    else:
+        # hot-key guard (same salted two-stage-min scheme as
+        # _gram_dup_anchors, min-struct flavor): a boilerplate line in
+        # most documents otherwise lands every occurrence in one window
+        # task.  Stage 1 splits each key s ways; only rows ATTAINING
+        # their salt group's min (≤ 1 per (key, salt) — (id, pos) is
+        # unique) reach the key-wide stage 2, so its input per key is
+        # ≤ s rows.  Ineligible rows are always kept, eligible rows
+        # survive iff they are the global first owner — identical set.
+        s = int(skew_salt)
+        f1 = (lines.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col), F.col("__pos")),
+                             F.lit(s)))
+            .withColumn("__m1", F.min(F.when(eligible, me)).over(
+                Window.partitionBy("__key", "__salt"))))
+        keep_cols = [id_col, "__pos", "__line"]
+        inel = f1.where(~eligible).select(*keep_cols)
+        survivors = (f1.where(eligible & (me == F.col("__m1")))
+                     .withColumn("__owner", F.min("__m1").over(
+                         Window.partitionBy("__key")))
+                     .where(me == F.col("__owner"))
+                     .select(*keep_cols))
+        kept = inel.unionByName(survivors)
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                    F.transform(

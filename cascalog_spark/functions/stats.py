@@ -75,11 +75,17 @@ def frequent_items(df: DataFrame, col: str, phi: float,
        phi`` rows, independent of the number of distinct values.
     2. **Recount pass**: broadcast-semi-join the deduped candidates back
        onto the data and count exactly; filter ``>= ceil(phi*N)`` drops
-       the false positives.  (N itself is one column-pruned aggregate.)
+       the false positives.
 
-    Three actions over ``df`` (candidate scan, the N count, the
-    recount) — persist upstream if the input is an expensive derived
-    plan (``frequent_tokens`` does exactly that for the exploded token
+    TWO passes over ``df`` (r11; was three): N rides the candidate scan
+    as one counter row per PARTITION (``__fi_v`` NULL, the partition's
+    row count) instead of a separate ``count()`` action — the candidate
+    frame is materialized once (localCheckpoint, ≤ batches/phi
+    candidate rows + one row per partition) and both the candidate set
+    and N read off it.  ``cutoff = ceil(phi*N)`` is the identical
+    driver-side arithmetic, so the output is bit-identical.  Persist
+    upstream if the input is an expensive derived plan
+    (``frequent_tokens`` does exactly that for the exploded token
     stream).  Nulls are ignored.  Reference analog: none (extension
     tier — corpus vocabulary / boilerplate auditing at scale).
     """
@@ -91,26 +97,41 @@ def frequent_items(df: DataFrame, col: str, phi: float,
         F.col("__fi_v").isNotNull())
     in_schema = src.schema
     out_field = in_schema["__fi_v"].dataType.simpleString()
-    cand_schema = f"__fi_v {out_field}"
+    cand_schema = f"__fi_v {out_field}, __fi_bn long"
 
     def _candidates(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_part = 0
         for pdf in batches:
             n_local = len(pdf)
             if n_local == 0:
                 continue
+            n_part += n_local
             vc = pdf["__fi_v"].value_counts()
             keep = vc[vc >= phi * n_local]
             if len(keep):
-                yield keep.index.to_frame(index=False,
-                                          name="__fi_v")
+                out = keep.index.to_frame(index=False, name="__fi_v")
+                out["__fi_bn"] = 0
+                yield out
+        if n_part:
+            # one counter row per partition: src rows are non-null by
+            # construction, so __fi_v IS NULL identifies it
+            yield pd.DataFrame(
+                {"__fi_v": pd.Series([None], dtype="object"),
+                 "__fi_bn": pd.Series([n_part], dtype="int64")})
 
-    cands = (src.mapInPandas(_candidates, schema=cand_schema)
-             .distinct())
-    n_total = src.count()
+    # candidate rows + per-partition counts in ONE pass, materialized
+    # once (tiny: bounded by batches/phi + partitions)
+    scan = src.mapInPandas(_candidates, schema=cand_schema) \
+              .localCheckpoint()
+    n_total = scan.agg(F.sum("__fi_bn")).first()[0] or 0
     if n_total == 0:
         return spark.createDataFrame([], f"{out_item} {out_field}, "
                                          f"{out_count} long")
     cutoff = math.ceil(phi * n_total)
+    cands = (scan.where(F.col("__fi_v").isNotNull())
+             .select("__fi_v").distinct())
     return (src.join(F.broadcast(cands), on="__fi_v", how="inner")
             .groupBy("__fi_v").agg(F.count(F.lit(1)).alias(out_count))
             .where(F.col(out_count) >= F.lit(cutoff))
@@ -131,8 +152,11 @@ def frequent_items_by_group(df: DataFrame, group_col: str, col: str,
     the candidate shuffle is ``<= batches * groups_per_batch / phi``
     rows; the recount joins candidates back on (group, value) and
     filters against the per-group totals (both map-side combined).
-    Rows with a NULL group or NULL value are ignored.  Three actions —
-    persist upstream if ``df`` is an expensive derived plan."""
+    Rows with a NULL group or NULL value are ignored.  TWO passes over
+    ``df`` (r11; was three): the per-group totals ride the candidate
+    scan as one counter row per (partition, group) — identical counts,
+    one fewer full pass.  Persist upstream if ``df`` is an expensive
+    derived plan."""
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"frequent_items_by_group: phi must be in "
                          f"(0, 1], got {phi}")
@@ -144,23 +168,38 @@ def frequent_items_by_group(df: DataFrame, group_col: str, col: str,
     v_field = src.schema["__fg_v"].dataType.simpleString()
 
     def _candidates(batches: Iterator) -> Iterator:
+        part_counts: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
             outs = []
             for g, sub in pdf.groupby("__fg_g", sort=False):
+                part_counts[g] = part_counts.get(g, 0) + len(sub)
                 vc = sub["__fg_v"].value_counts()
                 keep = vc[vc >= phi * len(sub)]
                 if len(keep):
                     outs.append(keep.index.to_frame(
                         index=False, name="__fg_v").assign(__fg_g=g))
             if outs:
-                yield pd.concat(outs)[["__fg_g", "__fg_v"]]
+                yield pd.concat(outs)[["__fg_g", "__fg_v"]] \
+                    .assign(__fg_bn=0)
+        if part_counts:
+            # one counter row per (partition, group): src values are
+            # non-null by construction, so __fg_v IS NULL marks them
+            yield pd.DataFrame(
+                {"__fg_g": list(part_counts.keys()),
+                 "__fg_v": pd.Series([None] * len(part_counts),
+                                     dtype="object"),
+                 "__fg_bn": list(part_counts.values())})
 
-    cands = (src.mapInPandas(_candidates,
-                             schema=f"__fg_g {g_field}, __fg_v {v_field}")
-             .distinct())
-    totals = src.groupBy("__fg_g").agg(F.count(F.lit(1)).alias("__fg_n"))
+    scan = (src.mapInPandas(
+        _candidates,
+        schema=f"__fg_g {g_field}, __fg_v {v_field}, __fg_bn long")
+        .localCheckpoint())
+    cands = (scan.where(F.col("__fg_v").isNotNull())
+             .select("__fg_g", "__fg_v").distinct())
+    totals = (scan.where(F.col("__fg_v").isNull())
+              .groupBy("__fg_g").agg(F.sum("__fg_bn").alias("__fg_n")))
     return (src.join(F.broadcast(cands), on=["__fg_g", "__fg_v"],
                      how="inner")
             .groupBy("__fg_g", "__fg_v")
