@@ -14,9 +14,13 @@ def spark():
         SparkSession.builder
         .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("cascalog_spark_tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("CSPARK_TEST_SHUFFLE", "8"))
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("CSPARK_TEST_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.codegen.wholeStage",
+                os.environ.get("CSPARK_TEST_CODEGEN", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

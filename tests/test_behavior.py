@@ -671,7 +671,7 @@ def _py_funnel(rows, stages, horizon=None):
     return out
 
 
-@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "4")),
           deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
@@ -690,7 +690,7 @@ def test_funnel_differential(spark, data, horizon):
     assert got == want
 
 
-@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "4")),
           deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
@@ -874,7 +874,7 @@ def test_stream_ngram_maintenance(spark, tmp_path):
     assert ("a->b->a", 2) in got  # u1's within + u2's 3-batch straddle
 
 
-@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "8")),
+@settings(max_examples=int(_os.environ.get("CSPARK_FUZZ", "4")),
           deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])

@@ -48,12 +48,36 @@ def _norm_rows(rows, cols):
 QUERIES = sorted(entry_mod.queries().keys())
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark, sf_dir):
+    """All queries' Spark legs computed ONCE, 4 in flight (guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially — overlapping independent jobs back-fills the
+    scheduler and cuts this module's wall clock ~3x).  Failures are
+    stored per query and re-raised in the owning test, so -x / failure
+    attribution behave exactly as before; values are identical (same
+    plans, same collect)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = entry_mod.queries()
+
+    def run(name):
+        try:
+            sdf = qs[name](spark, sf_dir)
+            return name, (sdf.columns, [tuple(r) for r in sdf.collect()])
+        except Exception as e:  # re-raised by the owning test
+            return name, e
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(run, QUERIES))
+
+
 @pytest.mark.parametrize("name", QUERIES)
-def test_query_matches_oracle(name, spark, sf_dir, duck):
-    fn = entry_mod.queries()[name]
-    sdf = fn(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+def test_query_matches_oracle(name, spark, sf_dir, duck, spark_results):
+    got = spark_results[name]
+    if isinstance(got, Exception):
+        raise got
+    scols, srows = got
 
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:

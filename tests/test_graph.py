@@ -126,7 +126,7 @@ import os
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "6")),
+_SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "4")),
                 deadline=None,
                 suppress_health_check=[
                     HealthCheck.function_scoped_fixture,

@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cascalog_spark import c, q
 
-# CSPARK_FUZZ=N deepens the differential fuzz (default 8 examples/property)
-SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "8")),
+# CSPARK_FUZZ=N deepens the differential fuzz (default 4 examples/property
+# for suite wall-time; tools/ci.sh runs the deep sweep at 8)
+SET = settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "4")),
                deadline=None,
                suppress_health_check=[HealthCheck.function_scoped_fixture,
                                       HealthCheck.too_slow])

@@ -239,7 +239,7 @@ def test_fuzz_merge_equals_oneshot(spark):
                 for r in df.collect()}
 
     @given(rows=rows_st, cut=cut_st)
-    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "8")),
+    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "4")),
               deadline=None,
               suppress_health_check=[
                   HealthCheck.function_scoped_fixture,
@@ -281,7 +281,7 @@ def test_fuzz_tdigest_rank_error(spark):
         min_size=5, max_size=300)
 
     @given(vals=vals_st)
-    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "6")),
+    @settings(max_examples=int(os.environ.get("CSPARK_FUZZ", "4")),
               deadline=None,
               suppress_health_check=[
                   HealthCheck.function_scoped_fixture,

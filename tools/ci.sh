@@ -10,7 +10,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== 1/4 pytest =="
-python -m pytest tests/ -q
+CSPARK_FUZZ="${CSPARK_FUZZ:-8}" python -m pytest tests/ -q
 
 echo "== 2/4 strict oracle check (sf0.01) =="
 python tools/driver_check.py
