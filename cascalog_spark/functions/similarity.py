@@ -1235,35 +1235,60 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
         return acc
 
     tagged: list[DataFrame] = []  # (method, param, __qid, id, sim)
-    for p in lsh_planes:
-        planes = _hyperplanes(dim, int(p), seed)
-        # string fast path: whole signature per side in ONE F.expr
-        isig = idx.withColumn("__sig", lsh_signature_col("__v", planes))
-        qsig = qside.withColumn("__sig",
+    if lsh_planes:
+        # ONE corpus scan for EVERY LSH width and its multi-probe rows
+        # (r11, verdict item 5): the per-width branches each re-scanned
+        # the index to compute that width's signature (4 scans + 4
+        # broadcast builds at two widths with multi-probe).  Both
+        # widths' signatures now ride one scan as a (width, sig) array,
+        # exploded to #widths rows per index row (no shuffle — the
+        # probe side is the broadcast), and the probe rows carry their
+        # method tag ('lsh' = the exact bucket, 'lsh_mp' = exact +
+        # every hamming-1 neighbor), so one equi-join on (width, sig)
+        # yields exactly the same tagged candidate rows per config.
+        width_sigs = F.array(*[
+            F.struct(F.lit(int(p)).alias("__p"),
+                     lsh_signature_col(
+                         "__v", _hyperplanes(dim, int(p), seed))
+                     .alias("__sig"))
+            for p in lsh_planes])
+        isig_all = (explode_fast(
+            idx.withColumn("__ws", width_sigs), F.col("__ws"), "__w")
+            .select(F.col(id_col), "__v", "__nrm",
+                    F.col("__w.__p").alias("__p"),
+                    F.col("__w.__sig").alias("__sig")))
+        probe_parts = []
+        for p in lsh_planes:
+            planes = _hyperplanes(dim, int(p), seed)
+            qsig = (qside
+                    .withColumn("__sig",
                                 lsh_signature_col("__qv", planes))
-        # query side is q rows by construction — broadcast it so the
+                    .withColumn("__p", F.lit(int(p))))
+            cols = ["__qid", "__qv", "__qnrm", "__p", "__sig",
+                    "__method"]
+            probe_parts.append(
+                qsig.withColumn("__method", F.lit("lsh")).select(cols))
+            if lsh_multi_probe:
+                mp = F.array(F.col("__sig"), *[
+                    F.col("__sig").bitwiseXOR(F.lit(1 << j))
+                    for j in range(int(p))])
+                qmp = explode_fast(
+                    qsig.withColumn("__mp", mp).drop("__sig"),
+                    F.col("__mp"), "__sig")
+                probe_parts.append(
+                    qmp.withColumn("__method", F.lit("lsh_mp"))
+                    .select(cols))
+        qprobe = probe_parts[0]
+        for part in probe_parts[1:]:
+            qprobe = qprobe.unionByName(part)
+        # query side is q·(widths·(2+p)) rows — broadcast it so the
         # corpus side never shuffles (at 100 TB a sort-merge here would
         # shuffle the whole index for an 8-row probe batch)
         tagged.append(
-            isig.join(F.broadcast(qsig), on="__sig")
-            .select(F.lit("lsh").alias("method"),
-                    F.lit(int(p)).alias("param"), "__qid",
+            isig_all.join(F.broadcast(qprobe), on=["__p", "__sig"])
+            .select(F.col("__method").alias("method"),
+                    F.col("__p").alias("param"), "__qid",
                     F.col(id_col), sim))
-        if lsh_multi_probe:
-            # the exact bucket plus every hamming-1 neighbor bucket:
-            # ONE equi-join against the exploded probe list
-            mp = F.array(F.col("__sig"), *[
-                F.col("__sig").bitwiseXOR(F.lit(1 << j))
-                for j in range(int(p))])
-            qmp = explode_fast(
-                qsig.withColumn("__mp", mp).drop("__sig"),
-                F.col("__mp"), "__sig").select("__qid", "__qv",
-                                               "__qnrm", "__sig")
-            tagged.append(
-                isig.join(F.broadcast(qmp), on="__sig")
-                .select(F.lit("lsh_mp").alias("method"),
-                        F.lit(int(p)).alias("param"), "__qid",
-                        F.col(id_col), sim))
     if ivf_probes:
         cents = _resolve_centroids(centroids, index, id_col, vec_col,
                                    n_centroids)
@@ -1423,9 +1448,6 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
             F.explode(F.filter(params2,
                                lambda np_: np_ >= F.col("__rank")))
             .alias("param"), "__qid", F.col(id_col), "sim")
-        tagged.append(
-            adc_tagged.select(F.lit("ivfpq").alias("method"),
-                              "param", "__qid", F.col(id_col), "sim"))
         if ivfpq_rerank:
             # ivfpq_rr rows: two-stage retrieval — ADC top-(k·r)
             # shortlist per config, rescored by EXACT cosine against
@@ -1434,10 +1456,23 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
             # the exact-rescored rows; the matching 'ivfpq' row carries
             # the ADC scan fraction.  The shared final window then
             # ranks these by exact sim like every other method.
+            #
+            # r11: the plain-ivfpq rows and the shortlist used to
+            # branch at adc_tagged — Spark re-executed the whole
+            # coded⋈probe ADC scoring once per consumer.  Both now
+            # consume the SAME ranked frame: the branch point sits
+            # above one (param, __qid) Exchange, which ReuseExchange
+            # dedups, so the ADC scoring runs once per action.  The
+            # rank column is dropped on the ivfpq side — identical rows.
             wadc = Window.partitionBy("param", "__qid").orderBy(
                 F.col("sim").desc(), F.col(id_col).asc())
-            shortlist = (adc_tagged
-                         .withColumn("__arn", F.row_number().over(wadc))
+            adc_ranked = adc_tagged.withColumn(
+                "__arn", F.row_number().over(wadc))
+            tagged.append(
+                adc_ranked.select(F.lit("ivfpq").alias("method"),
+                                  "param", "__qid", F.col(id_col),
+                                  "sim"))
+            shortlist = (adc_ranked
                          .where(F.col("__arn") <= k * int(ivfpq_rerank))
                          .select("param", "__qid", id_col))
             tagged.append(
@@ -1445,6 +1480,11 @@ def ann_recall_report(index: DataFrame, queries: DataFrame, k: int = 10,
                 .join(qside, on="__qid")
                 .select(F.lit("ivfpq_rr").alias("method"),
                         "param", "__qid", F.col(id_col), sim))
+        else:
+            tagged.append(
+                adc_tagged.select(F.lit("ivfpq").alias("method"),
+                                  "param", "__qid", F.col(id_col),
+                                  "sim"))
 
     for d_ in prefix_dims:
         # Matryoshka rows: candidates = the per-query top-`shortlist`
