@@ -227,7 +227,8 @@ def minhash_lsh_candidates_incremental(
         batch: DataFrame, index: DataFrame | None, id_col: str,
         text_col: str = "text", num_perm: int = 16, bands: int = 4,
         shingle_k: int = 3,
-        materialize: bool = False) -> tuple[DataFrame, DataFrame]:
+        materialize: bool = False,
+        pairs_shape: str = "pairs") -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection for continuous ingest: candidate
     pairs of a NEW batch against (a) the existing ``minhash_index`` and
     (b) itself, plus the batch's own index rows to append.
@@ -264,19 +265,48 @@ def minhash_lsh_candidates_incremental(
         # micro-batch pays the signature pass exactly once (guide §2.4 /
         # §5: don't recompute shared subtrees; at scale this is 3x the
         # batch's CPU, at bench it is ~3 duplicate jobs per batch).
+        # Deliberately EAGER: r11 A/B'd eager=False (save one driver job
+        # per batch) at 11.6s vs 9.8s — the first consuming job's map
+        # stages read the frame CONCURRENTLY, so lazy caching recomputes
+        # the signature pass once per stage instead of once per batch.
         buckets = buckets.localCheckpoint()
     bidx = buckets.drop("__bhs")
-    a, bb = buckets.alias("a"), buckets.alias("b")
-    self_pairs = (a.join(bb, on=["band", "bh"], how="inner")
-                  .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    if bands > 1:
-        earlier = F.zip_with(
-            F.slice(F.col("a.__bhs"), F.lit(1), F.col("band")),
-            F.slice(F.col("b.__bhs"), F.lit(1), F.col("band")),
-            lambda x, y: x == y)
-        self_pairs = self_pairs.where(~F.exists(earlier, lambda z: z))
-    self_pairs = self_pairs.select(F.col(f"a.{id_col}").alias("id_a"),
-                                   F.col(f"b.{id_col}").alias("id_b"))
+    if pairs_shape == "star":
+        # Connectivity-only callers (the streaming ingest step: pairs
+        # feed CC and a membership anti-join, never a weighted graph):
+        # emit each bucket as a STAR on its min id instead of the full
+        # within-bucket clique.  Same connected components — a clique
+        # and a star over the same member set connect identically — so
+        # cluster minima, survivors and cross-drops are unchanged, but
+        # a hot bucket of k docs yields k-1 pairs instead of k(k-1)/2
+        # (the banded join's quadratic blowup is the candidate-volume
+        # skew bound at 100 TB).  One window over the bucket table's
+        # own (band, bh) pass, no join.
+        from pyspark.sql import Window
+
+        w_b = Window.partitionBy("band", "bh")
+        self_pairs = (buckets
+                      .withColumn("__mn", F.min(id_col).over(w_b))
+                      .where(F.col("__mn") < F.col(id_col))
+                      .select(F.col("__mn").alias("id_a"),
+                              F.col(id_col).alias("id_b")))
+    elif pairs_shape == "pairs":
+        a, bb = buckets.alias("a"), buckets.alias("b")
+        self_pairs = (a.join(bb, on=["band", "bh"], how="inner")
+                      .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        if bands > 1:
+            earlier = F.zip_with(
+                F.slice(F.col("a.__bhs"), F.lit(1), F.col("band")),
+                F.slice(F.col("b.__bhs"), F.lit(1), F.col("band")),
+                lambda x, y: x == y)
+            self_pairs = self_pairs.where(~F.exists(earlier, lambda z: z))
+        self_pairs = self_pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"))
+    else:
+        raise ValueError("minhash_lsh_candidates_incremental: "
+                         f"pairs_shape must be pairs|star, got "
+                         f"{pairs_shape!r}")
     if index is None:
         return self_pairs, bidx
     cross = (index.alias("a")

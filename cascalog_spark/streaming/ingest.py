@@ -40,6 +40,7 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
                             shingle_k: int = 3, max_iter: int = 20,
                             cc_method: str = "star",
                             materialize: bool = False,
+                            pairs_shape: str = "pairs",
                             ) -> tuple[DataFrame, DataFrame]:
     """One ingest step, batch-land: returns ``(survivors, new_index_rows)``.
 
@@ -48,13 +49,23 @@ def ingest_batch_near_dedup(batch: DataFrame, index: Optional[DataFrame],
     index: any batch doc sharing a (band, bh) bucket with an indexed doc
     is dropped (the banded near-dup rule, first-seen wins).
     ``new_index_rows`` are the SURVIVORS' (id, band, bh) rows — append
-    them to the index after writing the survivors."""
+    them to the index after writing the survivors.
+
+    ``pairs_shape='star'`` is the hot-bucket guard for production
+    corpora: every pair consumer here is connectivity-only (CC clusters
+    + a membership anti-join), and a bucket's star connects exactly
+    what its clique connects — survivors are IDENTICAL (pinned by
+    test), while a hot bucket of k docs contributes k-1 candidate rows
+    instead of k(k-1)/2.  Default stays 'pairs': at bench scale the
+    tiny self-join broadcasts for free while the star's window pays an
+    exchange+sort (interleaved A/B: ~1s slower per r11 receipt); at
+    100 TB the candidate-volume bound dominates — flip it there."""
     from ..functions.dedup import (dedup_clusters,
                                    minhash_lsh_candidates_incremental)
 
     pairs, bidx = minhash_lsh_candidates_incremental(
         batch, index, id_col, text_col, num_perm, bands, shingle_k,
-        materialize=materialize)
+        materialize=materialize, pairs_shape=pairs_shape)
     # split: self pairs have both ids in the batch; cross pairs carry an
     # index id on the id_a side.  Membership test via the batch id set —
     # an equi-join on id (batch-sized, no collect).

@@ -112,3 +112,31 @@ def test_cross_doc_line_guard_identical(spark):
     # the planted line survives exactly once across the corpus
     kept = sum(t[2].count(BOILER) for t in guard)
     assert kept == 1
+
+
+def test_ingest_star_pairs_equivalent(spark, hot_docs):
+    """pairs_shape='star' (the hot-bucket candidate-volume guard: k-1
+    rows per bucket instead of k(k-1)/2) must keep the ingest step's
+    outputs IDENTICAL — a bucket's star connects exactly what its
+    clique connects, and every consumer is connectivity-only."""
+    from cascalog_spark.streaming.ingest import ingest_batch_near_dedup
+
+    batch = hot_docs.withColumnRenamed("text", "body")
+    outs = {}
+    for shape in ("pairs", "star"):
+        surv, idx_rows = ingest_batch_near_dedup(
+            batch, None, "doc_id", text_col="body", num_perm=8,
+            bands=4, pairs_shape=shape)
+        outs[shape] = (sorted(tuple(r) for r in surv.collect()),
+                       sorted(tuple(r) for r in idx_rows.collect()))
+    assert outs["pairs"] == outs["star"]
+    # the candidate volume really shrinks: star <= pairs on a hot bucket
+    from cascalog_spark.functions.dedup import \
+        minhash_lsh_candidates_incremental
+    n = {}
+    for shape in ("pairs", "star"):
+        p, _ = minhash_lsh_candidates_incremental(
+            batch, None, "doc_id", text_col="body", num_perm=8,
+            bands=4, pairs_shape=shape)
+        n[shape] = p.count()
+    assert n["star"] < n["pairs"]
