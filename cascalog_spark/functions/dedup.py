@@ -683,7 +683,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         # sides; four with the prefilter's doc-freq pass upstream) —
         # unmaterialized, every consumer re-tokenizes and re-shingles
         # the corpus.  One exploded-shingle localCheckpoint pays that
-        # CPU once (guide §2.4/§5)
+        # CPU once (guide §2.4/§5).  Receipt at 8x docs
+        # (tools/scaling_smoke_r11.py): the checkpoint arm reads 1.37x
+        # at 1x (the r10 parity) but 0.86x at 8x — the win appears
+        # with scale, so True stays the default; opt out where
+        # executor-local disk is the scarcer resource.
         sh = sh.localCheckpoint()
     # sizes AFTER the prefilter: numerator and denominator must count the
     # same shingle universe or hot-shingle docs get a deflated Jaccard

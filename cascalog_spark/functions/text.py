@@ -933,6 +933,16 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     them changes no value (pure min/count algebra, pinned by the SQL
     oracle).  Skew = the most duplicated shingle's pair count, same
     bound as the minhash band join.
+
+    ``materialize=True`` (default) localCheckpoints the (id,
+    shingle-array) frame: construction EAGERLY runs Spark jobs, and the
+    frame is pinned to executor-local storage (not resilient to
+    executor loss — rebuild on failure by re-calling).  The default is
+    receipt-backed at scale-up, not just locally: the unmaterialized
+    arm re-executes the tokenize+shingle chain per consumer and reads
+    0.37x at 1x docs and 0.04x at 8x docs
+    (tools/scaling_smoke_r11.py).  Opt out where executor-local disk is
+    scarcer than the recompute CPU.
     """
     from .dedup import with_shingles
 
