@@ -78,8 +78,58 @@ for nrep in (1, 8):
                                         materialize=mat))
     c.unpersist()
 
+# --- leave-alone re-justification at 8x (verdict item 10): drift and
+# tfidf are untouched this round on a minimal-shape argument (drift =
+# two fundamental corpus passes + O(1) probes; tfidf = one tokenization
+# persisted for its two consumers).  Gate: near-linear scaling — 8x the
+# rows must cost <= 16x the 1x wall (superlinear would mean a hidden
+# quadratic/recompute the plan reading missed).
+from cascalog_spark.functions import embedding_drift_report  # noqa: E402
+from cascalog_spark.functions.text import (release_tfidf_cache,  # noqa: E402
+                                           tf_idf)
+
+emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+       .select("vec_id", "embedding"))
+
+
+def emb_rep(nrep: int):
+    return (emb.withColumn("__rep", F.explode(
+        F.sequence(F.lit(0), F.lit(nrep - 1))))
+        .select((F.col("vec_id") + F.col("__rep") * 10_000_000)
+                .alias("vec_id"), "embedding")).localCheckpoint()
+
+
+def timed_tfidf(c):
+    t0 = time.time()
+    out = tf_idf(c, top_k=3)
+    out.write.format("noop").mode("overwrite").save()
+    el = time.time() - t0
+    release_tfidf_cache(out)
+    spark.catalog.clearCache()
+    return el
+
+
+scale = {}
+for nrep in (1, 8):
+    er = emb_rep(nrep)
+    t0 = time.time()
+    embedding_drift_report(er.where(F.col("vec_id") % 2 == 0),
+                           er.where(F.col("vec_id") % 2 == 1)) \
+        .write.format("noop").mode("overwrite").save()
+    scale[("drift", nrep)] = time.time() - t0
+    er.unpersist()
+    c = corpus(nrep)
+    scale[("tfidf", nrep)] = timed_tfidf(c)
+    c.unpersist()
+
 print(f"docs: 1x = {n0}, 8x = {8 * n0}")
 ok = True
+for op in ("drift", "tfidf"):
+    r = scale[(op, 8)] / max(scale[(op, 1)], 1e-9)
+    print(f"{op} leave-alone: 1x {scale[(op, 1)]:.2f}s  "
+          f"8x {scale[(op, 8)]:.2f}s  ratio {r:.2f} (gate 16)")
+    if r > 16:
+        ok = False
 DEFAULTS = {"novelty": True, "jaccard": True}
 for op in ("novelty", "jaccard"):
     for nrep in (1, 8):
