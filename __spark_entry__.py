@@ -4421,6 +4421,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # (similarity/pq family) or the graph changes (weighted degree, PPR
 # in-universe renormalization, near_dedup central persist).  The
 # long-green tier follows in _all_queries() order.
+_R11_HEAD = [
+    # r11 (optimization round): (a) the three queries the r10 verdict
+    # flagged as rotated OUT of the driver's 50-query window by r10's
+    # head insertion — they must re-enter attestation first;
+    "embedding_cluster_profile",
+    "embedding_semantic_decontamination",
+    "embedding_semantic_incremental",
+    # (b) every query whose code path r11 touched: the ann-recall
+    # report restructure (one LSH scan, rerank scored once), the
+    # ivfpq lazy-cell marker-as-metadata, the heavy-hitter two-pass
+    # fold, and the skew-guard refactors of the window-owner paths
+    # (defaults unchanged, but the code was restructured).
+    "embedding_ann_recall",
+    "embedding_ivfpq_rerank",
+    "embedding_pq_recall",
+    "embedding_ivfpq_recall",
+    "embedding_prefix_recall",
+    "embedding_ivfpq_topk",
+    "embedding_ivfpq_knn",
+    "doc_frequent_terms",
+    "doc_frequent_terms_by_source",
+    "doc_stream_frequent_terms",
+    "doc_exact_substring_spans",
+    "doc_exact_substring_dedup",
+    "doc_exact_substring_incremental",
+    "doc_cross_line_dedup",
+    "doc_dup_clusters",
+    "doc_stream_dedup_ingest",
+]
+
 _R10_HEAD = [
     # r10: the pruned lake-maintenance tier — partition-pruned
     # streaming CDC (the r9 scale-gap close), file-level merge
@@ -4516,7 +4546,7 @@ _R7_HEAD = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     seen, order = set(), []
-    for n in _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD:
+    for n in _R11_HEAD + _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD:
         if n not in seen:
             seen.add(n)
             order.append(n)
