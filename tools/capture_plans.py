@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for bench entries into plans/r10/.
+"""Capture .explain("formatted") for bench entries into plans/$SPARK_GRAFT_PLANS_DIR (default r11).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix = "before" / "after"; default queries = the bench set.
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r10")
+                   "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"))
 
 
 def main() -> None:
